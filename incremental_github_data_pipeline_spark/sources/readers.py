@@ -1,0 +1,75 @@
+"""Schema'd readers with the reference's structural validation semantics.
+
+S5 (/root/reference/transform.py:57-79): exists / non-empty / parses /
+top-level is a list → FileNotFoundError / ValueError / TypeError. We keep
+those exact exception types as the pre-flight contract, then hand the scan
+to Spark with an *explicit schema* — never inference in production paths
+(SURVEY.md §1.4): explicit schemas are what let parquet/JSON scans prune
+columns and push filters at 100 TB.
+
+S6 (pd.json_normalize) needs no operator at all: nested structs are read
+natively and flattened by struct-field selection in the projection.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def validate_json_array_file(path: str | Path) -> None:
+    """S5 structural validation, same exception contract as the reference.
+
+    Cheap driver-side pre-flight: existence/size checks are O(1); the
+    "parses as a JSON array" check reads only the first non-whitespace
+    byte rather than json.load-ing the (potentially huge) file — full
+    parse errors surface as `_corrupt_record`s in the Spark scan.
+    """
+    p = Path(path)
+    if not p.exists():
+        raise FileNotFoundError(f"{p} does not exist!")
+    if os.path.getsize(p) == 0:
+        raise ValueError(f"{p} is empty!")
+    with open(p, "rb") as f:
+        head = f.read(4096).lstrip()
+    if not head:
+        raise ValueError(f"{p} is blank!")
+    if not head.startswith(b"["):
+        raise TypeError(f"Incorrect top-level type in {p} (expected JSON array)")
+
+
+def read_json_array(
+    spark: SparkSession,
+    path: str | Path,
+    schema: StructType,
+    validate: bool = True,
+) -> DataFrame:
+    """Read a JSON array-of-objects file (the reference's raw-zone format,
+    extract.py:23-34) with an explicit schema.
+
+    ``multiLine`` is required for array files; for the high-throughput
+    path prefer JSON-lines landed data (splittable, parallel scan) —
+    multiLine JSON is one task per file, acceptable only for small raw
+    drops like the reference's (~2 MB).
+    """
+    if validate:
+        validate_json_array_file(path)
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", True)
+        .option("mode", "PERMISSIVE")
+        .json(str(path))
+    )
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated test table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Alias kept for query-surface readability."""
+    return read_parquet_table(spark, sf_dir, name)

