@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+
+Each query executes twice: a warm-up pass (JIT/codegen/caches) and a
+timed pass — the timed number is what a steady-state job sees. Results
+are fully materialized via count() on a cached-nothing plan, so I/O,
+shuffles and codegen are all inside the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # one per operator family: scan-agg, join-heavy, windows, dedup,
+    # sessionization, text, minhash signatures, vector search
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_volume",
+    "q_window_topk_per_group",
+    "q_dedup_keep_last",
+    "q_sessionize",
+    "q_doc_token_stats",
+    "q_minhash_near_dups",
+    "q_embedding_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from incremental_github_data_pipeline_spark.queries import load_all
+    from incremental_github_data_pipeline_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry[name].fn
+        fn(spark, sf_dir).count()  # warm-up (codegen + file listing)
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,380 @@
+"""[EXT] Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2.10): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+Design for 100 TB:
+- Signatures (minhash / simhash / fingerprints) are pure column
+  expressions computed in the scan stage — no UDF, no extra pass.
+- Candidate generation is always *bucketed* (LSH bands / simhash chunks)
+  so the self-join shuffles on a bucket key instead of exploding into an
+  O(n²) cross join. The only cross-document work happens inside buckets.
+- Verification (true Jaccard / Hamming / cosine) runs only on candidate
+  pairs, and pairs are canonicalized (id_a < id_b) to halve the work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from incremental_github_data_pipeline_spark.operators.text import shingles, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact deduplication: group rows by content hash, keep the row with
+    the smallest id (deterministic winner). One shuffle on the content
+    hash — the hash, not the (possibly huge) content, is the shuffle key.
+    """
+    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_keep", F.min(F.col(id_col)).over(Window.partitionBy("_h")))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_h", "_keep")
+    )
+
+
+def exact_dup_groups(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Duplicate *groups*: content hash → representative id + copy count.
+    The audit twin of :func:`exact_dedup`."""
+    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("_h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text_col: Column | str, num_hashes: int = 32, k: int = 5) -> Column:
+    """MinHash signature as an array<long>: min over shingles of
+    xxhash64(shingle, seed=i) for each of ``num_hashes`` seeded hash
+    functions. Whole signature in one codegen expression."""
+    sh = shingles(text_col, k)
+    # (lambda i: ...)(i) — F.transform binds 2-arg lambdas as (elem, idx),
+    # so the seed must come in via closure, not a default arg.
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, (lambda seed: lambda s: F.xxhash64(s, F.lit(seed)))(i))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_bands(sig_col: Column | str, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: split the signature into ``bands`` slices of
+    ``rows_per_band`` and hash each slice → array of (band, bucket) keys.
+    Two docs sharing any band bucket become a candidate pair."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b, deduplicated).
+
+    Pipeline: signature (map) → explode band buckets (map) → self-join on
+    (band, bucket) (shuffle on bucket key) → distinct pairs. Estimated
+    Jaccard from signature agreement is attached; callers verify with
+    :func:`ngram_jaccard` when exactness matters.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("_sig"),
+    )
+    buckets = sigs.select(
+        "_id",
+        "_sig",
+        F.explode(minhash_bands(F.col("_sig"), bands, rows_per_band)).alias("_bb"),
+    ).select("_id", "_sig", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("_sig_a"),
+            F.col("b._sig").alias("_sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    return pairs.withColumn("est_jaccard", est).drop("_sig_a", "_sig_b")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Near-dup removal: drop every doc that has an LSH candidate with
+    estimated Jaccard ≥ threshold and a smaller id (min-id survivor rule,
+    transitive chains collapse toward the smallest id in practice)."""
+    pairs = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, k)
+    losers = (
+        pairs.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text_col: Column | str, bits: int = 64) -> Column:
+    """64-bit SimHash over tokens, as one (large but static) codegen
+    expression: per-bit vote = Σ_tokens (bit(hash(token)) ? +1 : −1);
+    simhash bit b set iff vote > 0.
+
+    Token hashes are materialized once into an array; bit positions are
+    Python-side constants (shift amounts must be literals in Spark), so
+    the expression is 64 array-aggregates over the hash array. Fine for
+    the expression path; for very long documents prefer computing this
+    in the same scan as other signatures so the tokenization amortizes.
+    """
+    h = F.transform(tokens(text_col), lambda w: F.xxhash64(w))
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(
+            h,
+            F.lit(0),
+            (
+                lambda bit: lambda acc, hv: acc
+                + F.when(
+                    F.shiftright(hv, bit).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            )(b),
+        )
+        bit_val = (1 << b) if b < 63 else -(1 << 63)  # two's-complement top bit
+        out = out.bitwiseOR(
+            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """SimHash near-dup candidates via the chunk pigeonhole: split the
+    64-bit hash into ``chunks`` pieces; any pair within ``max_hamming``
+    (< chunks) must agree on ≥1 chunk, so bucketing by (chunk_idx,
+    chunk_value) finds all of them with a bucket-key shuffle instead of a
+    cross join. Pairs are then verified with the true Hamming distance.
+    """
+    width = 64 // chunks
+    h = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh"))
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("idx"),
+                F.shiftright(F.col("_sh"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for i in range(chunks)
+        ]
+    )
+    buckets = h.select("_id", "_sh", F.explode(chunk_arr).alias("_c")).select(
+        "_id", "_sh", F.col("_c.idx").alias("_idx"), F.col("_c.val").alias("_val")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._idx") == F.col("b._idx"))
+            & (F.col("a._val") == F.col("b._val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sh"), F.col("b._sh")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (verification + exact small-scale dedup)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(text_a: Column, text_b: Column, k: int = 3) -> Column:
+    """Exact token k-gram Jaccard similarity between two text columns."""
+    sa = F.array_distinct(shingles(text_a, k))
+    sb = F.array_distinct(shingles(text_b, k))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def verified_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.8,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact n-gram Jaccard — the
+    production near-dup pipeline: cheap recall stage, exact precision
+    stage, both shuffle-bounded by bucket keys."""
+    pairs = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, k)
+    docs = df.select(F.col(id_col), F.col(text_col))
+    a = docs.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a")
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard", ngram_jaccard(F.col("_text_a"), F.col("_text_b"), k)
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_similarity(vec_a: Column, vec_b: Column) -> Column:
+    """Cosine similarity of two array<double> columns as one expression
+    (dot / (‖a‖·‖b‖)), all inside codegen."""
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dot / (norm(vec_a) * norm(vec_b))
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold, LSH-bucketed.
+
+    Random-hyperplane signature (sign bits of dot products with seeded
+    pseudo-random planes derived from xxhash64 — fully deterministic,
+    no driver-side RNG state to ship) buckets vectors; exact cosine
+    verifies within buckets. High thresholds ⇒ near-identical vectors ⇒
+    identical sign patterns with high probability.
+    """
+    v = F.col(vec_col)
+    dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
+    # plane p, dim d → pseudo-random weight in [-1, 1): hash-derived,
+    # identical on every executor without broadcasting actual arrays.
+    def plane_dot(p: int) -> Column:
+        weights = F.transform(
+            dim_idx,
+            lambda d: (
+                F.xxhash64(F.concat_ws(":", F.lit(seed), F.lit(p), d.cast("string")))
+                .cast("double")
+                / F.lit(float(2**63))
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(v, weights, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.concat_ws(
+        "", *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(n_planes)]
+    )
+    with_sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(v, lambda x: x.cast("double")).alias("_v"),
+        sig.alias("_sig"),
+    )
+    a, b = with_sig.alias("a"), with_sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._sig") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine_similarity(F.col("a._v"), F.col("b._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,152 @@
+"""[EXT] Similarity search over embedding columns (SURVEY.md §2.10).
+
+Two tiers, mirroring how vector search actually scales:
+
+- :func:`cosine_topk_bruteforce` — exact top-k. The query set broadcasts
+  (it's small); the corpus streams through map tasks computing dot
+  products in codegen; a window keeps the per-query top-k. No corpus
+  shuffle at any size — the classic "brute force is the baseline and is
+  often fine" path (cf. PAPERS.md ICDE'21 REPOSE discussion).
+- :func:`ivf_topk` — IVF-style approximate path: k-means-lite centroid
+  assignment (deterministic seeded centroid pick), probe the ``n_probe``
+  nearest cells only. Corpus is partitioned by cell once (one shuffle at
+  build), every query then touches a fraction of the corpus. This is the
+  100 TB path: the scan cost per query drops by ×(cells/n_probe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from incremental_github_data_pipeline_spark.operators.dedup import cosine_similarity
+
+
+def as_double_vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × streamed corpus → window
+    top-k per query. Returns (query_id, corpus_id, cosine, rank)."""
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"), as_double_vec(vec_col).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id).alias("_qid"), as_double_vec(vec_col).alias("_qv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        cosine_similarity(F.col("_cv"), F.col("_qv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id, "rank")
+    )
+
+
+def assign_cells(
+    df: DataFrame, vec_col: str, n_cells: int, id_col: str, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """IVF build step: pick ``n_cells`` deterministic seed centroids
+    (hash-sampled rows — k-means init without iterative refinement; good
+    cell balance on normalized synthetic embeddings), assign every vector
+    to its nearest centroid. Returns (assigned corpus, centroids)."""
+    centroids = (
+        df.select(F.col(id_col).alias("_cent_id"), as_double_vec(vec_col).alias("_cent"))
+        .withColumn("_r", F.xxhash64(F.col("_cent_id"), F.lit(seed)))
+        .orderBy("_r")
+        .limit(n_cells)
+        .withColumn("_cell", F.monotonically_increasing_id())
+        .select("_cell", "_cent")
+    )
+    cent_rows = centroids.collect()  # n_cells rows — a model, not data
+    cent_array = F.array(
+        *[
+            F.struct(F.lit(r["_cell"]).alias("cell"), F.array(*[F.lit(x) for x in r["_cent"]]).alias("cent"))
+            for r in cent_rows
+        ]
+    )
+    v = as_double_vec(vec_col)
+    best = F.array_max(
+        F.transform(
+            cent_array,
+            lambda s: F.struct(
+                cosine_similarity(v, s["cent"]).alias("sim"), s["cell"].alias("cell")
+            ),
+        )
+    )
+    assigned = df.withColumn("_cell", best["cell"])
+    return assigned, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only the ``n_probe`` nearest IVF cells
+    per query. Join key is the cell id, so the per-query work is
+    |corpus| * n_probe / n_cells instead of |corpus|."""
+    assigned, centroids = assign_cells(corpus, vec_col, n_cells, corpus_id, seed)
+    cent_rows = centroids.collect()
+    cent_array = F.array(
+        *[
+            F.struct(F.lit(r["_cell"]).alias("cell"), F.array(*[F.lit(x) for x in r["_cent"]]).alias("cent"))
+            for r in cent_rows
+        ]
+    )
+    qv = as_double_vec(vec_col)
+    probes = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    cent_array,
+                    lambda s: F.struct(
+                        cosine_similarity(qv, s["cent"]).alias("sim"),
+                        s["cell"].alias("cell"),
+                    ),
+                )
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = queries.select(
+        F.col(query_id).alias("_qid"),
+        qv.alias("_qv"),
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias("_cell"),
+    )
+    c = assigned.select(
+        F.col(corpus_id).alias("_cid"), as_double_vec(vec_col).alias("_cv"), "_cell"
+    )
+    scored = c.join(F.broadcast(q), "_cell").select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        cosine_similarity(F.col("_cv"), F.col("_qv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id, "rank")
+    )

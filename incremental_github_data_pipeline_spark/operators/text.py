@@ -1,0 +1,158 @@
+"""[EXT] Text-analysis operators for LLM training-data pipelines
+(SURVEY.md §2.10): tokenization, quality scoring, language-ID,
+fingerprinting. All pure column expressions — codegen-side, no Python in
+the hot path — so a 100 TB documents table streams through map tasks
+with zero shuffle until an aggregation asks for one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword heuristic
+# language identifier. Deliberately small: the operator's job is the
+# *plumbing* (scoring N languages per row in one codegen pass); swap in
+# bigger lexicons freely.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"],
+    "es": ["el", "la", "los", "las", "que", "de", "y", "en", "un", "por"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Regex sub-word token count — a BPE-flavored proxy (word pieces,
+    numbers, punctuation as separate tokens), good enough for length
+    budgeting without a tokenizer model."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), F.lit(0))
+    )
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]{}-]", ""))
+
+
+def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or LANG_STOPWORDS["en"]
+    return F.size(F.filter(tokens(col), lambda w: F.lower(w).isin(sw)))
+
+
+def mean_token_len(col: Column | str) -> Column:
+    """Average token length as exact int/int division (engine-portable)."""
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(t) > 0, total.cast("double") / F.size(t))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """The standard cheap quality signals (length / punctuation /
+    stopword ratios) as named columns; combine downstream."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    return {
+        "n_chars": char_count(c),
+        "n_tokens": n_tok,
+        "n_punct": punct_count(c),
+        "n_stopwords": stopword_count(c),
+        "mean_token_len": mean_token_len(c),
+        "stopword_ratio": F.when(
+            n_tok > 0, stopword_count(c).cast("double") / n_tok
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_ok(
+    col: Column | str,
+    min_tokens: int = 5,
+    max_mean_token_len: float = 15.0,
+    min_stopword_ratio: float = 0.0,
+) -> Column:
+    """Boolean keep/drop gate in the Gopher-rules style (length bounds,
+    word-shape sanity, stopword floor)."""
+    f = quality_features(col)
+    return (
+        (f["n_tokens"] >= min_tokens)
+        & (f["mean_token_len"] <= max_mean_token_len)
+        & (f["stopword_ratio"] >= min_stopword_ratio)
+    )
+
+
+def lang_scores(col: Column | str) -> Column:
+    """Map language → stopword-hit count, one pass over the token array."""
+    t = tokens(col)
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in LANG_STOPWORDS]),
+        F.array(
+            *[
+                F.size(F.filter(t, lambda w: F.lower(w).isin(sw)))
+                for sw in LANG_STOPWORDS.values()
+            ]
+        ),
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: CJK-character detection short-circuits to
+    'zh'; otherwise argmax of per-language stopword hits, 'und' when no
+    evidence. One codegen pass, no shuffle, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    # NB: single-arg lambdas only — F.filter binds a 2-arg lambda as
+    # (element, index). Closure over sw is safe: F.filter invokes the
+    # lambda eagerly inside this comprehension iteration.
+    counts = {
+        lang: F.size(F.filter(t, (lambda sw: lambda w: F.lower(w).isin(sw))(sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    has_cjk = c.rlike(r"[一-鿿]")
+    best = F.greatest(*counts.values())
+    out = F.lit("und")
+    # reverse order so earlier languages win ties deterministically
+    for lang in reversed(list(counts)):
+        out = F.when(counts[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(has_cjk, F.lit("zh")).otherwise(F.when(best > 0, out).otherwise(F.lit("und")))
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """Token k-shingles as strings (the MinHash/Jaccard input unit).
+    Documents shorter than k tokens yield their whole text as the single
+    shingle, so short docs still dedup exactly."""
+    t = tokens(col)
+    n = F.size(t)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(t, " ")))
+
+
+def fingerprint(col: Column | str, k: int = 5) -> Column:
+    """Deterministic 64-bit document fingerprint: min xxhash64 over token
+    k-shingles (rolling-hash winnowing, window = whole doc). Equal
+    fingerprints ⇒ shared rarest shingle — a cheap near-dup prefilter."""
+    return F.array_min(F.transform(shingles(col, k), lambda s: F.xxhash64(s)))

@@ -1,0 +1,97 @@
+"""[EXT] Similarity-search queries over the ``embeddings`` table.
+
+The brute-force top-k gets a DuckDB oracle (list_cosine_similarity with
+the same double math and the same deterministic tie-breaks); the IVF
+path is approximate by construction → rows-only, with recall measured
+against brute force in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incremental_github_data_pipeline_spark.operators import similarity as sim
+from incremental_github_data_pipeline_spark.queries import register
+from incremental_github_data_pipeline_spark.sources.readers import read_table as T
+
+N_QUERIES = 8  # first N vec_ids double as the query set
+TOP_K = 5
+
+
+@register(
+    "q_embedding_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+               FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.corpus_id,
+                  list_cosine_similarity(c.cv, q.qv) AS cosine
+           FROM c CROSS JOIN q
+         ),
+         ranked AS (
+           SELECT query_id, corpus_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, corpus_id) AS rank
+           FROM scored
+         )
+    SELECT query_id, corpus_id, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="Exact cosine top-k (brute force): broadcast query set, corpus "
+    "streams map-side, window top-k. The similarity column itself is "
+    "excluded from the compared output (float summation order differs "
+    "across engines); ranks are compared, which is the semantic result.",
+)
+def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding"))
+    out = sim.cosine_topk_bruteforce(
+        corpus, queries, corpus_id="corpus_id", query_id="query_id",
+        vec_col="embedding", k=TOP_K,
+    )
+    return out.select("query_id", "corpus_id", "rank").orderBy("query_id", "rank")
+
+
+@register(
+    "q_embedding_ivf_topk",
+    oracle=None,  # approximate by construction; recall vs brute force in tests
+    doc="IVF-bucketed approximate top-k (16 cells, probe 4): the scale "
+    "path — per-query work drops to n_probe/n_cells of the corpus.",
+)
+def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding"))
+    out = sim.ivf_topk(
+        corpus, queries, corpus_id="corpus_id", query_id="query_id",
+        vec_col="embedding", k=TOP_K, n_cells=16, n_probe=4,
+    )
+    return out.select("query_id", "corpus_id", "rank", "cosine").orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "q_embedding_near_dups",
+    oracle=None,  # LSH-bucketed, hash-derived planes — engine-specific
+    doc="Embedding-cosine near-dup pairs (cosine ≥ 0.95) via random-"
+    "hyperplane LSH buckets; exact cosine verification inside buckets.",
+)
+def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    from incremental_github_data_pipeline_spark.operators.dedup import (
+        embedding_near_dups,
+    )
+
+    return embedding_near_dups(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.95, n_planes=12
+    ).orderBy("id_a", "id_b")

@@ -1,0 +1,185 @@
+"""[EXT] Text-analysis and dedup queries over the ``documents`` table.
+
+SQL-expressible ops carry DuckDB oracles; signature-based ops (minhash /
+simhash / fingerprints — engine-specific hash functions) are rows-only
+per the driver contract, each with an invariant-style test in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incremental_github_data_pipeline_spark.operators import dedup as dd
+from incremental_github_data_pipeline_spark.operators import text as tx
+from incremental_github_data_pipeline_spark.queries import register
+from incremental_github_data_pipeline_spark.sources.readers import read_table as T
+
+_STOP = tx.LANG_STOPWORDS["en"]
+_STOP_SQL = ",".join(f"'{w}'" for w in _STOP)
+
+
+@register(
+    "q_doc_exact_dedup",
+    oracle="""
+    SELECT text, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text ORDER BY keeper_id
+    """,
+    doc="Exact dedup groups: shuffle on content (hash) only; min-id "
+    "survivor rule.",
+)
+def q_doc_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keeper_id")
+    )
+
+
+@register(
+    "q_doc_token_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS DOUBLE)/COUNT(*) AS avg_tokens,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Token counting at corpus scale: tokenize in the scan stage, "
+    "aggregate per language.",
+)
+def q_doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    n_tok = tx.token_count(F.col("text")).cast("long")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_doc_quality",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS n_tokens,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+                                w -> lower(w) IN ({_STOP_SQL}))) AS INTEGER) AS n_stopwords,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+                                w -> lower(w) IN ({_STOP_SQL}))) AS DOUBLE)
+             / len(string_split(trim(text), ' ')) AS stopword_ratio,
+           CASE WHEN len(string_split(trim(text), ' ')) >= 5 THEN 1 ELSE 0 END AS quality_ok
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Per-document quality features (length / stopword signals) — "
+    "pure map stage, no shuffle except the presentation sort.",
+)
+def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    n_tok = tx.token_count(F.col("text"))
+    n_sw = tx.stopword_count(F.col("text"), _STOP)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_sw.alias("n_stopwords"),
+        F.when(n_tok > 0, n_sw.cast("double") / n_tok).alias("stopword_ratio"),
+        F.when(n_tok >= 5, 1).otherwise(0).alias("quality_ok"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_doc_lang_dist",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+    doc="Language×source distribution — the corpus-composition audit "
+    "query every data pipeline runs first.",
+)
+def q_doc_lang_dist(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=None,  # heuristic expression tree, not reasonably ANSI-SQL
+    doc="Heuristic language-ID (stopword argmax + CJK detection) vs the "
+    "labeled lang column: returns per-(label, prediction) counts. "
+    "Rows-only check; accuracy asserted in tests/test_ext_text.py.",
+)
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return (
+        d.select("lang", tx.lang_id(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred")
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=None,  # xxhash64-based — engine-specific hash
+    doc="Rolling-hash document fingerprints (min-hash of token shingles): "
+    "fingerprint collisions = near-dup prefilter groups.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return (
+        d.select("doc_id", tx.fingerprint(F.col("text"), k=5).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .orderBy("keeper_id")
+    )
+
+
+@register(
+    "q_minhash_near_dups",
+    oracle=None,  # xxhash64 signatures — engine-specific
+    doc="MinHash+LSH near-dup candidate pairs (32 hashes, 8 bands) with "
+    "estimated Jaccard. Recall/precision invariants in tests.",
+)
+def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return dd.minhash_candidate_pairs(
+        d, id_col="doc_id", text_col="text", num_hashes=32, bands=8, k=5
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_simhash_near_dups",
+    oracle=None,
+    doc="SimHash near-dup candidates via chunk pigeonhole (Hamming ≤ 3).",
+)
+def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return dd.simhash_candidate_pairs(
+        d, id_col="doc_id", text_col="text", max_hamming=3, chunks=4
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_ngram_jaccard_dedup",
+    oracle=None,
+    doc="LSH candidates verified by exact n-gram Jaccard ≥ 0.8 — the "
+    "production near-dup pipeline (recall stage + precision stage).",
+)
+def q_ngram_jaccard_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return dd.verified_near_dups(
+        d, id_col="doc_id", text_col="text", jaccard_threshold=0.8, k=3
+    ).orderBy("id_a", "id_b")

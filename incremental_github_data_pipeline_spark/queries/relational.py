@@ -1,0 +1,778 @@
+"""Relational operator surface (SURVEY.md §2.2-2.7) as oracle-checked
+queries over the driver test tables (TESTDATA.md).
+
+Each query demonstrates one operator class with the physical plan we
+want at 100 TB: filters that push to the parquet scan, dims broadcast,
+aggregations with map-side partial combine, windows with a single
+exchange on the partition keys. Floating-point aggregates go through
+exact DECIMAL sums (see queries/__init__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incremental_github_data_pipeline_spark.queries import register
+from incremental_github_data_pipeline_spark.sources.readers import read_table as T
+
+
+def dsum(col: Column | str, scale: str = "decimal(25,8)") -> Column:
+    """Order-independent exact sum of a double column: sum in DECIMAL,
+    emit DOUBLE. Matches ``CAST(SUM(CAST(x AS DECIMAL(25,8))) AS DOUBLE)``
+    in any ANSI engine — the pattern that makes double aggregates
+    hash-comparable across Spark and DuckDB.
+
+    Only safe on *stored* columns whose values are exact at the target
+    scale (TPC-H money/quantity columns are 2-dec). Casting a *computed*
+    double to decimal is NOT portable: JVM engines convert via the
+    shortest decimal repr, C++ engines via the full binary expansion,
+    and the 8th-decimal rounding can differ. For products, cast the
+    inputs first — see :func:`revenue`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(scale)).cast("double")
+
+
+def revenue(price_col: str, *factors: tuple[str, int]) -> Column:
+    """Exact Σ price·(1±x)·… : every input is cast to a narrow decimal
+    BEFORE multiplying (price → DECIMAL(12,2), each 1±x factor →
+    DECIMAL(4,2)), so the whole product stays in exact decimal
+    arithmetic and sums identically in any engine. ``factors`` are
+    (column, sign) pairs meaning (1 + sign·column)."""
+    acc = F.col(price_col).cast("decimal(12,2)")
+    for col, sign in factors:
+        acc = acc * (F.lit(1.0) + F.lit(float(sign)) * F.col(col)).cast("decimal(4,2)")
+    return F.sum(acc).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Headline multi-operator queries (scan→filter→join→agg→sort)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2)) * CAST(1+l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE)/COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(25,8))) AS DOUBLE)/COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: full-scan hash aggregation. Filter and "
+    "the 7-column projection push into the parquet scan; partial agg "
+    "map-side, 6 groups out.",
+)
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            revenue("l_extendedprice", ("l_discount", -1)).alias("sum_disc_price"),
+            revenue("l_extendedprice", ("l_discount", -1), ("l_tax", +1)).alias(
+                "sum_charge"
+            ),
+            (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (dsum("l_discount") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1-l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: selective dim filter → join → agg → top-k. customer "
+    "(1.5k rows/sf0.01) broadcasts; lineitem never shuffles for the join.",
+)
+def q03_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = T(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               l.l_orderkey == o.o_orderkey)
+        .groupBy(l.l_orderkey.alias("orderkey"), o.o_orderdate.alias("orderdate"))
+        .agg(revenue("l_extendedprice", ("l_discount", -1)).alias("revenue"))
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_region_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1-l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                                 AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    doc="TPC-H Q5: six-table star join. All dims broadcast; the single "
+    "shuffle is the final 25-group aggregation.",
+)
+def q05_region_volume(spark: SparkSession, sf: str) -> DataFrame:
+    r = T(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = T(spark, sf, "nation")
+    c = T(spark, sf, "customer")
+    s = T(spark, sf, "supplier")
+    o = T(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = T(spark, sf, "lineitem")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+            c.c_nationkey == n.n_nationkey,
+        )
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .groupBy(n.n_name.alias("nation"))
+        .agg(revenue("l_extendedprice", ("l_discount", -1)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / grouping-set operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_group_agg",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS total,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+    doc="Hash aggregation with partial combine: count/sum/min/max per group.",
+)
+def q_group_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(c.c_custkey) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,8))) AS DOUBLE) AS balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    ORDER BY region NULLS FIRST, nation NULLS FIRST
+    """,
+    doc="ROLLUP grouping sets (region→nation→grand total) over a "
+    "broadcast-joined dim snowflake.",
+)
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            dsum("c_acctbal").alias("balance"),
+        )
+        .orderBy(F.col("region").asc_nulls_first(), F.col("nation").asc_nulls_first())
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status NULLS FIRST, priority NULLS FIRST
+    """,
+    doc="CUBE grouping sets: all 2^2 aggregation lattices in one pass.",
+)
+def q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "orders")
+        .cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy(F.col("status").asc_nulls_first(), F.col("priority").asc_nulls_first())
+    )
+
+
+@register(
+    "q_distinct_agg",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY flag
+    """,
+    doc="Distinct aggregation (expand + two-phase agg in Spark).",
+)
+def q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count_distinct(F.col("l_partkey")).alias("distinct_parts"),
+            F.count_distinct(F.col("l_suppkey")).alias("distinct_supps"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sorts / dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_topk_per_group",
+    oracle="""
+    SELECT nation, custkey, acctbal, rnk FROM (
+      SELECT n.n_name AS nation, c.c_custkey AS custkey,
+             CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rnk <= 3
+    ORDER BY nation, rnk
+    """,
+    doc="Top-k per group: single exchange on the partition key, "
+    "rank-filter before any downstream work (W1 generalized).",
+)
+def q_window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    w = Window.partitionBy("nation").orderBy(
+        F.col("acctbal").desc(), F.col("custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("nation", "rnk")
+    )
+
+
+@register(
+    "q_window_running_total",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    ORDER BY custkey, orderkey
+    """,
+    doc="Running total per customer — analytic window with frame; exact "
+    "DECIMAL accumulation keeps prefix sums engine-independent.",
+)
+def q_window_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        T(spark, sf, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,8)"))
+            .over(w)
+            .cast("double")
+            .alias("running_total"),
+        )
+        .orderBy("custkey", "orderkey")
+    )
+
+
+@register(
+    "q_dedup_keep_last",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           o_orderdate AS orderdate, CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    ORDER BY custkey
+    """,
+    doc="A1 keep-last dedup at scale: latest order per customer via "
+    "recency window with an explicit, total ordering (SURVEY.md §2.4).",
+)
+def q_dedup_keep_last(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators import dedupe_keep_last
+
+    o = T(spark, sf, "orders")
+    latest = dedupe_keep_last(
+        o,
+        ["o_custkey"],
+        order_by=F.struct(F.col("o_orderdate"), F.col("o_orderkey")),
+    )
+    return latest.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+    ).orderBy("custkey")
+
+
+@register(
+    "q_top20_scan",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS line,
+           CAST(l_extendedprice AS DOUBLE) AS price
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    ORDER BY price DESC, orderkey, line
+    LIMIT 20
+    """,
+    doc="P1/P2/P4 + global top-k: Spark plans TakeOrderedAndProject — "
+    "no full sort, per-partition heaps only.",
+)
+def q_top20_scan(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("line"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+        .orderBy(F.col("price").desc(), "orderkey", "line")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins beyond the FK patterns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    ORDER BY custkey
+    """,
+    doc="Left-semi join (J3's semantic core as a first-class operator).",
+)
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    ORDER BY custkey
+    """,
+    doc="Left-anti join: customers with no urgent orders (orphan "
+    "detection inverted — the FK-expectations building block).",
+)
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "q_fk_resolve_orphans",
+    oracle="""
+    WITH big_orders AS (SELECT o_orderkey, o_orderpriority FROM orders
+                        WHERE o_totalprice > 50000)
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS qty
+    FROM lineitem l JOIN big_orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority ORDER BY priority
+    """,
+    doc="J1+J3 at fact scale: resolve lineitem→orders against a filtered "
+    "dim, orphans dropped (left join + null-filter ≡ inner), broadcast "
+    "dim — the GitHub FK-enforcement pattern on TPC-H shapes.",
+)
+def q_fk_resolve_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators import resolve_fk
+
+    li = T(spark, sf, "lineitem")
+    big = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 50000)
+        .select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    resolved = resolve_fk(li, big, on="l_orderkey", key="o_orderpriority")
+    return (
+        resolved.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_quantity").alias("qty"))
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_union_conform",
+    oracle="""
+    SELECT entity_key, entity_name, kind FROM (
+      SELECT c_custkey AS entity_key, c_name AS entity_name, 'customer' AS kind
+      FROM customer
+      UNION ALL
+      SELECT s_suppkey, s_name, 'supplier' FROM supplier
+    ) ORDER BY kind, entity_key
+    """,
+    doc="U1 union-conform: two differently-named projections renamed to a "
+    "shared schema and unioned by name.",
+)
+def q_union_conform(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators import union_conform
+
+    c = T(spark, sf, "customer").withColumn("kind", F.lit("customer"))
+    s = T(spark, sf, "supplier").withColumn("kind", F.lit("supplier"))
+    return union_conform(
+        [c, s],
+        [
+            {"c_custkey": "entity_key", "c_name": "entity_name", "kind": "kind"},
+            {"s_suppkey": "entity_key", "s_name": "entity_name", "kind": "kind"},
+        ],
+    ).orderBy("kind", "entity_key")
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    doc="INTERSECT (distinct) of customer vs supplier nations.",
+)
+def q_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@register(
+    "q_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY custkey
+    """,
+    doc="EXCEPT (distinct): customers who ordered, minus those who ever "
+    "ordered urgent.",
+)
+def q_except(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    c = o.select(F.col("o_custkey").alias("custkey"))
+    s = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    # subtract == SQL EXCEPT (distinct); exceptAll would keep surplus
+    # duplicate occurrences, which is a different operator.
+    return c.subtract(s).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions / casts / conditionals (P6-P8, F1-F10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scalar_string",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           c_name || '|' || c_mktsegment AS biz_key,
+           UPPER(c_mktsegment) AS seg_upper,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           LENGTH(c_name) AS name_len
+    FROM customer ORDER BY custkey LIMIT 100
+    """,
+    doc="F1 business-key concat + string scalar functions, all "
+    "codegen-side (no UDFs).",
+)
+def q_scalar_string(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "customer")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.concat_ws("|", F.col("c_name"), F.col("c_mktsegment")).alias("biz_key"),
+            F.upper(F.col("c_mktsegment")).alias("seg_upper"),
+            F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+            F.length(F.col("c_name")).alias("name_len"),
+        )
+        .orderBy("custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_date_parts",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1, 2 ORDER BY yr, mo
+    """,
+    doc="P7/F4 temporal functions: year/month extraction + agg.",
+)
+def q_date_parts(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("yr", "mo")
+    )
+
+
+@register(
+    "q_case_when",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+           CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+           COUNT(CASE WHEN l_tax = 0 THEN 1 END) AS n_taxfree
+    FROM lineitem GROUP BY l_returnflag ORDER BY flag
+    """,
+    doc="Conditional aggregation (A4's null-count pattern generalized).",
+)
+def q_case_when(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias(
+                "n_discounted"
+            ),
+            F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).alias("n_bulk"),
+            F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_taxfree"),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
+    "q_validation_checks",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS n_status_ok,
+           CAST(SUM(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_price_ok,
+           CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_key_ok
+    FROM orders
+    """,
+    doc="F8/F9 DDL-CHECK expressions as data-quality counters "
+    "(plans.expectations building block).",
+)
+def q_validation_checks(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.functions import in_set, non_negative
+
+    o = T(spark, sf, "orders")
+    as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(as_int(in_set("o_orderstatus", ["O", "F", "P"]))).alias("n_status_ok"),
+        F.sum(as_int(non_negative("o_totalprice"))).alias("n_price_ok"),
+        F.sum(as_int(F.col("o_orderkey").isNotNull())).alias("n_key_ok"),
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    AS DECIMAL(25,8))) AS DOUBLE) AS k_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="JSON scalar extraction from a string payload column "
+    "(get_json_object, JVM-side).",
+)
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k.cast("decimal(25,8)")).cast("double").alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream shapes (batch twins of the streaming operators)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    doc="Tumbling-window aggregation (batch twin of the streaming "
+    "window() op; same plan modulo watermarking).",
+)
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("value_sum"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity) — batch twin of "
+    "session_window(); lag + running-sum windows, one exchange on user_id.",
+)
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        lag_ts.isNull()
+        | (F.col("ts") > lag_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )

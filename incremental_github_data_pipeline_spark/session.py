@@ -31,6 +31,10 @@ DEFAULT_CONF: dict[str, str] = {
     # Read timestamps written by other engines consistently.
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    # Parquet TIMESTAMP(NANOS) (e.g. pandas-written event streams) is
+    # unreadable by Spark natively; surface it as long and convert in
+    # the reader (readers.read_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

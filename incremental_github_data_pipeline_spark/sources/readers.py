@@ -66,8 +66,19 @@ def read_json_array(
 
 
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-generated test table (TESTDATA.md)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver-generated test table (TESTDATA.md).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS); with
+    ``nanosAsLong`` (session.py) it scans as a long which we floor-divide
+    to microseconds — same truncation DuckDB applies when surfacing
+    TIMESTAMP_NS values.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
