@@ -10,10 +10,26 @@ live here and feed plans.expectations.
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+from collections.abc import Callable, Iterable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def let_(value: Column, body: Callable[[Column], Column]) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` ONCE per
+    row and reference it many times inside ``body``.
+
+    Why this exists: higher-order functions (transform/aggregate/filter)
+    are evaluated interpreted (no whole-stage codegen), and Catalyst's
+    CollapseProject inlines intermediate Project aliases back into every
+    use site — so an expensive subexpression (tokenize + shingle a
+    document) that appears N times in one expression tree is *computed*
+    N times per row. Wrapping the value as the element of a 1-element
+    array and binding it as a HOF lambda variable forces single
+    evaluation: lambda variables are bound once, references are free.
+    """
+    return F.get(F.transform(F.array(value), body), 0)
 
 
 def audit_timestamp() -> Column:

@@ -19,6 +19,25 @@ from pyspark.sql import functions as F
 SEQ_COL = "_seq"
 
 
+def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the plan currently has fewer
+    partitions than ``min_partitions`` (default: cluster default
+    parallelism).
+
+    Why: CPU-heavy map work (minhash/simhash signatures, embedding
+    math) is parallelized by input splits. A small table in one parquet
+    row group scans as ONE task and serializes the whole computation on
+    one core. At real scale (thousands of splits) the condition is
+    false and this is a zero-cost no-op — the guard means we never pay
+    a full-table shuffle on genuinely large inputs.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_input_seq(df: DataFrame, seq_col: str = SEQ_COL) -> DataFrame:
     """Attach an explicit arrival-order column.
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from incremental_github_data_pipeline_spark.functions.scalar import let_
+from incremental_github_data_pipeline_spark.operators.core import ensure_min_partitions
 from incremental_github_data_pipeline_spark.operators.text import shingles, tokens
 
 # ---------------------------------------------------------------------------
@@ -59,19 +61,29 @@ def exact_dup_groups(df: DataFrame, content_cols: list[str], id_col: str) -> Dat
 
 
 def minhash_signature(text_col: Column | str, num_hashes: int = 32, k: int = 5) -> Column:
-    """MinHash signature as an array<long>: min over shingles of
-    xxhash64(shingle, seed=i) for each of ``num_hashes`` seeded hash
-    functions. Whole signature in one codegen expression."""
-    sh = shingles(text_col, k)
-    # (lambda i: ...)(i) — F.transform binds 2-arg lambdas as (elem, idx),
-    # so the seed must come in via closure, not a default arg.
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, (lambda seed: lambda s: F.xxhash64(s, F.lit(seed)))(i))
-            )
-            for i in range(num_hashes)
-        ]
+    """MinHash signature as an array<long>.
+
+    Single pass over the document: shingle once, xxhash64 each shingle
+    once (string work happens exactly once per shingle), then derive the
+    ``num_hashes`` permutations by re-hashing the 8-byte shingle hash
+    with per-function seeds. Both the shingle array and its hash array
+    are let_-bound — without that, Catalyst inlines the tokenizer into
+    every one of the ``num_hashes`` array-min subtrees and the
+    interpreted HOF path re-tokenizes the document N times per row
+    (observed 100x slowdown at sf0.1)."""
+    return let_(
+        F.transform(shingles(text_col, k), lambda s: F.xxhash64(s)),
+        lambda hashes: F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        hashes,
+                        (lambda seed: lambda hv: F.xxhash64(hv, F.lit(seed)))(i),
+                    )
+                )
+                for i in range(num_hashes)
+            ]
+        ),
     )
 
 
@@ -115,10 +127,16 @@ def minhash_candidate_pairs(
     :func:`ngram_jaccard` when exactness matters.
     """
     rows_per_band = num_hashes // bands
+    df = ensure_min_partitions(df)  # signature math must use all cores
+    # Persist: the self-join needs signatures on BOTH sides and the
+    # broadcast on one side defeats ReusedExchange — without this the
+    # (expensive) text hashing runs twice. Signatures are tiny relative
+    # to the text (id + num_hashes longs), so this holds at any scale;
+    # production pipelines write this frame out as the signature store.
     sigs = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(F.col(text_col), num_hashes, k).alias("_sig"),
-    )
+    ).persist()
     buckets = sigs.select(
         "_id",
         "_sig",
@@ -184,30 +202,37 @@ def simhash(text_col: Column | str, bits: int = 64) -> Column:
     expression: per-bit vote = Σ_tokens (bit(hash(token)) ? +1 : −1);
     simhash bit b set iff vote > 0.
 
-    Token hashes are materialized once into an array; bit positions are
-    Python-side constants (shift amounts must be literals in Spark), so
-    the expression is 64 array-aggregates over the hash array. Fine for
-    the expression path; for very long documents prefer computing this
-    in the same scan as other signatures so the tokenization amortizes.
+    Token hashes are materialized once (let_-bound — see
+    minhash_signature for why); bit positions are Python-side constants
+    (shift amounts must be literals in Spark), so the expression is
+    ``bits`` array-aggregates over the already-hashed long array —
+    cheap long ops, no repeated tokenization.
     """
-    h = F.transform(tokens(text_col), lambda w: F.xxhash64(w))
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(
-            h,
-            F.lit(0),
-            (
-                lambda bit: lambda acc, hv: acc
-                + F.when(
-                    F.shiftright(hv, bit).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            )(b),
-        )
-        bit_val = (1 << b) if b < 63 else -(1 << 63)  # two's-complement top bit
-        out = out.bitwiseOR(
-            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    return out
+
+    def votes_to_hash(h: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for b in range(bits):
+            vote = F.aggregate(
+                h,
+                F.lit(0),
+                (
+                    lambda bit: lambda acc, hv: acc
+                    + F.when(
+                        F.shiftright(hv, bit).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                )(b),
+            )
+            bit_val = (1 << b) if b < 63 else -(1 << 63)  # two's-complement top bit
+            out = out.bitwiseOR(
+                F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return out
+
+    return let_(
+        F.transform(tokens(text_col), lambda w: F.xxhash64(w)), votes_to_hash
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -225,7 +250,11 @@ def simhash_candidate_pairs(
     cross join. Pairs are then verified with the true Hamming distance.
     """
     width = 64 // chunks
-    h = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh"))
+    df = ensure_min_partitions(df)  # signature math must use all cores
+    # persist: both self-join sides read the signatures (see minhash)
+    h = df.select(
+        F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh")
+    ).persist()
     chunk_arr = F.array(
         *[
             F.struct(
@@ -264,12 +293,25 @@ def simhash_candidate_pairs(
 
 
 def ngram_jaccard(text_a: Column, text_b: Column, k: int = 3) -> Column:
-    """Exact token k-gram Jaccard similarity between two text columns."""
-    sa = F.array_distinct(shingles(text_a, k))
-    sb = F.array_distinct(shingles(text_b, k))
-    inter = F.size(F.array_intersect(sa, sb))
-    union = F.size(F.array_union(sa, sb))
-    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    """Exact token k-gram Jaccard similarity between two text columns.
+
+    Shingle sets are let_-bound (computed once each) and |A∪B| is derived
+    as |A|+|B|−|A∩B| so the expensive set ops run exactly once."""
+    return let_(
+        F.array_distinct(shingles(text_a, k)),
+        lambda sa: let_(
+            F.array_distinct(shingles(text_b, k)),
+            lambda sb: let_(
+                F.size(F.array_intersect(sa, sb)),
+                lambda inter: let_(
+                    F.size(sa) + F.size(sb) - inter,
+                    lambda union: F.when(
+                        union > 0, inter.cast("double") / union
+                    ).otherwise(F.lit(0.0)),
+                ),
+            ),
+        ),
+    )
 
 
 def verified_near_dups(
@@ -338,6 +380,7 @@ def embedding_near_dups(
     verifies within buckets. High thresholds ⇒ near-identical vectors ⇒
     identical sign patterns with high probability.
     """
+    df = ensure_min_partitions(df)  # plane projections must use all cores
     v = F.col(vec_col)
     dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
     # plane p, dim d → pseudo-random weight in [-1, 1): hash-derived,
@@ -360,11 +403,12 @@ def embedding_near_dups(
     sig = F.concat_ws(
         "", *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(n_planes)]
     )
+    # persist: both self-join sides read the signatures (see minhash)
     with_sig = df.select(
         F.col(id_col).alias("_id"),
         F.transform(v, lambda x: x.cast("double")).alias("_v"),
         sig.alias("_sig"),
-    )
+    ).persist()
     a, b = with_sig.alias("a"), with_sig.alias("b")
     return (
         a.join(

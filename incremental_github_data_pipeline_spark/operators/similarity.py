@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from incremental_github_data_pipeline_spark.operators.core import ensure_min_partitions
 from incremental_github_data_pipeline_spark.operators.dedup import cosine_similarity
 
 
@@ -37,6 +38,7 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × streamed corpus → window
     top-k per query. Returns (query_id, corpus_id, cosine, rank)."""
+    corpus = ensure_min_partitions(corpus)  # dot products must use all cores
     c = corpus.select(
         F.col(corpus_id).alias("_cid"), as_double_vec(vec_col).alias("_cv")
     )
@@ -107,6 +109,7 @@ def ivf_topk(
     """Approximate top-k: probe only the ``n_probe`` nearest IVF cells
     per query. Join key is the cell id, so the per-query work is
     |corpus| * n_probe / n_cells instead of |corpus|."""
+    corpus = ensure_min_partitions(corpus)  # cell assignment must use all cores
     assigned, centroids = assign_cells(corpus, vec_col, n_cells, corpus_id, seed)
     cent_rows = centroids.collect()
     cent_array = F.array(

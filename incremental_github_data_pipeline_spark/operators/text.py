@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from incremental_github_data_pipeline_spark.functions.scalar import let_
+
 # Tiny per-language stopword sets for the n-gram/stopword heuristic
 # language identifier. Deliberately small: the operator's job is the
 # *plumbing* (scoring N languages per row in one codegen pass); swap in
@@ -62,9 +64,16 @@ def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Col
 
 def mean_token_len(col: Column | str) -> Column:
     """Average token length as exact int/int division (engine-portable)."""
-    t = tokens(col)
-    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
-    return F.when(F.size(t) > 0, total.cast("double") / F.size(t))
+    return let_(
+        tokens(col),
+        lambda t: F.when(
+            F.size(t) > 0,
+            F.aggregate(
+                t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+            ).cast("double")
+            / F.size(t),
+        ),
+    )
 
 
 def quality_features(col: Column | str) -> dict[str, Column]:
@@ -102,14 +111,18 @@ def quality_ok(
 
 def lang_scores(col: Column | str) -> Column:
     """Map language → stopword-hit count, one pass over the token array."""
-    t = tokens(col)
-    return F.map_from_arrays(
-        F.array(*[F.lit(lang) for lang in LANG_STOPWORDS]),
-        F.array(
-            *[
-                F.size(F.filter(t, lambda w: F.lower(w).isin(sw)))
-                for sw in LANG_STOPWORDS.values()
-            ]
+    return let_(
+        tokens(col),
+        lambda t: F.map_from_arrays(
+            F.array(*[F.lit(lang) for lang in LANG_STOPWORDS]),
+            F.array(
+                *[
+                    F.size(
+                        F.filter(t, (lambda s: lambda w: F.lower(w).isin(s))(sw))
+                    )
+                    for sw in LANG_STOPWORDS.values()
+                ]
+            ),
         ),
     )
 
@@ -119,36 +132,40 @@ def lang_id(col: Column | str) -> Column:
     'zh'; otherwise argmax of per-language stopword hits, 'und' when no
     evidence. One codegen pass, no shuffle, no UDF."""
     c = F.col(col) if isinstance(col, str) else col
-    t = tokens(c)
+    has_cjk = c.rlike(r"[一-鿿]")
+
     # NB: single-arg lambdas only — F.filter binds a 2-arg lambda as
     # (element, index). Closure over sw is safe: F.filter invokes the
     # lambda eagerly inside this comprehension iteration.
-    counts = {
-        lang: F.size(F.filter(t, (lambda sw: lambda w: F.lower(w).isin(sw))(sw)))
-        for lang, sw in LANG_STOPWORDS.items()
-    }
-    has_cjk = c.rlike(r"[一-鿿]")
-    best = F.greatest(*counts.values())
-    out = F.lit("und")
-    # reverse order so earlier languages win ties deterministically
-    for lang in reversed(list(counts)):
-        out = F.when(counts[lang] == best, F.lit(lang)).otherwise(out)
-    return F.when(has_cjk, F.lit("zh")).otherwise(F.when(best > 0, out).otherwise(F.lit("und")))
+    def pick(t: Column) -> Column:
+        counts = {
+            lang: F.size(F.filter(t, (lambda sw: lambda w: F.lower(w).isin(sw))(sw)))
+            for lang, sw in LANG_STOPWORDS.items()
+        }
+        best = F.greatest(*counts.values())
+        out = F.lit("und")
+        # reverse order so earlier languages win ties deterministically
+        for lang in reversed(list(counts)):
+            out = F.when(counts[lang] == best, F.lit(lang)).otherwise(out)
+        return F.when(best > 0, out).otherwise(F.lit("und"))
+
+    return F.when(has_cjk, F.lit("zh")).otherwise(let_(tokens(c), pick))
 
 
 def shingles(col: Column | str, k: int = 5) -> Column:
     """Token k-shingles as strings (the MinHash/Jaccard input unit).
     Documents shorter than k tokens yield their whole text as the single
     shingle, so short docs still dedup exactly."""
-    t = tokens(col)
-    n = F.size(t)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.array_join(F.slice(t, i + 1, k), " "),
-        ),
-    ).otherwise(F.array(F.array_join(t, " ")))
+    return let_(
+        tokens(col),
+        lambda t: F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - k),
+                lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(t, " "))),
+    )
 
 
 def fingerprint(col: Column | str, k: int = 5) -> Column:
