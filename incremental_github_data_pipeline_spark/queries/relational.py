@@ -776,3 +776,51 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "q_expectations_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'li_orderkey_fk' AS expectation, CAST(COUNT(*) AS BIGINT) AS violations
+      FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+      LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+      UNION ALL
+      SELECT 'li_pk_unique',
+             CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+      FROM lineitem WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+      UNION ALL
+      SELECT 'li_quantity_non_negative',
+             CAST(COALESCE(SUM(CASE WHEN l_quantity >= 0 THEN 0 ELSE 1 END), 0) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'li_shipdate_not_null',
+             CAST(COALESCE(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT)
+      FROM lineitem
+    ) ORDER BY expectation
+    """,
+    doc="plans.expectations end-to-end: the DDL-contract engine "
+    "(SURVEY.md §4.3) evaluating CHECK/NOT NULL/UNIQUE in one aggregate "
+    "pass plus a broadcast anti-join FK probe, emitting the audit frame.",
+)
+def q_expectations_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.plans.expectations import (
+        Check,
+        ForeignKey,
+        Unique,
+        evaluate,
+        not_null,
+    )
+
+    li = T(spark, sf, "lineitem")
+    orders = T(spark, sf, "orders")
+    return evaluate(
+        li,
+        [
+            Check("li_quantity_non_negative", F.col("l_quantity") >= 0),
+            not_null("li_shipdate_not_null", "l_shipdate"),
+            Unique("li_pk_unique", ("l_orderkey", "l_linenumber")),
+            ForeignKey("li_orderkey_fk", ("l_orderkey",), orders, ("o_orderkey",)),
+        ],
+    )
