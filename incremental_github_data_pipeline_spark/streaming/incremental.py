@@ -1,0 +1,251 @@
+"""Incremental / streaming layer (SURVEY.md §2.8).
+
+The reference is batch-only: "incremental" means snapshot-replace plus
+deterministic uuid5 keys that make reloads idempotent (SURVEY.md §1.5).
+The Spark-native upgrade keeps exactly those semantics and swaps the
+manual rerun for Structured Streaming:
+
+- new raw JSON files arriving in a directory are discovered by a file
+  stream (``availableNow`` trigger = "process everything that's here,
+  then stop" — the scheduled-batch sweet spot);
+- each micro-batch runs the SAME batch cleaners (pipelines.github) via
+  ``foreachBatch`` — one transform codebase for both modes;
+- the load is an idempotent keep-last MERGE on the uuid5 keys. Without
+  a transactional table format in the environment we implement merge as
+  read-current → union → keep-last → atomic snapshot rotation
+  (sources.writers.write_rotating). On Delta/Iceberg the same call
+  becomes ``MERGE INTO``; the interface is unchanged.
+
+Late/out-of-order data: watermarked windowed aggregation, session
+windows, and ``dropDuplicatesWithinWatermark`` (the streaming twin of
+the batch keep-last dedup, A1). Custom stateful logic goes through
+``applyInPandasWithState`` (running_totals_stateful) — Arrow-batched,
+one state object per key, the documented pattern for operators Spark
+lacks natively.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from incremental_github_data_pipeline_spark.operators import core as ops
+from incremental_github_data_pipeline_spark.sources.writers import write_rotating
+
+
+def stream_json_dir(
+    spark: SparkSession, path: str | Path, schema: StructType, multiline: bool = True
+) -> DataFrame:
+    """S5 as a stream: schema'd JSON file source. New files in ``path``
+    become micro-batch input; ``maxFilesPerTrigger`` can bound batch
+    size on backfills."""
+    return (
+        spark.readStream.schema(schema)
+        .option("multiLine", multiline)
+        .json(str(path))
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    new_df: DataFrame,
+    base_dir: str | Path,
+    name: str,
+    key_cols: list[str],
+    order_col: str | None = None,
+) -> Path:
+    """Idempotent keep-last upsert of ``new_df`` into the parquet
+    snapshot ``{base_dir}/{name}`` keyed on ``key_cols``.
+
+    New rows win over current rows for the same key (arrival-order
+    recency, reference A1 semantics); within the batch, ``order_col``
+    breaks ties if given. Deterministic uuid5 keys ⇒ replaying a batch
+    is a no-op — the reference's idempotency contract (SURVEY.md §1.5)
+    carried over. Snapshot swap is atomic with one backup generation
+    retained (write_rotating).
+    """
+    target = Path(base_dir) / name
+    gen = F.lit(1)
+    new_tagged = new_df.withColumn("_gen", gen)
+    if target.exists():
+        current = spark.read.parquet(str(target)).select(*new_df.columns)
+        merged = current.withColumn("_gen", F.lit(0)).unionByName(new_tagged)
+    else:
+        merged = new_tagged
+    # lexicographic struct ordering: new generation first, then recency
+    order = (
+        F.struct(F.col("_gen"), F.col(order_col)) if order_col else F.col("_gen")
+    )
+    merged = ops.dedupe_keep_last(merged, key_cols, order_by=order).drop("_gen")
+    # write_rotating stages to a temp dir, so reading `target` while
+    # overwriting it is safe — the source snapshot survives until swap.
+    return write_rotating(merged, base_dir, name)
+
+
+def run_incremental_github(
+    spark: SparkSession,
+    raw_dir: str | Path,
+    out_dir: str | Path,
+    checkpoint_dir: str | Path,
+    issues_available: bool = True,
+) -> None:
+    """Entry point 2 upgraded to incremental: stream the repos raw zone,
+    run the batch cleaners per micro-batch, MERGE each output table on
+    its uuid5 key. ``availableNow`` processes the current directory
+    contents exactly once (checkpointed), then returns — rerunning after
+    new files land processes only the new files.
+
+    Fan-in note: issues/branches join the repos dim *of their batch*;
+    with per-entity directories landing together (the reference's layout)
+    that is the same repos snapshot the batch reference used.
+    """
+    from incremental_github_data_pipeline_spark.pipelines import github as gh
+
+    raw_dir = Path(raw_dir)
+    stream = stream_json_dir(spark, raw_dir / "repos_raw*.json", gh.REPOS_RAW_SCHEMA)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        repos = gh.clean_repos(batch_df).cache()
+        merge_upsert(spark, repos, out_dir, "repos_clean", ["repo_id"])
+        merge_upsert(
+            spark, gh.clean_owners(repos), out_dir, "owners_clean", ["owner_id"]
+        )
+        branch_path = raw_dir / "branches_raw.json"
+        if branch_path.exists():
+            branches = gh.clean_branches(
+                gh.read_json_array(spark, branch_path, gh.BRANCHES_RAW_SCHEMA), repos
+            )
+            merge_upsert(spark, branches, out_dir, "branches_clean", ["branch_id"])
+        issue_path = raw_dir / "issues_raw.json"
+        if issues_available and issue_path.exists():
+            issues = gh.clean_issues(
+                gh.read_json_array(spark, issue_path, gh.ISSUES_RAW_SCHEMA), repos
+            ).cache()
+            merge_upsert(spark, issues, out_dir, "issues_clean", ["issue_id"])
+            merge_upsert(
+                spark, gh.clean_users(issues), out_dir, "users_clean", ["user_id"]
+            )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermarked operators over event streams
+# ---------------------------------------------------------------------------
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide``) windowed counts with a
+    watermark bounding state: windows older than max(event time) −
+    watermark are finalized and evicted. The streaming twin of
+    q_events_hourly."""
+    w = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    keys = [w] + [F.col(c) for c in (group_cols or [])]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(group_cols or []),
+            "n_events",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based, the streaming twin of q_sessionize):
+    a session closes when no event arrives within ``gap``; the watermark
+    lets Spark finalize and emit closed sessions."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .drop("session_window")
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming dedup with bounded state: duplicates of a key arriving
+    within the watermark horizon are dropped (first wins); state for
+    keys older than the watermark is evicted. The A1/A2 dedup family
+    under late-data constraints (SURVEY.md §2.8)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+_RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
+_RUNNING_TOTALS_STATE = "n long, total double"
+
+
+def _running_totals_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n, total) = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_totals_stateful(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum) that survives across micro-batches — the
+    pattern for operators Spark lacks natively (SURVEY.md §2.8). Arrow
+    batches in/out, one tiny state tuple per key, no timeout (state
+    lives for the stream's lifetime; use a timeout for TTL semantics).
+    """
+    return (
+        events.select(F.col(user_col).alias("user_id"), F.col("value"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=_RUNNING_TOTALS_SCHEMA,
+            stateStructType=_RUNNING_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,162 @@
+"""Streaming layer (SURVEY.md §2.8): availableNow file streams,
+foreachBatch keep-last merge on uuid5 keys, watermarked windows,
+streaming dedup, and the applyInPandasWithState custom operator.
+
+All tests drive real micro-batch execution against temp dirs (no
+mocked streams); results land in memory sinks or parquet snapshots and
+are compared against batch-computed expectations.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from incremental_github_data_pipeline_spark.streaming import (
+    dedup_within_watermark,
+    merge_upsert,
+    run_incremental_github,
+    running_totals_stateful,
+    session_window_agg,
+    stream_json_dir,
+    windowed_counts,
+)
+
+SF_EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _events_batch(spark):
+    """sf0.001 events with ts normalized to a real timestamp (the raw
+    parquet stores TIMESTAMP(NANOS) which scans as long — see
+    sources.readers.read_parquet_table)."""
+    from incremental_github_data_pipeline_spark.sources.readers import read_table
+
+    return read_table(spark, "/root/testdata/sf0.001", "events")
+
+
+def _events_stream(spark, tmp_path):
+    """Stage the sf0.001 events table as a file-stream source dir."""
+    src = tmp_path / "events_src"
+    df = _events_batch(spark)
+    df.coalesce(2).write.parquet(str(src))
+    return spark.readStream.schema(df.schema).parquet(str(src))
+
+
+def _run_to_memory(df, name, tmp_path, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def test_merge_upsert_keep_last(spark, tmp_path):
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    b2 = spark.createDataFrame([(2, "B2"), (3, "c")], "id long, val string")
+    merge_upsert(spark, b1, tmp_path, "t", ["id"])
+    merge_upsert(spark, b2, tmp_path, "t", ["id"])
+    got = {
+        (r["id"], r["val"])
+        for r in spark.read.parquet(str(tmp_path / "t")).collect()
+    }
+    assert got == {(1, "a"), (2, "B2"), (3, "c")}
+    # replay of b2 is a no-op (idempotent merge — SURVEY.md §1.5)
+    merge_upsert(spark, b2, tmp_path, "t", ["id"])
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 3
+
+
+def test_windowed_counts_matches_batch(spark, tmp_path):
+    stream = _events_stream(spark, tmp_path)
+    out = _run_to_memory(
+        windowed_counts(stream, watermark="0 seconds"), "hourly", tmp_path
+    )
+    batch = (
+        _events_batch(spark)
+        .groupBy(F.window("ts", "1 hour"))
+        .count()
+    )
+    # append mode emits only windows the watermark closed; every emitted
+    # window must match its batch twin and most windows must be emitted
+    got = {(r["window_start"], r["n_events"]) for r in out.collect()}
+    want = {(r["window"]["start"], r["count"]) for r in batch.collect()}
+    assert got <= want
+    assert len(got) >= len(want) - 1  # only the last open window may be held back
+
+
+def test_session_window_agg_runs(spark, tmp_path):
+    stream = _events_stream(spark, tmp_path)
+    out = _run_to_memory(
+        session_window_agg(stream, watermark="0 seconds"), "sessions", tmp_path
+    )
+    rows = out.collect()
+    assert rows, "expected closed sessions to be emitted"
+    assert all(r["session_start"] <= r["session_end"] for r in rows)
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "dup_src"
+    dup = _events_batch(spark).limit(50)
+    dup.unionByName(dup).coalesce(1).write.parquet(str(src))  # every row twice
+    stream = spark.readStream.schema(dup.schema).parquet(str(src))
+    out = _run_to_memory(
+        dedup_within_watermark(stream, ["event_id"], watermark="1 hour"),
+        "dedup",
+        tmp_path,
+    )
+    assert out.count() == 50
+
+
+def test_running_totals_stateful(spark, tmp_path):
+    stream = _events_stream(spark, tmp_path)
+    out = _run_to_memory(
+        running_totals_stateful(stream), "totals", tmp_path, output_mode="update"
+    )
+    batch = (
+        _events_batch(spark)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out.collect()}
+    for r in batch.collect():
+        n, total = got[r["user_id"]]
+        assert n == r["n"]
+        assert total == pytest.approx(r["total"])
+
+
+def test_incremental_github_end_to_end(spark, tmp_path):
+    """Two incremental runs: initial load, then a raw update with one
+    changed + one new repo — merge keeps last per uuid5 key."""
+    raw = tmp_path / "raw"
+    out = tmp_path / "out"
+    raw.mkdir()
+    shutil.copy("/root/reference/data/raw_data/repos_raw.json", raw / "repos_raw.json")
+    run_incremental_github(spark, raw, out, tmp_path / "ckpt1", issues_available=False)
+    first = spark.read.parquet(str(out / "repos_clean"))
+    assert first.count() == 300  # reference audit log REPOS count
+
+    with open(raw / "repos_raw.json", encoding="utf-8") as f:
+        repos = json.load(f)
+    changed = dict(repos[0])
+    changed["stargazers_count"] = 10**6
+    brand_new = dict(repos[1])
+    brand_new["id"] = 999999999
+    brand_new["name"] = "brand-new-repo"
+    brand_new["full_name"] = f"{brand_new['owner']['login']}/brand-new-repo"
+    with open(raw / "repos_raw_2.json", "w", encoding="utf-8") as f:
+        json.dump([changed, brand_new], f)
+
+    run_incremental_github(spark, raw, out, tmp_path / "ckpt1", issues_available=False)
+    second = spark.read.parquet(str(out / "repos_clean"))
+    assert second.count() == 301
+    updated = second.filter(F.col("repo_name") == changed["name"]).collect()[0]
+    assert updated["stargazers_count"] == 10**6
+    # backup generation retained by the rotating writer
+    assert (out / "repos_clean_backup").exists()
