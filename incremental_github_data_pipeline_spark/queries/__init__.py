@@ -41,6 +41,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (side-effect: registration)."""
     from incremental_github_data_pipeline_spark.queries import (  # noqa: F401
         ext_similarity,
+        ext_temporal,
         ext_text,
         relational,
     )
