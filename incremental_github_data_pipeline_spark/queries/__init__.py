@@ -40,6 +40,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (side-effect: registration)."""
     from incremental_github_data_pipeline_spark.queries import (  # noqa: F401
+        ext_multimodal,
         ext_similarity,
         ext_temporal,
         ext_text,
