@@ -24,6 +24,9 @@ BENCH_QUERIES = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_volume",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q_asof_join",
     "q_window_topk_per_group",
     "q_dedup_keep_last",
     "q_sessionize",

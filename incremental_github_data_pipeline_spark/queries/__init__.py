@@ -45,6 +45,7 @@ def load_all() -> dict[str, QuerySpec]:
         ext_temporal,
         ext_text,
         relational,
+        tpch,
     )
 
     return REGISTRY
