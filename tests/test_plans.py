@@ -1,0 +1,97 @@
+"""Physical-plan contracts — the 100 TB design rules asserted, not
+assumed (SURVEY.md §2.10, BASELINE.md interpretation):
+
+- filters and projections reach the parquet scan (PushedFilters /
+  ReadSchema),
+- dimension joins broadcast (no shuffle of the big side beyond its agg),
+- no accidental cartesian products,
+- signature/dedup operators keep to their single planned shuffle.
+
+If a refactor regresses a plan (a filter stops pushing, a dim grows
+past the broadcast threshold, a join degenerates to nested-loop), these
+tests fail before any benchmark notices.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from incremental_github_data_pipeline_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scan_lines(df) -> list[str]:
+    """The FileScan lines (one per parquet source) of the initial plan."""
+    return [
+        line
+        for line in plan_of(df).splitlines()
+        if "FileScan parquet" in line or "Scan parquet" in line
+    ]
+
+
+def test_q01_pushdown_and_pruning(spark, registry):
+    df = registry["q01_pricing_summary"].fn(spark, SF)
+    [scan] = scan_lines(df)
+    assert "l_shipdate" in scan.split("PushedFilters")[1], "filter must push to scan"
+    read_schema = scan.split("ReadSchema")[1]
+    assert "l_partkey" not in read_schema, "unused columns must prune"
+    assert "l_quantity" in read_schema
+
+
+def test_q06_all_predicates_push(spark, registry):
+    df = registry["q06_forecast_revenue"].fn(spark, SF)
+    [scan] = scan_lines(df)
+    pushed = scan.split("PushedFilters")[1]
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, f"{c} must appear in PushedFilters"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q03_shipping_priority", "q05_region_volume", "q10_returned_items",
+     "q14_promo_revenue", "q18_large_orders"],
+)
+def test_dim_joins_broadcast(spark, registry, name):
+    plan = plan_of(registry[name].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, "dimension joins must broadcast"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_cartesian_anywhere(spark, registry):
+    """No query in the registry may plan a cartesian product. (The
+    intentional 1-row scalar-threshold cross joins — q22, stats frames —
+    broadcast, which is fine; a CartesianProduct node is not.)"""
+    for name, spec in registry.items():
+        plan = plan_of(spec.fn(spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_keep_last_dedup_single_shuffle(spark, registry):
+    plan = plan_of(registry["q_dedup_keep_last"].fn(spark, SF))
+    n_exchanges = plan.count("Exchange")
+    # one shuffle for the key window; the final orderBy adds a range
+    # exchange — anything beyond that is a regression
+    assert n_exchanges <= 2, f"expected <=2 exchanges, plan has {n_exchanges}"
+
+
+def test_metadata_scan_never_reads_payload(spark, registry, tmp_path):
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_fake_media,
+        metadata_profile,
+    )
+
+    path = str(tmp_path / "media")
+    make_fake_media(spark, n=16).write.parquet(path)
+    [scan] = scan_lines(metadata_profile(spark.read.parquet(path)))
+    assert "payload" not in scan.split("ReadSchema")[1]
