@@ -364,61 +364,99 @@ def cosine_similarity(vec_a: Column, vec_b: Column) -> Column:
     return dot / (norm(vec_a) * norm(vec_b))
 
 
+def hyperplane_bits(
+    vec_col: Column, n_planes: int, seed: int = 42
+) -> Column:
+    """Random-hyperplane sign bits as array<int>: bit p = sign of
+    ⟨v, w_p⟩ where weight w_p[d] = xxhash64(seed, p, d)/2⁶³ ∈ [-1, 1) —
+    hash-derived, identical on every executor, no RNG state to ship.
+    Single pass: the vector is read once per plane over longs/doubles,
+    all inside one expression (dims and planes are lambda variables)."""
+    dim_idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    dim_idx,
+                    lambda x, d: x
+                    * (
+                        F.xxhash64(F.lit(seed), p, d).cast("double")
+                        / F.lit(float(2**63))
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            1,
+        ).otherwise(0),
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
     n_planes: int = 16,
+    bands: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-dup pairs above a cosine threshold, LSH-bucketed.
+    """Embedding near-dup pairs above a cosine threshold: banded
+    random-hyperplane LSH for candidates, exact cosine verification.
 
-    Random-hyperplane signature (sign bits of dot products with seeded
-    pseudo-random planes derived from xxhash64 — fully deterministic,
-    no driver-side RNG state to ship) buckets vectors; exact cosine
-    verifies within buckets. High thresholds ⇒ near-identical vectors ⇒
-    identical sign patterns with high probability.
+    Banding matters for recall: one 16-bit signature finds a
+    cosine-0.95 pair with probability (1−θ/π)¹⁶ ≈ 0.19, while 4 bands
+    of 4 bits reach 1−(1−(1−θ/π)⁴)⁴ ≈ 0.97 — the same
+    band/bucket-join shape as MinHash-LSH, so the shuffle stays keyed
+    on (band, bucket) and never goes quadratic.
     """
     df = ensure_min_partitions(df)  # plane projections must use all cores
-    v = F.col(vec_col)
-    dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
-    # plane p, dim d → pseudo-random weight in [-1, 1): hash-derived,
-    # identical on every executor without broadcasting actual arrays.
-    def plane_dot(p: int) -> Column:
-        weights = F.transform(
-            dim_idx,
-            lambda d: (
-                F.xxhash64(F.concat_ws(":", F.lit(seed), F.lit(p), d.cast("string")))
-                .cast("double")
-                / F.lit(float(2**63))
-            ),
-        )
-        return F.aggregate(
-            F.zip_with(v, weights, lambda x, w: x * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    sig = F.concat_ws(
-        "", *[F.when(plane_dot(p) >= 0, "1").otherwise("0") for p in range(n_planes)]
-    )
+    planes_per_band = n_planes // bands
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # persist: both self-join sides read the signatures (see minhash)
     with_sig = df.select(
         F.col(id_col).alias("_id"),
-        F.transform(v, lambda x: x.cast("double")).alias("_v"),
-        sig.alias("_sig"),
+        v.alias("_v"),
+        hyperplane_bits(v, n_planes, seed).alias("_bits"),
     ).persist()
-    a, b = with_sig.alias("a"), with_sig.alias("b")
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("_bits"), b * planes_per_band + 1, planes_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = with_sig.select(
+        "_id", "_v", F.explode(band_keys).alias("_bb")
+    ).select(
+        "_id", "_v", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
             b,
-            (F.col("a._sig") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")),
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
         )
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             cosine_similarity(F.col("a._v"), F.col("b._v")).alias("cosine"),
         )
+        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= threshold)
     )

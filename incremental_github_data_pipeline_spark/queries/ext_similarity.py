@@ -83,15 +83,33 @@ def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q_embedding_near_dups",
     oracle=None,  # LSH-bucketed, hash-derived planes — engine-specific
-    doc="Embedding-cosine near-dup pairs (cosine ≥ 0.95) via random-"
-    "hyperplane LSH buckets; exact cosine verification inside buckets.",
+    doc="Embedding-cosine near-dup pairs (cosine ≥ 0.95) via banded "
+    "random-hyperplane LSH + exact cosine verification. The synthetic "
+    "embeddings table has no true near-dups (max pairwise cosine ≈ "
+    "0.51), so the query plants one perturbed copy per vec_id < 25 "
+    "(id + 10⁶) — the result must be exactly those planted pairs, "
+    "making the query self-validating.",
 )
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    emb = T(spark, sf, "embeddings")
+    emb = T(spark, sf, "embeddings").select("vec_id", "embedding")
     from incremental_github_data_pipeline_spark.operators.dedup import (
         embedding_near_dups,
     )
 
+    # deterministic near-copies: small index-dependent relative
+    # perturbation (~cosine 0.9999 to the original)
+    perturbed = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, d: x * (1.0 + 0.01 * ((d % 5).cast("double") / 5.0 - 0.4)),
+        ).alias("embedding"),
+    )
     return embedding_near_dups(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.95, n_planes=12
+        emb.unionByName(perturbed),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.95,
+        n_planes=16,
+        bands=4,
     ).orderBy("id_a", "id_b")

@@ -1,0 +1,135 @@
+"""operators.dedup / .similarity / .text — signature invariants and
+recall/precision properties on constructed data (the query registry
+covers the bulk paths at sf0.01)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incremental_github_data_pipeline_spark.operators import dedup as dd
+from incremental_github_data_pipeline_spark.operators import text as tx
+from incremental_github_data_pipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+)
+
+DOC = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = DOC.replace("lazy", "sleepy")  # one token differs
+FAR = "completely different content about spark shuffles and parquet files"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC), (2, DOC), (3, NEAR), (4, FAR)], "id long, text string"
+    )
+
+
+def test_exact_dedup_keeps_min_id_and_is_idempotent(spark):
+    df = _docs(spark)
+    once = dd.exact_dedup(df, ["text"], "id")
+    assert sorted(r["id"] for r in once.collect()) == [1, 3, 4]
+    twice = dd.exact_dedup(once, ["text"], "id")
+    assert sorted(r["id"] for r in twice.collect()) == [1, 3, 4]
+
+
+def test_minhash_identical_docs_have_identical_signatures(spark):
+    df = _docs(spark).select(
+        "id", dd.minhash_signature(F.col("text"), num_hashes=32, k=3).alias("sig")
+    )
+    sigs = {r["id"]: tuple(r["sig"]) for r in df.collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 32
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_candidates_find_dup_and_near_dup_not_far(spark):
+    pairs = dd.minhash_candidate_pairs(
+        _docs(spark), "id", "text", num_hashes=32, bands=8, k=3
+    ).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert by_pair[(1, 2)] == 1.0  # exact dup: all signature slots agree
+    assert (1, 4) not in by_pair and (2, 4) not in by_pair  # unrelated
+    near = [p for p in by_pair if p in {(1, 3), (2, 3)}]
+    assert near, "one-token-off doc must surface as a candidate"
+
+
+def test_minhash_dedup_drops_only_losers(spark):
+    out = dd.minhash_dedup(_docs(spark), "id", "text", threshold=0.9, k=3)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_simhash_invariants(spark):
+    df = _docs(spark).select("id", dd.simhash(F.col("text")).alias("sh"))
+    sh = {r["id"]: r["sh"] for r in df.collect()}
+    assert sh[1] == sh[2]
+    pairs = dd.simhash_candidate_pairs(_docs(spark), "id", "text", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 4) not in got or got[(1, 4)] > 10
+
+
+def test_ngram_jaccard_bounds(spark):
+    df = spark.createDataFrame([(DOC, DOC, FAR)], "a string, b string, c string")
+    row = df.select(
+        dd.ngram_jaccard(F.col("a"), F.col("b"), k=3).alias("same"),
+        dd.ngram_jaccard(F.col("a"), F.col("c"), k=3).alias("diff"),
+    ).collect()[0]
+    assert row["same"] == 1.0
+    assert row["diff"] == 0.0
+
+
+def test_verified_near_dups_filters_below_threshold(spark):
+    out = dd.verified_near_dups(
+        _docs(spark), "id", "text", jaccard_threshold=0.999, k=3
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
+def test_embedding_near_dups_planted_recall(spark):
+    import random
+
+    def vec(i):
+        rng = random.Random(i)  # seeded gaussians: near-orthogonal in expectation
+        return [rng.gauss(0, 1) for _ in range(16)]
+
+    base = [(i, vec(i)) for i in range(40)]
+    planted = [(i + 1000, [x * 1.0001 + 0.0001 for x in v]) for i, v in base[:10]]
+    df = spark.createDataFrame(base + planted, "id long, v array<double>")
+    pairs = dd.embedding_near_dups(
+        df, "id", "v", threshold=0.999, n_planes=16, bands=4
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(i, i + 1000) for i in range(10)}
+
+
+def test_cosine_topk_rank1_is_self(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), float(2 * i + 1), 1.0]) for i in range(8)],
+        "id long, v array<double>",
+    )
+    queries = df.limit(3).withColumnRenamed("id", "qid")
+    out = cosine_topk_bruteforce(df, queries, "id", "qid", "v", k=3)
+    rank1 = {r["qid"]: r["cosine"] for r in out.filter(F.col("rank") == 1).collect()}
+    assert all(abs(c - 1.0) < 1e-12 for c in rank1.values())
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der Hund ist nicht mit der Katze auf dem Sofa"),
+            (3, "这是一个中文句子"),
+            (4, "zzz qqq xxx"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", tx.lang_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "zh", 4: "und"}
+    q = df.select("id", tx.quality_ok("text", min_tokens=5).alias("ok")).collect()
+    assert {r["id"]: r["ok"] for r in q}[4] is False
+
+
+def test_fingerprint_stability(spark):
+    df = _docs(spark).select("id", tx.fingerprint("text", k=3).alias("fp"))
+    fp = {r["id"]: r["fp"] for r in df.collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
