@@ -1,0 +1,91 @@
+"""[EXT] Skew-handling operators (SURVEY.md §2.10 "salting for skew").
+
+First line of defense is AQE: session.py enables
+``spark.sql.adaptive.skewJoin`` which splits oversized sort-merge join
+partitions at runtime. Salting is for the cases AQE cannot rewrite:
+
+- ``salted_join`` — shuffle-hash/sort-merge equi-join where a handful
+  of hot keys dominate: left rows get a random-but-deterministic salt
+  in [0, buckets), right rows replicate ``buckets`` times, and the join
+  key becomes (key, salt) — the hot key's rows spread over ``buckets``
+  tasks at the cost of replicating the (small per key) right side.
+- ``salted_aggregate`` — two-phase aggregation for monster keys whose
+  *map-side partial* still overflows a single reduce task: partial agg
+  on (key, salt), final combine on key. Only algebraic aggregates
+  (sum/count/min/max) compose this way; avg = sum/count downstream.
+
+Both are plan-shape identical to their unsalted twins in results —
+tests assert equality — and both cost one extra narrow stage, so use
+them on demonstrated skew, not by default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# phase-1 partial / phase-2 combine pairs for algebraic aggregates
+_COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def with_salt(df: DataFrame, buckets: int, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic pseudo-random salt in [0, buckets): hashed from the
+    whole row's partition position, stable within a job, uniform across
+    buckets. No RNG state, no shuffle."""
+    return df.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)).cast("int"),
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side's hot keys spread over ``buckets``
+    partitions. Right side replicates ``buckets``× (keep it the smaller
+    input); result is exactly ``left.join(right, on, how)``.
+
+    Supported ``how``: inner and the left-preserving variants — every
+    left row keeps exactly one salt, so left/left_outer multiplicity is
+    unchanged; right/full joins would multiply unmatched right rows
+    ``buckets``× and are rejected.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join does not support how={how!r}")
+    lt = with_salt(left, buckets)
+    rt = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<int>"))
+    )
+    return lt.join(rt, on + ["_salt"], how).drop("_salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation. ``aggs`` maps output column →
+    (fn, input column) with fn ∈ {sum, count, min, max}. Result equals
+    ``df.groupBy(keys).agg(...)`` exactly (sums stay in the input type —
+    cast upstream if overflow is possible)."""
+    unknown = {fn for fn, _ in aggs.values()} - set(_COMBINE)
+    if unknown:
+        raise ValueError(f"non-algebraic aggregate(s): {sorted(unknown)}")
+    salted = with_salt(df, buckets)
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[
+            getattr(F, fn)(col).alias(out)
+            for out, (fn, col) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            getattr(F, _COMBINE[fn])(out).alias(out)
+            for out, (fn, _) in aggs.items()
+        ]
+    )

@@ -824,3 +824,37 @@ def q_expectations_audit(spark: SparkSession, sf: str) -> DataFrame:
             ForeignKey("li_orderkey_fk", ("l_orderkey",), orders, ("o_orderkey",)),
         ],
     )
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Skew-safe two-phase aggregation (operators.skew."
+    "salted_aggregate): partial agg on (key, salt), final combine on "
+    "key — hash-identical to the plain GROUP BY oracle, proving the "
+    "rewrite is semantics-preserving.",
+)
+def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    li = T(spark, sf, "lineitem").withColumn(
+        "_qty_dec", F.col("l_quantity").cast("decimal(25,8)")
+    )
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {"sum_qty": ("sum", "_qty_dec"), "n": ("count", "_qty_dec")},
+        buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("l_returnflag")
