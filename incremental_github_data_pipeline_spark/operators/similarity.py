@@ -60,28 +60,45 @@ def cosine_topk_bruteforce(
     )
 
 
-def assign_cells(
+def pick_centroids(
     df: DataFrame, vec_col: str, n_cells: int, id_col: str, seed: int = 42
-) -> tuple[DataFrame, DataFrame]:
-    """IVF build step: pick ``n_cells`` deterministic seed centroids
+) -> list:
+    """IVF build step 1: ``n_cells`` deterministic seed centroids
     (hash-sampled rows — k-means init without iterative refinement; good
-    cell balance on normalized synthetic embeddings), assign every vector
-    to its nearest centroid. Returns (assigned corpus, centroids)."""
-    centroids = (
+    cell balance on normalized synthetic embeddings). Collected to the
+    driver once: the centroid set is a MODEL (n_cells × dim floats),
+    not data — it ships to executors as literals."""
+    rows = (
         df.select(F.col(id_col).alias("_cent_id"), as_double_vec(vec_col).alias("_cent"))
         .withColumn("_r", F.xxhash64(F.col("_cent_id"), F.lit(seed)))
         .orderBy("_r")
         .limit(n_cells)
-        .withColumn("_cell", F.monotonically_increasing_id())
-        .select("_cell", "_cent")
+        .select("_cent")
+        .collect()
     )
-    cent_rows = centroids.collect()  # n_cells rows — a model, not data
-    cent_array = F.array(
+    return [(i, r["_cent"]) for i, r in enumerate(rows)]
+
+
+def _centroid_literal(cent_rows: list):
+    return F.array(
         *[
-            F.struct(F.lit(r["_cell"]).alias("cell"), F.array(*[F.lit(x) for x in r["_cent"]]).alias("cent"))
-            for r in cent_rows
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(x) for x in cent]).alias("cent"),
+            )
+            for cell, cent in cent_rows
         ]
     )
+
+
+def assign_cells(
+    df: DataFrame, vec_col: str, n_cells: int, id_col: str, seed: int = 42
+) -> tuple[DataFrame, list]:
+    """IVF build step 2: assign every vector to its nearest centroid.
+    Returns (assigned corpus, centroid rows) — centroids are picked and
+    collected exactly once."""
+    cent_rows = pick_centroids(df, vec_col, n_cells, id_col, seed)
+    cent_array = _centroid_literal(cent_rows)
     v = as_double_vec(vec_col)
     best = F.array_max(
         F.transform(
@@ -92,7 +109,7 @@ def assign_cells(
         )
     )
     assigned = df.withColumn("_cell", best["cell"])
-    return assigned, centroids
+    return assigned, cent_rows
 
 
 def ivf_topk(
@@ -110,14 +127,8 @@ def ivf_topk(
     per query. Join key is the cell id, so the per-query work is
     |corpus| * n_probe / n_cells instead of |corpus|."""
     corpus = ensure_min_partitions(corpus)  # cell assignment must use all cores
-    assigned, centroids = assign_cells(corpus, vec_col, n_cells, corpus_id, seed)
-    cent_rows = centroids.collect()
-    cent_array = F.array(
-        *[
-            F.struct(F.lit(r["_cell"]).alias("cell"), F.array(*[F.lit(x) for x in r["_cent"]]).alias("cent"))
-            for r in cent_rows
-        ]
-    )
+    assigned, cent_rows = assign_cells(corpus, vec_col, n_cells, corpus_id, seed)
+    cent_array = _centroid_literal(cent_rows)
     qv = as_double_vec(vec_col)
     probes = F.slice(
         F.reverse(

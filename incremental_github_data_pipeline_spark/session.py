@@ -35,6 +35,9 @@ DEFAULT_CONF: dict[str, str] = {
     # unreadable by Spark natively; surface it as long and convert in
     # the reader (readers.read_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Bucketed tables (writers.write_bucketed) register in the session
+    # catalog; keep their files out of the repo working dir.
+    "spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse",
 }
 
 
