@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "q_doc_token_stats",
     "q_minhash_near_dups",
     "q_embedding_topk",
+    "q_embedding_topk_arrow",
 ]
 
 

@@ -164,3 +164,69 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .orderBy(query_id, "rank")
     )
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Arrow/numpy brute-force top-k — the vectorized fast lane.
+
+    The expression path (:func:`cosine_topk_bruteforce`) is pure-plan
+    and portable, but higher-order functions evaluate interpreted; for
+    heavy vector math the idiomatic Spark answer is an Arrow-batched
+    ``mapInPandas`` stage doing the linear algebra in BLAS:
+
+    - the (small) query matrix broadcasts to executors once,
+    - each corpus partition computes a dense (batch × queries) cosine
+      matrix with one matmul and keeps its LOCAL top-k per query,
+    - a final window over ≤ partitions·k·|queries| candidates picks the
+      global top-k — the corpus is never shuffled.
+
+    Same contract as the expression path: (query_id, corpus_id, cosine,
+    rank), ids emitted as long.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(F.col(query_id), F.col(vec_col)).collect()
+    qids = np.array([r[0] for r in q_rows], dtype="int64")
+    qm = np.array([r[1] for r in q_rows], dtype="float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qm))
+
+    def topk_batches(batches):
+        b_qids, b_qm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf[vec_col].tolist(), dtype="float64")
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ b_qm.T  # (batch, n_queries)
+            cids = pdf[corpus_id].to_numpy(dtype="int64")
+            kk = min(k, len(cids))
+            # argpartition: O(batch) per query instead of a full sort
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
+            out_q, out_c, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                idx = top[:, j]
+                out_q.extend([b_qids[j]] * len(idx))
+                out_c.extend(cids[idx])
+                out_s.extend(sims[idx, j])
+            yield pd.DataFrame(
+                {query_id: out_q, corpus_id: out_c, "cosine": out_s}
+            )
+
+    candidates = ensure_min_partitions(corpus).mapInPandas(
+        topk_batches, f"{query_id} long, {corpus_id} long, cosine double"
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id, "rank")
+    )

@@ -113,3 +113,43 @@ def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
         n_planes=16,
         bands=4,
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_embedding_topk_arrow",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+               FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.corpus_id,
+                  list_cosine_similarity(c.cv, q.qv) AS cosine
+           FROM c CROSS JOIN q
+         ),
+         ranked AS (
+           SELECT query_id, corpus_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, corpus_id) AS rank
+           FROM scored
+         )
+    SELECT query_id, corpus_id, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="Arrow/numpy top-k (operators.similarity.cosine_topk_arrow): "
+    "broadcast query matrix, per-partition BLAS matmul + local top-k "
+    "via mapInPandas, global window over the tiny candidate set. Same "
+    "rank oracle as the expression path — the two lanes must agree.",
+)
+def q_embedding_topk_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding"))
+    out = sim.cosine_topk_arrow(
+        corpus, queries, corpus_id="corpus_id", query_id="query_id",
+        vec_col="embedding", k=TOP_K,
+    )
+    return out.select("query_id", "corpus_id", "rank").orderBy("query_id", "rank")

@@ -112,6 +112,27 @@ def test_cosine_topk_rank1_is_self(spark):
     assert all(abs(c - 1.0) < 1e-12 for c in rank1.values())
 
 
+def test_arrow_topk_agrees_with_expression_path(spark):
+    """The BLAS lane and the expression lane must produce identical
+    (query, rank) → corpus assignments on real data."""
+    from incremental_github_data_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    args = dict(corpus_id="cid", query_id="qid", vec_col="embedding", k=5)
+    expr = cosine_topk_bruteforce(corpus, queries, **args)
+    from incremental_github_data_pipeline_spark.operators.similarity import (
+        cosine_topk_arrow,
+    )
+
+    arrow = cosine_topk_arrow(corpus, queries, **args)
+    key = lambda df: {(r["qid"], r["rank"]): r["cid"] for r in df.collect()}  # noqa: E731
+    assert key(expr) == key(arrow)
+
+
 def test_lang_id_and_quality(spark):
     df = spark.createDataFrame(
         [
