@@ -858,3 +858,60 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sum_qty").cast("double").alias("sum_qty"),
         F.col("n").cast("long").alias("n"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q_pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           CAST(COALESCE(SUM(CASE WHEN event_type='click' THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type='error' THEN 1 END), 0) AS BIGINT) AS error,
+           CAST(COALESCE(SUM(CASE WHEN event_type='purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type='signup' THEN 1 END), 0) AS BIGINT) AS signup,
+           CAST(COALESCE(SUM(CASE WHEN event_type='view' THEN 1 END), 0) AS BIGINT) AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Pivot (wide counts per event type): explicit value list so the "
+    "plan is a single hash aggregation — an unpinned pivot would need "
+    "an extra distinct-values job first.",
+)
+def q_pivot_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds],
+    ).orderBy("user_id")
+
+
+@register(
+    "q_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5)  AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Exact percentiles (linear interpolation) per group. Exact "
+    "`percentile`, not approx_percentile — the approximate sketch is "
+    "the 100 TB default but is engine-specific; the exact form is the "
+    "oracle-comparable semantic anchor. Integral inputs keep the "
+    "interpolation arithmetic bit-identical across engines.",
+)
+def q_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("q50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+        )
+        .orderBy("l_returnflag")
+    )

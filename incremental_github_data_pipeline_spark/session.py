@@ -58,6 +58,13 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
+    # In local mode the driver JVM IS the executor; the 1g default heap
+    # can't hold a 32 MB-threshold broadcast build side at larger SFs.
+    # Only effective at JVM launch — a no-op on getOrCreate of a live
+    # session (e.g. the driver harness's own session).
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         conf["spark.sql.shuffle.partitions"] = cpus if cpus and cpus.isdigit() else "32"

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Scale smoke: replicate the sf0.1 fact tables Nx (default 10x ≈ 6M
+lineitem rows, ~sf1) into /tmp and run the headline queries — evidence
+that the plans hold as data grows, not just at test scale.
+
+Replicas offset the order keys (join semantics preserved: every
+replica's lineitems join their replica's orders); dimensions stay
+as-is, so dim joins must remain broadcast while fact-fact joins grow.
+Documents replicate with offset doc_ids (near-dup structure repeats).
+
+Usage: python scripts/scale_smoke.py [N_REPLICAS]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from incremental_github_data_pipeline_spark.queries import load_all  # noqa: E402
+from incremental_github_data_pipeline_spark.session import get_spark  # noqa: E402
+from incremental_github_data_pipeline_spark.sources.readers import read_table  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+KEY_STRIDE = 10**9
+
+QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q_dedup_keep_last",
+    "q_sessionize",
+    "q_minhash_near_dups",
+    "q_embedding_topk_arrow",
+]
+
+
+def replicate(spark, name: str, n: int, out_dir: Path, key_cols: list[str],
+              partition_cols: int = 64) -> None:
+    target = out_dir / f"{name}.parquet"
+    if target.exists():
+        return
+    df = read_table(spark, SRC, name)
+    rep = df.withColumn(
+        "_rep", F.explode(F.array(*[F.lit(i) for i in range(n)]))
+    )
+    for kc in key_cols:
+        rep = rep.withColumn(kc, F.col(kc) + F.col("_rep").cast("long") * KEY_STRIDE)
+    rep.drop("_rep").repartition(partition_cols).write.mode("overwrite").parquet(
+        str(target)
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = Path(f"/tmp/spark_graft_scale_x{n}")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    replicate(spark, "lineitem", n, out_dir, ["l_orderkey"])
+    replicate(spark, "orders", n, out_dir, ["o_orderkey"])
+    replicate(spark, "events", n, out_dir, ["event_id"])
+    replicate(spark, "documents", n, out_dir, ["doc_id"], partition_cols=32)
+    replicate(spark, "embeddings", n, out_dir, ["vec_id"], partition_cols=32)
+    for dim in ("customer", "supplier", "part", "nation", "region"):
+        target = out_dir / f"{dim}.parquet"
+        if not target.exists():
+            read_table(spark, SRC, dim).write.mode("overwrite").parquet(str(target))
+
+    registry = load_all()
+    timings = {}
+    for name in QUERIES:
+        fn = registry[name].fn
+        fn(spark, str(out_dir)).count()  # warm-up
+        t0 = time.time()
+        rows = fn(spark, str(out_dir)).count()
+        timings[name] = {"sec": round(time.time() - t0, 2), "rows": rows}
+    print(json.dumps({"replicas": n, "queries": timings}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
