@@ -915,3 +915,49 @@ def q_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT n_name, r_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,8))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((n_name, r_name), (r_name), ())
+    ORDER BY n_name NULLS FIRST, r_name NULLS FIRST
+    """,
+    doc="Explicit GROUPING SETS (beyond rollup/cube): nation×region, "
+    "region subtotals, grand total in one Expand+aggregate pass.",
+)
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    c, n, r = T(spark, sf, "customer"), T(spark, sf, "nation"), T(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupingSets([["n_name", "r_name"], ["r_name"], []], "n_name", "r_name")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("c_acctbal").alias("total_bal"))
+        .orderBy(F.col("n_name").asc_nulls_first(), F.col("r_name").asc_nulls_first())
+    )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    doc="Ordered string aggregation: collect_list → array_sort → "
+    "array_join pins the (otherwise partition-order-dependent) result.",
+)
+def q_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    n, r = T(spark, sf, "nation"), T(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("r_name")
+    )
