@@ -123,3 +123,19 @@ def test_cast_schema_bool_to_long(spark):
     df = spark.createDataFrame([(True,), (False,), (None,)], "b boolean")
     vals = [r["b"] for r in ops.cast_schema(df, {"b": "long"}).collect()]
     assert vals == [1, 0, None]
+
+
+def test_let_binding_preserves_value(spark):
+    """functions.scalar.let_ is the perf-critical combinator behind the
+    signature operators — its rewrite must be value-transparent."""
+    from pyspark.sql import functions as F
+
+    from incremental_github_data_pipeline_spark.functions.scalar import let_
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("",), (None,)], "s string"
+    )
+    plain = F.size(F.split(F.col("s"), " ")) * 2
+    bound = let_(F.split(F.col("s"), " "), lambda t: F.size(t) * 2)
+    rows = df.select(plain.alias("p"), bound.alias("b")).collect()
+    assert all(r["p"] == r["b"] for r in rows)
