@@ -73,6 +73,11 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     to microseconds — same truncation DuckDB applies when surfacing
     TIMESTAMP_NS values.
     """
+    if name == "events":
+        # defensive: the driver may hand us a session without this conf,
+        # and without it the TIMESTAMP(NANOS) column is unreadable
+        # ([PARQUET_TYPE_ILLEGAL]); it is runtime-settable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
