@@ -73,10 +73,14 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     to microseconds — same truncation DuckDB applies when surfacing
     TIMESTAMP_NS values.
     """
+    # Defensive session pinning: the driver may hand us a session not
+    # built by session.get_spark. Both confs are runtime-settable.
+    # UTC: timestamp literals/rendering must match the (tz-naive UTC)
+    # oracle; a local-tz session would shift date-boundary filters.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # defensive: the driver may hand us a session without this conf,
-        # and without it the TIMESTAMP(NANOS) column is unreadable
-        # ([PARQUET_TYPE_ILLEGAL]); it is runtime-settable.
+        # without this the TIMESTAMP(NANOS) column is unreadable
+        # ([PARQUET_TYPE_ILLEGAL])
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
