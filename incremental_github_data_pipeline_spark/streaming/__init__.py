@@ -1,5 +1,7 @@
 from incremental_github_data_pipeline_spark.streaming.incremental import (  # noqa: F401
     dedup_within_watermark,
+    enrich_stream_static,
+    join_streams_windowed,
     merge_upsert,
     run_incremental_github,
     running_totals_stateful,

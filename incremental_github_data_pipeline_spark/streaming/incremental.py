@@ -249,3 +249,43 @@ def running_totals_stateful(events: DataFrame, user_col: str = "user_id") -> Dat
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def enrich_stream_static(
+    events: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the CURRENT
+    state of the (batch) dimension — the streaming twin of the
+    pipeline's broadcast dim joins (J1/J2). The dim is re-read per
+    batch, so a slowly-changing dimension updates mid-stream without
+    restarts; keep it broadcast-sized or bucketed."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def join_streams_windowed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    max_gap: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with bounded state: both sides carry
+    watermarks and the join condition includes a time band
+    (right within [left − max_gap, left]), so Spark can evict state
+    older than watermark + band — without the band the state grows
+    forever. The streaming twin of operators.temporal.range_join."""
+    lt = left.withWatermark(left_ts, watermark).alias("l")
+    rt = right.withWatermark(right_ts, watermark).alias("r")
+    cond = None
+    for c in on:
+        clause = F.col(f"l.{c}") == F.col(f"r.{c}")
+        cond = clause if cond is None else cond & clause
+    band = (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_gap}")) & (
+        F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
+    )
+    return lt.join(rt, cond & band, "inner")

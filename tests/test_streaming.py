@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from incremental_github_data_pipeline_spark.streaming import (
     dedup_within_watermark,
+    enrich_stream_static,
+    join_streams_windowed,
     merge_upsert,
     run_incremental_github,
     running_totals_stateful,
@@ -129,6 +131,53 @@ def test_running_totals_stateful(spark, tmp_path):
         n, total = got[r["user_id"]]
         assert n == r["n"]
         assert total == pytest.approx(r["total"])
+
+
+def test_enrich_stream_static(spark, tmp_path):
+    stream = _events_stream(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("view", "interaction"), ("error", "fault")],
+        "event_type string, category string",
+    )
+    out = _run_to_memory(
+        enrich_stream_static(stream, dim, ["event_type"]), "enriched", tmp_path
+    )
+    batch = _events_batch(spark)
+    assert out.count() == batch.count()  # left join preserves the stream
+    n_fault = out.filter(F.col("category") == "fault").count()
+    assert n_fault == batch.filter(F.col("event_type") == "error").count()
+
+
+def test_join_streams_windowed(spark, tmp_path):
+    """Purchases joined to same-user views within the preceding 30 min —
+    stream-stream twin of the range join; result must match the batch
+    band join."""
+    stream = _events_stream(spark, tmp_path)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id"), F.col("ts")
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), F.col("user_id"), F.col("ts")
+    )
+    joined = join_streams_windowed(
+        purchases, views, ["user_id"], watermark="0 seconds", max_gap="30 minutes"
+    ).select(F.col("l.p_id"), F.col("r.v_id"))
+    out = _run_to_memory(joined, "ss_join", tmp_path)
+
+    b = _events_batch(spark)
+    bp = b.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    bv = b.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    want = bp.join(
+        bv,
+        (F.col("pu") == F.col("vu"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("vts") <= F.col("pts")),
+    ).select("p_id", "v_id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
 
 
 def test_incremental_github_end_to_end(spark, tmp_path):
