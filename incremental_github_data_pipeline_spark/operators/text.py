@@ -173,3 +173,92 @@ def fingerprint(col: Column | str, k: int = 5) -> Column:
     k-shingles (rolling-hash winnowing, window = whole doc). Equal
     fingerprints ⇒ shared rarest shingle — a cheap near-dup prefilter."""
     return F.array_min(F.transform(shingles(col, k), lambda s: F.xxhash64(s)))
+
+
+# ---------------------------------------------------------------------------
+# Training-data prep: chunking, redaction, splits
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    # deliberately lookaround-free so Java (Spark) and RE2 (DuckDB/
+    # other engines) agree on matches
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 128,
+    step: int = 96,
+):
+    """Split documents into token-window chunks (size ``chunk_size``,
+    stride ``step`` ⇒ overlap = size − step) — the standard prep for
+    embedding/training pipelines. One row per (doc, chunk_idx); short
+    docs yield exactly one chunk. Pure column expressions: tokenize
+    once (let_), explode chunk starts, slice+join per chunk — no UDF,
+    no shuffle; a 100 TB corpus chunks in the scan stage."""
+    from pyspark.sql import functions as F
+
+    if step <= 0 or chunk_size < step:
+        raise ValueError("need 0 < step <= chunk_size")
+    toks = tokens(F.col(text_col))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.size(toks) / F.lit(step)).cast("int")
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * step + 1, chunk_size
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("chunk_tokens"),
+    ).filter(F.col("chunk_tokens") > 0)
+
+
+def redact(col, patterns: dict[str, str] | None = None, token: str = "[REDACTED]"):
+    """Replace every PII pattern occurrence with ``token`` — one chained
+    regexp_replace expression, JVM-side."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in (patterns or PII_PATTERNS).values():
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def redaction_counts(col, patterns: dict[str, str] | None = None) -> dict:
+    """Per-pattern match counts (regexp_count) for redaction audits."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.regexp_count(c, F.lit(pat))
+        for name, pat in (patterns or PII_PATTERNS).items()
+    }
+
+
+def assign_split(
+    id_col, train_pct: int = 80, val_pct: int = 10, buckets: int = 100
+):
+    """Deterministic train/val/test assignment from the id — stable
+    across runs and engines (pure modular arithmetic, no RNG, no
+    sampling drift when the corpus grows)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    b = F.pmod(c, F.lit(buckets))
+    return (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )

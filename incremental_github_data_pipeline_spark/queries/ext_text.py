@@ -183,3 +183,59 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return dd.verified_near_dups(
         d, id_col="doc_id", text_col="text", jaccard_threshold=0.8, k=3
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_doc_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(range(0, GREATEST(1, CAST(CEIL(len(toks)/12.0) AS BIGINT)))) AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(toks[chunk_idx*12+1 : chunk_idx*12+16], ' ') AS chunk_text,
+           CAST(len(toks[chunk_idx*12+1 : chunk_idx*12+16]) AS INT) AS chunk_tokens
+    FROM c
+    WHERE len(toks[chunk_idx*12+1 : chunk_idx*12+16]) > 0
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Document chunking (operators.text.chunk_documents): token "
+    "windows of 16 with stride 12 (4-token overlap), exploded in the "
+    "scan stage — the embedding/training prep step.",
+)
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.chunk_documents(
+        T(spark, sf, "documents"), chunk_size=16, step=12
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "q_doc_split",
+    oracle="""
+    SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
+                WHEN doc_id % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1 ORDER BY split
+    """,
+    doc="Deterministic train/val/test assignment "
+    "(operators.text.assign_split): pure modular arithmetic on the id — "
+    "stable across runs, engines, and corpus growth (no RNG sampling "
+    "drift).",
+)
+def q_doc_split(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return (
+        d.withColumn("split", tx.assign_split("doc_id"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split")
+    )

@@ -154,3 +154,42 @@ def test_fingerprint_stability(spark):
     fp = {r["id"]: r["fp"] for r in df.collect()}
     assert fp[1] == fp[2]
     assert fp[1] != fp[4]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    doc = " ".join(f"w{i}" for i in range(30))  # 30 tokens
+    df = spark.createDataFrame([(1, doc), (2, "short doc")], "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_tokens"])
+        for r in tx.chunk_documents(df, chunk_size=16, step=12).collect()
+    }
+    # 30 tokens, stride 12 → ceil(30/12)=3 chunks: [0:16], [12:28], [24:30]
+    assert set(out) == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert out[(1, 0)][1] == 16 and out[(1, 0)][0].startswith("w0 w1 ")
+    assert out[(1, 1)][0].startswith("w12 ")  # 4-token overlap with chunk 0
+    assert out[(1, 2)] == ("w24 w25 w26 w27 w28 w29", 6)
+    assert out[(2, 0)] == ("short doc", 2)  # short doc → one whole chunk
+
+
+def test_redact_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b@example.com or visit https://x.io/page now")],
+        "id long, text string",
+    )
+    row = df.select(
+        tx.redact("text").alias("red"), *[
+            c.alias(n) for n, c in tx.redaction_counts("text").items()
+        ]
+    ).collect()[0]
+    assert row["red"] == "mail me at [REDACTED] or visit [REDACTED] now"
+    assert (row["email"], row["url"], row["phone"]) == (1, 1, 0)
+
+
+def test_assign_split_fractions(spark):
+    df = spark.range(1000).select(F.col("id"))
+    got = {
+        r["split"]: r["n"]
+        for r in df.select(tx.assign_split("id").alias("split"))
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {"train": 800, "val": 100, "test": 100}
