@@ -46,6 +46,7 @@ def load_all() -> dict[str, QuerySpec]:
         ext_text,
         relational,
         tpch,
+        tpch_advanced,
     )
 
     return REGISTRY

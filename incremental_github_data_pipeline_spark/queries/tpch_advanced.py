@@ -1,0 +1,596 @@
+"""TPC-H Q2/Q7/Q8/Q9/Q11/Q13/Q15/Q16/Q20/Q21 — the remaining half of the
+suite, adapted to the driver tables' trimmed schemas (no partsupp table,
+no commit/receipt dates, no comment columns). Where the classic query
+needs partsupp, the part↔supplier relationship is derived from
+``SELECT DISTINCT l_partkey, l_suppkey FROM lineitem``; where it needs
+receipt-date lateness, shipping >60 days after the order date stands in.
+
+These close out the correlated-subquery / decorrelation surface the
+basic suite (queries/tpch.py) doesn't touch: per-group max via window
+(Q2), scalar-subquery thresholds computed once and broadcast (Q11, Q15),
+NOT IN → anti-join (Q16), nested IN with per-group fraction-of-total
+(Q20), and the double EXISTS / NOT EXISTS pattern (Q21) rewritten as
+per-order aggregates instead of two self-joins of the fact table.
+
+Physical notes at scale: every correlated form is decorrelated by hand
+into one extra aggregate on the SAME key the main join shuffles on, so
+the added cost is a map-side combine, not a second fact shuffle.
+Scalar thresholds (Q11 total, Q15 max) are 1-row DataFrames joined via
+``crossJoin`` — Spark plans these as BroadcastNestedLoopJoin over a
+single row, i.e. a broadcast variable, never a cartesian blow-up.
+Q21's classic l2/l3 self-joins would shuffle lineitem three times; the
+per-order aggregate rewrite shuffles it once on l_orderkey and reuses
+that partitioning for both existence tests.
+
+Reference scope note: the reference pipeline (piter-a/
+Incremental-GitHub-Data-Pipeline, transform.py) contains only the two
+m:1 equi-joins catalogued in SURVEY.md §2.3; this module is engine
+surface beyond reference parity, oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incremental_github_data_pipeline_spark.queries import register
+from incremental_github_data_pipeline_spark.queries.relational import dsum, revenue
+from incremental_github_data_pipeline_spark.sources.readers import read_table as T
+
+
+def _part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """partsupp stand-in: distinct (partkey, suppkey) pairs observed in
+    lineitem. One shuffle on the pair; reused by Q2/Q16."""
+    return (
+        T(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
+
+
+@register(
+    "q02_best_supplier",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    eu AS (
+      SELECT ps.l_partkey AS partkey, s_acctbal, s_name, n_name
+      FROM ps, supplier, nation, region
+      WHERE s_suppkey = ps.l_suppkey AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+    FROM part, eu
+    WHERE p_partkey = eu.partkey AND p_size = 15
+      AND s_acctbal = (SELECT MAX(e2.s_acctbal) FROM eu e2
+                       WHERE e2.partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 (partsupp derived from lineitem, min supplycost → max "
+    "acctbal): correlated per-part max decorrelated into a window over "
+    "the already-joined set — no second pass over the pairs.",
+)
+def q02_best_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    s, n, r, p = (
+        T(spark, sf, "supplier"),
+        T(spark, sf, "nation"),
+        T(spark, sf, "region"),
+        T(spark, sf, "part"),
+    )
+    eu = (
+        _part_suppliers(spark, sf)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("l_partkey").alias("partkey"), "s_acctbal", "s_name", "n_name")
+    )
+    best = eu.withColumn(
+        "max_bal", F.max("s_acctbal").over(Window.partitionBy("partkey"))
+    ).filter(F.col("s_acctbal") == F.col("max_bal"))
+    return (
+        best.join(
+            F.broadcast(p.filter(F.col("p_size") == 15)),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q07_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             l_extendedprice, l_discount
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7: two-fact join (lineitem↔orders on orderkey) with the "
+    "nation pair disjunction applied AFTER broadcast dim joins; the OR "
+    "cannot push below the joins but the date filter pushes to the scan.",
+)
+def q07_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    li, o, c, s, n = (
+        T(spark, sf, "lineitem"),
+        T(spark, sf, "orders"),
+        T(spark, sf, "customer"),
+        T(spark, sf, "supplier"),
+        T(spark, sf, "nation"),
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    shipping = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        shipping.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(revenue("l_extendedprice", ("l_discount", -1)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q08_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1-l_discount AS DECIMAL(4,2)) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1,
+           nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND p_type = 'ECONOMY') all_nations
+    GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8: national market share — both numerator and denominator "
+    "accumulate in exact decimal, cast to double, then one IEEE divide, "
+    "so the ratio hash-matches across engines.",
+)
+def q08_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    li, o, c, s, p, n, r = (
+        T(spark, sf, "lineitem"),
+        T(spark, sf, "orders"),
+        T(spark, sf, "customer"),
+        T(spark, sf, "supplier"),
+        T(spark, sf, "part"),
+        T(spark, sf, "nation"),
+        T(spark, sf, "region"),
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    volume = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    ).alias("volume")
+    all_nations = (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(F.year("o_orderdate").cast("long").alias("o_year"), volume, "nation")
+    )
+    return (
+        all_nations.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+                        F.lit(0).cast("decimal(12,2)")
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q09_product_profit",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1-l_discount AS DECIMAL(4,2)) AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%') profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 (profit = discounted revenue; no supplycost column in "
+    "the trimmed schema): part-name LIKE filter broadcast against the "
+    "fact, grouped by supplier nation × order year.",
+)
+def q09_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    li, o, s, p, n = (
+        T(spark, sf, "lineitem"),
+        T(spark, sf, "orders"),
+        T(spark, sf, "supplier"),
+        T(spark, sf, "part"),
+        T(spark, sf, "nation"),
+    )
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_name").like("%red%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(revenue("l_extendedprice", ("l_discount", -1)).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH nat AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS value
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_5'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, value FROM nat
+    WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE)
+                          * 0.002 FROM nat)
+    ORDER BY value DESC, partkey
+    """,
+    doc="TPC-H Q11 (stock value → shipped value): scalar-subquery "
+    "threshold computed once as a 1-row DataFrame and cross-joined — "
+    "Spark broadcasts the single row; the per-part aggregate is not "
+    "recomputed for the total (self-referencing CTE on both sides).",
+)
+def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    li, s, n = (
+        T(spark, sf, "lineitem"),
+        T(spark, sf, "supplier"),
+        T(spark, sf, "nation"),
+    )
+    nat = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_5")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(revenue("l_extendedprice", ("l_discount", -1)).alias("value"))
+    )
+    threshold = nat.agg(
+        (dsum("value") * F.lit(0.002)).alias("threshold")
+    )
+    return (
+        nat.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("partkey"), "value")
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 (comment filter → priority filter): left outer join "
+    "keeps order-less customers as count 0, then a second aggregation "
+    "builds the histogram; the join-side predicate stays in the ON "
+    "clause (pushing it to WHERE would silently drop those customers).",
+)
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    c_orders = (
+        c.join(
+            o.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue0
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15: the revenue view is computed once; the MAX scalar "
+    "is a 1-row broadcast, not a re-aggregation, and ties are kept "
+    "(spec semantics).",
+)
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    li, s = T(spark, sf, "lineitem"), T(spark, sf, "supplier")
+    revenue0 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(revenue("l_extendedprice", ("l_discount", -1)).alias("total_revenue"))
+    )
+    top = revenue0.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue0.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps, part
+    WHERE p_partkey = ps.l_partkey
+      AND p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 14, 19, 25, 28)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 (partsupp from lineitem; supplier exclusion on "
+    "negative acctbal instead of the absent comment column): NOT IN → "
+    "broadcast left-anti join (safe: s_suppkey is non-null), then "
+    "distinct-count per brand/type/size.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    p, s = T(spark, sf, "part"), T(spark, sf, "supplier")
+    excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        _part_suppliers(spark, sf)
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(
+                p.filter(
+                    (F.col("p_brand") != "Brand#9")
+                    & (F.col("p_type") != "PROMO")
+                    & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 25, 28)
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    oracle="""
+    WITH red AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS qty
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+      GROUP BY l_suppkey, l_partkey),
+    part_total AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(qty AS DECIMAL(25,8))) AS DOUBLE) AS part_qty
+      FROM red GROUP BY l_partkey)
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_7'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM red, part_total
+        WHERE red.l_partkey = part_total.pk AND qty > 0.12 * part_qty)
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 (availqty → shipped-quantity share): suppliers of "
+    "'red%' parts holding >12% of a part's total shipped quantity. The "
+    "per-part total reuses the (suppkey, partkey) aggregate — grouped "
+    "again on its partkey prefix — and the IN becomes a left-semi join.",
+)
+def q20_promotion_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    li, p, s, n = (
+        T(spark, sf, "lineitem"),
+        T(spark, sf, "part"),
+        T(spark, sf, "supplier"),
+        T(spark, sf, "nation"),
+    )
+    red = (
+        li.join(
+            F.broadcast(p.filter(F.col("p_name").like("red%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity").alias("qty"))
+    )
+    part_total = red.groupBy(F.col("l_partkey").alias("pk")).agg(
+        dsum("qty").alias("part_qty")
+    )
+    heavy = (
+        red.join(part_total, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("qty") > F.lit(0.12) * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH fo AS (
+      SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+    lines AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(l_shipdate > o_orderdate + INTERVAL 60 DAY AS INT)
+               AS is_late
+      FROM lineitem, fo WHERE l_orderkey = o_orderkey),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS nsupp,
+             COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END)
+               AS nlate
+      FROM lines GROUP BY l_orderkey)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lines, per_order, supplier
+    WHERE lines.l_orderkey = per_order.l_orderkey
+      AND lines.is_late = 1 AND per_order.nsupp >= 2 AND per_order.nlate = 1
+      AND s_suppkey = lines.l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    doc="TPC-H Q21 (receipt-date lateness → shipped >60 days after the "
+    "order date): the classic EXISTS l2 / NOT EXISTS l3 double self-join "
+    "is rewritten as per-order supplier counts — lineitem shuffles ONCE "
+    "on l_orderkey and both existence tests read the same aggregate: "
+    "another supplier exists ⇔ nsupp ≥ 2; no other late supplier ⇔ "
+    "nlate = 1 (only the offender).",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    li, o, s = (
+        T(spark, sf, "lineitem"),
+        T(spark, sf, "orders"),
+        T(spark, sf, "supplier"),
+    )
+    fo = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    lines = li.join(fo, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .cast("int")
+        .alias("is_late"),
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("nsupp"),
+        F.count_distinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("nlate"),
+    )
+    return (
+        lines.filter(F.col("is_late") == 1)
+        .join(
+            per_order.filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1)),
+            F.col("l_orderkey") == F.col("po_orderkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
