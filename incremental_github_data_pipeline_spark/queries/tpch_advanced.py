@@ -556,10 +556,11 @@ def q20_promotion_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="TPC-H Q21 (receipt-date lateness → shipped >60 days after the "
     "order date): the classic EXISTS l2 / NOT EXISTS l3 double self-join "
-    "is rewritten as per-order supplier counts — lineitem shuffles ONCE "
-    "on l_orderkey and both existence tests read the same aggregate: "
-    "another supplier exists ⇔ nsupp ≥ 2; no other late supplier ⇔ "
-    "nlate = 1 (only the offender).",
+    "is rewritten as per-order distinct-supplier sets computed in a "
+    "WINDOW over l_orderkey — lineitem is scanned once and shuffled "
+    "once, and both existence tests read the same partition: another "
+    "supplier exists ⇔ |suppliers| ≥ 2; no other late supplier ⇔ "
+    "|late suppliers| = 1 (only the offender).",
 )
 def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     li, o, s = (
@@ -577,17 +578,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("is_late"),
     )
-    per_order = lines.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.count_distinct("l_suppkey").alias("nsupp"),
-        F.count_distinct(
-            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+    w = Window.partitionBy("l_orderkey")
+    annotated = lines.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("nsupp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+            ).over(w)
         ).alias("nlate"),
     )
     return (
-        lines.filter(F.col("is_late") == 1)
-        .join(
-            per_order.filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1)),
-            F.col("l_orderkey") == F.col("po_orderkey"),
+        annotated.filter(
+            (F.col("is_late") == 1) & (F.col("nsupp") >= 2) & (F.col("nlate") == 1)
         )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
