@@ -961,3 +961,51 @@ def q_string_agg(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
         .orderBy("r_name")
     )
+
+
+@register(
+    "q_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS value_sum,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max,
+           CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE)
+             / COUNT(value) AS value_avg
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Incremental aggregate maintenance (operators/incremental_agg): "
+    "history (ts < 2024-01-15) builds the initial state, two later delta "
+    "batches are folded in by algebraic merge, and the finalized rollup "
+    "hash-matches a full GROUP BY over everything — the oracle PROVES "
+    "incremental == recompute. At scale the merge shuffles |state| + "
+    "|delta partials|, never |history|.",
+)
+def q_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    e = T(spark, sf, "events")
+    measures = {
+        "n": ("count", None),
+        "value_sum": ("sum", "value"),
+        "value_min": ("min", "value"),
+        "value_max": ("max", "value"),
+        "value_avg": ("avg", "value"),
+    }
+    keys = ["event_type"]
+    cut1 = F.lit("2024-01-15").cast("timestamp")
+    cut2 = F.lit("2024-01-22").cast("timestamp")
+    state = partial_rollup(e.filter(F.col("ts") < cut1), keys, measures)
+    d1 = partial_rollup(
+        e.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)), keys, measures
+    )
+    d2 = partial_rollup(e.filter(F.col("ts") >= cut2), keys, measures)
+    state = merge_rollups(state, d1, keys, measures)
+    state = merge_rollups(state, d2, keys, measures)
+    return finalize_rollup(state, measures).orderBy("event_type")
