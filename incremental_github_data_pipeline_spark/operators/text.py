@@ -175,6 +175,133 @@ def fingerprint(col: Column | str, k: int = 5) -> Column:
     return F.array_min(F.transform(shingles(col, k), lambda s: F.xxhash64(s)))
 
 
+def ngrams(col: Column | str, n: int = 2) -> Column:
+    """Token n-grams as strings; docs shorter than n yield an empty
+    array (unlike :func:`shingles`, no whole-doc fallback — repetition
+    ratios must not count a short doc as self-repeating)."""
+    return let_(
+        tokens(col),
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def dup_word_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token
+    (1 − distinct/total) — the cheapest Gopher-style repetition signal."""
+    return let_(
+        tokens(col),
+        lambda t: F.when(
+            F.size(t) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / F.size(t),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def top_ngram_ratio(col: Column | str, n: int = 2) -> Column:
+    """Fraction of all n-grams taken by the single most frequent n-gram
+    (Gopher repetition rule: high ⇒ boilerplate/loops). Per-row bounded
+    work (|distinct| × |grams| on one document), pure codegen — the
+    100 TB corpus pays zero shuffle for this."""
+    return let_(
+        ngrams(col, n),
+        lambda g: F.when(
+            F.size(g) > 0,
+            F.array_max(
+                F.transform(
+                    F.array_distinct(g),
+                    lambda b: F.size(F.filter(g, lambda x: x == b)),
+                )
+            ).cast("double")
+            / F.size(g),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def repetition_features(col: Column | str) -> dict[str, Column]:
+    """The repetition family of quality signals as named columns."""
+    return {
+        "dup_word_ratio": dup_word_ratio(col),
+        "top_bigram_ratio": top_ngram_ratio(col, 2),
+    }
+
+
+def contaminated_ids(
+    df,
+    benchmark,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+):
+    """Benchmark decontamination: ids of corpus docs sharing any token
+    ``k``-gram with the benchmark set (the standard eval-leakage guard
+    for training corpora).
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (eval sets are ~10⁵ docs), so its distinct gram set broadcasts and
+    the corpus side never shuffles — grams explode in the scan stage,
+    ``array_distinct`` caps the blow-up at one row per distinct gram
+    per doc, and the semi-join is map-side. Only the final per-id
+    ``distinct`` shuffles, and that is already filtered to hits.
+    """
+    corpus_grams = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, k))).alias("_sh")
+    )
+    bench_grams = (
+        benchmark.select(F.explode(F.array_distinct(shingles(text_col, k))).alias("_sh"))
+        .distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "_sh", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def top_terms(df, group_col: str, text_col: str = "text", n: int = 5):
+    """Top-``n`` terms per group by frequency (ties broken by term) —
+    the corpus-composition audit. Tokenize in the scan stage, one
+    shuffle for the (group, term) count, window top-k on the already
+    aggregated (small) side."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(group_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(group_col, "term", "n", "rank")
+    )
+
+
+def vocab_stats(df, group_col: str, text_col: str = "text"):
+    """Per-group vocabulary statistics: vocabulary size, hapax count
+    (terms seen once — the Zipf-tail health check), total tokens. Two
+    algebraic aggregations on the same (group, term) key ⇒ the second
+    needs no extra shuffle."""
+    term_counts = (
+        df.select(F.col(group_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return term_counts.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax_count"),
+        F.sum("n").alias("total_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data prep: chunking, redaction, splits
 # ---------------------------------------------------------------------------

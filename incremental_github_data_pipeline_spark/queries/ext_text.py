@@ -214,6 +214,142 @@ def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_doc_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END AS bg
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0
+                THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS dup_word_ratio,
+           CASE WHEN len(bg) > 0
+                THEN CAST(list_max(list_transform(list_distinct(bg),
+                          g -> len(list_filter(bg, x -> x = g)))) AS DOUBLE)
+                     / len(bg)
+                ELSE 0.0 END AS top_bigram_ratio
+    FROM b ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition quality signals (duplicate-word "
+    "fraction, top-bigram fraction) — pure map stage, per-row bounded "
+    "work, no shuffle except the presentation sort.",
+)
+def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    rf = tx.repetition_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        rf["dup_word_ratio"].alias("dup_word_ratio"),
+        rf["top_bigram_ratio"].alias("top_bigram_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_doc_decontaminate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN len(toks) >= 5
+                         THEN list_transform(range(1, len(toks) - 3),
+                                             i -> array_to_string(toks[i:i+4], ' '))
+                         ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t
+    ),
+    bench AS (SELECT DISTINCT sh FROM grams WHERE source = 'src0'),
+    hits AS (
+      SELECT DISTINCT g.doc_id, g.source
+      FROM grams g JOIN bench USING (sh)
+      WHERE g.source <> 'src0'
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+    FROM hits GROUP BY source ORDER BY source
+    """,
+    doc="Benchmark decontamination (operators.text.contaminated_ids): "
+    "docs sharing any token 5-gram with the benchmark slice "
+    "(source='src0'). Benchmark gram set broadcasts; corpus side "
+    "explodes in the scan stage — no corpus shuffle before the hit "
+    "filter.",
+)
+def q_doc_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    hits = tx.contaminated_ids(corpus, bench, id_col="doc_id", text_col="text", k=5)
+    return (
+        corpus.select("doc_id", "source")
+        .join(hits, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_doc_top_terms",
+    oracle="""
+    WITH tc AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, term, COUNT(*) AS n FROM tc GROUP BY source, term
+    ),
+    ranked AS (
+      SELECT source, term, n,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, term) AS rank
+      FROM counts
+    )
+    SELECT source, term, n, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY source, rank
+    """,
+    doc="Top-5 terms per source (operators.text.top_terms): tokenize in "
+    "the scan stage, one shuffle on (source, term), window top-k on the "
+    "aggregated side. Deterministic tie-break (count desc, term asc).",
+)
+def q_doc_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.top_terms(
+        T(spark, sf, "documents"), group_col="source", text_col="text", n=5
+    ).orderBy("source", "rank")
+
+
+@register(
+    "q_doc_vocab",
+    oracle="""
+    WITH tc AS (
+      SELECT lang, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang, term, COUNT(*) AS n FROM tc GROUP BY lang, term
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM counts GROUP BY lang ORDER BY lang
+    """,
+    doc="Per-language vocabulary size / hapax count / total tokens "
+    "(operators.text.vocab_stats) — two algebraic aggs on one key, "
+    "one shuffle.",
+)
+def q_doc_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.vocab_stats(
+        T(spark, sf, "documents"), group_col="lang", text_col="text"
+    ).orderBy("lang")
+
+
+@register(
     "q_doc_split",
     oracle="""
     SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'

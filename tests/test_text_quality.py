@@ -1,0 +1,119 @@
+"""Repetition signals, decontamination, top-terms, vocab stats
+(operators/text.py additions; SURVEY.md §2.10 text analysis)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from incremental_github_data_pipeline_spark.operators import text as tx
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# Repetition features
+# ---------------------------------------------------------------------------
+
+
+def test_dup_word_ratio_known_values(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d"),        # all distinct -> 0.0
+            (2, "a a a a"),        # 1 distinct of 4 -> 0.75
+            (3, "a b a b"),        # 2 distinct of 4 -> 0.5
+            (4, ""),               # empty -> 0.0 (not NULL, not NaN)
+        ],
+    )
+    got = {
+        r["doc_id"]: r["r"]
+        for r in df.select("doc_id", tx.dup_word_ratio("text").alias("r")).collect()
+    }
+    assert got == {1: 0.0, 2: 0.75, 3: 0.5, 4: 0.0}
+
+
+def test_top_bigram_ratio_known_values(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a"),  # bigrams: ab ba ab ba -> top 2/4 = 0.5
+            (2, "a b c d"),    # all bigrams distinct -> 1/3
+            (3, "x"),          # <2 tokens -> no bigrams -> 0.0
+        ],
+    )
+    got = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", tx.top_ngram_ratio("text", 2).alias("r")
+        ).collect()
+    }
+    assert got[1] == 0.5
+    assert got[2] == pytest.approx(1 / 3)
+    assert got[3] == 0.0
+
+
+def test_ngrams_short_doc_empty_not_fallback(spark):
+    # ngrams() must NOT inherit shingles()'s whole-doc fallback: a
+    # 1-token doc has no bigrams, so it cannot look self-repetitive.
+    df = _docs(spark, [(1, "solo")])
+    [row] = df.select(tx.ngrams("text", 2).alias("g")).collect()
+    assert row["g"] == []
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_contaminated_ids_flags_only_overlapping(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "intro text then quick brown fox jumps over and more"),  # shares 5-gram
+            (2, "completely different words with no overlap at all"),
+            (3, "the quick brown fox jumps"),  # exactly one shared 5-gram
+        ],
+    )
+    hits = sorted(
+        r["doc_id"]
+        for r in tx.contaminated_ids(corpus, bench, k=5).collect()
+    )
+    assert hits == [1, 3]
+
+
+def test_contaminated_ids_short_doc_exact_match_only(spark):
+    # Docs shorter than k fall back to whole-text shingle: flagged only
+    # on exact text equality with a benchmark short doc.
+    bench = _docs(spark, [(100, "tiny doc")])
+    corpus = _docs(spark, [(1, "tiny doc"), (2, "tiny dog")])
+    hits = [r["doc_id"] for r in tx.contaminated_ids(corpus, bench, k=5).collect()]
+    assert hits == [1]
+
+
+# ---------------------------------------------------------------------------
+# Top terms / vocab
+# ---------------------------------------------------------------------------
+
+
+def test_top_terms_tie_break_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "g1", "b a b a c")], "doc_id long, src string, text string"
+    )
+    rows = tx.top_terms(df, group_col="src", text_col="text", n=2).orderBy(
+        "rank"
+    ).collect()
+    # a and b both appear twice; tie broken by term asc
+    assert [(r["term"], r["n"], r["rank"]) for r in rows] == [("a", 2, 1), ("b", 2, 2)]
+
+
+def test_vocab_stats_hapax(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "a a b c"), (2, "en", "c d")], "doc_id long, lang string, text string"
+    )
+    [row] = tx.vocab_stats(df, group_col="lang", text_col="text").collect()
+    # terms: a×2 b×1 c×2 d×1 -> vocab 4, hapax 2 (b, d), total 6
+    assert (row["vocab_size"], row["hapax_count"], row["total_tokens"]) == (4, 2, 6)
