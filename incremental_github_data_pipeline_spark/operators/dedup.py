@@ -460,3 +460,107 @@ def embedding_near_dups(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster formation (pairs -> components -> canonical doc)
+# ---------------------------------------------------------------------------
+
+
+def gram_overlap_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Deterministic near-dup pair list: documents sharing at least one
+    token ``k``-gram, canonicalized ``id_a < id_b``. Unlike the LSH
+    candidate generators this is hash-free (engine-portable), at the
+    cost of shuffling one row per distinct gram per doc — the bucketed
+    self-join shape is the same: cross-document work happens only inside
+    a gram's posting list, never corpus × corpus."""
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("_sh"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    return (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node's label converges to the minimum
+    id in its component. Returns ``(id, component)``.
+
+    This is the stage that turns near-dup PAIRS into dedup CLUSTERS so a
+    canonical document (min id) can be kept per cluster — without it a
+    chain a~b~c keeps b twice or drops both ends, depending on pair
+    order.
+
+    Scale shape: each round is one shuffle join on the node id plus an
+    algebraic aggregate; lineage is truncated every round with
+    ``localCheckpoint`` so the plan stays O(1) deep. Rounds needed =
+    graph diameter; near-dup components are stars/cliques around a
+    template, so 2-4 rounds are typical regardless of corpus size.
+    Convergence detection is a single sum: labels only ever decrease, so
+    an unchanged label sum ⇔ a fixed point (no row-wise diff join).
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("_nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Full cluster view: every doc mapped to its component (singletons
+    keep their own id), plus the keep/drop verdict — ``keep`` iff the
+    doc is its component's minimum id (the canonical survivor)."""
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    return (
+        df.select(F.col(id_col))
+        .join(cc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn("keep", (F.col(id_col) == F.col("component")).cast("int"))
+    )

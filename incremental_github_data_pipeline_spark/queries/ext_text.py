@@ -213,6 +213,77 @@ def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+_GRAM_PAIRS_SQL = """
+    toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 5
+                         THEN list_transform(range(1, len(t) - 3),
+                                             i -> array_to_string(t[i:i+4], ' '))
+                         ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM toks
+    ),
+    dg AS (SELECT DISTINCT doc_id, sh FROM grams),
+    pairs AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb
+      FROM dg a JOIN dg b USING (sh)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "q_doc_overlap_pairs",
+    oracle=f"""
+    WITH {_GRAM_PAIRS_SQL}
+    SELECT ida AS id_a, idb AS id_b FROM pairs ORDER BY id_a, id_b
+    """,
+    doc="Hash-free near-dup pairs (operators.dedup.gram_overlap_pairs): "
+    "docs sharing a token 5-gram, self-join bucketed on the gram — "
+    "cross-document work only inside a gram's posting list.",
+)
+def q_doc_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dd.gram_overlap_pairs(
+        T(spark, sf, "documents"), id_col="doc_id", text_col="text", k=5
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_GRAM_PAIRS_SQL},
+    edges AS (
+      SELECT ida AS src, idb AS dst FROM pairs
+      UNION ALL SELECT idb, ida FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+    ),
+    cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM cc GROUP BY component ORDER BY component
+    """,
+    doc="Dedup cluster formation (operators.dedup.connected_components): "
+    "iterative min-label propagation over the near-dup pair graph — "
+    "pairs become components so one canonical doc (min id) survives per "
+    "cluster. One shuffle join per round, lineage truncated per round, "
+    "rounds = graph diameter (2-4 for near-dup star/clique shapes). "
+    "Oracle: DuckDB recursive-CTE transitive closure.",
+)
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    pairs = dd.gram_overlap_pairs(d, id_col="doc_id", text_col="text", k=5)
+    cc = dd.connected_components(pairs)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("component")
+    )
+
+
 @register(
     "q_doc_repetition",
     oracle="""

@@ -117,3 +117,47 @@ def test_vocab_stats_hapax(spark):
     [row] = tx.vocab_stats(df, group_col="lang", text_col="text").collect()
     # terms: a×2 b×1 c×2 d×1 -> vocab 4, hapax 2 (b, d), total 6
     assert (row["vocab_size"], row["hapax_count"], row["total_tokens"]) == (4, 2, 6)
+
+
+# ---------------------------------------------------------------------------
+# Cluster formation
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_island(spark):
+    from incremental_github_data_pipeline_spark.operators import dedup as dd
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + island 8-9
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (8, 9)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
+def test_dedup_clusters_singletons_keep_self(spark):
+    from incremental_github_data_pipeline_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_a long, id_b long")
+    rows = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in dd.dedup_clusters(docs, pairs).collect()
+    }
+    # component {1,3,5} keeps only 1; singletons 2,4 keep themselves
+    assert rows == {1: (1, 1), 2: (2, 1), 3: (1, 0), 4: (4, 1), 5: (1, 0)}
+
+
+def test_gram_overlap_pairs_requires_shared_kgram(spark):
+    from incremental_github_data_pipeline_spark.operators import dedup as dd
+
+    df = _docs(
+        spark,
+        [
+            (1, "one two three four five six"),
+            (2, "zzz two three four five yyy"),   # shares "two three four five six"? no — shares 5-gram "two three four five" only with k=4; with k=5 no
+            (3, "one two three four five seven"), # shares "one two three four five" with doc 1
+        ],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.gram_overlap_pairs(df, k=5).collect()}
+    assert pairs == {(1, 3)}
