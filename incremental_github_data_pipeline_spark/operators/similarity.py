@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from incremental_github_data_pipeline_spark.functions.scalar import let_
+
 from incremental_github_data_pipeline_spark.operators.core import ensure_min_partitions
 from incremental_github_data_pipeline_spark.operators.dedup import cosine_similarity
 
@@ -229,4 +231,30 @@ def cosine_topk_arrow(
         candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy(query_id, "rank")
+    )
+
+
+def l2_norm(vec: Column | str) -> Column:
+    """Vector L2 norm as a pure column expression. Squares accumulate in
+    double with a fixed left-to-right order, so the result is bit-exact
+    across engines (verified vs DuckDB list_reduce) — safe to use in
+    oracle-checked pipelines, not just approximate ones."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def l2_normalize(vec: Column | str) -> Column:
+    """Unit-normalize an embedding (zero vectors pass through unchanged
+    rather than dividing by zero) — the prep step that turns cosine
+    top-k into dot-product top-k."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return let_(
+        l2_norm(v),
+        lambda n: F.when(
+            n > 0, F.transform(v, lambda x: x.cast("double") / n)
+        ).otherwise(F.transform(v, lambda x: x.cast("double"))),
     )

@@ -153,3 +153,37 @@ def q_embedding_topk_arrow(spark: SparkSession, sf: str) -> DataFrame:
         vec_col="embedding", k=TOP_K,
     )
     return out.select("query_id", "corpus_id", "rank").orderBy("query_id", "rank")
+
+
+@register(
+    "q_embedding_norm_stats",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             sqrt(list_reduce(list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                              (a, b) -> a + b)) AS norm
+      FROM embeddings
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(norm) AS min_norm, MAX(norm) AS max_norm
+    FROM n GROUP BY label ORDER BY label
+    """,
+    doc="Per-label embedding norm profile (operators.similarity.l2_norm): "
+    "norms computed in the scan stage with fixed-order double "
+    "accumulation (bit-exact vs the oracle); only order-independent "
+    "aggregates (count/min/max) cross rows, so the result is "
+    "deterministic under any partitioning.",
+)
+def q_embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    return (
+        e.select("label", sim.l2_norm("embedding").alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1009,3 +1009,28 @@ def q_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
     state = merge_rollups(state, d1, keys, measures)
     state = merge_rollups(state, d2, keys, measures)
     return finalize_rollup(state, measures).orderBy("event_type")
+
+
+@register(
+    "q_approx_profile",
+    oracle=None,  # HLL / KLL sketch outputs are engine-specific
+    doc="Approximate corpus profiling — the 100 TB first-look query: "
+    "HyperLogLog distinct counts (approx_count_distinct, mergeable "
+    "partial sketches, one reduce, O(1) state per group) and KLL-style "
+    "approximate percentiles (percentile_approx) per return flag. "
+    "Rows-only by nature; error bounds vs exact asserted in "
+    "tests/test_approx.py.",
+)
+def q_approx_profile(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.9, 0.99], 10000
+            ).alias("price_pctl"),
+        )
+        .orderBy("l_returnflag")
+    )
