@@ -389,3 +389,29 @@ def assign_split(
         .when(b < train_pct + val_pct, "val")
         .otherwise("test")
     )
+
+
+def sample_stratified(
+    df,
+    id_col: str,
+    fractions_pct: dict[str, int] | int,
+    strata_col: str | None = None,
+    buckets: int = 100,
+):
+    """Deterministic stratified sample: keep N% of each stratum by
+    modular arithmetic on the id — no RNG, so membership is stable
+    across runs and engines, and the sample grows monotonically with
+    the corpus (new rows never evict old members, unlike ``df.sample``
+    whose membership depends on partitioning and seed plumbing).
+    ``fractions_pct`` is either one percentage for all rows or a
+    per-stratum map (e.g. downsample the dominant language). Pure
+    filter ⇒ pushes down to the scan; zero shuffle."""
+    b = F.pmod(F.col(id_col), F.lit(buckets))
+    if isinstance(fractions_pct, int):
+        return df.filter(b < fractions_pct)
+    if strata_col is None:
+        raise ValueError("per-stratum fractions need strata_col")
+    cut = F.lit(0)
+    for stratum, pct in fractions_pct.items():
+        cut = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(cut)
+    return df.filter(b < cut)

@@ -446,3 +446,34 @@ def q_doc_split(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "q_doc_sample_stratified",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id % 100 < CASE WHEN lang = 'en' THEN 20
+                              WHEN lang = 'de' THEN 50 ELSE 0 END
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Deterministic stratified sampling "
+    "(operators.text.sample_stratified): per-stratum keep fractions via "
+    "modular arithmetic on the id (downsample the dominant language, "
+    "drop the rest) — no RNG, stable membership under corpus growth, "
+    "pure pushed-down filter with zero shuffle before the audit agg.",
+)
+def q_doc_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    sampled = tx.sample_stratified(
+        d, id_col="doc_id", fractions_pct={"en": 20, "de": 50}, strata_col="lang"
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

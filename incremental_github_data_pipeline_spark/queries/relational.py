@@ -1034,3 +1034,42 @@ def q_approx_profile(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_events_new_users",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    d AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS new_users
+      FROM f WHERE rn = 1 GROUP BY 1
+    )
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM d ORDER BY day
+    """,
+    doc="Daily new users + cumulative total — the scalable alternative "
+    "to windowed COUNT(DISTINCT): first-seen flag via per-user "
+    "row_number (one shuffle on user_id), then a daily aggregate and a "
+    "running sum over the tiny per-day series. No distinct-state "
+    "explosion at 100 TB; the cumulative window runs on ~365 rows/yr.",
+)
+def q_events_new_users(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_seen = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    daily = first_seen.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    cum_w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(cum_w).alias("cum_users"),
+    ).orderBy("day")

@@ -161,3 +161,38 @@ def test_gram_overlap_pairs_requires_shared_kgram(spark):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in dd.gram_overlap_pairs(df, k=5).collect()}
     assert pairs == {(1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sample_stratified_global_and_per_stratum(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    flat = tx.sample_stratified(df, id_col="doc_id", fractions_pct=10)
+    assert flat.count() == 20  # ids 0-9 of each 100-block
+
+    per = tx.sample_stratified(
+        df, id_col="doc_id", fractions_pct={"en": 50, "de": 10}, strata_col="lang"
+    )
+    got = {r["lang"]: r["n"] for r in per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # en: even ids with id%100<50 -> 25 per 100-block x2 = 50
+    # de: odd ids with id%100<10 -> 5 per block x2 = 10
+    assert got == {"en": 50, "de": 10}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tx.sample_stratified(df, id_col="doc_id", fractions_pct={"en": 50})
+
+
+def test_sample_stratified_monotone_under_growth(spark):
+    small = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    s1 = {r["doc_id"] for r in tx.sample_stratified(small, "doc_id", 10).collect()}
+    s2 = {r["doc_id"] for r in tx.sample_stratified(big, "doc_id", 10).collect()}
+    assert s1 <= s2  # growth never evicts earlier sample members
