@@ -511,9 +511,14 @@ def connected_components(
     Convergence detection is a single sum: labels only ever decrease, so
     an unchanged label sum ⇔ a fixed point (no row-wise diff join).
     """
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # Materialize the edge list once: every round joins against it, and
+    # without truncation each round would re-run the (possibly
+    # expensive) pair-generation lineage from scratch.
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -564,3 +569,48 @@ def dedup_clusters(
         )
         .withColumn("keep", (F.col(id_col) == F.col("component")).cast("int"))
     )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Incremental dedup: drop incoming docs that share any token
+    ``k``-gram with the existing corpus (exact dups are a subset —
+    identical text shares every gram). Returns the surviving rows of
+    ``new_df``.
+
+    Scale shape — the corpus NEVER shuffles: the incoming batch is the
+    small side (that's what incremental means), so its distinct gram
+    set broadcasts; the 100 TB corpus is scanned map-side, each row
+    checked against the broadcast set, and only grams that actually
+    collide (⊆ the batch's gram set, so also broadcastable) flow back
+    to flag batch docs. Rerunning is idempotent: survivors re-checked
+    against the same corpus survive again.
+    """
+    # Persist the batch grams: three consumers below (gram set, flag
+    # join, and the broadcast build) would otherwise each re-run the
+    # batch scan + shingle explode. The batch is the small side by
+    # definition, so this is bounded state.
+    new_grams = new_df.select(
+        F.col(id_col).alias("_nid"),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("_sh"),
+    ).persist()
+    new_gram_set = new_grams.select("_sh").distinct()
+    # grams of the batch that exist somewhere in the corpus
+    collided = (
+        corpus_df.select(
+            F.explode(F.array_distinct(shingles(text_col, k))).alias("_sh")
+        )
+        .join(F.broadcast(new_gram_set), "_sh", "left_semi")
+        .distinct()
+    )
+    flagged = (
+        new_grams.join(F.broadcast(collided), "_sh", "left_semi")
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(flagged, id_col, "left_anti")

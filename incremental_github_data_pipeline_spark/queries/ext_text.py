@@ -477,3 +477,46 @@ def q_doc_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_doc_incremental_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(trim(text), ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN len(t) >= 5
+                         THEN list_transform(range(1, len(t) - 3),
+                                             i -> array_to_string(t[i:i+4], ' '))
+                         ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM toks
+    ),
+    hit AS (
+      SELECT DISTINCT n.doc_id
+      FROM grams n
+      JOIN (SELECT DISTINCT sh FROM grams WHERE source <> 'src1') c USING (sh)
+      WHERE n.source = 'src1'
+    )
+    SELECT d.doc_id, d.n_chars FROM documents d
+    WHERE d.source = 'src1' AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+    ORDER BY d.doc_id
+    """,
+    doc="Incremental batch dedup (operators.dedup.dedup_against_corpus): "
+    "survivors of the incoming batch (source='src1') after dropping docs "
+    "sharing any token 5-gram with the existing corpus. The corpus never "
+    "shuffles — the batch's gram set broadcasts, the corpus is scanned "
+    "map-side, and only colliding grams (a subset of the broadcast set) "
+    "flow back. Idempotent on rerun, matching the engine's deterministic-"
+    "key incremental semantics.",
+)
+def q_doc_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    new_batch = d.filter(F.col("source") == "src1")
+    corpus = d.filter(F.col("source") != "src1")
+    return (
+        dd.dedup_against_corpus(new_batch, corpus, id_col="doc_id", text_col="text", k=5)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )

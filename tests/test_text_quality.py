@@ -196,3 +196,22 @@ def test_sample_stratified_monotone_under_growth(spark):
     s1 = {r["doc_id"] for r in tx.sample_stratified(small, "doc_id", 10).collect()}
     s2 = {r["doc_id"] for r in tx.sample_stratified(big, "doc_id", 10).collect()}
     assert s1 <= s2  # growth never evicts earlier sample members
+
+
+def test_dedup_against_corpus_survivors_and_idempotence(spark):
+    from incremental_github_data_pipeline_spark.operators import dedup as dd
+
+    corpus = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+    new = _docs(
+        spark,
+        [
+            (10, "prefix alpha beta gamma delta epsilon suffix"),  # shares 5-gram
+            (11, "totally fresh content with new words here"),
+            (12, "alpha beta gamma"),  # short doc, no exact corpus match
+        ],
+    )
+    surv = dd.dedup_against_corpus(new, corpus, k=5)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [11, 12]
+    # idempotent: survivors re-checked against the same corpus survive
+    again = dd.dedup_against_corpus(surv, corpus, k=5)
+    assert sorted(r["doc_id"] for r in again.collect()) == [11, 12]
