@@ -19,6 +19,7 @@ import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_rotating(
@@ -110,3 +111,30 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str | Path,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` hive-partitioned by ``partition_cols`` (directory
+    per value — Spark prunes whole directories when a query filters on
+    them: `PartitionFilters` in the scan, zero I/O for skipped
+    partitions) and optionally range-clustered WITHIN each partition by
+    ``sort_cols`` (repartitionByRange + sortWithinPartitions), so
+    parquet min/max row-group stats line up with filter columns and
+    point/range predicates skip row groups too.
+
+    This is the 100 TB layout lever: partition by the coarse,
+    always-filtered dimension (ingest date, entity), range-cluster by
+    the fine one (timestamp, key) — queries touching one day of one
+    entity read exactly those files and row groups, not the table.
+    """
+    out = df
+    if sort_cols:
+        out = out.repartitionByRange(*[F.col(c) for c in partition_cols + sort_cols])
+        out = out.sortWithinPartitions(*[F.col(c) for c in partition_cols + sort_cols])
+    out.write.format(fmt).mode("overwrite").partitionBy(*partition_cols).save(str(path))

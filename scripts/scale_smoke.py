@@ -40,6 +40,11 @@ QUERIES = [
     "q_sessionize",
     "q_minhash_near_dups",
     "q_embedding_topk_arrow",
+    "q_doc_repetition",
+    "q_doc_top_terms",
+    "q_doc_decontaminate",
+    "q_doc_incremental_dedup",
+    "q_dedup_clusters",
 ]
 
 

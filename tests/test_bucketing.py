@@ -50,3 +50,35 @@ def test_bucketed_join_matches_plain(spark, bucketed):
         .count()
     )
     assert li.join(o, li["l_orderkey"] == o["o_orderkey"]).count() == plain
+
+
+def test_write_partitioned_prunes_partitions_and_clusters(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from incremental_github_data_pipeline_spark.sources.readers import read_table
+    from incremental_github_data_pipeline_spark.sources.writers import write_partitioned
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = tmp_path / "events_part"
+    write_partitioned(events, out, partition_cols=["day"], sort_cols=["user_id"])
+
+    back = spark.read.parquet(str(out))
+    one_day = back.filter(F.col("day") == F.lit("2024-01-03").cast("date"))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # the day filter must be a partition filter (directory pruning), not
+    # a row-level filter over the whole table
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:200]
+    assert one_day.count() == events.filter(
+        F.to_date("ts") == F.lit("2024-01-03").cast("date")
+    ).count()
+
+    # range clustering: within one partition file set, user_id ranges of
+    # distinct files must not interleave (sorted layout -> row-group skip)
+    files = one_day.select(
+        F.input_file_name().alias("f"), "user_id"
+    ).groupBy("f").agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+    rows = sorted(files.collect(), key=lambda r: r["lo"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"], "file user_id ranges interleave; not clustered"
