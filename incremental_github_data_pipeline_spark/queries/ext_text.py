@@ -520,3 +520,63 @@ def q_doc_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+_EMAIL_PAT = tx.PII_PATTERNS["email"]
+_URL_PAT = tx.PII_PATTERNS["url"]
+_PII_AUDIT_SQL = """
+    WITH aug AS (
+      SELECT source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com via https://ex.org/d/'
+                  || CAST(doc_id AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(t, '__EMAIL__'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(t, '__URL__'))) AS BIGINT) AS n_urls,
+           CAST(SUM(len(t) - len(
+             regexp_replace(regexp_replace(t, '__EMAIL__', '[REDACTED]', 'g'),
+                            '__URL__', '[REDACTED]', 'g'))) AS BIGINT)
+             AS chars_removed
+    FROM aug GROUP BY source ORDER BY source
+""".replace("__EMAIL__", _EMAIL_PAT).replace("__URL__", _URL_PAT)
+
+
+@register(
+    "q_doc_pii_audit",
+    oracle=_PII_AUDIT_SQL,
+    doc="PII detection/redaction audit (operators.text.redact, "
+    "redaction_counts): deterministic doc_id-derived emails/URLs are "
+    "appended so the patterns demonstrably fire, then per-source match "
+    "counts and redaction char deltas are compared cross-engine — the "
+    "patterns are deliberately lookarounds-free so Java regex (Spark) "
+    "and RE2-style engines agree. Pure map stage + one small agg.",
+)
+def q_doc_pii_audit(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.org/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    pats = {"email": _EMAIL_PAT, "url": _URL_PAT}
+    counts = tx.redaction_counts(aug, pats)
+    redacted = tx.redact(aug, pats)
+    return (
+        d.select(
+            "source",
+            counts["email"].alias("_e"),
+            counts["url"].alias("_u"),
+            (F.length(aug) - F.length(redacted)).alias("_d"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("_e").alias("n_emails"),
+            F.sum("_u").alias("n_urls"),
+            F.sum("_d").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
