@@ -114,12 +114,38 @@ def q_doc_lang_dist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB twin of operators.text.lang_id, generated from the same
+    stopword dict so the two can't drift: per-language stopword hit
+    counts, CJK short-circuit, argmax with first-language-wins ties,
+    'und' on zero evidence."""
+    counts = {
+        lang: "len(list_filter(string_split(trim(text), ' '), "
+        f"w -> lower(w) IN ({', '.join(repr(w) for w in sw)})))"
+        for lang, sw in tx.LANG_STOPWORDS.items()
+    }
+    best = "GREATEST(" + ", ".join(f"c_{lang}" for lang in counts) + ")"
+    pred = (
+        "CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
+        f"WHEN {best} = 0 THEN 'und' "
+        + " ".join(f"WHEN c_{lang} = {best} THEN '{lang}'" for lang in counts)
+        + " ELSE 'und' END"
+    )
+    selects = ", ".join(f"{expr} AS c_{lang}" for lang, expr in counts.items())
+    return f"""
+    WITH c AS (SELECT lang, text, {selects} FROM documents)
+    SELECT lang, {pred} AS pred, COUNT(*) AS n
+    FROM c GROUP BY lang, pred ORDER BY lang, pred
+    """
+
+
 @register(
     "q_lang_id",
-    oracle=None,  # heuristic expression tree, not reasonably ANSI-SQL
+    oracle=_lang_id_oracle(),
     doc="Heuristic language-ID (stopword argmax + CJK detection) vs the "
     "labeled lang column: returns per-(label, prediction) counts. "
-    "Rows-only check; accuracy asserted in tests/test_ext_text.py.",
+    "Oracle generated from the same stopword lexicon (argmax + "
+    "tie-break + CJK semantics pinned cross-engine).",
 )
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
