@@ -139,3 +139,72 @@ def range_join(
         *[F.col(c) for c in left.columns],
         *[F.col(f"{prefix}{c}") for c in right_cols],
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    right_cols: list[str],
+    bucket_s: float,
+    prefix: str = "i_",
+) -> DataFrame:
+    """Inner interval-overlap join: pairs whose half-open intervals
+    ``[left_start, left_end) × [right_start, right_end)`` overlap
+    (``ls < re AND rs < le``, microsecond-exact) and whose ``on`` keys
+    match. Empty intervals (end <= start) match nothing.
+
+    Time is bucketized into ``bucket_s``-wide buckets; each row explodes
+    to the buckets its interval spans and pairs meet in an equi-join on
+    (key, bucket) — never a theta join. A pair spanning several shared
+    buckets is emitted exactly once WITHOUT a dropDuplicates shuffle:
+    only the bucket containing ``greatest(ls, rs)`` (the overlap's
+    start) owns the match. Pick ``bucket_s`` near the typical interval
+    length: explosion factor stays ~2 and the join shuffles once per
+    bucket copy, AQE-balanced like any equi-join.
+    """
+    w_us = int(round(bucket_s * 1_000_000))
+    if w_us <= 0:
+        raise ValueError("bucket_s must be > 0")
+
+    def spans(s_col: str, e_col: str):
+        s_us = F.unix_micros(F.col(s_col))
+        e_us = F.unix_micros(F.col(e_col))
+        return s_us, e_us, F.sequence(
+            F.floor(s_us / F.lit(w_us)), F.floor((e_us - 1) / F.lit(w_us))
+        )
+
+    ls_us, le_us, l_span = spans(left_start, left_end)
+    lt = left.filter(le_us > ls_us).select(
+        *[F.col(c) for c in left.columns],
+        ls_us.alias("_ls"),
+        le_us.alias("_le"),
+        F.explode(l_span).alias("_bucket"),
+    )
+    rs_us, re_us, r_span = spans(right_start, right_end)
+    rt = right.filter(re_us > rs_us).select(
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in on],
+        rs_us.alias("_rs"),
+        re_us.alias("_re"),
+        F.explode(r_span).alias("_bucket"),
+    )
+    cond = lt["_bucket"] == rt["_bucket"]
+    for c in on:
+        cond = cond & (lt[c] == rt[f"_r_{c}"])
+    overlap = (lt["_ls"] < rt["_re"]) & (rt["_rs"] < lt["_le"])
+    owner = rt["_bucket"] == F.floor(
+        F.greatest(lt["_ls"], rt["_rs"]) / F.lit(w_us)
+    )
+    return (
+        lt.join(rt, cond, "inner")
+        .filter(overlap & owner)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"{prefix}{c}") for c in right_cols],
+        )
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from incremental_github_data_pipeline_spark.operators import temporal
 from incremental_github_data_pipeline_spark.operators.temporal import (
     as_of_join,
     range_join,
@@ -103,4 +104,56 @@ def q_range_join_count(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_views"),
         )
         .orderBy("event_id")
+    )
+
+
+@register(
+    "q_interval_overlap",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(FLOOR(value * 10) AS BIGINT) * 1000000 AS e_us
+      FROM events
+    ),
+    l AS (SELECT * FROM e WHERE user_id % 2 = 0 AND s_us < e_us),
+    r AS (SELECT * FROM e WHERE user_id % 2 = 1 AND s_us < e_us)
+    SELECT l.event_type AS event_type, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM l JOIN r
+      ON l.event_type = r.event_type AND l.s_us < r.e_us AND r.s_us < l.e_us
+    GROUP BY l.event_type ORDER BY l.event_type
+    """,
+    doc="Interval-overlap join (operators.temporal.interval_join): "
+    "events become [ts, ts + floor(value*10)s) activity intervals; "
+    "overlapping pairs across the two user halves are counted per "
+    "event type. Bucketized equi-join (never a theta join) with "
+    "dedup-free single-bucket match ownership — the overlap's start "
+    "bucket owns the pair, so no dropDuplicates shuffle. Half-open "
+    "semantics: empty intervals (end <= start) match nothing, pinned "
+    "on both sides.",
+)
+def q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    end_ts = F.timestamp_micros(
+        F.unix_micros(F.col("ts"))
+        + F.floor(F.col("value") * 10).cast("long") * 1_000_000
+    )
+    iv = e.select("event_id", "user_id", "event_type", F.col("ts").alias("s"), end_ts.alias("e"))
+    left = iv.filter(F.col("user_id") % 2 == 0)
+    right = iv.filter(F.col("user_id") % 2 == 1)
+    joined = temporal.interval_join(
+        left,
+        right,
+        on=["event_type"],
+        left_start="s",
+        left_end="e",
+        right_start="s",
+        right_end="e",
+        right_cols=["event_id"],
+        bucket_s=3600.0,
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy("event_type")
     )

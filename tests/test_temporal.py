@@ -76,3 +76,56 @@ def test_range_join_negative_band(spark):
         left, right, ["k"], "t", "rt", -360.0, -240.0, ["price"], prefix="m_"
     )
     assert [(r["id"], r["m_price"]) for r in out.collect()] == [(1, 100.0)]
+
+
+def test_interval_join_overlap_semantics(spark):
+    from datetime import datetime
+
+    from incremental_github_data_pipeline_spark.operators.temporal import interval_join
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, 0) + __import__("datetime").timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, "k", t(0), t(10)), (2, "k", t(30), t(40))],
+        "lid long, k string, s timestamp, e timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "k", t(9), t(15)),    # overlaps lid=1 ([0,10) x [9,15))
+            (11, "k", t(10), t(20)),   # touches lid=1 at 10 -> half-open: NO overlap
+            (12, "k", t(35), t(36)),   # inside lid=2
+            (13, "k", t(5), t(5)),     # empty interval -> matches nothing
+            (14, "other", t(0), t(60)),  # key mismatch
+        ],
+        "rid long, k string, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r["lid"], r["i_rid"])
+        for r in interval_join(
+            left, right, on=["k"], left_start="s", left_end="e",
+            right_start="s", right_end="e", right_cols=["rid"], bucket_s=60.0,
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 12)]
+
+
+def test_interval_join_multi_bucket_pair_emitted_once(spark):
+    from datetime import datetime
+
+    from incremental_github_data_pipeline_spark.operators.temporal import interval_join
+
+    # both intervals span many 1-minute buckets; the pair must appear once
+    left = spark.createDataFrame(
+        [(1, "k", datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 1, 0))],
+        "lid long, k string, s timestamp, e timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, "k", datetime(2024, 1, 1, 0, 30), datetime(2024, 1, 1, 2, 0))],
+        "rid long, k string, s timestamp, e timestamp",
+    )
+    rows = interval_join(
+        left, right, on=["k"], left_start="s", left_end="e",
+        right_start="s", right_end="e", right_cols=["rid"], bucket_s=60.0,
+    ).collect()
+    assert len(rows) == 1
