@@ -1073,3 +1073,53 @@ def q_events_new_users(spark: SparkSession, sf: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(cum_w).alias("cum_users"),
     ).orderBy("day")
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view_after_signup,
+           CAST(SUM(CASE WHEN t_signup < t_view AND t_view < t_purchase
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchase_after_view
+    FROM s
+    """,
+    doc="Funnel analysis (signup → view → purchase ordering per user): "
+    "conditional-min step timestamps in ONE shuffle on user_id (no "
+    "joins, no self-unions — the per-step pivot is a map-side "
+    "conditional aggregate), then a single global reduce. The classic "
+    "sequential-conversion query at event-log scale.",
+)
+def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+
+    def step(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    s = e.groupBy("user_id").agg(
+        step("signup").alias("t_signup"),
+        step("view").alias("t_view"),
+        step("purchase").alias("t_purchase"),
+    )
+    return s.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.sum(
+            F.when(F.col("t_signup") < F.col("t_view"), 1).otherwise(0)
+        ).alias("n_view_after_signup"),
+        F.sum(
+            F.when(
+                (F.col("t_signup") < F.col("t_view"))
+                & (F.col("t_view") < F.col("t_purchase")),
+                1,
+            ).otherwise(0)
+        ).alias("n_purchase_after_view"),
+    )
