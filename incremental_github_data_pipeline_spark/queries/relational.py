@@ -106,7 +106,9 @@ def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     LIMIT 10
     """,
     doc="TPC-H Q3: selective dim filter → join → agg → top-k. customer "
-    "(1.5k rows/sf0.01) broadcasts; lineitem never shuffles for the join.",
+    "and orders grow with SF, so join strategy is left to AQE (broadcast "
+    "at small SF, shuffle-hash beyond the threshold) — no forced hints "
+    "on fact-scale inputs.",
 )
 def q03_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     c = T(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -117,7 +119,7 @@ def q03_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
-        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        l.join(o.join(c, o.o_custkey == c.c_custkey),
                l.l_orderkey == o.o_orderkey)
         .groupBy(l.l_orderkey.alias("orderkey"), o.o_orderdate.alias("orderdate"))
         .agg(revenue("l_extendedprice", ("l_discount", -1)).alias("revenue"))
@@ -144,8 +146,9 @@ def q03_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     GROUP BY n.n_name
     ORDER BY revenue DESC, nation
     """,
-    doc="TPC-H Q5: six-table star join. All dims broadcast; the single "
-    "shuffle is the final 25-group aggregation.",
+    doc="TPC-H Q5: six-table star join. Bounded dims (region/nation/"
+    "supplier) broadcast; orders and customer grow with SF so their "
+    "joins are left to AQE rather than forced broadcasts.",
 )
 def q05_region_volume(spark: SparkSession, sf: str) -> DataFrame:
     r = T(spark, sf, "region").filter(F.col("r_name") == "ASIA")
@@ -158,8 +161,8 @@ def q05_region_volume(spark: SparkSession, sf: str) -> DataFrame:
     )
     l = T(spark, sf, "lineitem")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
             c.c_nationkey == n.n_nationkey,

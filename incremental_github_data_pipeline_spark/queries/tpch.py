@@ -6,8 +6,11 @@ thresholds, having-in-subquery, multi-branch OR predicates, and scalar
 subquery thresholds — all with exact-decimal aggregation so values
 hash-match DuckDB (see queries/__init__).
 
-Physical notes at scale: part/customer/nation are broadcast dims;
-lineitem↔orders joins shuffle on the order key with AQE handling skew;
+Physical notes at scale: bounded dims (part slices, nation, region)
+carry broadcast hints; customer and orders grow with SF so their join
+strategy is left to AQE (broadcast when small, shuffle-hash beyond the
+threshold); lineitem↔orders joins shuffle on the order key with AQE
+handling skew;
 the Q17/Q18 per-key thresholds are window/grouped pre-aggregations that
 reuse the same key shuffle as the subsequent join.
 """
@@ -116,7 +119,7 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(revenue("l_extendedprice", ("l_discount", -1)).alias("revenue"))
@@ -248,7 +251,7 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(big.withColumnRenamed("l_orderkey", "_ok"), F.col("l_orderkey") == F.col("_ok"), "left_semi")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))

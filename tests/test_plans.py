@@ -68,6 +68,57 @@ def test_dim_joins_broadcast(spark, registry, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _iter_physical_nodes(plan):
+    """Depth-first walk of a JVM SparkPlan tree via py4j."""
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+
+FACT_SCANS = ("orders.parquet", "customer.parquet", "lineitem.parquet")
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q03_shipping_priority", "q05_region_volume", "q07_volume_shipping",
+     "q08_market_share", "q10_returned_items", "q18_large_orders"],
+)
+def test_no_forced_fact_broadcast(spark, registry, name):
+    """Fact-scale tables (orders/customer/lineitem) must never carry an
+    explicit broadcast hint: a forced hint overrides AQE's size check, so
+    at 100× the build side OOMs instead of degrading to a shuffle join.
+
+    Technique: disable size-based auto-broadcast (and AQE), so the ONLY
+    BroadcastExchange nodes left in the physical plan are hint-forced.
+    Then assert no such node has a fact-table scan anywhere below it.
+    Bounded dims (region/nation/supplier, 1-row scalar frames) may keep
+    their hints."""
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = registry[name].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan()
+        for node in _iter_physical_nodes(plan):
+            if node.nodeName() == "BroadcastExchange":
+                subtree = node.toString()
+                for fact in FACT_SCANS:
+                    assert fact not in subtree, (
+                        f"{name}: hint-forced BroadcastExchange over {fact}"
+                    )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_no_cartesian_anywhere(spark, registry):
     """No query in the registry may plan a cartesian product. (The
     intentional 1-row scalar-threshold cross joins — q22, stats frames —
