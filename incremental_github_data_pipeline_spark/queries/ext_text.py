@@ -25,14 +25,23 @@ _STOP_SQL = ",".join(f"'{w}'" for w in _STOP)
     SELECT text, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
     FROM documents GROUP BY text ORDER BY keeper_id
     """,
-    doc="Exact dedup groups: shuffle on content (hash) only; min-id "
-    "survivor rule.",
+    doc="Exact dedup groups, hash-keyed like operators/dedup.exact_dedup: "
+    "the shuffle key is the 8-byte xxhash64 of the content, never the "
+    "(possibly megabyte) text itself; the representative text rides as a "
+    "first-value aggregate, collapsed map-side to one row per distinct "
+    "hash before the exchange. The DuckDB oracle groups by text directly "
+    "(equivalent modulo 64-bit hash collisions).",
 )
 def q_doc_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return (
         T(spark, sf, "documents")
-        .groupBy("text")
-        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .groupBy(F.xxhash64("text").alias("_h"))
+        .agg(
+            F.first("text").alias("text"),
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("_h")
         .orderBy("keeper_id")
     )
 

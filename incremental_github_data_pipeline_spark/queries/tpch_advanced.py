@@ -556,11 +556,14 @@ def q20_promotion_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="TPC-H Q21 (receipt-date lateness → shipped >60 days after the "
     "order date): the classic EXISTS l2 / NOT EXISTS l3 double self-join "
-    "is rewritten as per-order distinct-supplier sets computed in a "
-    "WINDOW over l_orderkey — lineitem is scanned once and shuffled "
-    "once, and both existence tests read the same partition: another "
-    "supplier exists ⇔ |suppliers| ≥ 2; no other late supplier ⇔ "
-    "|late suppliers| = 1 (only the offender).",
+    "is rewritten as a per-order grouped aggregate producing two scalars "
+    "(nsupp, nlate) rejoined on l_orderkey — lineitem is scanned once; "
+    "the aggregate and the rejoin reuse the l_orderkey partitioning, and "
+    "per-order state is two counters, never a materialized supplier set "
+    "carried on every row (a skewed mega-order would amplify memory by "
+    "its line count under the window-set formulation). Both existence "
+    "tests read the scalars: another supplier exists ⇔ nsupp ≥ 2; no "
+    "other late supplier ⇔ nlate = 1 (only the offender).",
 )
 def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     li, o, s = (
@@ -578,20 +581,15 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("is_late"),
     )
-    w = Window.partitionBy("l_orderkey")
-    annotated = lines.select(
-        "l_orderkey",
-        "l_suppkey",
-        "is_late",
-        F.size(F.collect_set("l_suppkey").over(w)).alias("nsupp"),
-        F.size(
-            F.collect_set(
-                F.when(F.col("is_late") == 1, F.col("l_suppkey"))
-            ).over(w)
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("nsupp"),
+        F.count_distinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
         ).alias("nlate"),
-    )
+    ).withColumnRenamed("l_orderkey", "_po_orderkey")
     return (
-        annotated.filter(
+        lines.join(per_order, F.col("l_orderkey") == F.col("_po_orderkey"))
+        .filter(
             (F.col("is_late") == 1) & (F.col("nsupp") >= 2) & (F.col("nlate") == 1)
         )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
