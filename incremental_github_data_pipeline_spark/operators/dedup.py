@@ -179,16 +179,43 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 5,
+    verify: bool = True,
 ) -> DataFrame:
-    """Near-dup removal: drop every doc that has an LSH candidate with
-    estimated Jaccard ≥ threshold and a smaller id (min-id survivor rule,
-    transitive chains collapse toward the smallest id in practice)."""
-    pairs = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, k)
-    losers = (
-        pairs.filter(F.col("est_jaccard") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+    """Near-dup removal: drop every doc that has a near-dup partner with
+    a smaller id (min-id survivor rule; transitive chains collapse toward
+    the smallest id in practice).
+
+    ``verify=True`` (the default) confirms every LSH candidate with exact
+    n-gram Jaccard before anything is dropped: the estimator from 32
+    hashes has σ≈0.07 at threshold 0.8, so deleting on the estimate alone
+    destroys borderline documents on noise. The verify stage runs only on
+    candidate pairs (bucket-bounded, never O(n²)), so its cost is
+    proportional to the duplicate rate, not the corpus.
+
+    ``verify=False`` skips the exact check — acceptable only for
+    non-destructive pre-filters where downstream re-checks survivors.
+    """
+    if verify:
+        losers = (
+            verified_near_dups(
+                df,
+                id_col,
+                text_col,
+                jaccard_threshold=threshold,
+                k=k,
+                num_hashes=num_hashes,
+                bands=bands,
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+    else:
+        pairs = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, k)
+        losers = (
+            pairs.filter(F.col("est_jaccard") >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
     return df.join(losers, on=id_col, how="left_anti")
 
 

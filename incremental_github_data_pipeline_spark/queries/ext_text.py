@@ -18,6 +18,26 @@ from incremental_github_data_pipeline_spark.sources.readers import read_table as
 _STOP = tx.LANG_STOPWORDS["en"]
 _STOP_SQL = ",".join(f"'{w}'" for w in _STOP)
 
+# DuckDB twin of operators.text.shingles(k=5) + the gram-bucketed
+# posting-list self-join (shared by several near-dup oracles below).
+_GRAM_PAIRS_SQL = """
+    toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 5
+                         THEN list_transform(range(1, len(t) - 3),
+                                             i -> array_to_string(t[i:i+4], ' '))
+                         ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM toks
+    ),
+    dg AS (SELECT DISTINCT doc_id, sh FROM grams),
+    pairs AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb
+      FROM dg a JOIN dg b USING (sh)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+"""
+
 
 @register(
     "q_doc_exact_dedup",
@@ -221,6 +241,45 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_verified_near_dups",
+    oracle=f"""
+    WITH {_GRAM_PAIRS_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM dg GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS ni
+      FROM dg a JOIN dg b USING (sh)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT ida AS id_a, idb AS id_b,
+           CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = ida
+    JOIN sizes sb ON sb.doc_id = idb
+    WHERE CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    doc="Destructive-dedup gate (operators.dedup.verified_near_dups, the "
+    "default path of minhash_dedup): MinHash-LSH recall stage, exact "
+    "5-gram Jaccard precision stage — only exact-verified pairs may drop "
+    "a document. Oracle: DuckDB computes TRUE Jaccard over the full "
+    "gram-posting self-join, so a hash match also certifies 100% LSH "
+    "recall at this threshold on this corpus.",
+)
+def q_verified_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        dd.verified_near_dups(
+            T(spark, sf, "documents"),
+            id_col="doc_id",
+            text_col="text",
+            jaccard_threshold=0.8,
+            k=5,
+        )
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
     "q_doc_chunks",
     oracle="""
     WITH t AS (
@@ -246,25 +305,6 @@ def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     return tx.chunk_documents(
         T(spark, sf, "documents"), chunk_size=16, step=12
     ).orderBy("doc_id", "chunk_idx")
-
-
-_GRAM_PAIRS_SQL = """
-    toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
-    grams AS (
-      SELECT doc_id,
-             unnest(CASE WHEN len(t) >= 5
-                         THEN list_transform(range(1, len(t) - 3),
-                                             i -> array_to_string(t[i:i+4], ' '))
-                         ELSE [array_to_string(t, ' ')] END) AS sh
-      FROM toks
-    ),
-    dg AS (SELECT DISTINCT doc_id, sh FROM grams),
-    pairs AS (
-      SELECT a.doc_id AS ida, b.doc_id AS idb
-      FROM dg a JOIN dg b USING (sh)
-      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-    )
-"""
 
 
 @register(
