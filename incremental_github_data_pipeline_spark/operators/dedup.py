@@ -26,12 +26,27 @@ from incremental_github_data_pipeline_spark.operators.text import shingles, toke
 # ---------------------------------------------------------------------------
 
 
+def content_key(content_cols: list[str]) -> Column:
+    """128-bit content key: a struct of two independently-seeded
+    xxhash64 values (the second mixes in a salt literal). 16 bytes on
+    the shuffle wire; birthday-bound collision odds reach 50% only
+    around 2⁶⁴ distinct documents, so the key is safe far past the
+    ~5×10⁹-doc point where a single 64-bit hash starts colliding
+    (50% at ~5×10⁹) — the 100 TB story holds."""
+    cols = [F.col(c) for c in content_cols]
+    return F.struct(
+        F.xxhash64(*cols).alias("h1"),
+        F.xxhash64(F.lit(0x9E3779B9), *cols).alias("h2"),
+    )
+
+
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Exact deduplication: group rows by content hash, keep the row with
     the smallest id (deterministic winner). One shuffle on the content
-    hash — the hash, not the (possibly huge) content, is the shuffle key.
+    hash — the 128-bit hash (see :func:`content_key`), not the (possibly
+    huge) content, is the shuffle key.
     """
-    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    h = content_key(content_cols)
     return (
         df.withColumn("_h", h)
         .withColumn("_keep", F.min(F.col(id_col)).over(Window.partitionBy("_h")))
@@ -42,8 +57,9 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 
 def exact_dup_groups(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Duplicate *groups*: content hash → representative id + copy count.
-    The audit twin of :func:`exact_dedup`."""
-    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    The audit twin of :func:`exact_dedup`. Collision bound per
+    :func:`content_key` (128-bit key)."""
+    h = content_key(content_cols)
     return (
         df.withColumn("_h", h)
         .groupBy("_h")
@@ -128,15 +144,20 @@ def minhash_candidate_pairs(
     """
     rows_per_band = num_hashes // bands
     df = ensure_min_partitions(df)  # signature math must use all cores
-    # Persist: the self-join needs signatures on BOTH sides and the
+    # Materialize once: the self-join needs signatures on BOTH sides and
     # broadcast on one side defeats ReusedExchange — without this the
     # (expensive) text hashing runs twice. Signatures are tiny relative
     # to the text (id + num_hashes longs), so this holds at any scale;
     # production pipelines write this frame out as the signature store.
+    # localCheckpoint (not .persist()) because the frame outlives this
+    # function lazily: persist() pins a CacheManager entry until an
+    # explicit unpersist no caller can safely issue, while checkpoint
+    # blocks are reference-counted by the ContextCleaner and freed when
+    # the frame is garbage collected — no leak in long-lived sessions.
     sigs = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(F.col(text_col), num_hashes, k).alias("_sig"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     buckets = sigs.select(
         "_id",
         "_sig",
@@ -278,10 +299,12 @@ def simhash_candidate_pairs(
     """
     width = 64 // chunks
     df = ensure_min_partitions(df)  # signature math must use all cores
-    # persist: both self-join sides read the signatures (see minhash)
+    # localCheckpoint: both self-join sides read the signatures, and the
+    # blocks self-free on GC — see minhash_candidate_pairs for why not
+    # .persist().
     h = df.select(
         F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh")
-    ).persist()
+    ).localCheckpoint(eager=True)
     chunk_arr = F.array(
         *[
             F.struct(
@@ -443,12 +466,14 @@ def embedding_near_dups(
     df = ensure_min_partitions(df)  # plane projections must use all cores
     planes_per_band = n_planes // bands
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # persist: both self-join sides read the signatures (see minhash)
+    # localCheckpoint: both self-join sides read the signatures, and the
+    # blocks self-free on GC — see minhash_candidate_pairs for why not
+    # .persist().
     with_sig = df.select(
         F.col(id_col).alias("_id"),
         v.alias("_v"),
         hyperplane_bits(v, n_planes, seed).alias("_bits"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     band_keys = F.array(
         *[
             F.struct(
@@ -535,8 +560,10 @@ def connected_components(
     ``localCheckpoint`` so the plan stays O(1) deep. Rounds needed =
     graph diameter; near-dup components are stars/cliques around a
     template, so 2-4 rounds are typical regardless of corpus size.
-    Convergence detection is a single sum: labels only ever decrease, so
-    an unchanged label sum ⇔ a fixed point (no row-wise diff join).
+    Convergence detection counts rows whose label changed this round —
+    type-agnostic, so it is correct for STRING ids (the engine's own
+    uuid5 keys order lexicographically) where a numeric label-sum test
+    would compare NULL==NULL and exit unconverged after one round.
     """
     # Materialize the edge list once: every round joins against it, and
     # without truncation each round would re-run the (possibly
@@ -552,27 +579,31 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("_nmin"))
         )
-        labels = (
+        relabeled = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if new_sum == prev_sum:
+        changed = (
+            relabeled.filter(F.col("component") != F.col("_old"))
+            .agg(F.count(F.lit(1)))
+            .collect()[0][0]
+        )
+        labels = relabeled.drop("_old")
+        if changed == 0:
             break
-        prev_sum = new_sum
     return labels
 
 
@@ -618,14 +649,15 @@ def dedup_against_corpus(
     to flag batch docs. Rerunning is idempotent: survivors re-checked
     against the same corpus survive again.
     """
-    # Persist the batch grams: three consumers below (gram set, flag
-    # join, and the broadcast build) would otherwise each re-run the
-    # batch scan + shingle explode. The batch is the small side by
-    # definition, so this is bounded state.
+    # Materialize the batch grams once: three consumers below (gram set,
+    # flag join, and the broadcast build) would otherwise each re-run
+    # the batch scan + shingle explode. The batch is the small side by
+    # definition, so this is bounded state. localCheckpoint, not
+    # .persist() — see minhash_candidate_pairs for the leak rationale.
     new_grams = new_df.select(
         F.col(id_col).alias("_nid"),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("_sh"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     new_gram_set = new_grams.select("_sh").distinct()
     # grams of the batch that exist somewhere in the corpus
     collided = (

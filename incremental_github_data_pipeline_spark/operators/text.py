@@ -374,16 +374,33 @@ def redaction_counts(col, patterns: dict[str, str] | None = None) -> dict:
     }
 
 
+def _id_bucket(c, buckets: int):
+    """Non-negative deterministic bucket for an id of ANY type.
+
+    Integral ids bucket by value (``pmod``) so results agree with plain
+    SQL ``id % buckets``; non-integral ids — notably the engine's own
+    uuid5 *string* primary keys — are hashed first. A bare ``pmod`` on a
+    string would cast to NULL (non-ANSI) and silently send every row to
+    one split, or throw under ANSI mode; ``try_cast`` never throws and
+    falls back to ``xxhash64`` exactly when the value is not numeric.
+    """
+    from pyspark.sql import functions as F
+
+    n = c.try_cast("long")
+    return F.pmod(F.coalesce(n, F.xxhash64(c)), F.lit(buckets))
+
+
 def assign_split(
     id_col, train_pct: int = 80, val_pct: int = 10, buckets: int = 100
 ):
     """Deterministic train/val/test assignment from the id — stable
     across runs and engines (pure modular arithmetic, no RNG, no
-    sampling drift when the corpus grows)."""
+    sampling drift when the corpus grows). String ids (uuid5 keys) are
+    hashed before bucketing; see :func:`_id_bucket`."""
     from pyspark.sql import functions as F
 
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    b = F.pmod(c, F.lit(buckets))
+    b = _id_bucket(c, buckets)
     return (
         F.when(b < train_pct, "train")
         .when(b < train_pct + val_pct, "val")
@@ -405,8 +422,9 @@ def sample_stratified(
     whose membership depends on partitioning and seed plumbing).
     ``fractions_pct`` is either one percentage for all rows or a
     per-stratum map (e.g. downsample the dominant language). Pure
-    filter ⇒ pushes down to the scan; zero shuffle."""
-    b = F.pmod(F.col(id_col), F.lit(buckets))
+    filter ⇒ pushes down to the scan; zero shuffle. String ids (uuid5
+    keys) are hashed before bucketing; see :func:`_id_bucket`."""
+    b = _id_bucket(F.col(id_col), buckets)
     if isinstance(fractions_pct, int):
         return df.filter(b < fractions_pct)
     if strata_col is None:

@@ -46,16 +46,18 @@ _GRAM_PAIRS_SQL = """
     FROM documents GROUP BY text ORDER BY keeper_id
     """,
     doc="Exact dedup groups, hash-keyed like operators/dedup.exact_dedup: "
-    "the shuffle key is the 8-byte xxhash64 of the content, never the "
-    "(possibly megabyte) text itself; the representative text rides as a "
-    "first-value aggregate, collapsed map-side to one row per distinct "
-    "hash before the exchange. The DuckDB oracle groups by text directly "
-    "(equivalent modulo 64-bit hash collisions).",
+    "the shuffle key is the 16-byte 128-bit content key (two seeded "
+    "xxhash64 values, dedup.content_key), never the (possibly megabyte) "
+    "text itself; the representative text rides as a first-value "
+    "aggregate, collapsed map-side to one row per distinct hash before "
+    "the exchange. The DuckDB oracle groups by text directly — "
+    "equivalent up to 128-bit collisions (50% odds only near 2**64 "
+    "distinct docs, far past any real corpus).",
 )
 def q_doc_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return (
         T(spark, sf, "documents")
-        .groupBy(F.xxhash64("text").alias("_h"))
+        .groupBy(dd.content_key(["text"]).alias("_h"))
         .agg(
             F.first("text").alias("text"),
             F.min("doc_id").alias("keeper_id"),
