@@ -1,0 +1,330 @@
+"""S8 — the real JDBC warehouse sink (reference ``load.py:25-55``).
+
+The reference builds an MSSQL SQLAlchemy engine, runs connection
+self-checks (``SELECT DB_NAME()`` vs the expected database, a
+``sys.tables`` probe, ``SELECT ORIGINAL_LOGIN()`` — ``load.py:39-51``)
+and leaves row loading as a TODO (``load.py:57``). This module completes
+that contract Spark-first:
+
+- **Distributed load path**: ``df.write.format("jdbc")`` — every
+  partition opens its own connection and streams batched inserts, so the
+  write parallelizes with the data instead of funneling through the
+  driver.
+- **MERGE-semantics upsert**: the scalable warehouse idiom is
+  *stage-then-merge* — Spark appends the (key-deduplicated) batch into a
+  staging table in parallel, then ONE server-side set-based
+  ``MERGE INTO target USING stage ON keys`` applies updates+inserts
+  atomically. No per-row driver loop, no read-modify-write race; the
+  deterministic uuid5 keys (SURVEY.md §1.5) make replays idempotent.
+- **Connection self-check parity**: schema/catalog probe, system-table
+  probe, current-user report; failures are audit-logged and re-raised as
+  ``ConnectionError`` exactly like the reference.
+
+Verified offline against embedded Apache Derby (ships inside Spark's JVM
+— ``jdbc:derby:<dir>;create=true``), which supports ANSI ``MERGE``; the
+same code targets any MERGE-capable warehouse (MSSQL, Postgres 15+,
+Oracle) by swapping the URL/driver, and the DDL type mapping is isolated
+in ``_sql_type``.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from incremental_github_data_pipeline_spark.operators import core as ops
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db_dir: str, create: bool = True) -> str:
+    """Embedded-Derby JDBC URL for a database directory."""
+    return f"jdbc:derby:{db_dir}" + (";create=true" if create else "")
+
+
+def _sql_type(dt: T.DataType, varchar_len: int) -> str:
+    """Spark type → ANSI/Derby DDL type. Strings become VARCHAR (not the
+    CLOB Spark's Derby dialect would pick) because keys must be
+    comparable/indexable in MERGE ``ON`` clauses."""
+    if isinstance(dt, T.StringType):
+        return f"VARCHAR({varchar_len})"
+    if isinstance(dt, T.LongType):
+        return "BIGINT"
+    if isinstance(dt, T.IntegerType):
+        return "INTEGER"
+    if isinstance(dt, T.ShortType):
+        return "SMALLINT"
+    if isinstance(dt, T.DoubleType):
+        return "DOUBLE"
+    if isinstance(dt, T.FloatType):
+        return "REAL"
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, T.TimestampType):
+        return "TIMESTAMP"
+    if isinstance(dt, T.DateType):
+        return "DATE"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.BinaryType):
+        return "BLOB"
+    raise TypeError(f"no warehouse DDL mapping for Spark type {dt}")
+
+
+class Warehouse:
+    """A JDBC warehouse target: connection self-checks, DDL helpers,
+    distributed reads/writes, and stage-then-MERGE upsert.
+
+    Driver-side statements (DDL, MERGE) go through a ``java.sql``
+    connection obtained from the same JVM Spark runs in — no extra
+    Python DB driver needed; bulk data movement always goes through
+    Spark's distributed JDBC source/sink.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        driver: str = DERBY_DRIVER,
+        user: str | None = None,
+        password: str | None = None,
+        audit=None,
+    ):
+        self.spark = spark
+        self.url = url
+        self.driver = driver
+        self.user = user
+        self.password = password
+        self.audit = audit
+        jvm = spark.sparkContext._jvm
+        # keep Derby's log out of the repo / cwd
+        jvm.java.lang.System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+        self._driver_manager = jvm.java.sql.DriverManager
+        # EmbeddedDriver autoloads via the service registry on first
+        # getConnection; force-load for exotic classloader setups.
+        try:
+            jvm.java.lang.Class.forName(driver)
+        except Exception:
+            pass
+
+    # -- driver-side SQL -------------------------------------------------
+
+    def _connect(self):
+        if self.user is not None:
+            return self._driver_manager.getConnection(
+                self.url, self.user, self.password or ""
+            )
+        return self._driver_manager.getConnection(self.url)
+
+    def execute(self, *statements: str) -> None:
+        """Run statements in ONE transaction: all-or-nothing, rollback on
+        any failure — the ``XACT_ABORT`` / TRY-CATCH contract of the
+        reference migration runner (001_core_schema.sql:18,33-34)."""
+        conn = self._connect()
+        try:
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            try:
+                for sql in statements:
+                    st.execute(sql)
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+    def query_rows(self, sql: str) -> list[tuple]:
+        """Driver-side scalar/metadata query (probes, ledger reads) —
+        never use for data-volume reads; that's ``read_table``."""
+        conn = self._connect()
+        try:
+            st = conn.createStatement()
+            rs = st.executeQuery(sql)
+            n = rs.getMetaData().getColumnCount()
+            out = []
+            while rs.next():
+                out.append(tuple(rs.getObject(i + 1) for i in range(n)))
+            rs.close()
+            st.close()
+            return out
+        finally:
+            conn.close()
+
+    # -- connection self-check (load.py:39-51 parity) ---------------------
+
+    def connect_check(self, expected_schema: str | None = None) -> dict:
+        """Preflight with the reference's three probes (``load.py:39-51``):
+        current schema vs expected (≙ ``DB_NAME()`` check), a system-
+        catalog probe (≙ ``SELECT 1 FROM sys.tables``), and the current
+        user (≙ ``ORIGINAL_LOGIN()``). Logs + raises ``ConnectionError``
+        on failure, exactly like the reference (``load.py:44-45,53-55``).
+        """
+        try:
+            [(schema,)] = self.query_rows(
+                "VALUES CURRENT SCHEMA"
+            )  # DB_NAME() twin: which namespace are we actually in?
+            if expected_schema is not None and schema != expected_schema:
+                msg = "Connected to wrong database or database does not exist."
+                if self.audit:
+                    self.audit.log(msg)
+                raise ConnectionError(msg)
+            n_tables = len(
+                self.query_rows("SELECT TABLENAME FROM SYS.SYSTABLES")
+            )  # sys.tables probe twin
+            [(login,)] = self.query_rows("VALUES CURRENT_USER")  # ORIGINAL_LOGIN twin
+            return {"schema": schema, "n_tables": n_tables, "login": login}
+        except ConnectionError:
+            raise
+        except Exception as e:
+            if self.audit:
+                self.audit.log(f"Failed to connect to the database: {e}")
+            raise ConnectionError("Failed to connect to the warehouse!") from e
+
+    # -- DDL ---------------------------------------------------------------
+
+    def table_exists(self, table: str) -> bool:
+        return bool(
+            self.query_rows(
+                "SELECT TABLENAME FROM SYS.SYSTABLES "
+                f"WHERE TABLENAME = '{table.upper()}'"
+            )
+        )
+
+    def create_table_ddl(
+        self,
+        table: str,
+        schema: T.StructType,
+        key_cols: Sequence[str] = (),
+        varchar_len: int = 4000,
+        column_types: Mapping[str, str] | None = None,
+        extra_constraints: Sequence[str] = (),
+    ) -> str:
+        """CREATE TABLE DDL from a Spark schema: keys become
+        ``NOT NULL`` + ``PRIMARY KEY`` (the warehouse-side idempotency
+        anchor — deterministic uuid5 keys make re-loads upserts,
+        SURVEY.md §1.5); per-column overrides via ``column_types``."""
+        overrides = column_types or {}
+        cols = []
+        for f in schema.fields:
+            sql_t = overrides.get(f.name, _sql_type(f.dataType, varchar_len))
+            null = " NOT NULL" if f.name in key_cols or not f.nullable else ""
+            cols.append(f"{f.name} {sql_t}{null}")
+        if key_cols:
+            cols.append(f"PRIMARY KEY ({', '.join(key_cols)})")
+        cols.extend(extra_constraints)
+        return f"CREATE TABLE {table} (\n  " + ",\n  ".join(cols) + "\n)"
+
+    def ensure_table(self, table: str, schema: T.StructType, **ddl_kwargs) -> bool:
+        """Create ``table`` if absent; True if created."""
+        if self.table_exists(table):
+            return False
+        self.execute(self.create_table_ddl(table, schema, **ddl_kwargs))
+        return True
+
+    # -- distributed data movement ----------------------------------------
+
+    def _opts(self, reader_or_writer, table: str):
+        o = (
+            reader_or_writer.option("url", self.url)
+            .option("dbtable", table)
+            .option("driver", self.driver)
+        )
+        if self.user is not None:
+            o = o.option("user", self.user).option("password", self.password or "")
+        return o
+
+    def write_table(
+        self, df: DataFrame, table: str, mode: str = "append", batchsize: int = 10_000
+    ) -> None:
+        """Distributed JDBC load: one connection per partition, inserts
+        batched ``batchsize`` rows per round trip. The table should
+        already exist (``ensure_table``/migrations) so column types are
+        the warehouse's, not the JDBC dialect's defaults.
+
+        Column names are upper-cased for the wire: the warehouse stores
+        unquoted DDL identifiers upper-case (SQL standard folding) while
+        Spark QUOTES column names in its INSERT statements — quoted
+        lower-case would not resolve against the folded catalog names.
+        """
+        out = df.toDF(*[c.upper() for c in df.columns])
+        self._opts(out.write.format("jdbc"), table).option(
+            "batchsize", batchsize
+        ).mode(mode).save()
+
+    def read_table(self, table: str) -> DataFrame:
+        """Distributed JDBC read; folded upper-case catalog names come
+        back lower-cased (inverse of ``write_table``'s folding)."""
+        df = self._opts(self.spark.read.format("jdbc"), table).load()
+        return df.toDF(*[c.lower() for c in df.columns])
+
+    # -- MERGE upsert --------------------------------------------------------
+
+    def merge_upsert(
+        self,
+        df: DataFrame,
+        table: str,
+        key_cols: Sequence[str],
+        order_col: str | None = None,
+        stage_suffix: str = "_stage",
+    ) -> None:
+        """Idempotent upsert with real MERGE semantics (the load path
+        ``load.py:57`` left as TODO):
+
+        1. keep-last dedupe within the batch on ``key_cols`` (MERGE
+           requires a unique source key; ``order_col`` breaks ties,
+           else arrival order — reference A1 semantics);
+        2. distributed append into a fresh staging table;
+        3. one server-side set-based ``MERGE INTO`` from stage to
+           target — updates matched keys, inserts new ones, atomically;
+        4. drop the stage.
+
+        Scale shape: Spark parallelizes (2) across partitions; (3) is a
+        single warehouse-side relational operation (no driver loop, no
+        per-row round trips). Replaying the same batch is a no-op thanks
+        to the deterministic keys.
+
+        The staging table is created by Spark's own JDBC dialect (mode
+        ``overwrite``), which types string columns as large objects
+        (CLOB on Derby) — that is what makes NULL strings writable,
+        since the dialect's null-parameter type must match the staged
+        column type. The MERGE then CASTs string columns back to
+        VARCHAR server-side, so the *target* keeps indexable,
+        comparable key columns.
+        """
+        stage = f"{table}{stage_suffix}"
+        if not self.table_exists(table):
+            self.ensure_table(table, df.schema, key_cols=key_cols)
+        if order_col is None:
+            batch = ops.dedupe_keep_last(ops.with_input_seq(df), list(key_cols))
+        else:
+            batch = ops.dedupe_keep_last(df, list(key_cols), order_by=order_col)
+        # overwrite = drop/create by the JDBC dialect's own type mapping
+        self.write_table(batch.select(*df.columns), stage, mode="overwrite")
+
+        # Derby compares/assigns CLOB only via explicit CAST; 32672 is
+        # Derby's VARCHAR ceiling so the cast itself never truncates —
+        # the target column's declared width governs final assignment.
+        string_cols = {
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+        }
+
+        def src(c: str) -> str:
+            return f"CAST(s.{c} AS VARCHAR(32672))" if c in string_cols else f"s.{c}"
+
+        keys = list(key_cols)
+        non_keys = [c for c in df.columns if c not in keys]
+        on = " AND ".join(f"t.{k} = {src(k)}" for k in keys)
+        insert_cols = ", ".join(df.columns)
+        insert_vals = ", ".join(src(c) for c in df.columns)
+        merge = f"MERGE INTO {table} t USING {stage} s ON {on}"
+        if non_keys:
+            sets = ", ".join(f"t.{c} = {src(c)}" for c in non_keys)
+            merge += f" WHEN MATCHED THEN UPDATE SET {sets}"
+        merge += f" WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+        self.execute(merge)
+        self.execute(f"DROP TABLE {stage}")

@@ -1,0 +1,191 @@
+"""S8 warehouse sink + migration ledger against embedded Derby
+(reference load.py:25-55 connection contract, load.py:57 TODO load path,
+migrations/001_core_schema.sql:12-31 ledger semantics).
+
+Derby ships inside Spark's JVM, so these tests exercise the REAL JDBC
+path — distributed staged writes, server-side MERGE, transactional
+DDL — with zero external services.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from incremental_github_data_pipeline_spark.sources import migrations as mig
+from incremental_github_data_pipeline_spark.sources.warehouse import (
+    Warehouse,
+    derby_url,
+)
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, derby_url(str(tmp_path / "wh")))
+
+
+def _owners(spark, rows):
+    return spark.createDataFrame(rows, "owner_id string, owner_login string")
+
+
+# ---------------------------------------------------------------------------
+# Connection self-check (load.py:39-51 parity)
+# ---------------------------------------------------------------------------
+
+
+def test_connect_check_probes(wh):
+    info = wh.connect_check()
+    # schema probe (DB_NAME twin), catalog probe (sys.tables twin),
+    # current user (ORIGINAL_LOGIN twin)
+    assert info["schema"] == "APP"
+    assert info["n_tables"] > 0
+    assert info["login"] == "APP"
+
+
+def test_connect_check_wrong_schema_raises(wh):
+    with pytest.raises(ConnectionError):
+        wh.connect_check(expected_schema="NOT_THE_DB")
+
+
+def test_connect_check_bad_target_raises(spark, tmp_path):
+    # no create=true and the directory doesn't exist -> boot failure is
+    # surfaced as ConnectionError (load.py:53-55 contract)
+    bad = Warehouse(spark, derby_url(str(tmp_path / "absent"), create=False))
+    with pytest.raises(ConnectionError):
+        bad.connect_check()
+
+
+# ---------------------------------------------------------------------------
+# Migration ledger (001_core_schema.sql:12-31)
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_applies_once_and_ledger_records(wh):
+    ms = mig.github_core_migrations()
+    first = mig.bootstrap(wh, ms)
+    assert first == ["001_core_schema"]
+    for t in ("owners", "users", "repos", "issues", "branches"):
+        assert wh.table_exists(t)
+    # rerun: ledger skip, identical state, ledger rows == #migrations
+    second = mig.bootstrap(wh, ms)
+    assert second == []
+    assert mig.applied_migrations(wh) == ["001_core_schema"]
+
+
+def test_bootstrap_failed_migration_rolls_back_atomically(wh):
+    bad = mig.Migration(
+        "002_bad", ("CREATE TABLE t_ok (a INTEGER)", "CREATE TABLE t_bad (")
+    )
+    with pytest.raises(Exception):
+        mig.bootstrap(wh, [bad])
+    # neither the half-applied object nor the ledger row survive
+    assert not wh.table_exists("t_ok")
+    assert "002_bad" not in mig.applied_migrations(wh)
+    # and the migration is retryable after a fix
+    fixed = mig.Migration("002_bad", ("CREATE TABLE t_ok (a INTEGER)",))
+    assert mig.bootstrap(wh, [fixed]) == ["002_bad"]
+    assert wh.table_exists("t_ok")
+
+
+# ---------------------------------------------------------------------------
+# MERGE upsert (the load.py:57 TODO, done with real MERGE semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_is_idempotent(wh, spark):
+    df = _owners(spark, [("o1", "alice"), ("o2", "bob")])
+    wh.merge_upsert(df, "owners_t", ["owner_id"])
+    state1 = sorted(tuple(r) for r in wh.read_table("owners_t").collect())
+    wh.merge_upsert(df, "owners_t", ["owner_id"])  # replay the same batch
+    state2 = sorted(tuple(r) for r in wh.read_table("owners_t").collect())
+    assert state1 == state2 == [("o1", "alice"), ("o2", "bob")]
+
+
+def test_merge_upsert_updates_and_inserts(wh, spark):
+    wh.merge_upsert(_owners(spark, [("o1", "alice"), ("o2", "bob")]),
+                    "owners_t", ["owner_id"])
+    wh.merge_upsert(_owners(spark, [("o2", "bobby"), ("o3", "carol")]),
+                    "owners_t", ["owner_id"])
+    assert sorted(tuple(r) for r in wh.read_table("owners_t").collect()) == [
+        ("o1", "alice"),
+        ("o2", "bobby"),
+        ("o3", "carol"),
+    ]
+
+
+def test_merge_upsert_keep_last_within_batch(wh, spark):
+    # duplicate key inside one batch: arrival-order recency wins (A1)
+    df = _owners(spark, [("o1", "first"), ("o1", "last")]).coalesce(1)
+    wh.merge_upsert(df, "owners_t", ["owner_id"])
+    assert [tuple(r) for r in wh.read_table("owners_t").collect()] == [
+        ("o1", "last")
+    ]
+
+
+def test_merge_upsert_with_order_col(wh, spark):
+    df = spark.createDataFrame(
+        [("k", "stale", 1), ("k", "fresh", 2)], "id string, v string, seq long"
+    )
+    wh.merge_upsert(df, "ordered_t", ["id"], order_col="seq")
+    assert [tuple(r) for r in wh.read_table("ordered_t").collect()] == [
+        ("k", "fresh", 2)
+    ]
+
+
+def test_check_constraint_enforced_at_load(wh, spark):
+    # the warehouse DDL is the final data-quality gate (SURVEY.md §4.3):
+    # a row violating CK_repos_visibility must be rejected by the engine
+    mig.bootstrap(wh, mig.github_core_migrations())
+    import datetime
+
+    bad = spark.createDataFrame(
+        [("r1", "n", "o/n", "own1", "bogus",
+          datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc))],
+        "repo_id string, repo_name string, full_name string, "
+        "owner_id string, visibility string, created_at timestamp",
+    )
+    wh.merge_upsert(_owners(spark, [("own1", "o")]), "owners", ["owner_id"])
+    with pytest.raises(Exception):
+        wh.merge_upsert(bad, "repos", ["repo_id"])
+
+
+def test_pipeline_to_warehouse_end_to_end(wh, spark):
+    """The full story the reference never finished: clean with Spark,
+    bootstrap the warehouse schema, MERGE-load owners+repos through
+    JDBC twice — second run is a no-op (deterministic uuid5 keys)."""
+    from pyspark.sql import functions as F
+
+    from incremental_github_data_pipeline_spark.pipelines.github import run_transform
+
+    mig.bootstrap(wh, mig.github_core_migrations())
+    res = run_transform(
+        spark, "/root/reference/data/raw_data", issues_available=False
+    )
+    wh.merge_upsert(res.owners, "owners", ["owner_id"])
+    # project to the DDL columns (clean CSVs keep github_* natural keys
+    # the DB drops — load.py:57), align int widths with the DDL
+    repos = res.repos.select(
+        "repo_id", "repo_name", "full_name", "description", "topics",
+        "language", "owner_id", "visibility",
+        F.col("private").cast("short").alias("private"),
+        F.col("disabled").cast("short").alias("disabled"),
+        F.col("fork").cast("short").alias("fork"),
+        F.col("archived").cast("short").alias("archived"),
+        "default_branch",
+        F.col("stargazers_count").cast("int").alias("stargazers_count"),
+        F.col("watchers_count").cast("int").alias("watchers_count"),
+        F.col("forks_count").cast("int").alias("forks_count"),
+        F.col("open_issues_count").cast("int").alias("open_issues_count"),
+        "created_at", "updated_at", "pushed_at",
+    )
+    wh.merge_upsert(repos, "repos", ["repo_id"])
+    n1 = wh.read_table("repos").count()
+    assert n1 == 300  # reference audit-log row count
+    wh.merge_upsert(repos, "repos", ["repo_id"])  # replay
+    assert wh.read_table("repos").count() == n1
+    # FK integrity held by the engine: every repo's owner exists
+    assert (
+        wh.read_table("repos")
+        .join(wh.read_table("owners"), "owner_id", "left_anti")
+        .count()
+        == 0
+    )
