@@ -3,8 +3,15 @@ reference's committed raw JSON and diff against its committed clean CSVs.
 Pins P1-P14, J1-J3, A1-A3, U1, F1-F6 end-to-end, incl. uuid5 bit-exactness.
 
 issues_raw.json was stripped from the snapshot (.MISSING_LARGE_BLOBS), so
-the issues/users paths are validated by re-deriving every surrogate key
-from the business columns of the committed issues_clean.csv instead.
+the issues/users replay runs over a RECONSTRUCTED raw fixture: the
+projection transform.py:215-232 is inverted field-by-field from the
+committed issues_clean.csv (the clean rows are exactly the surviving raw
+rows — every drop/dedup no-ops on replay, so bit-for-bit equality still
+pins the full cleaner). Two fields are not invertible and harmless:
+the natural assignee.id (selected then overwritten by the uuid5 key,
+transform.py:282-288 — synthesized as 0) and any label name containing a
+comma (split-and-rejoin reproduces the identical collapsed string either
+way). Key re-derivation tests are kept as an independent check.
 """
 
 from __future__ import annotations
@@ -22,6 +29,65 @@ from tests.conftest import REF_CLEAN, REF_RAW
 @pytest.fixture(scope="module")
 def result(spark):
     return gh.run_transform(spark, REF_RAW, issues_available=False)
+
+
+def _iso(v) -> str | None:
+    if pd.isna(v):
+        return None
+    return pd.Timestamp(v).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _reconstruct_issues_raw(path) -> None:
+    """Invert transform.py:215-232's projection: clean issues row →
+    the 16 consumed raw fields (see module docstring)."""
+    import json
+
+    issues = pd.read_csv(f"{REF_CLEAN}/issues_clean.csv")
+    repos = pd.read_csv(f"{REF_CLEAN}/repos_clean.csv")
+    name_of = repos.set_index("repo_id")["repo_name"]
+    records = []
+    for _, r in issues.iterrows():
+        records.append(
+            {
+                "id": int(r["github_issue_id"]),
+                "repo_name": name_of[r["repo_id"]],
+                "number": int(r["number"]),
+                "user": {"id": int(r["github_author_id"]), "login": r["author_login"]},
+                "title": None if pd.isna(r["title"]) else r["title"],
+                "state": None if pd.isna(r["state"]) else r["state"],
+                "locked": bool(r["locked"]) if pd.notna(r["locked"]) else None,
+                "comments": int(r["comments"]) if pd.notna(r["comments"]) else None,
+                "pull_request": (
+                    {"merged_at": _iso(r["pr_merged_at"])}
+                    if pd.notna(r["pr_merged_at"])
+                    else None
+                ),
+                "created_at": _iso(r["created_at"]),
+                "updated_at": _iso(r["updated_at"]),
+                "closed_at": _iso(r["closed_at"]),
+                "labels": (
+                    [{"name": n} for n in str(r["labels"]).split(",")]
+                    if pd.notna(r["labels"])
+                    else []
+                ),
+                "assignee": (
+                    {"id": 0, "login": r["assignee_login"]}
+                    if pd.notna(r["assignee_login"])
+                    else None
+                ),
+            }
+        )
+    path.write_text(json.dumps(records))
+
+
+@pytest.fixture(scope="module")
+def issues_result(spark, result, tmp_path_factory):
+    p = tmp_path_factory.mktemp("issues_fixture") / "issues_raw.json"
+    _reconstruct_issues_raw(p)
+    issues = gh.clean_issues(
+        gh.read_json_array(spark, p, gh.ISSUES_RAW_SCHEMA), result.repos
+    )
+    return issues
 
 
 def _norm(series: pd.Series, as_ts: bool = False) -> pd.Series:
@@ -61,6 +127,23 @@ def test_branches_golden(result):
     got = result.branches.toPandas().drop(columns=["ingested_at"])
     want = pd.read_csv(f"{REF_CLEAN}/branches_clean.csv").drop(columns=["ingested_at"])
     _assert_frames_match(got, want, "branch_id")
+
+
+def test_issues_golden(issues_result):
+    got = issues_result.toPandas()
+    want = pd.read_csv(f"{REF_CLEAN}/issues_clean.csv")
+    _assert_frames_match(
+        got,
+        want,
+        "issue_id",
+        ts_cols={"created_at", "updated_at", "closed_at", "pr_merged_at"},
+    )
+
+
+def test_users_golden(issues_result):
+    got = gh.clean_users(issues_result).toPandas()
+    want = pd.read_csv(f"{REF_CLEAN}/users_clean.csv")
+    _assert_frames_match(got, want, "user_id")
 
 
 def test_issues_keys_rederive_from_golden():
