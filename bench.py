@@ -3,16 +3,19 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
 
-Each query executes twice: a warm-up pass (JIT/codegen/caches) and a
-timed pass — the timed number is what a steady-state job sees. Results
-are fully materialized via count() on a cached-nothing plan, so I/O,
-shuffles and codegen are all inside the measurement.
+Each query executes four times: a warm-up pass (JIT/codegen/caches)
+and three timed passes, of which the MEDIAN is reported — single-pass
+numbers at sub-second scale carry ±30% scheduler noise that polluted
+round-over-round comparisons. Results are fully materialized via
+count() on a cached-nothing plan, so I/O, shuffles and codegen are all
+inside the measurement.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -34,6 +37,14 @@ BENCH_QUERIES = [
     "q_minhash_near_dups",
     "q_embedding_topk",
     "q_embedding_topk_arrow",
+    # the actually-heavy shapes: multi-join fact queries, iterative
+    # connected components, corpus-vs-increment dedup, exact-Jaccard
+    # verification over LSH candidates
+    "q09_product_profit",
+    "q21_waiting_suppliers",
+    "q_dedup_clusters",
+    "q_doc_incremental_dedup",
+    "q_verified_near_dups",
 ]
 
 
@@ -50,9 +61,12 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = registry[name].fn
         fn(spark, sf_dir).count()  # warm-up (codegen + file listing)
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        passes = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            passes.append(time.time() - t0)
+        timings[name] = round(statistics.median(passes), 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -325,16 +325,24 @@ def chunk_documents(
     """Split documents into token-window chunks (size ``chunk_size``,
     stride ``step`` ⇒ overlap = size − step) — the standard prep for
     embedding/training pipelines. One row per (doc, chunk_idx); short
-    docs yield exactly one chunk. Pure column expressions: tokenize
-    once (let_), explode chunk starts, slice+join per chunk — no UDF,
-    no shuffle; a 100 TB corpus chunks in the scan stage."""
+    and empty docs yield exactly one chunk (empty text ⇒ one chunk of
+    0 tokens, so no document silently disappears from the chunked
+    corpus). A chunk is emitted only when it extends token coverage:
+    the chunk count is 1 + ceil((n_tokens − chunk_size)/step), never
+    ceil(n_tokens/step) — the latter emits a final chunk strictly
+    contained in the previous one whenever n_tokens lands in the
+    overlap zone (e.g. 13–16 tokens at size 16 / step 12), duplicating
+    training text. Pure column expressions: tokenize once (let_),
+    explode chunk starts, slice+join per chunk — no UDF, no shuffle; a
+    100 TB corpus chunks in the scan stage."""
     from pyspark.sql import functions as F
 
     if step <= 0 or chunk_size < step:
         raise ValueError("need 0 < step <= chunk_size")
     toks = tokens(F.col(text_col))
-    n_chunks = F.greatest(
-        F.lit(1), F.ceil(F.size(toks) / F.lit(step)).cast("int")
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.ceil((F.size(toks) - F.lit(chunk_size)) / F.lit(step)).cast("int"),
     )
     exploded = df.select(
         F.col(id_col),
@@ -349,7 +357,7 @@ def chunk_documents(
         "chunk_idx",
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).alias("chunk_tokens"),
-    ).filter(F.col("chunk_tokens") > 0)
+    )
 
 
 def redact(col, patterns: dict[str, str] | None = None, token: str = "[REDACTED]"):

@@ -175,8 +175,12 @@ def _lang_id_oracle() -> str:
     oracle=_lang_id_oracle(),
     doc="Heuristic language-ID (stopword argmax + CJK detection) vs the "
     "labeled lang column: returns per-(label, prediction) counts. "
-    "Oracle generated from the same stopword lexicon (argmax + "
-    "tie-break + CJK semantics pinned cross-engine).",
+    "Oracle generated from the same stopword lexicon — this row pins "
+    "the CROSS-ENGINE semantics (argmax, tie-break, CJK short-circuit), "
+    "NOT linguistic accuracy; that is pinned independently by the "
+    "hand-labeled sentence fixture in tests/test_text_quality.py::"
+    "test_lang_id_hand_labeled_fixture, whose expected labels are "
+    "human-assigned and never derived from LANG_STOPWORDS.",
 )
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
@@ -265,7 +269,14 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf: str) -> DataFrame:
     "5-gram Jaccard precision stage — only exact-verified pairs may drop "
     "a document. Oracle: DuckDB computes TRUE Jaccard over the full "
     "gram-posting self-join, so a hash match also certifies 100% LSH "
-    "recall at this threshold on this corpus.",
+    "recall at this threshold on this corpus. That recall coupling is "
+    "INTENTIONAL: with 32 hashes / 8 bands a J=0.8 pair is a candidate "
+    "with ~98.5% probability per pair, so the assertion is probabilistic "
+    "over corpora but deterministic on this fixed testdata (the planted "
+    "near-dup pairs sit well above threshold, where recall ≈ 1); a "
+    "regenerated corpus with borderline-J pairs could fail this row "
+    "without any code bug — that is the check working as designed, "
+    "flagging that the destructive gate would have missed a true pair.",
 )
 def q_verified_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return (
@@ -289,19 +300,22 @@ def q_verified_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     ),
     c AS (
       SELECT doc_id, toks,
-             unnest(range(0, GREATEST(1, CAST(CEIL(len(toks)/12.0) AS BIGINT)))) AS chunk_idx
+             unnest(range(0, 1 + GREATEST(0,
+                    CAST(CEIL((len(toks) - 16)/12.0) AS BIGINT)))) AS chunk_idx
       FROM t
     )
     SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
            array_to_string(toks[chunk_idx*12+1 : chunk_idx*12+16], ' ') AS chunk_text,
            CAST(len(toks[chunk_idx*12+1 : chunk_idx*12+16]) AS INT) AS chunk_tokens
     FROM c
-    WHERE len(toks[chunk_idx*12+1 : chunk_idx*12+16]) > 0
     ORDER BY doc_id, chunk_idx
     """,
     doc="Document chunking (operators.text.chunk_documents): token "
     "windows of 16 with stride 12 (4-token overlap), exploded in the "
-    "scan stage — the embedding/training prep step.",
+    "scan stage — the embedding/training prep step. Chunk count is "
+    "1 + ceil((n-16)/12) so the final chunk always extends coverage "
+    "(never a strict sub-window of the previous chunk), and empty docs "
+    "keep one empty chunk instead of vanishing.",
 )
 def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     return tx.chunk_documents(

@@ -146,9 +146,11 @@ def q03_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     GROUP BY n.n_name
     ORDER BY revenue DESC, nation
     """,
-    doc="TPC-H Q5: six-table star join. Bounded dims (region/nation/"
-    "supplier) broadcast; orders and customer grow with SF so their "
-    "joins are left to AQE rather than forced broadcasts.",
+    doc="TPC-H Q5: six-table star join. Bounded dims (region/nation) "
+    "broadcast; supplier, orders and customer all grow with SF (10k/"
+    "1.5M/150k rows x SF) so their joins are left to AQE rather than "
+    "forced broadcasts — a hint that is right at sf0.1 is an OOM at "
+    "sf100k.",
 )
 def q05_region_volume(spark: SparkSession, sf: str) -> DataFrame:
     r = T(spark, sf, "region").filter(F.col("r_name") == "ASIA")
@@ -168,7 +170,7 @@ def q05_region_volume(spark: SparkSession, sf: str) -> DataFrame:
             c.c_nationkey == n.n_nationkey,
         )
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == n.n_nationkey),
         )
         .groupBy(n.n_name.alias("nation"))

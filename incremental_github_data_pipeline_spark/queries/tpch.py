@@ -185,7 +185,7 @@ def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.00) * F.sum(promo).cast("double")
@@ -216,7 +216,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     li2 = li.withColumn("_avg_qty", F.avg("l_quantity").over(w))
     return (
         li2.join(
-            F.broadcast(p.filter(F.col("p_brand") == "Brand#23")),
+            p.filter(F.col("p_brand") == "Brand#23"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
@@ -284,7 +284,7 @@ def q19_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
         & F.col("l_quantity").between(q_lo, q_hi)
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(
             branch("Brand#12", 5, 1, 11)
             | branch("Brand#23", 10, 10, 20)

@@ -78,7 +78,7 @@ def q02_best_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
     eu = (
         _part_suppliers(spark, sf)
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
             F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
@@ -91,7 +91,7 @@ def q02_best_supplier(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.col("s_acctbal") == F.col("max_bal"))
     return (
         best.join(
-            F.broadcast(p.filter(F.col("p_size") == 15)),
+            p.filter(F.col("p_size") == 15),
             F.col("partkey") == F.col("p_partkey"),
         )
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
@@ -122,8 +122,10 @@ def q02_best_supplier(spark: SparkSession, sf: str) -> DataFrame:
     ORDER BY supp_nation, cust_nation, l_year
     """,
     doc="TPC-H Q7: two-fact join (lineitem↔orders on orderkey) with the "
-    "nation pair disjunction applied AFTER broadcast dim joins; the OR "
-    "cannot push below the joins but the date filter pushes to the scan.",
+    "nation pair disjunction applied AFTER the dim joins (nation "
+    "broadcasts — 25 rows fixed; supplier grows with SF so AQE decides "
+    "its join); the OR cannot push below the joins but the date filter "
+    "pushes to the scan.",
 )
 def q07_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     li, o, c, s, n = (
@@ -146,7 +148,7 @@ def q07_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
         )
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -219,7 +221,7 @@ def q08_market_share(spark: SparkSession, sf: str) -> DataFrame:
         * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
     ).alias("volume")
     all_nations = (
-        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+        li.join(p.filter(F.col("p_type") == "ECONOMY"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(
             o.filter(
@@ -234,7 +236,7 @@ def q08_market_share(spark: SparkSession, sf: str) -> DataFrame:
             F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
             F.col("n1_region") == F.col("r_regionkey"),
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(F.year("o_orderdate").cast("long").alias("o_year"), volume, "nation")
     )
@@ -284,11 +286,11 @@ def q09_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(p.filter(F.col("p_name").like("%red%"))),
+            p.filter(F.col("p_name").like("%red%")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -328,7 +330,7 @@ def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
         T(spark, sf, "nation"),
     )
     nat = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             F.broadcast(n.filter(F.col("n_name") == "NATION_5")),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -418,7 +420,7 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     return (
         revenue0.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -441,8 +443,9 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="TPC-H Q16 (partsupp from lineitem; supplier exclusion on "
     "negative acctbal instead of the absent comment column): NOT IN → "
-    "broadcast left-anti join (safe: s_suppkey is non-null), then "
-    "distinct-count per brand/type/size.",
+    "left-anti join (safe: s_suppkey is non-null; AQE broadcasts the "
+    "exclusion set while it fits), then distinct-count per "
+    "brand/type/size.",
 )
 def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
     p, s = T(spark, sf, "part"), T(spark, sf, "supplier")
@@ -450,17 +453,15 @@ def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
     return (
         _part_suppliers(spark, sf)
         .join(
-            F.broadcast(excluded),
+            excluded,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
         .join(
-            F.broadcast(
-                p.filter(
-                    (F.col("p_brand") != "Brand#9")
-                    & (F.col("p_type") != "PROMO")
-                    & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 25, 28)
-                )
+            p.filter(
+                (F.col("p_brand") != "Brand#9")
+                & (F.col("p_type") != "PROMO")
+                & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 25, 28)
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
@@ -505,7 +506,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     )
     red = (
         li.join(
-            F.broadcast(p.filter(F.col("p_name").like("red%"))),
+            p.filter(F.col("p_name").like("red%")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("l_suppkey", "l_partkey")
@@ -557,7 +558,9 @@ def q20_promotion_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     doc="TPC-H Q21 (receipt-date lateness → shipped >60 days after the "
     "order date): the classic EXISTS l2 / NOT EXISTS l3 double self-join "
     "is rewritten as a per-order grouped aggregate producing two scalars "
-    "(nsupp, nlate) rejoined on l_orderkey — lineitem is scanned once; "
+    "(nsupp, nlate) rejoined on l_orderkey — two cheap scans of the "
+    "filtered 3-column projection (the physical plan reads lineitem "
+    "twice: once into the aggregate, once as the rejoin probe side); "
     "the aggregate and the rejoin reuse the l_orderkey partitioning, and "
     "per-order state is two counters, never a materialized supplier set "
     "carried on every row (a skewed mega-order would amplify memory by "
@@ -592,7 +595,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .filter(
             (F.col("is_late") == 1) & (F.col("nsupp") >= 2) & (F.col("nlate") == 1)
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

