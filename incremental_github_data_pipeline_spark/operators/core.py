@@ -183,9 +183,12 @@ def resolve_fk(
         d = F.broadcast(d)
     joined = fact.join(d, on=on, how="left").drop(on)
     if audit is not None:
-        name = audit.get("name", "fk_orphans")
+        # ``audit['observation']`` (a pyspark.sql.Observation) makes the
+        # orphan count retrievable driver-side via ``.get`` after the
+        # next action; a bare name records a plan-level named metric.
+        target = audit.get("observation") or audit.get("name", "fk_orphans")
         joined = joined.observe(
-            name, F.count(F.when(F.col(key).isNull(), 1)).alias("orphans")
+            target, F.count(F.when(F.col(key).isNull(), 1)).alias("orphans")
         )
     if drop_orphans:
         joined = joined.filter(F.col(key).isNotNull())

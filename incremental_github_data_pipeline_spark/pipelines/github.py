@@ -18,10 +18,10 @@ to branches too (flag to disable for strict bug-for-bug parity).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -191,11 +191,17 @@ def clean_owners(repos_clean: DataFrame) -> DataFrame:
 
 
 def clean_branches(
-    raw: DataFrame, repos_clean: DataFrame, drop_orphans: bool = True
+    raw: DataFrame,
+    repos_clean: DataFrame,
+    drop_orphans: bool = True,
+    observations: dict[str, Observation] | None = None,
 ) -> DataFrame:
     """transform.py:350-414. ``drop_orphans=False`` reproduces the
     reference's missing-FK-drop bug (SURVEY.md §4.4 item 3) bit-for-bit;
-    default applies J3 uniformly."""
+    default applies J3 uniformly. ``observations`` (if given) collects
+    the pre-clean row count and FK orphan count as observe metrics that
+    ride the caller's action — the audit counts (A3/A4) cost no extra
+    job."""
     df = ops.with_input_seq(raw)
     df = ops.select_rename(
         df,
@@ -207,6 +213,13 @@ def clean_branches(
             ops.SEQ_COL: ops.SEQ_COL,
         },
     )
+    fk_obs = None
+    if observations is not None:
+        pre = Observation("branches_pre")
+        fk_obs = Observation("branches_fk")
+        observations["branches_pre"] = pre
+        observations["branches_fk"] = fk_obs
+        df = df.observe(pre, F.count(F.lit(1)).alias("rows"))
     df = ops.drop_null_keys(df, ["branch_name"])
     df = ops.dedupe_keep_last(df, ["repo_name", "branch_name"])
     df = df.withColumn(
@@ -222,15 +235,19 @@ def clean_branches(
         on="repo_name",
         key="repo_id",
         drop_orphans=drop_orphans,
-        audit={"name": "branches_fk"},
+        audit={"name": "branches_fk", "observation": fk_obs},
     )
     df = ops.cast_schema(df, {"protected": "long"})
     df = df.withColumn("ingested_at", F.current_timestamp())
     return df.select(BRANCHES_CLEAN_COLS)
 
 
-def clean_issues(raw: DataFrame, repos_clean: DataFrame) -> DataFrame:
-    """transform.py:211-348."""
+def clean_issues(
+    raw: DataFrame,
+    repos_clean: DataFrame,
+    observations: dict[str, Observation] | None = None,
+) -> DataFrame:
+    """transform.py:211-348. ``observations`` as in :func:`clean_branches`."""
     df = ops.with_input_seq(raw)
     df = ops.select_rename(
         df,
@@ -254,6 +271,13 @@ def clean_issues(raw: DataFrame, repos_clean: DataFrame) -> DataFrame:
             ops.SEQ_COL: ops.SEQ_COL,
         },
     )
+    fk_obs = None
+    if observations is not None:
+        pre = Observation("issues_pre")
+        fk_obs = Observation("issues_fk")
+        observations["issues_pre"] = pre
+        observations["issues_fk"] = fk_obs
+        df = df.observe(pre, F.count(F.lit(1)).alias("rows"))
     df = ops.drop_null_keys(
         df, ["github_issue_id", "repo_name", "author_login", "github_author_id"]
     )
@@ -273,7 +297,7 @@ def clean_issues(raw: DataFrame, repos_clean: DataFrame) -> DataFrame:
     )
     df = ops.resolve_fk(
         df, repos_clean, on="repo_name", key="repo_id",
-        drop_orphans=True, audit={"name": "issues_fk"},
+        drop_orphans=True, audit={"name": "issues_fk", "observation": fk_obs},
     )
     df = ops.parse_timestamps_utc(
         df, ["created_at", "updated_at", "closed_at", "pr_merged_at"]
@@ -306,6 +330,7 @@ class GithubPipelineResult:
     branches: DataFrame
     issues: DataFrame
     users: DataFrame
+    observations: dict[str, Observation] = field(default_factory=dict)
 
     def tables(self) -> dict[str, DataFrame]:
         return {
@@ -316,37 +341,123 @@ class GithubPipelineResult:
             "users_clean": self.users,
         }
 
+    def emit_audit(self, audit) -> list[str]:
+        """Write the reference's pipeline_error_log.txt lines with its
+        exact message texts and emission order (transform.py:492-497
+        script order; formats at :209, :264, :304, :348, :381, :414,
+        :464, :486, :489). Returns the messages for inspection.
+
+        Count sources: one count() per table (repos is cached; the dims
+        are tiny) plus the observe metrics collected during those same
+        actions — the pre-clean row counts and FK orphan counts ride the
+        table counts, no extra jobs.
+
+        Semantics notes, pinned against the reference code:
+        - OWNERS drop count is ``og - new`` where og = repos rows (the
+          owner frame starts as repos' two owner columns,
+          transform.py:467-474) — the committed log's older
+          ``'300 - 1 dropped'`` line predates the reference's current
+          f-string; we match the current code (``299``).
+        - The per-cleaner ``'{TABLE} | n dropped during cleaning.'``
+          calls for ISSUES/BRANCHES/USERS hit the ``_log_issues`` typo
+          in the reference (transform.py:264,381,456 — AttributeError if
+          they ever fire; documented bug, SURVEY.md §4.4 item 1). We
+          emit the same texts through the working logger.
+        - USERS measures og AFTER the intra-batch dedup
+          (transform.py:437-452), so in a single run og == new and no
+          drop line is emitted — matching the committed log.
+        - BRANCHES has no FK-enforcement line in the reference (the
+          forgotten orphan drop, §4.4 item 3); we stay line-compatible
+          and emit the FK line only for ISSUES.
+        """
+        msgs: list[str] = []
+        n_repos = self.repos.count()
+        msgs.append(f"REPOS - Complete | {n_repos} rows loaded.")
+        n_owners = self.owners.count()
+        if n_repos != n_owners:
+            msgs.append(f"OWNERS | {n_repos - n_owners} dropped during cleaning.")
+        msgs.append(f"OWNERS - Complete | {n_owners} rows loaded.")
+
+        n_branches = self.branches.count()
+        b_pre, b_orph = self._obs("branches_pre", "rows"), self._obs(
+            "branches_fk", "orphans"
+        )
+        if b_pre is not None:
+            dropped = b_pre - (b_orph or 0) - n_branches
+            if dropped:
+                msgs.append(f"BRANCHES | {dropped} dropped during cleaning.")
+        msgs.append(f"BRANCHES - Complete | {n_branches} rows loaded.")
+
+        n_issues = self.issues.count()
+        i_pre, i_orph = self._obs("issues_pre", "rows"), self._obs(
+            "issues_fk", "orphans"
+        )
+        if i_pre is not None:
+            dropped = i_pre - (i_orph or 0) - n_issues
+            if dropped:
+                msgs.append(f"ISSUES | {dropped} dropped during cleaning.")
+        if i_orph:
+            msgs.append(
+                f"ISSUES | {i_orph} rows with missing repo_id (FK Enforcement)."
+            )
+        msgs.append(f"ISSUES - Complete | {n_issues} rows loaded.")
+
+        msgs.append(f"USERS - Complete | {self.users.count()} rows loaded.")
+        for m in msgs:
+            audit.log(m)
+        return msgs
+
+    def _obs(self, name: str, metric: str) -> int | None:
+        obs = self.observations.get(name)
+        if obs is None:
+            return None
+        return obs.get[metric]
+
 
 def run_transform(
     spark: SparkSession,
     raw_dir: str | Path,
     issues_available: bool = True,
     drop_branch_orphans: bool = True,
+    audit=None,
 ) -> GithubPipelineResult:
     """Entry point 2 (transform.py:492-497) as one lazy DAG.
 
     The repos dim is cached — it feeds owners plus both fact joins
     (broadcast, ≤300 rows) — the only materialization decision in the
     whole pipeline.
+
+    ``audit`` (an AuditLog) receives raw-validation failures with the
+    reference's line texts at read time; after materializing, call
+    ``result.emit_audit(audit)`` for the per-table completion lines.
     """
     raw_dir = Path(raw_dir)
-    repos_raw = read_json_array(spark, raw_dir / "repos_raw.json", REPOS_RAW_SCHEMA)
+    obs: dict[str, Observation] = {}
+    repos_raw = read_json_array(
+        spark, raw_dir / "repos_raw.json", REPOS_RAW_SCHEMA, audit=audit
+    )
     repos = clean_repos(repos_raw).cache()
     owners = clean_owners(repos)
     branches = clean_branches(
-        read_json_array(spark, raw_dir / "branches_raw.json", BRANCHES_RAW_SCHEMA),
+        read_json_array(
+            spark, raw_dir / "branches_raw.json", BRANCHES_RAW_SCHEMA, audit=audit
+        ),
         repos,
         drop_orphans=drop_branch_orphans,
+        observations=obs,
     )
     if issues_available:
         issues = clean_issues(
-            read_json_array(spark, raw_dir / "issues_raw.json", ISSUES_RAW_SCHEMA),
+            read_json_array(
+                spark, raw_dir / "issues_raw.json", ISSUES_RAW_SCHEMA, audit=audit
+            ),
             repos,
+            observations=obs,
         )
     else:
         issues = spark.createDataFrame([], schema=_issues_clean_schema())
     users = clean_users(issues)
-    return GithubPipelineResult(repos, owners, branches, issues, users)
+    return GithubPipelineResult(repos, owners, branches, issues, users, obs)
 
 
 def _issues_clean_schema() -> StructType:

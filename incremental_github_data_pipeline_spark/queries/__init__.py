@@ -95,6 +95,7 @@ _CERTIFY_FIRST = [
     "q_simhash_near_dups",
     "q_embedding_near_dups",
     "q_verified_near_dups",
+    "q_doc_chunks",  # chunk-count formula changed this round — results differ
     "q_lang_id",
     "q01_pricing_summary",
     "q03_shipping_priority",

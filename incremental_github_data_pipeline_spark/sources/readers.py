@@ -20,25 +20,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
-def validate_json_array_file(path: str | Path) -> None:
+def validate_json_array_file(path: str | Path, audit=None) -> None:
     """S5 structural validation, same exception contract as the reference.
 
     Cheap driver-side pre-flight: existence/size checks are O(1); the
     "parses as a JSON array" check reads only the first non-whitespace
     byte rather than json.load-ing the (potentially huge) file — full
     parse errors surface as `_corrupt_record`s in the Spark scan.
+
+    ``audit`` (an :class:`~..sources.writers.AuditLog`) receives the
+    reference's exact line texts before the exception is raised
+    (_validate_raw_file, transform.py:61,65,76): the audit line uses the
+    bare file name (``'{file}.json does not exist!'``) while the
+    exception keeps the full path for debuggability.
     """
     p = Path(path)
+
+    def _fail(exc: Exception, line: str):
+        if audit is not None:
+            audit.log(line)
+        raise exc
+
     if not p.exists():
-        raise FileNotFoundError(f"{p} does not exist!")
+        _fail(FileNotFoundError(f"{p} does not exist!"), f"{p.name} does not exist!")
     if os.path.getsize(p) == 0:
-        raise ValueError(f"{p} is empty!")
+        _fail(ValueError(f"{p} is empty!"), f"{p.name} is empty!")
     with open(p, "rb") as f:
         head = f.read(4096).lstrip()
     if not head:
-        raise ValueError(f"{p} is blank!")
+        _fail(ValueError(f"{p} is blank!"), f"{p.name} is empty!")
     if not head.startswith(b"["):
-        raise TypeError(f"Incorrect top-level type in {p} (expected JSON array)")
+        _fail(
+            TypeError(f"Incorrect top-level type in {p} (expected JSON array)"),
+            f"Incorrect top-level type in {p.name}",
+        )
 
 
 def read_json_array(
@@ -46,6 +61,7 @@ def read_json_array(
     path: str | Path,
     schema: StructType,
     validate: bool = True,
+    audit=None,
 ) -> DataFrame:
     """Read a JSON array-of-objects file (the reference's raw-zone format,
     extract.py:23-34) with an explicit schema.
@@ -56,7 +72,7 @@ def read_json_array(
     drops like the reference's (~2 MB).
     """
     if validate:
-        validate_json_array_file(path)
+        validate_json_array_file(path, audit=audit)
     return (
         spark.read.schema(schema)
         .option("multiLine", True)
