@@ -84,8 +84,15 @@ _CERTIFY_FIRST = [
     "q21_waiting_suppliers",
     "q22_idle_customers",
     # -- code changed this round: re-certify in-window --
+    # (q01/q03/q05 yield their slots: q01/q03 are unchanged since their
+    # green r1+r2 rows, and q05's only change is dropping a broadcast
+    # HINT — results provably unaffected, plan pinned by
+    # test_no_forced_fact_broadcast. The freed slots certify the new
+    # real-codec media queries.)
     "q_media_metadata_profile",
     "q_media_frame_plan",
+    "q_media_decode_stats",
+    "q_media_frame_samples",
     "q_doc_exact_dedup",
     "q_doc_split",
     "q_doc_sample_stratified",
@@ -97,9 +104,6 @@ _CERTIFY_FIRST = [
     "q_verified_near_dups",
     "q_doc_chunks",  # chunk-count formula changed this round — results differ
     "q_lang_id",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_region_volume",
 ]
 
 

@@ -6,10 +6,15 @@ driver test directories carry no binary media table. Its METADATA is a
 pure function of the row index (kind = i%3, width = 64+i, duration_ms =
 1000*i — multimodal.py make_fake_media), so the metadata-only queries
 get real DuckDB oracles that regenerate the table from ``range(n)`` —
-no binary codec needed, fully independent of the Spark code path. Only
-the payload-decoding query (q_media_features) stays rows-only: its
-feature math runs through the stubbed codec, engine-specific by design,
-pinned instead by tests/test_multimodal.py.
+no binary codec needed, fully independent of the Spark code path.
+
+The REAL-decode queries at the bottom go further: make_real_media emits
+genuine BMP / PCM-WAV / raw-RGB-video payload bytes whose *content* is
+a closed-form function of media_id, so the DuckDB oracle recomputes the
+decoded pixel/sample statistics from ``range()`` — a cross-engine check
+of the actual codec path, no codec needed oracle-side. Only
+q_media_features (the stub-decoder fallback lane) stays rows-only,
+pinned by tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -96,4 +101,171 @@ def q_media_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("media_id")
         .agg(F.count(F.lit(1)).alias("n_frames"), F.max("ts_ms").alias("last_ts_ms"))
         .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL-decode queries: payloads are genuine BMP / PCM-WAV / raw-RGB-video
+# bytes (multimodal.make_real_media), and every decoded content value is
+# a closed-form function of media_id — so a DuckDB oracle can recompute
+# the decoded statistics from range() without any codec. Comparisons use
+# exact integer pixel/sample SUMS (mean * count rounded back to the
+# integer it came from) so no cross-engine float rounding is involved.
+# ---------------------------------------------------------------------------
+
+_REAL_MEDIA_N = 96
+
+_DECODE_STATS_ORACLE = f"""
+    WITH img AS (
+      SELECT i AS media_id, 16 + (i % 13) AS w, 12 + (i % 11) AS h
+      FROM range({_REAL_MEDIA_N}) t(i) WHERE i % 3 = 0
+    ),
+    img_sums AS (
+      SELECT img.media_id, img.w, img.h,
+             SUM(CASE WHEN c.c = 0
+                 THEN (x.x*7 + y.y*13 + c.c*29 + img.media_id*3) % 256 END) AS sum_r,
+             SUM(CASE WHEN c.c = 1
+                 THEN (x.x*7 + y.y*13 + c.c*29 + img.media_id*3) % 256 END) AS sum_g,
+             SUM(CASE WHEN c.c = 2
+                 THEN (x.x*7 + y.y*13 + c.c*29 + img.media_id*3) % 256 END) AS sum_b
+      FROM img, range(28) x(x), range(22) y(y), range(3) c(c)
+      WHERE x.x < img.w AND y.y < img.h
+      GROUP BY img.media_id, img.w, img.h
+    ),
+    aud AS (
+      SELECT i AS media_id, 400 + 80 * (i % 20) AS n, 3 + (i % 7) AS k
+      FROM range({_REAL_MEDIA_N}) t(i) WHERE i % 3 = 1
+    ),
+    aud_sums AS (
+      SELECT aud.media_id, aud.n,
+             SUM(ABS(((t.t * aud.k + aud.media_id * 11) % 2048) - 1024)) AS sum_abs
+      FROM aud, range(1920) t(t) WHERE t.t < aud.n
+      GROUP BY aud.media_id, aud.n
+    ),
+    vid AS (
+      SELECT i AS media_id, 8 + (i % 5) AS w, 6 + (i % 4) AS h, 3 + (i % 6) AS nf
+      FROM range({_REAL_MEDIA_N}) t(i) WHERE i % 3 = 2
+    ),
+    vid_sums AS (
+      SELECT vid.media_id, vid.w, vid.h, vid.nf,
+             SUM(CASE WHEN c.c = 0
+                 THEN (x.x*7 + y.y*13 + c.c*29 + k.k*17 + vid.media_id*3) % 256 END) AS sum_r,
+             SUM(CASE WHEN c.c = 1
+                 THEN (x.x*7 + y.y*13 + c.c*29 + k.k*17 + vid.media_id*3) % 256 END) AS sum_g,
+             SUM(CASE WHEN c.c = 2
+                 THEN (x.x*7 + y.y*13 + c.c*29 + k.k*17 + vid.media_id*3) % 256 END) AS sum_b
+      FROM vid, range(12) x(x), range(9) y(y), range(8) k(k), range(3) c(c)
+      WHERE x.x < vid.w AND y.y < vid.h AND k.k < vid.nf
+      GROUP BY vid.media_id, vid.w, vid.h, vid.nf
+    )
+    SELECT media_id, 'image' AS kind,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(NULL AS BIGINT) AS n_frames, CAST(NULL AS BIGINT) AS n_samples,
+           CAST(NULL AS BIGINT) AS sample_rate, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b, CAST(NULL AS BIGINT) AS sum_abs
+    FROM img_sums
+    UNION ALL
+    SELECT media_id, 'audio',
+           NULL, NULL, NULL, CAST(n AS BIGINT),
+           8000, CAST(n // 8 AS BIGINT),
+           NULL, NULL, NULL, CAST(sum_abs AS BIGINT)
+    FROM aud_sums
+    UNION ALL
+    SELECT media_id, 'video',
+           CAST(w AS BIGINT), CAST(h AS BIGINT), CAST(nf AS BIGINT), NULL,
+           NULL, CAST(nf * 100 AS BIGINT),
+           CAST(sum_r AS BIGINT), CAST(sum_g AS BIGINT), CAST(sum_b AS BIGINT), NULL
+    FROM vid_sums
+    ORDER BY media_id
+"""
+
+
+@register(
+    "q_media_decode_stats",
+    oracle=_DECODE_STATS_ORACLE,
+    doc="REAL codec decode (BMP header parse / PCM WAV / raw-video "
+    "container) through one Arrow-batched mapInPandas pass, emitting "
+    "per-media decoded statistics. The oracle recomputes every decoded "
+    "byte's closed form in DuckDB — a genuine cross-engine check of the "
+    "decode path, compared via exact integer channel sums.",
+)
+def q_media_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        decode_stats,
+        make_real_media,
+    )
+
+    stats = decode_stats(make_real_media(spark, n=_REAL_MEDIA_N))
+    npix = (
+        F.col("width") * F.col("height") * F.coalesce(F.col("n_frames"), F.lit(1))
+    )
+    return stats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+        "n_samples",
+        "sample_rate",
+        "duration_ms",
+        F.round(F.col("mean_r") * npix).cast("long").alias("sum_r"),
+        F.round(F.col("mean_g") * npix).cast("long").alias("sum_g"),
+        F.round(F.col("mean_b") * npix).cast("long").alias("sum_b"),
+        F.round(F.col("mean_abs_sample") * F.col("n_samples"))
+        .cast("long")
+        .alias("sum_abs"),
+    ).orderBy("media_id")
+
+
+_FRAME_SAMPLES_ORACLE = f"""
+    WITH vid AS (
+      SELECT i AS media_id, 8 + (i % 5) AS w, 6 + (i % 4) AS h, 3 + (i % 6) AS nf
+      FROM range({_REAL_MEDIA_N}) t(i) WHERE i % 3 = 2
+    ),
+    samples AS (
+      SELECT vid.media_id, vid.w, vid.h,
+             s.ts AS ts_ms, LEAST(s.ts // 100, vid.nf - 1) AS frame_idx
+      FROM vid, range(0, 800, 250) s(ts)
+      WHERE s.ts < vid.nf * 100
+    )
+    SELECT s.media_id, s.ts_ms, CAST(s.frame_idx AS BIGINT) AS frame_idx,
+           CAST(SUM((x.x*7 + y.y*13 + c.c*29 + s.frame_idx*17 + s.media_id*3) % 256)
+                AS BIGINT) AS frame_sum
+    FROM samples s, range(12) x(x), range(9) y(y), range(3) c(c)
+    WHERE x.x < s.w AND y.y < s.h
+    GROUP BY s.media_id, s.ts_ms, s.frame_idx
+    ORDER BY s.media_id, s.ts_ms
+"""
+
+
+@register(
+    "q_media_frame_samples",
+    oracle=_FRAME_SAMPLES_ORACLE,
+    doc="REAL video frame sampling: decode the raw-RGB container, emit "
+    "one row per sampled timestamp with the decoded frame's intensity "
+    "(as the exact integer pixel sum). Expansion happens inside each "
+    "partition — no shuffle; oracle recomputes each sampled frame's "
+    "bytes in closed form.",
+)
+def q_media_frame_samples(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_real_media,
+        sample_frames,
+    )
+
+    media = make_real_media(spark, n=_REAL_MEDIA_N)
+    dims = media.select("media_id", "width", "height")
+    return (
+        sample_frames(media, every_ms=250)
+        .join(F.broadcast(dims), "media_id")
+        .select(
+            "media_id",
+            "ts_ms",
+            "frame_idx",
+            F.round(F.col("frame_mean") * F.col("width") * F.col("height") * 3)
+            .cast("long")
+            .alias("frame_sum"),
+        )
+        .orderBy("media_id", "ts_ms")
     )

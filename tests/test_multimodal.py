@@ -1,12 +1,15 @@
 """operators.multimodal — binary-column plumbing: Arrow batch shape,
-deterministic stub decode, honest NotImplementedError, payload pruning.
+real BMP/WAV/raw-video codecs, honest NotImplementedError for formats
+that need external libraries, payload pruning.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from incremental_github_data_pipeline_spark.operators import multimodal as mm
 from incremental_github_data_pipeline_spark.operators.multimodal import (
     extract_features,
     frame_sample_plan,
@@ -65,3 +68,112 @@ def test_frame_sample_plan_counts(spark):
     }
     # duration_ms = 1000*i; frames at 0,1000,...,duration-1 step 1000 → i frames (i>0)
     assert got == {2: 2, 5: 5, 8: 8}
+
+
+# ---------------------------------------------------------------------------
+# Real codecs
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_including_row_padding():
+    # widths whose 3-byte rows need 4-byte padding (17*3=51 -> pad 1,
+    # 1*3=3 -> pad 1) and widths that don't (16*3=48)
+    for w, h in [(16, 12), (17, 11), (3, 2), (1, 1)]:
+        rng = np.random.default_rng(w * 100 + h)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(mm.decode_bmp(mm.encode_bmp(px)), px)
+
+
+def test_wav_roundtrip():
+    s = ((np.arange(1000) * 13) % 4096 - 2048).astype(np.int16)
+    sr, out = mm.decode_wav(mm.encode_wav(s, 8000))
+    assert sr == 8000
+    assert np.array_equal(out, s)
+
+
+def test_rawvideo_roundtrip():
+    fr = mm._video_frames(2)
+    frames, frame_ms = mm.decode_rawvideo(mm.encode_rawvideo(fr, frame_ms=100))
+    assert frame_ms == 100
+    assert np.array_equal(frames, fr)
+
+
+def test_decode_stats_closed_form(spark):
+    stats = {
+        r["media_id"]: r
+        for r in mm.decode_stats(mm.make_real_media(spark, n=9)).collect()
+    }
+    assert len(stats) == 9
+    px = mm._image_pixels(0)
+    r0 = stats[0]
+    assert (r0["width"], r0["height"]) == (px.shape[1], px.shape[0])
+    assert abs(r0["mean_r"] - px[:, :, 0].mean()) < 1e-9
+    assert abs(r0["mean_b"] - px[:, :, 2].mean()) < 1e-9
+    s = mm._audio_samples(1)
+    r1 = stats[1]
+    assert r1["n_samples"] == len(s)
+    assert r1["sample_rate"] == mm.WAV_SAMPLE_RATE
+    assert r1["duration_ms"] == len(s) * 1000 // mm.WAV_SAMPLE_RATE
+    assert abs(r1["mean_abs_sample"] - np.abs(s.astype(np.int64)).mean()) < 1e-9
+    fr = mm._video_frames(2)
+    r2 = stats[2]
+    assert r2["n_frames"] == fr.shape[0]
+    assert (r2["width"], r2["height"]) == (fr.shape[2], fr.shape[1])
+    assert abs(r2["mean_g"] - fr[:, :, :, 1].mean()) < 1e-9
+
+
+def test_extract_features_real_decoders(spark):
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(
+            mm.make_real_media(spark, n=9), dim=8, fake=False
+        ).collect()
+    }
+    assert len(feats) == 9
+    px = mm._image_pixels(0)
+    assert abs(feats[0][0] - px[:, :, 0].mean() / 255.0) < 1e-6
+    fr = mm._video_frames(2)
+    assert feats[2][0] == fr.shape[0]  # frame count rides in slot 0
+    for v in feats.values():
+        assert len(v) == 8
+        assert all(np.isfinite(v))
+
+
+def test_resize_images_block_mean(spark):
+    media = mm.make_real_media(spark, n=3)  # id 0: 16x12 BMP image
+    rows = {r["media_id"]: r for r in mm.resize_images(media, 8, 6).collect()}
+    px = mm._image_pixels(0)
+    dec = mm.decode_bmp(bytes(rows[0]["payload"]))
+    # 16x12 -> 8x6 divides evenly: area average IS the exact 2x2 block mean
+    ref = np.clip(
+        np.round(px.astype(np.float64).reshape(6, 2, 8, 2, 3).mean(axis=(1, 3))),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert dec.shape == (6, 8, 3)
+    assert np.array_equal(dec, ref)
+    assert (rows[0]["width"], rows[0]["height"]) == (8, 6)
+    # non-image rows pass through bit-identical
+    orig = {r["media_id"]: r for r in media.collect()}
+    assert bytes(rows[1]["payload"]) == bytes(orig[1]["payload"])
+    assert bytes(rows[2]["payload"]) == bytes(orig[2]["payload"])
+
+
+def test_sample_frames_real(spark):
+    media = mm.make_real_media(spark, n=9)  # video ids 2, 5, 8
+    rows = mm.sample_frames(media, every_ms=250).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # n_frames = 3+(i%6): id2 -> 5 (500ms), id5 -> 8 (800ms), id8 -> 5
+    assert {k: len(v) for k, v in by_id.items()} == {2: 2, 5: 4, 8: 2}
+    assert [r["ts_ms"] for r in sorted(by_id[5], key=lambda r: r["ts_ms"])] == [
+        0,
+        250,
+        500,
+        750,
+    ]
+    fr = mm._video_frames(5)
+    last = max(by_id[5], key=lambda r: r["ts_ms"])
+    assert last["frame_idx"] == 7
+    assert abs(last["frame_mean"] - fr[7].mean()) < 1e-9
