@@ -441,3 +441,102 @@ def sample_stratified(
     for stratum, pct in fractions_pct.items():
         cut = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(cut)
     return df.filter(b < cut)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-derived bigram language-model quality scoring (CCNet/KenLM-style
+# perplexity filtering, reduced to what a 100 TB pipeline actually needs:
+# a cheap statistical LM trained on a reference corpus, scored per doc)
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm(df, text_col: str = "text"):
+    """Train the bigram LM: corpus-wide bigram and unigram counts, plus
+    the vocabulary size (for add-one smoothing). One explode + groupBy
+    shuffle per table; both outputs are heavy-tailed count tables that
+    are tiny relative to the corpus (bounded by vocabulary, not rows),
+    so downstream joins typically auto-broadcast — and when the vocab is
+    genuinely huge, AQE falls back to a shuffle join on the bigram key,
+    which is still candidate-list-sized, never corpus × corpus.
+
+    Returns ``(bigram_counts, unigram_counts, vocab_size)`` where the
+    frames have columns ``(bigram, bigram_count)`` / ``(token,
+    token_count)``.
+    """
+    big = (
+        df.select(F.explode(ngrams(text_col, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("bigram_count"))
+    )
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+    )
+    vocab_size = uni.count()
+    return big, uni, vocab_size
+
+
+def lm_score(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bigram_counts=None,
+    unigram_counts=None,
+    vocab_size: int | None = None,
+):
+    """Score each document under a bigram LM with add-one smoothing:
+    ``avg over doc bigrams (w1 w2) of ln((c(w1 w2) + 1) / (c(w1) + V))``.
+    Pass the three LM artifacts from :func:`bigram_lm` to score against
+    a reference corpus (the quality-filter deployment shape); omit them
+    to self-score (each doc against the statistics of its own corpus).
+
+    Output per doc: ``n_bigrams``, ``freq_sum`` (exact integer sum of
+    corpus bigram counts — the engine-portable lane an external oracle
+    can recompute bit-for-bit), and ``avg_logprob`` (the float LM lane
+    used for threshold filtering). Docs with fewer than two tokens keep
+    a row with ``n_bigrams = 0`` and null ``avg_logprob``.
+
+    Scale shape: per-doc bigram explode → join on the bigram key →
+    groupBy doc. The LM tables are vocabulary-bounded (broadcastable in
+    practice); the corpus side shuffles once on the bigram key and once
+    on the doc id.
+    """
+    if bigram_counts is None or unigram_counts is None or vocab_size is None:
+        bigram_counts, unigram_counts, vocab_size = bigram_lm(df, text_col)
+    doc_bigrams = df.select(
+        F.col(id_col), F.explode_outer(ngrams(text_col, 2)).alias("bigram")
+    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    scored = (
+        doc_bigrams.join(bigram_counts, "bigram", "left")
+        .join(
+            unigram_counts.withColumnRenamed("token", "w1"), "w1", "left"
+        )
+        .select(
+            id_col,
+            "bigram",
+            F.coalesce("bigram_count", F.lit(0)).alias("_bc"),
+            F.coalesce("token_count", F.lit(0)).alias("_uc"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("bigram").alias("n_bigrams"),
+            F.sum(F.when(F.col("bigram").isNotNull(), F.col("_bc"))).alias(
+                "_fsum"
+            ),
+            F.avg(
+                F.when(
+                    F.col("bigram").isNotNull(),
+                    F.log((F.col("_bc") + 1) / (F.col("_uc") + F.lit(vocab_size))),
+                )
+            ).alias("avg_logprob"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.coalesce("_fsum", F.lit(0)).alias("freq_sum"),
+            "avg_logprob",
+        )
+    )

@@ -671,3 +671,50 @@ def q_doc_pii_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_LM_SCORE_SQL = """
+    WITH arrs AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    -- this DuckDB build has no UNNEST WITH ORDINALITY; index the token
+    -- array through a bounded range join instead (docs cap at ~100
+    -- tokens across all SFs; 8192 is headroom, the i < len-1 filter
+    -- does the real bounding)
+    big AS (
+      SELECT arrs.doc_id,
+             list_extract(arr, CAST(g.i AS INTEGER) + 1) || ' ' ||
+             list_extract(arr, CAST(g.i AS INTEGER) + 2) AS bigram
+      FROM arrs, range(8192) g(i)
+      WHERE g.i < len(arr) - 1
+    ),
+    counts AS (SELECT bigram, COUNT(*) AS c FROM big GROUP BY bigram)
+    SELECT d.doc_id,
+           CAST(COUNT(big.bigram) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(SUM(counts.c), 0) AS BIGINT) AS freq_sum
+    FROM documents d
+    LEFT JOIN big ON big.doc_id = d.doc_id
+    LEFT JOIN counts ON counts.bigram = big.bigram
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+@register(
+    "q_doc_lm_score",
+    oracle=_LM_SCORE_SQL,
+    doc="Corpus-derived bigram LM quality scoring (operators.text."
+    "bigram_lm + lm_score — the CCNet/KenLM perplexity-filter shape): "
+    "train bigram counts over the corpus, score every doc against them. "
+    "The cross-engine compare uses the exact integer lane (sum of "
+    "corpus bigram counts per doc); the float avg-logprob lane is "
+    "pinned by test_text_quality.py against a hand-computed value.",
+)
+def q_doc_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return (
+        tx.lm_score(d)
+        .select("doc_id", "n_bigrams", "freq_sum")
+        .orderBy("doc_id")
+    )

@@ -407,3 +407,61 @@ def test_lang_id_hand_labeled_fixture(spark):
     rows = df.select("id", "expected", tx.lang_id("text").alias("pred")).collect()
     wrong = [(r["id"], r["expected"], r["pred"]) for r in rows if r["pred"] != r["expected"]]
     assert wrong == [], f"lang_id mispredicted hand-labeled sentences: {wrong}"
+
+
+def test_lm_score_hand_computed(spark):
+    """Bigram-LM scoring vs values computed by hand (add-one smoothing).
+
+    Corpus: "a b a", "a b", "x", "" -> vocab {a,b,x} (V=3),
+    bigram counts {"a b": 2, "b a": 1}, unigrams {a: 3, b: 2, x: 1}.
+    """
+    import math
+
+    from incremental_github_data_pipeline_spark.operators.text import lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "x"), (4, "")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in lm_score(df).collect()}
+    assert len(rows) == 4
+    # doc 1: ln((2+1)/(3+3)) and ln((1+1)/(2+3))
+    exp1 = (math.log(3 / 6) + math.log(2 / 5)) / 2
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["freq_sum"] == 3
+    assert abs(rows[1]["avg_logprob"] - exp1) < 1e-12
+    # doc 2: single bigram "a b"
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["freq_sum"] == 2
+    assert abs(rows[2]["avg_logprob"] - math.log(3 / 6)) < 1e-12
+    # docs too short for bigrams keep a row with zero counts, null score
+    for doc_id in (3, 4):
+        assert rows[doc_id]["n_bigrams"] == 0
+        assert rows[doc_id]["freq_sum"] == 0
+        assert rows[doc_id]["avg_logprob"] is None
+
+
+def test_lm_score_against_reference_corpus(spark):
+    """Scoring one corpus under ANOTHER corpus's LM (the deployment
+    shape): unseen bigrams get the +1-smoothed floor, unseen first
+    tokens the 1/V floor."""
+    import math
+
+    from incremental_github_data_pipeline_spark.operators.text import (
+        bigram_lm,
+        lm_score,
+    )
+
+    ref = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    big, uni, v = bigram_lm(ref)  # {"a b": 2, "b a": 1}, {a: 2, b: 2}, V=2
+    target = spark.createDataFrame([(10, "a b"), (11, "z z")], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in lm_score(
+            target, bigram_counts=big, unigram_counts=uni, vocab_size=v
+        ).collect()
+    }
+    assert abs(rows[10]["avg_logprob"] - math.log(3 / 4)) < 1e-12
+    assert rows[10]["freq_sum"] == 2
+    # "z z" never seen: bigram 0+1 over unigram 0+V
+    assert abs(rows[11]["avg_logprob"] - math.log(1 / 2)) < 1e-12
+    assert rows[11]["freq_sum"] == 0
