@@ -7,7 +7,7 @@ with zero shuffle until an aggregation asks for one.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from incremental_github_data_pipeline_spark.functions.scalar import let_
@@ -539,4 +539,107 @@ def lm_score(
             F.coalesce("_fsum", F.lit(0)).alias("freq_sum"),
             "avg_logprob",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source mixture sampling + sequence packing (the two ops between "clean
+# corpus" and "training batches" in a pretraining data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def mixture_cutoffs(
+    df, weights: dict[str, int], strata_col: str = "source", buckets: int = 100
+) -> dict[str, int]:
+    """Turn a target mixture (integer parts per stratum, e.g.
+    ``{"web": 50, "code": 30, "books": 20}`` summing to 100) into
+    per-stratum keep cutoffs for :func:`sample_stratified`, honoring
+    availability: the realized total is the largest T with
+    ``T * p_s / 100 <= n_s`` for every stratum, i.e. the scarcest
+    stratum is kept whole and the rest are downsampled to match.
+
+    All arithmetic is integer (floor division), so an external SQL
+    engine derives the identical cutoffs from the same counts. The
+    per-stratum count collect is bounded by the number of strata (a
+    handful of sources), not corpus size.
+    """
+    counts = {
+        r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
+    }
+    active = {s: p for s, p in weights.items() if p > 0 and s in counts}
+    if not active:
+        return {}
+    total = min(counts[s] * 100 // p for s, p in active.items())
+    return {
+        s: min(buckets, (total * p // 100) * buckets // counts[s])
+        for s, p in active.items()
+    }
+
+
+def mix_sources(
+    df,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    buckets: int = 100,
+):
+    """Deterministic source-mixture sampling: downsample each stratum so
+    the kept corpus approximates the target mixture ``weights``, with
+    the scarcest stratum kept in full. Strata absent from ``weights``
+    are dropped. Pure pushed-down filter (no shuffle, no RNG) — the
+    same membership-stability contract as :func:`sample_stratified`."""
+    cut = mixture_cutoffs(df, weights, strata_col=strata_col, buckets=buckets)
+    if not cut:
+        return df.filter(F.lit(False))
+    return sample_stratified(
+        df,
+        id_col=id_col,
+        fractions_pct=cut,
+        strata_col=strata_col,
+        buckets=buckets,
+    )
+
+
+def pack_sequences(
+    df,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    shards: int = 1,
+):
+    """Sequence packing: assign every document a training-sequence id so
+    each sequence's token total reaches the ``budget`` (the last doc in
+    a sequence may overflow it — doc-granular packing, no splitting).
+    ``seq_id = cum_tokens_before DIV budget`` over docs ordered by id
+    within ``(group, shard)`` — deterministic, no RNG, reproducible
+    across engines (integer arithmetic only).
+
+    Scale shape: packing is inherently sequential, so a naive global
+    window would serialize the corpus through one partition. ``shards``
+    bounds that: docs are bucketed by ``id % shards`` and packed
+    independently per (group, shard), so parallelism is
+    |groups| * shards and each window partition holds ~1/shards of a
+    group. Sequences never cross shards (each training sequence is
+    built from one shard's docs), which costs at most one underfull
+    sequence per shard — negligible against millions of sequences.
+    """
+    shard = _id_bucket(F.col(id_col), shards)
+    w = (
+        Window.partitionBy(group_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(
+            group_col,
+            F.col(id_col),
+            shard.alias("shard"),
+            token_count(text_col).alias("n_tokens"),
+        )
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .withColumn("seq_id", F.expr(f"cum_before DIV {int(budget)}"))
+        .drop("cum_before")
     )

@@ -718,3 +718,95 @@ def q_doc_lm_score(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "n_bigrams", "freq_sum")
         .orderBy("doc_id")
     )
+
+
+_MIX_WEIGHTS = {"src0": 50, "src1": 30, "src2": 20}
+
+_MIX_SOURCES_SQL = """
+    WITH w(source, p) AS (VALUES ('src0', 50), ('src1', 30), ('src2', 20)),
+    cnt AS (
+      SELECT d.source, COUNT(*) AS n FROM documents d
+      JOIN w ON w.source = d.source GROUP BY d.source
+    ),
+    t AS (SELECT MIN(cnt.n * 100 // w.p) AS total FROM cnt JOIN w USING (source)),
+    cut AS (
+      SELECT cnt.source,
+             LEAST(100, (t.total * w.p // 100) * 100 // cnt.n) AS cutoff
+      FROM cnt JOIN w USING (source), t
+    )
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d
+    JOIN cut ON cut.source = d.source
+    WHERE d.doc_id % 100 < cut.cutoff
+    GROUP BY d.source ORDER BY d.source
+"""
+
+
+@register(
+    "q_doc_mix_sources",
+    oracle=_MIX_SOURCES_SQL,
+    doc="Target-mixture source sampling (operators.text.mix_sources): "
+    "derive per-source keep cutoffs realizing a 50/30/20 mixture with "
+    "the scarcest source kept whole — integer arithmetic end-to-end, so "
+    "DuckDB derives identical cutoffs from the same counts. The sample "
+    "itself is a pushed-down modular filter, zero shuffle before the "
+    "audit agg.",
+)
+def q_doc_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    mixed = tx.mix_sources(d, _MIX_WEIGHTS)
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_PACK_SQL = """
+    WITH toks AS (
+      SELECT source, doc_id, doc_id % 4 AS shard,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, shard, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // 512 AS seq_id
+      FROM toks
+    )
+    SELECT source, CAST(shard AS BIGINT) AS shard, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+    FROM packed
+    GROUP BY source, shard, seq_id
+    ORDER BY source, shard, seq_id
+"""
+
+
+@register(
+    "q_doc_pack_sequences",
+    oracle=_PACK_SQL,
+    doc="Sequence packing (operators.text.pack_sequences): assign docs "
+    "to 512-token training sequences by cumulative token count within "
+    "(source, shard) — sharding bounds the sequential window so "
+    "parallelism is |sources| x shards, the 100 TB requirement. Oracle "
+    "reproduces the identical packing with a SQL window.",
+)
+def q_doc_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    packed = tx.pack_sequences(d, budget=512, shards=4)
+    return (
+        packed.groupBy("source", "shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .orderBy("source", "shard", "seq_id")
+    )

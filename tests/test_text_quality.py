@@ -465,3 +465,104 @@ def test_lm_score_against_reference_corpus(spark):
     # "z z" never seen: bigram 0+1 over unigram 0+V
     assert abs(rows[11]["avg_logprob"] - math.log(1 / 2)) < 1e-12
     assert rows[11]["freq_sum"] == 0
+
+
+def test_mixture_cutoffs_integer_math(spark):
+    """50/30/20 target over equal-sized 25-doc sources: src2 (scarcest
+    relative to its 20% share... all equal, so the 50% source binds) —
+    check the exact floor-arithmetic cutoffs an external engine derives."""
+    from incremental_github_data_pipeline_spark.operators.text import (
+        mixture_cutoffs,
+    )
+
+    df = (
+        spark.range(75)
+        .selectExpr("id AS doc_id", "concat('src', CAST(id % 3 AS STRING)) AS source")
+    )
+    cut = mixture_cutoffs(df, {"src0": 50, "src1": 30, "src2": 20})
+    # counts all 25; total = min(25*100//p) = 25*100//50 = 50
+    # k = {50*50//100=25, 50*30//100=15, 50*20//100=10}
+    # cutoff = k*100//25 -> {100, 60, 40}
+    assert cut == {"src0": 100, "src1": 60, "src2": 40}
+
+
+def test_mix_sources_membership_stable_under_growth(spark):
+    """Adding new docs never evicts previously kept docs of a stratum
+    whose cutoff didn't tighten — the incremental-pipeline contract."""
+    from incremental_github_data_pipeline_spark.operators.text import mix_sources
+
+    base = spark.range(60).selectExpr(
+        "id AS doc_id", "concat('src', CAST(id % 2 AS STRING)) AS source"
+    )
+    w = {"src0": 50, "src1": 50}
+    kept_before = {
+        r["doc_id"] for r in mix_sources(base, w).select("doc_id").collect()
+    }
+    # balanced mixture over balanced sources keeps everything
+    assert kept_before == set(range(60))
+    # grow src0 only: src1 becomes scarce, src0 downsamples — but the
+    # kept src0 docs are a prefix-stable modular subset
+    grown = spark.range(120).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id < 90 THEN 'src0' ELSE 'src1' END AS source",
+    )
+    kept_after = {
+        r["doc_id"] for r in mix_sources(grown, w).select("doc_id").collect()
+    }
+    src1_after = {i for i in kept_after if i >= 90}
+    assert src1_after == set(range(90, 120))  # scarcest kept whole
+    # src0 cutoff: total = min(90*100//50, 30*100//50) = 60; k0 = 30;
+    # cutoff = 30*100//90 = 33 -> keep doc_id % 100 < 33
+    assert {i for i in kept_after if i < 90} == {
+        i for i in range(90) if i % 100 < 33
+    }
+
+
+def test_pack_sequences_budget_and_order(spark):
+    """Every sequence's token total is >= budget minus the last doc's
+    overflow allowance; docs stay in id order within a sequence."""
+    from incremental_github_data_pipeline_spark.operators.text import (
+        pack_sequences,
+    )
+
+    docs = [
+        (i, "s", " ".join(["w"] * (10 + (i % 7)))) for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    packed = pack_sequences(df, budget=50, shards=1).collect()
+    rows = sorted(packed, key=lambda r: r["doc_id"])
+    # reproduce the packing by hand
+    cum = 0
+    for r in rows:
+        assert r["seq_id"] == cum // 50
+        cum += r["n_tokens"]
+    # all but the last sequence must have crossed the budget
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append(r["n_tokens"])
+    last = max(by_seq)
+    for sid, toks in by_seq.items():
+        if sid != last:
+            assert sum(toks) >= 50 - max(toks) + 1  # crossed into next bin
+
+
+def test_pack_sequences_sharded_parallelism(spark):
+    """Sharding partitions the packing: seq ids restart per shard and
+    no sequence mixes shards."""
+    from incremental_github_data_pipeline_spark.operators.text import (
+        pack_sequences,
+    )
+
+    docs = [(i, "s", " ".join(["w"] * 20)) for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    packed = pack_sequences(df, budget=60, shards=4).collect()
+    assert {r["shard"] for r in packed} == {0, 1, 2, 3}
+    for shard in range(4):
+        rows = sorted(
+            (r for r in packed if r["shard"] == shard), key=lambda r: r["doc_id"]
+        )
+        assert [r["doc_id"] % 4 for r in rows] == [shard] * len(rows)
+        cum = 0
+        for r in rows:
+            assert r["seq_id"] == cum // 60
+            cum += r["n_tokens"]
