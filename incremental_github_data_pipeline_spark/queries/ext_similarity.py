@@ -187,3 +187,71 @@ def q_embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q_embedding_quantized_topk",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (a, b) -> a + b)) AS nn,
+             embedding
+      FROM embeddings
+    ),
+    nv AS (
+      SELECT vec_id,
+             CASE WHEN nn > 0
+                  THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / nn)
+                  ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+      FROM nrm
+    ),
+    sc AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                  ELSE 0.0 END AS s
+      FROM nv
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(v, x -> greatest(-127, least(127, floor(x * s)))) AS q
+      FROM sc
+    ),
+    scored AS (
+      SELECT qq.vec_id AS query_id, c.vec_id AS corpus_id,
+             CAST(list_dot_product(c.q, qq.q) AS BIGINT) AS dot_q
+      FROM qv c CROSS JOIN (SELECT * FROM qv WHERE vec_id < {N_QUERIES}) qq
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, dot_q,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot_q DESC, corpus_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, dot_q, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="int8-quantized cosine top-k (operators.similarity."
+    "quantized_topk): normalize, floor-quantize to the int8 lattice, "
+    "rank by EXACT integer dot product — deterministic across engines "
+    "and partitionings, so unlike the float lane the score column "
+    "itself is compared, not just ranks. The quantized corpus is 4x "
+    "smaller than float32 — the memory knob for RAM-resident ANN at "
+    "100 TB.",
+)
+def q_embedding_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding"))
+    out = sim.quantized_topk(
+        corpus, queries, corpus_id="corpus_id", query_id="query_id",
+        vec_col="embedding", k=TOP_K,
+    )
+    return out.select("query_id", "corpus_id", "dot_q", "rank").orderBy(
+        "query_id", "rank"
+    )

@@ -193,3 +193,63 @@ def test_assign_split_fractions(spark):
         .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == {"train": 800, "val": 100, "test": 100}
+
+
+def test_quantize_embeddings_lattice_and_error_bound(spark):
+    """floor-quantization invariants: ints in [-127, 127], and the
+    dequantized vector is within one lattice step of the normalized
+    original in every dimension."""
+    from incremental_github_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sim.quantize_embeddings(emb.limit(50)).select(
+        "embedding", "q_scale", "q"
+    ).collect()
+    import math
+
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        n = math.sqrt(sum(x * x for x in v))
+        nv = [x / n for x in v] if n > 0 else v
+        assert all(-127 <= qi <= 127 for qi in r["q"])
+        s = r["q_scale"]
+        assert s > 0
+        for x, qi in zip(nv, r["q"]):
+            assert qi == max(-127, min(127, math.floor(x * s)))
+            assert abs(x - qi / s) <= 1.0 / s + 1e-12
+
+
+def test_quantized_topk_recall_vs_bruteforce(spark):
+    """int8 ranking vs float cosine ranking. This corpus is random
+    vectors, so rank-5/rank-6 cosine margins are razor-thin — the
+    worst case for any quantizer; structured real embeddings separate
+    far better. Pin (a) recall@5 above the random-corpus floor and
+    (b) the stronger window property: every quantized top-5 hit sits
+    inside the exact top-15."""
+    from pyspark.sql import functions as F
+
+    from incremental_github_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact15 = sim.cosine_topk_bruteforce(
+        corpus, queries, corpus_id="corpus_id", query_id="query_id",
+        vec_col="embedding", k=15,
+    )
+    quant = sim.quantized_topk(
+        corpus, queries, corpus_id="corpus_id", query_id="query_id",
+        vec_col="embedding", k=5,
+    )
+    exact_rows = exact15.collect()
+    e15 = {(r["query_id"], r["corpus_id"]) for r in exact_rows}
+    e5 = {
+        (r["query_id"], r["corpus_id"]) for r in exact_rows if r["rank"] <= 5
+    }
+    q5 = {(r["query_id"], r["corpus_id"]) for r in quant.collect()}
+    assert len(q5) == 40
+    recall = len(e5 & q5) / len(e5)
+    assert recall >= 0.7, f"quantized recall@5 = {recall}"
+    assert q5 <= e15, f"quantized hits outside exact top-15: {q5 - e15}"
