@@ -394,29 +394,47 @@ def decode_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, MEDIA_STATS_SCHEMA)
 
 
+def area_resample(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Area-average resample of an (h, w, 3) uint8 array to
+    (out_h, out_w, 3): exact block mean when sizes divide, otherwise
+    pixel-boundary block sums off a cumulative-sum table (integer pixel
+    sums stay exact in float64) — deterministic, no interpolation
+    library. Upscales degrade to nearest-neighbor: each output cell
+    covers at least one source pixel, never a zero-width cell."""
+    h, w, _ = px.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    # widen zero-width cells (out > in) to one source pixel
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    y0 = np.minimum(y0, h - 1)
+    y1 = np.minimum(y1, h)
+    x0 = np.minimum(x0, w - 1)
+    x1 = np.minimum(x1, w)
+    acc = px.astype(np.float64)
+    cs = np.zeros((h + 1, w + 1, 3))
+    cs[1:, 1:] = acc.cumsum(axis=0).cumsum(axis=1)
+    cells = (
+        cs[y1[:, None], x1[None, :]]
+        - cs[y0[:, None], x1[None, :]]
+        - cs[y1[:, None], x0[None, :]]
+        + cs[y0[:, None], x0[None, :]]
+    )
+    area = ((y1 - y0)[:, None] * (x1 - x0)[None, :])[:, :, None]
+    return np.clip(np.round(cells / area), 0, 255).astype(np.uint8)
+
+
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Real image resize: decode BMP → area-average resample to
     (out_h, out_w) → re-encode BMP. Non-image rows pass through
-    untouched. The area average is exact block mean when sizes divide;
-    otherwise pixel-boundary weighted (numpy add.reduceat on cumulative
-    sums) — deterministic, no interpolation library."""
-
-    def _resample(px: np.ndarray) -> np.ndarray:
-        h, w, _ = px.shape
-        ys = (np.arange(out_h + 1) * h) // out_h
-        xs = (np.arange(out_w + 1) * w) // out_w
-        acc = px.astype(np.float64)
-        rows = np.add.reduceat(acc, ys[:-1], axis=0)
-        cells = np.add.reduceat(rows, xs[:-1], axis=1)
-        area = (ys[1:] - ys[:-1])[:, None, None] * (xs[1:] - xs[:-1])[None, :, None]
-        return np.clip(np.round(cells / area), 0, 255).astype(np.uint8)
+    untouched. See :func:`area_resample` for the resampling contract."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             recs = []
             for r in pdf.itertuples(index=False):
                 if r.mime == "image/bmp":
-                    small = _resample(decode_bmp(r.payload))
+                    small = area_resample(decode_bmp(r.payload), out_w, out_h)
                     recs.append(
                         (r.media_id, r.kind, encode_bmp(small), r.mime,
                          out_w, out_h, r.duration_ms)

@@ -177,3 +177,83 @@ def test_sample_frames_real(spark):
     last = max(by_id[5], key=lambda r: r["ts_ms"])
     assert last["frame_idx"] == 7
     assert abs(last["frame_mean"] - fr[7].mean()) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Property-based codec round-trips (no Spark session — pure codecs)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    assert np.array_equal(mm.decode_bmp(mm.encode_bmp(px)), px)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=5000),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_property(n, sr, seed):
+    s = (
+        np.random.default_rng(seed)
+        .integers(-(2**15), 2**15, size=n)
+        .astype(np.int16)
+    )
+    sr_out, out = mm.decode_wav(mm.encode_wav(s, sr))
+    assert sr_out == sr
+    assert np.array_equal(out, s)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=10),
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    frame_ms=st.integers(min_value=1, max_value=1000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_rawvideo_roundtrip_property(n, w, h, frame_ms, seed):
+    fr = np.random.default_rng(seed).integers(
+        0, 256, size=(n, h, w, 3), dtype=np.uint8
+    )
+    frames, ms = mm.decode_rawvideo(mm.encode_rawvideo(fr, frame_ms))
+    assert ms == frame_ms
+    assert np.array_equal(frames, fr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=30),
+    h=st.integers(min_value=1, max_value=30),
+    out_w=st.integers(min_value=1, max_value=10),
+    out_h=st.integers(min_value=1, max_value=10),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_resample_bounds_property(w, h, out_w, out_h, seed):
+    """Area-average resample output stays inside the input value range
+    for ANY size combination — downscales, upscales (nearest-neighbor
+    degradation, no zero-width cells), and non-divisible boundaries —
+    and survives a BMP encode/decode round-trip."""
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    small = mm.area_resample(px, out_w, out_h)
+    assert small.shape == (out_h, out_w, 3)
+    assert small.min() >= px.min()
+    assert small.max() <= px.max()
+    assert np.array_equal(mm.decode_bmp(mm.encode_bmp(small)), small)
+    # identity resize is lossless
+    assert np.array_equal(mm.area_resample(px, w, h), px)
