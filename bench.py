@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "q_minhash_near_dups",
     "q_embedding_topk",
     "q_embedding_topk_arrow",
+    "q_embedding_quantized_topk",
     # the actually-heavy shapes: multi-join fact queries, iterative
     # connected components, corpus-vs-increment dedup, exact-Jaccard
     # verification over LSH candidates
