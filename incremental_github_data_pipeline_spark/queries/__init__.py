@@ -98,12 +98,17 @@ _CERTIFY_FIRST = [
     "q_doc_sample_stratified",
     "q_dedup_clusters",
     "q_doc_incremental_dedup",
-    "q_minhash_near_dups",
-    "q_simhash_near_dups",
-    "q_embedding_near_dups",
     "q_verified_near_dups",
     "q_doc_chunks",  # chunk-count formula changed this round — results differ
-    "q_lang_id",
+    # -- new this round: first chance at a driver row, all oracle-backed --
+    # (displacing q_minhash/q_simhash/q_embedding_near_dups — rows-only
+    # checks whose operator correctness is already pinned by the
+    # oracle-green q_verified_near_dups + pytest invariants — and
+    # q_lang_id, green in r2 with unchanged logic.)
+    "q_embedding_quantized_topk",
+    "q_doc_lm_score",
+    "q_doc_mix_sources",
+    "q_doc_pack_sequences",
 ]
 
 

@@ -84,10 +84,14 @@ def read_json_array(
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated test table (TESTDATA.md).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS); with
-    ``nanosAsLong`` (session.py) it scans as a long which we floor-divide
-    to microseconds — same truncation DuckDB applies when surfacing
-    TIMESTAMP_NS values.
+    ``events.ts`` has been written two different ways across testdata
+    generations: TIMESTAMP(NANOS) (scans as long under ``nanosAsLong``,
+    floor-divided to micros — same truncation DuckDB applies) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (scans as TIMESTAMP_NTZ
+    under Spark 4's NTZ inference). Both are normalized to a session-tz
+    TIMESTAMP: with the session pinned to UTC the NTZ wall-clock maps
+    1:1 onto the UTC instant, matching how the (tz-naive) DuckDB oracle
+    reads the same file.
     """
     # Defensive session pinning: the driver may hand us a session not
     # built by session.get_spark. Both confs are runtime-settable.
@@ -95,14 +99,22 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     # oracle; a local-tz session would shift date-boundary filters.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # without this the TIMESTAMP(NANOS) column is unreadable
-        # ([PARQUET_TYPE_ILLEGAL])
+        # without this a TIMESTAMP(NANOS) column is unreadable
+        # ([PARQUET_TYPE_ILLEGAL]); harmless for micros files
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # session tz is UTC (pinned above) so this cast reinterprets
+            # the naive wall-clock as the same UTC instant, restoring the
+            # TIMESTAMP(LTZ) type the whole operator surface (unix_micros,
+            # watermarks, window()) expects
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
