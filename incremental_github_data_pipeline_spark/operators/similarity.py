@@ -361,3 +361,53 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .orderBy(query_id, "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.97,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication: bucket embeddings by
+    nearest centroid (k-means-lite cells, the :func:`assign_cells`
+    model), then compare pairs only *within* a cell and report those
+    above the cosine threshold with the larger id marked for removal
+    (canonical representative = min id, matching exact_dedup /
+    dedup_clusters). No counterpart in the reference ([EXT], SURVEY.md
+    §2.10).
+
+    Output: ``(id_keep, id_drop, cell, cosine)``, one row per
+    above-threshold pair. Consumers drop ``id_drop`` values (or feed
+    the pairs into dedup_clusters for transitive closure).
+
+    Scale shape: the self-join key is the cell id, so comparison cost
+    is Σ|cell|² instead of |corpus|² — with balanced cells that is
+    |corpus|²/n_cells, and n_cells grows with the corpus (√n cells
+    keeps per-cell work flat). The centroid set is a model collected
+    once (n_cells × dim floats) and shipped as literals; everything
+    else is one shuffle on the cell key. Near-identical vectors always
+    share a cell only if assignment is unambiguous — like published
+    SemDeDup (and any single-assignment clustering), boundary pairs
+    split across cells are missed; raise n_probe-style recall by
+    running with a second seed and unioning pairs."""
+    assigned, _ = assign_cells(
+        ensure_min_partitions(df), vec_col, n_cells, id_col, seed
+    )
+    side = assigned.select(
+        F.col(id_col).alias("_id"), as_double_vec(vec_col).alias("_v"), "_cell"
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(b, "_cell")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_keep"),
+            F.col("b._id").alias("id_drop"),
+            F.col("_cell").alias("cell"),
+            cosine_similarity(F.col("a._v"), F.col("b._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -643,3 +643,205 @@ def pack_sequences(
         .withColumn("seq_id", F.expr(f"cum_before DIV {int(budget)}"))
         .drop("cum_before")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate-span removal (C4-style boilerplate excision)
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicate_spans(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+):
+    """Excise every token covered by a k-gram span that occurs in at
+    least ``min_docs`` distinct documents — the C4/web-corpus
+    boilerplate-removal shape (C4 dropped repeated three-sentence spans;
+    here the unit is a token k-gram so the operator works on corpora
+    without sentence structure). No counterpart in the reference
+    pipeline ([EXT], SURVEY.md §2.10).
+
+    Returns one row per input document: ``(id, clean_text, n_tokens,
+    n_removed)`` where ``clean_text`` is the surviving tokens rejoined
+    in original order (empty string when the whole doc is boilerplate).
+
+    Scale shape (the 100 TB question): k-grams explode map-side; the
+    document-frequency aggregation shuffles once on the gram key with
+    partial aggregation; the frequent-gram table after the ``>=
+    min_docs`` filter is a tiny fraction of the gram space, so the
+    gram-matching join auto-broadcasts (AQE falls back to a shuffle
+    hash join on the gram key when it is genuinely large). Covered
+    positions and the final reassembly shuffle on (id, pos) / id —
+    never doc x doc, never corpus x gram-space.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.size("_toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - k),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.slice(F.col("_toks"), i + 1, k),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gpos", "gram"),
+    )
+    frequent = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(frequent, "gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + (k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    positions = toks.select(
+        id_col, F.posexplode("_toks").alias("pos", "tok")
+    )
+    kept = (
+        positions.join(covered, [id_col, "pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (hashed-free exact-gram variant)
+# ---------------------------------------------------------------------------
+
+
+def dsir_counts(df, text_col: str = "text", target_filter=None):
+    """Unigram count tables for importance weighting: the raw corpus and
+    a target domain selected by ``target_filter`` (a boolean Column).
+    Returns ``(raw_counts, target_counts, raw_total, target_total,
+    vocab_size)``; count frames have columns ``(token, raw_count)`` /
+    ``(token, target_count)``. One explode + one shuffle each; both
+    tables are vocabulary-bounded (tiny vs the corpus)."""
+    exploded = df.select(
+        F.explode(tokens(text_col)).alias("token"),
+        (
+            target_filter
+            if target_filter is not None
+            else F.lit(False)
+        ).alias("_in_target"),
+    )
+    counts = exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("raw_count"),
+        F.sum(F.when(F.col("_in_target"), 1).otherwise(0)).alias(
+            "target_count"
+        ),
+    )
+    totals = counts.agg(
+        F.sum("raw_count").alias("_rt"),
+        F.sum("target_count").alias("_tt"),
+        F.count(F.lit(1)).alias("_v"),
+    ).first()
+    return counts, int(totals["_rt"]), int(totals["_tt"]), int(totals["_v"])
+
+
+def dsir_score(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_filter=None,
+    counts=None,
+    raw_total: int | None = None,
+    target_total: int | None = None,
+    vocab_size: int | None = None,
+):
+    """Data Selection with Importance Resampling (DSIR) weights, exact
+    unigram variant: per document, the average log importance ratio
+    ``ln(p_target(w) / p_raw(w))`` under add-one smoothing, where the
+    target distribution comes from the subset selected by
+    ``target_filter`` (e.g. high-quality or in-domain docs). Documents
+    resembling the target domain score > 0 and survive importance
+    resampling; generic web text scores below. (The published method
+    hashes n-grams into buckets; over a bounded vocabulary the exact
+    variant is identical with bucket = token, which keeps the scoring
+    lane reproducible by an external SQL oracle.)
+
+    Output per doc: ``n_tokens``, exact integer lanes ``raw_freq_sum``
+    / ``target_freq_sum`` (sums of corpus counts of the doc's tokens —
+    engine-portable), and the float lane ``dsir_weight``.
+
+    Scale shape: vocabulary-bounded count tables (auto-broadcast, AQE
+    shuffle-join fallback); corpus shuffles once on the token key and
+    once on the doc id. The totals/vocab scalars are a driver-side
+    3-number ``first()`` on an aggregated frame — a bounded collect,
+    same class as the centroid model in ivf_topk.
+    """
+    if counts is None or None in (raw_total, target_total, vocab_size):
+        counts, raw_total, target_total, vocab_size = dsir_counts(
+            df, text_col, target_filter
+        )
+    doc_tokens = df.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("token")
+    )
+    joined = doc_tokens.join(counts, "token", "left").select(
+        id_col,
+        "token",
+        F.coalesce("raw_count", F.lit(0)).alias("_rc"),
+        F.coalesce("target_count", F.lit(0)).alias("_tc"),
+    )
+    log_ratio = (
+        F.log((F.col("_tc") + 1) / F.lit(float(target_total + vocab_size)))
+        - F.log((F.col("_rc") + 1) / F.lit(float(raw_total + vocab_size)))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("token").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("token").isNotNull(), F.col("_rc")))
+            .cast("long")
+            .alias("raw_freq_sum"),
+            F.sum(F.when(F.col("token").isNotNull(), F.col("_tc")))
+            .cast("long")
+            .alias("target_freq_sum"),
+            F.avg(
+                F.when(F.col("token").isNotNull(), log_ratio)
+            ).alias("dsir_weight"),
+        )
+        .withColumn(
+            "raw_freq_sum", F.coalesce("raw_freq_sum", F.lit(0))
+        )
+        .withColumn(
+            "target_freq_sum", F.coalesce("target_freq_sum", F.lit(0))
+        )
+    )

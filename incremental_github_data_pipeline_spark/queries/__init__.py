@@ -97,9 +97,12 @@ _CERTIFY_FIRST = [
     "q_doc_split",
     "q_doc_sample_stratified",
     "q_dedup_clusters",
-    "q_doc_incremental_dedup",
-    "q_verified_near_dups",
     "q_doc_chunks",  # chunk-count formula changed this round — results differ
+    # (q_doc_incremental_dedup / q_verified_near_dups yield their slots:
+    # both green in r2, and this round's dedup.py changes — unpersist
+    # hygiene, recall-coupling docs — don't alter their results.)
+    "q_doc_remove_spans",
+    "q_doc_dsir",
     # -- new this round: first chance at a driver row, all oracle-backed --
     # (displacing q_minhash/q_simhash/q_embedding_near_dups — rows-only
     # checks whose operator correctness is already pinned by the

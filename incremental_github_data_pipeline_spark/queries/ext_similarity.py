@@ -255,3 +255,38 @@ def q_embedding_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "corpus_id", "dot_q", "rank").orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "q_semantic_dedup",
+    doc="SemDeDup-shape semantic dedup "
+    "(operators.similarity.semantic_dedup): centroid-cell bucketing, "
+    "within-cell cosine pairs above 0.99, larger id marked for drop. "
+    "Approximate by construction (single-assignment clustering misses "
+    "boundary pairs) so rows-only here; exactness invariants (planted "
+    "duplicate recovery, cell-bound comparison count) are pinned in "
+    "test_dedup_similarity.py.",
+)
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings").select("vec_id", "embedding")
+    # the synthetic embeddings are near-orthogonal (max intra-cell cosine
+    # ~0.51), so plant the same deterministic near-copies the
+    # embedding_near_dups query uses — the operator must recover exactly
+    # those pairs
+    perturbed = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, d: x * (1.0 + 0.01 * ((d % 5).cast("double") / 5.0 - 0.4)),
+        ).alias("embedding"),
+    )
+    return (
+        sim.semantic_dedup(
+            e.unionByName(perturbed),
+            "vec_id",
+            "embedding",
+            threshold=0.99,
+            n_cells=8,
+        )
+        .orderBy("id_keep", "id_drop")
+    )

@@ -810,3 +810,110 @@ def q_doc_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "shard", "seq_id")
     )
+
+
+_REMOVE_SPANS_SQL = """
+    WITH arrs AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+      SELECT doc_id, CAST(g.i AS INTEGER) AS gpos,
+             array_to_string(list_slice(arr, CAST(g.i AS INTEGER) + 1,
+                                        CAST(g.i AS INTEGER) + 5), ' ') AS gram
+      FROM arrs, range(8192) g(i) WHERE g.i <= len(arr) - 5
+    ),
+    frequent AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT g.doc_id, g.gpos + CAST(o.i AS INTEGER) AS pos
+      FROM grams g JOIN frequent USING (gram), range(5) o(i)
+    ),
+    toks AS (
+      SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
+             list_extract(arr, CAST(t.i AS INTEGER) + 1) AS tok
+      FROM arrs, range(8192) t(i) WHERE t.i < len(arr)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok FROM toks t
+      LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+      WHERE c.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    nt AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_tokens
+      FROM documents
+    )
+    SELECT nt.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+           CAST(nt.n_tokens - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM nt LEFT JOIN agg a ON a.doc_id = nt.doc_id
+    ORDER BY nt.doc_id
+"""
+
+
+@register(
+    "q_doc_remove_spans",
+    oracle=_REMOVE_SPANS_SQL,
+    doc="C4-style cross-document boilerplate excision "
+    "(operators.text.remove_duplicate_spans): drop every token covered "
+    "by a 5-gram span occurring in >=2 distinct docs, rejoin survivors "
+    "in order. Gram-frequency agg shuffles once on the gram key; the "
+    "frequent-gram table is post-filter tiny (auto-broadcast); "
+    "reassembly shuffles on the doc id — never doc x doc.",
+)
+def q_doc_remove_spans(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.remove_duplicate_spans(
+        T(spark, sf, "documents"), k=5, min_docs=2
+    ).orderBy("doc_id")
+
+
+_DSIR_SQL = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS rc,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+      FROM toks GROUP BY token
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(t.token) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(c.rc), 0) AS BIGINT) AS raw_freq_sum,
+           CAST(COALESCE(SUM(c.tc), 0) AS BIGINT) AS target_freq_sum
+    FROM documents d
+    LEFT JOIN toks t ON t.doc_id = d.doc_id
+    LEFT JOIN counts c ON c.token = t.token
+    GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+@register(
+    "q_doc_dsir",
+    oracle=_DSIR_SQL,
+    doc="DSIR importance weighting (operators.text.dsir_score, exact "
+    "unigram variant): per-doc avg log importance ratio of a target "
+    "domain (lang='en') vs the raw corpus, add-one smoothed. The "
+    "cross-engine compare uses the exact integer lanes (sums of corpus "
+    "/ target token counts per doc); the float dsir_weight lane is "
+    "pinned by test_text_quality.py against a hand-computed value.",
+)
+def q_doc_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return (
+        tx.dsir_score(d, target_filter=F.col("lang") == "en")
+        .select("doc_id", "n_tokens", "raw_freq_sum", "target_freq_sum")
+        .orderBy("doc_id")
+    )

@@ -253,3 +253,53 @@ def test_quantized_topk_recall_vs_bruteforce(spark):
     recall = len(e5 & q5) / len(e5)
     assert recall >= 0.7, f"quantized recall@5 = {recall}"
     assert q5 <= e15, f"quantized hits outside exact top-15: {q5 - e15}"
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup shape)
+# ---------------------------------------------------------------------------
+
+
+def _planted_embeddings(spark, n=40, dim=8, n_dups=5):
+    """Deterministic pseudo-random vectors + exact copies of the first
+    n_dups ids (copy id = orig id + 1000)."""
+    import math
+
+    rows = []
+    for i in range(n):
+        v = [math.sin(1.0 + i * dim + d) for d in range(dim)]
+        rows.append((i, v))
+        if i < n_dups:
+            rows.append((i + 1000, list(v)))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_recovers_planted_exact_copies(spark):
+    from incremental_github_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    df = _planted_embeddings(spark)
+    pairs = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.999999, n_cells=4
+    ).collect()
+    # identical vectors always share a cell (deterministic argmax over
+    # the same centroid model) → every planted pair is recovered, and
+    # nothing else clears the near-1 threshold on sin-lattice vectors
+    found = {(r["id_keep"], r["id_drop"]) for r in pairs}
+    assert found == {(i, i + 1000) for i in range(5)}
+    for r in pairs:
+        assert r["cosine"] > 0.999999
+
+
+def test_semantic_dedup_comparisons_are_cell_bounded(spark):
+    from incremental_github_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    df = _planted_embeddings(spark, n_dups=0)
+    # threshold -1 keeps every compared pair → the row count IS the
+    # number of comparisons; must be Σ|cell|²/2-ish, strictly < n²/2
+    pairs = semantic_dedup(df, "vec_id", "embedding", threshold=-1.0, n_cells=4)
+    n = df.count()
+    assert 0 < pairs.count() < n * (n - 1) / 2

@@ -566,3 +566,108 @@ def test_pack_sequences_sharded_parallelism(spark):
         for r in rows:
             assert r["seq_id"] == cum // 60
             cum += r["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans (C4-style boilerplate excision)
+# ---------------------------------------------------------------------------
+
+
+def test_remove_duplicate_spans_excises_shared_gram(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y a b c d e z"),
+            (3, "p q r s t"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.remove_duplicate_spans(df, k=5, min_docs=2).collect()
+    }
+    # "a b c d e" occurs in docs 1 and 2 → those five tokens vanish from
+    # both, surviving tokens keep their original order
+    assert out[1]["clean_text"] == "f g h"
+    assert out[2]["clean_text"] == "x y z"
+    assert out[1]["n_removed"] == 5 and out[2]["n_removed"] == 5
+    # untouched doc and empty doc keep a row
+    assert out[3]["clean_text"] == "p q r s t" and out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 0
+
+
+def test_remove_duplicate_spans_overlapping_grams_union_coverage(spark):
+    # the duplicated region is longer than k: overlapping frequent grams
+    # must union their coverage, not double-remove or leave gaps
+    shared = "s1 s2 s3 s4 s5 s6 s7"
+    df = spark.createDataFrame(
+        [(1, f"{shared} tail1"), (2, f"head2 {shared}")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.remove_duplicate_spans(df, k=5, min_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == "tail1" and out[1]["n_removed"] == 7
+    assert out[2]["clean_text"] == "head2" and out[2]["n_removed"] == 7
+
+
+def test_remove_duplicate_spans_within_doc_repeat_not_removed(spark):
+    # the SAME doc repeating a gram twice is not cross-document
+    # boilerplate (min_docs counts DISTINCT docs)
+    df = spark.createDataFrame(
+        [(1, "r1 r2 r3 r4 r5 mid r1 r2 r3 r4 r5"), (2, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.remove_duplicate_spans(df, k=5, min_docs=2).collect()
+    }
+    assert out[1]["n_removed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# dsir_score (importance weighting)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weight_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b b c")],
+        "doc_id long, text string",
+    )
+    # target = doc 1 only: target counts a:2 b:1, raw counts a:3 b:3 c:2
+    # raw_total=8? no: tokens total = 3+2+3 = 8, vocab = {a,b,c} = 3
+    out = {
+        r["doc_id"]: r
+        for r in tx.dsir_score(
+            df, target_filter=F.col("doc_id") == 1
+        ).collect()
+    }
+    raw_total, target_total, vocab = 8, 3, 3
+    def lr(tc, rc):
+        return math.log((tc + 1) / (target_total + vocab)) - math.log(
+            (rc + 1) / (raw_total + vocab)
+        )
+    expected_doc2 = (lr(2, 3) + lr(0, 2)) / 2  # tokens a, c
+    assert abs(out[2]["dsir_weight"] - expected_doc2) < 1e-12
+    assert out[2]["raw_freq_sum"] == 3 + 2
+    assert out[2]["target_freq_sum"] == 2 + 0
+    # doc 1 is IN the target: must score higher than out-of-domain doc 3
+    assert out[1]["dsir_weight"] > out[3]["dsir_weight"]
+
+
+def test_dsir_empty_doc_keeps_row_with_null_weight(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.dsir_score(df, target_filter=F.lit(True)).collect()
+    }
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["dsir_weight"] is None
+    assert out[2]["raw_freq_sum"] == 0 and out[2]["target_freq_sum"] == 0
