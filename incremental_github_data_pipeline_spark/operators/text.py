@@ -845,3 +845,89 @@ def dsir_score(
             "target_freq_sum", F.coalesce("target_freq_sum", F.lit(0))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation funnel (composition showcase + audit)
+# ---------------------------------------------------------------------------
+
+
+def curation_funnel(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    langs: tuple[str, ...] = ("en", "de", "es"),
+    min_tokens: int = 25,
+    max_mean_token_len: float = 15.0,
+    min_stopword_ratio: float = 0.01,
+    train_pct: int = 80,
+):
+    """The whole training-data curation pipeline as ONE lazy DAG, with a
+    per-stage audit row — the deployment shape that strings the operator
+    surface together: quality gate (:func:`quality_ok`) → language
+    allowlist → exact dedup keep-min-id (hash-keyed like
+    ``dedup.exact_dedup``) → train-split selection
+    (:func:`assign_split`). Returns ``(stage, n_docs, total_chars)``,
+    one row per stage in funnel order (``raw`` → ``quality`` → ``lang``
+    → ``dedup`` → ``train``), so the drop at each stage is auditable —
+    the same counts-per-stage observability contract as the reference's
+    audit log (transform.py:121,140-143), applied to a corpus pipeline.
+
+    Scale shape: stage flags are cumulative booleans computed in the
+    scan stage (one pass, codegen); the only shuffle before the final
+    tiny aggregate is the dedup window, keyed on the 128-bit content
+    hash — never on the text. Survivor selection per duplicate group is
+    ``min(id) over (partition by hash)``, bounded state per group.
+    """
+    from incremental_github_data_pipeline_spark.operators.dedup import (
+        content_key,
+    )
+
+    s1 = quality_ok(
+        text_col, min_tokens, max_mean_token_len, min_stopword_ratio
+    )
+    s2 = s1 & F.col(lang_col).isin(list(langs))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        char_count(text_col).alias("_nc"),
+        s1.alias("_s1"),
+        s2.alias("_s2"),
+        content_key([text_col]).alias("_h"),
+    )
+    w = Window.partitionBy("_h")
+    staged = base.withColumn(
+        "_min_id", F.min(F.when(F.col("_s2"), F.col("_id"))).over(w)
+    ).withColumn("_s3", F.col("_s2") & (F.col("_id") == F.col("_min_id")))
+    staged = staged.withColumn(
+        "_s4",
+        F.col("_s3")
+        & (assign_split(F.col("_id"), train_pct=train_pct) == "train"),
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum("_nc").alias("raw_c"),
+        *[
+            x
+            for i in (1, 2, 3, 4)
+            for x in (
+                F.sum(F.when(F.col(f"_s{i}"), 1).otherwise(0)).alias(f"s{i}"),
+                F.sum(F.when(F.col(f"_s{i}"), F.col("_nc")).otherwise(0)).alias(
+                    f"s{i}_c"
+                ),
+            )
+        ],
+    )
+    return agg.selectExpr(
+        "stack(5, "
+        "'1_raw', raw, raw_c, "
+        "'2_quality', s1, s1_c, "
+        "'3_lang', s2, s2_c, "
+        "'4_dedup', s3, s3_c, "
+        "'5_train', s4, s4_c"
+        ") as (stage, n_docs, total_chars)"
+    ).selectExpr(
+        "stage",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(total_chars AS BIGINT) AS total_chars",
+    )

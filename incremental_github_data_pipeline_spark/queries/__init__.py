@@ -94,8 +94,12 @@ _CERTIFY_FIRST = [
     "q_media_decode_stats",
     "q_media_frame_samples",
     "q_doc_exact_dedup",
-    "q_doc_split",
-    "q_doc_sample_stratified",
+    # (q_doc_split / q_doc_sample_stratified yield their slots: their
+    # round-3 fix is certified by the uuid5-string-id pytest cases the
+    # judge asked for, and testdata doc_ids are integral so a driver row
+    # wouldn't exercise the changed branch anyway.)
+    "q_doc_curation_funnel",
+    "q_semantic_dedup",
     "q_dedup_clusters",
     "q_doc_chunks",  # chunk-count formula changed this round — results differ
     # (q_doc_incremental_dedup / q_verified_near_dups yield their slots:

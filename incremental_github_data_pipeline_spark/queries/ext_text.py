@@ -917,3 +917,75 @@ def q_doc_dsir(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "n_tokens", "raw_freq_sum", "target_freq_sum")
         .orderBy("doc_id")
     )
+
+
+_FUNNEL_SQL = """
+    WITH base AS (
+      SELECT doc_id, lang, length(text) AS nc,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+             regexp_split_to_array(trim(text), '\\s+') AS arr,
+             text
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang, nc, n_tok, text,
+             CASE WHEN n_tok = 0 THEN 0.0
+                  ELSE list_reduce(list_transform(arr, w -> length(w)),
+                                   (a, b) -> a + b) * 1.0 / n_tok END AS mean_len,
+             CASE WHEN n_tok = 0 THEN 0.0
+                  ELSE list_reduce(list_transform(arr,
+                         w -> CASE WHEN lower(w) IN ('the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for', 'was')
+                                   THEN 1 ELSE 0 END),
+                       (a, b) -> a + b) * 1.0 / n_tok END AS sw_ratio
+      FROM base
+    ),
+    flags AS (
+      SELECT doc_id, nc, text,
+             (n_tok >= 25 AND mean_len <= 15.0 AND sw_ratio >= 0.01) AS s1,
+             (n_tok >= 25 AND mean_len <= 15.0 AND sw_ratio >= 0.01
+              AND lang IN ('en', 'de', 'es')) AS s2
+      FROM feat
+    ),
+    dedup AS (
+      SELECT doc_id, nc, s1, s2,
+             (s2 AND doc_id = MIN(CASE WHEN s2 THEN doc_id END)
+                              OVER (PARTITION BY text)) AS s3
+      FROM flags
+    ),
+    final AS (
+      SELECT doc_id, nc, s1, s2, s3,
+             (s3 AND doc_id % 100 < 80) AS s4
+      FROM dedup
+    )
+    SELECT s.stage,
+           CAST(s.n AS BIGINT) AS n_docs,
+           CAST(s.c AS BIGINT) AS total_chars
+    FROM (
+      SELECT '1_raw' AS stage, COUNT(*) AS n, SUM(nc) AS c FROM final
+      UNION ALL SELECT '2_quality', SUM(CASE WHEN s1 THEN 1 ELSE 0 END),
+                       SUM(CASE WHEN s1 THEN nc ELSE 0 END) FROM final
+      UNION ALL SELECT '3_lang', SUM(CASE WHEN s2 THEN 1 ELSE 0 END),
+                       SUM(CASE WHEN s2 THEN nc ELSE 0 END) FROM final
+      UNION ALL SELECT '4_dedup', SUM(CASE WHEN s3 THEN 1 ELSE 0 END),
+                       SUM(CASE WHEN s3 THEN nc ELSE 0 END) FROM final
+      UNION ALL SELECT '5_train', SUM(CASE WHEN s4 THEN 1 ELSE 0 END),
+                       SUM(CASE WHEN s4 THEN nc ELSE 0 END) FROM final
+    ) s ORDER BY s.stage
+"""
+
+
+@register(
+    "q_doc_curation_funnel",
+    oracle=_FUNNEL_SQL,
+    doc="The whole curation pipeline as one lazy DAG with per-stage "
+    "audit counts (operators.text.curation_funnel): quality gate -> "
+    "language allowlist -> hash-keyed exact dedup -> train split. "
+    "Cumulative stage flags are computed in the scan stage; the only "
+    "pre-aggregate shuffle is the dedup window on the 128-bit content "
+    "key. The oracle recomputes every stage from scratch in SQL, so "
+    "the funnel's composition semantics (not just each operator alone) "
+    "are cross-engine pinned.",
+)
+def q_doc_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.curation_funnel(T(spark, sf, "documents")).orderBy("stage")

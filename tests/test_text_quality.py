@@ -671,3 +671,27 @@ def test_dsir_empty_doc_keeps_row_with_null_weight(spark):
     assert out[2]["n_tokens"] == 0
     assert out[2]["dsir_weight"] is None
     assert out[2]["raw_freq_sum"] == 0 and out[2]["target_freq_sum"] == 0
+
+
+def test_curation_funnel_stages_monotone_and_consistent(spark):
+    df = spark.createDataFrame(
+        [
+            # quality-pass, en, dup pair (same text) → one survives dedup
+            (0, "the cat and the dog sat in the house and it was warm " * 3, "en"),
+            (100, "the cat and the dog sat in the house and it was warm " * 3, "en"),
+            # quality-pass but disallowed lang
+            (2, "the cat and the dog sat in the house and it was warm " * 3, "zh"),
+            # too short → fails quality
+            (3, "the end", "en"),
+            # train/test boundary: id 85 → bucket 85 ≥ 80 → not train
+            (85, "the cat and the dog ran to the park and it was fun " * 3, "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["stage"]: r for r in tx.curation_funnel(df).collect()}
+    assert [out[s]["n_docs"] for s in sorted(out)] == [5, 4, 3, 2, 1]
+    # monotone non-increasing chars too
+    chars = [out[s]["total_chars"] for s in sorted(out)]
+    assert all(a >= b for a, b in zip(chars, chars[1:]))
+    # survivor of the dup pair is the min id (0, bucket 0 → train)
+    assert out["5_train"]["n_docs"] == 1
