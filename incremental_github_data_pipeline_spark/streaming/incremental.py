@@ -289,3 +289,116 @@ def join_streams_windowed(
         F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
     )
     return lt.join(rt, cond & band, "inner")
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus curation ([EXT] §2.10 — the streaming twin of
+# operators.text.curation_funnel)
+# ---------------------------------------------------------------------------
+
+DOCS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string"
+)
+
+
+def run_incremental_curation(
+    spark: SparkSession,
+    docs_dir: str | Path,
+    out_dir: str | Path,
+    checkpoint_dir: str | Path,
+    langs: tuple[str, ...] = ("en", "de", "es"),
+    min_tokens: int = 25,
+    max_mean_token_len: float = 15.0,
+    min_stopword_ratio: float = 0.01,
+    audit_log: str | Path | None = None,
+) -> None:
+    """Streaming corpus curation: JSONL document files landing in
+    ``docs_dir`` are discovered by an ``availableNow`` file stream and
+    curated per micro-batch with the SAME operator surface as the batch
+    funnel (quality gate → language allowlist → exact dedup), then
+    MERGEd into the curated snapshot on ``doc_id`` — one curation
+    codebase for both modes, exactly like run_incremental_github reuses
+    the batch cleaners.
+
+    Cross-batch dedup never shuffles the accumulated corpus: the
+    incoming batch's 128-bit content keys broadcast, the curated
+    snapshot is scanned map-side for collisions, and only colliding
+    keys flow back to drop batch rows (the dedup_against_corpus
+    asymmetry, applied to exact keys). Within-batch dups resolve to the
+    min id; across batches the earlier-arrived copy wins — arrival
+    order, the streaming analogue of keep-first (A2).
+
+    Each batch appends one audit line per funnel stage (raw → quality
+    → lang → new) to ``audit_log`` — the reference's counts-per-stage
+    observability contract (transform.py:121,140-143) on the streaming
+    path.
+    """
+    from incremental_github_data_pipeline_spark.operators import text as tx
+    from incremental_github_data_pipeline_spark.operators.dedup import (
+        content_key,
+        exact_dedup,
+    )
+    from incremental_github_data_pipeline_spark.sources.writers import AuditLog
+
+    out_dir = Path(out_dir)
+    audit = AuditLog(audit_log) if audit_log else None
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .json(str(docs_dir))  # JSON Lines: one doc per line
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        n_raw = batch_df.count()
+        passed = batch_df.filter(
+            tx.quality_ok(
+                "text", min_tokens, max_mean_token_len, min_stopword_ratio
+            )
+        ).cache()
+        n_quality = passed.count()
+        in_lang = passed.filter(F.col("lang").isin(list(langs))).cache()
+        n_lang = in_lang.count()
+        batch_unique = in_lang.transform(
+            lambda d: exact_dedup(d, ["text"], "doc_id")
+        )
+        target = out_dir / "curated_docs"
+        if target.exists():
+            curated = spark.read.parquet(str(target))
+            batch_keys = batch_unique.select(
+                content_key(["text"]).alias("_h")
+            ).distinct()
+            collided = (
+                curated.select(content_key(["text"]).alias("_h"))
+                .join(F.broadcast(batch_keys), "_h", "left_semi")
+                .distinct()
+            )
+            survivors = (
+                batch_unique.withColumn("_h", content_key(["text"]))
+                .join(F.broadcast(collided), "_h", "left_anti")
+                .drop("_h")
+            )
+        else:
+            survivors = batch_unique
+        # materialize before the merge: merge_upsert rotates the curated
+        # snapshot directory, and a lazy survivors plan would re-read
+        # the replaced part files on the post-merge audit count
+        survivors = survivors.localCheckpoint(eager=True)
+        merge_upsert(spark, survivors, out_dir, "curated_docs", ["doc_id"])
+        if audit:
+            n_new = survivors.count()
+            for stage, n in (
+                ("raw", n_raw),
+                ("quality", n_quality),
+                ("lang", n_lang),
+                ("new", n_new),
+            ):
+                audit.log(f"curation batch {batch_id}: {stage} rows = {n}")
+        passed.unpersist()
+        in_lang.unpersist()
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

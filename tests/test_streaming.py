@@ -209,3 +209,63 @@ def test_incremental_github_end_to_end(spark, tmp_path):
     assert updated["stargazers_count"] == 10**6
     # backup generation retained by the rotating writer
     assert (out / "repos_clean_backup").exists()
+
+
+def test_incremental_curation_two_batches(spark, tmp_path):
+    """Two-run availableNow curation: batch 2 carries an exact dup of a
+    batch-1 doc (different id), a low-quality doc, a disallowed-lang
+    doc, and one genuinely new doc. Final curated state must equal the
+    batch curation funnel's survivor set over the union."""
+    import json as _json
+
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        run_incremental_curation,
+    )
+
+    good = (
+        "the cat and the dog sat in the house and it was warm and the "
+        "sun was up and the day was long and all of it was good for them"
+    )
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    audit = tmp_path / "audit.log"
+
+    def land(name, rows):
+        with open(docs_dir / name, "w", encoding="UTF-8") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    land(
+        "batch1.jsonl",
+        [
+            {"doc_id": 1, "text": good, "lang": "en", "source": "s0"},
+            {"doc_id": 2, "text": good + " extra tail", "lang": "de", "source": "s0"},
+        ],
+    )
+    run_incremental_curation(spark, docs_dir, out_dir, ckpt, audit_log=audit)
+    land(
+        "batch2.jsonl",
+        [
+            # exact dup of doc 1's text → dropped against the corpus
+            {"doc_id": 10, "text": good, "lang": "en", "source": "s1"},
+            # fails quality (short)
+            {"doc_id": 11, "text": "too short", "lang": "en", "source": "s1"},
+            # disallowed lang
+            {"doc_id": 12, "text": good + " zh tail", "lang": "zh", "source": "s1"},
+            # genuinely new
+            {"doc_id": 13, "text": good + " brand new ending", "lang": "es", "source": "s1"},
+        ],
+    )
+    run_incremental_curation(spark, docs_dir, out_dir, ckpt, audit_log=audit)
+
+    curated = spark.read.parquet(str(out_dir / "curated_docs"))
+    assert sorted(r["doc_id"] for r in curated.collect()) == [1, 2, 13]
+    # audit: 4 stage lines per processed batch, counts monotone per batch
+    lines = audit.read_text().strip().splitlines()
+    assert sum("raw rows" in ln for ln in lines) >= 2
+    # idempotence: re-running with no new files changes nothing
+    run_incremental_curation(spark, docs_dir, out_dir, ckpt, audit_log=audit)
+    again = spark.read.parquet(str(out_dir / "curated_docs"))
+    assert sorted(r["doc_id"] for r in again.collect()) == [1, 2, 13]
