@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "q_dedup_clusters",
     "q_doc_incremental_dedup",
     "q_verified_near_dups",
+    # round-3 additions: cross-doc span excision (gram-frequency shuffle
+    # + covered-position anti-join) and the one-DAG curation funnel
+    "q_doc_remove_spans",
+    "q_doc_curation_funnel",
 ]
 
 

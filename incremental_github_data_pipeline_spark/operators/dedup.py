@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from incremental_github_data_pipeline_spark.functions.scalar import let_
 from incremental_github_data_pipeline_spark.operators.core import ensure_min_partitions
@@ -540,11 +541,39 @@ def gram_overlap_pairs(
     )
 
 
+def _local_union_find(edge_rows, id_a: str, id_b: str) -> dict:
+    """Exact union-find with min-id roots over a collected (bounded)
+    edge list. Works for any orderable id type (ints, uuid5 strings)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r[id_a], r[id_b]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id becomes the root → labels match the distributed
+            # min-propagation fixed point
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    local_threshold: int = 500_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list by iterative
     min-label propagation: every node's label converges to the minimum
@@ -554,6 +583,16 @@ def connected_components(
     canonical document (min id) can be kept per cluster — without it a
     chain a~b~c keeps b twice or drops both ends, depending on pair
     order.
+
+    Hybrid execution: the pair list is verified-candidate-sized (near
+    -dup pairs, not the corpus), so it is frequently SMALL even when the
+    corpus is 100 TB. When the materialized edge count is at or below
+    ``local_threshold`` (default 5×10⁵ edges — a few tens of MB, the
+    same bounded-model class as the IVF centroid collect), the exact
+    union-find runs on the driver in one pass: O(E α(E)) and zero
+    per-round scheduling, instead of O(log d) rounds of shuffle joins
+    whose fixed cost dominates below millions of edges. Above the
+    threshold the distributed path runs:
 
     Scale shape: each round is a shuffle join on the node id, an
     algebraic aggregate, and a pointer-jump self-join; lineage is
@@ -566,13 +605,37 @@ def connected_components(
     type-agnostic, so it is correct for STRING ids (the engine's own
     uuid5 keys order lexicographically) where a numeric label-sum test
     would compare NULL==NULL and exit unconverged after one round.
+    Both paths converge to the identical min-id labeling.
     """
+    distinct_pairs = pairs.select(id_a, id_b).distinct().localCheckpoint(
+        eager=True
+    )
+    n_edges = distinct_pairs.count()  # cheap: reads the checkpoint
+    if n_edges <= local_threshold:
+        labels = _local_union_find(distinct_pairs.collect(), id_a, id_b)
+        spark = distinct_pairs.sparkSession
+        id_type = distinct_pairs.schema[id_a].dataType
+        schema = T.StructType(
+            [
+                T.StructField("id", id_type, False),
+                T.StructField("component", id_type, False),
+            ]
+        )
+        return spark.createDataFrame(
+            list(labels.items()), schema
+        )
     # Materialize the edge list once: every round joins against it, and
     # without truncation each round would re-run the (possibly
     # expensive) pair-generation lineage from scratch.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        distinct_pairs.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+        )
+        .unionAll(
+            distinct_pairs.select(
+                F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+            )
+        )
         .localCheckpoint(eager=True)
     )
     labels = (

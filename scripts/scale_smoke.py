@@ -45,6 +45,8 @@ QUERIES = [
     "q_doc_decontaminate",
     "q_doc_incremental_dedup",
     "q_dedup_clusters",
+    "q_doc_remove_spans",
+    "q_doc_curation_funnel",
 ]
 
 

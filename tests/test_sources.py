@@ -69,3 +69,40 @@ def test_audit_log_appends_timestamped_lines(tmp_path):
     lines = (tmp_path / "audit.txt").read_text().strip().splitlines()
     assert len(lines) == 2
     assert lines[0].endswith("first") and ": " in lines[0]
+
+
+def test_events_reader_normalizes_both_timestamp_generations(spark, tmp_path):
+    """The driver has shipped events.ts two ways across testdata
+    generations: TIMESTAMP(NANOS) (reads as long under nanosAsLong) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ).
+    read_parquet_table must normalize both to a session-tz TIMESTAMP
+    with identical instants, or every unix_micros/watermark consumer
+    breaks on a testdata regeneration."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incremental_github_data_pipeline_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    wall = datetime.datetime(2026, 1, 2, 3, 4, 5, 123456)
+    for gen_dir, ts_type in (
+        ("gen_ntz", pa.timestamp("us")),          # naive micros → NTZ
+        ("gen_nanos", pa.timestamp("ns")),        # nanos → long branch
+    ):
+        d = tmp_path / gen_dir
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([wall], ts_type),
+            }
+        )
+        pq.write_table(table, d / "events.parquet")
+        df = read_parquet_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", gen_dir
+        [row] = df.collect()
+        # session tz is UTC: the naive wall-clock maps to the same instant
+        assert row["ts"] == wall, gen_dir

@@ -124,14 +124,23 @@ def test_vocab_stats_hapax(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_connected_components_chain_and_island(spark):
+@pytest.mark.parametrize("local_threshold", [500_000, 0])
+def test_connected_components_chain_and_island(spark, local_threshold):
+    """Both execution paths (driver union-find below the edge-count
+    threshold; distributed pointer-jump propagation above it, forced
+    here with threshold 0) must produce the identical min-id labeling."""
     from incremental_github_data_pipeline_spark.operators import dedup as dd
 
     # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + island 8-9
     pairs = spark.createDataFrame(
         [(2, 3), (1, 2), (3, 4), (8, 9)], "id_a long, id_b long"
     )
-    got = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    got = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(
+            pairs, local_threshold=local_threshold
+        ).collect()
+    }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
 
 
@@ -288,16 +297,24 @@ def test_sample_stratified_string_uuid_ids(spark):
     assert "en" in langs  # 50% of 500 en docs can't be empty
 
 
-def test_connected_components_string_uuid_ids(spark):
+@pytest.mark.parametrize("local_threshold", [500_000, 0])
+def test_connected_components_string_uuid_ids(spark, local_threshold):
     from incremental_github_data_pipeline_spark.operators import dedup as dd
 
     # chain b-c-d-e (diameter 3: needs real convergence, not a
-    # one-round exit) + island y-z, with uuid-style string labels
+    # one-round exit) + island y-z, with uuid-style string labels —
+    # run through BOTH the local union-find and (threshold 0) the
+    # distributed propagation path
     pairs = spark.createDataFrame(
         [("cc", "dd"), ("bb", "cc"), ("dd", "ee"), ("yy", "zz")],
         "id_a string, id_b string",
     )
-    got = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    got = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(
+            pairs, local_threshold=local_threshold
+        ).collect()
+    }
     assert got == {
         "bb": "bb",
         "cc": "bb",
