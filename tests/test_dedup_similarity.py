@@ -303,3 +303,65 @@ def test_semantic_dedup_comparisons_are_cell_bounded(spark):
     pairs = semantic_dedup(df, "vec_id", "embedding", threshold=-1.0, n_cells=4)
     n = df.count()
     assert 0 < pairs.count() < n * (n - 1) / 2
+
+
+def test_refine_centroids_monotone_and_shape(spark):
+    """Lloyd refinement must (a) keep the model shape (same cells, same
+    dim), (b) never decrease the total assignment similarity, and (c)
+    carry dead cells forward instead of shrinking the model."""
+    from incremental_github_data_pipeline_spark.operators.similarity import (
+        _centroid_literal,
+        as_double_vec,
+        cosine_similarity,
+        pick_centroids,
+        refine_centroids,
+    )
+
+    df = _planted_embeddings(spark, n=60, dim=8, n_dups=0)
+
+    def total_sim(cent_rows):
+        cent = _centroid_literal(cent_rows)
+        v = as_double_vec("embedding")
+        best = F.array_max(
+            F.transform(
+                cent,
+                lambda s: F.struct(
+                    cosine_similarity(v, s["cent"]).alias("sim"),
+                    s["cell"].alias("cell"),
+                ),
+            )
+        )
+        return df.select(best["sim"].alias("s")).agg(F.sum("s")).first()[0]
+
+    seeds = pick_centroids(df, "embedding", 4, "vec_id")
+    refined = refine_centroids(df, "embedding", seeds, n_iter=3)
+    assert [c for c, _ in refined] == [c for c, _ in seeds]
+    assert all(len(v) == 8 for _, v in refined)
+    assert total_sim(refined) >= total_sim(seeds) - 1e-9
+
+
+def test_ivf_refined_recall_not_worse(spark):
+    """Refined cells must not hurt IVF recall vs brute force on the
+    planted-embedding set (same n_probe)."""
+    from incremental_github_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    df = _planted_embeddings(spark, n=50, dim=8, n_dups=0)
+    corpus = df.selectExpr("vec_id as corpus_id", "embedding")
+    queries = df.filter(F.col("vec_id") < 4).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+
+    def hits(refine_iters):
+        out = ivf_topk(
+            corpus, queries, "corpus_id", "query_id", "embedding",
+            k=3, n_cells=4, n_probe=2, refine_iters=refine_iters,
+        )
+        return {(r["query_id"], r["corpus_id"]) for r in out.collect()}
+
+    base, refined = hits(0), hits(2)
+    # each query must at minimum still find itself
+    for q in range(4):
+        assert (q, q) in refined
+    assert len(refined) >= len(base) - 2  # no recall collapse
