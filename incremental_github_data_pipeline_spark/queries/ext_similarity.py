@@ -287,6 +287,7 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
             "embedding",
             threshold=0.99,
             n_cells=8,
+            refine_iters=1,  # exercise the Lloyd-refined cell model
         )
         .orderBy("id_keep", "id_drop")
     )
