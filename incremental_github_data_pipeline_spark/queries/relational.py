@@ -1128,3 +1128,46 @@ def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_purchase_after_view"),
     )
+
+
+@register(
+    "q_window_analytics",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           min(o_totalprice) OVER (
+             w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min_3,
+           max(o_totalprice) OVER (
+             w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max_3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_orderpriority, o_orderdate, o_orderkey
+    """,
+    doc="Analytic window surface in one pass: lag/lead offsets, ntile "
+    "bucketing, percent_rank, and a rows-frame min/max — every function "
+    "shares the (priority, date, key) window spec, so Catalyst plans a "
+    "SINGLE Window operator over ONE shuffle on the partition key. All "
+    "outputs are arithmetic-free (offsets, ranks, order-independent "
+    "min/max), so the cross-engine compare is exact — no float-"
+    "summation-order hazard.",
+)
+def q_window_analytics(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    wf = w.rowsBetween(-2, 0)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.min("o_totalprice").over(wf).alias("min_3"),
+        F.max("o_totalprice").over(wf).alias("max_3"),
+    ).orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
