@@ -712,3 +712,49 @@ def test_curation_funnel_stages_monotone_and_consistent(spark):
     assert all(a >= b for a, b in zip(chars, chars[1:]))
     # survivor of the dup pair is the min id (0, bucket 0 → train)
     assert out["5_train"]["n_docs"] == 1
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans — property-based invariants
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+_doc_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_doc_strategy)
+def test_remove_spans_conservation_and_monotonicity(spark, texts):
+    """For any corpus: (a) token conservation — kept + removed = total,
+    and clean_text's token count equals the kept count; (b) the kept
+    tokens are a subsequence of the original tokens; (c) raising
+    min_docs never removes MORE (monotone in the threshold)."""
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    k = 3
+    by_id = {
+        r["doc_id"]: r
+        for r in tx.remove_duplicate_spans(df, k=k, min_docs=2).collect()
+    }
+    strict = {
+        r["doc_id"]: r
+        for r in tx.remove_duplicate_spans(df, k=k, min_docs=3).collect()
+    }
+    for i, text in enumerate(texts):
+        orig = text.split() if text.strip() else []
+        row = by_id[i]
+        kept = row["clean_text"].split() if row["clean_text"] else []
+        assert row["n_tokens"] == len(orig)
+        assert len(kept) + row["n_removed"] == len(orig)
+        # kept is a subsequence of orig
+        it = iter(orig)
+        assert all(tok in it for tok in kept)
+        assert strict[i]["n_removed"] <= row["n_removed"]
