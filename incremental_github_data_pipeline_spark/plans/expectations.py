@@ -251,3 +251,64 @@ def branches_expectations(repos: DataFrame) -> list[Expectation]:
         ),
         ForeignKey("branches_repo_fk", ("repo_id",), repos, ("repo_id",)),
     ]
+
+
+def quarantine(
+    df: DataFrame, expectations: list[Expectation]
+) -> tuple[DataFrame, DataFrame]:
+    """Like :func:`enforce`, but violating rows are ROUTED, not dropped:
+    returns ``(clean, quarantined)`` where quarantined rows carry a
+    ``_violations`` array naming every failed Check / ForeignKey — the
+    triage table a production pipeline lands next to the warehouse so
+    bad records can be inspected and replayed after a fix (the
+    reference only counts-and-drops, transform.py:301-308; Uniques
+    remain report-only, dedup policy belongs to §2.4 operators).
+
+    One pass over the data: every violation flag is a column expression
+    (FK membership via broadcast left join adding a marker column), the
+    split is two pushed-down filters on the same flagged frame. The
+    clean side carries the original schema; clean ∪ quarantined ≡ input.
+    """
+    flagged = df
+    flags: list[tuple[str, Column]] = []
+    for i, e in enumerate(expectations):
+        if isinstance(e, Check):
+            flags.append((e.name, ~F.coalesce(e.predicate, F.lit(False))))
+        elif isinstance(e, ForeignKey):
+            marker = f"_fk_ok_{i}"
+            ref = F.broadcast(
+                e.ref.select(
+                    *[F.col(rc).alias(c) for rc, c in zip(e.ref_cols, e.cols)]
+                )
+                .distinct()
+                .withColumn(marker, F.lit(1))
+            )
+            flagged = flagged.join(ref, list(e.cols), "left")
+            null_local = None
+            for c in e.cols:
+                clause = F.col(c).isNull()
+                null_local = (
+                    clause if null_local is None else null_local | clause
+                )
+            flags.append(
+                (e.name, F.col(marker).isNull() & ~null_local)
+            )
+    markers = [f"_fk_ok_{i}" for i, e in enumerate(expectations)
+               if isinstance(e, ForeignKey)]
+    flagged = flagged.withColumn(
+        "_violations",
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                    for name, cond in flags
+                ]
+            )
+        ),
+    ).drop(*markers)
+    # the FK joins move join keys to the front — restore the input order
+    clean = flagged.filter(F.size("_violations") == 0).select(*df.columns)
+    bad = flagged.filter(F.size("_violations") > 0).select(
+        *df.columns, "_violations"
+    )
+    return clean, bad

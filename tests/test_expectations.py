@@ -114,3 +114,38 @@ def test_github_expectation_sets_compile(spark):
         (branches, branches_expectations(repos)),
     ]:
         assert all(r["violations"] == 0 for r in evaluate(df, exps).collect())
+
+
+def test_quarantine_routes_rows_with_named_reasons(spark):
+    from incremental_github_data_pipeline_spark.plans.expectations import (
+        Check,
+        ForeignKey,
+        quarantine,
+    )
+
+    ref = spark.createDataFrame([(1,), (2,)], "rid long")
+    df = spark.createDataFrame(
+        [
+            (1, 5, 1),     # clean
+            (2, -1, 2),    # fails non_negative
+            (3, 5, 99),    # fails fk
+            (4, -7, 99),   # fails both
+            (5, 5, None),  # null FK key passes (SQL semantics)
+        ],
+        "id long, n long, rid long",
+    )
+    exps = [
+        Check("non_negative_n", F.col("n") >= 0),
+        ForeignKey("fk_rid", ("rid",), ref, ("rid",)),
+    ]
+    clean, bad = quarantine(df, exps)
+    assert sorted(r["id"] for r in clean.collect()) == [1, 5]
+    reasons = {r["id"]: sorted(r["_violations"]) for r in bad.collect()}
+    assert reasons == {
+        2: ["non_negative_n"],
+        3: ["fk_rid"],
+        4: ["fk_rid", "non_negative_n"],
+    }
+    # clean keeps the original schema; split partitions the input
+    assert clean.columns == df.columns
+    assert clean.count() + bad.count() == df.count()
