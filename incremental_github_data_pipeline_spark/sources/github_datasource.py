@@ -30,7 +30,12 @@ import importlib
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from incremental_github_data_pipeline_spark.sources.rest import (
     DEFAULT_MAX_PAGES,
@@ -85,6 +90,61 @@ class GithubRestReader(DataSourceReader):
                 yield (val, json.dumps(rec))
 
 
+class GithubRestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tier of the github_rest source: the offset is the next
+    repos page to fetch, each micro-batch advances it by up to
+    ``pages_per_batch`` pages, and a short or empty page ends the
+    listing for that poll (the reference's stop condition,
+    extract.py:62-63, as an offset that simply stops advancing until
+    new data appears). ``readBetweenOffsets`` re-fetches the same page
+    range deterministically, which is what makes micro-batch retries
+    exactly-once. The Simple reader API runs driver-side (right for a
+    rate-limited REST poll); backfills at scale use the
+    partition-parallel batch reader above.
+
+    Per-repo endpoints (issues/branches) stay on the batch reader: their
+    fan-out axis is the repo list, not a monotone page cursor.
+    """
+
+    def __init__(self, options: dict):
+        self.options = options
+        self.owner = options["owner"]
+        self.per_page = int(options.get("per_page", DEFAULT_PER_PAGE))
+        self.pages_per_batch = int(options.get("pages_per_batch", 1))
+
+    def initialOffset(self) -> dict:
+        return {"page": 1}
+
+    def _fetch_pages(self, start_page: int, max_pages: int):
+        fetch = _resolve_fetch(self.options)
+        rows, page = [], start_page
+        while page < start_page + max_pages:
+            batch = fetch(
+                f"{GITHUB_API}/users/{self.owner}/repos",
+                {"per_page": self.per_page, "page": page},
+            )
+            if not batch:
+                break
+            rows.extend((None, json.dumps(rec)) for rec in batch)
+            page += 1
+            if len(batch) < self.per_page:
+                break  # short page: end of the current listing
+        return rows, page
+
+    def read(self, start: dict):
+        rows, next_page = self._fetch_pages(
+            int(start["page"]), self.pages_per_batch
+        )
+        return iter(rows), {"page": next_page}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        n = int(end["page"]) - int(start["page"])
+        if n <= 0:
+            return iter([])
+        rows, _ = self._fetch_pages(int(start["page"]), n)
+        return iter(rows)
+
+
 class GithubRestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -95,6 +155,9 @@ class GithubRestDataSource(DataSource):
 
     def reader(self, schema) -> GithubRestReader:
         return GithubRestReader(self.options)
+
+    def simpleStreamReader(self, schema) -> GithubRestStreamReader:
+        return GithubRestStreamReader(self.options)
 
 
 def register(spark) -> None:

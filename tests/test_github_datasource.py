@@ -81,3 +81,46 @@ def test_datasource_feeds_transform_layer(spark, tmp_path):
     assert len(rows) == 4
     assert {r["repo_id"] for r in rows} == {"rid0", "rid1"}
     assert {r["branch_name"] for r in rows} == {"main", "dev"}
+
+
+def test_stream_reader_pages_as_microbatches(spark, tmp_path):
+    """readStream over the github_rest source: the page cursor advances
+    per micro-batch, the short third page ends the listing, and the
+    union of batches is exactly the 10 synthetic repos (no dups, no
+    gaps — the exactly-once contract of deterministic offset ranges)."""
+    import json as _json
+    import time
+
+    from incremental_github_data_pipeline_spark.sources.github_datasource import (
+        register,
+    )
+
+    register(spark)
+    q = (
+        spark.readStream.format("github_rest")
+        .option("endpoint", "repos")
+        .option("owner", "org")
+        .option("per_page", 4)  # match the fake transport's page size
+        .option("pages_per_batch", 1)
+        .option(
+            "fetch_fn",
+            "incremental_github_data_pipeline_spark.sources.rest_testing:make_fetch",
+        )
+        .load()
+        .writeStream.format("memory")
+        .queryName("gh_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("gh_stream").count() >= 10:
+                break
+            time.sleep(0.5)
+        rows = spark.table("gh_stream").collect()
+    finally:
+        q.stop()
+    ids = sorted(_json.loads(r["value"])["id"] for r in rows)
+    assert ids == list(range(10))  # 4 + 4 + 2 (short final page)
