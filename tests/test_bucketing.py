@@ -82,3 +82,55 @@ def test_write_partitioned_prunes_partitions_and_clusters(spark, tmp_path):
     rows = sorted(files.collect(), key=lambda r: r["lo"])
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"], "file user_id ranges interleave; not clustered"
+
+
+def test_zorder_write_narrows_file_stats_on_both_dims(spark, tmp_path):
+    """Grid data written z-ordered by (x, y): every parquet file's
+    min/max span must be narrow on BOTH columns — the property that
+    lets single-column predicates on either dimension skip files. A
+    plain x-sorted layout makes y spans global; z-order must not."""
+    import pyarrow.parquet as pq
+
+    from incremental_github_data_pipeline_spark.sources.writers import (
+        write_zordered,
+    )
+
+    n = 64
+    df = (
+        spark.range(n * n)
+        .selectExpr("id % 64 AS x", "id DIV 64 AS y", "id AS payload")
+        .repartition(8)  # scrambled input
+    )
+    path = tmp_path / "z"
+    write_zordered(df, path, ["x", "y"], bits=6, n_files=8)
+
+    files = sorted(p for p in path.glob("*.parquet"))
+    assert len(files) > 1
+    global_span = n - 1
+    spans = {"x": [], "y": []}
+    for f in files:
+        md = pq.read_metadata(f)
+        for col_idx, col_name in enumerate(md.schema.names):
+            if col_name not in spans:
+                continue
+            lo = min(
+                md.row_group(g).column(col_idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(col_idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            spans[col_name].append(hi - lo)
+    for col_name, s in spans.items():
+        # z-order's skipping guarantee is STATISTICAL: a segment that
+        # crosses a high-order bit flip spans the full domain in one
+        # dim (true of Delta/Iceberg Z-ordering too), so assert the
+        # aggregate shape — narrow on average and narrow for most
+        # files, on BOTH dims. An x-only sort fails this for y: every
+        # file would span the full y domain.
+        assert sum(s) / len(s) <= global_span * 0.62, (col_name, s)
+        narrow = sum(1 for v in s if v <= global_span * 0.6)
+        assert narrow >= len(s) * 0.6, (col_name, s)
+    # round trip: clustering must not lose or duplicate rows
+    assert spark.read.parquet(str(path)).count() == n * n
