@@ -472,6 +472,10 @@ def bigram_lm(df, text_col: str = "text"):
         df.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("token_count"))
+        # materialized once: the vocab_size scalar and the scoring join
+        # both consume this vocabulary-bounded table, and without
+        # truncation each would re-run the corpus-wide token explode
+        .localCheckpoint(eager=True)
     )
     vocab_size = uni.count()
     return big, uni, vocab_size
@@ -768,6 +772,10 @@ def dsir_counts(df, text_col: str = "text", target_filter=None):
             "target_count"
         ),
     )
+    # materialize the vocabulary-bounded table once: the totals scalar
+    # below and the scoring join both consume it, and without
+    # truncation each would re-run the corpus-wide token explode
+    counts = counts.localCheckpoint(eager=True)
     totals = counts.agg(
         F.sum("raw_count").alias("_rt"),
         F.sum("target_count").alias("_tt"),
