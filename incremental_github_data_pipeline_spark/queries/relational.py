@@ -1171,3 +1171,43 @@ def q_window_analytics(spark: SparkSession, sf: str) -> DataFrame:
         F.min("o_totalprice").over(wf).alias("min_3"),
         F.max("o_totalprice").over(wf).alias("max_3"),
     ).orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
+
+
+@register(
+    "q_events_props_map",
+    oracle="""
+    WITH kv AS (
+      SELECT event_type, u.pkey,
+             CAST(json_extract(props, '$.' || u.pkey) AS BIGINT) AS pval
+      FROM events, unnest(json_keys(props)) AS u(pkey)
+    )
+    SELECT event_type, pkey,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(pval) AS BIGINT) AS val_sum,
+           CAST(COUNT(DISTINCT pval) AS BIGINT) AS n_distinct_vals
+    FROM kv GROUP BY event_type, pkey ORDER BY event_type, pkey
+    """,
+    doc="Map-typed columns + lateral explode (SURVEY.md §2.7 notes the "
+    "reference has no map functions — free in Spark): parse the props "
+    "JSON into map<string,bigint> in the scan stage, explode entries "
+    "(generic over keys, nothing hardcoded), aggregate per (event_type, "
+    "key). One shuffle on the group key; the oracle iterates "
+    "json_keys the same generic way.",
+)
+def q_events_props_map(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    kv = e.select(
+        "event_type",
+        F.explode(
+            F.from_json("props", "map<string,bigint>")
+        ).alias("pkey", "pval"),
+    )
+    return (
+        kv.groupBy("event_type", "pkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("pval").alias("val_sum"),
+            F.count_distinct("pval").alias("n_distinct_vals"),
+        )
+        .orderBy("event_type", "pkey")
+    )
