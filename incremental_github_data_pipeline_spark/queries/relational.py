@@ -1211,3 +1211,87 @@ def q_events_props_map(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "pkey")
     )
+
+
+_CDC_SQL = """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS amt
+      FROM orders
+    ),
+    chg AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             o_totalprice + 1000 AS amt, 'update' AS op,
+             o_orderkey * 2 + 1 AS lsn
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete',
+             o_orderkey * 2 + 2
+      FROM orders WHERE o_orderkey % 17 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, 'N', 1.0, 'insert', 1
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    unioned AS (
+      SELECT k, status, amt, CAST(NULL AS BIGINT) AS lsn, 'base' AS op
+      FROM base
+      UNION ALL SELECT k, status, amt, lsn, op FROM chg
+    ),
+    win AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY k ORDER BY lsn DESC NULLS LAST) AS rn
+      FROM unioned
+    )
+    SELECT k, status, amt FROM win
+    WHERE rn = 1 AND op <> 'delete' AND k IN (SELECT k FROM chg)
+    ORDER BY k
+"""
+
+
+@register(
+    "q_cdc_apply",
+    oracle=_CDC_SQL,
+    doc="CDC changelog apply (streaming.incremental.apply_changelog): "
+    "fold a deterministic insert/update/delete changelog synthesized "
+    "from orders into the base snapshot — latest LSN wins per key, a "
+    "winning delete removes the key, an update for a key divisible by "
+    "both 10 and 17 loses to the later delete. One shuffle on the key "
+    "(keep-last window, one row of per-key state); output restricted "
+    "to changelog-touched keys so every CDC code path appears in the "
+    "compared rows.",
+)
+def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        apply_changelog,
+    )
+
+    o = T(spark, sf, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("amt"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") + 1000).alias("amt"),
+        F.lit("update").alias("op"),
+        (F.col("o_orderkey") * 2 + 1).alias("lsn"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("amt"),
+        F.lit("delete").alias("op"),
+        (F.col("o_orderkey") * 2 + 2).alias("lsn"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("k"),
+        F.lit("N").alias("status"),
+        F.lit(1.0).alias("amt"),
+        F.lit("insert").alias("op"),
+        F.lit(1).cast("long").alias("lsn"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    snapshot = apply_changelog(base, changes, ["k"], "lsn")
+    touched = changes.select("k").distinct()
+    return snapshot.join(touched, "k", "left_semi").orderBy("k")

@@ -30,7 +30,7 @@ from pathlib import Path
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
@@ -401,4 +401,58 @@ def run_incremental_curation(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC apply: fold an insert/update/delete changelog into a base
+    snapshot — the general form of :func:`merge_upsert` (which only
+    upserts). ``changes`` carries the base's columns plus ``op_col``
+    ('insert' | 'update' | 'delete') and a monotone ``order_col``
+    (change LSN / commit timestamp); for each key the latest change
+    wins, a winning delete removes the key, and keys untouched by the
+    changelog pass through. Replaying the same changelog is a no-op
+    (idempotent), matching the reference's deterministic-key reload
+    contract (SURVEY.md §1.5).
+
+    Scale shape: one shuffle on the key (the keep-last window), base
+    and changelog co-partitioned by it; per-key state is one row. The
+    'insert' / 'update' distinction is intentionally not enforced
+    against the base (standard CDC upsert tolerance: an update for a
+    missing key inserts, an insert for an existing key replaces) — the
+    strict variant is an expectations-module check, not a join.
+    """
+    base_tagged = base.select(
+        *base.columns,
+        F.lit("base").alias("_cdc_op"),
+        F.lit(None).cast(changes.schema[order_col].dataType).alias(
+            "_cdc_order"
+        ),
+    )
+    change_tagged = changes.select(
+        *base.columns,
+        F.col(op_col).alias("_cdc_op"),
+        F.col(order_col).alias("_cdc_order"),
+    )
+    merged = base_tagged.unionByName(change_tagged)
+    w = Window.partitionBy(*key_cols).orderBy(
+        # base rows sort before every change (nulls first), changes by
+        # their LSN; the LAST row per key is the winner
+        F.col("_cdc_order").asc_nulls_first()
+    )
+    winner = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+        )
+        .filter(F.col("_rn") == F.col("_n"))
+    )
+    return winner.filter(F.col("_cdc_op") != "delete").drop(
+        "_cdc_op", "_cdc_order", "_rn", "_n"
     )

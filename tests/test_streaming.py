@@ -269,3 +269,37 @@ def test_incremental_curation_two_batches(spark, tmp_path):
     run_incremental_curation(spark, docs_dir, out_dir, ckpt, audit_log=audit)
     again = spark.read.parquet(str(out_dir / "curated_docs"))
     assert sorted(r["doc_id"] for r in again.collect()) == [1, 2, 13]
+
+
+def test_apply_changelog_upsert_delete_idempotent(spark):
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        apply_changelog,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, v string, amt double",
+    )
+    changes = spark.createDataFrame(
+        [
+            # two updates to the same key: the later LSN wins
+            (2, "b2", 21.0, "update", 100),
+            (2, "b3", 22.0, "update", 200),
+            # delete an existing key
+            (3, "c", 30.0, "delete", 150),
+            # insert a new key, then delete it: net absent
+            (4, "d", 40.0, "insert", 110),
+            (4, "d", 40.0, "delete", 120),
+            # update for a missing key inserts (CDC upsert tolerance)
+            (5, "e", 50.0, "update", 130),
+        ],
+        "k long, v string, amt double, op string, lsn long",
+    )
+    out = apply_changelog(base, changes, ["k"], "lsn")
+    got = {r["k"]: (r["v"], r["amt"]) for r in out.collect()}
+    assert got == {1: ("a", 10.0), 2: ("b3", 22.0), 5: ("e", 50.0)}
+    # idempotent: applying the same changelog to the result is a no-op
+    again = apply_changelog(out, changes, ["k"], "lsn")
+    assert {r["k"]: (r["v"], r["amt"]) for r in again.collect()} == got
+    # columns preserved exactly
+    assert out.columns == base.columns
