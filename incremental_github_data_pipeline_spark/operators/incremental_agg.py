@@ -133,3 +133,34 @@ def finalize_rollup(
     key_cols = [c for c in state.columns if not c.startswith("__")]
     key_cols = [c for c in key_cols if c not in measures]
     return state.select(*key_cols, *out)
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for an INNER equi-join under
+    insert-only deltas: the rows the join gains are exactly
+
+        Δ(A ⨝ B) = ΔA ⨝ B_old  ∪  A_old ⨝ ΔB  ∪  ΔA ⨝ ΔB
+
+    so a materialized join view is refreshed by appending this delta —
+    never re-joining the two full tables. The companion of the rollup
+    maintenance above (partial/merge/finalize), applied to the join
+    operator itself.
+
+    Scale shape: the two old sides are the 100 TB tables and they
+    NEVER join each other here; each term joins a (small) delta
+    against one side, so AQE broadcasts the delta and the old side
+    streams map-side. Identity (old ∪ delta ≡ recomputed full join,
+    bag semantics) is pinned by test_incremental_agg.py and the
+    EXCEPT ALL oracle of q_incremental_join.
+    """
+    return (
+        delta_a.join(b_old, on)
+        .unionByName(a_old.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
+    )

@@ -1295,3 +1295,60 @@ def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     snapshot = apply_changelog(base, changes, ["k"], "lsn")
     touched = changes.select("k").distinct()
     return snapshot.join(touched, "k", "left_semi").orderBy("k")
+
+
+_IVM_JOIN_SQL = """
+    WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderdate FROM orders),
+    l AS (SELECT l_orderkey AS o_orderkey, l_shipdate,
+                 CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+    o_old AS (SELECT * FROM o WHERE o_orderdate <  TIMESTAMP '1997-01-01'),
+    l_old AS (SELECT * FROM l WHERE l_shipdate  <  TIMESTAMP '1997-01-01'),
+    full_j AS (SELECT o.o_orderstatus, l.qty FROM o JOIN l USING (o_orderkey)),
+    old_j  AS (SELECT o_old.o_orderstatus, l_old.qty
+               FROM o_old JOIN l_old USING (o_orderkey)),
+    delta  AS (SELECT * FROM full_j EXCEPT ALL SELECT * FROM old_j)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(qty) AS BIGINT) AS qty_sum
+    FROM delta GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "q_incremental_join",
+    oracle=_IVM_JOIN_SQL,
+    doc="Incremental view maintenance for an inner join "
+    "(operators.incremental_agg.incremental_join_delta): the join's "
+    "gain under insert-only deltas is ΔA⨝B_old ∪ A_old⨝ΔB ∪ ΔA⨝ΔB — "
+    "the two full tables never re-join; each term joins a small delta "
+    "(AQE-broadcast) against one side. The oracle computes the same "
+    "delta the expensive way (full join EXCEPT ALL old join), so the "
+    "maintenance identity itself is what's being hash-compared.",
+)
+def q_incremental_join(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        incremental_join_delta,
+    )
+
+    cut = "1997-01-01"
+    o = T(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    l = T(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_shipdate",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    o_old = o.filter(F.col("o_orderdate") < cut)
+    o_delta = o.filter(F.col("o_orderdate") >= cut)
+    l_old = l.filter(F.col("l_shipdate") < cut)
+    l_delta = l.filter(F.col("l_shipdate") >= cut)
+    delta = incremental_join_delta(o_old, o_delta, l_old, l_delta, ["o_orderkey"])
+    return (
+        delta.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty").alias("qty_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -83,3 +83,33 @@ def test_non_algebraic_op_rejected(spark):
     df = spark.createDataFrame([("x", 1.0)], "k string, v double")
     with pytest.raises(ValueError, match="unsupported incremental op"):
         partial_rollup(df, ["k"], {"d": ("count_distinct", "v")})
+
+
+def test_incremental_join_delta_identity_and_disjointness(spark):
+    """old-join ∪ delta must equal the recomputed full join as a BAG
+    (duplicate join keys multiply), and the three delta terms must not
+    double-count."""
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        incremental_join_delta,
+    )
+
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (2, "a2x")], "k long, av string"
+    )
+    da = spark.createDataFrame([(2, "a3"), (4, "a4")], "k long, av string")
+    b_old = spark.createDataFrame(
+        [(1, "b1"), (2, "b2")], "k long, bv string"
+    )
+    db = spark.createDataFrame([(2, "b3"), (4, "b4")], "k long, bv string")
+
+    full = (
+        a_old.unionByName(da).join(b_old.unionByName(db), ["k"])
+    )
+    old = a_old.join(b_old, ["k"])
+    delta = incremental_join_delta(a_old, da, b_old, db, ["k"])
+    combined = old.unionByName(delta)
+    # bag equality via sorted tuples
+    key = lambda r: (r["k"], r["av"], r["bv"])  # noqa: E731
+    assert sorted(map(key, combined.collect())) == sorted(
+        map(key, full.collect())
+    )
