@@ -117,12 +117,11 @@ _CERTIFY_FIRST = [
     "q_doc_mix_sources",
     "q_doc_pack_sequences",
 ]
-# Round-4 rotation queue (registered late in round 3, never in a driver
-# window yet): q_window_analytics, q_events_props_map, q_doc_remove_spans
-# was certified r3 but q_semantic_dedup / q_doc_curation_funnel entered
-# mid-round — check CORRECTNESS_r03.json and rotate whatever missed the
-# cut to the front of _CERTIFY_FIRST next round, plus anything whose
-# code changes in round 4.
+# Round-4 rotation queue (registered late in round 3, likely outside the
+# r3 driver window): q_window_analytics, q_events_props_map, q_cdc_apply,
+# q_incremental_join — check CORRECTNESS_r03.json and rotate whatever
+# missed the cut to the front of _CERTIFY_FIRST next round, plus anything
+# whose code changes in round 4.
 
 
 def load_all() -> dict[str, QuerySpec]:
