@@ -483,3 +483,31 @@ def refine_centroids(
                 new_rows.append((cell, old))  # dead-cell carry
         cent_rows = new_rows
     return cent_rows
+
+
+def quantized_pool(
+    df: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Grouped mean-pooling state in the int8 lane: per (group, dim),
+    the EXACT integer sum of quantized components plus the member
+    count — the mergeable partial state of a pooled group centroid
+    (chunk→document pooling, label centroids, shard-wise pre-pooling).
+    Downstream derives the float mean as q_sum / n_vecs; keeping the
+    state integral makes it engine-exact (a float mean over rows would
+    depend on summation order) and mergeable across shards by plain
+    addition, the same algebraic-state discipline as
+    operators.incremental_agg.
+
+    Scale shape: quantization runs in the scan stage; one shuffle on
+    (group, dim) with map-side partial sums; output is
+    |groups| × dim rows — model-sized, not corpus-sized.
+    """
+    q = quantize_embeddings(df, vec_col)
+    return (
+        q.select(F.col(group_col), F.posexplode("q").alias("dim", "qval"))
+        .groupBy(group_col, "dim")
+        .agg(
+            F.sum("qval").cast("long").alias("q_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        )
+    )

@@ -291,3 +291,59 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("id_keep", "id_drop")
     )
+
+
+@register(
+    "q_embedding_quantized_pool",
+    oracle="""
+    WITH nrm AS (
+      SELECT label,
+             sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (a, b) -> a + b)) AS nn,
+             embedding
+      FROM embeddings
+    ),
+    nv AS (
+      SELECT label,
+             CASE WHEN nn > 0
+                  THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / nn)
+                  ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+      FROM nrm
+    ),
+    sc AS (
+      SELECT label, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                  ELSE 0.0 END AS s
+      FROM nv
+    ),
+    qv AS (
+      SELECT label,
+             list_transform(v, x -> greatest(-127, least(127, floor(x * s)))) AS q
+      FROM sc
+    )
+    -- this DuckDB build's range() rejects lateral column parameters;
+    -- bound a constant range by the list length instead (dims cap far
+    -- below 8192)
+    SELECT label, CAST(g.i AS INT) AS dim,
+           CAST(SUM(list_extract(q, CAST(g.i AS INTEGER) + 1)) AS BIGINT) AS q_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM qv, range(8192) g(i)
+    WHERE g.i < len(q)
+    GROUP BY label, g.i ORDER BY label, dim
+    """,
+    doc="Grouped embedding mean-pooling state in the int8 lane "
+    "(operators.similarity.quantized_pool): per (label, dim) the exact "
+    "integer sum of floor-quantized components + member count — "
+    "mergeable algebraic state, engine-exact where a float mean would "
+    "be summation-order-dependent. One (group, dim) shuffle; output is "
+    "model-sized.",
+)
+def q_embedding_quantized_pool(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        sim.quantized_pool(
+            T(spark, sf, "embeddings"), group_col="label"
+        )
+        .orderBy("label", "dim")
+    )

@@ -365,3 +365,29 @@ def test_ivf_refined_recall_not_worse(spark):
     for q in range(4):
         assert (q, q) in refined
     assert len(refined) >= len(base) - 2  # no recall collapse
+
+
+def test_quantized_pool_mergeable_and_exact(spark):
+    """The pooled state must be mergeable by plain addition: pooling two
+    shards and summing their states equals pooling the union (exact
+    integer arithmetic, no float drift)."""
+    from incremental_github_data_pipeline_spark.operators.similarity import (
+        quantized_pool,
+    )
+
+    df = _planted_embeddings(spark, n=30, dim=8, n_dups=0).withColumn(
+        "grp", (F.col("vec_id") % 3).cast("int")
+    )
+    shard_a = df.filter(F.col("vec_id") < 15)
+    shard_b = df.filter(F.col("vec_id") >= 15)
+    whole = {
+        (r["grp"], r["dim"]): (r["q_sum"], r["n_vecs"])
+        for r in quantized_pool(df, "grp").collect()
+    }
+    merged: dict = {}
+    for shard in (shard_a, shard_b):
+        for r in quantized_pool(shard, "grp").collect():
+            k = (r["grp"], r["dim"])
+            s, n = merged.get(k, (0, 0))
+            merged[k] = (s + r["q_sum"], n + r["n_vecs"])
+    assert merged == whole
