@@ -939,3 +939,17 @@ def curation_funnel(
         "CAST(n_docs AS BIGINT) AS n_docs",
         "CAST(total_chars AS BIGINT) AS total_chars",
     )
+
+
+def normalize_text(col: Column | str, lowercase: bool = False) -> Column:
+    """Corpus text normalization — the cleanup stage that runs BEFORE
+    hashing/dedup so byte-level noise doesn't defeat exact content
+    keys: strip C0/C1 control characters (tab and newline included —
+    they re-enter as the single-space separator), collapse whitespace
+    runs to one space, trim, optionally casefold. Pure regexp
+    expressions, engine-portable and codegen-side.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(c, r"[\x00-\x1F\x7F]", " ")
+    collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return F.lower(collapsed) if lowercase else collapsed

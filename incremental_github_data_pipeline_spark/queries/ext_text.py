@@ -989,3 +989,63 @@ _FUNNEL_SQL = """
 )
 def q_doc_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return tx.curation_funnel(T(spark, sf, "documents")).orderBy("stage")
+
+
+_NORMALIZE_SQL = r"""
+    WITH aug AS (
+      -- the synthetic corpus is already clean, so append deterministic
+      -- byte noise (double spaces, a tab, a BEL control char) — same
+      -- construction on both engines, like the synthesized-PII oracle
+      SELECT doc_id,
+             text || '  noisy' || chr(9) || 'tail' || chr(7) AS raw
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, raw,
+             trim(regexp_replace(
+               regexp_replace(raw, '[\x00-\x1F\x7F]', ' ', 'g'),
+               '\s+', ' ', 'g')) AS clean
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS n_chars_raw,
+           CAST(length(clean) AS BIGINT) AS n_chars_norm,
+           CAST(CASE WHEN clean <> raw THEN 1 ELSE 0 END AS BIGINT) AS changed
+    FROM norm ORDER BY doc_id
+"""
+
+
+@register(
+    "q_doc_normalize",
+    oracle=_NORMALIZE_SQL,
+    doc="Text normalization (operators.text.normalize_text): strip "
+    "control chars, collapse whitespace, trim — the byte-noise cleanup "
+    "that runs before content hashing so formatting differences don't "
+    "defeat exact dedup. The corpus is synthetically clean, so the "
+    "query appends deterministic noise (both engines construct the "
+    "same bytes) and compares per-doc before/after lengths.",
+)
+def q_doc_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit("  noisy"),
+        F.lit("\t"),
+        F.lit("tail"),
+        F.lit("\x07"),
+    )
+    return (
+        d.select("doc_id", raw.alias("_raw"))
+        .select(
+            "doc_id",
+            F.length("_raw").cast("long").alias("n_chars_raw"),
+            F.length(tx.normalize_text(F.col("_raw")))
+            .cast("long")
+            .alias("n_chars_norm"),
+            F.when(tx.normalize_text(F.col("_raw")) != F.col("_raw"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("changed"),
+        )
+        .orderBy("doc_id")
+    )

@@ -758,3 +758,31 @@ def test_remove_spans_conservation_and_monotonicity(spark, texts):
         it = iter(orig)
         assert all(tok in it for tok in kept)
         assert strict[i]["n_removed"] <= row["n_removed"]
+
+
+def test_normalize_text_strips_controls_and_collapses_whitespace(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a  b\tc\nd"),          # runs, tab, newline → single spaces
+            (2, "  lead trail  "),       # trim
+            (3, "bell\x07mid\x00end"),   # control chars → separator
+            (4, "CLEAN text"),           # unchanged without lowercase
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", tx.normalize_text("text").alias("n")
+        ).collect()
+    }
+    assert got == {
+        1: "a b c d",
+        2: "lead trail",
+        3: "bell mid end",
+        4: "CLEAN text",
+    }
+    low = df.filter(F.col("id") == 4).select(
+        tx.normalize_text("text", lowercase=True).alias("n")
+    ).first()["n"]
+    assert low == "clean text"
