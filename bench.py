@@ -47,9 +47,12 @@ BENCH_QUERIES = [
     "q_doc_incremental_dedup",
     "q_verified_near_dups",
     # round-3 additions: cross-doc span excision (gram-frequency shuffle
-    # + covered-position anti-join) and the one-DAG curation funnel
+    # + covered-position anti-join), the one-DAG curation funnel, and
+    # the incremental-maintenance shapes (CDC fold, join-delta)
     "q_doc_remove_spans",
     "q_doc_curation_funnel",
+    "q_cdc_apply",
+    "q_incremental_join",
 ]
 
 
