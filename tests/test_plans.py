@@ -188,3 +188,19 @@ def test_metadata_scan_never_reads_payload(spark, registry, tmp_path):
     make_fake_media(spark, n=16).write.parquet(path)
     [scan] = scan_lines(metadata_profile(spark.read.parquet(path)))
     assert "payload" not in scan.split("ReadSchema")[1]
+
+
+def test_certification_rotation_names_resolve(registry):
+    """Every name in the certification rotation must exist in the
+    registry — a typo would silently drop a query out of the driver's
+    50-entry correctness window instead of failing loudly."""
+    from incremental_github_data_pipeline_spark.queries import _CERTIFY_FIRST
+
+    missing = [n for n in _CERTIFY_FIRST if n not in registry]
+    assert not missing, f"rotation names not in registry: {missing}"
+    # the rotation must actually fit the driver's snapshot window
+    assert len(_CERTIFY_FIRST) <= 50
+    # and the registry must begin with exactly the rotation order
+    assert list(registry)[: len(_CERTIFY_FIRST)] == list(
+        dict.fromkeys(_CERTIFY_FIRST)
+    )
