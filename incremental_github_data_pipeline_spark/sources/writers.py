@@ -209,3 +209,35 @@ def write_zordered(
         .mode("overwrite")
         .save(str(path))
     )
+
+
+def compact_snapshot(
+    spark,
+    base_dir: str | Path,
+    name: str,
+    target_mb: int = 128,
+    fmt: str = "parquet",
+) -> Path:
+    """Compact a snapshot directory's small files into ~``target_mb``
+    outputs — the operational answer to the small-files problem that
+    incremental micro-batch merges accumulate (every availableNow tick
+    appends a few rows ⇒ thousands of KB-scale files ⇒ NameNode/listing
+    pressure and per-file task overhead at 100 TB scale).
+
+    File count is sized from the CURRENT on-disk bytes (not row count),
+    so compaction converges: rerunning on a compacted snapshot is a
+    near-no-op rewrite into the same number of files. The rewrite goes
+    through write_rotating, so the snapshot is never half-written and
+    one backup generation survives.
+    """
+    base = Path(base_dir)
+    target = base / name
+    data_files = [
+        p for p in target.rglob("*") if p.is_file() and not p.name.startswith((".", "_"))
+    ]
+    total_bytes = sum(p.stat().st_size for p in data_files)
+    n_files = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(str(target))
+    # coalesce, not repartition: compaction must not pay a shuffle —
+    # it only narrows the file count
+    return write_rotating(df.coalesce(n_files), base, name, fmt=fmt)

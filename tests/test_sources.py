@@ -106,3 +106,39 @@ def test_events_reader_normalizes_both_timestamp_generations(spark, tmp_path):
         [row] = df.collect()
         # session tz is UTC: the naive wall-clock maps to the same instant
         assert row["ts"] == wall, gen_dir
+
+
+def test_compact_snapshot_narrows_files_preserves_rows(spark, tmp_path):
+    from incremental_github_data_pipeline_spark.sources.writers import (
+        compact_snapshot,
+        write_rotating,
+    )
+
+    # simulate micro-batch accumulation: 16-way fragmented snapshot
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+    write_rotating(df.repartition(16), tmp_path, "events_snap")
+    before = [
+        p
+        for p in (tmp_path / "events_snap").rglob("*.parquet")
+        if p.is_file()
+    ]
+    assert len(before) >= 16
+
+    compact_snapshot(spark, tmp_path, "events_snap", target_mb=128)
+    after = [
+        p
+        for p in (tmp_path / "events_snap").rglob("*.parquet")
+        if p.is_file()
+    ]
+    assert len(after) < len(before)
+    back = spark.read.parquet(str(tmp_path / "events_snap"))
+    assert back.count() == 10_000
+    assert back.agg({"v": "sum"}).first()[0] == df.agg({"v": "sum"}).first()[0]
+    # idempotent-ish: recompacting doesn't fragment again
+    compact_snapshot(spark, tmp_path, "events_snap", target_mb=128)
+    again = [
+        p
+        for p in (tmp_path / "events_snap").rglob("*.parquet")
+        if p.is_file()
+    ]
+    assert len(again) <= len(after)
