@@ -1352,3 +1352,53 @@ def q_incremental_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_SCD2_SQL = """
+    SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           CAST(CASE WHEN LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) IS NULL
+             THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM orders
+    ORDER BY o_custkey, valid_from, o_orderstatus
+"""
+
+
+@register(
+    "q_scd2_history",
+    oracle=_SCD2_SQL,
+    doc="SCD Type-2 dimension versioning "
+    "(streaming.incremental.scd2_history): each customer's order-status "
+    "changes become validity-interval rows (valid_from/valid_to/"
+    "is_current) — the as-of-reportable history the reference's "
+    "snapshot-replace model discards. One shuffle on the key, same "
+    "window shape as keep-last dedup. Tie-break on (date, orderkey) "
+    "pins cross-engine row order inside equal-date runs.",
+)
+def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        scd2_history,
+    )
+
+    o = T(spark, sf, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    # composite order: equal-date changes need a deterministic sequence
+    hist = scd2_history(
+        o.withColumn(
+            "_ord", F.struct("o_orderdate", "o_orderkey")
+        ),
+        ["o_custkey"],
+        "_ord",
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("valid_from.o_orderdate").alias("valid_from"),
+        F.col("valid_to.o_orderdate").alias("valid_to"),
+        "is_current",
+    ).orderBy("o_custkey", "valid_from", "o_orderstatus")

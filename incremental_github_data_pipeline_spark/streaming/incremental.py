@@ -456,3 +456,32 @@ def apply_changelog(
     return winner.filter(F.col("_cdc_op") != "delete").drop(
         "_cdc_op", "_cdc_order", "_rn", "_n"
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: turn a change stream into a
+    versioned history — each key's changes, ordered by ``order_col``
+    (effective date / LSN), become rows with ``valid_from`` /
+    ``valid_to`` intervals and an ``is_current`` flag (open interval =
+    NULL valid_to). The warehouse pattern the reference's snapshot-
+    replace model cannot express: it keeps only the latest state, SCD2
+    keeps every state with its validity window, enabling as-of
+    reporting (join with operators.temporal.as_of_join or an interval
+    filter).
+
+    One shuffle on the key; per-key state is the sort for ``lead`` —
+    the same window the keep-last dedup family uses, so skew behavior
+    and scale characteristics are identical.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col))
+    return (
+        changes.withColumn("valid_from", F.col(order_col))
+        .withColumn("valid_to", F.lead(order_col).over(w))
+        .withColumn(
+            "is_current", F.col("valid_to").isNull().cast("int")
+        )
+    )

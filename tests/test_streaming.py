@@ -303,3 +303,26 @@ def test_apply_changelog_upsert_delete_idempotent(spark):
     assert {r["k"]: (r["v"], r["amt"]) for r in again.collect()} == got
     # columns preserved exactly
     assert out.columns == base.columns
+
+
+def test_scd2_history_intervals_chain_without_gaps(spark):
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        scd2_history,
+    )
+
+    changes = spark.createDataFrame(
+        [(1, "bronze", 10), (1, "silver", 20), (1, "gold", 30), (2, "solo", 5)],
+        "k long, tier string, eff long",
+    )
+    hist = {
+        (r["k"], r["tier"]): (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(changes, ["k"], "eff").collect()
+    }
+    # intervals chain: each version's valid_to is the next valid_from
+    assert hist[(1, "bronze")] == (10, 20, 0)
+    assert hist[(1, "silver")] == (20, 30, 0)
+    assert hist[(1, "gold")] == (30, None, 1)
+    assert hist[(2, "solo")] == (5, None, 1)
+    # exactly one current version per key
+    cur = [k for (k, _), (_, vt, ic) in hist.items() if ic == 1]
+    assert sorted(cur) == [1, 2]
