@@ -241,3 +241,40 @@ def compact_snapshot(
     # coalesce, not repartition: compaction must not pay a shuffle —
     # it only narrows the file count
     return write_rotating(df.coalesce(n_files), base, name, fmt=fmt)
+
+
+def forget_keys(
+    spark,
+    base_dir: str | Path,
+    name: str,
+    keys_df: DataFrame,
+    key_cols: list[str],
+    audit: "AuditLog | None" = None,
+    fmt: str = "parquet",
+) -> Path:
+    """Hard-delete every row matching ``keys_df`` from the snapshot —
+    the right-to-be-forgotten rewrite a production corpus needs (GDPR
+    erasure, takedown lists, opt-outs). Anti-join on the key, atomic
+    rotate, and an audit line with the removed-row count (the
+    reference's counts-per-drop observability, extract/transform
+    _log_issue style).
+
+    Scale shape: the deletion key list is tiny relative to the corpus,
+    so it broadcasts and the snapshot streams map-side through the
+    anti-join — one pass, no corpus shuffle. Rotation keeps ONE backup
+    generation; for true erasure the caller must also retire the
+    backup after the retention window (documented, not silent).
+    """
+    target = Path(base_dir) / name
+    df = spark.read.format(fmt).load(str(target))
+    keys = keys_df.select(*key_cols).distinct()
+    kept = df.join(F.broadcast(keys), key_cols, "left_anti")
+    n_before = df.count()
+    out = write_rotating(kept, base_dir, name, fmt=fmt)
+    n_after = spark.read.format(fmt).load(str(out)).count()
+    if audit:
+        audit.log(
+            f"forget_keys {name}: removed {n_before - n_after} rows "
+            f"({n_before} -> {n_after})"
+        )
+    return out

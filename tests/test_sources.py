@@ -142,3 +142,28 @@ def test_compact_snapshot_narrows_files_preserves_rows(spark, tmp_path):
         if p.is_file()
     ]
     assert len(again) <= len(after)
+
+
+def test_forget_keys_hard_deletes_with_audit(spark, tmp_path):
+    from incremental_github_data_pipeline_spark.sources.writers import (
+        AuditLog,
+        forget_keys,
+        write_rotating,
+    )
+
+    df = spark.range(100).selectExpr("id", "id * 3 AS v")
+    write_rotating(df, tmp_path, "corpus")
+    to_forget = spark.createDataFrame([(7,), (42,), (999,)], "id long")
+    audit = AuditLog(tmp_path / "audit.log")
+
+    forget_keys(spark, tmp_path, "corpus", to_forget, ["id"], audit=audit)
+
+    back = spark.read.parquet(str(tmp_path / "corpus"))
+    ids = {r["id"] for r in back.collect()}
+    assert 7 not in ids and 42 not in ids
+    assert len(ids) == 98  # 999 was absent — no effect
+    line = (tmp_path / "audit.log").read_text()
+    assert "removed 2 rows (100 -> 98)" in line
+    # idempotent: forgetting again removes nothing more
+    forget_keys(spark, tmp_path, "corpus", to_forget, ["id"], audit=audit)
+    assert spark.read.parquet(str(tmp_path / "corpus")).count() == 98
