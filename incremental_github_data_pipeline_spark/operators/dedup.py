@@ -758,3 +758,75 @@ def dedup_against_corpus(
         .distinct()
     )
     return new_df.join(flagged, id_col, "left_anti")
+
+
+def contained_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Containment dedup: find documents whose text appears VERBATIM
+    inside another document (quotes, excerpts, re-posted snippets —
+    near-dup metrics like Jaccard under-score these because the
+    container's extra content dilutes the similarity). Returns
+    ``(contained_id, container_id)`` where the contained doc is the
+    droppable one; for byte-identical texts the larger id is reported
+    as contained (deterministic canonical winner, matching
+    exact_dedup's min-id rule).
+
+    Scale shape — never corpus × corpus: candidates come from the gram
+    posting lists (a doc can only be contained in a doc that shares
+    ALL of its k-grams), so the self-join is bucketed by gram and the
+    full-coverage filter (n_shared == n_grams_a) prunes to
+    candidate pairs before the exact ``contains`` verification runs on
+    texts — the recall-stage/precision-stage split of
+    verified_near_dups applied to substring containment.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("_sh"),
+    )
+    gram_counts = grams.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n_grams")
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a._sh") == F.col("b._sh"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"))
+        .agg(F.count(F.lit(1)).alias("_n_shared"))
+    )
+    candidates = shared.join(
+        gram_counts.withColumnRenamed("_id", "_ida"), "_ida"
+    ).filter(F.col("_n_shared") == F.col("_n_grams"))
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_t"))
+    verified = (
+        candidates.join(
+            texts.select(
+                F.col("_tid").alias("_ida"), F.col("_t").alias("_ta")
+            ),
+            "_ida",
+        )
+        .join(
+            texts.select(
+                F.col("_tid").alias("_idb"), F.col("_t").alias("_tb")
+            ),
+            "_idb",
+        )
+        .filter(F.contains(F.col("_tb"), F.col("_ta")))
+        .filter(
+            (F.length("_ta") < F.length("_tb"))
+            | (
+                (F.col("_ta") == F.col("_tb"))
+                & (F.col("_ida") > F.col("_idb"))
+            )
+        )
+    )
+    return verified.select(
+        F.col("_ida").alias("contained_id"),
+        F.col("_idb").alias("container_id"),
+    )

@@ -1049,3 +1049,53 @@ def q_doc_normalize(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CONTAINED_SQL = r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      -- plant verbatim excerpts (first 10 tokens) of every 20th doc,
+      -- deterministically on both engines
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(
+               regexp_split_to_array(trim(text), '\s+'), 1, 10), ' ') AS text
+      FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id
+    FROM aug a JOIN aug b
+      ON a.doc_id <> b.doc_id
+     AND position(a.text IN b.text) > 0
+     AND (length(a.text) < length(b.text)
+          OR (a.text = b.text AND a.doc_id > b.doc_id))
+    ORDER BY contained_id, container_id
+"""
+
+
+@register(
+    "q_doc_contained",
+    oracle=_CONTAINED_SQL,
+    doc="Containment dedup (operators.dedup.contained_docs): documents "
+    "appearing verbatim inside another (excerpts/quotes — Jaccard "
+    "under-scores these). Candidates from gram posting lists with a "
+    "full-coverage filter (a doc can only be contained where ALL its "
+    "grams occur), exact substring verification on candidates only — "
+    "never corpus x corpus. The corpus has no natural containment, so "
+    "the query plants deterministic 10-token excerpts; the brute-force "
+    "O(n^2) oracle is feasible at sf0.01 while the Spark path stays "
+    "posting-bucketed.",
+)
+def q_doc_contained(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    excerpt = F.concat_ws(
+        " ",
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 10),
+    )
+    planted = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        excerpt.alias("text"),
+    )
+    return (
+        dd.contained_docs(d.unionByName(planted), "doc_id", "text", k=5)
+        .orderBy("contained_id", "container_id")
+    )

@@ -391,3 +391,23 @@ def test_quantized_pool_mergeable_and_exact(spark):
             s, n = merged.get(k, (0, 0))
             merged[k] = (s + r["q_sum"], n + r["n_vecs"])
     assert merged == whole
+
+
+def test_contained_docs_excerpt_identical_and_none(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta eps zeta eta theta"),
+            (2, "beta gamma delta eps zeta"),     # verbatim excerpt of 1
+            (3, "alpha beta gamma delta eps zeta eta theta"),  # identical to 1
+            (4, "totally unrelated words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["contained_id"], r["container_id"])
+        for r in dd.contained_docs(df, "doc_id", "text", k=3).collect()
+    }
+    # excerpt contained in both copies; identical pair reports larger id
+    assert (2, 1) in pairs and (2, 3) in pairs
+    assert (3, 1) in pairs and (1, 3) not in pairs
+    assert not any(a == 4 or b == 4 for a, b in pairs)
