@@ -953,3 +953,45 @@ def normalize_text(col: Column | str, lowercase: bool = False) -> Column:
     cleaned = F.regexp_replace(c, r"[\x00-\x1F\x7F]", " ")
     collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
     return F.lower(collapsed) if lowercase else collapsed
+
+
+def make_chunk_udtf(chunk_size: int = 128, step: int = 96):
+    """The UDTF lane for :func:`chunk_documents` — same contract, built
+    on Spark 4's Python user-defined TABLE function API (one input row
+    → N output rows) instead of explode/slice expressions.
+
+    The expression path is the production default (codegen, zero
+    Python); this lane exists for chunkers that genuinely need Python
+    (model-based sentence splitters, tokenizer-aware boundaries) and
+    as the documented pattern for table-valued extension points —
+    SURVEY.md §2.9 notes the reference has no UDTF surface, so this is
+    where one plugs in. Agreement between the two lanes is pinned by
+    test_text_quality.py::test_chunk_udtf_agrees_with_expression_lane.
+
+    Usage::
+
+        ChunkUdtf = make_chunk_udtf(128, 96)
+        spark.udtf.register("chunk_udtf", ChunkUdtf)
+        df.lateralJoin(ChunkUdtf(F.col("doc_id"), F.col("text")))
+        # or in SQL: SELECT c.* FROM docs, LATERAL chunk_udtf(doc_id, text) c
+    """
+    if step <= 0 or chunk_size < step:
+        raise ValueError("need 0 < step <= chunk_size")
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id long, chunk_idx int, chunk_text string, chunk_tokens int"
+        )
+    )
+    class ChunkUdtf:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF protocol
+            toks = text.split() if text and text.strip() else []
+            n = len(toks)
+            n_chunks = 1 + max(0, -(-(n - chunk_size) // step)) if n else 1
+            for i in range(max(1, n_chunks)):
+                piece = toks[i * step : i * step + chunk_size]
+                yield doc_id, i, " ".join(piece), len(piece)
+
+    return ChunkUdtf

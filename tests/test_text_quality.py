@@ -786,3 +786,35 @@ def test_normalize_text_strips_controls_and_collapses_whitespace(spark):
         tx.normalize_text("text", lowercase=True).alias("n")
     ).first()["n"]
     assert low == "clean text"
+
+
+def test_chunk_udtf_agrees_with_expression_lane(spark):
+    """The UDTF lane and the codegen expression lane must produce the
+    identical chunking (same rows, same order columns) — including the
+    no-contained-final-chunk rule and the one-empty-chunk contract."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(40))),  # multi-chunk
+            (2, "a b c"),                                # single short chunk
+            (3, ""),                                     # empty doc
+            (4, " ".join(f"x{i}" for i in range(14))),   # overlap zone
+        ],
+        "doc_id long, text string",
+    )
+    expr = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_tokens"])
+        for r in tx.chunk_documents(df, chunk_size=16, step=12).collect()
+    }
+    ChunkUdtf = tx.make_chunk_udtf(chunk_size=16, step=12)
+    spark.udtf.register("chunk_udtf_t", ChunkUdtf)
+    df.createOrReplaceTempView("docs_udtf_t")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_tokens"])
+        for r in spark.sql(
+            "SELECT c.* FROM docs_udtf_t, "
+            "LATERAL chunk_udtf_t(doc_id, text) c"
+        ).collect()
+    }
+    assert got == expr
