@@ -1402,3 +1402,58 @@ def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
         F.col("valid_to.o_orderdate").alias("valid_to"),
         "is_current",
     ).orderBy("o_custkey", "valid_from", "o_orderstatus")
+
+
+_SCD2_ASOF_SQL = """
+    WITH hist AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS valid_to
+      FROM orders
+    )
+    SELECT o_custkey, o_orderstatus, valid_from
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '1996-06-01'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '1996-06-01')
+    ORDER BY o_custkey, valid_from, o_orderstatus
+"""
+
+
+@register(
+    "q_scd2_asof",
+    oracle=_SCD2_ASOF_SQL,
+    doc="Point-in-time dimension lookup over the SCD2 history "
+    "(scd2_history + an interval filter): the version of each "
+    "customer's status valid AS OF 1996-06-01 — customers whose first "
+    "change is later have no row, open intervals qualify. The pushed "
+    "interval predicate means time-travel reporting costs one filtered "
+    "window pass, not a snapshot restore.",
+)
+def q_scd2_asof(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        scd2_history,
+    )
+
+    at = "1996-06-01"
+    o = T(spark, sf, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    hist = scd2_history(
+        o.withColumn("_ord", F.struct("o_orderdate", "o_orderkey")),
+        ["o_custkey"],
+        "_ord",
+    ).select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("valid_from.o_orderdate").alias("valid_from"),
+        F.col("valid_to.o_orderdate").alias("valid_to"),
+    )
+    return (
+        hist.filter(
+            (F.col("valid_from") <= at)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
+        )
+        .select("o_custkey", "o_orderstatus", "valid_from")
+        .orderBy("o_custkey", "valid_from", "o_orderstatus")
+    )
