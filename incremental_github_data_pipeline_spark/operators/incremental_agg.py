@@ -164,3 +164,71 @@ def incremental_join_delta(
         .unionByName(a_old.join(delta_b, on))
         .unionByName(delta_a.join(delta_b, on))
     )
+
+
+def sketch_profile_state(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Mergeable sketch state per group: a KLL quantile sketch and an
+    HLL distinct-count sketch over ``value_col`` — the DataSketches
+    lane of incremental profiling. Unlike percentile_approx /
+    approx_count_distinct RESULTS (which cannot be combined after the
+    fact), these states merge exactly: profile each shard/day once,
+    keep the binary states, and answer corpus-wide quantiles and
+    distinct counts later by merging states — never rescanning data.
+    The same partial/merge/finalize discipline as the algebraic rollup
+    above, for the non-algebraic statistics.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double")).alias(
+            "kll_state"
+        ),
+        # HLL accepts int/bigint/string/binary — hash distinctness over
+        # the string rendering so any value type profiles uniformly
+        F.hll_sketch_agg(F.col(value_col).cast("string")).alias("hll_state"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def merge_sketch_profiles(
+    states: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge sketch states (e.g. per-shard → per-group): exact state
+    union, no data rescan. One shuffle on the (tiny) state table. HLL
+    has a native union aggregate; KLL's merge is a two-arg scalar, so
+    the per-group states (bounded: one per shard) are folded with
+    ``aggregate`` over the collected list."""
+    from incremental_github_data_pipeline_spark.functions.scalar import let_
+
+    lists = states.groupBy(*group_cols).agg(
+        F.collect_list("kll_state").alias("_ks"),
+        F.expr("hll_union_agg(hll_state)").alias("hll_state"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    merged = let_(
+        F.col("_ks"),
+        lambda ks: F.aggregate(
+            F.slice(ks, 2, F.greatest(F.size(ks) - 1, F.lit(0))),
+            F.element_at(ks, 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ),
+    )
+    return lists.withColumn("kll_state", merged).drop("_ks")
+
+
+def finalize_sketch_profile(
+    states: DataFrame, quantiles: list[float] | None = None
+) -> DataFrame:
+    """Extract answers from sketch states: requested quantiles plus the
+    HLL distinct estimate."""
+    qs = quantiles or [0.5, 0.9, 0.99]
+    out = states
+    for q in qs:
+        name = f"p{int(q * 100)}"
+        out = out.withColumn(
+            name,
+            F.expr(f"kll_sketch_get_quantile_double(kll_state, {q}d)"),
+        )
+    return out.withColumn(
+        "approx_distinct", F.hll_sketch_estimate(F.col("hll_state"))
+    ).drop("kll_state", "hll_state")

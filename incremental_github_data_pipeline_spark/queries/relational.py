@@ -1457,3 +1457,38 @@ def q_scd2_asof(spark: SparkSession, sf: str) -> DataFrame:
         .select("o_custkey", "o_orderstatus", "valid_from")
         .orderBy("o_custkey", "valid_from", "o_orderstatus")
     )
+
+
+@register(
+    "q_sketch_profile",
+    doc="Mergeable DataSketches profiling "
+    "(operators.incremental_agg.sketch_profile_state/merge/finalize): "
+    "per-event-type KLL quantiles + HLL distinct estimate, computed by "
+    "profiling two half-corpus shards separately and MERGING THE "
+    "STATES — the incremental path a percentile_approx result cannot "
+    "take. Sketch estimates are engine-specific (rows-only); shard-"
+    "merge-equals-whole and rank-error bounds are pinned in "
+    "test_incremental_agg.py.",
+)
+def q_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        finalize_sketch_profile,
+        merge_sketch_profiles,
+        sketch_profile_state,
+    )
+
+    e = T(spark, sf, "events")
+    shard_a = sketch_profile_state(
+        e.filter(F.col("event_id") % 2 == 0), ["event_type"], "value"
+    )
+    shard_b = sketch_profile_state(
+        e.filter(F.col("event_id") % 2 == 1), ["event_type"], "value"
+    )
+    return (
+        finalize_sketch_profile(
+            merge_sketch_profiles(
+                shard_a.unionByName(shard_b), ["event_type"]
+            )
+        )
+        .orderBy("event_type")
+    )

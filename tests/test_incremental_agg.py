@@ -113,3 +113,39 @@ def test_incremental_join_delta_identity_and_disjointness(spark):
     assert sorted(map(key, combined.collect())) == sorted(
         map(key, full.collect())
     )
+
+
+def test_sketch_profile_shard_merge_matches_whole(spark):
+    """Profiling shards then merging states must answer the same as
+    profiling the whole table in one pass (state union is exact), and
+    the KLL quantiles must sit within rank error of the exact values."""
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        finalize_sketch_profile,
+        merge_sketch_profiles,
+        sketch_profile_state,
+    )
+
+    df = spark.range(20_000).selectExpr(
+        "CAST(id % 4 AS INT) AS grp", "CAST(id AS DOUBLE) AS v"
+    )
+    whole = finalize_sketch_profile(
+        sketch_profile_state(df, ["grp"], "v")
+    )
+    shards = [
+        sketch_profile_state(df.filter(f"id % 2 = {i}"), ["grp"], "v")
+        for i in (0, 1)
+    ]
+    merged = finalize_sketch_profile(
+        merge_sketch_profiles(shards[0].unionByName(shards[1]), ["grp"])
+    )
+    w = {r["grp"]: r for r in whole.collect()}
+    m = {r["grp"]: r for r in merged.collect()}
+    for g in range(4):
+        assert w[g]["n_rows"] == m[g]["n_rows"] == 5000
+        # KLL rank error at default k is well under 2%; ids are uniform
+        # so the p50 of group g is near the middle of its id range
+        for p in ("p50", "p90", "p99"):
+            assert abs(w[g][p] - m[g][p]) / 20_000 < 0.04
+        # HLL estimate close to the true 5000 distinct values
+        assert abs(w[g]["approx_distinct"] - 5000) / 5000 < 0.05
+        assert abs(m[g]["approx_distinct"] - 5000) / 5000 < 0.05
