@@ -1099,3 +1099,79 @@ def q_doc_contained(spark: SparkSession, sf: str) -> DataFrame:
         dd.contained_docs(d.unionByName(planted), "doc_id", "text", k=5)
         .orderBy("contained_id", "container_id")
     )
+
+
+_VOCAB_OVERLAP_SQL = r"""
+    WITH vocab AS (
+      SELECT DISTINCT lang,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sizes AS (SELECT lang, COUNT(*) AS n FROM vocab GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_shared
+      FROM vocab a JOIN vocab b
+        ON a.token = b.token AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT i.lang_a, i.lang_b,
+           CAST(i.n_shared AS BIGINT) AS n_shared,
+           CAST(sa.n AS BIGINT) AS vocab_a,
+           CAST(sb.n AS BIGINT) AS vocab_b,
+           CAST(i.n_shared AS DOUBLE)
+             / (sa.n + sb.n - i.n_shared) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.lang = i.lang_a
+    JOIN sizes sb ON sb.lang = i.lang_b
+    ORDER BY lang_a, lang_b
+"""
+
+
+@register(
+    "q_vocab_overlap",
+    oracle=_VOCAB_OVERLAP_SQL,
+    doc="Exact cross-language vocabulary overlap: per language pair the "
+    "shared distinct-token count and vocabulary Jaccard — the corpus-"
+    "composition diagnostic behind mixture decisions (languages with "
+    "high lexical overlap cross-contaminate language-ID and dedup "
+    "thresholds). Vocab tables are distinct-collapsed BEFORE the self-"
+    "join, so the join is vocabulary x vocabulary on the token key — "
+    "bounded by lexicon size, never corpus x corpus. Jaccard is one "
+    "exact int division per pair (engine-identical).",
+)
+def q_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    vocab = d.select(
+        "lang", F.explode(tx.tokens("text")).alias("token")
+    ).distinct()
+    sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("lang", "lang_a"), "lang_a")
+        .withColumnRenamed("n", "vocab_a")
+        .join(sizes.withColumnRenamed("lang", "lang_b"), "lang_b")
+        .withColumnRenamed("n", "vocab_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
