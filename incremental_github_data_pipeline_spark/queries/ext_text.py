@@ -1175,3 +1175,50 @@ def q_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+@register(
+    "q_vocab_overlap_sketch",
+    doc="Scale-path twin of q_vocab_overlap: theta sketches replace the "
+    "exact distinct-vocab self-join. One pass builds a per-language "
+    "theta sketch of the token set (map-side aggregation, fixed-size "
+    "state); pairwise overlap comes from sketch set-algebra "
+    "(theta_intersection / theta_union) on the collected per-language "
+    "states — |langs|² tiny operations on the driver side of a 5-row "
+    "frame, zero token-level joins. At 100 TB the exact path's "
+    "vocab x vocab join grows with lexicon size; the sketch path is "
+    "constant-state per language. Estimates are engine-specific "
+    "(rows-only); the accuracy bound vs the exact query is pinned in "
+    "test_text_quality.py::test_vocab_overlap_sketch_accuracy.",
+)
+def q_vocab_overlap_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    sketches = (
+        d.select("lang", F.explode(tx.tokens("text")).alias("token"))
+        .groupBy("lang")
+        .agg(F.theta_sketch_agg("token").alias("theta"))
+    )
+    a = sketches.select(
+        F.col("lang").alias("lang_a"), F.col("theta").alias("_ta")
+    )
+    b = sketches.select(
+        F.col("lang").alias("lang_b"), F.col("theta").alias("_tb")
+    )
+    return (
+        a.join(b, F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "lang_a",
+            "lang_b",
+            F.round(
+                F.expr("theta_sketch_estimate(theta_intersection(_ta, _tb))")
+            )
+            .cast("long")
+            .alias("est_shared"),
+            F.round(
+                F.expr("theta_sketch_estimate(theta_union(_ta, _tb))")
+            )
+            .cast("long")
+            .alias("est_union"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

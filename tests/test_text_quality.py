@@ -818,3 +818,25 @@ def test_chunk_udtf_agrees_with_expression_lane(spark):
         ).collect()
     }
     assert got == expr
+
+
+def test_vocab_overlap_sketch_accuracy(spark):
+    """The theta-sketch overlap estimates must land within a few percent
+    of the exact distinct counts on the sf0.001 corpus (small enough
+    that theta sketches are near-exact)."""
+    from incremental_github_data_pipeline_spark.queries import load_all
+
+    reg = load_all()
+    exact = {
+        (r["lang_a"], r["lang_b"]): (r["n_shared"], r["vocab_a"] + r["vocab_b"] - r["n_shared"])
+        for r in reg["q_vocab_overlap"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    est = {
+        (r["lang_a"], r["lang_b"]): (r["est_shared"], r["est_union"])
+        for r in reg["q_vocab_overlap_sketch"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(est) == set(exact)
+    for k, (sh, un) in exact.items():
+        esh, eun = est[k]
+        assert abs(esh - sh) <= max(2, 0.05 * sh), (k, sh, esh)
+        assert abs(eun - un) <= max(2, 0.05 * un), (k, un, eun)
