@@ -38,90 +38,89 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # Certification rotation: the driver's per-round correctness snapshot
-# records the FIRST ~50 registry entries in registration order. Rounds
-# 1-2 snapshotted the same import-order prefix, so the queries below —
-# TPC-H Q2-Q22 and the late relational entries — never appeared in any
-# CORRECTNESS_r*.json even though they oracle-match locally. Rotate them
-# to the front this round; the back-fill slots go to queries whose code
-# changed this round so their green status is re-proven in the same
-# snapshot. Previously-certified queries keep their green rows in the
-# r1/r2 archives.
+# records the FIRST ~50 registry entries in registration order, so this
+# list is re-derived every round (VERDICT r3 confirmed the mechanics).
+# Round-4 priorities, in order:
+#   (a) the four r3 window slots that failed or errored, now fixed
+#       (HUGEINT->float64 canon divergence in sessionize/pack_sequences;
+#       array-column canon crash in approx_profile; no_oracle in
+#       semantic_dedup) — they must produce green rows this round;
+#   (b) the 12 oracle-backed queries that have NEVER appeared in any
+#       CORRECTNESS_r*.json (VERDICT "What's missing" #1 + ADVICE);
+#   (c) every query converted from rows-only to oracle-backed this
+#       round (assertion-pattern certification, VERDICT task 3) plus
+#       queries whose code otherwise changed in round 4.
+# Previously-certified queries keep their green rows in the r1-r3
+# archives; remaining slots backfill with stable high-value queries in
+# import order.
 _CERTIFY_FIRST = [
-    # -- never in a driver snapshot (rounds 1-2) --
-    "q_date_parts",
-    "q_case_when",
-    "q_validation_checks",
-    "q_json_extract",
-    "q_events_hourly",
+    # -- (a) failed/errored r3 slots, fixed this round --
     "q_sessionize",
-    "q_expectations_audit",
-    "q_salted_agg",
-    "q_pivot_event_types",
-    "q_quantiles",
-    "q_grouping_sets",
-    "q_string_agg",
-    "q_incremental_rollup",
+    "q_doc_pack_sequences",
     "q_approx_profile",
+    "q_semantic_dedup",
+    # -- (b) never in any driver snapshot --
+    "q_cdc_apply",
+    "q_incremental_join",
+    "q_scd2_history",
+    "q_scd2_asof",
+    "q_window_analytics",
+    "q_events_props_map",
+    "q_vocab_overlap",
+    "q_vocab_overlap_sketch",
+    "q_doc_contained",
+    "q_doc_normalize",
+    "q_embedding_quantized_pool",
+    "q_sketch_profile",
+    # -- (c) rows-only -> oracle-backed this round (first driver rows) --
+    "q_embedding_near_dups",
+    "q_embedding_ivf_topk",
+    "q_doc_fingerprint",
+    "q_minhash_near_dups",
+    "q_simhash_near_dups",
+    "q_ngram_jaccard_dedup",
+    "q_media_features",
+    "q_media_jpeg_stats",  # new this round (baseline JPEG decoder)
+    # -- backfill: re-certify stable pillars on current testdata --
+    # (testdata regenerates between rounds, so refreshing a spread of
+    # core shapes keeps the archive evidence current: TPC-H pillar
+    # queries, the GitHub-pipeline shapes, each [EXT] family's anchor.)
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_volume",
+    "q_group_agg",
+    "q_window_topk_per_group",
+    "q_dedup_keep_last",
+    "q_semi_join",
+    "q_anti_join",
+    "q_union_conform",
+    "q_fk_resolve_orphans",
+    "q_events_hourly",
     "q_events_new_users",
     "q_events_funnel",
-    "q02_best_supplier",
-    "q04_order_priority",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    # -- code changed this round: re-certify in-window --
-    # (q01/q03/q05 yield their slots: q01/q03 are unchanged since their
-    # green r1+r2 rows, and q05's only change is dropping a broadcast
-    # HINT — results provably unaffected, plan pinned by
-    # test_no_forced_fact_broadcast. The freed slots certify the new
-    # real-codec media queries.)
-    "q_media_metadata_profile",
-    "q_media_frame_plan",
+    "q_date_parts",
+    "q_quantiles",
+    "q_grouping_sets",
+    "q_pivot_event_types",
+    "q_salted_agg",
+    "q_incremental_rollup",
+    "q_expectations_audit",
+    "q_validation_checks",
+    "q_doc_exact_dedup",
+    "q_verified_near_dups",
+    "q_dedup_clusters",
+    "q_doc_curation_funnel",
+    "q_doc_token_stats",
+    "q_embedding_topk",
+    "q_embedding_quantized_topk",
     "q_media_decode_stats",
     "q_media_frame_samples",
-    "q_doc_exact_dedup",
-    # (q_doc_split / q_doc_sample_stratified yield their slots: their
-    # round-3 fix is certified by the uuid5-string-id pytest cases the
-    # judge asked for, and testdata doc_ids are integral so a driver row
-    # wouldn't exercise the changed branch anyway.)
-    "q_doc_curation_funnel",
-    "q_semantic_dedup",
-    "q_dedup_clusters",
-    "q_doc_chunks",  # chunk-count formula changed this round — results differ
-    # (q_doc_incremental_dedup / q_verified_near_dups yield their slots:
-    # both green in r2, and this round's dedup.py changes — unpersist
-    # hygiene, recall-coupling docs — don't alter their results.)
-    "q_doc_remove_spans",
-    "q_doc_dsir",
-    # -- new this round: first chance at a driver row, all oracle-backed --
-    # (displacing q_minhash/q_simhash/q_embedding_near_dups — rows-only
-    # checks whose operator correctness is already pinned by the
-    # oracle-green q_verified_near_dups + pytest invariants — and
-    # q_lang_id, green in r2 with unchanged logic.)
-    "q_embedding_quantized_topk",
-    "q_doc_lm_score",
-    "q_doc_mix_sources",
-    "q_doc_pack_sequences",
+    "q_asof_join",
 ]
-# Round-4 rotation queue (registered late in round 3, likely outside the
-# r3 driver window): q_window_analytics, q_events_props_map, q_cdc_apply,
-# q_incremental_join — check CORRECTNESS_r03.json and rotate whatever
-# missed the cut to the front of _CERTIFY_FIRST next round, plus anything
-# whose code changes in round 4.
+# Round-5 rotation queue: whatever misses the r4 cut (registry > 50) —
+# check CORRECTNESS_r04.json at round start and front-load (1) any
+# non-green r4 rows, (2) oracle-backed queries still absent from every
+# snapshot, (3) queries whose code changes in round 5.
 
 
 def load_all() -> dict[str, QuerySpec]:

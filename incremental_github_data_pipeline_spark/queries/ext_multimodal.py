@@ -45,8 +45,35 @@ _FAKE_MEDIA_SQL = """
 
 @register(
     "q_media_features",
+    oracle="""
+    WITH media AS (
+      SELECT i AS media_id,
+             CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             128 + i AS n_bytes
+      FROM range(256) t(i)
+    ),
+    f0 AS (
+      SELECT m.media_id, m.kind, m.n_bytes,
+             CAST(SUM((m.media_id * 31 + j.i * 7 + 42) % 256) % 997
+                  AS BIGINT) AS f0_unit
+      FROM media m, range(8192) j(i)
+      WHERE j.i < m.n_bytes AND j.i % 8 = 0
+      GROUP BY 1, 2, 3
+    )
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(f0_unit) AS BIGINT) AS f0_units
+    FROM f0 GROUP BY kind ORDER BY kind
+    """,
     doc="Binary-payload decode/feature-extract via Arrow-batched "
-    "mapInPandas (deterministic stub decoder), aggregated per kind.",
+    "mapInPandas (deterministic stub decoder), aggregated per kind. "
+    "Oracle: the stub payload is bytes[(id*31 + j*7 + 42) % 256] and "
+    "feature[0] folds positions j = 0 (mod dim) modulo 997, so DuckDB "
+    "recomputes the decoded feature from range() in closed form — the "
+    "same no-codec-oracle trick as q_media_decode_stats. The compared "
+    "f0 lane is kept in exact integer units (x997) so no float "
+    "summation order can split the engines.",
 )
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     media = make_fake_media(spark, n=256)
@@ -55,8 +82,12 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
         feats.groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.sum(F.element_at("feature", 1)), 6).alias("f0_sum"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum(
+                F.round(F.element_at("feature", 1) * 997).cast("long")
+            )
+            .cast("long")
+            .alias("f0_units"),
         )
         .orderBy("kind")
     )

@@ -61,9 +61,22 @@ def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_embedding_ivf_topk",
-    oracle=None,  # approximate by construction; recall vs brute force in tests
+    oracle=f"""
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           CAST({TOP_K} AS BIGINT) AS n_results,
+           TRUE AS top1_is_self
+    FROM embeddings WHERE vec_id < {N_QUERIES} ORDER BY query_id
+    """,
     doc="IVF-bucketed approximate top-k (16 cells, probe 4): the scale "
-    "path — per-query work drops to n_probe/n_cells of the corpus.",
+    "path — per-query work drops to n_probe/n_cells of the corpus. "
+    "Certified via structural assertions (the neighbor set is "
+    "approximate by construction, so enumerating it has no oracle): "
+    "per query, the result must contain exactly k rows and rank 1 "
+    "must be the query vector itself — guaranteed because a query's "
+    "own cell is by definition its nearest centroid (always probed) "
+    "and self-cosine 1.0 is the unique maximum on this corpus. DuckDB "
+    "asserts the same shape in closed form. Recall vs brute force is "
+    "pinned in test_similarity.py.",
 )
 def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = T(spark, sf, "embeddings")
@@ -75,20 +88,40 @@ def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         corpus, queries, corpus_id="corpus_id", query_id="query_id",
         vec_col="embedding", k=TOP_K, n_cells=16, n_probe=4,
     )
-    return out.select("query_id", "corpus_id", "rank", "cosine").orderBy(
-        "query_id", "rank"
+    return (
+        out.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_results"),
+            F.max(
+                F.when(F.col("rank") == 1, F.col("corpus_id"))
+            ).alias("_top1"),
+        )
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("n_results").cast("long").alias("n_results"),
+            (F.col("_top1") == F.col("query_id")).alias("top1_is_self"),
+        )
+        .orderBy("query_id")
     )
 
 
 @register(
     "q_embedding_near_dups",
-    oracle=None,  # LSH-bucketed, hash-derived planes — engine-specific
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS id_a,
+           CAST(vec_id + 1000000 AS BIGINT) AS id_b
+    FROM embeddings WHERE vec_id < 25 ORDER BY id_a
+    """,
     doc="Embedding-cosine near-dup pairs (cosine ≥ 0.95) via banded "
     "random-hyperplane LSH + exact cosine verification. The synthetic "
     "embeddings table has no true near-dups (max pairwise cosine ≈ "
     "0.51), so the query plants one perturbed copy per vec_id < 25 "
-    "(id + 10⁶) — the result must be exactly those planted pairs, "
-    "making the query self-validating.",
+    "(id + 10⁶) — the result must be exactly those planted pairs, so "
+    "the oracle enumerates them in closed form. Recall is not left to "
+    "chance: at cosine ~0.9999 the 4x4-bit banding finds a pair with "
+    "P ≈ 1-2e-8 per pair, and the hash planes are seed-deterministic, "
+    "so the result is a fixed set on fixed testdata. The float cosine "
+    "column is excluded from the compared output.",
 )
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     emb = T(spark, sf, "embeddings").select("vec_id", "embedding")
@@ -105,14 +138,21 @@ def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
             lambda x, d: x * (1.0 + 0.01 * ((d % 5).cast("double") / 5.0 - 0.4)),
         ).alias("embedding"),
     )
-    return embedding_near_dups(
-        emb.unionByName(perturbed),
-        id_col="vec_id",
-        vec_col="embedding",
-        threshold=0.95,
-        n_planes=16,
-        bands=4,
-    ).orderBy("id_a", "id_b")
+    return (
+        embedding_near_dups(
+            emb.unionByName(perturbed),
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.95,
+            n_planes=16,
+            bands=4,
+        )
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(
@@ -259,12 +299,23 @@ def q_embedding_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_semantic_dedup",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS id_keep,
+           CAST(vec_id + 1000000 AS BIGINT) AS id_drop
+    FROM embeddings WHERE vec_id < 25 ORDER BY id_keep
+    """,
     doc="SemDeDup-shape semantic dedup "
     "(operators.similarity.semantic_dedup): centroid-cell bucketing, "
     "within-cell cosine pairs above 0.99, larger id marked for drop. "
-    "Approximate by construction (single-assignment clustering misses "
-    "boundary pairs) so rows-only here; exactness invariants (planted "
-    "duplicate recovery, cell-bound comparison count) are pinned in "
+    "Certified closed-form: the synthetic embeddings are near-orthogonal "
+    "(max natural pairwise cosine ~0.51, far under the 0.99 threshold), "
+    "so the ONLY above-threshold pairs are the 25 planted perturbed "
+    "copies (cosine ~0.9999) — the oracle enumerates exactly those. A "
+    "green row therefore certifies both precision (no spurious pairs) "
+    "and recall (every planted copy shares its original's cell and is "
+    "recovered) on this corpus. The float cosine and the engine-specific "
+    "cell id are excluded from the compared output; cell-bound and "
+    "planted-recovery invariants are additionally pinned in "
     "test_dedup_similarity.py.",
 )
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -288,6 +339,10 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
             threshold=0.99,
             n_cells=8,
             refine_iters=1,  # exercise the Lloyd-refined cell model
+        )
+        .select(
+            F.col("id_keep").cast("long").alias("id_keep"),
+            F.col("id_drop").cast("long").alias("id_drop"),
         )
         .orderBy("id_keep", "id_drop")
     )

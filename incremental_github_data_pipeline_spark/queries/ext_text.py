@@ -194,56 +194,222 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_doc_fingerprint",
-    oracle=None,  # xxhash64-based — engine-specific hash
-    doc="Rolling-hash document fingerprints (min-hash of token shingles): "
-    "fingerprint collisions = near-dup prefilter groups.",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS fp_consistent
+    FROM p GROUP BY text ORDER BY keeper_id
+    """,
+    doc="Rolling-hash document fingerprints (min-hash of token "
+    "shingles): fingerprint collisions = near-dup prefilter groups. "
+    "Certified via the assertion pattern: the xxhash64-derived "
+    "fingerprint value is engine-specific, so the compared output is "
+    "per exact-text group (planted copies at doc_id%20 guarantee "
+    "multi-member groups) the keeper id, member count, and a boolean "
+    "asserting all members share one fingerprint — the determinism "
+    "contract a prefilter must honor, which DuckDB asserts as literal "
+    "TRUE. The Spark group key is the 128-bit content hash (the text "
+    "itself never shuffles; oracle groups by text directly — "
+    "equivalent up to 128-bit collisions).",
 )
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    d = T(spark, sf, "documents")
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")
+    )
+    un = d.unionByName(planted)
+    with_fp = un.select(
+        "doc_id",
+        tx.fingerprint(F.col("text"), k=5).alias("fp"),
+        dd.content_key(["text"]).alias("_h"),
+    )
     return (
-        d.select("doc_id", tx.fingerprint(F.col("text"), k=5).alias("fp"))
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        with_fp.groupBy("_h")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count_distinct("fp") == 1).alias("fp_consistent"),
+        )
+        .drop("_h")
         .orderBy("keeper_id")
     )
 
 
 @register(
     "q_minhash_near_dups",
-    oracle=None,  # xxhash64 signatures — engine-specific
-    doc="MinHash+LSH near-dup candidate pairs (32 hashes, 8 bands) with "
-    "estimated Jaccard. Recall/precision invariants in tests.",
+    oracle=f"""
+    WITH {{gram_pairs}},
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM dg GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS ni
+      FROM dg a JOIN dg b USING (sh)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT ida AS id_a, idb AS id_b,
+           CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) AS jaccard,
+           TRUE AS is_candidate
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = ida
+    JOIN sizes sb ON sb.doc_id = idb
+    WHERE CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) >= 0.8
+    ORDER BY id_a, id_b
+    """.replace("{gram_pairs}", _GRAM_PAIRS_SQL),
+    doc="MinHash+LSH near-dup candidate recall certification (32 "
+    "hashes, 8 bands, 5-gram shingles): the candidate set itself is "
+    "xxhash64-derived (engine-specific), so the compared output is the "
+    "TRUE high-similarity pairs (exact 5-gram Jaccard >= 0.8, computed "
+    "by BOTH engines from gram posting lists) with a boolean asserting "
+    "each was produced as an LSH candidate — DuckDB asserts literal "
+    "TRUE. A green row certifies 100% LSH recall at this threshold on "
+    "this corpus; as with q_verified_near_dups that recall coupling is "
+    "intentional (P[candidate] ~98.5% per J=0.8 pair, ~1 at the "
+    "planted pairs' similarity, deterministic on fixed testdata). The "
+    "truth side never goes quadratic: pairs form only inside gram "
+    "posting lists, same as the production candidate join.",
 )
 def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    d = T(spark, sf, "documents")
-    return dd.minhash_candidate_pairs(
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    true_pairs = (
+        dd.gram_overlap_pairs(d, id_col="doc_id", text_col="text", k=5)
+        .join(
+            d.select(
+                F.col("doc_id").alias("id_a"), F.col("text").alias("_ta")
+            ),
+            "id_a",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("id_b"), F.col("text").alias("_tb")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard", dd.ngram_jaccard(F.col("_ta"), F.col("_tb"), k=5)
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+    cands = dd.minhash_candidate_pairs(
         d, id_col="doc_id", text_col="text", num_hashes=32, bands=8, k=5
-    ).orderBy("id_a", "id_b")
+    ).select("id_a", "id_b", F.lit(True).alias("_cand"))
+    return (
+        true_pairs.join(cands, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.coalesce(F.col("_cand"), F.lit(False)).alias("is_candidate"),
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(
     "q_simhash_near_dups",
-    oracle=None,
-    doc="SimHash near-dup candidates via chunk pigeonhole (Hamming ≤ 3).",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+    FROM p a JOIN p b ON a.text = b.text AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+    doc="SimHash near-dup candidates via chunk pigeonhole (Hamming <= "
+    "3, 4x16-bit chunks). Certified deterministically: the simhash "
+    "value is engine-specific, but identical texts ALWAYS produce "
+    "identical simhashes (Hamming 0) and the pigeonhole bucketing "
+    "finds every Hamming<=width pair with certainty — so candidates "
+    "filtered to exact-text-equal pairs must be EXACTLY the equal-text "
+    "pairs, which DuckDB enumerates by self-joining on text (planted "
+    "copies at doc_id%20 guarantee the set is non-empty). No "
+    "probabilistic recall caveat here: the pigeonhole guarantee is "
+    "exact for Hamming 0. The wider (near-identical, nonequal-text) "
+    "candidate surface stays pinned by pytest invariants.",
 )
 def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    d = T(spark, sf, "documents")
-    return dd.simhash_candidate_pairs(
-        d, id_col="doc_id", text_col="text", max_hamming=3, chunks=4
-    ).orderBy("id_a", "id_b")
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")
+    )
+    un = d.unionByName(planted)
+    cands = dd.simhash_candidate_pairs(
+        un, id_col="doc_id", text_col="text", max_hamming=3, chunks=4
+    )
+    return (
+        cands.join(
+            un.select(
+                F.col("doc_id").alias("id_a"), F.col("text").alias("_ta")
+            ),
+            "id_a",
+        )
+        .join(
+            un.select(
+                F.col("doc_id").alias("id_b"), F.col("text").alias("_tb")
+            ),
+            "id_b",
+        )
+        .filter(F.col("_ta") == F.col("_tb"))
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(
     "q_ngram_jaccard_dedup",
-    oracle=None,
-    doc="LSH candidates verified by exact n-gram Jaccard ≥ 0.8 — the "
-    "production near-dup pipeline (recall stage + precision stage).",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+                  FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                         THEN list_transform(range(1, len(t) - 1),
+                                             i -> array_to_string(t[i:i+2], ' '))
+                         ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM toks
+    ),
+    dg AS (SELECT DISTINCT doc_id, sh FROM grams),
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM dg GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS ni
+      FROM dg a JOIN dg b USING (sh)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT ida AS id_a, idb AS id_b,
+           CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = ida
+    JOIN sizes sb ON sb.doc_id = idb
+    WHERE CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    doc="LSH candidates verified by exact 3-gram Jaccard >= 0.8 — the "
+    "production near-dup pipeline (recall stage + precision stage) at "
+    "the shorter shingle width. Oracle: DuckDB computes TRUE 3-gram "
+    "Jaccard over the full gram-posting self-join, so a hash match "
+    "also certifies 100% LSH recall at this threshold on this corpus "
+    "(the same intentional recall coupling q_verified_near_dups "
+    "documents for k=5). The engine-specific est_jaccard column is "
+    "excluded from the compared output.",
 )
 def q_ngram_jaccard_dedup(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
-    return dd.verified_near_dups(
-        d, id_col="doc_id", text_col="text", jaccard_threshold=0.8, k=3
-    ).orderBy("id_a", "id_b")
+    return (
+        dd.verified_near_dups(
+            d, id_col="doc_id", text_col="text", jaccard_threshold=0.8, k=3
+        )
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(
@@ -775,10 +941,13 @@ _PACK_SQL = """
     ),
     packed AS (
       SELECT source, shard, doc_id, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (
+             -- CAST: the window SUM is HUGEINT and // keeps it HUGEINT,
+             -- which pandas renders as float64 — the driver's value hash
+             -- then diverges from Spark's int64 (r3 FAIL signature)
+             CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY source, shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             // 512 AS seq_id
+             // 512 AS BIGINT) AS seq_id
       FROM toks
     )
     SELECT source, CAST(shard AS BIGINT) AS shard, seq_id,
@@ -1177,8 +1346,33 @@ def q_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_VOCAB_SKETCH_SQL = r"""
+    WITH vocab AS (
+      SELECT DISTINCT lang,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sizes AS (SELECT lang, COUNT(*) AS n FROM vocab GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_shared
+      FROM vocab a JOIN vocab b
+        ON a.token = b.token AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT i.lang_a, i.lang_b,
+           CAST(i.n_shared AS BIGINT) AS exact_shared,
+           CAST(sa.n + sb.n - i.n_shared AS BIGINT) AS exact_union,
+           TRUE AS shared_ok, TRUE AS union_ok
+    FROM inter i
+    JOIN sizes sa ON sa.lang = i.lang_a
+    JOIN sizes sb ON sb.lang = i.lang_b
+    ORDER BY lang_a, lang_b
+"""
+
+
 @register(
     "q_vocab_overlap_sketch",
+    oracle=_VOCAB_SKETCH_SQL,
     doc="Scale-path twin of q_vocab_overlap: theta sketches replace the "
     "exact distinct-vocab self-join. One pass builds a per-language "
     "theta sketch of the token set (map-side aggregation, fixed-size "
@@ -1187,16 +1381,19 @@ def q_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
     "states — |langs|² tiny operations on the driver side of a 5-row "
     "frame, zero token-level joins. At 100 TB the exact path's "
     "vocab x vocab join grows with lexicon size; the sketch path is "
-    "constant-state per language. Estimates are engine-specific "
-    "(rows-only); the accuracy bound vs the exact query is pinned in "
-    "test_text_quality.py::test_vocab_overlap_sketch_accuracy.",
+    "constant-state per language. Certified via the assertion pattern: "
+    "estimates are engine-specific, so the compared output is the "
+    "exact pairwise counts (both engines compute them — Spark runs the "
+    "exact lane alongside at certification scale) plus booleans "
+    "asserting |est - exact| <= max(2, 5% of exact), the same bound "
+    "test_vocab_overlap_sketch_accuracy pins; DuckDB asserts literal "
+    "TRUE. In production only the sketch lane runs.",
 )
 def q_vocab_overlap_sketch(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
-    sketches = (
-        d.select("lang", F.explode(tx.tokens("text")).alias("token"))
-        .groupBy("lang")
-        .agg(F.theta_sketch_agg("token").alias("theta"))
+    toks = d.select("lang", F.explode(tx.tokens("text")).alias("token"))
+    sketches = toks.groupBy("lang").agg(
+        F.theta_sketch_agg("token").alias("theta")
     )
     a = sketches.select(
         F.col("lang").alias("lang_a"), F.col("theta").alias("_ta")
@@ -1204,21 +1401,73 @@ def q_vocab_overlap_sketch(spark: SparkSession, sf: str) -> DataFrame:
     b = sketches.select(
         F.col("lang").alias("lang_b"), F.col("theta").alias("_tb")
     )
-    return (
-        a.join(b, F.col("lang_a") < F.col("lang_b"))
+    est = a.join(b, F.col("lang_a") < F.col("lang_b")).select(
+        "lang_a",
+        "lang_b",
+        F.round(
+            F.expr("theta_sketch_estimate(theta_intersection(_ta, _tb))")
+        )
+        .cast("long")
+        .alias("est_shared"),
+        F.round(F.expr("theta_sketch_estimate(theta_union(_ta, _tb))"))
+        .cast("long")
+        .alias("est_union"),
+    )
+    # exact twin (certification comparator): distinct vocab self-join,
+    # lexicon-bounded — same shape as q_vocab_overlap
+    vocab = toks.distinct()
+    sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    va, vb = vocab.alias("a"), vocab.alias("b")
+    exact = (
+        va.join(
+            vb,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_shared"))
+        .join(
+            sizes.select(
+                F.col("lang").alias("lang_a"), F.col("n").alias("_na")
+            ),
+            "lang_a",
+        )
+        .join(
+            sizes.select(
+                F.col("lang").alias("lang_b"), F.col("n").alias("_nb")
+            ),
+            "lang_b",
+        )
         .select(
             "lang_a",
             "lang_b",
-            F.round(
-                F.expr("theta_sketch_estimate(theta_intersection(_ta, _tb))")
-            )
+            F.col("exact_shared").cast("long").alias("exact_shared"),
+            (F.col("_na") + F.col("_nb") - F.col("exact_shared"))
             .cast("long")
-            .alias("est_shared"),
-            F.round(
-                F.expr("theta_sketch_estimate(theta_union(_ta, _tb))")
-            )
-            .cast("long")
-            .alias("est_union"),
+            .alias("exact_union"),
+        )
+    )
+
+    def within(est_c: str, ex_c: str):
+        bound = F.greatest(
+            F.lit(2.0), 0.05 * F.col(ex_c).cast("double")
+        )
+        return (
+            F.abs(F.col(est_c).cast("double") - F.col(ex_c).cast("double"))
+            <= bound
+        )
+
+    return (
+        exact.join(est, ["lang_a", "lang_b"])
+        .select(
+            "lang_a",
+            "lang_b",
+            "exact_shared",
+            "exact_union",
+            within("est_shared", "exact_shared").alias("shared_ok"),
+            within("est_union", "exact_union").alias("union_ok"),
         )
         .orderBy("lang_a", "lang_b")
     )

@@ -748,11 +748,16 @@ def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
       FROM events
     ), sessions AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             -- CAST: DuckDB window SUM yields HUGEINT, which lands in
+             -- pandas as float64 and breaks the driver's dtype-sensitive
+             -- value hash against Spark's int64 (r3 FAIL signature:
+             -- rows_match, hash mismatch)
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
       FROM marked
     )
-    SELECT user_id, session_id, COUNT(*) AS n_events,
+    SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end
     FROM sessions GROUP BY user_id, session_id
     ORDER BY user_id, session_id
@@ -772,7 +777,7 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         e.withColumn("is_new", is_new)
-        .withColumn("session_id", F.sum("is_new").over(wsum))
+        .withColumn("session_id", F.sum("is_new").over(wsum).cast("long"))
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -1018,27 +1023,87 @@ def q_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_approx_profile",
-    oracle=None,  # HLL / KLL sketch outputs are engine-specific
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_ok, TRUE AS parts_ok,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     doc="Approximate corpus profiling — the 100 TB first-look query: "
     "HyperLogLog distinct counts (approx_count_distinct, mergeable "
     "partial sketches, one reduce, O(1) state per group) and KLL-style "
     "approximate percentiles (percentile_approx) per return flag. "
-    "Rows-only by nature; error bounds vs exact asserted in "
-    "tests/test_approx.py.",
+    "Certified via the assertion pattern: the sketch estimates are "
+    "engine-specific, so the compared output is (a) the EXACT distinct "
+    "counts (both engines compute them) and (b) booleans asserting each "
+    "estimate sits inside its published error bound — HLL relative "
+    "error <= 3x the default 5% rsd, percentile_approx rank error <= "
+    "1/accuracy (+ slack for ties) — which DuckDB asserts as literal "
+    "TRUE. Scalar columns only: the driver's pandas canonicalizer "
+    "crashes on array columns (r3 q_approx_profile ERR). Tighter error "
+    "tracking stays in tests/test_approx.py.",
 )
 def q_approx_profile(spark: SparkSession, sf: str) -> DataFrame:
-    li = T(spark, sf, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx(
-                "l_extendedprice", [0.5, 0.9, 0.99], 10000
-            ).alias("price_pctl"),
-        )
-        .orderBy("l_returnflag")
+    li = T(spark, sf, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_partkey", "l_extendedprice"
     )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("a_orders"),
+        F.approx_count_distinct("l_partkey").alias("a_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("ap90"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("ap99"),
+    )
+    # second pass ranks each approx percentile value exactly within its
+    # group: the approx table is group-cardinality (tiny) so the join is
+    # a broadcast — the fact table still streams map-side
+    exact = (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(
+                    F.when(F.col("l_extendedprice") < F.col(c), 1).otherwise(0)
+                ).alias(f"lt_{c}")
+                for c in ("ap50", "ap90", "ap99")
+            ],
+            *[
+                F.sum(
+                    F.when(F.col("l_extendedprice") <= F.col(c), 1).otherwise(0)
+                ).alias(f"le_{c}")
+                for c in ("ap50", "ap90", "ap99")
+            ],
+            F.first("a_orders").alias("a_orders"),
+            F.first("a_parts").alias("a_parts"),
+        )
+    )
+    eps = 1.0 / 10000 + 0.001  # rank-error guarantee + tie slack
+    n = F.col("n_rows").cast("double")
+
+    def pct_ok(c: str, q: float):
+        return (F.col(f"lt_{c}") / n <= F.lit(q + eps)) & (
+            F.col(f"le_{c}") / n >= F.lit(q - eps)
+        )
+
+    def hll_ok(a: str, ex: str):
+        diff = F.abs(F.col(a).cast("double") - F.col(ex).cast("double"))
+        return diff / F.col(ex).cast("double") <= F.lit(0.15)  # 3x rsd
+
+    return exact.select(
+        "l_returnflag",
+        F.col("exact_orders").cast("long").alias("exact_orders"),
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        hll_ok("a_orders", "exact_orders").alias("orders_ok"),
+        hll_ok("a_parts", "exact_parts").alias("parts_ok"),
+        pct_ok("ap50", 0.5).alias("p50_ok"),
+        pct_ok("ap90", 0.9).alias("p90_ok"),
+        pct_ok("ap99", 0.99).alias("p99_ok"),
+    ).orderBy("l_returnflag")
 
 
 @register(
@@ -1461,14 +1526,26 @@ def q_scd2_asof(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_sketch_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT value) AS BIGINT) AS exact_distinct,
+           TRUE AS distinct_ok, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
     doc="Mergeable DataSketches profiling "
     "(operators.incremental_agg.sketch_profile_state/merge/finalize): "
     "per-event-type KLL quantiles + HLL distinct estimate, computed by "
     "profiling two half-corpus shards separately and MERGING THE "
     "STATES — the incremental path a percentile_approx result cannot "
-    "take. Sketch estimates are engine-specific (rows-only); shard-"
-    "merge-equals-whole and rank-error bounds are pinned in "
-    "test_incremental_agg.py.",
+    "take. Certified via the assertion pattern: the sketch estimates "
+    "are engine-specific, so the compared output is the exact row/"
+    "distinct counts (both engines) plus booleans asserting each "
+    "estimate sits inside its bound — HLL relative error <= 15% (3x "
+    "the ~5% rsd at lgK 12 default), KLL rank error <= 5% (k=200 "
+    "guarantees ~1.7%; slack for value ties) — which DuckDB asserts as "
+    "literal TRUE. Shard-merge-equals-whole and tighter error tracking "
+    "stay in test_incremental_agg.py.",
 )
 def q_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
     from incremental_github_data_pipeline_spark.operators.incremental_agg import (
@@ -1477,18 +1554,60 @@ def q_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
         sketch_profile_state,
     )
 
-    e = T(spark, sf, "events")
+    e = T(spark, sf, "events").select("event_type", "event_id", "value")
     shard_a = sketch_profile_state(
         e.filter(F.col("event_id") % 2 == 0), ["event_type"], "value"
     )
     shard_b = sketch_profile_state(
         e.filter(F.col("event_id") % 2 == 1), ["event_type"], "value"
     )
-    return (
-        finalize_sketch_profile(
-            merge_sketch_profiles(
-                shard_a.unionByName(shard_b), ["event_type"]
-            )
-        )
-        .orderBy("event_type")
+    fin = finalize_sketch_profile(
+        merge_sketch_profiles(shard_a.unionByName(shard_b), ["event_type"])
     )
+    # rank the sketch quantiles exactly: the finalized profile is
+    # group-cardinality (tiny) → broadcast join back onto the fact
+    checked = (
+        e.join(F.broadcast(fin), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("value").alias("exact_distinct"),
+            *[
+                F.sum(
+                    F.when(F.col("value") < F.col(c), 1).otherwise(0)
+                ).alias(f"lt_{c}")
+                for c in ("p50", "p90", "p99")
+            ],
+            *[
+                F.sum(
+                    F.when(F.col("value") <= F.col(c), 1).otherwise(0)
+                ).alias(f"le_{c}")
+                for c in ("p50", "p90", "p99")
+            ],
+            F.first("approx_distinct").alias("approx_distinct"),
+        )
+    )
+    eps = 0.05  # KLL k=200 rank-error ~1.7% + tie slack
+    n = F.col("n_rows").cast("double")
+
+    def pct_ok(c: str, q: float):
+        return (F.col(f"lt_{c}") / n <= F.lit(q + eps)) & (
+            F.col(f"le_{c}") / n >= F.lit(q - eps)
+        )
+
+    return checked.select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            F.abs(
+                F.col("approx_distinct").cast("double")
+                - F.col("exact_distinct").cast("double")
+            )
+            / F.col("exact_distinct").cast("double")
+            <= F.lit(0.15)
+        ).alias("distinct_ok"),
+        pct_ok("p50", 0.5).alias("p50_ok"),
+        pct_ok("p90", 0.9).alias("p90_ok"),
+        pct_ok("p99", 0.99).alias("p99_ok"),
+    ).orderBy("event_type")

@@ -2,20 +2,40 @@
 """Local replica of the driver's t2 correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at
 sf0.01, compare row count + schema (column names) + order-insensitive
-values. Exact match required for non-float columns; floats compare exact
-first, with max-abs-diff reported when they differ (to decide whether a
-query needs the DECIMAL-sum treatment).
+values.
+
+The compare path deliberately mirrors the driver's pandas-based
+canonicalizer (visible in the CORRECTNESS_r03.json q_approx_profile
+traceback): both sides go through pandas DataFrames
+(``spark_df.toPandas()`` / ``duck_result.df()``) and are sorted with
+``DataFrame.sort_values`` over all columns. That reproduces two failure
+classes the old fetchall()-based canon masked:
+
+- array/map output columns crash ``sort_values`` with "unhashable
+  type: 'list'" — exactly the driver's r3 q_approx_profile ERR;
+- dtype divergence: DuckDB HUGEINT (any uncast SUM / window SUM / ``//``
+  chain) lands in pandas as float64 while Spark emits int64, so the
+  driver's dtype-sensitive value hash diverges even though ``str(v)``
+  matched in the old canon — the r3 q_sessionize / q_doc_pack_sequences
+  FAIL signature.
+
+Value compare: numeric kinds must agree (int-family vs float-family is
+a FAIL even when values are numerically equal); datetime-likes are
+normalized to datetime64[ns] first (the driver demonstrably tolerates
+date-object vs datetime64 — q_events_new_users was green in r3);
+everything else compares exactly, with NaN == NaN.
 
 Usage: python scripts/check_correctness.py [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -35,65 +55,106 @@ def duck_connection():
     return con
 
 
-def normalize(rows, columns):
-    """Sort columns by name, then rows by stringified values —
-    approximates the driver's order-insensitive compare."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                vals.append(("f", v))
-            elif hasattr(v, "isoformat"):
-                vals.append(("t", v.isoformat()))
-            else:
-                vals.append(("s", str(v)))
-        out.append(tuple(vals))
-    return sorted(out, key=str), [columns[i] for i in order]
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-shape canonicalization: columns sorted by name, rows
+    sorted by all columns via ``sort_values`` (crashes on unhashable
+    cell values — arrays/maps — exactly like the driver's canon)."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf.columns):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def _kind(series: pd.Series) -> str:
+    """Dtype family used for the cross-engine compatibility check."""
+    k = series.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    if k == "O":
+        # object columns of date/datetime (Spark toPandas renders DATE
+        # as datetime.date objects) count as datetime — the driver
+        # demonstrably tolerates that vs DuckDB's datetime64 (r3
+        # q_events_new_users green)
+        non_null = series.dropna()
+        if len(non_null) and all(
+            hasattr(v, "isoformat") for v in non_null.head(5)
+        ):
+            return "datetime"
+        if len(non_null) and all(
+            isinstance(v, bool) for v in non_null.head(5)
+        ):
+            return "bool"
+        return "object"
+    return k
+
+
+def _col_equal(a: pd.Series, b: pd.Series) -> bool:
+    ka, kb = _kind(a), _kind(b)
+    if ka == kb == "datetime":
+        av = pd.to_datetime(a, errors="coerce")
+        bv = pd.to_datetime(b, errors="coerce")
+        return bool(((av == bv) | (av.isna() & bv.isna())).all())
+    if ka == kb in ("int", "bool"):
+        return bool((a.values == b.values).all())
+    if ka == kb == "float":
+        av, bv = a.values.astype(float), b.values.astype(float)
+        both_nan = np.isnan(av) & np.isnan(bv)
+        return bool((both_nan | (av == bv)).all())
+    # object fallback — exact, None == None
+    return bool(
+        ((a.astype(str) == b.astype(str)) | (a.isna() & b.isna())).all()
+    )
 
 
 def compare(name, spark_df, con, sql):
     t0 = time.time()
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    s_cols = spark_df.columns
+    s_pdf = spark_df.toPandas()
     spark_sec = time.time() - t0
     t0 = time.time()
-    res = con.sql(sql)
-    d_rows = [tuple(r) for r in res.fetchall()]
-    d_cols = list(res.columns)
+    d_pdf = con.sql(sql).df()
     duck_sec = time.time() - t0
 
     problems = []
-    if sorted(s_cols) != sorted(d_cols):
-        problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
-    if len(s_rows) != len(d_rows):
-        problems.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
+    if sorted(s_pdf.columns) != sorted(d_pdf.columns):
+        problems.append(
+            f"schema: spark={sorted(s_pdf.columns)} duck={sorted(d_pdf.columns)}"
+        )
+    if len(s_pdf) != len(d_pdf):
+        problems.append(f"rowcount: spark={len(s_pdf)} duck={len(d_pdf)}")
     if not problems:
-        sn, cols = normalize(s_rows, s_cols)
-        dn, _ = normalize(d_rows, d_cols)
-        n_mismatch, max_diff = 0, 0.0
-        for a, b in zip(sn, dn):
-            if a != b:
-                n_mismatch += 1
-                for (ta, va), (tb, vb) in zip(a, b):
-                    if ta == tb == "f" and va is not None and vb is not None:
-                        if not (math.isnan(va) and math.isnan(vb)):
-                            max_diff = max(max_diff, abs(va - vb))
-                    elif va != vb:
-                        max_diff = float("inf")
-        if n_mismatch:
-            problems.append(
-                f"values: {n_mismatch}/{len(sn)} rows differ, max_float_diff={max_diff:g}"
-            )
-            for a, b in zip(sn, dn):
-                if a != b:
-                    print(f"    spark: {a}\n    duck : {b}")
-                    break
+        try:
+            sn, dn = _canon(s_pdf), _canon(d_pdf)
+        except TypeError as ex:  # unhashable list → the driver's ERR path
+            problems.append(f"canon-crash (driver ERR): {ex}")
+        else:
+            for c in sn.columns:
+                ks, kd = _kind(sn[c]), _kind(dn[c])
+                if ks != kd:
+                    problems.append(
+                        f"dtype[{c}]: spark={sn[c].dtype}({ks}) "
+                        f"duck={dn[c].dtype}({kd}) — driver hash would diverge"
+                    )
+                elif not _col_equal(sn[c], dn[c]):
+                    neq = ~(
+                        (sn[c].astype(str) == dn[c].astype(str))
+                        | (sn[c].isna() & dn[c].isna())
+                    )
+                    i = int(neq.idxmax()) if neq.any() else 0
+                    problems.append(
+                        f"values[{c}]: {int(neq.sum())}/{len(sn)} differ, "
+                        f"e.g. spark={sn[c].iloc[i]!r} duck={dn[c].iloc[i]!r}"
+                    )
     status = "OK " if not problems else "FAIL"
-    print(f"{status} {name:28s} rows={len(s_rows):6d} spark={spark_sec:5.1f}s duck={duck_sec:4.1f}s "
-          + "; ".join(problems))
+    print(
+        f"{status} {name:28s} rows={len(s_pdf):6d} spark={spark_sec:5.1f}s "
+        f"duck={duck_sec:4.1f}s " + "; ".join(problems)
+    )
     return not problems
 
 

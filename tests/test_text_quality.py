@@ -823,20 +823,27 @@ def test_chunk_udtf_agrees_with_expression_lane(spark):
 def test_vocab_overlap_sketch_accuracy(spark):
     """The theta-sketch overlap estimates must land within a few percent
     of the exact distinct counts on the sf0.001 corpus (small enough
-    that theta sketches are near-exact)."""
+    that theta sketches are near-exact). The query now carries the
+    bound check itself (shared_ok/union_ok assertion columns, compared
+    against literal TRUE by the driver oracle); here we pin that every
+    assertion actually holds and that the pair set and exact counts
+    agree with the exact query's."""
     from incremental_github_data_pipeline_spark.queries import load_all
 
     reg = load_all()
     exact = {
-        (r["lang_a"], r["lang_b"]): (r["n_shared"], r["vocab_a"] + r["vocab_b"] - r["n_shared"])
+        (r["lang_a"], r["lang_b"]): (
+            r["n_shared"],
+            r["vocab_a"] + r["vocab_b"] - r["n_shared"],
+        )
         for r in reg["q_vocab_overlap"].fn(spark, "/root/testdata/sf0.001").collect()
     }
-    est = {
-        (r["lang_a"], r["lang_b"]): (r["est_shared"], r["est_union"])
-        for r in reg["q_vocab_overlap_sketch"].fn(spark, "/root/testdata/sf0.001").collect()
-    }
-    assert set(est) == set(exact)
+    sketch_rows = reg["q_vocab_overlap_sketch"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    got = {(r["lang_a"], r["lang_b"]): r for r in sketch_rows}
+    assert set(got) == set(exact)
     for k, (sh, un) in exact.items():
-        esh, eun = est[k]
-        assert abs(esh - sh) <= max(2, 0.05 * sh), (k, sh, esh)
-        assert abs(eun - un) <= max(2, 0.05 * un), (k, un, eun)
+        r = got[k]
+        assert (r["exact_shared"], r["exact_union"]) == (sh, un), (k, r)
+        assert r["shared_ok"] and r["union_ok"], (k, r)
