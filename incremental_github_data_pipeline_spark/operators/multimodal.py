@@ -4,11 +4,15 @@ opaque ``binary`` payloads + typed metadata structs.
 Decode is REAL for every format with a public, dependency-free codec:
 - ``image/bmp`` — 24-bit uncompressed BMP, parsed header-first with
   numpy (row padding, bottom-up raster, pixel-data offset honored);
+- ``image/jpeg`` — baseline sequential JPEG (ITU-T T.81): full
+  marker parse, canonical Huffman entropy decode, dequantize + IDCT,
+  grayscale and YCbCr 4:4:4 (see :func:`decode_jpeg` for the honest
+  scope boundary — progressive/subsampled variants raise);
 - ``audio/wav`` — 16-bit PCM via the stdlib ``wave`` module;
 - ``video/x-raw-rgb`` — a trivial length-prefixed raw-RGB frame
   container (what uncompressed AVI is, minus chunk bookkeeping).
-Formats that genuinely require external codec libraries (JPEG/MP3/H.264
-— not present in this container) keep the honest ``NotImplementedError``
+Formats that genuinely require external codec libraries (MP3/H.264 —
+not present in this container) keep the honest ``NotImplementedError``
 stub; ``fake=True`` substitutes a deterministic synthetic decode so the
 distributed plumbing is exercisable for those too.
 
@@ -93,8 +97,13 @@ def _real_feature(mime: str, payload: bytes, dim: int) -> list[float]:
     rate, coarse FFT band magnitudes (numpy rfft). Video: frame count,
     temporal-difference energy, channel means of the middle frame."""
     v = np.zeros(dim, dtype=np.float64)
-    if mime == "image/bmp":
-        px = decode_bmp(payload).astype(np.float64)
+    if mime in ("image/bmp", "image/jpeg"):
+        px = (
+            decode_bmp(payload) if mime == "image/bmp"
+            else decode_jpeg(payload)
+        ).astype(np.float64)
+        if px.ndim == 2:  # grayscale JPEG → replicate to 3 channels
+            px = np.repeat(px[:, :, None], 3, axis=2)
         gray = px.mean(axis=2)
         v[0:3] = px.reshape(-1, 3).mean(axis=0) / 255.0
         v[3] = gray.std() / 255.0
@@ -360,8 +369,13 @@ def decode_stats(media: DataFrame) -> DataFrame:
                     "sample_rate": None, "duration_ms": None, "mean_r": None,
                     "mean_g": None, "mean_b": None, "mean_abs_sample": None,
                 }
-                if r.mime == "image/bmp":
-                    px = decode_bmp(r.payload)
+                if r.mime in ("image/bmp", "image/jpeg"):
+                    px = (
+                        decode_bmp(r.payload) if r.mime == "image/bmp"
+                        else decode_jpeg(r.payload)
+                    )
+                    if px.ndim == 2:  # grayscale → same mean per channel
+                        px = np.repeat(px[:, :, None], 3, axis=2)
                     row.update(
                         height=px.shape[0], width=px.shape[1],
                         mean_r=float(px[:, :, 0].mean()),
@@ -498,4 +512,456 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.lit(every_ms),
             )
         ).alias("ts_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT, dependency-free)
+#
+# A real JPEG codec pair built from the public spec: 8x8 block DCT,
+# uniform quantization, canonical Huffman entropy coding, JFIF markers.
+# Scope (honestly bounded): baseline sequential, 8-bit precision,
+# grayscale or YCbCr 4:4:4 (no chroma subsampling), no progressive
+# scans, no restart intervals — each unsupported feature raises
+# NotImplementedError at parse time rather than mis-decoding.
+# ---------------------------------------------------------------------------
+
+# zigzag scan order of the 64 coefficients (T.81 figure 5)
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# orthonormal DCT-II basis: row k = c(k) * cos((2n+1) k pi / 16)
+_DCT_T = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+# Flat quantization table: q=8 everywhere makes the DC path EXACT for
+# uniform blocks (DC coefficient of a flat block is 8*(v-128), and
+# 8*(v-128)/8 is integral for every v), which the closed-form oracle
+# of q_media_jpeg_stats relies on. Real deployments would swap in a
+# psychovisual table — the format carries it in DQT either way.
+_QTABLE = np.full(64, 8, dtype=np.int32)
+
+# Self-describing canonical Huffman tables (carried in DHT, so any
+# decoder — not just ours — reads these files): all 12 DC categories as
+# 4-bit codes, all 162 AC (run,size) symbols as 8-bit codes. Both leave
+# the all-ones code unassigned as T.81 requires.
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_SYMBOLS = (
+    [0x00, 0xF0]  # EOB, ZRL
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_VALS = sorted(_AC_SYMBOLS)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (length, code)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol map for bitwise canonical decoding."""
+    return {lc: sym for sym, lc in _huff_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, length: int) -> None:
+        self._acc = (self._acc << length) | (value & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> bytes:
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)  # pad with 1s
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            self._acc = self.data[self.pos]
+            self.pos += 1
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _amplitude(value: int) -> tuple[int, int]:
+    """(size, bits) per T.81 F.1.2.1: negatives as ones' complement."""
+    if value == 0:
+        return 0, 0
+    size = int(abs(value)).bit_length()
+    bits = value if value > 0 else value + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of :func:`_amplitude` (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[:, :, c].astype(np.float64) for c in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.round(np.stack([y, cb, cr], axis=2)), 0, 255)
+
+
+def _ycbcr_to_rgb(comps: np.ndarray) -> np.ndarray:
+    y, cb, cr = (comps[:, :, c] for c in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def encode_jpeg(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    baseline sequential JFIF JPEG (4:4:4, flat q=8 quantization, the
+    self-describing Huffman tables above). General: any pixel content
+    encodes — blocks are DCT'd, quantized and run-length/Huffman coded
+    per the spec; uniform 8x8 blocks happen to round-trip exactly under
+    the flat table, which the closed-form oracles exploit."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        comps = pixels.astype(np.float64)[:, :, None]
+    else:
+        comps = _rgb_to_ycbcr(pixels)
+    n_comp = comps.shape[2]
+    # pad to 8-multiples by edge replication
+    ph, pw = -h % 8, -w % 8
+    comps = np.pad(comps, ((0, ph), (0, pw), (0, 0)), mode="edge")
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    q = _QTABLE.reshape(8, 8)
+    bw = _BitWriter()
+    pred = [0] * n_comp
+    for by in range(comps.shape[0] // 8):
+        for bx in range(comps.shape[1] // 8):
+            for c in range(n_comp):  # interleaved MCU = 1 block/comp (4:4:4)
+                block = comps[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c]
+                coef = np.round(
+                    (_DCT_T @ (block - 128.0) @ _DCT_T.T) / q
+                ).astype(np.int64)
+                zz = coef.flatten()[_ZIGZAG]
+                diff = int(zz[0]) - pred[c]
+                pred[c] = int(zz[0])
+                size, bits = _amplitude(diff)
+                length, code = dc_codes[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(bits, size)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        length, code = ac_codes[0xF0]  # ZRL
+                        bw.write(code, length)
+                        run -= 16
+                    size, bits = _amplitude(v)
+                    length, code = ac_codes[(run << 4) | size]
+                    bw.write(code, length)
+                    bw.write(bits, size)
+                    run = 0
+                if run:
+                    length, code = ac_codes[0x00]  # EOB
+                    bw.write(code, length)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 72, 72, 0, 0)
+    )
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in _QTABLE))  # DQT
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for c in range(n_comp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0)  # 1x1 sampling, qtable 0
+    out += seg(0xC0, sof)  # SOF0 baseline
+    out += seg(
+        0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    )  # DHT DC table 0
+    out += seg(
+        0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )  # DHT AC table 0
+    sos = struct.pack(">B", n_comp)
+    for c in range(n_comp):
+        sos += struct.pack(">BB", c + 1, 0x00)  # DC table 0, AC table 0
+    sos += struct.pack(">BBB", 0, 63, 0)
+    out += seg(0xDA, sos)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to an (h, w) grayscale or
+    (h, w, 3) RGB uint8 array. Reads whatever tables the file carries
+    (any DQT/DHT, not just ours). Rejects — with an honest error, never
+    a silent mis-decode — progressive scans (SOF2), chroma subsampling,
+    12-bit precision, arithmetic coding and restart intervals."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, [(comp_id, qtable_id)])
+    scan = None  # [(comp_id, dc_id, ac_id)], entropy bytes
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                qtables[tq] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=i + 1
+                ).astype(np.int32)
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _huff_decoder(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, fh, fw, n_comp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            comps = []
+            for c in range(n_comp):
+                cid, sampling, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling not supported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG frame (SOF{marker - 0xC0}) not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            n_scan = body[0]
+            scan_comps = []
+            for c in range(n_scan):
+                cid, tables = struct.unpack_from(">BB", body, 1 + 2 * c)
+                scan_comps.append((cid, tables >> 4, tables & 0x0F))
+            # entropy data runs to the next real marker; unstuff FF00
+            data = bytearray()
+            while pos < len(payload):
+                b = payload[pos]
+                if b == 0xFF:
+                    nxt = payload[pos + 1]
+                    if nxt == 0x00:
+                        data.append(0xFF)
+                        pos += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        raise NotImplementedError(
+                            "restart markers not supported"
+                        )
+                    break
+                data.append(b)
+                pos += 1
+            scan = (scan_comps, bytes(data))
+        # APPn / COM / others: skipped via seglen
+
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    fh, fw, fcomps = frame
+    scan_comps, data = scan
+    if len(scan_comps) != len(fcomps):
+        raise NotImplementedError("multi-scan JPEG not supported")
+    qt_of = dict(fcomps)
+
+    bw_blocks_x, bw_blocks_y = -(-fw // 8), -(-fh // 8)
+    out = np.zeros((bw_blocks_y * 8, bw_blocks_x * 8, len(fcomps)))
+    br = _BitReader(data)
+    pred = [0] * len(fcomps)
+    for by in range(bw_blocks_y):
+        for bx in range(bw_blocks_x):
+            for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
+                zz = np.zeros(64, dtype=np.int64)
+                size = br.read_symbol(huff[(0, dc_id)])
+                pred[ci] += _extend(br.read_bits(size), size)
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = br.read_symbol(huff[(1, ac_id)])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    zz[k] = _extend(br.read_bits(sym & 0x0F), sym & 0x0F)
+                    k += 1
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZIGZAG] = zz * qtables[qt_of[cid]][_ZIGZAG]
+                block = _DCT_T.T @ coef.reshape(8, 8) @ _DCT_T + 128.0
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = block
+
+    out = out[:fh, :fw]
+    if len(fcomps) == 1:
+        return np.clip(np.round(out[:, :, 0]), 0, 255).astype(np.uint8)
+    if len(fcomps) == 3:
+        return _ycbcr_to_rgb(out)
+    raise NotImplementedError("only 1- or 3-component JPEG supported")
+
+
+def _jpeg_block_values(i: int) -> tuple[int, int, np.ndarray]:
+    """Closed-form grayscale test image for JPEG: dimensions
+    (17+(i%14)) x (9+(i%12)), each 8x8 block uniform with value
+    (i*3 + bx*7 + by*13) % 256 — flat blocks round-trip exactly under
+    the flat q=8 table, so decoded pixel sums are DuckDB-recomputable."""
+    w, h = 17 + (i % 14), 9 + (i % 12)
+    bx = np.arange(-(-w // 8))
+    by = np.arange(-(-h // 8))
+    v = (i * 3 + bx[None, :] * 7 + by[:, None] * 13) % 256
+    px = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)[:h, :w]
+    return w, h, px.astype(np.uint8)
+
+
+def make_jpeg_media(spark, n: int = 32) -> DataFrame:
+    """Media table of REAL baseline JPEGs with closed-form content (the
+    JPEG twin of :func:`make_real_media`)."""
+    rows = []
+    for i in range(n):
+        w, h, px = _jpeg_block_values(i)
+        rows.append(
+            (i, "image", encode_jpeg(px), "image/jpeg", w, h, None)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("pixel_sum", LongType(), False),
+        StructField("block_weighted_sum", LongType(), False),
+    ]
+)
+
+
+def jpeg_decode_stats(media: DataFrame) -> DataFrame:
+    """Full-decode statistics for JPEG payloads: exact integer pixel sum
+    plus a block-position-weighted sum (catches block misplacement, not
+    just wrong values). One Arrow-batched mapInPandas pass."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                px = decode_jpeg(r.payload).astype(np.int64)
+                h, w = px.shape[:2]
+                wy = np.arange(h)[:, None] // 8 + 1
+                wx = np.arange(w)[None, :] // 8 + 1
+                recs.append(
+                    (
+                        r.media_id,
+                        w,
+                        h,
+                        int(px.sum()),
+                        int((px * wy * wx).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "width", "height",
+                    "pixel_sum", "block_weighted_sum",
+                ],
+            )
+
+    return media.filter(F.col("mime") == "image/jpeg").mapInPandas(
+        batches, JPEG_STATS_SCHEMA
     )

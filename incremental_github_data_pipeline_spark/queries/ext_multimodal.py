@@ -300,3 +300,47 @@ def q_media_frame_samples(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("media_id", "ts_ms")
     )
+
+
+@register(
+    "q_media_jpeg_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 17 + (i % 14) AS w, 9 + (i % 12) AS h
+      FROM range(32) t(i)
+    ),
+    b AS (
+      SELECT media_id, w, h, bx.i AS bx, by.i AS by,
+             LEAST(8, w - bx.i * 8) AS nx,
+             LEAST(8, h - by.i * 8) AS ny,
+             (media_id * 3 + bx.i * 7 + by.i * 13) % 256 AS v
+      FROM m, range(4) bx(i), range(3) by(i)
+      WHERE bx.i * 8 < w AND by.i * 8 < h
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(SUM(nx * ny * v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(nx * ny * v * (bx + 1) * (by + 1)) AS BIGINT)
+             AS block_weighted_sum
+    FROM b GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL baseline JPEG decode (operators.multimodal.decode_jpeg — "
+    "T.81 marker parse, canonical Huffman entropy decode, dequantize, "
+    "IDCT, crop) over genuine encoded JPEG payloads. The test images "
+    "are uniform per 8x8 block with closed-form values, which round-"
+    "trip EXACTLY under the flat q=8 table (DC of a flat block is "
+    "8*(v-128), integral after quantization) — so DuckDB recomputes "
+    "the decoded pixel sums and a block-position-weighted sum from "
+    "range() with no codec, certifying every pixel the decoder "
+    "produces, including the non-multiple-of-8 crop path. Decode runs "
+    "in one Arrow-batched mapInPandas pass, one row per image — no "
+    "shuffle until the final orderBy.",
+)
+def q_media_jpeg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        jpeg_decode_stats,
+        make_jpeg_media,
+    )
+
+    return jpeg_decode_stats(make_jpeg_media(spark, n=32)).orderBy("media_id")

@@ -257,3 +257,104 @@ def test_resample_bounds_property(w, h, out_w, out_h, seed):
     assert np.array_equal(mm.decode_bmp(mm.encode_bmp(small)), small)
     # identity resize is lossless
     assert np.array_equal(mm.area_resample(px, w, h), px)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (T.81 sequential DCT)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_uniform_blocks_roundtrip_exact():
+    """Flat 8x8 blocks round-trip exactly under the flat q=8 table —
+    the property the q_media_jpeg_stats closed-form oracle relies on,
+    including non-multiple-of-8 crop handling."""
+    for i in (0, 5, 13, 31):
+        w, h, px = mm._jpeg_block_values(i)
+        dec = mm.decode_jpeg(mm.encode_jpeg(px))
+        assert dec.shape == (h, w)
+        assert (dec == px).all()
+
+
+def test_jpeg_grayscale_lossy_bounded():
+    """Arbitrary content decodes within the quantization error budget
+    (flat q=8: every coefficient off by <= 4 pre-IDCT)."""
+    rng = np.random.RandomState(7)
+    grad = (np.arange(24)[:, None] * 5 + np.arange(40)[None, :] * 3).astype(
+        np.uint8
+    )
+    noise = rng.randint(0, 256, (17, 23)).astype(np.uint8)
+    for img in (grad, noise):
+        dec = mm.decode_jpeg(mm.encode_jpeg(img))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16
+
+
+def test_jpeg_color_444_roundtrip():
+    """3-component 4:4:4 path: uniform color loses only the YCbCr
+    rounding (<= 2/channel); structured content stays within the
+    quantization budget."""
+    col = np.zeros((16, 16, 3), np.uint8)
+    col[:, :] = (200, 30, 90)
+    dec = mm.decode_jpeg(mm.encode_jpeg(col))
+    assert dec.shape == col.shape
+    assert np.abs(dec.astype(int) - col.astype(int)).max() <= 2
+    grad = np.stack(
+        [
+            (np.arange(16)[:, None] * 9 + np.arange(24)[None, :] * 4 + 40 * c)
+            % 256
+            for c in range(3)
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    dec2 = mm.decode_jpeg(mm.encode_jpeg(grad))
+    assert np.abs(dec2.astype(int) - grad.astype(int)).max() <= 24
+
+
+def test_jpeg_rejects_unsupported_features():
+    payload = bytearray(mm.encode_jpeg(np.full((8, 8), 77, np.uint8)))
+    # not a JPEG
+    with pytest.raises(ValueError, match="SOI"):
+        mm.decode_jpeg(b"\x00\x01\x02")
+    # progressive frame: flip SOF0 (FFC0) to SOF2 (FFC2)
+    sof = bytes(payload).find(b"\xff\xc0")
+    prog = bytearray(payload)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        mm.decode_jpeg(bytes(prog))
+    # chroma subsampling: set the sampling byte of component 1 to 0x22
+    sub = bytearray(payload)
+    sub[sof + 2 + 2 + 6 + 1] = 0x22  # marker+len+B HH B, comp0 sampling
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        mm.decode_jpeg(bytes(sub))
+
+
+def test_jpeg_bitstream_byte_stuffing_roundtrip():
+    """Content engineered to emit 0xFF bytes in the entropy stream must
+    survive stuffing/unstuffing (all-ones padding makes FF runs
+    likely; scan a spread of fills to hit one)."""
+    hit = False
+    for v in range(0, 256, 17):
+        img = np.full((8, 16), v, np.uint8)
+        img[:, 8:] = 255 - v
+        enc = mm.encode_jpeg(img)
+        sos = enc.find(b"\xff\xda")
+        hit = hit or b"\xff\x00" in enc[sos:]
+        assert (mm.decode_jpeg(enc) == img).all()
+    assert hit, "no test image exercised byte stuffing"
+
+
+def test_jpeg_media_pipeline(spark):
+    """make_jpeg_media → jpeg_decode_stats end-to-end matches the
+    closed-form block values; extract_features(fake=False) handles the
+    image/jpeg mime."""
+    media = mm.make_jpeg_media(spark, n=6)
+    stats = {r["media_id"]: r for r in mm.jpeg_decode_stats(media).collect()}
+    for i in range(6):
+        w, h, px = mm._jpeg_block_values(i)
+        assert stats[i]["width"] == w and stats[i]["height"] == h
+        assert stats[i]["pixel_sum"] == int(px.astype(np.int64).sum())
+    feats = extract_features(media, dim=8, fake=False).collect()
+    assert len(feats) == 6
+    for r in feats:
+        w, h, px = mm._jpeg_block_values(r["media_id"])
+        assert abs(r["feature"][0] - px.mean() / 255.0) < 1e-6
