@@ -765,6 +765,7 @@ def contained_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    short_doc_lane: bool = True,
 ) -> DataFrame:
     """Containment dedup: find documents whose text appears VERBATIM
     inside another document (quotes, excerpts, re-posted snippets —
@@ -775,17 +776,60 @@ def contained_docs(
     as contained (deterministic canonical winner, matching
     exact_dedup's min-id rule).
 
-    Scale shape — never corpus × corpus: candidates come from the gram
-    posting lists (a doc can only be contained in a doc that shares
-    ALL of its k-grams), so the self-join is bucketed by gram and the
-    full-coverage filter (n_shared == n_grams_a) prunes to
-    candidate pairs before the exact ``contains`` verification runs on
+    CONTRACT — containment is TOKEN-ALIGNED: texts are whitespace-
+    tokenized and A is contained in B iff A's token sequence appears
+    as a contiguous run of B's tokens. Character-level substrings that
+    cross token boundaries ('bc def' inside 'abc def') are
+    intentionally OUT of contract — they are not quotes/excerpts, and
+    no gram-posting scheme can find them without per-character work.
+    Both the candidate stage and the verification use the same
+    tokenization, so the contract is self-consistent (the r3 version
+    verified with raw ``contains``, which silently widened the
+    semantics the candidates could never deliver — the recall gap
+    flagged in round-3 ADVICE).
+
+    Docs with fewer than ``k`` tokens cannot produce k-gram
+    candidates; ``short_doc_lane=True`` (default) routes them through
+    a broadcast token-aligned scan against every container instead of
+    silently missing them. Cost model: the sub-k-token population must
+    be broadcast-bounded (it is a thin tail of any real corpus; the
+    lane is |short| x |corpus| *predicate evaluations*, not a
+    shuffle). Disable it when short docs were already filtered
+    upstream.
+
+    Scale shape — never corpus × corpus on the main lane: candidates
+    come from the gram posting lists (a doc can only be contained in a
+    doc that shares ALL of its k-grams), so the self-join is bucketed
+    by gram and the full-coverage filter (n_shared == n_grams_a)
+    prunes to candidate pairs before the exact verification runs on
     texts — the recall-stage/precision-stage split of
     verified_near_dups applied to substring containment.
     """
-    grams = df.select(
+    toks = tokens(F.col(text_col))
+    base = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(shingles(text_col, k))).alias("_sh"),
+        F.array_join(toks, " ").alias("_norm"),
+        F.size(toks).alias("_nt"),
+    )
+    padded = lambda c: F.concat(F.lit(" "), c, F.lit(" "))  # noqa: E731
+
+    def tie_rules(pairs: DataFrame) -> DataFrame:
+        """Token-aligned verification + deterministic winner rules over
+        frames with (_ida, _norma, _idb, _normb)."""
+        return pairs.filter(
+            F.contains(padded(F.col("_normb")), padded(F.col("_norma")))
+        ).filter(
+            (F.length("_norma") < F.length("_normb"))
+            | (
+                (F.col("_norma") == F.col("_normb"))
+                & (F.col("_ida") > F.col("_idb"))
+            )
+        )
+
+    long_side = base.filter(F.col("_nt") >= k)
+    grams = long_side.select(
+        "_id",
+        F.explode(F.array_distinct(shingles(F.col("_norm"), k))).alias("_sh"),
     )
     gram_counts = grams.groupBy("_id").agg(
         F.count(F.lit(1)).alias("_n_grams")
@@ -803,29 +847,34 @@ def contained_docs(
     candidates = shared.join(
         gram_counts.withColumnRenamed("_id", "_ida"), "_ida"
     ).filter(F.col("_n_shared") == F.col("_n_grams"))
-    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_t"))
-    verified = (
+    verified = tie_rules(
         candidates.join(
-            texts.select(
-                F.col("_tid").alias("_ida"), F.col("_t").alias("_ta")
+            long_side.select(
+                F.col("_id").alias("_ida"), F.col("_norm").alias("_norma")
             ),
             "_ida",
-        )
-        .join(
-            texts.select(
-                F.col("_tid").alias("_idb"), F.col("_t").alias("_tb")
+        ).join(
+            long_side.select(
+                F.col("_id").alias("_idb"), F.col("_norm").alias("_normb")
             ),
             "_idb",
         )
-        .filter(F.contains(F.col("_tb"), F.col("_ta")))
-        .filter(
-            (F.length("_ta") < F.length("_tb"))
-            | (
-                (F.col("_ta") == F.col("_tb"))
-                & (F.col("_ida") > F.col("_idb"))
-            )
+    ).select("_ida", "_idb")
+
+    if short_doc_lane:
+        shorts = base.filter((F.col("_nt") >= 1) & (F.col("_nt") < k)).select(
+            F.col("_id").alias("_ida"), F.col("_norm").alias("_norma")
         )
-    )
+        containers = base.filter(F.col("_nt") >= 1).select(
+            F.col("_id").alias("_idb"), F.col("_norm").alias("_normb")
+        )
+        short_pairs = tie_rules(
+            containers.join(
+                F.broadcast(shorts), F.col("_ida") != F.col("_idb")
+            )
+        ).select("_ida", "_idb")
+        verified = verified.unionByName(short_pairs)
+
     return verified.select(
         F.col("_ida").alias("contained_id"),
         F.col("_idb").alias("container_id"),

@@ -754,10 +754,10 @@ def remove_duplicate_spans(
 def dsir_counts(df, text_col: str = "text", target_filter=None):
     """Unigram count tables for importance weighting: the raw corpus and
     a target domain selected by ``target_filter`` (a boolean Column).
-    Returns ``(raw_counts, target_counts, raw_total, target_total,
-    vocab_size)``; count frames have columns ``(token, raw_count)`` /
-    ``(token, target_count)``. One explode + one shuffle each; both
-    tables are vocabulary-bounded (tiny vs the corpus)."""
+    Returns a 4-tuple ``(counts, raw_total, target_total, vocab_size)``
+    where ``counts`` is ONE combined vocabulary-bounded frame with
+    columns ``(token, raw_count, target_count)`` (tiny vs the corpus)
+    and the totals are plain ints. One explode + one shuffle."""
     exploded = df.select(
         F.explode(tokens(text_col)).alias("token"),
         (

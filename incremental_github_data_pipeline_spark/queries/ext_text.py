@@ -1230,13 +1230,21 @@ _CONTAINED_SQL = r"""
              array_to_string(list_slice(
                regexp_split_to_array(trim(text), '\s+'), 1, 10), ' ') AS text
       FROM documents WHERE doc_id % 20 = 0
+    ),
+    -- token-aligned contract (same as operators.dedup.contained_docs):
+    -- single-space token rejoin, containment checked space-padded
+    norm AS (
+      SELECT doc_id,
+             array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')
+               AS n
+      FROM aug WHERE length(trim(text)) > 0
     )
     SELECT a.doc_id AS contained_id, b.doc_id AS container_id
-    FROM aug a JOIN aug b
+    FROM norm a JOIN norm b
       ON a.doc_id <> b.doc_id
-     AND position(a.text IN b.text) > 0
-     AND (length(a.text) < length(b.text)
-          OR (a.text = b.text AND a.doc_id > b.doc_id))
+     AND position((' ' || a.n || ' ') IN (' ' || b.n || ' ')) > 0
+     AND (length(a.n) < length(b.n)
+          OR (a.n = b.n AND a.doc_id > b.doc_id))
     ORDER BY contained_id, container_id
 """
 
@@ -1248,11 +1256,17 @@ _CONTAINED_SQL = r"""
     "appearing verbatim inside another (excerpts/quotes — Jaccard "
     "under-scores these). Candidates from gram posting lists with a "
     "full-coverage filter (a doc can only be contained where ALL its "
-    "grams occur), exact substring verification on candidates only — "
-    "never corpus x corpus. The corpus has no natural containment, so "
-    "the query plants deterministic 10-token excerpts; the brute-force "
-    "O(n^2) oracle is feasible at sf0.01 while the Spark path stays "
-    "posting-bucketed.",
+    "grams occur), token-aligned verification on candidates only — "
+    "never corpus x corpus on the main lane; sub-k-token docs go "
+    "through the bounded broadcast lane. CONTRACT (both engines): "
+    "containment is TOKEN-ALIGNED — A contained in B iff A's token "
+    "sequence is a contiguous run of B's tokens; character-level "
+    "substrings crossing token boundaries ('bc def' in 'abc def') are "
+    "out of contract on BOTH sides, so the oracle cannot diverge on "
+    "such corpora (round-3 ADVICE gap, closed). The corpus has no "
+    "natural containment, so the query plants deterministic 10-token "
+    "excerpts; the brute-force O(n^2) oracle is feasible at sf0.01 "
+    "while the Spark path stays posting-bucketed.",
 )
 def q_doc_contained(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents").select("doc_id", "text")

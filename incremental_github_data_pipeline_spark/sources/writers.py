@@ -150,8 +150,20 @@ def zorder_key(cols: list[str], bits: int = 16) -> "Column":
 
     Pure codegen arithmetic — no UDF: bit j of column i becomes bit
     (j × N + i) of the key.
+
+    Raises ``ValueError`` when ``len(cols) * bits > 63``: the
+    interleave would write the long's sign bit, making keyed rows sort
+    negative-first and breaking the clustering order (round-3 ADVICE).
+    Callers must range-compress values into the bits budget first —
+    :func:`write_zordered` does this automatically.
     """
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_key: {n} cols x {bits} bits = {n * bits} bits "
+            "exceeds the 63-bit budget of a signed long; reduce bits "
+            f"(max {63 // n} for {n} cols) or drop columns"
+        )
     key = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         v = F.col(c).cast("long")
@@ -185,17 +197,28 @@ def write_zordered(
 
     100 TB shape: one range-repartition + local sort on the Morton key
     — the same cost as any clustering rewrite, paid once at write time.
+
+    Wide domains are range-compressed into the bits budget: each
+    column is min-shifted, then right-shifted so its maximum fits in
+    ``bits`` bits (order-preserving coarsening — clustering quality
+    degrades gracefully instead of high bits silently wrapping and
+    far-apart values colliding in the key, the round-3 ADVICE trap).
     """
-    mins = df.agg(
-        *[F.min(F.col(c).cast("long")).alias(c) for c in zorder_cols]
+    stats = df.agg(
+        *[F.min(F.col(c).cast("long")).alias(f"min_{c}") for c in zorder_cols],
+        *[F.max(F.col(c).cast("long")).alias(f"max_{c}") for c in zorder_cols],
     ).first()
     shifted = df
     tmp_cols = []
     for c in zorder_cols:
         t = f"_z_{c}"
         tmp_cols.append(t)
+        lo = int(stats[f"min_{c}"] or 0)
+        span = int(stats[f"max_{c}"] or 0) - lo
+        coarsen = max(0, span.bit_length() - bits)
         shifted = shifted.withColumn(
-            t, F.col(c).cast("long") - F.lit(int(mins[c] or 0))
+            t,
+            F.shiftright(F.col(c).cast("long") - F.lit(lo), coarsen),
         )
     keyed = shifted.withColumn("_zkey", zorder_key(tmp_cols, bits))
     # explicit file count: AQE would coalesce small range partitions

@@ -427,6 +427,15 @@ def apply_changelog(
     against the base (standard CDC upsert tolerance: an update for a
     missing key inserts, an insert for an existing key replaces) — the
     strict variant is an expectations-module check, not a join.
+
+    Tie-break contract: ``order_col`` SHOULD be unique per key (LSNs
+    are); when two changes to one key carry the same order value
+    (multi-row transactions stamped with one commit timestamp), the
+    winner is chosen by a deterministic op precedence —
+    delete > update > insert — so replays and different engines agree
+    instead of a partition-order lottery (round-3 ADVICE). A
+    same-stamp delete+insert therefore resolves to delete; emit
+    distinct order values if the insert must survive.
     """
     base_tagged = base.select(
         *base.columns,
@@ -441,10 +450,18 @@ def apply_changelog(
         F.col(order_col).alias("_cdc_order"),
     )
     merged = base_tagged.unionByName(change_tagged)
+    op_rank = (
+        F.when(F.col("_cdc_op") == "delete", 3)
+        .when(F.col("_cdc_op") == "update", 2)
+        .when(F.col("_cdc_op") == "insert", 1)
+        .otherwise(0)  # base
+    )
     w = Window.partitionBy(*key_cols).orderBy(
         # base rows sort before every change (nulls first), changes by
-        # their LSN; the LAST row per key is the winner
-        F.col("_cdc_order").asc_nulls_first()
+        # their LSN with op precedence breaking order-value ties
+        # deterministically; the LAST row per key is the winner
+        F.col("_cdc_order").asc_nulls_first(),
+        op_rank.asc(),
     )
     winner = (
         merged.withColumn("_rn", F.row_number().over(w))

@@ -134,3 +134,58 @@ def test_zorder_write_narrows_file_stats_on_both_dims(spark, tmp_path):
         assert narrow >= len(s) * 0.6, (col_name, s)
     # round trip: clustering must not lose or duplicate rows
     assert spark.read.parquet(str(path)).count() == n * n
+
+
+def test_zorder_key_rejects_sign_bit_overflow():
+    """4 cols x 16 bits = 64 bits would write the long's sign bit and
+    sort keyed rows negative-first (round-3 ADVICE)."""
+    from incremental_github_data_pipeline_spark.sources.writers import (
+        zorder_key,
+    )
+
+    with pytest.raises(ValueError, match="63-bit"):
+        zorder_key(["a", "b", "c", "d"], bits=16)
+    zorder_key(["a", "b", "c"], bits=16)  # 48 bits: fine
+
+
+def test_zorder_wide_domain_range_compressed(spark, tmp_path):
+    """Values wider than the bits budget must be coarsened (order-
+    preserving right shift), not silently bit-wrapped: with 4-bit keys
+    over a 0..4095 domain, far-apart values previously collided and
+    file stats degraded to noise; compressed, per-file x-spans must
+    stay well under the global span."""
+    import pyarrow.parquet as pq
+
+    from incremental_github_data_pipeline_spark.sources.writers import (
+        write_zordered,
+    )
+
+    n = 4096
+    df = (
+        spark.range(n)
+        .selectExpr("id AS x", "id % 16 AS y", "id AS payload")
+        .repartition(8)
+    )
+    path = tmp_path / "zwide"
+    write_zordered(df, path, ["x", "y"], bits=4, n_files=16)
+    files = sorted(p for p in path.glob("*.parquet"))
+    assert len(files) > 1
+    max_span = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("x")
+        lo = min(
+            md.row_group(g).column(idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        max_span = max(max_span, hi - lo)
+    # Bit-wrapped keys (the pre-fix failure) put every x magnitude in
+    # every file: spans ~ the full 4095 domain. Compressed Morton with
+    # 16 files pins the top two x cell bits per file, so spans stay
+    # around a quarter of the domain (+ cell width + sampled range
+    # boundary slack) — assert comfortably below the wrapped regime.
+    assert max_span <= n // 2, max_span

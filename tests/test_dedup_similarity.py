@@ -411,3 +411,35 @@ def test_contained_docs_excerpt_identical_and_none(spark):
     assert (2, 1) in pairs and (2, 3) in pairs
     assert (3, 1) in pairs and (1, 3) not in pairs
     assert not any(a == 4 or b == 4 for a, b in pairs)
+
+
+def test_contained_docs_short_doc_lane_and_token_alignment(spark):
+    """Round-3 ADVICE closure: (a) docs with fewer than k tokens are
+    found via the broadcast lane instead of silently missed; (b) the
+    contract is token-aligned — character-level substrings crossing a
+    token boundary must NOT match."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta eps zeta"),
+            (2, "beta gamma"),          # 2 tokens < k=3: short lane
+            (3, "gamma"),               # 1 token: short lane
+            (4, "lpha beta"),           # char substring, not token-aligned
+            (5, "  beta   gamma  "),    # whitespace-normalized duplicate of 2
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["contained_id"], r["container_id"])
+        for r in dd.contained_docs(df, "doc_id", "text", k=3).collect()
+    }
+    assert (2, 1) in pairs and (3, 1) in pairs          # short-lane recall
+    assert not any(a == 4 for a, b in pairs)            # token alignment
+    assert (5, 2) in pairs and (2, 5) not in pairs      # normalized tie rule
+    # lane off: short docs silently skipped (documented opt-out)
+    off = {
+        (r["contained_id"], r["container_id"])
+        for r in dd.contained_docs(
+            df, "doc_id", "text", k=3, short_doc_lane=False
+        ).collect()
+    }
+    assert not any(a in (2, 3, 5) for a, _ in off)

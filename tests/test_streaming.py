@@ -326,3 +326,35 @@ def test_scd2_history_intervals_chain_without_gaps(spark):
     # exactly one current version per key
     cur = [k for (k, _), (_, vt, ic) in hist.items() if ic == 1]
     assert sorted(cur) == [1, 2]
+
+
+def test_apply_changelog_equal_order_tiebreak_deterministic(spark):
+    """Two changes to one key with the SAME order value (multi-row
+    transaction, one commit stamp) must resolve by op precedence —
+    delete > update > insert — identically on every run (round-3
+    ADVICE; previously a partition-order lottery)."""
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        apply_changelog,
+    )
+
+    base = spark.createDataFrame([(1, "old"), (2, "old")], "k long, v string")
+    changes = spark.createDataFrame(
+        [
+            (1, "ins", 10, "insert"),
+            (1, "del", 10, "delete"),   # same stamp: delete wins
+            (2, "ins2", 20, "insert"),
+            (2, "upd2", 20, "update"),  # same stamp: update wins
+        ],
+        "k long, v string, lsn long, op string",
+    ).select("k", "v", F.col("lsn"), "op")
+    for _ in range(3):  # stable across repeated evaluations
+        out = {
+            r["k"]: r["v"]
+            for r in apply_changelog(
+                base.select("k", "v"),
+                changes.select("k", "v", "lsn", "op"),
+                ["k"],
+                "lsn",
+            ).collect()
+        }
+        assert out == {2: "upd2"}  # key 1 deleted, key 2 updated
