@@ -73,6 +73,69 @@ def _sql_type(dt: T.DataType, varchar_len: int) -> str:
     raise TypeError(f"no warehouse DDL mapping for Spark type {dt}")
 
 
+class SqlDialect:
+    """Emission hooks isolating everything warehouse-specific in the
+    generated SQL: DDL type mapping, identifier quoting, the staged-
+    string cast inside MERGE, and statement termination. The base class
+    is the ANSI/Derby behavior the e2e tests verify against the
+    embedded server; :class:`MssqlDialect` retargets the emission to
+    the reference's actual warehouse (``load.py:26-31``) without
+    needing a server — its output is snapshot-tested against the
+    reference schema contract (``001_core_schema.sql:45-191``)."""
+
+    name = "ansi"
+    merge_terminator = ""
+
+    def quote(self, ident: str) -> str:
+        return ident
+
+    def sql_type(self, dt: T.DataType, varchar_len: int) -> str:
+        return _sql_type(dt, varchar_len)
+
+    def string_stage_cast(self, expr: str) -> str:
+        # Derby compares/assigns CLOB only via explicit CAST; 32672 is
+        # Derby's VARCHAR ceiling so the cast itself never truncates
+        return f"CAST({expr} AS VARCHAR(32672))"
+
+
+class MssqlDialect(SqlDialect):
+    """T-SQL emission matching the reference migration's conventions
+    (``001_core_schema.sql``): ``BIT`` flags, ``INT`` counts,
+    ``DATETIME2 (3)`` timestamps, ``VARCHAR (n)`` strings, bracket-
+    quoted identifiers (the reference brackets reserved words like
+    ``[user_id]``/``[description]``; bracketing everything is the safe
+    superset), semicolon-terminated MERGE (T-SQL requires it), and no
+    IDENTITY on primary keys — keys are deterministic uuid5 values
+    (``UNIQUEIDENTIFIER`` via ``column_types`` overrides), never
+    server-assigned."""
+
+    name = "mssql"
+    merge_terminator = ";"
+
+    def quote(self, ident: str) -> str:
+        return f"[{ident}]"
+
+    def sql_type(self, dt: T.DataType, varchar_len: int) -> str:
+        if isinstance(dt, T.StringType):
+            return f"VARCHAR ({varchar_len})"
+        if isinstance(dt, T.BooleanType):
+            return "BIT"
+        if isinstance(dt, T.IntegerType):
+            return "INT"
+        if isinstance(dt, T.TimestampType):
+            return "DATETIME2 (3)"
+        if isinstance(dt, T.DoubleType):
+            return "FLOAT"
+        if isinstance(dt, T.FloatType):
+            return "REAL"
+        if isinstance(dt, T.BinaryType):
+            return "VARBINARY(MAX)"
+        return _sql_type(dt, varchar_len)
+
+    def string_stage_cast(self, expr: str) -> str:
+        return f"CAST({expr} AS NVARCHAR(4000))"
+
+
 class Warehouse:
     """A JDBC warehouse target: connection self-checks, DDL helpers,
     distributed reads/writes, and stage-then-MERGE upsert.
@@ -91,6 +154,7 @@ class Warehouse:
         user: str | None = None,
         password: str | None = None,
         audit=None,
+        dialect: SqlDialect | None = None,
     ):
         self.spark = spark
         self.url = url
@@ -98,6 +162,7 @@ class Warehouse:
         self.user = user
         self.password = password
         self.audit = audit
+        self.dialect = dialect or SqlDialect()
         jvm = spark.sparkContext._jvm
         # keep Derby's log out of the repo / cwd
         jvm.java.lang.System.setProperty("derby.stream.error.file", "/tmp/derby.log")
@@ -207,17 +272,26 @@ class Warehouse:
         """CREATE TABLE DDL from a Spark schema: keys become
         ``NOT NULL`` + ``PRIMARY KEY`` (the warehouse-side idempotency
         anchor — deterministic uuid5 keys make re-loads upserts,
-        SURVEY.md §1.5); per-column overrides via ``column_types``."""
+        SURVEY.md §1.5, so no IDENTITY column ever appears); per-column
+        overrides via ``column_types``; emission shaped by the
+        configured :class:`SqlDialect`."""
+        d = self.dialect
         overrides = column_types or {}
         cols = []
         for f in schema.fields:
-            sql_t = overrides.get(f.name, _sql_type(f.dataType, varchar_len))
+            sql_t = overrides.get(f.name, d.sql_type(f.dataType, varchar_len))
             null = " NOT NULL" if f.name in key_cols or not f.nullable else ""
-            cols.append(f"{f.name} {sql_t}{null}")
+            cols.append(f"{d.quote(f.name)} {sql_t}{null}")
         if key_cols:
-            cols.append(f"PRIMARY KEY ({', '.join(key_cols)})")
+            cols.append(
+                f"PRIMARY KEY ({', '.join(d.quote(k) for k in key_cols)})"
+            )
         cols.extend(extra_constraints)
-        return f"CREATE TABLE {table} (\n  " + ",\n  ".join(cols) + "\n)"
+        return (
+            f"CREATE TABLE {d.quote(table)} (\n  "
+            + ",\n  ".join(cols)
+            + "\n)"
+        )
 
     def ensure_table(self, table: str, schema: T.StructType, **ddl_kwargs) -> bool:
         """Create ``table`` if absent; True if created."""
@@ -305,26 +379,45 @@ class Warehouse:
             batch = ops.dedupe_keep_last(df, list(key_cols), order_by=order_col)
         # overwrite = drop/create by the JDBC dialect's own type mapping
         self.write_table(batch.select(*df.columns), stage, mode="overwrite")
+        self.execute(self.merge_sql(df.schema, table, key_cols, stage))
+        self.execute(f"DROP TABLE {stage}")
 
-        # Derby compares/assigns CLOB only via explicit CAST; 32672 is
-        # Derby's VARCHAR ceiling so the cast itself never truncates —
-        # the target column's declared width governs final assignment.
+    def merge_sql(
+        self,
+        schema: T.StructType,
+        table: str,
+        key_cols: Sequence[str],
+        stage: str,
+    ) -> str:
+        """Emit the server-side MERGE statement (split out so dialect
+        emission is testable without a server). String columns are cast
+        via the dialect's staged-string cast — the staging table is
+        typed by Spark's JDBC dialect (large objects), the cast
+        restores comparable/assignable types; the target column's
+        declared width governs final assignment."""
+        d = self.dialect
         string_cols = {
-            f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, T.StringType)
         }
 
         def src(c: str) -> str:
-            return f"CAST(s.{c} AS VARCHAR(32672))" if c in string_cols else f"s.{c}"
+            e = f"s.{d.quote(c)}"
+            return d.string_stage_cast(e) if c in string_cols else e
 
+        columns = [f.name for f in schema.fields]
         keys = list(key_cols)
-        non_keys = [c for c in df.columns if c not in keys]
-        on = " AND ".join(f"t.{k} = {src(k)}" for k in keys)
-        insert_cols = ", ".join(df.columns)
-        insert_vals = ", ".join(src(c) for c in df.columns)
-        merge = f"MERGE INTO {table} t USING {stage} s ON {on}"
+        non_keys = [c for c in columns if c not in keys]
+        on = " AND ".join(f"t.{d.quote(k)} = {src(k)}" for k in keys)
+        insert_cols = ", ".join(d.quote(c) for c in columns)
+        insert_vals = ", ".join(src(c) for c in columns)
+        merge = f"MERGE INTO {d.quote(table)} t USING {d.quote(stage)} s ON {on}"
         if non_keys:
-            sets = ", ".join(f"t.{c} = {src(c)}" for c in non_keys)
+            sets = ", ".join(f"t.{d.quote(c)} = {src(c)}" for c in non_keys)
             merge += f" WHEN MATCHED THEN UPDATE SET {sets}"
-        merge += f" WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
-        self.execute(merge)
-        self.execute(f"DROP TABLE {stage}")
+        merge += (
+            f" WHEN NOT MATCHED THEN INSERT ({insert_cols}) "
+            f"VALUES ({insert_vals})"
+        )
+        return merge + d.merge_terminator
