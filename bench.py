@@ -53,6 +53,11 @@ BENCH_QUERIES = [
     "q_doc_curation_funnel",
     "q_cdc_apply",
     "q_incremental_join",
+    # round-4 additions (VERDICT r3 task 8): SCD2 window-stitch history,
+    # lexicon-bounded vocabulary overlap, posting-list containment dedup
+    "q_scd2_history",
+    "q_vocab_overlap",
+    "q_doc_contained",
 ]
 
 

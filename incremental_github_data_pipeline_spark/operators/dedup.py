@@ -574,6 +574,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 50,
     local_threshold: int = 500_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list by iterative
     min-label propagation: every node's label converges to the minimum
@@ -606,11 +607,19 @@ def connected_components(
     uuid5 keys order lexicographically) where a numeric label-sum test
     would compare NULL==NULL and exit unconverged after one round.
     Both paths converge to the identical min-id labeling.
+
+    Pass a dict as ``stats`` to receive execution telemetry:
+    ``{"n_edges", "path" ("local"|"distributed"), "rounds"}`` — what
+    scripts/scale_smoke.py reports for the SCALE.md round counts.
     """
     distinct_pairs = pairs.select(id_a, id_b).distinct().localCheckpoint(
         eager=True
     )
     n_edges = distinct_pairs.count()  # cheap: reads the checkpoint
+    if stats is not None:
+        stats["n_edges"] = n_edges
+        stats["path"] = "local" if n_edges <= local_threshold else "distributed"
+        stats["rounds"] = 0
     if n_edges <= local_threshold:
         labels = _local_union_find(distinct_pairs.collect(), id_a, id_b)
         spark = distinct_pairs.sparkSession
@@ -644,7 +653,9 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for _round in range(max_iter):
+        if stats is not None:
+            stats["rounds"] = _round + 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")

@@ -511,3 +511,144 @@ def quantized_pool(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
         )
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "corpus_id",
+    m_sub: int = 8,
+    ksub: int = 16,
+    sample_n: int = 256,
+    iters: int = 5,
+):
+    """Product-quantization codebook training (the FAISS recipe):
+    per-subspace k-means over a DETERMINISTIC bounded sample.
+
+    The sample (lowest ``sample_n`` ids — fixed, engine-independent) is
+    a MODEL input, same class as the IVF centroid collect: PQ training
+    is sample-based even at 100 TB (FAISS trains on ~1M vectors for
+    billion-vector indexes), so the driver-side numpy k-means here is
+    the real production shape, not a shortcut. Init = first ``ksub``
+    sample subvectors, fixed ``iters`` Lloyd rounds, empty clusters
+    keep their previous centroid — fully deterministic.
+
+    Returns a list of ``m_sub`` (ksub, dim/m_sub) float arrays.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("_i"), as_double_vec(vec_col).alias("_v"))
+        .withColumn("_nv", l2_normalize("_v"))
+        .orderBy("_i")
+        .limit(sample_n)
+        .select("_nv")
+        .collect()
+    )
+    X = np.array([r["_nv"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    codebooks = []
+    for m in range(m_sub):
+        S = X[:, m * dsub : (m + 1) * dsub]
+        C = S[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(ksub):
+                pts = S[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        codebooks.append(C)
+    return codebooks
+
+
+def pq_reconstruct(vec_col, codebooks) -> Column:
+    """Distributed PQ encode + decode in one codegen expression: slice
+    the L2-normalized vector into subspaces, pick each subspace's
+    nearest codebook centroid (argmin of exact squared distance;
+    array_position gives the deterministic first-match tie-break), and
+    concatenate the chosen centroids. Scoring a query against the
+    reconstruction is numerically identical to ADC lookup-table scoring
+    (the dot product distributes over the concatenation) — without
+    shipping a per-query LUT."""
+    m_sub = len(codebooks)
+    dsub = codebooks[0].shape[1]
+    nv = l2_normalize(vec_col)
+    subs = []
+    for m in range(m_sub):
+        cb_lit = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in cent])
+                for cent in codebooks[m]
+            ]
+        )
+        sub = F.slice(nv, m * dsub + 1, dsub)
+
+        def _d2_factory(sub_col):
+            # strictly one-parameter callable: pyspark counts declared
+            # params (defaults included) and a 2-ary callable would be
+            # taken as transform's (element, index) form
+            def _d2(cent):
+                return F.aggregate(
+                    F.zip_with(sub_col, cent, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+
+            return _d2
+
+        dists = F.transform(cb_lit, _d2_factory(sub))
+        code = F.array_position(dists, F.array_min(dists))
+        subs.append(F.element_at(cb_lit, code.cast("int")))
+    return F.concat(*subs)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "corpus_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m_sub: int = 8,
+    ksub: int = 16,
+    codebooks=None,
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization: corpus vectors
+    are collapsed to ``m_sub`` 4-bit-ish codes (here materialized as the
+    reconstructed centroids), queries stay exact, ranking key is
+    dot(query, reconstruction) — ADC scoring. Same broadcast-queries /
+    corpus-streams shape as the other lanes: the corpus never shuffles,
+    encode runs map-side in the scan stage (a real deployment would
+    precompute the codes at ingest — 64-dim float64 → 8 bytes is a 64x
+    compression, the difference between disk and RAM at 100 TB).
+    Deterministic: fixed codebooks, fixed-order float sums, corpus_id
+    tie-break."""
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, vec_col, corpus_id, m_sub=m_sub, ksub=ksub
+        )
+    enc = corpus.select(
+        corpus_id, pq_reconstruct(vec_col, codebooks).alias("_recon")
+    )
+    qn = queries.select(query_id, l2_normalize(vec_col).alias("_qv"))
+    scored = enc.crossJoin(F.broadcast(qn)).select(
+        query_id,
+        corpus_id,
+        F.aggregate(
+            F.zip_with(F.col("_recon"), F.col("_qv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adc_score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("adc_score"), F.asc(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id, "rank")
+    )

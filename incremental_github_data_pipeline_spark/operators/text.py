@@ -995,3 +995,68 @@ def make_chunk_udtf(chunk_size: int = 128, step: int = 96):
                 yield doc_id, i, " ".join(piece), len(piece)
 
     return ChunkUdtf
+
+
+def paragraph_dedup(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 20,
+):
+    """C4-style paragraph-level dedup, generalized to fixed token
+    blocks: split each document into non-overlapping ``block_tokens``
+    windows, keep only the globally FIRST occurrence of each block text
+    (ordered by ``(id, block_idx)``), drop every repeat, and reassemble
+    the surviving blocks per document. The line-level twin of the
+    document-level ``dedup.exact_dedup`` — what C4 does with "remove
+    any three-sentence span seen before", expressed at token-block
+    granularity because the synthetic corpus carries no sentence marks.
+
+    Scale shape: block formation is pure map-side (``transform`` over
+    ``sequence`` on the token array — no explode-then-groupBy round
+    trip); the only wide stages are the keep-first window, shuffled on
+    ``block_text`` (content-keyed, uniformly distributed), and the
+    per-document reassembly, shuffled on the document id. Per-document
+    state is bounded by document size. Two shuffles total.
+
+    Returns one row per document: ``(id, n_blocks, kept_blocks,
+    new_text, new_n_chars)``.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    n_blocks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(block_tokens))).cast("int"),
+        F.lit(1),
+    )
+    block_arr = F.transform(
+        F.sequence(F.lit(0), n_blocks - F.lit(1)),
+        lambda b: F.array_join(
+            F.slice(toks, b * block_tokens + F.lit(1), block_tokens), " "
+        ),
+    )
+    blocks = df.select(
+        F.col(id_col),
+        F.posexplode(block_arr).alias("block_idx", "block_text"),
+    )
+    w = Window.partitionBy("block_text").orderBy(id_col, "block_idx")
+    flagged = blocks.withColumn("keep", F.row_number().over(w) == 1)
+    packed = F.array_sort(
+        F.collect_list(F.struct("block_idx", "keep", "block_text"))
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.filter(packed, lambda s: s["keep"]),
+            lambda s: s["block_text"],
+        ),
+        " ",
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col("keep").cast("long")).alias("kept_blocks"),
+            kept_text.alias("new_text"),
+        )
+        .withColumn("new_n_chars", F.length("new_text").cast("long"))
+    )

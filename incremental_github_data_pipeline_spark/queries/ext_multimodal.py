@@ -344,3 +344,99 @@ def q_media_jpeg_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return jpeg_decode_stats(make_jpeg_media(spark, n=32)).orderBy("media_id")
+
+
+@register(
+    "q_media_png_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 9 + (i % 12) AS w, 7 + (i % 10) AS h,
+             CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END AS ch
+      FROM range(48) t(i)
+    ),
+    px AS (
+      SELECT m.media_id, m.w, m.h, m.ch, y.y,
+             (x.x * 11 + y.y * 17 + c.c * 23 + m.media_id * 5) % 256 AS v
+      FROM m, range(21) x(x), range(17) y(y), range(3) c(c)
+      WHERE x.x < m.w AND y.y < m.h AND c.c < m.ch
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(ch) AS BIGINT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (y + 1)) AS BIGINT) AS row_weighted_sum
+    FROM px GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL PNG decode (operators.multimodal.decode_png — CRC-checked "
+    "chunk walk, stdlib-zlib inflate, per-row unfilter; the encoder "
+    "cycles ALL five filter types, so None/Sub/Up/Average/Paeth are "
+    "each on the certified path) over genuine PNG payloads, grayscale "
+    "and truecolor. Content is closed-form, so DuckDB recomputes the "
+    "exact integer pixel sum and a row-position-weighted sum from "
+    "range() with no codec. One Arrow-batched mapInPandas pass, no "
+    "shuffle until the final orderBy.",
+)
+def q_media_png_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_png_media,
+        png_decode_stats,
+    )
+
+    return png_decode_stats(make_png_media(spark, n=48)).orderBy("media_id")
+
+
+@register(
+    "q_media_g711_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 160 + 40 * (i % 8) AS n,
+             CASE WHEN i % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS law
+      FROM range(48) t(i)
+    ),
+    code AS (
+      SELECT m.media_id, m.law,
+             (t.t * (3 + m.media_id % 5) + m.media_id * 7) % 256 AS c
+      FROM m, range(440) t(t) WHERE t.t < m.n
+    ),
+    pcm AS (
+      SELECT media_id, law,
+        CASE WHEN law = 'mulaw' THEN
+          CASE WHEN (255 - c) >= 128
+            THEN 132 - (((255 - c) % 16) * 8 + 132)
+                 * (1 << (((255 - c) // 16) % 8))
+            ELSE (((255 - c) % 16) * 8 + 132)
+                 * (1 << (((255 - c) // 16) % 8)) - 132
+          END
+        ELSE
+          CASE WHEN xor(c, 85) >= 128 THEN -1 ELSE 1 END *
+          CASE WHEN ((xor(c, 85) // 16) % 8) = 0
+            THEN (xor(c, 85) % 16) * 16 + 8
+            ELSE ((xor(c, 85) % 16) * 16 + 264)
+                 * (1 << (((xor(c, 85) // 16) % 8) - 1))
+          END
+        END AS s
+      FROM code
+    )
+    SELECT media_id, MIN(law) AS law,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(SUM(CASE WHEN s > 0 THEN s ELSE 0 END) AS BIGINT) AS sum_pos
+    FROM pcm GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL G.711 telephony-audio decode (operators.multimodal."
+    "decode_wav_g711 — RIFF chunk walk honoring format tags 7/6, then "
+    "the ITU mu-law/A-law expand formulas). Codewords are closed-form, "
+    "and the expand formulas are pure integer arithmetic, so the DuckDB "
+    "oracle re-derives every decoded PCM sample IN SQL (bit shifts + "
+    "xor) and checks exact |pcm| and positive-pcm sums — sign handling "
+    "and magnitude both pinned, per payload.",
+)
+def q_media_g711_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        g711_decode_stats,
+        make_g711_media,
+    )
+
+    return g711_decode_stats(make_g711_media(spark, n=48)).orderBy("media_id")

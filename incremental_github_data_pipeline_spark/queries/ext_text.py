@@ -1485,3 +1485,50 @@ def q_vocab_overlap_sketch(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+@register(
+    "q_doc_paragraph_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    blocks AS (
+      SELECT d.doc_id, CAST(b.b AS BIGINT) AS block_idx,
+             array_to_string(toks[(b.b*20+1):(b.b*20+20)], ' ') AS block_text
+      FROM d, range(4096) b(b)
+      WHERE b.b * 20 < len(toks)
+    ),
+    firsts AS (
+      SELECT block_text, MIN(doc_id * 1000000 + block_idx) AS fk
+      FROM blocks GROUP BY block_text
+    ),
+    flagged AS (
+      SELECT bl.doc_id, bl.block_idx, bl.block_text,
+             bl.doc_id * 1000000 + bl.block_idx = f.fk AS keep
+      FROM blocks bl JOIN firsts f USING (block_text)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_blocks,
+           COALESCE(string_agg(CASE WHEN keep THEN block_text END,
+                               ' ' ORDER BY block_idx), '') AS new_text,
+           CAST(length(COALESCE(string_agg(
+                CASE WHEN keep THEN block_text END,
+                ' ' ORDER BY block_idx), '')) AS BIGINT) AS new_n_chars
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="C4-style paragraph-level dedup (operators.text.paragraph_dedup): "
+    "20-token blocks, global keep-first occurrence, per-document "
+    "reassembly of the surviving text. Block formation is map-side "
+    "(transform over sequence, no explode/groupBy round trip); the two "
+    "wide stages shuffle on block_text (keep-first window) and doc_id "
+    "(reassembly). The oracle recomputes every block, the keep-first "
+    "choice, AND the reassembled text in SQL — the full output text is "
+    "value-compared, not just the counts.",
+)
+def q_doc_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.paragraph_dedup(
+        T(spark, sf, "documents"), block_tokens=20
+    ).orderBy("doc_id")

@@ -1611,3 +1611,70 @@ def q_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
         pct_ok("p90", 0.9).alias("p90_ok"),
         pct_ok("p99", 0.99).alias("p99_ok"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts, MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+    ),
+    a AS (
+      SELECT DISTINCT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+             CAST(date_diff('day',
+                            CAST(date_trunc('week', first_ts) AS DATE),
+                            CAST(date_trunc('week', ts) AS DATE)) // 7
+                  AS BIGINT) AS week_offset,
+             user_id
+      FROM f
+    ),
+    r AS (
+      SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM a GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, n_active,
+           CAST(n_active AS DOUBLE)
+             / FIRST_VALUE(n_active) OVER (PARTITION BY cohort_week
+                                           ORDER BY week_offset) AS retention
+    FROM r ORDER BY cohort_week, week_offset
+    """,
+    doc="Cohort retention matrix: users bucketed by first-seen week, "
+    "activity counted per (cohort, week-offset), retention as the "
+    "share of the offset-0 cohort size. Scalable shape: first-seen via "
+    "a per-user MIN window (one shuffle on user_id, no global "
+    "collect), then DISTINCT (cohort, offset, user) — dedup BEFORE "
+    "counting, so no COUNT(DISTINCT) state explosion — then a tiny "
+    "per-cohort aggregate; the FIRST_VALUE window runs on "
+    "cohorts x offsets rows only.",
+)
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    w_user = Window.partitionBy("user_id")
+    f = e.select(
+        "user_id", "ts", F.min("ts").over(w_user).alias("first_ts")
+    )
+    a = f.select(
+        F.date_trunc("week", F.col("first_ts")).cast("date").alias("cohort_week"),
+        (
+            F.datediff(
+                F.date_trunc("week", F.col("ts")).cast("date"),
+                F.date_trunc("week", F.col("first_ts")).cast("date"),
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("week_offset"),
+        "user_id",
+    ).distinct()
+    r = a.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    w_cohort = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return r.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        (F.col("n_active").cast("double") / F.first("n_active").over(w_cohort))
+        .alias("retention"),
+    ).orderBy("cohort_week", "week_offset")

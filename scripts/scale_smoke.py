@@ -91,8 +91,50 @@ def main() -> None:
         t0 = time.time()
         rows = fn(spark, str(out_dir)).count()
         timings[name] = {"sec": round(time.time() - t0, 2), "rows": rows}
+    timings["cc_distributed"] = cc_distributed_case(spark, str(out_dir))
     print(json.dumps({"replicas": n, "queries": timings}))
     spark.stop()
+
+
+def cc_distributed_case(spark, sf_dir: str) -> dict:
+    """Exercise the DISTRIBUTED connected-components branch past the
+    500k-edge driver gate (VERDICT r3 task 6): the real corpus's
+    verified pair list stays candidate-sized, so we (a) force the
+    distributed path on the real gram-pair graph (threshold=0), and
+    (b) run a synthetic adversarial graph — 1M+ edges arranged as long
+    CHAINS (diameter 1000, the worst case for plain min-propagation) —
+    to measure the path-halving round count and per-round cost."""
+    from incremental_github_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        gram_overlap_pairs,
+    )
+
+    out = {}
+    # (a) real pair list, distributed branch forced
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = gram_overlap_pairs(docs, id_col="doc_id", text_col="text")
+    st: dict = {}
+    t0 = time.time()
+    n_labeled = connected_components(
+        pairs, local_threshold=0, stats=st
+    ).count()
+    out["forced_real"] = {
+        "sec": round(time.time() - t0, 2), "labeled": n_labeled, **st,
+    }
+    # (b) synthetic 1M-edge chain graph: 1000 chains x 1000 nodes
+    chain_len, n_chains = 1000, 1000
+    edges = spark.range(chain_len * n_chains).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    ).filter((F.col("id_a") + 1) % chain_len != 0)
+    st = {}
+    t0 = time.time()
+    labels = connected_components(edges, stats=st)
+    n_comp = labels.select("component").distinct().count()
+    out["synthetic_chains"] = {
+        "sec": round(time.time() - t0, 2), "components": n_comp, **st,
+    }
+    assert n_comp == n_chains, f"expected {n_chains} components, got {n_comp}"
+    return out
 
 
 if __name__ == "__main__":

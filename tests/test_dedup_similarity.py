@@ -443,3 +443,155 @@ def test_contained_docs_short_doc_lane_and_token_alignment(spark):
         ).collect()
     }
     assert not any(a in (2, 3, 5) for a, _ in off)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _pq_corpus(spark, n=64, dim=16, seed=9):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "corpus_id long, embedding array<double>",
+    )
+
+
+def test_pq_train_deterministic_and_shaped(spark):
+    from incremental_github_data_pipeline_spark.operators import similarity as sim
+
+    corpus = _pq_corpus(spark)
+    cb1 = sim.pq_train(corpus, "embedding", "corpus_id", m_sub=4, ksub=8)
+    cb2 = sim.pq_train(corpus, "embedding", "corpus_id", m_sub=4, ksub=8)
+    assert len(cb1) == 4
+    for a, b in zip(cb1, cb2):
+        assert a.shape == (8, 4) and (a == b).all()
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    from incremental_github_data_pipeline_spark.operators import similarity as sim
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        sim.pq_train(_pq_corpus(spark, dim=10), "embedding", "corpus_id", m_sub=4)
+
+
+def test_pq_topk_self_and_planted_copy(spark):
+    from incremental_github_data_pipeline_spark.operators import similarity as sim
+
+    corpus = _pq_corpus(spark)
+    planted = corpus.filter(F.col("corpus_id") < 4).select(
+        (F.col("corpus_id") + 1000).alias("corpus_id"),
+        F.transform(
+            "embedding", lambda x, d: x * (1.0 + 0.005 * (d % 3).cast("double"))
+        ).alias("embedding"),
+    )
+    queries = corpus.filter(F.col("corpus_id") < 4).select(
+        F.col("corpus_id").alias("query_id"), "embedding"
+    )
+    out = sim.pq_topk(
+        corpus.unionByName(planted), queries, k=3, m_sub=4, ksub=8
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], {})[r["rank"]] = r["corpus_id"]
+    for q, ranks in by_q.items():
+        assert len(ranks) == 3
+        assert ranks[1] == q          # exact self reconstructs to the max score
+        assert ranks[2] == q + 1000   # near-copy right behind it
+
+
+def test_pq_recall_tracks_bruteforce_on_clustered_data(spark):
+    """On clustered data (where ANN is actually used) PQ recall must be
+    high — the random-noise corpus recall floor is not the operative
+    regime. Build 8 tight clusters; queries must retrieve mostly
+    same-cluster members."""
+    import numpy as np
+
+    from incremental_github_data_pipeline_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(96):
+        v = centers[i % 8] + 0.05 * rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "corpus_id long, embedding array<double>")
+    queries = corpus.filter(F.col("corpus_id") < 8).select(
+        F.col("corpus_id").alias("query_id"), "embedding"
+    )
+    k = 5
+    approx = sim.pq_topk(corpus, queries, k=k, m_sub=4, ksub=16).collect()
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    # within-cluster fine ordering sits below PQ's resolution by design
+    # (distortion ~ cluster radius); the ANN contract at this granularity
+    # is that neighbors come from the query's CLUSTER, not noise
+    hit = [
+        sum(1 for c in ap[q] if c % 8 == q % 8) / k for q in sorted(ap)
+    ]
+    assert len(ap) == 8 and all(len(v) == k for v in ap.values())
+    assert sum(hit) / len(hit) >= 0.9, hit
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_drops_repeats_keeps_first(spark):
+    blk_a = " ".join(f"a{i}" for i in range(4))
+    blk_b = " ".join(f"b{i}" for i in range(4))
+    blk_c = " ".join(f"c{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [
+            (1, f"{blk_a} {blk_b}"),          # blocks [a, b]
+            (2, f"{blk_a} {blk_c}"),          # a repeats -> drop, keep c
+            (3, blk_b),                       # b repeats -> doc empties
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.paragraph_dedup(df, block_tokens=4).collect()
+    }
+    assert out[1]["n_blocks"] == 2 and out[1]["kept_blocks"] == 2
+    assert out[1]["new_text"] == f"{blk_a} {blk_b}"
+    assert out[2]["kept_blocks"] == 1 and out[2]["new_text"] == blk_c
+    assert out[3]["kept_blocks"] == 0 and out[3]["new_text"] == ""
+    assert out[3]["new_n_chars"] == 0
+
+
+def test_paragraph_dedup_within_doc_and_partial_blocks(spark):
+    blk = "x1 x2 x3 x4"
+    df = spark.createDataFrame(
+        [(7, f"{blk} {blk} tail")], "doc_id long, text string"
+    )
+    out = tx.paragraph_dedup(df, block_tokens=4).collect()[0]
+    # blocks: [blk, blk, 'tail'] -> the second blk occurrence drops
+    assert out["n_blocks"] == 3 and out["kept_blocks"] == 2
+    assert out["new_text"] == f"{blk} tail"
+
+
+def test_paragraph_dedup_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, "p q r s p q r s"), (2, "p q r s z z z z")],
+        "doc_id long, text string",
+    )
+    once = tx.paragraph_dedup(df, block_tokens=4)
+    again = tx.paragraph_dedup(
+        once.select(F.col("doc_id"), F.col("new_text").alias("text")),
+        block_tokens=4,
+    )
+    a = {r["doc_id"]: r["new_text"] for r in once.collect()}
+    b = {r["doc_id"]: r["new_text"] for r in again.collect()}
+    assert a == b

@@ -358,3 +358,115 @@ def test_jpeg_media_pipeline(spark):
     for r in feats:
         w, h, px = mm._jpeg_block_values(r["media_id"])
         assert abs(r["feature"][0] - px.mean() / 255.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filters_both_modes():
+    rgb = mm._png_pixels(4)   # truecolor
+    gray = mm._png_pixels(5)  # grayscale
+    for f in range(5):
+        for px in (rgb, gray):
+            rt = mm.decode_png(mm.encode_png(px, filters=[f]))
+            assert rt.shape == px.shape and (rt == px).all(), f"filter {f}"
+
+
+def test_png_roundtrip_random_content():
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1, 3), (1, 9, 3), (11, 1), (23, 17, 3), (16, 16)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert (mm.decode_png(mm.encode_png(px)) == px).all()
+
+
+def test_png_rejects_bad_payloads():
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"BM" + b"\x00" * 60)
+    good = mm.encode_png(mm._png_pixels(0))
+    # corrupt one IDAT byte -> CRC check must catch it
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(bad))
+
+
+def test_png_rejects_unsupported_variants():
+    # 16-bit depth / palette color types must raise, not mis-decode
+    ihdr = __import__("struct").pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    payload = mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+    with pytest.raises(NotImplementedError):
+        mm.decode_png(payload)
+
+
+# ---------------------------------------------------------------------------
+# G.711 codec (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_itu_reference_values():
+    # canonical anchors from the G.711 tables
+    assert mm.MULAW_TABLE[0xFF] == 0          # +0
+    assert mm.MULAW_TABLE[0x7F] == 0          # -0
+    assert mm.MULAW_TABLE[0x80] == 32124      # max magnitude, sign flip
+    assert mm.MULAW_TABLE[0x00] == -32124
+    assert mm.ALAW_TABLE[0x55] == 8           # smallest positive
+    assert mm.ALAW_TABLE[0xD5] == -8
+    assert mm.ALAW_TABLE[0x2A] == 32256       # max magnitude
+    assert mm.ALAW_TABLE[0xAA] == -32256
+    # both tables must be odd-symmetric under sign-bit flip
+    for c in range(128):
+        assert mm.MULAW_TABLE[c] == -mm.MULAW_TABLE[c | 0x80]
+        assert mm.ALAW_TABLE[c | 0x80] == -mm.ALAW_TABLE[c]
+
+
+def test_g711_wav_roundtrip_and_chunk_walk():
+    codes = mm._g711_codes(3)
+    for law, table in (("mulaw", mm.MULAW_TABLE), ("alaw", mm.ALAW_TABLE)):
+        payload = mm.encode_wav_g711(codes, law=law, sample_rate=8000)
+        sr, pcm = mm.decode_wav_g711(payload)
+        assert sr == 8000 and (pcm == table[codes]).all()
+    # chunk walk must skip unknown chunks (LIST metadata before data)
+    import struct as st
+    payload = mm.encode_wav_g711(codes, law="mulaw")
+    extra = b"LIST" + st.pack("<I", 4) + b"INFO"
+    patched = payload[:12] + extra + payload[12:]
+    patched = b"RIFF" + st.pack("<I", len(patched) - 8) + patched[8:]
+    sr, pcm = mm.decode_wav_g711(patched)
+    assert sr == 8000 and len(pcm) == len(codes)
+
+
+def test_g711_pcm_fallback_and_unknown_tag():
+    s = np.arange(-50, 50, dtype=np.int16)
+    sr, rt = mm.decode_wav_g711(mm.encode_wav(s))
+    assert sr == mm.WAV_SAMPLE_RATE and (rt == s).all()
+    import struct as st
+    fmt = st.pack("<HHIIHHH", 2, 1, 8000, 8000, 1, 8, 0)  # ADPCM tag
+    body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", 2) + b"\x00\x00")
+    with pytest.raises(NotImplementedError, match="format tag"):
+        mm.decode_wav_g711(b"RIFF" + st.pack("<I", len(body)) + body)
+
+
+def test_png_g711_media_pipelines(spark):
+    png_stats = {
+        r["media_id"]: r
+        for r in mm.png_decode_stats(mm.make_png_media(spark, n=12)).collect()
+    }
+    assert len(png_stats) == 12
+    for i, r in png_stats.items():
+        px = mm._png_pixels(i).astype(np.int64)
+        assert r["pixel_sum"] == int(px.sum())
+        assert r["channels"] == (3 if i % 2 == 0 else 1)
+    g711 = {
+        r["media_id"]: r
+        for r in mm.g711_decode_stats(mm.make_g711_media(spark, n=12)).collect()
+    }
+    assert len(g711) == 12
+    for i, r in g711.items():
+        table = mm.MULAW_TABLE if i % 2 == 0 else mm.ALAW_TABLE
+        pcm = table[mm._g711_codes(i)].astype(np.int64)
+        assert r["sum_abs"] == int(np.abs(pcm).sum())
+        assert r["sum_pos"] == int(pcm[pcm > 0].sum())
