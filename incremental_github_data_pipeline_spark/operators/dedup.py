@@ -890,3 +890,95 @@ def contained_docs(
         F.col("_ida").alias("contained_id"),
         F.col("_idb").alias("container_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership pre-filter (round 4)
+# ---------------------------------------------------------------------------
+
+
+def build_bloom(
+    df: DataFrame, key_col: str, n_bits: int = 1 << 16, n_hashes: int = 4
+) -> list[int]:
+    """Build a Bloom filter over a key column: the classic 100 TB
+    join-pruning lever — broadcast ``n_bits`` BITS of corpus membership
+    instead of the corpus keys themselves, and skip the shuffle/join
+    for every row the filter rejects (no false negatives, tunable false
+    positives: ~(1-e^(-kn/m))^k).
+
+    Distributed build: each row's ``n_hashes`` bit positions are
+    computed map-side (seeded xxhash64 mod n_bits) and DISTINCT-ed —
+    the collected set is bounded by ``n_bits`` (the filter's own size,
+    a few KB; same bounded-model class as the IVF centroids), NOT by
+    the row count. Returns the filter as ``n_bits/64`` little-endian
+    long words.
+    """
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    positions = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col(key_col), F.lit(i)), F.lit(n_bits)
+                        )
+                        for i in range(n_hashes)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (n_bits // 64)
+    for r in positions:
+        words[r["p"] // 64] |= 1 << (r["p"] % 64)
+    return words
+
+
+def bloom_might_contain(
+    key_col, words: list[int], n_bits: int, n_hashes: int = 4
+) -> Column:
+    """Membership-test expression against a built Bloom filter: all
+    ``n_hashes`` seeded positions must be set. Pure codegen arithmetic
+    (element_at + shift + bitwise AND on the broadcast literal word
+    array) — no join, no UDF, evaluated in the scan stage."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    arr = F.array(*[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
+                    for w in words])
+    checks = []
+    for i in range(n_hashes):
+        pos = F.pmod(F.xxhash64(c, F.lit(i)), F.lit(n_bits))
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        # call_function: the Python-level F.shiftleft only accepts an
+        # int literal shift amount, the SQL function takes expressions
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+        )
+        checks.append(word.bitwiseAND(bit) != 0)
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out & chk
+    return out
+
+
+def bloom_prefilter_new(
+    batch: DataFrame,
+    corpus: DataFrame,
+    key_col: str = "text",
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Split an incoming batch against a corpus Bloom filter: rows whose
+    key the filter rejects are DEFINITELY new (no false negatives) and
+    skip the expensive exact-membership join entirely; only the
+    ``maybe``-flagged remainder needs the corpus lookup. At a 1%
+    false-positive rate this prunes ~99% of the join input when the
+    batch is mostly-new — the normal ingest case.
+
+    Returns ``batch`` plus a ``bloom_maybe`` boolean column."""
+    words = build_bloom(corpus, key_col, n_bits=n_bits, n_hashes=n_hashes)
+    return batch.withColumn(
+        "bloom_maybe", bloom_might_contain(key_col, words, n_bits, n_hashes)
+    )

@@ -87,6 +87,7 @@ _CERTIFY_FIRST = [
     "q_doc_paragraph_dedup",
     "q_retention_cohorts",
     "q_embedding_pq_topk",
+    "q_doc_bloom_prefilter",
     # -- backfill: re-certify stable pillars on current testdata --
     # (testdata regenerates between rounds; r1/r2-era greens are the
     # stalest evidence so they refresh first, then a spread of r3
@@ -112,7 +113,6 @@ _CERTIFY_FIRST = [
     "q_salted_agg",
     "q_incremental_rollup",
     "q_doc_exact_dedup",
-    "q_dedup_clusters",
 ]
 # Round-5 rotation queue: whatever misses the r4 cut (registry > 50) —
 # check CORRECTNESS_r04.json at round start and front-load (1) any

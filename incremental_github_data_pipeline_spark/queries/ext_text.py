@@ -1532,3 +1532,60 @@ def q_doc_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return tx.paragraph_dedup(
         T(spark, sf, "documents"), block_tokens=20
     ).orderBy("doc_id")
+
+
+@register(
+    "q_doc_bloom_prefilter",
+    oracle="""
+    WITH corpus AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+    b AS (
+      SELECT d.doc_id,
+             EXISTS (SELECT 1 FROM corpus c WHERE c.text = d.text)
+               AS is_member
+      FROM documents d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_members,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_rate_ok
+    FROM b
+    """,
+    doc="Bloom-filter membership pre-filter (operators.dedup."
+    "build_bloom / bloom_might_contain): 64 Kbit filter built over the "
+    "even-doc_id half of the corpus (distributed position compute, "
+    "bounded-by-n_bits collect), then every document tested by pure "
+    "codegen bit arithmetic — no join for filter-rejected rows. "
+    "Certified by the two properties that make a Bloom filter a Bloom "
+    "filter: ZERO false negatives (every exact member flagged maybe — "
+    "Spark cross-checks against an exact semi-join; DuckDB recomputes "
+    "exact membership and asserts the literal) and a false-positive "
+    "rate under the sizing bound (~(1-e^-kn/m)^k ~ 5e-8 here, checked "
+    "at 5%). Exact member counts are value-compared across engines.",
+)
+def q_doc_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    flagged = dd.bloom_prefilter_new(docs, corpus, key_col="text")
+    member = (
+        corpus.distinct()
+        .withColumn("_m", F.lit(True))
+        .withColumnRenamed("text", "_ctext")
+    )
+    joined = flagged.join(
+        F.broadcast(member), flagged["text"] == member["_ctext"], "left"
+    ).select(
+        "doc_id",
+        "bloom_maybe",
+        F.coalesce("_m", F.lit(False)).alias("is_member"),
+    )
+    n_nonmember = F.sum((~F.col("is_member")).cast("long"))
+    fp = F.sum((F.col("bloom_maybe") & ~F.col("is_member")).cast("long"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.col("is_member").cast("long")).alias("n_exact_members"),
+        F.min(
+            (F.col("bloom_maybe") | ~F.col("is_member")).cast("int")
+        ).cast("boolean").alias("no_false_negatives"),
+        (fp <= 0.05 * n_nonmember).alias("fp_rate_ok"),
+    )

@@ -595,3 +595,50 @@ def test_paragraph_dedup_idempotent(spark):
     a = {r["doc_id"]: r["new_text"] for r in once.collect()}
     b = {r["doc_id"]: r["new_text"] for r in again.collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-filter (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    corpus = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(300)], "key string"
+    )
+    batch = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(300)]
+        + [(f"novel-{i}",) for i in range(700)],
+        "key string",
+    )
+    out = dd.bloom_prefilter_new(
+        batch, corpus, key_col="key", n_bits=1 << 14, n_hashes=4
+    ).collect()
+    members = [r for r in out if r["key"].startswith("member")]
+    novel = [r for r in out if r["key"].startswith("novel")]
+    assert all(r["bloom_maybe"] for r in members)  # NEVER a false negative
+    fp = sum(1 for r in novel if r["bloom_maybe"])
+    # 300 keys * 4 hashes in 16384 bits -> fp ~ (1200/16384)^4 ~ 3e-5
+    assert fp / len(novel) <= 0.02, fp
+
+
+def test_bloom_high_word_bits_survive_signed_longs(spark):
+    """Positions in the top word / bit 63 region must round-trip through
+    the signed-long literal array."""
+    corpus = spark.createDataFrame(
+        [(f"k{i}",) for i in range(2000)], "key string"
+    )
+    # tiny filter: 128 bits across 2 words -> every bit position,
+    # including 63 and 127, is exercised with near-certainty
+    out = dd.bloom_prefilter_new(
+        corpus, corpus, key_col="key", n_bits=128, n_hashes=2
+    ).collect()
+    assert all(r["bloom_maybe"] for r in out)
+
+
+def test_bloom_rejects_unaligned_bits(spark):
+    import pytest as _pytest
+
+    corpus = spark.createDataFrame([("a",)], "key string")
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        dd.build_bloom(corpus, "key", n_bits=100)
