@@ -34,6 +34,11 @@ BENCH_QUERIES = [
     "q_dedup_keep_last",
     "q_sessionize",
     "q_doc_token_stats",
+    # NOTE r3->r4 scope change: q_minhash_near_dups now also computes
+    # the exact-Jaccard truth lane for its certification oracle (the r3
+    # number measured LSH candidates only), so ~2x its r3 wall is the
+    # added verification work, not a regression — the candidates-only
+    # path still benches at its r3 level (see SCALE.md sweeps).
     "q_minhash_near_dups",
     "q_embedding_topk",
     "q_embedding_topk_arrow",

@@ -232,3 +232,97 @@ def finalize_sketch_profile(
     return out.withColumn(
         "approx_distinct", F.hll_sketch_estimate(F.col("hll_state"))
     ).drop("kll_state", "hll_state")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (round 4): mergeable approximate frequency state
+# ---------------------------------------------------------------------------
+
+
+def cm_sketch(
+    df,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    weight_col: str | None = None,
+):
+    """Build a count-min sketch over a key column: ``depth`` seeded hash
+    rows x ``width`` counters. Returns a counters DataFrame
+    ``(cm_row, cm_bucket, cm_count)`` with at most ``depth*width`` rows —
+    CONSTANT state regardless of input size, and mergeable by simple
+    counter addition (union + re-groupBy), so shards/days/streams can
+    sketch independently and answer from the state union. One explode
+    (x depth) + one shuffle on the (row, bucket) key.
+
+    The frequency estimate is min over rows of the key's counter:
+    never an undercount; overcount bounded by e*N/width per row with
+    probability 1 - e^-depth (the Cormode-Muthukrishnan bound).
+    """
+    from pyspark.sql import functions as F
+
+    w = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    rows = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width))
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cm_row", "cm_bucket"),
+        w.alias("_w"),
+    )
+    return rows.groupBy("cm_row", "cm_bucket").agg(
+        F.sum("_w").alias("cm_count")
+    )
+
+
+def cm_merge(*sketches):
+    """Merge count-min sketches built with identical (width, depth):
+    counters add."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy("cm_row", "cm_bucket").agg(
+        F.sum("cm_count").alias("cm_count")
+    )
+
+
+def cm_estimate(
+    keys_df,
+    sketch,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+):
+    """Estimate each key's frequency from a count-min sketch: join the
+    key's ``depth`` bucket positions against the counters (broadcast —
+    the sketch is constant-size) and take the min. Missing counters are
+    zero. Adds a ``cm_est`` column."""
+    from pyspark.sql import functions as F
+
+    pos = keys_df.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width))
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cm_row", "cm_bucket"),
+    )
+    joined = pos.join(F.broadcast(sketch), ["cm_row", "cm_bucket"], "left")
+    group_cols = [c for c in keys_df.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.min(F.coalesce(F.col("cm_count"), F.lit(0).cast("long"))).alias(
+                "cm_est"
+            )
+        )
+    )

@@ -1060,3 +1060,29 @@ def paragraph_dedup(
         )
         .withColumn("new_n_chars", F.length("new_text").cast("long"))
     )
+
+
+def tf_idf(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-(document, term) TF-IDF: ``tf`` = term occurrences in the
+    doc, ``df`` = documents containing the term, ``tfidf`` =
+    tf * ln(N/df). Three wide stages, all content-keyed: tf groupBy
+    (doc, term), document-frequency groupBy term, and the tf-df join on
+    term; the corpus row count rides as a broadcast 1-row aggregate (no
+    driver action). At 100 TB the term-keyed stages distribute by
+    vocabulary — the natural-language long tail hashes uniformly; a
+    genuinely hot stop-word key is what ``skew.salted_aggregate`` is
+    for."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("_n").cast("double") / F.col("df")),
+        )
+        .drop("_n")
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )

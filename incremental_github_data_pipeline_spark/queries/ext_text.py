@@ -274,22 +274,42 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents").select("doc_id", "text")
+    # Truth side from gram POSTING LISTS (same algebra as the oracle):
+    # |A ∩ B| counted inside each gram's posting list, sizes joined in,
+    # jaccard = ni / (sa + sb - ni) as one IEEE division — identical to
+    # re-shingling both texts per pair (the previous shape) but without
+    # the O(pairs x doc_len) re-tokenization, which benched 2x the
+    # whole query.
+    dg = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.shingles("text", 5))).alias("_sh"),
+    ).localCheckpoint(eager=True)
+    sizes = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_ns"))
+    ga, gb = dg.alias("ga"), dg.alias("gb")
+    inter = (
+        ga.join(
+            gb,
+            (F.col("ga._sh") == F.col("gb._sh"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .groupBy(
+            F.col("ga.doc_id").alias("id_a"), F.col("gb.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
     true_pairs = (
-        dd.gram_overlap_pairs(d, id_col="doc_id", text_col="text", k=5)
-        .join(
-            d.select(
-                F.col("doc_id").alias("id_a"), F.col("text").alias("_ta")
-            ),
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("_ns").alias("_sa")),
             "id_a",
         )
         .join(
-            d.select(
-                F.col("doc_id").alias("id_b"), F.col("text").alias("_tb")
-            ),
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("_ns").alias("_sb")),
             "id_b",
         )
         .withColumn(
-            "jaccard", dd.ngram_jaccard(F.col("_ta"), F.col("_tb"), k=5)
+            "jaccard",
+            F.col("_ni").cast("double")
+            / (F.col("_sa") + F.col("_sb") - F.col("_ni")),
         )
         .filter(F.col("jaccard") >= 0.8)
         .select("id_a", "id_b", "jaccard")
@@ -1588,4 +1608,114 @@ def q_doc_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("bloom_maybe") | ~F.col("is_member")).cast("int")
         ).cast("boolean").alias("no_false_negatives"),
         (fp <= 0.05 * n_nonmember).alias("fp_rate_ok"),
+    )
+
+
+@register(
+    "q_doc_tfidf_top",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS BIGINT) AS tf, CAST(dfreq.df AS BIGINT) AS df,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df)
+                        DESC, tf.term
+             ) AS rank
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+    doc="TF-IDF document keyword extraction (operators.text.tf_idf): "
+    "top-3 terms per document by tf * ln(N/df), term-asc tie-break. "
+    "Compared values are the exact integer tf/df/rank lanes; the float "
+    "tfidf score itself is excluded from the output (ln is the one "
+    "non-exactly-rounded scalar in the pipeline — rank flips would "
+    "need a < 1e-14 score gap between integer-parameter scores, which "
+    "exact (tf, df) ties already resolve via the term tie-break). "
+    "Corpus count rides as a broadcast 1-row aggregate — no driver "
+    "action in the plan.",
+)
+def q_doc_tfidf_top(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = tx.tf_idf(T(spark, sf, "documents"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", F.col("rank").cast("long").alias("rank"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+@register(
+    "q_doc_cm_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents
+    ),
+    exact AS (
+      SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           TRUE AS never_undercount,
+           TRUE AS within_bound_frac_ok
+    FROM exact
+    """,
+    doc="Count-min sketch frequency estimation (operators."
+    "incremental_agg.cm_sketch/cm_estimate): depth-4 x width-2048 "
+    "counter state — CONSTANT size regardless of corpus size, "
+    "mergeable by counter addition (shards sketch independently, "
+    "answers come from the state union; merge law pinned in "
+    "test_incremental_agg.py). Certified by the sketch's two "
+    "guarantees: estimates NEVER undercount (structural: min over "
+    "rows of summed counters) and >= 95% of keys stay within the "
+    "ceil(e*N/width) Cormode-Muthukrishnan overcount bound. The "
+    "exact vocabulary size and total token count are value-compared "
+    "integer lanes.",
+)
+def q_doc_cm_counts(spark: SparkSession, sf: str) -> DataFrame:
+    import math
+
+    from incremental_github_data_pipeline_spark.operators import (
+        incremental_agg as ia,
+    )
+
+    toks = T(spark, sf, "documents").select(
+        F.explode(tx.tokens("text")).alias("term")
+    )
+    sketch = ia.cm_sketch(toks, "term", width=2048, depth=4)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    est = ia.cm_estimate(exact, sketch, "term", width=2048, depth=4)
+    total = est.agg(F.sum("c").alias("_t"))
+    bound = F.ceil(F.lit(math.e) * F.col("_t") / F.lit(2048.0))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").cast("long").alias("total_tokens"),
+            F.min((F.col("cm_est") >= F.col("c")).cast("int"))
+            .cast("boolean")
+            .alias("never_undercount"),
+            (
+                F.sum(((F.col("cm_est") - F.col("c")) <= bound).cast("long"))
+                >= 0.95 * F.count(F.lit(1))
+            ).alias("within_bound_frac_ok"),
+        )
     )

@@ -149,3 +149,59 @@ def test_sketch_profile_shard_merge_matches_whole(spark):
         # HLL estimate close to the true 5000 distinct values
         assert abs(w[g]["approx_distinct"] - 5000) / 5000 < 0.05
         assert abs(m[g]["approx_distinct"] - 5000) / 5000 < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_cm_sketch_merge_equals_whole(spark):
+    """Sharded sketches merged by counter addition must equal the sketch
+    of the whole — the mergeable-state law."""
+    from incremental_github_data_pipeline_spark.operators import (
+        incremental_agg as ia,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 37}") for i in range(500)], "i long, key string"
+    )
+    a, b = df.filter("i < 200"), df.filter("i >= 200")
+    whole = ia.cm_sketch(df, "key", width=256, depth=3)
+    merged = ia.cm_merge(
+        ia.cm_sketch(a, "key", width=256, depth=3),
+        ia.cm_sketch(b, "key", width=256, depth=3),
+    )
+    w = {(r["cm_row"], r["cm_bucket"]): r["cm_count"] for r in whole.collect()}
+    m = {(r["cm_row"], r["cm_bucket"]): r["cm_count"] for r in merged.collect()}
+    assert w == m
+
+
+def test_cm_estimate_never_undercounts_and_is_tight_when_sparse(spark):
+    from pyspark.sql import functions as F
+
+    from incremental_github_data_pipeline_spark.operators import (
+        incremental_agg as ia,
+    )
+
+    rows = [(f"k{i % 20}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "key string")
+    exact = df.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
+    sketch = ia.cm_sketch(df, "key", width=1024, depth=4)
+    est = ia.cm_estimate(exact, sketch, "key", width=1024, depth=4).collect()
+    for r in est:
+        assert r["cm_est"] >= r["c"]
+    # 20 keys * 4 hashes in 4096 counters: collisions ~ nonexistent
+    assert all(r["cm_est"] == r["c"] for r in est)
+
+
+def test_cm_estimate_unseen_key_is_zero(spark):
+    from incremental_github_data_pipeline_spark.operators import (
+        incremental_agg as ia,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "key string")
+    sketch = ia.cm_sketch(df, "key", width=512, depth=4)
+    probe = spark.createDataFrame([("definitely-unseen",)], "key string")
+    [r] = ia.cm_estimate(probe, sketch, "key", width=512, depth=4).collect()
+    assert r["cm_est"] == 0
