@@ -88,6 +88,12 @@ _CERTIFY_FIRST = [
     "q_retention_cohorts",
     "q_embedding_pq_topk",
     "q_doc_bloom_prefilter",
+    "q_doc_cm_counts",
+    "q_doc_tfidf_top",
+    "q_unpivot_measures",
+    "q_price_histogram",
+    "q_events_sliding",
+    "q_doc_fuzzy_pairs",
     # -- backfill: re-certify stable pillars on current testdata --
     # (testdata regenerates between rounds; r1/r2-era greens are the
     # stalest evidence so they refresh first, then a spread of r3
@@ -107,12 +113,6 @@ _CERTIFY_FIRST = [
     "q_embedding_topk",
     "q_verified_near_dups",
     "q_asof_join",
-    "q_events_hourly",
-    "q_date_parts",
-    "q_grouping_sets",
-    "q_salted_agg",
-    "q_incremental_rollup",
-    "q_doc_exact_dedup",
 ]
 # Round-5 rotation queue: whatever misses the r4 cut (registry > 50) —
 # check CORRECTNESS_r04.json at round start and front-load (1) any

@@ -1719,3 +1719,54 @@ def q_doc_cm_counts(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("within_bound_frac_ok"),
         )
     )
+
+
+@register(
+    "q_doc_fuzzy_pairs",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars // 10 AS blk, substr(text, 1, 30) AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS edit_dist
+    FROM b a JOIN b c
+      ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.pfx, c.pfx) <= 5
+    ORDER BY id_a, id_b
+    """,
+    doc="Blocked fuzzy matching (entity-resolution shape): Levenshtein "
+    "edit distance <= 5 on 30-char prefixes, candidate pairs generated "
+    "ONLY within (lang, n_chars/10) blocks — the blocking join is an "
+    "equi-join on the block key, never corpus x corpus, and the "
+    "quadratic distance computation runs on within-block candidates "
+    "only (the standard record-linkage decomposition; same contract "
+    "caveat as every blocked matcher: cross-block pairs are out of "
+    "scope by design). Both engines implement classic DP edit "
+    "distance, so the integer distances compare exactly.",
+)
+def q_doc_fuzzy_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    b = T(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 10).cast("long").alias("blk"),
+        F.substring("text", 1, 30).alias("pfx"),
+    )
+    lhs, rhs = b.alias("a"), b.alias("c")
+    return (
+        lhs.join(
+            rhs,
+            (F.col("a.lang") == F.col("c.lang"))
+            & (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.pfx"), F.col("c.pfx"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 5)
+        .orderBy("id_a", "id_b")
+    )

@@ -1678,3 +1678,109 @@ def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n_active").cast("double") / F.first("n_active").over(w_cohort))
         .alias("retention"),
     ).orderBy("cohort_week", "week_offset")
+
+
+@register(
+    "q_unpivot_measures",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE)
+               AS sum_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_items
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value FROM (
+      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'n_items', n_items FROM agg
+    ) ORDER BY l_returnflag, measure
+    """,
+    doc="Wide-to-long unpivot (DataFrame.unpivot / SQL UNPIVOT — the "
+    "melt operation): per-flag measures rotated into (measure, value) "
+    "rows. Decimal-exact sums before the unpivot; the unpivot itself "
+    "is a zero-shuffle projection (each input row emits its measures "
+    "map-side).",
+)
+def q_unpivot_measures(spark: SparkSession, sf: str) -> DataFrame:
+    agg = (
+        T(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+            F.count(F.lit(1)).cast("double").alias("n_items"),
+        )
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "n_items"],
+        "measure",
+        "value",
+    ).orderBy("l_returnflag", "measure")
+
+
+@register(
+    "q_price_histogram",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 5000.0), 21)
+                AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey
+    FROM lineitem GROUP BY 1 ORDER BY bucket
+    """,
+    doc="Fixed-width histogram: bucket assignment is scan-stage "
+    "arithmetic (one IEEE division + floor — engine-exact), so the "
+    "whole histogram is a single map-side-combined aggregate over "
+    "~22 groups; no sort, no second pass over the data. The "
+    "min_orderkey lane pins bucket MEMBERSHIP, not just counts.",
+)
+def q_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice").cast("double") / 5000.0), F.lit(21)
+    ).cast("long")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("min_orderkey"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_events_sliding",
+    oracle="""
+    WITH w AS (
+      SELECT e.event_type,
+             date_trunc('hour', e.ts) - to_hours(i.i) AS window_start
+      FROM events e, range(2) i(i)
+    )
+    SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    doc="Sliding (hopping) window aggregation — batch twin of the "
+    "streaming hop: 2-hour windows every hour, so each event lands in "
+    "exactly two windows. Spark's window(slide) expansion happens "
+    "map-side before the single aggregate shuffle; the oracle "
+    "reproduces the epoch-aligned window assignment with a range(2) "
+    "cross join.",
+)
+def q_events_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("_w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("_w.start").alias("window_start"), "event_type", "n"
+        )
+        .orderBy("window_start", "event_type")
+    )
