@@ -982,3 +982,90 @@ def bloom_prefilter_new(
     return batch.withColumn(
         "bloom_maybe", bloom_might_contain(key_col, words, n_bits, n_hashes)
     )
+
+
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str = "id_l",
+    id_right: str = "id_r",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    threshold: float | None = 0.8,
+) -> DataFrame:
+    """Cross-corpus near-dup JOIN: LSH candidates between two DIFFERENT
+    frames — the batch-vs-reference shape (dedup a new crawl against the
+    existing training corpus, or decontaminate against a benchmark set)
+    where a self-join is wrong because within-side pairs don't matter.
+
+    Same banding as :func:`minhash_candidate_pairs`, but the
+    (band, bucket) equi-join runs LEFT vs RIGHT, so cost is
+    output-sensitive in the cross matches only — each side's internal
+    near-dups never materialize. With ``threshold`` set, candidates are
+    verified with exact gram Jaccard (texts re-joined for candidates
+    ONLY — bounded by the candidate count, not the corpus); ``None``
+    returns unverified candidates with the signature estimate.
+    Returns ``(id_left, id_right, est_jaccard[, jaccard])``.
+    """
+    rows_per_band = num_hashes // bands
+
+    def _buckets(df, id_col):
+        sigs = ensure_min_partitions(df).select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(F.col(text_col), num_hashes, k).alias("_sig"),
+        ).localCheckpoint(eager=True)
+        return sigs.select(
+            "_id",
+            "_sig",
+            F.explode(
+                minhash_bands(F.col("_sig"), bands, rows_per_band)
+            ).alias("_bb"),
+        ).select(
+            "_id",
+            "_sig",
+            F.col("_bb.band").alias("_band"),
+            F.col("_bb.bucket").alias("_bucket"),
+        )
+
+    a = _buckets(left, id_left).alias("a")
+    b = _buckets(right, id_right).alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bucket") == F.col("b._bucket")),
+        )
+        .select(
+            F.col("a._id").alias(id_left),
+            F.col("b._id").alias(id_right),
+            F.col("a._sig").alias("_sig_a"),
+            F.col("b._sig").alias("_sig_b"),
+        )
+        .dropDuplicates([id_left, id_right])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+    cands = pairs.withColumn("est_jaccard", est).drop("_sig_a", "_sig_b")
+    if threshold is None:
+        return cands
+    return (
+        cands.join(
+            left.select(F.col(id_left), F.col(text_col).alias("_tl")), id_left
+        )
+        .join(
+            right.select(F.col(id_right), F.col(text_col).alias("_tr")),
+            id_right,
+        )
+        .withColumn("jaccard", ngram_jaccard(F.col("_tl"), F.col("_tr"), k=k))
+        .filter(F.col("jaccard") >= threshold)
+        .select(id_left, id_right, "est_jaccard", "jaccard")
+    )

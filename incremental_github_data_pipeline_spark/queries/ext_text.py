@@ -1770,3 +1770,106 @@ def q_doc_fuzzy_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 5)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "q_doc_minhash_join",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 250
+    ),
+    r AS (
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id >= 250
+    ),
+    lg AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+                     THEN list_transform(range(1, len(t) - 3),
+                                         i -> array_to_string(t[i:i+4], ' '))
+                     ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM l)
+    ),
+    rg AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+                     THEN list_transform(range(1, len(t) - 3),
+                                         i -> array_to_string(t[i:i+4], ' '))
+                     ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM r)
+    ),
+    ldg AS (SELECT DISTINCT doc_id, sh FROM lg),
+    rdg AS (SELECT DISTINCT doc_id, sh FROM rg),
+    ls AS (SELECT doc_id, COUNT(*) AS ns FROM ldg GROUP BY 1),
+    rs AS (SELECT doc_id, COUNT(*) AS ns FROM rdg GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_l, b.doc_id AS id_r, COUNT(*) AS ni
+      FROM ldg a JOIN rdg b USING (sh) GROUP BY 1, 2
+    )
+    SELECT id_l, id_r,
+           CAST(ni AS DOUBLE) / (ls.ns + rs.ns - ni) AS jaccard,
+           TRUE AS lsh_found
+    FROM inter
+    JOIN ls ON ls.doc_id = id_l
+    JOIN rs ON rs.doc_id = id_r
+    WHERE CAST(ni AS DOUBLE) / (ls.ns + rs.ns - ni) >= 0.8
+    ORDER BY id_l, id_r
+    """,
+    doc="Cross-corpus MinHash JOIN (operators.dedup.minhash_join): LSH "
+    "banding between two different frames — the new-crawl-vs-training-"
+    "corpus dedup shape where within-side pairs must NOT materialize. "
+    "Left = docs < 250; right = the rest plus planted copies of the "
+    "first 25 left docs (id+10^6). Compared output is the exact "
+    "cross-corpus Jaccard>=0.8 truth set (posting-list algebra in "
+    "both engines) with a boolean asserting the banded join surfaced "
+    "each pair (the q_minhash_near_dups recall-coupling pattern, "
+    "cross-corpus variant). The float jaccard compares exactly: one "
+    "IEEE division on integer operands in both engines.",
+)
+def q_doc_minhash_join(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    left = d.filter(F.col("doc_id") < 250)
+    right = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).unionByName(d.filter(F.col("doc_id") >= 250))
+    found = dd.minhash_join(
+        left.withColumnRenamed("doc_id", "id_l"),
+        right.withColumnRenamed("doc_id", "id_r"),
+        id_left="id_l", id_right="id_r", text_col="text",
+        num_hashes=32, bands=8, k=5, threshold=0.8,
+    ).select("id_l", "id_r", F.lit(True).alias("_f"))
+    # truth side: exact cross-corpus jaccard from gram posting lists
+    def grams(df, alias):
+        return df.select(
+            F.col("doc_id").alias(alias),
+            F.explode(F.array_distinct(tx.shingles("text", 5))).alias("_sh"),
+        )
+    lg = grams(left, "id_l").localCheckpoint(eager=True)
+    rg = grams(right, "id_r").localCheckpoint(eager=True)
+    ls = lg.groupBy("id_l").agg(F.count(F.lit(1)).alias("_la"))
+    rs = rg.groupBy("id_r").agg(F.count(F.lit(1)).alias("_lb"))
+    inter = (
+        lg.join(rg, "_sh")
+        .groupBy("id_l", "id_r")
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
+    truth = (
+        inter.join(ls, "id_l")
+        .join(rs, "id_r")
+        .withColumn(
+            "jaccard",
+            F.col("_ni").cast("double")
+            / (F.col("_la") + F.col("_lb") - F.col("_ni")),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    return (
+        truth.join(found, ["id_l", "id_r"], "left")
+        .select(
+            "id_l",
+            "id_r",
+            "jaccard",
+            F.coalesce("_f", F.lit(False)).alias("lsh_found"),
+        )
+        .orderBy("id_l", "id_r")
+    )

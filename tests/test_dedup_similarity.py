@@ -642,3 +642,32 @@ def test_bloom_rejects_unaligned_bits(spark):
     corpus = spark.createDataFrame([("a",)], "key string")
     with _pytest.raises(ValueError, match="multiple of 64"):
         dd.build_bloom(corpus, "key", n_bits=100)
+
+
+def test_minhash_join_cross_corpus_only(spark):
+    """Within-side near-dups must NOT appear; planted cross-corpus
+    copies must."""
+    left = spark.createDataFrame(
+        [(1, DOC), (2, DOC), (3, FAR)], "id_l long, text string"
+    )  # 1 and 2 are identical WITHIN left
+    right = spark.createDataFrame(
+        [(10, DOC), (11, "unrelated words entirely here about nothing shared")],
+        "id_r long, text string",
+    )
+    out = dd.minhash_join(
+        left, right, id_left="id_l", id_right="id_r", threshold=0.8
+    ).collect()
+    pairs = {(r["id_l"], r["id_r"]) for r in out}
+    assert pairs == {(1, 10), (2, 10)}
+    for r in out:
+        assert r["jaccard"] == 1.0
+
+
+def test_minhash_join_unverified_returns_estimates(spark):
+    left = spark.createDataFrame([(1, DOC)], "id_l long, text string")
+    right = spark.createDataFrame([(9, DOC)], "id_r long, text string")
+    out = dd.minhash_join(
+        left, right, id_left="id_l", id_right="id_r", threshold=None
+    ).collect()
+    # identical text -> identical signature -> every band collides
+    assert len(out) == 1 and out[0]["est_jaccard"] == 1.0
