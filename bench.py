@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     "q_scd2_history",
     "q_vocab_overlap",
     "q_doc_contained",
+    # round-4 operator additions
+    "q_doc_paragraph_dedup",
+    "q_doc_tfidf_top",
+    "q_doc_minhash_join",
+    "q_embedding_pq_topk",
 ]
 
 

@@ -1086,3 +1086,22 @@ def tf_idf(df, text_col: str = "text", id_col: str = "doc_id"):
         .drop("_n")
         .select(id_col, "term", "tf", "df", "tfidf")
     )
+
+
+def temperature_weights(
+    df, alpha: float = 0.5, strata_col: str = "source", parts: int = 100
+) -> dict[str, int]:
+    """Temperature-based mixture targets (the multilingual/UNIMAX
+    recipe): stratum weight proportional to ``n_s ** alpha``, so
+    ``alpha=1`` reproduces natural proportions, ``alpha=0`` uniform,
+    and the usual 0.3-0.7 range up-weights the tail without drowning
+    the head. Returns integer parts (summing to ~``parts``) ready for
+    :func:`mix_sources` / :func:`mixture_cutoffs`; every present
+    stratum gets at least 1 part. The per-stratum count collect is
+    bounded by the stratum count."""
+    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
+    if not counts:
+        return {}
+    w = {s: float(n) ** alpha for s, n in counts.items()}
+    tot = sum(w.values())
+    return {s: max(1, int(parts * v / tot)) for s, v in w.items()}

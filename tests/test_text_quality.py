@@ -847,3 +847,37 @@ def test_vocab_overlap_sketch_accuracy(spark):
         r = got[k]
         assert (r["exact_shared"], r["exact_union"]) == (sh, un), (k, r)
         assert r["shared_ok"] and r["union_ok"], (k, r)
+
+
+def test_temperature_weights_limits_and_tail_boost(spark):
+    # scatter stratum ids across the id space: _id_bucket is modular
+    # (id % buckets) by the deterministic-split contract, so contiguous
+    # id blocks would alias with the bucket cutoffs
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                "books" if i % 100 == 0
+                else ("code" if i % 10 == 0 else "web"),
+            )
+            for i in range(1000)
+        ],
+        "doc_id long, source string",
+    )
+    natural = tx.temperature_weights(df, alpha=1.0)
+    flat = tx.temperature_weights(df, alpha=0.0)
+    mid = tx.temperature_weights(df, alpha=0.5)
+    # alpha=1 -> natural proportions (900/90/10)
+    assert natural == {"web": 90, "code": 9, "books": 1}
+    # alpha=0 -> uniform thirds
+    assert flat == {"web": 33, "code": 33, "books": 33}
+    # 0 < alpha < 1 boosts the tail monotonically
+    assert natural["books"] <= mid["books"] <= flat["books"]
+    assert flat["web"] <= mid["web"] <= natural["web"]
+    # composes with the mixture machinery
+    mixed = tx.mix_sources(df, mid, id_col="doc_id")
+    got = {r["source"]: r["n"] for r in
+           mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) == {"web", "code", "books"}
+    # realized mixture tracks the target ordering
+    assert got["web"] > got["code"] > got["books"] >= 1
