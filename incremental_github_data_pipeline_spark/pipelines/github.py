@@ -477,3 +477,24 @@ def _issues_clean_schema() -> StructType:
             f("assignee_login", StringType()), f("repo_id", StringType()),
         ]
     )
+
+
+def repos_for_warehouse(repos: DataFrame) -> DataFrame:
+    """Project the clean repos frame onto the warehouse DDL columns:
+    the DB drops the github_* natural-key passthroughs (ref load.py:57
+    left this unreached) and narrows int widths to the DDL types
+    (ref 001_core_schema.sql repo table)."""
+    return repos.select(
+        "repo_id", "repo_name", "full_name", "description", "topics",
+        "language", "owner_id", "visibility",
+        F.col("private").cast("short").alias("private"),
+        F.col("disabled").cast("short").alias("disabled"),
+        F.col("fork").cast("short").alias("fork"),
+        F.col("archived").cast("short").alias("archived"),
+        "default_branch",
+        F.col("stargazers_count").cast("int").alias("stargazers_count"),
+        F.col("watchers_count").cast("int").alias("watchers_count"),
+        F.col("forks_count").cast("int").alias("forks_count"),
+        F.col("open_issues_count").cast("int").alias("open_issues_count"),
+        "created_at", "updated_at", "pushed_at",
+    )

@@ -47,6 +47,11 @@ QUERIES = [
     "q_dedup_clusters",
     "q_doc_remove_spans",
     "q_doc_curation_funnel",
+    # round-4 operators
+    "q_doc_paragraph_dedup",
+    "q_doc_tfidf_top",
+    "q_doc_minhash_join",
+    "q_doc_bloom_prefilter",
 ]
 
 

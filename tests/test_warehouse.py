@@ -189,3 +189,55 @@ def test_pipeline_to_warehouse_end_to_end(wh, spark):
         .count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming -> warehouse (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_to_warehouse_incremental_and_idempotent(wh, spark, tmp_path):
+    """availableNow stream -> clean -> JDBC MERGE, run twice: the second
+    run with no new files loads nothing new; a third run after a new
+    raw file lands picks up ONLY that file and upserts its rows."""
+    import json
+    import shutil
+
+    from incremental_github_data_pipeline_spark.sources import migrations as mig
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        run_incremental_to_warehouse,
+    )
+
+    mig.bootstrap(wh, mig.github_core_migrations())
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    shutil.copy(
+        "/root/reference/data/raw_data/repos_raw.json", raw / "repos_raw.json"
+    )
+    ckpt = tmp_path / "ckpt"
+
+    run_incremental_to_warehouse(spark, raw, wh, ckpt)
+    n_repos = wh.read_table("repos").count()
+    n_owners = wh.read_table("owners").count()
+    assert n_repos == 300 and n_owners == 1
+
+    # rerun with no new files: checkpoint skips everything, counts hold
+    run_incremental_to_warehouse(spark, raw, wh, ckpt)
+    assert wh.read_table("repos").count() == n_repos
+
+    # land one new raw file with one new + one updated repo
+    base = json.load(open(raw / "repos_raw.json"))
+    updated = dict(base[0])
+    updated["description"] = "UPDATED-BY-STREAM"
+    novel = dict(base[1])
+    novel["id"] = 999_999_999
+    novel["name"] = "brand-new-repo"
+    novel["full_name"] = f"{novel['full_name'].split('/')[0]}/brand-new-repo"
+    (raw / "repos_raw_2.json").write_text(json.dumps([updated, novel]))
+
+    run_incremental_to_warehouse(spark, raw, wh, ckpt)
+    assert wh.read_table("repos").count() == n_repos + 1
+    got = wh.read_table("repos").filter(
+        "description = 'UPDATED-BY-STREAM'"
+    ).count()
+    assert got == 1  # MERGE updated in place, no duplicate key row
