@@ -1329,3 +1329,170 @@ def g711_decode_stats(media: DataFrame) -> DataFrame:
     return media.filter(
         F.col("mime").isin("audio/basic", "audio/x-alaw-basic")
     ).mapInPandas(batches, G711_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAV format tag 17) — a real COMPRESSED audio codec,
+# dependency-free: 4-bit nibbles + the IMA step-size state machine.
+# 4x smaller than PCM16; the "compressed audio" tier between raw PCM
+# and the perceptual codecs (MP3/AAC) that need external libraries.
+# ---------------------------------------------------------------------------
+
+IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+IMA_INDEX_TABLE = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64
+)
+
+_WAVE_FORMAT_IMA_ADPCM = 17
+
+
+def adpcm_expand(nibbles: np.ndarray, predictor: int = 0, index: int = 0):
+    """Expand a 4-bit IMA ADPCM nibble stream to int16 PCM (the ITU/IMA
+    reference recurrence: magnitude from the 3 low bits against the
+    step table, sign bit 8, predictor clamp, index walk)."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    pred, idx = predictor, index
+    for i, n in enumerate(nibbles):
+        step = int(IMA_STEP_TABLE[idx])
+        delta = int(n) & 7
+        diff = step >> 3
+        if delta & 4:
+            diff += step
+        if delta & 2:
+            diff += step >> 1
+        if delta & 1:
+            diff += step >> 2
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        out[i] = pred
+        idx = max(0, min(88, idx + int(IMA_INDEX_TABLE[int(n)])))
+    return out
+
+
+def encode_wav_adpcm(
+    nibbles: np.ndarray, sample_rate: int = 8000,
+    predictor: int = 0, index: int = 0,
+) -> bytes:
+    """Wrap an IMA nibble stream as a single-block WAV (format tag 17):
+    fmt chunk with block_align + samplesPerBlock extension, a 4-byte
+    block header carrying the initial (predictor, step_index), then two
+    nibbles per byte, low nibble first — the DVI/IMA layout every audio
+    tool writes."""
+    if len(nibbles) % 2:
+        raise ValueError("nibble count must be even (two per byte)")
+    packed = (
+        (nibbles[0::2].astype(np.uint8) & 0x0F)
+        | ((nibbles[1::2].astype(np.uint8) & 0x0F) << 4)
+    ).tobytes()
+    block_align = 4 + len(packed)
+    samples_per_block = len(nibbles) + 1  # header word is sample 0
+    data = struct.pack("<hBB", predictor, index, 0) + packed
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        _WAVE_FORMAT_IMA_ADPCM, 1, sample_rate,
+        sample_rate * block_align // samples_per_block,
+        block_align, 4, 2, samples_per_block,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_adpcm(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a mono single-block IMA ADPCM WAV → (sample_rate, int16
+    PCM). Real RIFF chunk walk; the block header's initial predictor is
+    emitted as sample 0 (the IMA block convention), then the expanded
+    nibble stream follows."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, tag, sr, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            tag, _, sr = struct.unpack_from("<HHI", payload, pos + 8)
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length % 2)
+    if tag != _WAVE_FORMAT_IMA_ADPCM or data is None:
+        raise NotImplementedError(f"not an IMA ADPCM WAV (tag {tag})")
+    predictor, index, _ = struct.unpack_from("<hBB", data, 0)
+    packed = np.frombuffer(data, dtype=np.uint8, offset=4)
+    nibbles = np.empty(len(packed) * 2, dtype=np.uint8)
+    nibbles[0::2] = packed & 0x0F
+    nibbles[1::2] = packed >> 4
+    pcm = np.concatenate(
+        [[np.int16(predictor)], adpcm_expand(nibbles, predictor, index)]
+    ).astype(np.int16)
+    return sr, pcm
+
+
+def _adpcm_nibbles(i: int) -> np.ndarray:
+    """Closed-form nibble stream: (t*7 + i*3) % 16."""
+    n = 120 + 20 * (i % 6)
+    t = np.arange(n)
+    return ((t * 7 + i * 3) % 16).astype(np.uint8)
+
+
+def make_adpcm_media(spark, n: int = 32) -> DataFrame:
+    """Media table of REAL IMA ADPCM WAV payloads with closed-form
+    nibble content (decoded PCM is then fully determined by the IMA
+    recurrence, which a recursive-CTE oracle replays in SQL)."""
+    rows = []
+    for i in range(n):
+        nib = _adpcm_nibbles(i)
+        rows.append(
+            (i, "audio", encode_wav_adpcm(nib), "audio/x-adpcm",
+             None, None, (len(nib) + 1) * 1000 // 8000)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+ADPCM_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sum_abs", LongType(), False),
+        StructField("sum_pos", LongType(), False),
+        StructField("last_sample", LongType(), False),
+    ]
+)
+
+
+def adpcm_decode_stats(media: DataFrame) -> DataFrame:
+    """Full ADPCM decode per payload → exact integer sample statistics
+    plus the FINAL sample value (the strongest state-machine check: one
+    wrong step anywhere shifts every subsequent predictor). One
+    Arrow-batched mapInPandas pass."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                _, s = decode_wav_adpcm(r.payload)
+                x = s.astype(np.int64)
+                recs.append(
+                    (r.media_id, len(s), int(np.abs(x).sum()),
+                     int(x[x > 0].sum()), int(x[-1]))
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "n_samples", "sum_abs",
+                         "sum_pos", "last_sample"],
+            )
+
+    return media.filter(F.col("mime") == "audio/x-adpcm").mapInPandas(
+        batches, ADPCM_STATS_SCHEMA
+    )

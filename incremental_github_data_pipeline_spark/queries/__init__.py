@@ -95,6 +95,7 @@ _CERTIFY_FIRST = [
     "q_events_sliding",
     "q_doc_fuzzy_pairs",
     "q_doc_minhash_join",
+    "q_media_adpcm_stats",
     # -- backfill: re-certify stable pillars on current testdata --
     # (testdata regenerates between rounds; r1/r2-era greens are the
     # stalest evidence so they refresh first, then a spread of r3
@@ -112,7 +113,6 @@ _CERTIFY_FIRST = [
     "q_fk_resolve_orphans",
     "q_doc_token_stats",
     "q_embedding_topk",
-    "q_verified_near_dups",
 ]
 # Round-5 rotation queue: whatever misses the r4 cut (registry > 50) —
 # check CORRECTNESS_r04.json at round start and front-load (1) any

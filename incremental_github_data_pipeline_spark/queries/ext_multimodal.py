@@ -440,3 +440,74 @@ def q_media_g711_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return g711_decode_stats(make_g711_media(spark, n=48)).orderBy("media_id")
+
+
+def _adpcm_oracle() -> str:
+    """Build the IMA-ADPCM recursive-CTE oracle: DuckDB replays the
+    decoder's per-sample state machine (step-table lookup, magnitude
+    reconstruction from the 3 low bits, sign, predictor clamp, index
+    walk) over the closed-form nibble stream — a full SQL re-derivation
+    of every decoded sample of a genuinely compressed codec."""
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        IMA_INDEX_TABLE,
+        IMA_STEP_TABLE,
+    )
+
+    steps = ", ".join(f"({j}, {int(v)})" for j, v in enumerate(IMA_STEP_TABLE))
+    idxd = ", ".join(f"({n}, {int(d)})" for n, d in enumerate(IMA_INDEX_TABLE))
+    nib = "(((s.t + 1) * 7 + s.media_id * 3) % 16)"
+    return f"""
+    WITH RECURSIVE
+    steps(j, v) AS (VALUES {steps}),
+    idxd(nb, d) AS (VALUES {idxd}),
+    m AS (SELECT i AS media_id, 120 + 20 * (i % 6) AS n FROM range(32) t(i)),
+    state AS (
+      SELECT media_id, n, -1 AS t, 0 AS pred, 0 AS idx FROM m
+      UNION ALL
+      SELECT s.media_id, s.n, s.t + 1,
+             CAST(GREATEST(-32768, LEAST(32767,
+               s.pred
+               + CASE WHEN {nib} >= 8 THEN -1 ELSE 1 END
+               * (st.v // 8
+                  + CASE WHEN {nib} % 8 >= 4 THEN st.v ELSE 0 END
+                  + CASE WHEN {nib} % 4 >= 2 THEN st.v // 2 ELSE 0 END
+                  + CASE WHEN {nib} % 2 = 1 THEN st.v // 4 ELSE 0 END)
+             )) AS INTEGER) AS pred,
+             CAST(GREATEST(0, LEAST(88, s.idx + it.d)) AS INTEGER) AS idx
+      FROM state s
+      JOIN steps st ON st.j = s.idx
+      JOIN idxd it ON it.nb = {nib}
+      WHERE s.t + 1 < s.n
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(pred)) AS BIGINT) AS sum_abs,
+           CAST(SUM(CASE WHEN pred > 0 THEN pred ELSE 0 END) AS BIGINT)
+             AS sum_pos,
+           CAST(MAX(CASE WHEN t = n - 1 THEN pred END) AS BIGINT)
+             AS last_sample
+    FROM state GROUP BY media_id ORDER BY media_id
+    """
+
+
+@register(
+    "q_media_adpcm_stats",
+    oracle=_adpcm_oracle(),
+    doc="REAL compressed-audio decode: IMA ADPCM (WAV format tag 17 — "
+    "4-bit nibbles, 4x smaller than PCM16) through operators."
+    "multimodal.decode_wav_adpcm (RIFF walk, block header, nibble "
+    "unpack, IMA step-size recurrence). The DuckDB oracle replays the "
+    "ENTIRE decoder state machine in a recursive CTE — step-table "
+    "join, magnitude bits, predictor clamp, index walk — so every one "
+    "of the ~4500 decoded samples is re-derived in SQL; the "
+    "last_sample lane makes a single wrong transition anywhere in the "
+    "chain visible. Decode runs in one Arrow-batched mapInPandas "
+    "pass.",
+)
+def q_media_adpcm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        adpcm_decode_stats,
+        make_adpcm_media,
+    )
+
+    return adpcm_decode_stats(make_adpcm_media(spark, n=32)).orderBy("media_id")

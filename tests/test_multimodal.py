@@ -470,3 +470,49 @@ def test_png_g711_media_pipelines(spark):
         pcm = table[mm._g711_codes(i)].astype(np.int64)
         assert r["sum_abs"] == int(np.abs(pcm).sum())
         assert r["sum_pos"] == int(pcm[pcm > 0].sum())
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_adpcm_expand_known_transitions():
+    # single max-magnitude positive nibble (7) from initial state:
+    # step=7 -> diff = 0 + 7 + 3 + 1 = 11, pred 0 -> 11, index 0 -> 8
+    out = mm.adpcm_expand(np.array([7], dtype=np.uint8))
+    assert out[0] == 11
+    # sign bit: nibble 15 = -(same magnitude)
+    assert mm.adpcm_expand(np.array([15], dtype=np.uint8))[0] == -11
+    # index clamps at 0: nibble 0 keeps index 0, tiny positive step
+    out = mm.adpcm_expand(np.array([0, 0], dtype=np.uint8))
+    assert out[0] == 0 and out[1] == 0  # diff = 7>>3 = 0
+    # predictor clamps at int16 bounds under sustained max nibbles
+    big = mm.adpcm_expand(np.array([7] * 200, dtype=np.uint8))
+    assert big.max() == 32767
+
+
+def test_adpcm_wav_roundtrip_and_rejects():
+    nib = mm._adpcm_nibbles(5)
+    sr, pcm = mm.decode_wav_adpcm(mm.encode_wav_adpcm(nib))
+    assert sr == 8000 and len(pcm) == len(nib) + 1 and pcm[0] == 0
+    assert (pcm[1:] == mm.adpcm_expand(nib)).all()
+    with pytest.raises(ValueError, match="even"):
+        mm.encode_wav_adpcm(np.array([1], dtype=np.uint8))
+    with pytest.raises(NotImplementedError, match="IMA ADPCM"):
+        mm.decode_wav_adpcm(mm.encode_wav(np.zeros(4, dtype=np.int16)))
+
+
+def test_adpcm_media_pipeline(spark):
+    stats = {
+        r["media_id"]: r
+        for r in mm.adpcm_decode_stats(mm.make_adpcm_media(spark, n=8)).collect()
+    }
+    assert len(stats) == 8
+    for i, r in stats.items():
+        pcm = np.concatenate(
+            [[0], mm.adpcm_expand(mm._adpcm_nibbles(i))]
+        ).astype(np.int64)
+        assert r["n_samples"] == len(pcm)
+        assert r["sum_abs"] == int(np.abs(pcm).sum())
+        assert r["last_sample"] == int(pcm[-1])
