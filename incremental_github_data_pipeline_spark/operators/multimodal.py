@@ -1496,3 +1496,242 @@ def adpcm_decode_stats(media: DataFrame) -> DataFrame:
     return media.filter(F.col("mime") == "audio/x-adpcm").mapInPandas(
         batches, ADPCM_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a) — real LZW: variable-width codes, dictionary growth, clear/
+# end codes. The third compressed image codec (after JPEG and PNG) and
+# the only mainstream LZW format — dependency-free.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_compress(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: greedy longest-match against a growing dict,
+    variable code width (min+1 .. 12 bits, LSB-first packing), CLEAR
+    emitted up front and on dictionary overflow, END at the tail."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code, width):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    buf = b""
+    for byte in data:
+        nb = buf + bytes([byte])
+        if nb in table:
+            buf = nb
+            continue
+        emit(table[buf], width)
+        table[nb] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = acc = n_bits = 0
+
+    def read(width):
+        nonlocal pos, acc, n_bits
+        while n_bits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        return code
+
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code, width = end + 1, min_code_size + 1
+    out = bytearray()
+    prev = None
+    while True:
+        code = read(width)
+        if code == end:
+            return bytes(out)
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code, width = end + 1, min_code_size + 1
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # one EARLIER than the encoder's own bump: the decoder's
+            # dictionary lags the encoder by exactly one entry at read
+            # time (it adds entry k only after reading code k+1), so
+            # the width change must anticipate the encoder's
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an (h, w) index raster + (n, 3) palette as GIF87a: header,
+    logical screen descriptor, global color table (padded to a power of
+    two), image descriptor, real LZW-compressed pixel data in 255-byte
+    sub-blocks, trailer."""
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(2, int(n - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[:n] = palette
+    lzw = _lzw_compress(indices.astype(np.uint8).tobytes(), bits)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1) << 4 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(bits)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode a GIF87a/89a (single non-interlaced image, global color
+    table) to an (h, w, 3) uint8 RGB array: header parse, color table,
+    extension-block skip, sub-block reassembly, LZW decompress, palette
+    lookup. Interlaced/local-palette variants raise."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without global color table")
+    n_colors = 2 << (packed & 7)
+    pal = np.frombuffer(payload, dtype=np.uint8, offset=pos,
+                        count=n_colors * 3).reshape(n_colors, 3)
+    pos += n_colors * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif block == 0x2C:
+            left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            if ipacked & 0xC0:
+                raise NotImplementedError(
+                    "local color table / interlaced GIF not supported"
+                )
+            pos += 10
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            idx = np.frombuffer(
+                _lzw_decompress(bytes(lzw), min_code), dtype=np.uint8
+            )
+            if len(idx) != iw * ih:
+                raise ValueError("LZW pixel count mismatch")
+            return pal[idx.reshape(ih, iw)]
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("no image block in GIF")
+
+
+def _gif_palette(ncol: int) -> np.ndarray:
+    c = np.arange(ncol)
+    return np.stack(
+        [(c * 37 + 11) % 256, (c * 59 + 23) % 256, (c * 83 + 47) % 256], axis=1
+    ).astype(np.uint8)
+
+
+def _gif_indices(i: int) -> tuple[np.ndarray, int]:
+    w, h = 11 + (i % 9), 8 + (i % 7)
+    ncol = 4 if i % 2 == 0 else 8
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    return ((x * 3 + y * 5 + i) % ncol).astype(np.uint8), ncol
+
+
+def make_gif_media(spark, n: int = 32) -> DataFrame:
+    """Media table of REAL GIF87a payloads (genuine LZW streams across
+    two palette sizes) with closed-form content."""
+    rows = []
+    for i in range(n):
+        idx, ncol = _gif_indices(i)
+        payload = encode_gif(idx, _gif_palette(ncol))
+        rows.append(
+            (i, "image", payload, "image/gif", idx.shape[1], idx.shape[0], None)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+GIF_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+    ]
+)
+
+
+def gif_decode_stats(media: DataFrame) -> DataFrame:
+    """Full GIF decode per payload → exact integer channel sums. One
+    Arrow-batched mapInPandas pass."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                px = decode_gif(r.payload).astype(np.int64)
+                recs.append(
+                    (r.media_id, px.shape[1], px.shape[0],
+                     int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                     int(px[:, :, 2].sum()))
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "width", "height",
+                         "sum_r", "sum_g", "sum_b"],
+            )
+
+    return media.filter(F.col("mime") == "image/gif").mapInPandas(
+        batches, GIF_STATS_SCHEMA
+    )

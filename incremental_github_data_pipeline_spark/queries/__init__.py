@@ -96,6 +96,8 @@ _CERTIFY_FIRST = [
     "q_doc_fuzzy_pairs",
     "q_doc_minhash_join",
     "q_media_adpcm_stats",
+    "q_media_gif_stats",
+    "q_corr_qty_price",
     # -- backfill: re-certify stable pillars on current testdata --
     # (testdata regenerates between rounds; r1/r2-era greens are the
     # stalest evidence so they refresh first, then a spread of r3
@@ -111,8 +113,6 @@ _CERTIFY_FIRST = [
     "q_anti_join",
     "q_union_conform",
     "q_fk_resolve_orphans",
-    "q_doc_token_stats",
-    "q_embedding_topk",
 ]
 # Round-5 rotation queue: whatever misses the r4 cut (registry > 50) —
 # check CORRECTNESS_r04.json at round start and front-load (1) any

@@ -511,3 +511,43 @@ def q_media_adpcm_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return adpcm_decode_stats(make_adpcm_media(spark, n=32)).orderBy("media_id")
+
+
+@register(
+    "q_media_gif_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 11 + (i % 9) AS w, 8 + (i % 7) AS h,
+             CASE WHEN i % 2 = 0 THEN 4 ELSE 8 END AS nc
+      FROM range(32) t(i)
+    ),
+    px AS (
+      SELECT media_id, w, h,
+             (x.x * 3 + y.y * 5 + media_id) % nc AS c
+      FROM m, range(20) x(x), range(15) y(y)
+      WHERE x.x < w AND y.y < h
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(SUM((c * 37 + 11) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((c * 59 + 23) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((c * 83 + 47) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL GIF decode (operators.multimodal.decode_gif): header "
+    "parse, global color table, sub-block reassembly, and a genuine "
+    "variable-width LZW decompressor (dictionary growth, width "
+    "changes, clear/end codes, the KwKwK case). Payloads are real "
+    "GIF87a bytes from the in-repo LZW compressor; content is closed-"
+    "form over two palette sizes, so DuckDB recomputes every pixel's "
+    "palette-mapped channel values from range() with no codec. One "
+    "Arrow-batched mapInPandas pass.",
+)
+def q_media_gif_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        gif_decode_stats,
+        make_gif_media,
+    )
+
+    return gif_decode_stats(make_gif_media(spark, n=32)).orderBy("media_id")

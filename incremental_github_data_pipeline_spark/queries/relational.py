@@ -1784,3 +1784,69 @@ def q_events_sliding(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "q_corr_qty_price",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS qi,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pi
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qi) AS BIGINT) AS sx,
+             CAST(SUM(pi) AS BIGINT) AS sy,
+             CAST(SUM(qi * qi) AS BIGINT) AS sxx,
+             CAST(SUM(qi * pi) AS BIGINT) AS sxy,
+             CAST(CAST(SUM(CAST(pi AS HUGEINT) * pi) AS DECIMAL(38,0))
+                  AS DOUBLE) AS syy
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sx, sy, sxy,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS corr,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope
+    FROM m ORDER BY l_returnflag
+    """,
+    doc="Correlation + regression slope per group WITHOUT the "
+    "nondeterministic float path: the five algebraic moments (n, Sx, "
+    "Sy, Sxx, Sxy[, Syy]) are summed EXACTLY in integer cent-space "
+    "(order-independent — the reason F.corr itself can't hash-match "
+    "across engines), then corr and slope come from one fixed "
+    "arithmetic expression over the exact moments. Integer moment "
+    "lanes are value-compared directly; Syy exceeds int64 so it rides "
+    "the exact-decimal-to-double conversion (round-to-nearest of an "
+    "exact value — portable, unlike double-to-decimal). Single "
+    "map-combined aggregate, no second pass.",
+)
+def q_corr_qty_price(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    qi = F.round(F.col("l_quantity") * 100).cast("long")
+    pi = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qi).alias("sx"),
+        F.sum(pi).alias("sy"),
+        F.sum(qi * qi).alias("sxx"),
+        F.sum(qi * pi).alias("sxy"),
+        F.sum((pi * pi).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    varx = nd * F.col("sxx") - sxd * F.col("sx")
+    vary = nd * F.col("syy") - syd * F.col("sy")
+    return m.select(
+        "l_returnflag", "n", "sx", "sy", "sxy",
+        (num / F.sqrt(varx * vary)).alias("corr"),
+        (num / varx).alias("slope"),
+    ).orderBy("l_returnflag")

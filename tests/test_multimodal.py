@@ -516,3 +516,42 @@ def test_adpcm_media_pipeline(spark):
         assert r["n_samples"] == len(pcm)
         assert r["sum_abs"] == int(np.abs(pcm).sum())
         assert r["last_sample"] == int(pcm[-1])
+
+
+# ---------------------------------------------------------------------------
+# GIF / LZW (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_lzw_roundtrip_matrix():
+    rng = np.random.default_rng(11)
+    for ncol, shape in [(2, (5, 5)), (4, (7, 9)), (16, (64, 64)), (256, (40, 40))]:
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, size=shape, dtype=np.uint8)
+        assert (mm.decode_gif(mm.encode_gif(idx, pal)) == pal[idx]).all()
+
+
+def test_gif_lzw_kwkwk_and_dictionary_overflow():
+    # constant raster drives the KwKwK decoder branch
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    idx = np.zeros((3, 50), dtype=np.uint8)
+    assert (mm.decode_gif(mm.encode_gif(idx, pal)) == pal[idx]).all()
+    # high-entropy raster overflows the 4096-entry dict -> clear/reset path
+    rng = np.random.default_rng(2)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(120, 120), dtype=np.uint8)
+    assert (mm.decode_gif(mm.encode_gif(idx, pal)) == pal[idx]).all()
+
+
+def test_gif_rejects_and_skips_extensions():
+    with pytest.raises(ValueError, match="not a GIF"):
+        mm.decode_gif(b"PNG........")
+    idx, ncol = mm._gif_indices(3)
+    payload = mm.encode_gif(idx, mm._gif_palette(ncol))
+    # splice a graphic-control extension after the screen descriptor +
+    # color table: the decoder must skip it
+    n_colors = 2 << (payload[10] & 7)
+    cut = 13 + n_colors * 3
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    patched = payload[:cut] + ext + payload[cut:]
+    assert (mm.decode_gif(patched) == mm.decode_gif(payload)).all()
