@@ -98,6 +98,7 @@ _CERTIFY_FIRST = [
     "q_media_adpcm_stats",
     "q_media_gif_stats",
     "q_corr_qty_price",
+    "q_recursive_hierarchy",
     # -- backfill: re-certify stable pillars on current testdata --
     # (testdata regenerates between rounds; r1/r2-era greens are the
     # stalest evidence so they refresh first, then a spread of r3
@@ -112,7 +113,6 @@ _CERTIFY_FIRST = [
     "q_semi_join",
     "q_anti_join",
     "q_union_conform",
-    "q_fk_resolve_orphans",
 ]
 # Round-5 rotation queue: whatever misses the r4 cut (registry > 50) —
 # check CORRECTNESS_r04.json at round start and front-load (1) any

@@ -1850,3 +1850,52 @@ def q_corr_qty_price(spark: SparkSession, sf: str) -> DataFrame:
         (num / F.sqrt(varx * vary)).alias("corr"),
         (num / varx).alias("slope"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE emp AS (
+      SELECT r.range AS id,
+             CASE WHEN r.range = 0 THEN NULL ELSE (r.range - 1) // 3 END
+               AS mgr
+      FROM range(200) r
+    ),
+    d(id, depth) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT e.id, d.depth + 1 FROM emp e JOIN d ON e.mgr = d.id
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS sum_ids,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM d GROUP BY depth ORDER BY depth
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): transitive closure "
+    "over a ternary management hierarchy — per-level node counts, the "
+    "query class (org charts, BOM explosions, graph reachability) "
+    "that needed iterative driver loops before Spark 4. Each "
+    "recursion step is one equi-join of the frontier against the edge "
+    "table; depth is bounded by the hierarchy height (log3 n), so the "
+    "plan is height-many joins, not row-many. Both engines run the "
+    "same ANSI recursion; all output lanes are exact integers.",
+)
+def q_recursive_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.sql("""
+        WITH RECURSIVE emp AS (
+          SELECT id,
+                 CASE WHEN id = 0 THEN NULL ELSE (id - 1) DIV 3 END AS mgr
+          FROM range(200)
+        ),
+        d(id, depth) AS (
+          SELECT CAST(0 AS BIGINT) AS id, 0 AS depth
+          UNION ALL
+          SELECT e.id, d.depth + 1 FROM emp e JOIN d ON e.mgr = d.id
+        )
+        SELECT CAST(depth AS BIGINT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(id) AS BIGINT) AS sum_ids,
+               CAST(MAX(id) AS BIGINT) AS max_id
+        FROM d GROUP BY depth ORDER BY depth
+    """)

@@ -545,3 +545,55 @@ def run_incremental_to_warehouse(
         .start()
         .awaitTermination()
     )
+
+
+def running_totals_tws(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """The Spark-4 ``transformWithStateInPandas`` twin of
+    :func:`running_totals_stateful`: the new arbitrary-state API
+    (named state variables on a handle object instead of one opaque
+    tuple, explicit processor lifecycle) — where custom stateful
+    operators are headed; the applyInPandasWithState lane stays as the
+    long-term-support shape. Same contract: per-user running
+    (count, sum) surviving across micro-batches.
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (the API's Python state server) — absent from
+    this container, so the agreement test self-skips there; the
+    applyInPandasWithState twin carries the tested contract."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events LONG, total_value DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(F.col(user_col).alias("user_id"), F.col("value"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=_RUNNING_TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

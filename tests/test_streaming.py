@@ -358,3 +358,49 @@ def test_apply_changelog_equal_order_tiebreak_deterministic(spark):
             ).collect()
         }
         assert out == {2: "upd2"}  # key 1 deleted, key 2 updated
+
+
+@pytest.mark.skipif(
+    not __import__("importlib.util", fromlist=["util"]).find_spec("google"),
+    reason="transformWithState's Python state server speaks protobuf, "
+    "which this container does not ship — the operator is covered by "
+    "its applyInPandasWithState twin (same contract, same test)",
+)
+def test_running_totals_transform_with_state(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas lane agrees with the batch
+    aggregate (same contract as the applyInPandasWithState twin)."""
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        running_totals_tws,
+    )
+
+    # transformWithState requires the RocksDB state store provider
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = _events_stream(spark, tmp_path)
+    out = _run_to_memory(
+        running_totals_tws(stream), "totals_tws", tmp_path, output_mode="update"
+    )
+    batch = (
+        _events_batch(spark)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    try:
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in out.collect()
+        }
+        for r in batch.collect():
+            n, total = got[r["user_id"]]
+            assert n == r["n"]
+            assert total == pytest.approx(r["total"])
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
