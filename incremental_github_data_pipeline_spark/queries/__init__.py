@@ -99,6 +99,8 @@ _CERTIFY_FIRST = [
     "q_media_gif_stats",
     "q_corr_qty_price",
     "q_recursive_hierarchy",
+    "q_allocate_cents",
+    "q_user_streaks",
     # -- backfill: re-certify stable pillars on current testdata --
     # (testdata regenerates between rounds; r1/r2-era greens are the
     # stalest evidence so they refresh first, then a spread of r3
@@ -110,8 +112,6 @@ _CERTIFY_FIRST = [
     "q_group_agg",
     "q_window_topk_per_group",
     "q_dedup_keep_last",
-    "q_semi_join",
-    "q_anti_join",
     "q_union_conform",
 ]
 # Round-5 rotation queue: whatever misses the r4 cut (registry > 50) —

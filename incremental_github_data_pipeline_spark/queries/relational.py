@@ -1899,3 +1899,135 @@ def q_recursive_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
                CAST(MAX(id) AS BIGINT) AS max_id
         FROM d GROUP BY depth ORDER BY depth
     """)
+
+
+@register(
+    "q_allocate_cents",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem WHERE l_orderkey < 100
+    ),
+    o AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS t
+      FROM orders WHERE o_orderkey < 100
+    ),
+    j AS (
+      SELECT li.l_orderkey, li.l_linenumber, li.q, o.t,
+             CAST(SUM(li.q) OVER (PARTITION BY li.l_orderkey) AS BIGINT) AS qs
+      FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+    ),
+    b AS (
+      SELECT *, t * q // qs AS base, (t * q) % qs AS rem FROM j
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY rem DESC, l_linenumber) AS rk,
+             CAST(t - SUM(base) OVER (PARTITION BY l_orderkey) AS BIGINT)
+               AS short
+      FROM b
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_cents
+    FROM r ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Proportional allocation with largest-remainder rounding "
+    "(budget disaggregation): each order's total, in integer cents, "
+    "split across its lineitems proportionally to quantity so the "
+    "allocations sum EXACTLY to the total — floor division plus +1 to "
+    "the largest remainders, linenumber tie-break. All integer "
+    "arithmetic, fully deterministic; two windows over the same "
+    "order-key partitioning collapse into one shuffle.",
+)
+def q_allocate_cents(spark: SparkSession, sf: str) -> DataFrame:
+    li = (
+        T(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+    )
+    o = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("t"),
+        )
+    )
+    w_order = Window.partitionBy("l_orderkey")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_linenumber", "q", "t",
+        F.sum("q").over(w_order).alias("qs"),
+    )
+    b = j.withColumn("base", F.expr("t * q DIV qs")).withColumn(
+        "rem", (F.col("t") * F.col("q")) % F.col("qs")
+    )
+    r = b.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy(
+                F.desc("rem"), F.asc("l_linenumber")
+            )
+        ),
+    ).withColumn("short", F.col("t") - F.sum("base").over(w_order))
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)
+        ).alias("alloc_cents"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q_user_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    g AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER)
+               AS island
+      FROM days
+    ),
+    s AS (
+      SELECT user_id, island, COUNT(*) AS len
+      FROM g GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Gaps-and-islands streak detection: longest run of consecutive "
+    "active DAYS per user via the date-minus-row_number island key — "
+    "the canonical SQL shape for consecutive-sequence analysis, "
+    "distinct from time-gap sessionization (q_sessionize). One "
+    "user-keyed shuffle feeds the dedup, the window, and both "
+    "aggregations; all lanes exact integers.",
+)
+def q_user_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    days = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    g = days.withColumn("island", F.date_sub(F.col("day"), rn))
+    s = g.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.sum("len").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
