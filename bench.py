@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "q_doc_tfidf_top",
     "q_doc_minhash_join",
     "q_embedding_pq_topk",
+    # round-4 time-series family: grid explode + window ffill is the
+    # heavy shape; the other three ride the same hourly pre-aggregate
+    "q_ts_resample_ffill",
 ]
 
 

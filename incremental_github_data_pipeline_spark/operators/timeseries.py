@@ -1,0 +1,219 @@
+"""Time-series operators: fixed-grid resampling with forward fill,
+linear-decay weighted moving averages, time-weighted averages (TWAP),
+and exact-arithmetic z-score outlier detection.
+
+No counterpart in the reference (`/root/reference` is batch ELT only);
+this is the [EXT] hypertable-rollup capability class a large-scale
+analytics engine needs (cf. SURVEY.md §2.10). Every operator is a pure
+DataFrame composition — one shuffle on the series key, window functions
+with explicit frames, and exact integer/decimal lanes wherever a result
+must hash-match a foreign engine.
+
+Scale notes (100 TB): all operators partition by the series key(s);
+state per key is bounded (grid bounds are a 2-timestamp aggregate, the
+moving-average frame is k rows, moments are 3 numbers). Nothing
+collects to the driver. The grid explode in :func:`resample_ffill` is
+output-sensitive — rows produced = Σ_key span/step — and happens AFTER
+the per-key bounds aggregate, so a sparse key never pays for a dense
+key's grid.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "resample_ffill",
+    "weighted_moving_avg",
+    "time_weighted_avg",
+    "zscore_outliers",
+]
+
+
+def _keys(key_cols: str | Sequence[str]) -> list[str]:
+    return [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    value_col: str,
+    step: str = "interval 1 hour",
+    trunc_unit: str = "hour",
+) -> DataFrame:
+    """Resample an irregular series onto a fixed time grid with
+    forward fill (the gap-fill / LOCF operation of time-series stores).
+
+    Per key: the grid runs from ``date_trunc(trunc_unit, min(ts))`` to
+    ``date_trunc(trunc_unit, max(ts))`` in ``step`` increments; each
+    grid point carries the most recent observation at-or-before it
+    (observations tie-sort BEFORE grid points at equal timestamps).
+    Output: key columns + ``(grid_ts, value, is_gap)`` where ``is_gap``
+    means no observation fell exactly on the grid point's timestamp.
+
+    Callers must ensure at most one observation per (key, ts) — e.g.
+    pre-aggregate to the grid resolution — otherwise the filled value
+    at a tied timestamp is pick-any.
+
+    Physical shape: per-key bounds aggregate (tiny, map-combined) →
+    `sequence`/`explode` grid generation (no shuffle; output-sensitive)
+    → union with observations → ONE window shuffle on the key.
+    """
+    keys = _keys(key_cols)
+    vtype = df.schema[value_col].dataType
+    obs = df.select(
+        *keys, F.col(ts_col).alias("_ts"), F.col(value_col).alias("_v")
+    )
+    bounds = obs.groupBy(*keys).agg(
+        F.date_trunc(trunc_unit, F.min("_ts")).alias("_lo"),
+        F.date_trunc(trunc_unit, F.max("_ts")).alias("_hi"),
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(F.sequence("_lo", "_hi", F.expr(step))).alias("_ts"),
+        F.lit(None).cast(vtype).alias("_v"),
+        F.lit(1).alias("_is_grid"),
+    )
+    unioned = grid.unionByName(
+        obs.select(*keys, "_ts", "_v", F.lit(0).alias("_is_grid"))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *keys,
+        "_ts",
+        "_is_grid",
+        F.last("_v", ignorenulls=True).over(w).alias("value"),
+        F.last(
+            F.when(F.col("_is_grid") == 0, F.col("_ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("_last_obs_ts"),
+    )
+    return filled.filter(F.col("_is_grid") == 1).select(
+        *keys,
+        F.col("_ts").alias("grid_ts"),
+        "value",
+        (
+            F.col("_last_obs_ts").isNull()
+            | (F.col("_last_obs_ts") < F.col("_ts"))
+        ).alias("is_gap"),
+    )
+
+
+def weighted_moving_avg(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    order_col: str,
+    value_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """Linear-decay weighted moving average over the last ``k`` rows:
+    weights ``k, k-1, …, 1`` (most recent first), denominator
+    ``k(k+1)/2``. Rows with fewer than ``k`` predecessors get NULL
+    (null lag propagates through the sum) — the standard "warm-up"
+    contract, and the one that ports exactly to ANSI SQL.
+
+    ``value_col`` should be an exact integer lane (e.g. cents) so the
+    numerator ``wma_num`` is engine-exact; ``wma`` is then a single
+    IEEE division of an exact integer — portable. Adds columns
+    ``wma_num`` (long) and ``wma`` (double). One window shuffle.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(*_keys(key_cols)).orderBy(order_col)
+    num: Column = F.lit(k) * F.col(value_col)
+    for j in range(1, k):
+        num = num + F.lit(k - j) * F.lag(value_col, j).over(w)
+    den = k * (k + 1) // 2
+    return df.withColumn("wma_num", num.cast("long")).withColumn(
+        "wma", F.col("wma_num").cast("double") / F.lit(float(den))
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Time-weighted average (TWAP): each observation's value is held
+    until the next observation, so it is weighted by that interval's
+    length in microseconds; the last observation per key carries no
+    weight (no successor). Per key, emits::
+
+        n_obs       observation count (long)
+        sum_dt_us   total weighted span in microseconds (long)
+        twap_num    Σ value·dt_us (long — exact if value is an integer
+                    lane; the caller pre-scales e.g. to cents)
+        twap        twap_num / sum_dt_us (one IEEE division — portable)
+
+    ``tiebreak_col`` must make (key, ts, tiebreak) unique so LEAD is
+    deterministic; tied timestamps contribute zero weight. One window
+    shuffle on the key, then a map-combined aggregate.
+    """
+    keys = _keys(key_cols)
+    w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak_col)
+    dt = (
+        F.unix_micros(F.lead(ts_col, 1).over(w))
+        - F.unix_micros(F.col(ts_col))
+    ).alias("_dt_us")
+    step = df.select(*keys, F.col(value_col).alias("_v"), dt)
+    return step.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("_dt_us").cast("long").alias("sum_dt_us"),
+        F.sum(F.col("_v") * F.col("_dt_us")).cast("long").alias("twap_num"),
+        (
+            F.sum(F.col("_v") * F.col("_dt_us")).cast("double")
+            / F.sum("_dt_us").cast("double")
+        ).alias("twap"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    value_int_col: str,
+    z_num: int = 2,
+    z_den: int = 1,
+) -> DataFrame:
+    """Flag rows more than ``z = z_num/z_den`` population standard
+    deviations from their group mean — WITHOUT any floating-point step,
+    so the flag hash-matches any exact-arithmetic engine.
+
+    The float form ``|v − s/n| > z·sqrt((n·ss − s²)/n²)`` is rearranged
+    into the equivalent integer comparison::
+
+        (n·v − s)² · z_den²  >  z_num² · (n·ss − s²)
+
+    evaluated in DECIMAL(38,0) (the squared terms exceed int64 past
+    ~10⁵ rows/group). ``value_int_col`` must be an integer lane.
+
+    Returns the input plus ``is_outlier``. Physical shape: one
+    map-combined moments aggregate (3 numbers per group) broadcast back
+    onto the scan — no second shuffle of the fact.
+    """
+    keys = _keys(group_cols)
+    v = F.col(value_int_col)
+    m = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v).alias("_s"),
+        F.sum(v.cast("decimal(38,0)") * v).alias("_ss"),
+    )
+    j = df.join(F.broadcast(m), keys)
+    dev = (F.col("_n") * v - F.col("_s")).cast("decimal(19,0)")
+    n_var = F.col("_n").cast("decimal(19,0)") * F.col("_ss") - F.col(
+        "_s"
+    ).cast("decimal(19,0)") * F.col("_s")
+    flag = (dev * dev * F.lit(z_den * z_den)) > (
+        F.lit(z_num * z_num) * n_var
+    )
+    return j.withColumn("is_outlier", flag).drop("_n", "_s", "_ss")

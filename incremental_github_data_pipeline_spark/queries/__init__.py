@@ -101,18 +101,21 @@ _CERTIFY_FIRST = [
     "q_recursive_hierarchy",
     "q_allocate_cents",
     "q_user_streaks",
+    # -- (e) time-series family (new in round 4): first driver rows --
+    "q_ts_resample_ffill",
+    "q_ts_moving_avg",
+    "q_ts_time_weighted",
+    "q_ts_zscore_outliers",
     # -- backfill: re-certify stable pillars on current testdata --
     # (testdata regenerates between rounds; r1/r2-era greens are the
-    # stalest evidence so they refresh first, then a spread of r3
-    # anchors. Window budget is EXACTLY 50 — the guard test in
-    # test_plans.py fails the build if this list overflows.)
+    # stalest evidence so they refresh first. Window budget is EXACTLY
+    # 50 — the guard test in test_plans.py fails the build if this
+    # list overflows. q05/q_group_agg/q_dedup_keep_last/q_union_conform
+    # rotated out to make room for the time-series family; they stay
+    # pinned by the judge's full local sweep.)
     "q01_pricing_summary",
     "q03_shipping_priority",
-    "q05_region_volume",
-    "q_group_agg",
     "q_window_topk_per_group",
-    "q_dedup_keep_last",
-    "q_union_conform",
 ]
 # Round-5 rotation queue: whatever misses the r4 cut (registry > 50) —
 # check CORRECTNESS_r04.json at round start and front-load (1) any
@@ -129,6 +132,7 @@ def load_all() -> dict[str, QuerySpec]:
         ext_similarity,
         ext_temporal,
         ext_text,
+        ext_timeseries,
         relational,
         tpch,
         tpch_advanced,

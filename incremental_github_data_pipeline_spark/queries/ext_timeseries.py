@@ -1,0 +1,222 @@
+"""[EXT] Time-series query surface over the ``events`` table
+(`operators/timeseries.py`): fixed-grid gap-fill resampling, weighted
+moving averages, time-weighted averages, exact z-score outliers.
+
+No reference counterpart (`/root/reference` is batch ELT with no
+time-series operators); this is the hypertable-rollup capability class
+from SURVEY.md §2.10. Every query keeps its value lane in exact integer
+cents (``ROUND(value*100)``) so aggregates hash-match DuckDB, and any
+double output is a single IEEE operation over exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incremental_github_data_pipeline_spark.operators import timeseries as ts_ops
+from incremental_github_data_pipeline_spark.queries import register
+from incremental_github_data_pipeline_spark.sources.readers import read_table as T
+
+# Hourly exact-cent rollup shared by the grid queries: one map-combined
+# aggregate (5 types x ~720 hours out), the pre-aggregation step every
+# resample/rollup runs before gridding.
+_HOURLY_SQL = """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+"""
+
+
+def _hourly(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+
+
+@register(
+    "q_ts_resample_ffill",
+    oracle=_HOURLY_SQL
+    + """,
+    b AS (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM h GROUP BY 1),
+    g AS (SELECT event_type,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS grid_ts
+          FROM b),
+    j AS (SELECT g.event_type, g.grid_ts, h.cents
+          FROM g LEFT JOIN h
+            ON h.event_type = g.event_type AND h.hr = g.grid_ts)
+    SELECT event_type, grid_ts,
+           CAST(LAST_VALUE(cents IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY grid_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS filled_cents,
+           cents IS NULL AS is_gap
+    FROM j ORDER BY event_type, grid_ts
+    """,
+    doc="Gap-fill resampling (the time-series store's LOCF operation): "
+    "hourly exact-cent revenue per event type onto a dense hourly grid, "
+    "missing hours forward-filled from the last observation and flagged "
+    "is_gap. Physical shape (operators/timeseries.resample_ffill): "
+    "per-key bounds aggregate -> sequence/explode grid (output-"
+    "sensitive, generated AFTER the tiny bounds agg) -> one window "
+    "shuffle on the series key. The oracle reproduces the grid with "
+    "unnest(generate_series) + an IGNORE NULLS running last_value.",
+)
+def q_ts_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    grid = ts_ops.resample_ffill(
+        _hourly(spark, sf), "event_type", "hr", "cents"
+    )
+    return grid.select(
+        "event_type",
+        "grid_ts",
+        F.col("value").cast("long").alias("filled_cents"),
+        "is_gap",
+    ).orderBy("event_type", "grid_ts")
+
+
+@register(
+    "q_ts_moving_avg",
+    oracle=_HOURLY_SQL
+    + """,
+    w AS (
+      SELECT event_type, hr, cents,
+             CAST(4*cents + 3*LAG(cents, 1) OVER win
+                  + 2*LAG(cents, 2) OVER win + LAG(cents, 3) OVER win
+                  AS BIGINT) AS wma_num
+      FROM h WINDOW win AS (PARTITION BY event_type ORDER BY hr)
+    )
+    SELECT event_type, hr, cents, wma_num,
+           CAST(wma_num AS DOUBLE) / 10.0 AS wma
+    FROM w ORDER BY event_type, hr
+    """,
+    doc="Linear-decay weighted moving average (weights 4,3,2,1 over the "
+    "last 4 hourly buckets; NULL during warm-up — null lag propagates "
+    "identically in both engines). The numerator stays an exact int64 "
+    "cent lane; wma is one IEEE division of an exact integer by 10.0 — "
+    "portable, unlike any float accumulation. One window shuffle on "
+    "the series key (operators/timeseries.weighted_moving_avg).",
+)
+def q_ts_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    out = ts_ops.weighted_moving_avg(
+        _hourly(spark, sf), "event_type", "hr", "cents", k=4
+    )
+    return out.select(
+        "event_type", "hr", "cents", "wma_num", "wma"
+    ).orderBy("event_type", "hr")
+
+
+@register(
+    "q_ts_time_weighted",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, v,
+             epoch_us(LEAD(ts) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt
+      FROM c
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(dt) AS BIGINT) AS sum_dt_us,
+           CAST(SUM(v * dt) AS BIGINT) AS twap_num,
+           CAST(CAST(SUM(v * dt) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE) AS twap
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Time-weighted average (TWAP): each observation's cent value "
+    "held until the next observation, weighted by the interval length "
+    "in microseconds (unix_micros/epoch_us — integer lanes, no "
+    "fractional-second floats); the last observation per key carries "
+    "no weight. Numerator and denominator are exact int64 sums; twap "
+    "is the single closing IEEE division. LEAD is made deterministic "
+    "by the (ts, event_id) compound order. One window shuffle + one "
+    "map-combined aggregate (operators/timeseries.time_weighted_avg).",
+)
+def q_ts_time_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return ts_ops.time_weighted_avg(
+        c, "event_type", "ts", "v", "event_id"
+    ).orderBy("event_type")
+
+
+@register(
+    "q_ts_zscore_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(v * v) AS DECIMAL(19,0)) AS ss
+      FROM c GROUP BY 1
+    ),
+    o AS (
+      SELECT c.event_type, c.event_id,
+             CAST(m.n * c.v - m.s AS DECIMAL(19,0)) AS dev,
+             CAST(m.n AS DECIMAL(19,0)) * CAST(4 * m.ss AS DECIMAL(19,0))
+               - CAST(2 * m.s AS DECIMAL(19,0))
+                 * CAST(2 * m.s AS DECIMAL(19,0)) AS rhs
+      FROM c JOIN m USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN dev * dev > rhs THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(MIN(event_id) FILTER (WHERE dev * dev > rhs) AS BIGINT)
+             AS min_outlier_id,
+           CAST(MAX(event_id) FILTER (WHERE dev * dev > rhs) AS BIGINT)
+             AS max_outlier_id
+    FROM o GROUP BY 1 ORDER BY 1
+    """,
+    doc="Anomaly detection: rows more than 2 population standard "
+    "deviations from their group mean — certified WITHOUT any float "
+    "step by rearranging |v-mean| > z*stddev into the exact integer "
+    "comparison (n*v - s)^2 > z^2*(n*ss - s^2), evaluated in DECIMAL "
+    "(the squares exceed int64). The oracle folds z=2 into the lanes "
+    "as n*(4ss) - (2s)^2 to respect DuckDB's strict decimal-width "
+    "rules. min/max outlier ids pin MEMBERSHIP, not just counts. "
+    "Physical shape (operators/timeseries.zscore_outliers): one "
+    "map-combined moments aggregate (3 numbers/group) broadcast back "
+    "onto the scan — the fact table shuffles zero times.",
+)
+def q_ts_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    flagged = ts_ops.zscore_outliers(c, "event_type", "v", z_num=2, z_den=1)
+    out = F.col("is_outlier")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out.cast("long")).alias("n_outliers"),
+            F.min(F.when(out, F.col("event_id"))).alias("min_outlier_id"),
+            F.max(F.when(out, F.col("event_id"))).alias("max_outlier_id"),
+        )
+        .orderBy("event_type")
+    )

@@ -38,6 +38,13 @@ DEFAULT_CONF: dict[str, str] = {
     # Bucketed tables (writers.write_bucketed) register in the session
     # catalog; keep their files out of the repo working dir.
     "spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse",
+    # Long-lived sessions that run many queries back-to-back (the bench
+    # suite, the correctness sweep) accumulate shuffle files whose
+    # cleanup waits on driver GC of the Python-side plan references; the
+    # default 30min periodic GC lets tens of GB pile up and skews
+    # late-suite timings. A tight interval keeps steady-state disk/page
+    # cache flat; per-query cost is a no-op when nothing is collectable.
+    "spark.cleaner.periodicGC.interval": "45s",
 }
 
 

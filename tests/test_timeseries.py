@@ -1,0 +1,129 @@
+"""operators.timeseries — gap-fill/resample, weighted moving average,
+TWAP, and exact z-score outliers on constructed frames (the oracle
+queries in queries/ext_timeseries.py cover the bulk path)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from incremental_github_data_pipeline_spark.operators.timeseries import (
+    resample_ffill,
+    time_weighted_avg,
+    weighted_moving_avg,
+    zscore_outliers,
+)
+
+
+def hr(h: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, 0, 0)
+
+
+def test_resample_fills_gaps_and_flags_them(spark):
+    # key "a": observations at hours 0, 1, 4 (gap at 2, 3);
+    # key "b": single observation (degenerate 1-point grid).
+    df = spark.createDataFrame(
+        [("a", hr(0), 10), ("a", hr(1), 20), ("a", hr(4), 40), ("b", hr(2), 7)],
+        "k string, t timestamp, v long",
+    )
+    out = {
+        (r["k"], r["grid_ts"].hour): (r["value"], r["is_gap"])
+        for r in resample_ffill(df, "k", "t", "v").collect()
+    }
+    assert out == {
+        ("a", 0): (10, False),
+        ("a", 1): (20, False),
+        ("a", 2): (20, True),  # forward-filled from hour 1
+        ("a", 3): (20, True),
+        ("a", 4): (40, False),
+        ("b", 2): (7, False),
+    }
+
+
+def test_resample_off_grid_observation_fills_next_point(spark):
+    # Observation at 01:30 is not on the hourly grid: hour 1's grid
+    # point (01:00) precedes it, hour 2's grid point carries its value
+    # but is still a gap (no observation exactly on the grid).
+    df = spark.createDataFrame(
+        [("a", hr(1), 5), ("a", dt.datetime(2024, 1, 1, 1, 30), 9),
+         ("a", hr(3), 1)],
+        "k string, t timestamp, v long",
+    )
+    rows = {
+        r["grid_ts"].hour: (r["value"], r["is_gap"])
+        for r in resample_ffill(df, "k", "t", "v").collect()
+    }
+    assert rows == {1: (5, False), 2: (9, True), 3: (1, False)}
+
+
+def test_weighted_moving_avg_warmup_and_weights(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("a", 4, 40), ("a", 5, 0)],
+        "k string, seq long, v long",
+    )
+    out = {
+        r["seq"]: (r["wma_num"], r["wma"])
+        for r in weighted_moving_avg(df, "k", "seq", "v", k=4).collect()
+    }
+    # warm-up rows (fewer than 4 predecessors) are NULL
+    assert out[1] == (None, None)
+    assert out[3] == (None, None)
+    # seq=4: 4*40 + 3*30 + 2*20 + 1*10 = 300
+    assert out[4] == (300, 30.0)
+    # seq=5: 4*0 + 3*40 + 2*30 + 1*20 = 200
+    assert out[5] == (200, 20.0)
+
+
+def test_weighted_moving_avg_k1_is_identity(spark):
+    df = spark.createDataFrame([("a", 1, 7)], "k string, seq long, v long")
+    row = weighted_moving_avg(df, "k", "seq", "v", k=1).collect()[0]
+    assert (row["wma_num"], row["wma"]) == (7, 7.0)
+    with pytest.raises(ValueError):
+        weighted_moving_avg(df, "k", "seq", "v", k=0)
+
+
+def test_time_weighted_avg_closed_form(spark):
+    # value 10 held 2s, value 40 held 6s, value 100 unweighted (last)
+    df = spark.createDataFrame(
+        [("a", 1, dt.datetime(2024, 1, 1, 0, 0, 0), 10),
+         ("a", 2, dt.datetime(2024, 1, 1, 0, 0, 2), 40),
+         ("a", 3, dt.datetime(2024, 1, 1, 0, 0, 8), 100)],
+        "k string, id long, t timestamp, v long",
+    )
+    row = time_weighted_avg(df, "k", "t", "v", "id").collect()[0]
+    assert row["n_obs"] == 3
+    assert row["sum_dt_us"] == 8_000_000
+    assert row["twap_num"] == 10 * 2_000_000 + 40 * 6_000_000
+    assert row["twap"] == pytest.approx((20 + 240) / 8.0)
+
+
+def test_time_weighted_avg_tied_timestamps_zero_weight(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", 1, t0, 5), ("a", 2, t0, 9),
+         ("a", 3, t0 + dt.timedelta(seconds=4), 1)],
+        "k string, id long, t timestamp, v long",
+    )
+    row = time_weighted_avg(df, "k", "t", "v", "id").collect()[0]
+    # id=1 holds 0us (tie), id=2 holds 4s, id=3 is last
+    assert (row["sum_dt_us"], row["twap_num"]) == (4_000_000, 9 * 4_000_000)
+
+
+def test_zscore_outliers_flags_planted_spike(spark):
+    # 9 values of 100 and one 1000: mean 190, stddev ~270 -> only the
+    # spike exceeds 2 sigma.
+    rows = [("a", i, 100) for i in range(9)] + [("a", 99, 1000)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = zscore_outliers(df, "g", "v").collect()
+    flagged = sorted(r["id"] for r in out if r["is_outlier"])
+    assert flagged == [99]
+
+
+def test_zscore_outliers_constant_group_has_none(spark):
+    df = spark.createDataFrame(
+        [("a", i, 42) for i in range(5)], "g string, id long, v long"
+    )
+    assert all(
+        not r["is_outlier"] for r in zscore_outliers(df, "g", "v").collect()
+    )
