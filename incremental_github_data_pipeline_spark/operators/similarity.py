@@ -606,6 +606,62 @@ def pq_reconstruct(vec_col, codebooks) -> Column:
     return F.concat(*subs)
 
 
+def pq_encode_arrow(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks,
+) -> DataFrame:
+    """Arrow-batched twin of :func:`pq_reconstruct`: numpy encode with
+    the SAME left-fold arithmetic (per-dimension ``acc += (x-c)²``
+    sequential adds and first-occurrence argmin), so codes and
+    reconstructions are bit-identical to the expression path — pinned
+    by ``test_pq_arrow_encode_matches_expression``. The normalization
+    stays the Spark-side :func:`l2_normalize` expression so both lanes
+    share it.
+
+    This is the production encode shape: the interpreted HOF expression
+    evaluates m_sub·ksub lambda distance folds per row (fine for a plan
+    demo, ~ms/row), while one Arrow batch amortizes the Python hop over
+    thousands of rows of plain vectorized float64 ops. Map-side only —
+    no shuffle, corpus order/partitioning preserved."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    m_sub = len(codebooks)
+    dsub = codebooks[0].shape[1]
+    cbs = [c.astype(np.float64) for c in codebooks]
+    out_schema = StructType(
+        [
+            corpus.schema[id_col],
+            StructField("_recon", ArrayType(DoubleType()), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["_nv"].tolist(), dtype=np.float64)
+            parts = []
+            for m in range(m_sub):
+                S = V[:, m * dsub : (m + 1) * dsub]
+                C = cbs[m]
+                acc = np.zeros((len(S), C.shape[0]), dtype=np.float64)
+                for j in range(dsub):
+                    d = S[:, j][:, None] - C[None, :, j]
+                    acc = acc + d * d  # left fold, same IEEE order as F.aggregate
+                parts.append(C[acc.argmin(1)])  # argmin = first min, = array_position
+            R = np.concatenate(parts, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "_recon": list(R)}
+            )
+
+    nv = corpus.select(id_col, l2_normalize(vec_col).alias("_nv"))
+    return nv.mapInPandas(gen, schema=out_schema)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -616,6 +672,7 @@ def pq_topk(
     m_sub: int = 8,
     ksub: int = 16,
     codebooks=None,
+    encode: str = "arrow",
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization: corpus vectors
     are collapsed to ``m_sub`` 4-bit-ish codes (here materialized as the
@@ -631,9 +688,12 @@ def pq_topk(
         codebooks = pq_train(
             corpus, vec_col, corpus_id, m_sub=m_sub, ksub=ksub
         )
-    enc = corpus.select(
-        corpus_id, pq_reconstruct(vec_col, codebooks).alias("_recon")
-    )
+    if encode == "arrow":
+        enc = pq_encode_arrow(corpus, vec_col, corpus_id, codebooks)
+    else:
+        enc = corpus.select(
+            corpus_id, pq_reconstruct(vec_col, codebooks).alias("_recon")
+        )
     qn = queries.select(query_id, l2_normalize(vec_col).alias("_qv"))
     scored = enc.crossJoin(F.broadcast(qn)).select(
         query_id,

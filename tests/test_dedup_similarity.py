@@ -671,3 +671,29 @@ def test_minhash_join_unverified_returns_estimates(spark):
     ).collect()
     # identical text -> identical signature -> every band collides
     assert len(out) == 1 and out[0]["est_jaccard"] == 1.0
+
+
+def test_pq_arrow_encode_matches_expression(spark):
+    """The Arrow/numpy encode lane replays the expression path's exact
+    left-fold arithmetic — reconstructions must be bit-identical, not
+    merely close."""
+    from incremental_github_data_pipeline_spark.operators import similarity as sim
+
+    corpus = _pq_corpus(spark, n=48)
+    cbs = sim.pq_train(corpus, "embedding", "corpus_id", m_sub=4, ksub=8)
+    expr = {
+        r["corpus_id"]: r["_recon"]
+        for r in corpus.select(
+            "corpus_id",
+            sim.pq_reconstruct("embedding", cbs).alias("_recon"),
+        ).collect()
+    }
+    arrow = {
+        r["corpus_id"]: r["_recon"]
+        for r in sim.pq_encode_arrow(
+            corpus, "embedding", "corpus_id", cbs
+        ).collect()
+    }
+    assert set(expr) == set(arrow)
+    for cid, vec in expr.items():
+        assert vec == arrow[cid]  # exact float equality, elementwise
