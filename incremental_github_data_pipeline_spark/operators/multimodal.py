@@ -1735,3 +1735,190 @@ def gif_decode_stats(media: DataFrame) -> DataFrame:
     return media.filter(F.col("mime") == "image/gif").mapInPandas(
         batches, GIF_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# QOI — the "Quite OK Image" format (qoiformat.org, public spec).
+# A modern lossless codec built entirely from byte-local ops: a 64-slot
+# running color index, 2-bit channel diffs, green-relative luma diffs,
+# and run-length packets. Dependency-free like the other codecs here.
+# ---------------------------------------------------------------------------
+
+
+def _qoi_hash(px: tuple[int, int, int, int]) -> int:
+    return (px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64
+
+
+def encode_qoi(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a spec-complete QOI
+    stream: 14-byte header, INDEX/DIFF/LUMA/RUN/RGB chunks, 8-byte end
+    marker. Emits whichever chunk the spec's priority order selects, so
+    content with flat rows / gradients / repeats exercises every op."""
+    h, w = pixels.shape[:2]
+    out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, 3, 0))
+    index: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for p in pixels.reshape(-1, 3):
+        px = (int(p[0]), int(p[1]), int(p[2]), 255)
+        if px == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        ih = _qoi_hash(px)
+        if index[ih] == px:
+            out.append(ih)
+        else:
+            index[ih] = px
+            dr = ((px[0] - prev[0] + 128) & 0xFF) - 128
+            dg = ((px[1] - prev[1] + 128) & 0xFF) - 128
+            db = ((px[2] - prev[2] + 128) & 0xFF) - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | (dr + 2) << 4 | (dg + 2) << 2 | (db + 2))
+            elif -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7:
+                out.append(0x80 | (dg + 32))
+                out.append((dr - dg + 8) << 4 | (db - dg + 8))
+            else:
+                out += bytes((0xFE, px[0], px[1], px[2]))
+        prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(payload: bytes) -> np.ndarray:
+    """Decode a QOI stream to (h, w, 3) uint8 RGB: header parse, the
+    full chunk state machine (running index, wrapped diffs, luma,
+    runs), end-marker check. RGBA inputs decode with alpha dropped."""
+    if payload[:4] != b"qoif":
+        raise ValueError("not a QOI payload")
+    w, h, channels, _ = struct.unpack_from(">IIBB", payload, 4)
+    if channels not in (3, 4):
+        raise ValueError(f"bad QOI channel count {channels}")
+    n = h * w
+    out = np.zeros((n, 3), dtype=np.uint8)
+    index: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)] * 64
+    px = (0, 0, 0, 255)
+    pos, i = 14, 0
+    while i < n:
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0xFE:  # QOI_OP_RGB
+            px = (payload[pos], payload[pos + 1], payload[pos + 2], px[3])
+            pos += 3
+        elif b0 == 0xFF:  # QOI_OP_RGBA
+            px = tuple(payload[pos : pos + 4])
+            pos += 4
+        elif b0 >> 6 == 0:  # QOI_OP_INDEX
+            px = index[b0]
+        elif b0 >> 6 == 1:  # QOI_OP_DIFF
+            px = (
+                (px[0] + ((b0 >> 4) & 3) - 2) & 0xFF,
+                (px[1] + ((b0 >> 2) & 3) - 2) & 0xFF,
+                (px[2] + (b0 & 3) - 2) & 0xFF,
+                px[3],
+            )
+        elif b0 >> 6 == 2:  # QOI_OP_LUMA
+            dg = (b0 & 0x3F) - 32
+            b1 = payload[pos]
+            pos += 1
+            px = (
+                (px[0] + dg + ((b1 >> 4) & 0xF) - 8) & 0xFF,
+                (px[1] + dg) & 0xFF,
+                (px[2] + dg + (b1 & 0xF) - 8) & 0xFF,
+                px[3],
+            )
+        else:  # QOI_OP_RUN
+            rn = (b0 & 0x3F) + 1
+            if i + rn > n:
+                raise ValueError("QOI run overflows pixel count")
+            out[i : i + rn] = px[:3]
+            i += rn
+            continue
+        index[_qoi_hash(px)] = px
+        out[i] = px[:3]
+        i += 1
+    if payload[pos : pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("bad QOI end marker")
+    return out.reshape(h, w, 3)
+
+
+def _qoi_pixels(i: int) -> np.ndarray:
+    """Closed-form test raster: every 5th row constant (RUN packets),
+    the next row a +1/+1/+1 gradient (DIFF packets), remaining rows
+    pseudo-random jumps (RGB/LUMA/INDEX mix) — recomputable in SQL."""
+    w, h = 12 + (i % 7), 9 + (i % 5)
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    grad = (x + y + i) % 256
+    r = np.where(y % 5 == 0, (i * 31) % 256,
+                 np.where(y % 5 == 1, grad, (x * 29 + y * 53 + i) % 256))
+    g = np.where(y % 5 == 0, (i * 47) % 256,
+                 np.where(y % 5 == 1, grad, (x * 31 + y * 59 + 2 * i) % 256))
+    b = np.where(y % 5 == 0, (i * 5) % 256,
+                 np.where(y % 5 == 1, grad, (x * 37 + y * 61 + 3 * i) % 256))
+    return np.stack(
+        [np.broadcast_to(r, (h, w)), np.broadcast_to(g, (h, w)),
+         np.broadcast_to(b, (h, w))], axis=-1
+    ).astype(np.uint8)
+
+
+def make_qoi_media(spark, n: int = 32) -> DataFrame:
+    """Media table of REAL QOI payloads with closed-form content."""
+    rows = []
+    for i in range(n):
+        px = _qoi_pixels(i)
+        rows.append(
+            (i, "image", encode_qoi(px), "image/qoi",
+             px.shape[1], px.shape[0], None)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+QOI_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("pos_r", LongType(), False),
+    ]
+)
+
+
+def qoi_decode_stats(media: DataFrame) -> DataFrame:
+    """Full QOI decode per payload → exact channel sums plus a
+    position-weighted red lane (Σ (y·w + x)·r) that pins pixel ORDER —
+    a decoder that scrambles runs or index hits while preserving value
+    histograms fails it. One Arrow-batched mapInPandas pass."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                px = decode_qoi(r.payload).astype(np.int64)
+                h, w = px.shape[:2]
+                flat_r = px[:, :, 0].reshape(-1)
+                recs.append(
+                    (r.media_id, w, h,
+                     int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                     int(px[:, :, 2].sum()),
+                     int((np.arange(h * w, dtype=np.int64) * flat_r).sum()))
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "width", "height",
+                         "sum_r", "sum_g", "sum_b", "pos_r"],
+            )
+
+    return media.filter(F.col("mime") == "image/qoi").mapInPandas(
+        batches, QOI_STATS_SCHEMA
+    )

@@ -551,3 +551,53 @@ def q_media_gif_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return gif_decode_stats(make_gif_media(spark, n=32)).orderBy("media_id")
+
+
+@register(
+    "q_media_qoi_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 12 + (i % 7) AS w, 9 + (i % 5) AS h
+      FROM range(32) t(i)
+    ),
+    px AS (
+      SELECT media_id, w, h, x.x AS x, y.y AS y,
+             CASE WHEN y.y % 5 = 0 THEN (media_id * 31) % 256
+                  WHEN y.y % 5 = 1 THEN (x.x + y.y + media_id) % 256
+                  ELSE (x.x * 29 + y.y * 53 + media_id) % 256 END AS r,
+             CASE WHEN y.y % 5 = 0 THEN (media_id * 47) % 256
+                  WHEN y.y % 5 = 1 THEN (x.x + y.y + media_id) % 256
+                  ELSE (x.x * 31 + y.y * 59 + 2 * media_id) % 256 END AS g,
+             CASE WHEN y.y % 5 = 0 THEN (media_id * 5) % 256
+                  WHEN y.y % 5 = 1 THEN (x.x + y.y + media_id) % 256
+                  ELSE (x.x * 37 + y.y * 61 + 3 * media_id) % 256 END AS b
+      FROM m, range(20) x(x), range(15) y(y)
+      WHERE x.x < w AND y.y < h
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM((y * w + x) * r) AS BIGINT) AS pos_r
+    FROM px GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL QOI decode (operators.multimodal.decode_qoi — the Quite "
+    "OK Image format, full chunk state machine: 64-slot running color "
+    "index, wrapped 2-bit diffs, green-relative luma diffs, run "
+    "packets). Payloads come from the in-repo spec-complete encoder; "
+    "content is closed-form (flat rows exercise RUN, gradient rows "
+    "DIFF, jump rows RGB/LUMA/INDEX), so DuckDB recomputes every "
+    "pixel from range() with no codec. The position-weighted red lane "
+    "(sum (y*w+x)*r) pins pixel ORDER, which catches run/index "
+    "misplacement that channel sums alone would miss. One "
+    "Arrow-batched mapInPandas pass.",
+)
+def q_media_qoi_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_qoi_media,
+        qoi_decode_stats,
+    )
+
+    return qoi_decode_stats(make_qoi_media(spark, n=32)).orderBy("media_id")

@@ -52,6 +52,15 @@ QUERIES = [
     "q_doc_tfidf_top",
     "q_doc_minhash_join",
     "q_doc_bloom_prefilter",
+    # time-series family: replicas multiply events WITHIN the same
+    # 30-day span, so the resample grid stays fixed-size (the design
+    # claim: grid cost is span-, not row-, sensitive) while the
+    # pre-aggregate / moments scans grow Nx
+    "q_ts_resample_ffill",
+    "q_ts_time_weighted",
+    "q_ts_zscore_outliers",
+    # PQ ANN after the Arrow-encode change
+    "q_embedding_pq_topk",
 ]
 
 

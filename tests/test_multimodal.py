@@ -555,3 +555,70 @@ def test_gif_rejects_and_skips_extensions():
     ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     patched = payload[:cut] + ext + payload[cut:]
     assert (mm.decode_gif(patched) == mm.decode_gif(payload)).all()
+
+
+# ---------------------------------------------------------------------------
+# QOI
+# ---------------------------------------------------------------------------
+
+
+def test_qoi_round_trip_structured_and_random():
+    import numpy as np
+
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        _qoi_pixels,
+        decode_qoi,
+        encode_qoi,
+    )
+
+    for i in (0, 7, 31):
+        px = _qoi_pixels(i)
+        assert (decode_qoi(encode_qoi(px)) == px).all()
+    rng = np.random.default_rng(5)
+    rand = rng.integers(0, 256, size=(13, 29, 3), dtype=np.uint8)
+    assert (decode_qoi(encode_qoi(rand)) == rand).all()
+
+
+def test_qoi_stream_uses_every_op_class():
+    """The closed-form raster must exercise RUN, DIFF, LUMA, INDEX and
+    RGB chunks — otherwise the oracle query certifies a degenerate
+    encoder."""
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        _qoi_pixels,
+        encode_qoi,
+    )
+
+    seen = set()
+    for i in range(8):
+        data = encode_qoi(_qoi_pixels(i))
+        pos = 14
+        while pos < len(data) - 8:
+            b0 = data[pos]
+            if b0 == 0xFE:
+                seen.add("rgb"); pos += 4
+            elif b0 >> 6 == 0:
+                seen.add("index"); pos += 1
+            elif b0 >> 6 == 1:
+                seen.add("diff"); pos += 1
+            elif b0 >> 6 == 2:
+                seen.add("luma"); pos += 2
+            else:
+                seen.add("run"); pos += 1
+    assert seen == {"rgb", "index", "diff", "luma", "run"}
+
+
+def test_qoi_rejects_corrupt_payloads():
+    import pytest as _pytest
+
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        _qoi_pixels,
+        decode_qoi,
+        encode_qoi,
+    )
+
+    good = bytearray(encode_qoi(_qoi_pixels(3)))
+    with _pytest.raises(ValueError, match="not a QOI"):
+        decode_qoi(b"nope" + bytes(good[4:]))
+    truncated_marker = bytes(good[:-1]) + b"\x02"
+    with _pytest.raises(ValueError, match="end marker"):
+        decode_qoi(truncated_marker)
