@@ -1,0 +1,166 @@
+"""Graph analytics operators: integer-exact PageRank and degree-ordered
+triangle counting.
+
+No counterpart in the reference (`/root/reference` has no graph
+processing); [EXT] per SURVEY.md §2.10 — the link-analysis /
+graph-structure capability class (page quality for crawl corpora,
+dedup-cluster structure, citation graphs). Companion to the
+connected-components operator in ``operators/dedup.py``.
+
+Cross-engine exactness: PageRank here runs in SCALED INTEGER
+arithmetic — every per-iteration value is ``bigint`` and every division
+is integral (``div``), so ranks are bit-identical in any engine that
+repeats the recurrence, with no float summation order anywhere. That is
+what makes an ITERATIVE algorithm certifiable against a SQL oracle
+(the same trick as the ADPCM recursive-CTE decoder).
+
+Scale shape (100 TB): each PageRank iteration is one shuffle (the
+contribution aggregate on ``dst``) plus an edge–rank equi-join on
+``src``; lineage is truncated per round with ``localCheckpoint`` like
+the distributed connected-components loop, so plan size stays constant
+in the iteration count. Triangle counting orients every edge from the
+lower-(degree, id) endpoint to the higher one, which bounds the
+wedge join by Σ min-degree² instead of Σ degree² — the standard
+skew-proofing for power-law graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank_integer", "triangle_count"]
+
+
+def _idiv(col, divisor: int):
+    """Exact integral division (floor toward zero on non-negatives).
+    ``a div b`` stays in long arithmetic — ``(a / b).cast(long)`` would
+    detour through a double, whose rounding can flip the quotient near
+    integer boundaries."""
+    return F.expr(f"{col} div {divisor}")
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    n_nodes: int,
+    iters: int = 5,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over ``iters`` synchronous iterations in scaled-integer
+    arithmetic: ranks start at ``scale div n``, and each round applies
+
+        r'(v) = ((100-d)*scale) div (100*n)
+                + (d * Σ_{u→v} (r(u) div deg(u))) div 100
+
+    with every operation integral — order-independent and therefore
+    bit-reproducible across engines. Dangling mass is dropped (the
+    simplified variant); integral-division remainders dissipate the
+    same way in any engine replaying the recurrence.
+
+    Returns ``(node, rank)`` for all ``n_nodes`` nodes (ids 0..n-1),
+    including nodes with no in-links (they hold the teleport floor).
+
+    One aggregate shuffle per iteration; per-round ``localCheckpoint``
+    keeps the plan flat, exactly like the distributed
+    connected-components loop it sits beside.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    base = ((100 - damping_pct) * scale) // (100 * n_nodes)
+    ranks = nodes.select("node", F.lit(scale // n_nodes).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + _idiv(
+                        f"{damping_pct} * coalesce(in_mass, 0L)", 100
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle enumeration on an undirected graph given as a
+    directed edge list (direction and duplicates ignored; self-loops
+    dropped). Returns one row per triangle ``(a, b, c)`` with
+    ``a < b < c`` under the degree-then-id total order's RELABELING —
+    i.e. columns are the ordered original node ids.
+
+    Algorithm: canonicalize to one row per undirected edge, orient each
+    edge from the endpoint that is smaller under (degree, id) to the
+    larger, then one self-join builds wedges (u→v, u→w with v < w under
+    the same order) and one membership join closes them. Orientation
+    bounds wedge fan-out by the SMALLER endpoint degree — on power-law
+    graphs that turns the hub's deg² blow-up into deg·min_deg.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    l_ = oriented.select(
+        F.col("u"), F.col("v").alias("w1"), F.col("dv").alias("dw1")
+    )
+    r_ = oriented.select(
+        F.col("u"), F.col("v").alias("w2"), F.col("dv").alias("dw2")
+    )
+    wedges = l_.join(r_, "u").filter(
+        (F.col("dw1") < F.col("dw2"))
+        | ((F.col("dw1") == F.col("dw2")) & (F.col("w1") < F.col("w2")))
+    )
+    closed = wedges.join(
+        oriented.select(
+            F.col("u").alias("w1"), F.col("v").alias("w2")
+        ),
+        ["w1", "w2"],
+    )
+    return closed.select(
+        F.least("u", "w1", "w2").alias("a"),
+        F.expr(
+            "if(u > least(u, w1, w2) and u < greatest(u, w1, w2), u, "
+            "if(w1 > least(u, w1, w2) and w1 < greatest(u, w1, w2), w1, w2))"
+        ).alias("b"),
+        F.greatest("u", "w1", "w2").alias("c"),
+    )

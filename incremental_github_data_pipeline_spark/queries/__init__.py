@@ -128,6 +128,7 @@ def load_all() -> dict[str, QuerySpec]:
     the registry so this round's certification targets register first
     (see ``_CERTIFY_FIRST``)."""
     from incremental_github_data_pipeline_spark.queries import (  # noqa: F401
+        ext_graph,
         ext_multimodal,
         ext_similarity,
         ext_temporal,

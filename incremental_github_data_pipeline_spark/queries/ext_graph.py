@@ -1,0 +1,135 @@
+"""[EXT] Graph analytics queries (`operators/graph.py`): integer-exact
+PageRank and triangle counting over a deterministic synthetic graph.
+
+The graph derives from ``range(N)`` with modular-arithmetic edge
+functions, so DuckDB rebuilds the identical edge list with no data
+dependency — the same closed-form-content trick the media codec queries
+use. No reference counterpart (`/root/reference` has no graph ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incremental_github_data_pipeline_spark.operators import graph as g_ops
+from incremental_github_data_pipeline_spark.queries import register
+
+N = 400
+SCALE = 10**12
+ITERS = 5
+# (mult, add) per edge function: i -> (i*mult + add) % N
+EDGE_FNS = [(7, 1), (13, 5), (29, 11), (3, 200)]
+
+_EDGE_SQL = (
+    "SELECT DISTINCT src, dst FROM (\n"
+    + "\n      UNION ALL ".join(
+        f"SELECT node AS src, (node*{m}+{a}) % {N} AS dst FROM nodes"
+        for m, a in EDGE_FNS
+    )
+    + "\n    ) WHERE src <> dst"
+)
+
+
+def _edges(spark: SparkSession) -> DataFrame:
+    nodes = spark.range(N).select(F.col("id").alias("node"))
+    parts = [
+        nodes.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * m + a) % N).alias("dst"),
+        )
+        for m, a in EDGE_FNS
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionAll(p)
+    return e.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _pagerank_oracle() -> str:
+    base = (100 - 85) * SCALE // (100 * N)
+    steps = []
+    for t in range(1, ITERS + 1):
+        prev = f"r{t - 1}"
+        steps.append(
+            f"""r{t} AS (
+      SELECT n.node,
+             {base} + (85 * COALESCE(m.s, 0)) // 100 AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank // deg.d) AS s
+        FROM e JOIN {prev} r ON r.node = e.src
+               JOIN deg ON deg.src = e.src
+        GROUP BY 1) m USING (node)
+    )"""
+        )
+    return f"""
+    WITH nodes AS (SELECT range AS node FROM range({N})),
+    e AS (
+      {_EDGE_SQL}
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+    r0 AS (SELECT node, {SCALE // N} AS rank FROM nodes),
+    {",".join(steps)}
+    SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+    FROM r{ITERS} ORDER BY node
+    """
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="PageRank, 5 synchronous iterations, certified EXACTLY against "
+    "SQL: every value is a scaled bigint and every division integral "
+    "(Spark `div` / DuckDB `//` — never a double detour), so the "
+    "iterative float algorithm becomes order-independent integer "
+    "arithmetic that any engine reproduces bit-for-bit; the oracle "
+    "unrolls the recurrence as five CTE stages. Physical shape "
+    "(operators/graph.pagerank_integer): one contribution-aggregate "
+    "shuffle per round, edge-rank equi-join on src, per-round "
+    "localCheckpoint keeping the plan flat — the same iterative "
+    "discipline as the distributed connected-components loop.",
+)
+def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    return g_ops.pagerank_integer(_edges(spark), N, iters=ITERS, scale=SCALE).orderBy(
+        "node"
+    )
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH nodes AS (SELECT range AS node FROM range({N})),
+    e0 AS (
+      {_EDGE_SQL}
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM e0
+    )
+    SELECT CAST(e1.a AS BIGINT) AS a, CAST(e1.b AS BIGINT) AS b,
+           CAST(e2.b AS BIGINT) AS c
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ORDER BY a, b, c
+    """,
+    doc="Exact triangle enumeration (operators/graph.triangle_count): "
+    "each undirected edge oriented from its (degree, id)-smaller "
+    "endpoint, wedges built by one self-join on the low vertex, closed "
+    "by one membership join — fan-out bounded by the SMALLER endpoint "
+    "degree, the skew-proofing that keeps power-law hubs from deg² "
+    "blow-up at scale. Output is the numerically-sorted (a,b,c) "
+    "triangle list, representation-independent, so the oracle "
+    "enumerates the classic a<b<c three-way join instead and must "
+    "match row-for-row.",
+)
+def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        g_ops.triangle_count(_edges(spark))
+        .select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("c").cast("long").alias("c"),
+        )
+        .orderBy("a", "b", "c")
+    )
