@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     # round-4 time-series family: grid explode + window ffill is the
     # heavy shape; the other three ride the same hourly pre-aggregate
     "q_ts_resample_ffill",
+    # exact similarity join: prefix postings + candidate-bounded verify
+    "q_doc_allpairs_join",
 ]
 
 

@@ -1069,3 +1069,96 @@ def minhash_join(
         .filter(F.col("jaccard") >= threshold)
         .select(id_left, id_right, "est_jaccard", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# AllPairs / prefix-filtered EXACT set-similarity join — the exact
+# counterpart to the LSH lanes above: no recall loss, candidates bounded
+# by the RAREST tokens of each document (Bayardo et al., WWW'07 shape).
+# ---------------------------------------------------------------------------
+
+
+def allpairs_jaccard_join(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_pct: int = 70,
+):
+    """Exact token-set Jaccard join at ``threshold_pct/100`` via prefix
+    filtering: order each document's distinct tokens globally by
+    (document-frequency, token) ascending; a pair at Jaccard >= t MUST
+    share a token within each side's first ``|x| - ceil(t*|x|) + 1``
+    tokens (pigeonhole on the rarest tokens), so the candidate join runs
+    only on prefix postings — short lists by construction, because the
+    prefix holds the rarest vocabulary. Verification computes the exact
+    intersection per candidate pair (cost bounded by candidates, never
+    corpus x corpus) and keeps pairs passing the INTEGER threshold test
+    ``100*inter >= pct*union`` — no float compare anywhere; the emitted
+    ``jaccard`` is one IEEE division of exact ints.
+
+    LOSSLESS by theorem, unlike MinHash banding — the output is the
+    complete truth set, which is what makes the oracle an equality
+    check rather than a recall bound. Returns ``(id_a, id_b, jaccard)``
+    with ``id_a < id_b``.
+
+    Shuffles: token df aggregate, per-doc ranking window, prefix
+    posting self-join, candidate-bounded verify join. Prefix length
+    uses ``(pct*size + 99) div 100`` integral ceil — no float detour.
+    """
+    from incremental_github_data_pipeline_spark.operators.text import tokens
+
+    toks = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("_tok"),
+        )
+    )
+    dfreq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    w_doc = Window.partitionBy("_id").orderBy("_df", "_tok")
+    ranked = (
+        toks.join(dfreq, "_tok")
+        .withColumn("_pos", F.row_number().over(w_doc))
+        .withColumn("_size", F.count(F.lit(1)).over(Window.partitionBy("_id")))
+    )
+    prefix = ranked.filter(
+        F.col("_pos")
+        <= F.col("_size")
+        - F.expr(f"({threshold_pct} * _size + 99) div 100")
+        + F.lit(1)
+    ).select("_id", "_tok")
+    cand = (
+        prefix.select(F.col("_id").alias("id_a"), "_tok")
+        .join(prefix.select(F.col("_id").alias("id_b"), "_tok"), "_tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        cand.join(
+            toks.select(F.col("_id").alias("id_a"), "_tok"), "id_a"
+        )
+        .join(
+            toks.select(F.col("_id").alias("id_b"), "_tok"),
+            ["id_b", "_tok"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+        .filter(
+            100 * F.col("_ni")
+            >= threshold_pct * (F.col("_na") + F.col("_nb") - F.col("_ni"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_ni").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_ni")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -1873,3 +1873,61 @@ def q_doc_minhash_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("id_l", "id_r")
     )
+
+
+@register(
+    "q_doc_allpairs_join",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' zzextraqq'
+      FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM aug WHERE length(trim(text)) > 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 100 * ni >= 70 * (sa.n + sb.n - ni)
+    ORDER BY id_a, id_b
+    """,
+    doc="EXACT set-similarity join at Jaccard>=0.7 via AllPairs prefix "
+    "filtering (operators.dedup.allpairs_jaccard_join — Bayardo "
+    "WWW'07): tokens ordered globally by ascending document frequency, "
+    "candidates only from each doc's |x|-ceil(t|x|)+1 RAREST tokens "
+    "(short posting lists by construction), exact intersection verify "
+    "on candidates with an all-integer threshold test. Prefix "
+    "filtering is LOSSLESS by pigeonhole — so unlike the MinHash "
+    "lanes, the oracle is a full equality check against the "
+    "brute-force truth set: one lost pair anywhere fails rows_match. "
+    "Corpus = every 5th doc plus planted one-token-appended "
+    "near-copies; jaccard is a single IEEE division of exact ints.",
+)
+def q_doc_allpairs_join(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    sub = d.filter(F.col("doc_id") % 5 == 0)
+    aug = sub.unionByName(
+        sub.filter(F.col("doc_id") < 150).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzextraqq")).alias("text"),
+        )
+    )
+    return dd.allpairs_jaccard_join(
+        aug, id_col="doc_id", text_col="text", threshold_pct=70
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    ).orderBy("id_a", "id_b")

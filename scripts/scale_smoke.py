@@ -61,6 +61,8 @@ QUERIES = [
     "q_ts_zscore_outliers",
     # PQ ANN after the Arrow-encode change
     "q_embedding_pq_topk",
+    # exact AllPairs similarity join (output-sensitive: true pairs)
+    "q_doc_allpairs_join",
 ]
 
 

@@ -697,3 +697,25 @@ def test_pq_arrow_encode_matches_expression(spark):
     assert set(expr) == set(arrow)
     for cid, vec in expr.items():
         assert vec == arrow[cid]  # exact float equality, elementwise
+
+
+def test_allpairs_join_exact_and_threshold_edge(spark):
+    """AllPairs prefix filtering must be lossless, and the integer
+    threshold test must include pairs at EXACTLY the threshold."""
+    from incremental_github_data_pipeline_spark.operators import dedup as dd
+
+    shared = [f"t{i}" for i in range(14)]
+    rows = [
+        (1, " ".join(shared + ["x1", "x2", "x3"])),      # 17 tokens
+        (2, " ".join(shared + ["y1", "y2", "y3"])),      # J(1,2)=14/20=0.70
+        (3, " ".join(shared[:7] + [f"z{i}" for i in range(10)])),  # J low
+        (4, " ".join(shared + ["x1", "x2", "x3"]) + " "),  # dup of 1 (ws)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.allpairs_jaccard_join(df, threshold_pct=70).collect()
+    }
+    assert set(out) == {(1, 2), (1, 4), (2, 4)}
+    assert out[(1, 2)] == 14 / 20  # exact threshold kept
+    assert out[(1, 4)] == 1.0      # identical token sets
