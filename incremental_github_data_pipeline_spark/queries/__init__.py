@@ -120,7 +120,11 @@ _CERTIFY_FIRST = [
 # Round-5 rotation queue: whatever misses the r4 cut (registry > 50) —
 # check CORRECTNESS_r04.json at round start and front-load (1) any
 # non-green r4 rows, (2) oracle-backed queries still absent from every
-# snapshot, (3) queries whose code changes in round 5.
+# snapshot — as of late round 4 that set is the post-window additions
+# q_media_qoi_stats, q_graph_pagerank, q_graph_triangles,
+# q_doc_allpairs_join plus the rotated-out re-cert queue
+# (q05_region_volume, q_group_agg, q_dedup_keep_last,
+# q_union_conform) — and (3) queries whose code changes in round 5.
 
 
 def load_all() -> dict[str, QuerySpec]:
