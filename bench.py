@@ -9,6 +9,11 @@ numbers at sub-second scale carry ±30% scheduler noise that polluted
 round-over-round comparisons. Results are fully materialized via
 count() on a cached-nothing plan, so I/O, shuffles and codegen are all
 inside the measurement.
+
+NOTE r4: session.py now runs the context cleaner's periodic GC every
+45s; before that, shuffle files accumulated across the (growing) suite
+and inflated late-suite queries by 2-4x over their isolated times —
+position in BENCH_QUERIES no longer affects a query's number.
 """
 
 from __future__ import annotations

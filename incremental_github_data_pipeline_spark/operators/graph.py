@@ -88,7 +88,7 @@ def pagerank_integer(
                 (
                     F.lit(base)
                     + _idiv(
-                        f"{damping_pct} * coalesce(in_mass, 0L)", 100
+                        f"({damping_pct} * coalesce(in_mass, 0L))", 100
                     )
                 ).alias("rank"),
             )

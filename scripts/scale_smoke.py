@@ -61,8 +61,12 @@ QUERIES = [
     "q_ts_zscore_outliers",
     # PQ ANN after the Arrow-encode change
     "q_embedding_pq_topk",
-    # exact AllPairs similarity join (output-sensitive: true pairs)
-    "q_doc_allpairs_join",
+    # NOT in the default sweep: q_doc_allpairs_join. Replication makes
+    # every document a 10-way identical clique, so the EXACT join's
+    # true-pair output explodes quadratically (2,878 pairs at 1x ->
+    # 20.7M at 10x, measured 323s = ~64k verified pairs/s) — an
+    # output-size effect, not an algorithmic one; see SCALE.md for the
+    # analysis and why production funnels run exact_dedup first.
 ]
 
 
