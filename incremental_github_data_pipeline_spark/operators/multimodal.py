@@ -1922,3 +1922,85 @@ def qoi_decode_stats(media: DataFrame) -> DataFrame:
     return media.filter(F.col("mime") == "image/qoi").mapInPandas(
         batches, QOI_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (average hash) — image near-dup detection on
+# top of the real codecs: decode → 8x8 block means → 64-bit signature;
+# near-duplicates differ in a few bits (Hamming), exact duplicates in
+# none. All-integer, so the whole pipeline is SQL-recomputable.
+# ---------------------------------------------------------------------------
+
+
+def ahash_bits(pixels: np.ndarray) -> list[int]:
+    """64-bit average hash of an (h, w, 3) uint8 image with 8 | h and
+    8 | w: sum r+g+b per 8x8 grid cell, set bit j (row-major cell
+    order) iff ``64 * cell_sum > total_sum`` — the strict-majority form
+    avoids any division, keeping the bits exact integers end-to-end."""
+    h, w = pixels.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError("ahash needs dimensions divisible by 8")
+    s = pixels.astype(np.int64).sum(axis=2)
+    cells = s.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+    total = int(s.sum())
+    return [int(64 * int(cells[j // 8, j % 8]) > total) for j in range(64)]
+
+
+def _ahash_pixels(i: int) -> np.ndarray:
+    """Closed-form 16x16 raster; ids >= 100 are near-copies of id-100
+    with a single brightened pixel (a small, SQL-expressible
+    perturbation that moves one cell sum)."""
+    base = i - 100 if i >= 100 else i
+    x = np.arange(16)[None, :]
+    y = np.arange(16)[:, None]
+    r = (x * 13 + y * 7 + base * 29) % 256
+    g = (x * 5 + y * 11 + base * 3) % 256
+    b = (x * 17 + y * 23 + base) % 256
+    px = np.stack(
+        [np.broadcast_to(r, (16, 16)), np.broadcast_to(g, (16, 16)),
+         np.broadcast_to(b, (16, 16))], axis=-1
+    ).astype(np.int64)
+    if i >= 100:
+        px[:2, :2, :] = np.minimum(255, px[:2, :2, :] + 100)
+    return px.astype(np.uint8)
+
+
+def make_ahash_media(spark, n: int = 24, n_pairs: int = 8) -> DataFrame:
+    """Media table of QOI payloads: ``n`` base images plus ``n_pairs``
+    perturbed near-copies at media_id+100."""
+    ids = list(range(n)) + [100 + i for i in range(n_pairs)]
+    rows = []
+    for i in ids:
+        px = _ahash_pixels(i)
+        rows.append((i, "image", encode_qoi(px), "image/qoi", 16, 16, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("hash_hi", LongType(), False),
+        StructField("hash_lo", LongType(), False),
+    ]
+)
+
+
+def media_ahash(media: DataFrame) -> DataFrame:
+    """Decode QOI payloads and emit the 64-bit average hash as two
+    32-bit halves (``hash_hi`` = cells 32..63) — two bigints instead of
+    one possibly-sign-wrapped int64, so the values compare exactly in
+    any engine. One Arrow-batched mapInPandas pass."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                bits = ahash_bits(decode_qoi(r.payload))
+                lo = sum(bits[j] << j for j in range(32))
+                hi = sum(bits[32 + j] << j for j in range(32))
+                recs.append((r.media_id, hi, lo))
+            yield pd.DataFrame(recs, columns=["media_id", "hash_hi", "hash_lo"])
+
+    return media.filter(F.col("mime") == "image/qoi").mapInPandas(
+        batches, AHASH_SCHEMA
+    )

@@ -601,3 +601,111 @@ def q_media_qoi_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return qoi_decode_stats(make_qoi_media(spark, n=32)).orderBy("media_id")
+
+
+@register(
+    "q_media_phash_dups",
+    oracle="""
+    WITH ids AS (
+      SELECT i AS media_id, i AS base, FALSE AS pert FROM range(24) t(i)
+      UNION ALL
+      SELECT 100 + i, i, TRUE FROM range(8) t2(i)
+    ),
+    px AS (
+      SELECT media_id, x.x AS x, y.y AS y,
+        CASE WHEN pert AND x.x < 2 AND y.y < 2
+             THEN LEAST(255, (x.x*13 + y.y*7 + base*29) % 256 + 100)
+             ELSE (x.x*13 + y.y*7 + base*29) % 256 END
+        + CASE WHEN pert AND x.x < 2 AND y.y < 2
+             THEN LEAST(255, (x.x*5 + y.y*11 + base*3) % 256 + 100)
+             ELSE (x.x*5 + y.y*11 + base*3) % 256 END
+        + CASE WHEN pert AND x.x < 2 AND y.y < 2
+             THEN LEAST(255, (x.x*17 + y.y*23 + base) % 256 + 100)
+             ELSE (x.x*17 + y.y*23 + base) % 256 END AS s
+      FROM ids, range(16) x(x), range(16) y(y)
+    ),
+    cells AS (
+      SELECT media_id, (y // 2) * 8 + (x // 2) AS j, SUM(s) AS cs
+      FROM px GROUP BY 1, 2
+    ),
+    tot AS (SELECT media_id, SUM(s) AS ts FROM px GROUP BY 1),
+    bits AS (
+      SELECT c.media_id, c.j,
+             CASE WHEN 64 * c.cs > t.ts THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN tot t USING (media_id)
+    ),
+    hashes AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN j >= 32
+                           THEN bit * (1::BIGINT << (j - 32))
+                           ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN j < 32
+                           THEN bit * (1::BIGINT << j)
+                           ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.media_id,
+             CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                  + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT)
+               AS partner_hamming
+      FROM hashes a JOIN hashes b ON b.media_id = a.media_id + 100
+      WHERE a.media_id < 8
+    )
+    SELECT h.media_id, h.hash_hi, h.hash_lo,
+           CAST(COALESCE(p.partner_hamming, -1) AS BIGINT)
+             AS partner_hamming,
+           COALESCE(p.partner_hamming <= 4, FALSE) AS is_near_dup
+    FROM hashes h LEFT JOIN pairs p USING (media_id)
+    ORDER BY h.media_id
+    """,
+    doc="Perceptual image near-dup detection (average hash) on top of "
+    "the real QOI codec: decode -> per-8x8-cell integer sums -> "
+    "strict-majority bit (64*cell > total, division-free) -> 64-bit "
+    "signature as two 32-bit halves -> Hamming distance to the "
+    "planted perturbed partner via xor+bit_count. Every stage is "
+    "integer-exact, so DuckDB re-derives the HASH VALUES themselves "
+    "from closed-form pixels — not just an assertion — and both "
+    "engines compute the partner Hamming from their own hashes. "
+    "Planted near-copies (one brightened cell) land at distance 0-2 "
+    "vs >=8 for unrelated images; at corpus scale the signature "
+    "becomes the LSH bucket key (band the 64 bits), the same shape as "
+    "the text MinHash lanes.",
+)
+def q_media_phash_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_ahash_media,
+        media_ahash,
+    )
+
+    h = media_ahash(make_ahash_media(spark))
+    a = h.filter(F.col("media_id") < 8).alias("a")
+    b = h.select(
+        (F.col("media_id") - 100).alias("media_id"),
+        F.col("hash_hi").alias("_bhi"),
+        F.col("hash_lo").alias("_blo"),
+    ).alias("b")
+    pairs = a.join(b, "media_id").select(
+        "media_id",
+        (
+            F.bit_count(F.col("hash_hi").bitwiseXOR(F.col("_bhi")))
+            + F.bit_count(F.col("hash_lo").bitwiseXOR(F.col("_blo")))
+        )
+        .cast("long")
+        .alias("partner_hamming"),
+    )
+    return (
+        h.join(pairs, "media_id", "left")
+        .select(
+            "media_id",
+            "hash_hi",
+            "hash_lo",
+            F.coalesce("partner_hamming", F.lit(-1))
+            .cast("long")
+            .alias("partner_hamming"),
+            F.coalesce(F.col("partner_hamming") <= 4, F.lit(False)).alias(
+                "is_near_dup"
+            ),
+        )
+        .orderBy("media_id")
+    )

@@ -622,3 +622,31 @@ def test_qoi_rejects_corrupt_payloads():
     truncated_marker = bytes(good[:-1]) + b"\x02"
     with _pytest.raises(ValueError, match="end marker"):
         decode_qoi(truncated_marker)
+
+
+def test_ahash_separates_planted_pairs_from_strangers():
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        _ahash_pixels,
+        ahash_bits,
+    )
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    hashes = {i: ahash_bits(_ahash_pixels(i)) for i in range(8)}
+    partners = {i: ahash_bits(_ahash_pixels(i + 100)) for i in range(8)}
+    assert all(ham(hashes[i], partners[i]) <= 4 for i in range(8))
+    strangers = [
+        ham(hashes[i], hashes[j]) for i in range(8) for j in range(i + 1, 8)
+    ]
+    assert min(strangers) > 4  # threshold separates cleanly
+
+
+def test_ahash_requires_divisible_dims():
+    import numpy as np
+    import pytest as _pytest
+
+    from incremental_github_data_pipeline_spark.operators.multimodal import ahash_bits
+
+    with _pytest.raises(ValueError, match="divisible"):
+        ahash_bits(np.zeros((10, 16, 3), dtype=np.uint8))

@@ -17,6 +17,12 @@ the queries: the Spark side is checked at the analyzed-schema level
 (no job), the oracle side through DuckDB's ``DESCRIBE`` (no scan), and
 the two are required to agree column-by-column at dtype-family
 granularity.
+
+A third, VALUE-level hazard this schema lint cannot see (caught by
+``scripts/check_correctness.py`` instead, r4 ``q_media_phash_dups``):
+a NULLABLE BOOLEAN output column — Spark's None and DuckDB's NaN land
+in the same object-dtype pandas column but compare/hash differently.
+Query authors: ``COALESCE`` every boolean output to a concrete value.
 """
 
 from __future__ import annotations
