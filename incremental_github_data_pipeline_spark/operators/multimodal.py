@@ -1806,7 +1806,10 @@ def decode_qoi(payload: bytes) -> np.ndarray:
     index: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)] * 64
     px = (0, 0, 0, 255)
     pos, i = 14, 0
+    # chunks live strictly before the 8-byte end marker
     while i < n:
+        if pos >= len(payload) - 8:
+            raise ValueError("truncated QOI stream")
         b0 = payload[pos]
         pos += 1
         if b0 == 0xFE:  # QOI_OP_RGB

@@ -157,7 +157,9 @@ def time_weighted_avg(
         twap        twap_num / sum_dt_us (one IEEE division — portable)
 
     ``tiebreak_col`` must make (key, ts, tiebreak) unique so LEAD is
-    deterministic; tied timestamps contribute zero weight. One window
+    deterministic; tied timestamps contribute zero weight. A key whose
+    observations all share one timestamp has ``sum_dt_us = 0`` and
+    ``twap = NaN`` (0/0 — identical in any IEEE engine). One window
     shuffle on the key, then a map-combined aggregate.
     """
     keys = _keys(key_cols)

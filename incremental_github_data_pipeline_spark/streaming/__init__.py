@@ -7,5 +7,6 @@ from incremental_github_data_pipeline_spark.streaming.incremental import (  # no
     running_totals_stateful,
     session_window_agg,
     stream_json_dir,
+    twap_stateful,
     windowed_counts,
 )

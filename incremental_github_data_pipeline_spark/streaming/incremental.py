@@ -597,3 +597,76 @@ def running_totals_tws(events: DataFrame, user_col: str = "user_id") -> DataFram
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming TWAP — incremental twin of operators.timeseries.
+# time_weighted_avg: per-key time-weighted running average folded across
+# micro-batches with one 5-number state tuple per key.
+# ---------------------------------------------------------------------------
+
+_TWAP_SCHEMA = "k string, n_obs long, sum_dt_us long, twap_num long, twap double"
+_TWAP_STATE = "last_ts long, last_v long, n long, sum_dt long, num long"
+
+
+def _twap_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (last_ts, last_v, n, sum_dt, num) = (
+        state.get if state.exists else (None, None, 0, 0, 0)
+    )
+    for pdf in batches:
+        pdf = pdf.sort_values(["_ts", "_tb"], kind="mergesort")
+        ts_us = pdf["_ts"].values.astype("datetime64[us]").astype("int64")
+        for t, v in zip(ts_us, pdf["_v"].values):
+            if last_ts is not None:
+                dt = int(t) - last_ts
+                sum_dt += dt
+                num += last_v * dt
+            last_ts, last_v = int(t), int(v)
+            n += 1
+    state.update((last_ts, last_v, n, sum_dt, num))
+    yield pd.DataFrame(
+        {
+            "k": [key[0]],
+            "n_obs": [n],
+            "sum_dt_us": [sum_dt],
+            "twap_num": [num],
+            "twap": [num / sum_dt if sum_dt else float("nan")],
+        }
+    )
+
+
+def twap_stateful(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "v",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming time-weighted average: the incremental twin of
+    ``operators.timeseries.time_weighted_avg``, folding each key's
+    observation stream across micro-batches with a constant-size state
+    tuple (last observation + three accumulators). Rows are sorted by
+    (event-time, tiebreak) WITHIN each batch; cross-batch order is
+    arrival order, so with in-order sources the emitted running values
+    equal the batch operator over the prefix — pinned by the
+    stream-vs-batch agreement test. The held-until-next-observation
+    weighting means the latest observation per key stays pending in
+    state (exactly the interval the batch operator also excludes)."""
+    return (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("_ts"),
+            F.col(value_col).cast("long").alias("_v"),
+            F.col(tiebreak_col).alias("_tb"),
+        )
+        .groupBy("k")
+        .applyInPandasWithState(
+            _twap_fn,
+            outputStructType=_TWAP_SCHEMA,
+            stateStructType=_TWAP_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -404,3 +404,69 @@ def test_running_totals_transform_with_state(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev)
+
+
+def test_twap_stateful_matches_batch_across_restarts(spark, tmp_path):
+    """Streaming TWAP folded across two checkpoint-resumed runs must
+    equal the batch operator over the full event set — including the
+    cross-run state carry (the pending last observation)."""
+    import datetime as dt
+
+    from incremental_github_data_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+    from incremental_github_data_pipeline_spark.streaming import twap_stateful
+
+    t0 = dt.datetime(2024, 6, 1)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    schema = "k string, event_id long, ts timestamp, v long"
+    first = spark.createDataFrame(
+        [("a", 1, s(0), 10), ("a", 2, s(2), 40), ("b", 3, s(0), 7)], schema
+    )
+    second = spark.createDataFrame(
+        [("a", 4, s(8), 100), ("b", 5, s(5), 9)], schema
+    )
+    src = tmp_path / "twap_src"
+    ckpt = str(tmp_path / "twap_ckpt")
+
+    sink = str(tmp_path / "twap_out")
+
+    def run():
+        # memory sinks cannot resume from a checkpoint; foreachBatch
+        # appending to parquet is the recover-capable pattern
+        stream = spark.readStream.schema(first.schema).parquet(str(src))
+        q = (
+            twap_stateful(stream, "k", "ts", "v", "event_id")
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    first.coalesce(1).write.mode("append").parquet(str(src))
+    run()
+    second.coalesce(1).write.mode("append").parquet(str(src))
+    run()
+    # both runs appended emissions; the per-key row with max n_obs is
+    # the final folded state
+    emitted = spark.read.parquet(sink).collect()
+    got = {}
+    for r in sorted(emitted, key=lambda r: r["n_obs"]):
+        got[r["k"]] = (r["n_obs"], r["sum_dt_us"], r["twap_num"], r["twap"])
+
+    batch = time_weighted_avg(
+        first.unionByName(second), "k", "ts", "v", "event_id"
+    )
+    want = {
+        r["k"]: (r["n_obs"], r["sum_dt_us"], r["twap_num"], r["twap"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert got["a"] == (3, 8_000_000, 10 * 2_000_000 + 40 * 6_000_000, 32.5)
