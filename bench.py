@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "q_ts_resample_ffill",
     # exact similarity join: prefix postings + candidate-bounded verify
     "q_doc_allpairs_join",
+    # iterative graph shape: 5 PageRank rounds, one shuffle per round
+    "q_graph_pagerank",
 ]
 
 

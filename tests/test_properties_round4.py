@@ -134,3 +134,51 @@ def test_qoi_round_trip_arbitrary(w, h, seed):
     # mix of flat regions and noise exercises RUN/INDEX/DIFF paths
     px = rng.integers(0, 4, size=(h, w, 3), dtype=np.uint8) * 85
     assert (decode_qoi(encode_qoi(px)) == px).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=17),
+    st.integers(min_value=1, max_value=13),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_gif_lzw_round_trip_arbitrary(w, h, ncol, seed):
+    """GIF + LZW round-trip on arbitrary index rasters — runs, width
+    changes, dictionary growth, and the KwKwK case all arise from
+    random content at small palette sizes."""
+    import numpy as np
+
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    out = decode_gif(encode_gif(idx, pal))
+    assert (out == pal[idx]).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_png_round_trip_arbitrary(w, h, seed):
+    """PNG round-trip with the filter cycle 0..4 on random truecolor
+    and grayscale rasters."""
+    import numpy as np
+
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(rgb)) == rgb).all()
+    gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    assert (decode_png(encode_png(gray)) == gray).all()
