@@ -2031,3 +2031,45 @@ def q_user_streaks(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_variant_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS distinct_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Spark 4 VARIANT lane for semi-structured data: parse_json "
+    "turns the JSON string payload into the binary shredded VARIANT "
+    "representation ONCE in the scan stage, then variant_get does "
+    "typed path access without re-parsing — the difference from "
+    "q_json_extract's get_json_object (which re-tokenizes the string "
+    "per access) and the storage model that makes JSON columns "
+    "scan-efficient at 100 TB. Aggregates stay exact integer lanes.",
+)
+def q_variant_agg(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events").select(
+        "event_type", F.parse_json("props").alias("_v")
+    )
+    k = F.variant_get(F.col("_v"), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+            F.count_distinct(F.col("_k")).alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )
