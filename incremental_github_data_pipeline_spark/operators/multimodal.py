@@ -1000,18 +1000,14 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
-    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as an
-    8-bit PNG. ``filters`` picks the per-row filter type (default:
-    cycle 0..4 so a decoder must implement ALL of None/Sub/Up/Average/
-    Paeth to reproduce the pixels — the encode side applies the exact
-    inverse of the unfilter math)."""
-    gray = pixels.ndim == 2
-    h, w = pixels.shape[:2]
-    bpp = 1 if gray else 3
-    color_type = 0 if gray else 2
-    raster = pixels.reshape(h, w * bpp).astype(np.int64)
-    zero = np.zeros(w * bpp, dtype=np.int64)
+def _png_filter_rows(
+    raster: np.ndarray, bpp: int, filters: list[int] | None
+) -> bytes:
+    """Apply the per-row PNG filter (cycling 0..4 by default) to an
+    (h, stride) int64 raster — the exact inverse of the decoder's
+    unfilter math."""
+    h, stride = raster.shape
+    zero = np.zeros(stride, dtype=np.int64)
     out = bytearray()
     for y in range(h):
         f = (filters[y % len(filters)] if filters else y % 5)
@@ -1032,32 +1028,74 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
             c = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
             pred = np.array(
                 [_paeth(int(a[i]), int(prior[i]), int(c[i]))
-                 for i in range(w * bpp)],
+                 for i in range(stride)],
                 dtype=np.int64,
             )
             enc = cur - pred
         out.append(f)
         out.extend((enc % 256).astype(np.uint8).tobytes())
+    return bytes(out)
+
+
+def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as an
+    8-bit PNG. ``filters`` picks the per-row filter type (default:
+    cycle 0..4 so a decoder must implement ALL of None/Sub/Up/Average/
+    Paeth to reproduce the pixels — the encode side applies the exact
+    inverse of the unfilter math)."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    bpp = 1 if gray else 3
+    color_type = 0 if gray else 2
+    raw = _png_filter_rows(
+        pixels.reshape(h, w * bpp).astype(np.int64), bpp, filters
+    )
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Encode an (h, w) uint8 index raster + (n<=256, 3) palette as an
+    8-bit indexed-color PNG (color type 3, PLTE chunk). Filters apply
+    to the index bytes (bpp=1), per spec."""
+    if len(palette) > 256:
+        raise ValueError("PNG palette holds at most 256 entries")
+    if indices.max(initial=0) >= len(palette):
+        raise ValueError("index out of palette range")
+    h, w = indices.shape
+    raw = _png_filter_rows(indices.astype(np.int64), 1, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit grayscale/truecolor PNG to a uint8 array of shape
-    (h, w) or (h, w, 3): signature + chunk walk (CRC-verified), zlib
-    inflate of the concatenated IDAT stream, then per-row unfilter of
-    filter types 0-4. Interlaced, paletted, and 16-bit variants raise
-    ``NotImplementedError`` (honest scope: the baseline 90% of real
-    PNGs; no silent mis-decode)."""
+    """Decode an 8-bit grayscale/truecolor/indexed PNG to a uint8 array
+    of shape (h, w) or (h, w, 3): signature + chunk walk (CRC-verified),
+    zlib inflate of the concatenated IDAT stream, per-row unfilter of
+    filter types 0-4, and PLTE lookup for color type 3. Interlaced and
+    16-bit/sub-byte-depth variants raise ``NotImplementedError``
+    (honest scope; no silent mis-decode)."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, w = 8, None
     idat = bytearray()
+    plte = None
+    color_type = 0
     while pos < len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -1069,13 +1107,17 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color_type not in (0, 2):
+            if depth != 8 or color_type not in (0, 2, 3):
                 raise NotImplementedError(
-                    "only 8-bit grayscale/truecolor PNG supported"
+                    "only 8-bit grayscale/truecolor/indexed PNG supported"
                 )
             if interlace or comp or filt:
                 raise NotImplementedError("interlaced PNG not supported")
             bpp = 3 if color_type == 2 else 1
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -1083,6 +1125,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + length
     if w is None:
         raise ValueError("missing IHDR")
+    if color_type == 3 and plte is None:
+        raise ValueError("indexed PNG without PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     stride = w * bpp
     if len(raw) != h * (stride + 1):
@@ -1115,6 +1159,11 @@ def decode_png(payload: bytes) -> np.ndarray:
                 cur[i] = (row[i] + pred) % 256
         out[y] = cur
     px = out.astype(np.uint8)
+    if color_type == 3:
+        idx = px.reshape(h, w)
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]
     return px.reshape(h, w, 3) if bpp == 3 else px.reshape(h, w)
 
 
@@ -2007,3 +2056,31 @@ def media_ahash(media: DataFrame) -> DataFrame:
     return media.filter(F.col("mime") == "image/qoi").mapInPandas(
         batches, AHASH_SCHEMA
     )
+
+
+def _png_palette_content(i: int) -> tuple[np.ndarray, np.ndarray]:
+    w, h = 10 + (i % 6), 7 + (i % 5)
+    nc = 5 + (i % 3) * 60
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    idx = ((x * 7 + y * 3 + i) % nc).astype(np.uint8)
+    c = np.arange(nc)
+    pal = np.stack(
+        [(c * 41 + 13) % 256, (c * 71 + 29) % 256, (c * 97 + 53) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    return idx, pal
+
+
+def make_png_palette_media(spark, n: int = 24) -> DataFrame:
+    """Media table of REAL indexed-color PNG payloads (color type 3,
+    PLTE chunk, the full filter cycle over index bytes) with
+    closed-form content across three palette sizes."""
+    rows = []
+    for i in range(n):
+        idx, pal = _png_palette_content(i)
+        rows.append(
+            (i, "image", encode_png_palette(idx, pal), "image/png",
+             idx.shape[1], idx.shape[0], None)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -709,3 +709,49 @@ def q_media_phash_dups(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "q_media_png_palette_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 10 + (i % 6) AS w, 7 + (i % 5) AS h,
+             5 + (i % 3) * 60 AS nc
+      FROM range(24) t(i)
+    ),
+    px AS (
+      SELECT media_id, w, h, y.y AS y,
+             (x.x * 7 + y.y * 3 + media_id) % nc AS c
+      FROM m, range(16) x(x), range(12) y(y)
+      WHERE x.x < w AND y.y < h
+    ),
+    pxc AS (
+      SELECT media_id, w, h, y,
+             (c*41 + 13) % 256 + (c*71 + 29) % 256 + (c*97 + 53) % 256 AS s
+      FROM px
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM(s) AS BIGINT) AS pixel_sum,
+           CAST(SUM(s * (y + 1)) AS BIGINT) AS row_weighted_sum
+    FROM pxc GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL indexed-color PNG decode (color type 3): CRC-verified "
+    "chunk walk picks up the PLTE palette, the row unfilter (all five "
+    "filter types, cycling, over index bytes) reconstructs the index "
+    "raster, and the palette lookup yields RGB — the PNG variant "
+    "icons/screenshots/charts actually use, previously an honest "
+    "NotImplementedError. Content and palette are closed-form across "
+    "three palette sizes, so DuckDB recomputes every pixel's mapped "
+    "channel sum from range(); the row-weighted lane catches unfilter "
+    "errors that preserve totals. One Arrow-batched mapInPandas pass.",
+)
+def q_media_png_palette_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_png_palette_media,
+        png_decode_stats,
+    )
+
+    return png_decode_stats(make_png_palette_media(spark)).orderBy("media_id")

@@ -650,3 +650,24 @@ def test_ahash_requires_divisible_dims():
 
     with _pytest.raises(ValueError, match="divisible"):
         ahash_bits(np.zeros((10, 16, 3), dtype=np.uint8))
+
+
+def test_png_palette_round_trip_and_contract():
+    import numpy as np
+    import pytest as _pytest
+
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 7, size=(9, 13), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    assert (decode_png(encode_png_palette(idx, pal)) == pal[idx]).all()
+    with _pytest.raises(ValueError, match="at most 256"):
+        encode_png_palette(idx, np.zeros((300, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError, match="out of palette range"):
+        encode_png_palette(
+            np.full((2, 2), 9, dtype=np.uint8), pal
+        )
