@@ -2084,3 +2084,29 @@ def make_png_palette_media(spark, n: int = 24) -> DataFrame:
              idx.shape[1], idx.shape[0], None)
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def make_funnel_media(spark) -> DataFrame:
+    """Corpus for the multimodal curation funnel: 24 distinct 16x16
+    images (ids 0-23), 8 pixel-identical duplicates of ids 0-7 at
+    id+200, and 8 undersized 8x8 images at id+300 (filtered before the
+    hash stage, so their content only needs to be decodable)."""
+    rows = []
+    for i in range(24):
+        px = _ahash_pixels(i)
+        rows.append((i, "image", encode_qoi(px), "image/qoi", 16, 16, None))
+    for i in range(8):
+        px = _ahash_pixels(i)
+        rows.append(
+            (200 + i, "image", encode_qoi(px), "image/qoi", 16, 16, None)
+        )
+    for i in range(8):
+        x = np.arange(8)[None, :]
+        y = np.arange(8)[:, None]
+        small = np.stack(
+            [np.broadcast_to((x + y + i) % 256, (8, 8))] * 3, axis=-1
+        ).astype(np.uint8)
+        rows.append(
+            (300 + i, "image", encode_qoi(small), "image/qoi", 8, 8, None)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -19,7 +19,7 @@ pinned by tests/test_multimodal.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from incremental_github_data_pipeline_spark.operators.multimodal import (
@@ -755,3 +755,113 @@ def q_media_png_palette_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return png_decode_stats(make_png_palette_media(spark)).orderBy("media_id")
+
+
+@register(
+    "q_media_curation_funnel",
+    oracle="""
+    WITH ids AS (
+      SELECT i AS media_id, i AS base, 16 AS dim FROM range(24) t(i)
+      UNION ALL SELECT 200 + i, i, 16 FROM range(8) t2(i)
+      UNION ALL SELECT 300 + i, i, 8 FROM range(8) t3(i)
+    ),
+    filtered AS (SELECT * FROM ids WHERE dim >= 12),
+    px AS (
+      SELECT media_id, x.x AS x, y.y AS y,
+             (x.x*13 + y.y*7 + base*29) % 256
+             + (x.x*5 + y.y*11 + base*3) % 256
+             + (x.x*17 + y.y*23 + base) % 256 AS s
+      FROM filtered, range(16) x(x), range(16) y(y)
+    ),
+    cells AS (
+      SELECT media_id, (y // 2) * 8 + (x // 2) AS j, SUM(s) AS cs
+      FROM px GROUP BY 1, 2
+    ),
+    tot AS (SELECT media_id, SUM(s) AS ts FROM px GROUP BY 1),
+    bits AS (
+      SELECT c.media_id, c.j,
+             CASE WHEN 64 * c.cs > t.ts THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN tot t USING (media_id)
+    ),
+    hashes AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN j >= 32
+                           THEN bit * (1::BIGINT << (j - 32))
+                           ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN j < 32
+                           THEN bit * (1::BIGINT << j)
+                           ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY 1
+    ),
+    survivors AS (
+      SELECT MIN(media_id) AS media_id
+      FROM hashes GROUP BY hash_hi, hash_lo
+    )
+    SELECT * FROM (
+      SELECT '1_decode' AS stage,
+             CAST((SELECT COUNT(*) FROM ids) AS BIGINT) AS n_in,
+             CAST((SELECT COUNT(*) FROM ids) AS BIGINT) AS n_out,
+             CAST((SELECT SUM(media_id) FROM ids) AS BIGINT)
+               AS surviving_id_sum
+      UNION ALL
+      SELECT '2_min_size',
+             CAST((SELECT COUNT(*) FROM ids) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM filtered) AS BIGINT),
+             CAST((SELECT SUM(media_id) FROM filtered) AS BIGINT)
+      UNION ALL
+      SELECT '3_phash_dedup',
+             CAST((SELECT COUNT(*) FROM filtered) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM survivors) AS BIGINT),
+             CAST((SELECT SUM(media_id) FROM survivors) AS BIGINT)
+    ) ORDER BY stage
+    """,
+    doc="End-to-end multimodal curation funnel — the image twin of "
+    "q_doc_curation_funnel: decode audit -> metadata min-size filter "
+    "(no decode needed; pure scan-stage predicate on width/height) -> "
+    "perceptual-hash dedup keep-first on the decoded survivors. Each "
+    "stage emits (n_in, n_out, surviving_id_sum) — the id-sum lane "
+    "pins WHICH rows survive, not just how many. The oracle re-derives "
+    "the average hashes of the filtered set from closed-form pixels "
+    "and replays the same keep-first grouping; the pixel-identical "
+    "planted duplicates (id+200) must collapse onto their originals "
+    "while all 24 distinct images survive. Scale shape: the filter "
+    "runs before any decode (payload pruning), the hash is one "
+    "mapInPandas pass, dedup shuffles 16 bytes per image.",
+)
+def q_media_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_funnel_media,
+        media_ahash,
+    )
+
+    media = make_funnel_media(spark)
+
+    def audit(stage, n_in_df, out_df):
+        return n_in_df.agg(
+            F.count(F.lit(1)).alias("_n")
+        ).crossJoin(
+            out_df.agg(
+                F.count(F.lit(1)).alias("_m"),
+                F.sum("media_id").alias("_s"),
+            )
+        ).select(
+            F.lit(stage).alias("stage"),
+            F.col("_n").cast("long").alias("n_in"),
+            F.col("_m").cast("long").alias("n_out"),
+            F.col("_s").cast("long").alias("surviving_id_sum"),
+        )
+
+    filtered = media.filter((F.col("width") >= 12) & (F.col("height") >= 12))
+    hashes = media_ahash(filtered)
+    w = Window.partitionBy("hash_hi", "hash_lo").orderBy("media_id")
+    survivors = (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        audit("1_decode", media, media)
+        .unionByName(audit("2_min_size", media, filtered))
+        .unionByName(audit("3_phash_dedup", filtered, survivors))
+        .orderBy("stage")
+    )
