@@ -2073,3 +2073,67 @@ def q_variant_agg(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_chi_square_cells",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) // 6 AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, bucket, o,
+             CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+             CAST(SUM(o) OVER (PARTITION BY bucket) AS BIGINT) AS c,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM cells
+    )
+    SELECT event_type, bucket, o, r, c,
+           CAST(CAST(o*n - r*c AS DECIMAL(19,0))
+                * CAST(o*n - r*c AS DECIMAL(19,0)) AS DOUBLE)
+             / CAST(n * r * c AS DOUBLE) AS contrib
+    FROM m ORDER BY event_type, bucket
+    """,
+    doc="Chi-square test of independence (event type vs 6-hour time "
+    "bucket) with per-cell contributions (O*N - R*C)^2 / (N*R*C) — "
+    "the standard statistic rearranged so every term is an exact "
+    "integer lane: the squared numerator rides DECIMAL (it exceeds "
+    "int64), and the only float steps are two exact-value-to-double "
+    "conversions plus one IEEE division, deterministic in any engine. "
+    "Per-cell rows avoid the order-dependent float total. Physical "
+    "shape: one map-combined aggregate to ~20 cells, then window "
+    "margins over that tiny frame — the fact table is scanned once.",
+)
+def q_chi_square_cells(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    cells = e.groupBy(
+        "event_type",
+        (F.hour("ts") / 6).cast("long").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = cells.select(
+        "event_type",
+        "bucket",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("bucket")).alias("c"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast(
+        "decimal(19,0)"
+    )
+    return m.select(
+        "event_type",
+        "bucket",
+        "o",
+        "r",
+        "c",
+        (
+            (num * num).cast("double")
+            / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+        ).alias("contrib"),
+    ).orderBy("event_type", "bucket")

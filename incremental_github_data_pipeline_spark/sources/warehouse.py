@@ -421,3 +421,82 @@ class Warehouse:
             f"VALUES ({insert_vals})"
         )
         return merge + d.merge_terminator
+
+    def merge_sql_changelog(
+        self,
+        schema: T.StructType,
+        table: str,
+        key_cols: Sequence[str],
+        stage: str,
+        op_col: str = "op",
+    ) -> str:
+        """Emit a three-clause CDC MERGE: matched+'D' deletes, other
+        matches update, unmatched non-'D' rows insert (a delete for an
+        absent key is a no-op — what makes replay idempotent). Clause
+        refinements are ANSI ``WHEN [NOT] MATCHED AND <cond>``, supported
+        by both Derby and MSSQL; clause order makes delete win over
+        update for the same row."""
+        d = self.dialect
+        string_cols = {
+            f.name for f in schema.fields if isinstance(f.dataType, T.StringType)
+        }
+
+        def src(c: str) -> str:
+            e = f"s.{d.quote(c)}"
+            return d.string_stage_cast(e) if c in string_cols else e
+
+        columns = [f.name for f in schema.fields if f.name != op_col]
+        keys = list(key_cols)
+        non_keys = [c for c in columns if c not in keys]
+        on = " AND ".join(f"t.{d.quote(k)} = {src(k)}" for k in keys)
+        is_delete = f"{src(op_col)} = 'D'"
+        merge = (
+            f"MERGE INTO {d.quote(table)} t USING {d.quote(stage)} s ON {on}"
+            f" WHEN MATCHED AND {is_delete} THEN DELETE"
+        )
+        if non_keys:
+            sets = ", ".join(f"t.{d.quote(c)} = {src(c)}" for c in non_keys)
+            merge += f" WHEN MATCHED THEN UPDATE SET {sets}"
+        insert_cols = ", ".join(d.quote(c) for c in columns)
+        insert_vals = ", ".join(src(c) for c in columns)
+        merge += (
+            f" WHEN NOT MATCHED AND NOT ({is_delete}) THEN "
+            f"INSERT ({insert_cols}) VALUES ({insert_vals})"
+        )
+        return merge + d.merge_terminator
+
+    def merge_apply_changelog(
+        self,
+        df: DataFrame,
+        table: str,
+        key_cols: Sequence[str],
+        op_col: str = "op",
+        order_col: str | None = None,
+        stage_suffix: str = "_stage",
+    ) -> None:
+        """Apply an insert/update/delete changelog to a warehouse table
+        exactly once: keep-last fold per key within the batch (the
+        ``streaming.apply_changelog`` contract — ``order_col`` orders the
+        changes, ties broken deterministically by op precedence upstream),
+        distributed stage write, then ONE server-side three-clause MERGE.
+        Replay is a no-op: updates rewrite identical values, deletes of
+        absent keys do not match, and 'D' rows never insert."""
+        stage = f"{table}{stage_suffix}"
+        data_schema = _changelog_data_schema(df.schema, op_col)
+        if not self.table_exists(table):
+            self.ensure_table(table, data_schema, key_cols=key_cols)
+        if order_col is None:
+            batch = ops.dedupe_keep_last(ops.with_input_seq(df), list(key_cols))
+        else:
+            batch = ops.dedupe_keep_last(df, list(key_cols), order_by=order_col)
+        self.write_table(batch.select(*df.columns), stage, mode="overwrite")
+        self.execute(
+            self.merge_sql_changelog(df.schema, table, key_cols, stage, op_col)
+        )
+        self.execute(f"DROP TABLE {stage}")
+
+
+def _changelog_data_schema(
+    schema: T.StructType, op_col: str
+) -> T.StructType:
+    return T.StructType([f for f in schema.fields if f.name != op_col])

@@ -241,3 +241,77 @@ def test_streaming_to_warehouse_incremental_and_idempotent(wh, spark, tmp_path):
         "description = 'UPDATED-BY-STREAM'"
     ).count()
     assert got == 1  # MERGE updated in place, no duplicate key row
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (insert/update/delete MERGE)
+# ---------------------------------------------------------------------------
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "id string, val string, seq long, op string"
+    )
+
+
+def test_merge_apply_changelog_insert_update_delete(spark, wh):
+    b1 = _changes(
+        spark,
+        [("a", "v1", 1, "I"), ("b", "v1", 1, "I"), ("a", "v2", 2, "U")],
+    )
+    wh.merge_apply_changelog(b1, "cdc_t", ["id"], order_col="seq")
+    got = {
+        (r["id"], r["val"])
+        for r in wh.read_table("cdc_t").select("id", "val").collect()
+    }
+    assert got == {("a", "v2"), ("b", "v1")}  # within-batch fold kept a's last
+
+    b2 = _changes(
+        spark,
+        [("b", None, 3, "D"), ("c", "new", 3, "I"), ("zz", None, 3, "D")],
+    )
+    wh.merge_apply_changelog(b2, "cdc_t", ["id"], order_col="seq")
+    got = {
+        (r["id"], r["val"])
+        for r in wh.read_table("cdc_t").select("id", "val").collect()
+    }
+    # b deleted, c inserted, delete of absent zz was a no-op
+    assert got == {("a", "v2"), ("c", "new")}
+
+    # replay of b2 is a no-op (idempotent: delete misses, insert of c
+    # now matches as an update to identical values)
+    wh.merge_apply_changelog(b2, "cdc_t", ["id"], order_col="seq")
+    assert wh.read_table("cdc_t").count() == 2
+
+
+def test_merge_changelog_delete_wins_within_batch(spark, wh):
+    # the LAST change per key in the batch decides: insert-then-delete
+    # within one batch must leave nothing
+    b = _changes(spark, [("x", "v", 1, "I"), ("x", None, 2, "D")])
+    wh.merge_apply_changelog(b, "cdc_t2", ["id"], order_col="seq")
+    assert wh.read_table("cdc_t2").count() == 0
+
+
+def test_merge_sql_changelog_mssql_dialect_emission(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from incremental_github_data_pipeline_spark.sources.warehouse import (
+        MssqlDialect,
+    )
+
+    w = Warehouse(
+        spark, derby_url(str(tmp_path / "emit")), dialect=MssqlDialect()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("val", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    sql = w.merge_sql_changelog(schema, "tgt", ["id"], "tgt_stage")
+    assert "WHEN MATCHED AND" in sql and "THEN DELETE" in sql
+    assert "WHEN NOT MATCHED AND NOT" in sql
+    assert sql.rstrip().endswith(";")
+    assert "[tgt]" in sql and "[tgt_stage]" in sql  # bracket quoting
+    assert "op" not in sql.split("INSERT (")[1].split(")")[0]  # op not loaded
