@@ -1931,3 +1931,51 @@ def q_doc_allpairs_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         "jaccard",
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_doc_cap_per_source",
+    oracle="""
+    WITH h AS (
+      SELECT source, doc_id,
+             (doc_id * 2654435761) % 2147483648 AS hk
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, hk,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY hk, doc_id) AS BIGINT) AS rk
+      FROM h
+    )
+    SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(hk AS BIGINT) AS hk, rk
+    FROM r WHERE rk <= 50 ORDER BY source, rk
+    """,
+    doc="Deterministic per-stratum capping (the 'at most K documents "
+    "per domain/source' curation op): rank rows inside each stratum by "
+    "a Knuth multiplicative hash of the id — a uniform, seedless, "
+    "engine-portable pseudo-order in pure int64 arithmetic — and keep "
+    "the first K. Unlike TABLESAMPLE/rand(), the kept SET is "
+    "bit-reproducible across engines and runs, which is what makes "
+    "training-data curation auditable. One window shuffle on the "
+    "stratum key; at 100 TB the same expression pushes into a filter "
+    "when K/N per stratum is known (hash threshold instead of "
+    "row_number).",
+)
+def q_doc_cap_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = T(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)).alias(
+            "hk"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 50)
+        .select("source", "doc_id", "hk", "rk")
+        .orderBy("source", "rk")
+    )
