@@ -204,3 +204,41 @@ def test_certification_rotation_names_resolve(registry):
     assert list(registry)[: len(_CERTIFY_FIRST)] == list(
         dict.fromkeys(_CERTIFY_FIRST)
     )
+
+
+def test_zscore_moments_broadcast_fact_never_shuffles(spark, registry):
+    """zscore_outliers joins the 3-number moments frame back onto the
+    fact scan via broadcast — the events table itself must not be
+    exchange-partitioned for the join."""
+    plan = plan_of(registry["q_ts_zscore_outliers"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the only allowed exchanges: broadcast of the moments + the final
+    # tiny per-type aggregate/sort — no hash exchange of the raw scan
+    # feeding the join probe side
+    probe_side = plan.split("BroadcastHashJoin")[1]
+    assert "Scan parquet" in probe_side  # fact feeds the join directly
+
+
+def test_resample_single_window_shuffle(spark, registry):
+    """Gap-fill resample: per-key bounds agg + one window shuffle +
+    final sort — the grid explode itself must not add exchanges."""
+    plan = plan_of(registry["q_ts_resample_ffill"].fn(spark, SF))
+    n = plan.count("Exchange")
+    assert n <= 5, f"resample plan grew to {n} exchanges"
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_checkpoint_keeps_plan_flat(spark):
+    """Per-round localCheckpoint must stop the PageRank plan growing
+    with the iteration count (the iterative-lineage discipline)."""
+    from incremental_github_data_pipeline_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    p2 = pagerank_integer(e, 50, iters=2)
+    p6 = pagerank_integer(e, 50, iters=6)
+    s2, s6 = len(plan_of(p2)), len(plan_of(p6))
+    assert s6 < s2 * 3, f"plan grows with iterations: {s2} -> {s6}"
