@@ -1105,3 +1105,69 @@ def temperature_weights(
     w = {s: float(n) ** alpha for s, n in counts.items()}
     tot = sum(w.values())
     return {s: max(1, int(parts * v / tot)) for s, v in w.items()}
+
+
+# ---------------------------------------------------------------------------
+# Compressed text ingestion (gzip, multi-member) — web-scale text
+# corpora (WARC/WET shards) arrive as concatenated gzip members, one
+# document per member; stdlib-only, Arrow-batched.
+# ---------------------------------------------------------------------------
+
+
+def gzip_members(payload: bytes) -> list[bytes]:
+    """Split a (possibly multi-member) gzip stream into its members'
+    decompressed bytes — the WARC/WET layout where each record is its
+    own member so readers can seek. Walks real member boundaries via
+    zlib's unused_data; a bad magic or truncated member raises."""
+    import zlib as _zlib
+
+    out = []
+    rest = payload
+    while rest:
+        if rest[:2] != b"\x1f\x8b":
+            raise ValueError("bad gzip member magic")
+        d = _zlib.decompressobj(wbits=31)
+        out.append(d.decompress(rest))
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        rest = d.unused_data
+    return out
+
+
+def gzip_ingest(df, payload_col: str = "payload", id_col: str = "payload_id"):
+    """Decode multi-member gzip payloads into one row per member:
+    ``(id, member_idx, text)`` (UTF-8). One Arrow-batched mapInPandas
+    pass — decompression runs where the bytes already are, no shuffle;
+    downstream token/char stats stay in codegen expressions."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("member_idx", IntegerType(), False),
+            StructField("text", StringType(), False),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, texts = [], [], []
+            for r in pdf.itertuples(index=False):
+                for j, member in enumerate(
+                    gzip_members(getattr(r, payload_col))
+                ):
+                    ids.append(getattr(r, id_col))
+                    idxs.append(j)
+                    texts.append(member.decode("utf-8"))
+            yield pd.DataFrame(
+                {id_col: ids, "member_idx": idxs, "text": texts}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)

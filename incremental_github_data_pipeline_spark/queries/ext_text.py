@@ -1979,3 +1979,68 @@ def q_doc_cap_per_source(spark: SparkSession, sf: str) -> DataFrame:
         .select("source", "doc_id", "hk", "rk")
         .orderBy("source", "rk")
     )
+
+
+def _gzip_corpus(spark):
+    """16 payloads x 3 gzip members of closed-form text (mtime pinned
+    to 0 so payload bytes are deterministic)."""
+    import gzip as _gzip
+    import io as _io
+
+    def gz(data: bytes) -> bytes:
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(
+            fileobj=buf, mode="wb", mtime=0, compresslevel=6
+        ) as f:
+            f.write(data)
+        return buf.getvalue()
+
+    rows = []
+    for i in range(16):
+        members = []
+        for m in range(3):
+            n = 5 + ((i + m) % 6)
+            text = " ".join(f"w{(i * 7 + m * 3 + j) % 20}" for j in range(n))
+            members.append(gz(text.encode("utf-8")))
+        rows.append((i, b"".join(members)))
+    return spark.createDataFrame(rows, "payload_id long, payload binary")
+
+
+@register(
+    "q_text_gzip_ingest",
+    oracle="""
+    WITH ids AS (SELECT i, m FROM range(16) t(i), range(3) t2(m)),
+    toks AS (
+      SELECT i, m, j.j AS j
+      FROM ids, range(11) j(j) WHERE j.j < 5 + ((i + m) % 6)
+    ),
+    txt AS (
+      SELECT i AS payload_id, CAST(m AS INTEGER) AS member_idx,
+             string_agg('w' || ((i*7 + m*3 + j) % 20), ' ' ORDER BY j)
+               AS text
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT payload_id, member_idx, text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(5 + ((payload_id + member_idx) % 6) AS BIGINT) AS n_tokens
+    FROM txt ORDER BY payload_id, member_idx
+    """,
+    doc="Compressed text ingestion (operators.text.gzip_ingest): "
+    "multi-member gzip payloads — the WARC/WET shard layout, one "
+    "document per member — split on REAL member boundaries via zlib "
+    "unused_data and decoded in one Arrow-batched mapInPandas pass; "
+    "char/token stats stay codegen-side. Payload bytes are "
+    "deterministic (mtime=0), member text is closed-form, so DuckDB "
+    "reconstructs every decoded string with string_agg over range() "
+    "and the full text column value-compares. Decompression runs "
+    "where the bytes live: no shuffle, corpus-parallel at 100 TB.",
+)
+def q_text_gzip_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    docs = tx.gzip_ingest(_gzip_corpus(spark))
+    return docs.select(
+        "payload_id",
+        "member_idx",
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(tx.tokens("text")).cast("long").alias("n_tokens"),
+    ).orderBy("payload_id", "member_idx")

@@ -881,3 +881,30 @@ def test_temperature_weights_limits_and_tail_boost(spark):
     assert set(got) == {"web", "code", "books"}
     # realized mixture tracks the target ordering
     assert got["web"] > got["code"] > got["books"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# gzip member ingestion
+# ---------------------------------------------------------------------------
+
+
+def test_gzip_members_splits_and_validates():
+    import gzip
+    import io
+
+    import pytest as _pytest
+
+    from incremental_github_data_pipeline_spark.operators.text import gzip_members
+
+    def gz(b):
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(b)
+        return buf.getvalue()
+
+    payload = gz(b"first doc") + gz(b"") + gz(b"third")
+    assert gzip_members(payload) == [b"first doc", b"", b"third"]
+    with _pytest.raises(ValueError, match="magic"):
+        gzip_members(b"not gzip at all")
+    with _pytest.raises(ValueError, match="truncated"):
+        gzip_members(gz(b"x" * 1000)[:-5])
