@@ -31,11 +31,16 @@ def as_of_join(
     right_cols: list[str],
     prefix: str = "asof_",
     direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """For every left row, attach the nearest right row per ``on`` key:
     backward = latest right with ``right_ts <= left_ts`` (inclusive),
     forward = earliest right with ``right_ts >= left_ts``. Left rows
-    with no match keep nulls (left-join semantics).
+    with no match keep nulls (left-join semantics). ``tolerance_s``
+    (pandas ``merge_asof`` semantics) nulls out matches farther than
+    the bound — e.g. "the next purchase within 24h" — evaluated in
+    exact microsecond integers after the window fill, so it adds no
+    shuffle.
 
     ``right`` should be unique per (``on``, ``right_ts``) — among
     equal-timestamp right rows the winner is otherwise unspecified
@@ -45,7 +50,10 @@ def as_of_join(
     (ts, side) → filter. Cost is one shuffle of left+right, independent
     of match distances.
     """
-    r_payload = F.struct(*[F.col(c) for c in right_cols])
+    r_payload = F.struct(
+        *[F.col(c) for c in right_cols],
+        F.col(right_ts).alias("__rts"),
+    )
     r_type = right.select(r_payload.alias("_r")).schema["_r"].dataType
     l_payload = F.struct(*[F.col(c) for c in left.columns])
     l_type = left.select(l_payload.alias("_l")).schema["_l"].dataType
@@ -75,6 +83,15 @@ def as_of_join(
         "_match", F.last("_r", ignorenulls=True).over(w)
     )
     out = merged.filter(F.col("_side") == 1)
+    if tolerance_s is not None:
+        tol_us = int(round(tolerance_s * 1_000_000))
+        gap = F.abs(
+            F.unix_micros(F.col("_match.__rts"))
+            - F.unix_micros(F.col("_ts"))
+        )
+        out = out.withColumn(
+            "_match", F.when(gap <= tol_us, F.col("_match"))
+        )
     return out.select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
         *[F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in right_cols],

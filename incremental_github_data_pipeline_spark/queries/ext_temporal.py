@@ -157,3 +157,83 @@ def q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlaps"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_conversion_window",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    nxt AS (
+      SELECT s.event_id, s.user_id,
+             MIN(p.ts) AS p_ts
+      FROM s LEFT JOIN p
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(SUM(CASE WHEN p_ts IS NOT NULL
+                          AND epoch_us(p_ts) - epoch_us(s.ts)
+                              <= 86400000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN p_ts IS NOT NULL
+                          AND epoch_us(p_ts) - epoch_us(s.ts)
+                              <= 86400000000
+                         THEN epoch_us(p_ts) - epoch_us(s.ts)
+                         ELSE 0 END) AS BIGINT) AS sum_gap_us
+    FROM nxt JOIN s USING (event_id, user_id)
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Conversion-within-window analytics: for every signup event, "
+    "the NEXT purchase by the same user within 24h — a forward as-of "
+    "join with a tolerance bound (operators.temporal.as_of_join "
+    "tolerance_s, pandas merge_asof semantics). The tolerance is "
+    "evaluated in exact microsecond integers after the window fill "
+    "(no extra shuffle); per-user conversion counts and summed "
+    "conversion gaps are exact int64 lanes. The oracle takes the "
+    "min-over-candidates route; both must agree on every gap. The "
+    "classic product-analytics attribution query at event-log scale: "
+    "one shuffle on user_id, cost independent of the window length.",
+)
+def q_conversion_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    joined = as_of_join(
+        signups,
+        purchases,
+        ["user_id"],
+        "ts",
+        "p_ts",
+        ["p_ts"],
+        direction="forward",
+        tolerance_s=86400.0,
+    )
+    gap = F.unix_micros(F.col("asof_p_ts")) - F.unix_micros(F.col("ts"))
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(
+                F.when(F.col("asof_p_ts").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_converted"),
+            F.sum(
+                F.when(F.col("asof_p_ts").isNotNull(), gap).otherwise(0)
+            )
+            .cast("long")
+            .alias("sum_gap_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -129,3 +129,18 @@ def test_interval_join_multi_bucket_pair_emitted_once(spark):
         right_start="s", right_end="e", right_cols=["rid"], bucket_s=60.0,
     ).collect()
     assert len(rows) == 1
+
+
+def test_asof_forward_tolerance_bounds_match(spark):
+    left, right = _frames(spark)
+    out = as_of_join(
+        left, right, ["k"], "t", "rt", ["price"],
+        direction="forward", tolerance_s=120.0,
+    )
+    got = {r["id"]: r["asof_price"] for r in out.collect()}
+    # id=1 (u @12:10): forward match at 12:10 within 0s -> kept
+    # id=2 (u @12:20): next is 12:25 (300s away) -> nulled by 120s bound
+    # id=3 (v @12:10): next v quote 12:11 (60s) -> kept
+    assert got[1] == 200.0
+    assert got[2] is None
+    assert got[3] == 400.0
