@@ -88,6 +88,7 @@ def replicate(spark, name: str, n: int, out_dir: Path, key_cols: list[str],
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])  # optional query-name filter (big-N runs)
     out_dir = Path(f"/tmp/spark_graft_scale_x{n}")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="scale-smoke")
@@ -106,12 +107,15 @@ def main() -> None:
     registry = load_all()
     timings = {}
     for name in QUERIES:
+        if only and name not in only:
+            continue
         fn = registry[name].fn
         fn(spark, str(out_dir)).count()  # warm-up
         t0 = time.time()
         rows = fn(spark, str(out_dir)).count()
         timings[name] = {"sec": round(time.time() - t0, 2), "rows": rows}
-    timings["cc_distributed"] = cc_distributed_case(spark, str(out_dir))
+    if not only or "cc_distributed" in only:
+        timings["cc_distributed"] = cc_distributed_case(spark, str(out_dir))
     print(json.dumps({"replicas": n, "queries": timings}))
     spark.stop()
 
