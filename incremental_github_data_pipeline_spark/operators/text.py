@@ -1134,11 +1134,24 @@ def gzip_members(payload: bytes) -> list[bytes]:
     return out
 
 
-def gzip_ingest(df, payload_col: str = "payload", id_col: str = "payload_id"):
+def gzip_ingest(
+    df,
+    payload_col: str = "payload",
+    id_col: str = "payload_id",
+    on_error: str = "raise",
+):
     """Decode multi-member gzip payloads into one row per member:
     ``(id, member_idx, text)`` (UTF-8). One Arrow-batched mapInPandas
     pass — decompression runs where the bytes already are, no shuffle;
-    downstream token/char stats stay in codegen expressions."""
+    downstream token/char stats stay in codegen expressions.
+
+    ``on_error="raise"`` (default) fails the job on the first corrupt
+    payload — the strict-ingest contract; ``"skip"`` drops corrupt
+    payloads whole (all members), the quarantine mode for crawl shards
+    where a torn record must not kill a 100 TB pass. Skipped ids can be
+    recovered as ``df.join(decoded, id_col, "left_anti")``."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
     from pyspark.sql.types import (
         IntegerType,
         StringType,
@@ -1160,12 +1173,19 @@ def gzip_ingest(df, payload_col: str = "payload", id_col: str = "payload_id"):
         for pdf in it:
             ids, idxs, texts = [], [], []
             for r in pdf.itertuples(index=False):
-                for j, member in enumerate(
-                    gzip_members(getattr(r, payload_col))
-                ):
+                try:
+                    members = [
+                        m.decode("utf-8")
+                        for m in gzip_members(getattr(r, payload_col))
+                    ]
+                except (ValueError, UnicodeDecodeError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                for j, text in enumerate(members):
                     ids.append(getattr(r, id_col))
                     idxs.append(j)
-                    texts.append(member.decode("utf-8"))
+                    texts.append(text)
             yield pd.DataFrame(
                 {id_col: ids, "member_idx": idxs, "text": texts}
             )

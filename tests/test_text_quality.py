@@ -908,3 +908,33 @@ def test_gzip_members_splits_and_validates():
         gzip_members(b"not gzip at all")
     with _pytest.raises(ValueError, match="truncated"):
         gzip_members(gz(b"x" * 1000)[:-5])
+
+
+def test_gzip_ingest_skip_quarantines_corrupt_payloads(spark):
+    import gzip
+    import io
+
+    import pytest as _pytest
+
+    from incremental_github_data_pipeline_spark.operators.text import gzip_ingest
+
+    def gz(b):
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(b)
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, gz(b"ok one") + gz(b"ok two")), (2, b"garbage"),
+         (3, gz(b"solo"))],
+        "payload_id long, payload binary",
+    )
+    got = {
+        (r["payload_id"], r["member_idx"], r["text"])
+        for r in gzip_ingest(df, on_error="skip").collect()
+    }
+    assert got == {(1, 0, "ok one"), (1, 1, "ok two"), (3, 0, "solo")}
+    with _pytest.raises(Exception):  # strict default still fails the job
+        gzip_ingest(df).collect()
+    with _pytest.raises(ValueError, match="on_error"):
+        gzip_ingest(df, on_error="quarantine")
