@@ -2137,3 +2137,53 @@ def q_chi_square_cells(spark: SparkSession, sf: str) -> DataFrame:
             / (F.col("n") * F.col("r") * F.col("c")).cast("double")
         ).alias("contrib"),
     ).orderBy("event_type", "bucket")
+
+
+@register(
+    "q_rolling_time_window",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, event_type, ts,
+           CAST(SUM(cents) OVER (
+             PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_hour_cents,
+           CAST(COUNT(*) OVER (
+             PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_hour_n
+    FROM c ORDER BY event_type, ts, event_id
+    """,
+    doc="Time-based rolling aggregate via a RANGE window frame over "
+    "event-time microseconds: at every event, the exact cent sum and "
+    "count of the trailing hour for its type — the sliding-window "
+    "analytic that ROWS frames cannot express when event spacing is "
+    "irregular. The frame bound is an integer microsecond offset "
+    "(RANGE over epoch_us), identical in both engines; tied "
+    "timestamps are peers and both engines include the full peer "
+    "group in RANGE frames, so no tiebreak ambiguity exists. One "
+    "window shuffle on the series key.",
+)
+def q_rolling_time_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum("cents").over(w).cast("long").alias("rolling_hour_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("rolling_hour_n"),
+    ).orderBy("event_type", "ts", "event_id")
