@@ -2044,3 +2044,33 @@ def q_text_gzip_ingest(spark: SparkSession, sf: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
         F.size(tx.tokens("text")).cast("long").alias("n_tokens"),
     ).orderBy("payload_id", "member_idx")
+
+
+@register(
+    "q_doc_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Token-count surface: whitespace tokens next to the BPE-ish "
+    "regex sub-word count (word pieces / number runs / single "
+    "punctuation — operators.text.bpe_ish_token_count), the length "
+    "budgeting proxy used when no tokenizer model ships with the "
+    "engine. Both counts are pure codegen scan-stage expressions; the "
+    "regex is RE2-safe so DuckDB evaluates the identical pattern.",
+)
+def q_doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").cast("long").alias("n_ws_tokens"),
+        tx.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")

@@ -719,3 +719,19 @@ def test_allpairs_join_exact_and_threshold_edge(spark):
     assert set(out) == {(1, 2), (1, 4), (2, 4)}
     assert out[(1, 2)] == 14 / 20  # exact threshold kept
     assert out[(1, 4)] == 1.0      # identical token sets
+
+
+def test_exact_dup_groups_counts_and_keeper(spark):
+    from incremental_github_data_pipeline_spark.operators.dedup import (
+        exact_dup_groups,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same"), (5, "same"), (3, "same"), (2, "other")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["keeper_id"], r["n_copies"])
+        for r in exact_dup_groups(df, ["text"], "doc_id").collect()
+    }
+    assert got == {(1, 3), (2, 1)}  # min-id representative, copy counts

@@ -149,3 +149,41 @@ def test_quarantine_routes_rows_with_named_reasons(spark):
     # clean keeps the original schema; split partitions the input
     assert clean.columns == df.columns
     assert clean.count() + bad.count() == df.count()
+
+
+def test_issues_expectations_pass_on_clean_and_catch_orphans(spark):
+    import datetime as dt
+
+    from incremental_github_data_pipeline_spark.plans.expectations import (
+        evaluate,
+        issues_expectations,
+    )
+
+    users = spark.createDataFrame(
+        [("u1", "alice")], "user_id string, user_login string"
+    )
+    repos = spark.createDataFrame(
+        [("r1", "repo")], "repo_id string, repo_name string"
+    )
+    schema = (
+        "issue_id string, number long, author_id string, assignee_id string,"
+        "title string, repo_id string, created_at timestamp,"
+        "updated_at timestamp, closed_at timestamp"
+    )
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    ok = spark.createDataFrame(
+        [("i1", 1, "u1", None, "t", "r1", t1, t2, None)], schema
+    )
+    res = evaluate(ok, issues_expectations(users, repos)).collect()
+    cols = res[0].asDict()
+    name_col = "expectation" if "expectation" in cols else "name"
+    count_col = [c for c in cols if c != name_col][0]
+    assert all(r[count_col] == 0 for r in res)
+    orphan = spark.createDataFrame(
+        [("i2", 2, "u1", None, "t", "NOPE", t1, t2, None)], schema
+    )
+    res2 = {
+        r[name_col]: r[count_col]
+        for r in evaluate(orphan, issues_expectations(users, repos)).collect()
+    }
+    assert res2["issues_repo_fk"] == 1

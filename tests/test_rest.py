@@ -69,3 +69,18 @@ def test_fetch_per_repo_tags_lineage(spark):
 def test_auth_preflight_requires_token():
     with pytest.raises(ValueError, match="GITHUB_TOKEN"):
         auth_preflight(None)
+
+
+def test_land_raw_round_trips_records(spark, tmp_path):
+    import json
+
+    from incremental_github_data_pipeline_spark.sources.rest import land_raw
+
+    recs = [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    path = str(tmp_path / "raw_land")
+    land_raw(spark, recs, path)
+    back = [
+        json.loads(r["value"])
+        for r in spark.read.text(path).collect()
+    ]
+    assert sorted(back, key=lambda d: d["id"]) == recs

@@ -938,3 +938,42 @@ def test_gzip_ingest_skip_quarantines_corrupt_payloads(spark):
         gzip_ingest(df).collect()
     with _pytest.raises(ValueError, match="on_error"):
         gzip_ingest(df, on_error="quarantine")
+
+
+def test_bpe_ish_token_count_known_values(spark):
+    from incremental_github_data_pipeline_spark.operators.text import (
+        bpe_ish_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world42!"), (2, "a-b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe_ish_token_count("text").alias("n")
+        ).collect()
+    }
+    # hello | world | 42 | !  /  a | - | b | c  /  empty
+    assert got == {1: 4, 2: 4, 3: 0}
+
+
+def test_lang_scores_argmax_agrees_with_lang_id(spark):
+    from incremental_github_data_pipeline_spark.operators.text import (
+        lang_id,
+        lang_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick fox and the lazy dog"),
+         (2, "el perro y la casa de los gatos"),
+         (3, "der hund und die katze ist hier")],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id", lang_id("text").alias("lang"), lang_scores("text").alias("s")
+    ).collect()
+    for r in rows:
+        scores = r["s"]
+        assert scores[r["lang"]] == max(scores.values())
