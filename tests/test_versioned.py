@@ -1,0 +1,75 @@
+"""sources.versioned — manifest-based multi-version snapshots: time
+travel, append without rewrite, atomic latest pointer, vacuum safety."""
+
+from __future__ import annotations
+
+import pytest
+
+from incremental_github_data_pipeline_spark.sources.versioned import (
+    commit_version,
+    history,
+    latest_version,
+    read_version,
+    vacuum,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, val string")
+
+
+def test_overwrite_versions_and_time_travel(spark, tmp_path):
+    root = tmp_path / "t"
+    v1 = commit_version(_df(spark, [(1, "a")]), root)
+    v2 = commit_version(_df(spark, [(1, "A"), (2, "b")]), root)
+    assert (v1, v2) == (1, 2)
+    assert latest_version(root) == 2
+    assert read_version(spark, root).count() == 2  # latest
+    old = {(r["id"], r["val"]) for r in read_version(spark, root, 1).collect()}
+    assert old == {(1, "a")}  # time travel
+
+
+def test_append_reuses_prior_files(spark, tmp_path):
+    root = tmp_path / "t"
+    commit_version(_df(spark, [(1, "a")]), root)
+    commit_version(_df(spark, [(2, "b")]), root, mode="append")
+    h = history(root)
+    assert h[1]["files"][0] == h[0]["files"][0]  # prior file referenced
+    assert len(h[1]["files"]) == 2
+    assert h[1]["n_rows"] == 2
+    got = {r["id"] for r in read_version(spark, root).collect()}
+    assert got == {1, 2}
+
+
+def test_vacuum_keeps_recent_and_pinned_reads_survive(spark, tmp_path):
+    root = tmp_path / "t"
+    for i in range(4):
+        commit_version(_df(spark, [(i, str(i))]), root)
+    res = vacuum(root, keep=2)
+    assert res["dropped_versions"] == [1, 2]
+    assert res["deleted_dirs"] == 2
+    # retained versions still read through their manifests
+    assert read_version(spark, root, 3).collect()[0]["id"] == 2
+    assert read_version(spark, root, 4).collect()[0]["id"] == 3
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_version(spark, root, 1)
+
+
+def test_vacuum_sweeps_orphaned_crash_dirs(spark, tmp_path):
+    root = tmp_path / "t"
+    commit_version(_df(spark, [(1, "a")]), root)
+    # simulate a crash mid-commit: data written, manifest never landed
+    _df(spark, [(9, "x")]).write.parquet(str(root / "data" / "orphan.parquet"))
+    res = vacuum(root, keep=2)
+    assert res["deleted_dirs"] == 1
+    assert read_version(spark, root).count() == 1  # table unaffected
+
+
+def test_append_to_empty_and_bad_mode(spark, tmp_path):
+    root = tmp_path / "t"
+    v = commit_version(_df(spark, [(1, "a")]), root, mode="append")
+    assert v == 1 and read_version(spark, root).count() == 1
+    with pytest.raises(ValueError, match="mode"):
+        commit_version(_df(spark, [(1, "a")]), root, mode="merge")
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, tmp_path / "absent")
