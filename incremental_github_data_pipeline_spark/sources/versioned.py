@@ -59,8 +59,37 @@ def _load_manifest(root: Path, version: int) -> dict:
     return json.loads(mp.read_text())
 
 
+def _file_stats(
+    spark: SparkSession, data_dir: Path, stats_cols: list[str]
+) -> dict:
+    """Per-file min/max for the given columns (one aggregate job over
+    the freshly written directory only). Values must be JSON-scalar
+    (numeric/string) — the same restriction Iceberg places on its
+    lower/upper bounds."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    rows = (
+        spark.read.parquet(str(data_dir))
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(*aggs)
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        out[r["_f"]] = {
+            c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols
+        }
+    return out
+
+
 def commit_version(
-    df: DataFrame, root: str | Path, mode: str = "overwrite"
+    df: DataFrame,
+    root: str | Path,
+    mode: str = "overwrite",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next table version and return its number.
 
@@ -70,6 +99,12 @@ def commit_version(
     manifest entry referencing the prior files (constant metadata cost,
     zero data movement — the property that makes incremental loads cheap
     at 100 TB).
+
+    ``stats_cols`` records per-FILE min/max bounds for those columns in
+    the manifest (numeric/string only) — the Iceberg-style metadata
+    that lets :func:`read_version` skip whole files against a range
+    predicate without opening them. Appends merge prior stats, so
+    skipping works across the full file list.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be 'overwrite' or 'append'")
@@ -81,13 +116,18 @@ def commit_version(
 
     data_dir = root / "data" / f"{uuid.uuid4().hex}.parquet"
     df.write.mode("errorifexists").parquet(str(data_dir))
-    n_rows = df.sparkSession.read.parquet(str(data_dir)).count()
+    spark = df.sparkSession
+    n_rows = spark.read.parquet(str(data_dir)).count()
+    stats = (
+        _file_stats(spark, data_dir, stats_cols) if stats_cols else {}
+    )
 
     files = [str(data_dir)]
     if mode == "append" and prev is not None:
         prev_manifest = _load_manifest(root, prev)
         files = prev_manifest["files"] + files
         n_rows += prev_manifest["n_rows"]
+        stats = {**prev_manifest.get("stats", {}), **stats}
 
     manifest = {
         "version": new_version,
@@ -95,6 +135,7 @@ def commit_version(
         "n_rows": n_rows,
         "ts": time.time(),
         "mode": mode,
+        "stats": stats,
     }
     mp = _manifest_dir(root) / f"{new_version:08d}.json"
     tmp = mp.with_suffix(".json.tmp")
@@ -108,18 +149,62 @@ def commit_version(
 
 
 def read_version(
-    spark: SparkSession, root: str | Path, version: int | None = None
+    spark: SparkSession,
+    root: str | Path,
+    version: int | None = None,
+    skip: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). Time travel =
     passing an older retained version; reads resolve through the
-    manifest's explicit file list, never a glob."""
+    manifest's explicit file list, never a glob.
+
+    ``skip=(col, lo, hi)`` prunes the file list against the manifest's
+    per-file bounds BEFORE any file opens (file-level skipping above
+    parquet's own row-group pruning): a file survives only if
+    ``[min, max]`` overlaps ``[lo, hi]`` (None = unbounded; files
+    without recorded stats are conservatively kept). The predicate
+    itself is also applied, so results are exact either way.
+    """
+    from pyspark.sql import functions as F
+
     root = Path(root)
     if version is None:
         version = latest_version(root)
         if version is None:
             raise FileNotFoundError(f"no committed version under {root}")
     manifest = _load_manifest(root, version)
-    return spark.read.parquet(*manifest["files"])
+    files = manifest["files"]
+    if skip is not None:
+        col, lo, hi = skip
+        stats = manifest.get("stats", {})
+
+        def survives(f: str) -> bool:
+            # stats keys are per-PART-file URIs under the data dir;
+            # strip the scheme before matching the manifest path
+            bounds = [
+                b[col]
+                for p, b in stats.items()
+                if p.removeprefix("file://").startswith(f) and col in b
+            ]
+            if not bounds:
+                return True  # no stats recorded → cannot skip
+            fmin = min(b[0] for b in bounds)
+            fmax = max(b[1] for b in bounds)
+            return (lo is None or fmax >= lo) and (hi is None or fmin <= hi)
+
+        files = [f for f in files if survives(f)]
+        if not files:
+            return (
+                spark.read.parquet(*manifest["files"]).filter(F.lit(False))
+            )
+        df = spark.read.parquet(*files)
+        c = F.col(col)
+        if lo is not None:
+            df = df.filter(c >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(c <= F.lit(hi))
+        return df
+    return spark.read.parquet(*files)
 
 
 def history(root: str | Path) -> list[dict]:

@@ -73,3 +73,29 @@ def test_append_to_empty_and_bad_mode(spark, tmp_path):
         commit_version(_df(spark, [(1, "a")]), root, mode="merge")
     with pytest.raises(FileNotFoundError):
         read_version(spark, tmp_path / "absent")
+
+
+def test_stats_skipping_prunes_files_and_stays_exact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = tmp_path / "t"
+    # three appends with disjoint id ranges -> three prunable units
+    commit_version(
+        spark.range(0, 100).toDF("id").repartition(1), root, stats_cols=["id"]
+    )
+    commit_version(
+        spark.range(100, 200).toDF("id").repartition(1),
+        root, mode="append", stats_cols=["id"],
+    )
+    commit_version(
+        spark.range(200, 300).toDF("id").repartition(1),
+        root, mode="append", stats_cols=["id"],
+    )
+    pruned = read_version(spark, root, skip=("id", 120, 150))
+    assert len(pruned.inputFiles()) == 1  # two of three commits skipped
+    assert pruned.count() == 31
+    assert pruned.agg(F.min("id"), F.max("id")).collect()[0][:] == (120, 150)
+    # open bounds and no-stats fallback stay exact
+    assert read_version(spark, root, skip=("id", None, 99)).count() == 100
+    empty = read_version(spark, root, skip=("id", 1000, 2000))
+    assert empty.count() == 0
