@@ -99,3 +99,45 @@ def test_stats_skipping_prunes_files_and_stays_exact(spark, tmp_path):
     assert read_version(spark, root, skip=("id", None, 99)).count() == 100
     empty = read_version(spark, root, skip=("id", 1000, 2000))
     assert empty.count() == 0
+
+
+def test_merge_version_upserts_and_is_idempotent(spark, tmp_path):
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        merge_version,
+    )
+
+    root = tmp_path / "t"
+    merge_version(_df(spark, [(1, "a"), (2, "b")]), root, ["id"])
+    merge_version(_df(spark, [(2, "B2"), (3, "c")]), root, ["id"])
+    got = {(r["id"], r["val"]) for r in read_version(spark, root).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c")}
+    # time travel still sees the pre-merge state
+    v1 = {(r["id"], r["val"]) for r in read_version(spark, root, 1).collect()}
+    assert v1 == {(1, "a"), (2, "b")}
+    # replay produces an identical (new) version
+    merge_version(_df(spark, [(2, "B2"), (3, "c")]), root, ["id"])
+    again = {(r["id"], r["val"]) for r in read_version(spark, root).collect()}
+    assert again == got and latest_version(root) == 3
+
+
+def test_commit_changelog_applies_deletes_with_history(spark, tmp_path):
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_changelog,
+    )
+
+    root = tmp_path / "t"
+    ch1 = spark.createDataFrame(
+        [(1, "a", 1, "insert"), (2, "b", 1, "insert")],
+        "id long, val string, seq long, op string",
+    )
+    commit_changelog(ch1, root, ["id"], "seq")
+    ch2 = spark.createDataFrame(
+        [(2, None, 2, "delete"), (3, "c", 2, "insert")],
+        "id long, val string, seq long, op string",
+    )
+    commit_changelog(ch2, root, ["id"], "seq")
+    now = {(r["id"], r["val"]) for r in read_version(spark, root).collect()}
+    assert now == {(1, "a"), (3, "c")}
+    # the deleted row's pre-image is retained at version 1
+    v1 = {(r["id"], r["val"]) for r in read_version(spark, root, 1).collect()}
+    assert (2, "b") in v1
