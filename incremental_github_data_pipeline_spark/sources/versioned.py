@@ -33,6 +33,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
+    "CommitConflict",
     "commit_version",
     "read_version",
     "history",
@@ -92,11 +93,16 @@ def _file_stats(
     return out
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed since the expected version was read."""
+
+
 def commit_version(
     df: DataFrame,
     root: str | Path,
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
+    expected_version: int | None = None,
 ) -> int:
     """Commit ``df`` as the next table version and return its number.
 
@@ -112,6 +118,14 @@ def commit_version(
     that lets :func:`read_version` skip whole files against a range
     predicate without opening them. Appends merge prior stats, so
     skipping works across the full file list.
+
+    ``expected_version`` enables optimistic concurrency: pass the
+    version you read before computing ``df`` and the commit refuses
+    (``CommitConflict``) if another writer has advanced the table in
+    the meantime — read-modify-write sequences like
+    :func:`merge_version` stay lost-update-free without any lock. Use
+    ``expected_version=None`` for blind appends, ``0`` to require an
+    empty table.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be 'overwrite' or 'append'")
@@ -119,6 +133,10 @@ def commit_version(
     (root / "data").mkdir(parents=True, exist_ok=True)
     _manifest_dir(root).mkdir(parents=True, exist_ok=True)
     prev = latest_version(root)
+    if expected_version is not None and (prev or 0) != expected_version:
+        raise CommitConflict(
+            f"expected version {expected_version}, table is at {prev}"
+        )
     new_version = 1 if prev is None else prev + 1
 
     data_dir = root / "data" / f"{uuid.uuid4().hex}.parquet"
@@ -143,6 +161,7 @@ def commit_version(
         "ts": time.time(),
         "mode": mode,
         "stats": stats,
+        "schema": df.schema.jsonValue(),
     }
     mp = _manifest_dir(root) / f"{new_version:08d}.json"
     tmp = mp.with_suffix(".json.tmp")
@@ -204,14 +223,37 @@ def read_version(
             return (
                 spark.read.parquet(*manifest["files"]).filter(F.lit(False))
             )
-        df = spark.read.parquet(*files)
+        df = _read_files(spark, manifest, files)
         c = F.col(col)
         if lo is not None:
             df = df.filter(c >= F.lit(lo))
         if hi is not None:
             df = df.filter(c <= F.lit(hi))
         return df
-    return spark.read.parquet(*files)
+    return _read_files(spark, manifest, files)
+
+
+def _read_files(spark: SparkSession, manifest: dict, files: list) -> DataFrame:
+    """Read a manifest's files with schema-evolution support: appends
+    may have widened the schema, so multi-file reads merge schemas and
+    project to the manifest's recorded (latest) schema — rows from
+    pre-evolution files surface the new columns as NULL."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    reader = spark.read.option("mergeSchema", "true")
+    df = reader.parquet(*files)
+    recorded = manifest.get("schema")
+    if recorded:
+        want = StructType.fromJson(recorded)
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in want.fields
+        ]
+        df = df.select(*cols)
+    return df
 
 
 def history(root: str | Path) -> list[dict]:

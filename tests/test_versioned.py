@@ -141,3 +141,34 @@ def test_commit_changelog_applies_deletes_with_history(spark, tmp_path):
     # the deleted row's pre-image is retained at version 1
     v1 = {(r["id"], r["val"]) for r in read_version(spark, root, 1).collect()}
     assert (2, "b") in v1
+
+
+def test_optimistic_concurrency_detects_lost_update(spark, tmp_path):
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        CommitConflict,
+    )
+
+    root = tmp_path / "t"
+    v1 = commit_version(_df(spark, [(1, "a")]), root)
+    # writer B sneaks in a commit
+    commit_version(_df(spark, [(9, "z")]), root)
+    with pytest.raises(CommitConflict, match="expected version 1"):
+        commit_version(_df(spark, [(2, "b")]), root, expected_version=v1)
+    # expected 0 requires an empty table
+    with pytest.raises(CommitConflict):
+        commit_version(_df(spark, [(3, "c")]), root, expected_version=0)
+    assert latest_version(root) == 2  # failed commits advanced nothing
+
+
+def test_schema_evolution_appends_widen_and_backfill_null(spark, tmp_path):
+    root = tmp_path / "t"
+    commit_version(_df(spark, [(1, "a")]), root)
+    widened = spark.createDataFrame(
+        [(2, "b", 7.5)], "id long, val string, score double"
+    )
+    commit_version(widened, root, mode="append")
+    rows = {r["id"]: (r["val"], r["score"])
+            for r in read_version(spark, root).collect()}
+    assert rows == {1: ("a", None), 2: ("b", 7.5)}
+    # time travel to v1 keeps the narrow schema
+    assert read_version(spark, root, 1).columns == ["id", "val"]
