@@ -712,3 +712,35 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .orderBy(query_id, "rank")
     )
+
+
+def save_pq_codebooks(spark, codebooks, path: str) -> None:
+    """Persist PQ codebooks as a parquet model artifact
+    ``(m, idx, cent: array<double>)`` — the build-once-at-ingest /
+    reuse-per-query lifecycle real ANN deployments need (FAISS's
+    index file, in Spark-native storage any executor or engine can
+    read). float64 round-trips bit-exactly through parquet DOUBLE."""
+    rows = [
+        (m, i, [float(x) for x in cent])
+        for m, cb in enumerate(codebooks)
+        for i, cent in enumerate(cb)
+    ]
+    spark.createDataFrame(
+        rows, "m int, idx int, cent array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(spark, path: str):
+    """Load codebooks saved by :func:`save_pq_codebooks`, reshaped to
+    the list-of-(ksub, dsub)-arrays form ``pq_topk`` consumes."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).collect()
+    m_sub = max(r["m"] for r in rows) + 1
+    out = []
+    for m in range(m_sub):
+        cents = sorted(
+            ((r["idx"], r["cent"]) for r in rows if r["m"] == m)
+        )
+        out.append(np.array([c for _, c in cents], dtype=np.float64))
+    return out

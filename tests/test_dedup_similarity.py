@@ -735,3 +735,23 @@ def test_exact_dup_groups_counts_and_keeper(spark):
         for r in exact_dup_groups(df, ["text"], "doc_id").collect()
     }
     assert got == {(1, 3), (2, 1)}  # min-id representative, copy counts
+
+
+def test_pq_codebooks_persist_bit_exactly(spark, tmp_path):
+    from incremental_github_data_pipeline_spark.operators import similarity as sim
+
+    corpus = _pq_corpus(spark, n=48)
+    cbs = sim.pq_train(corpus, "embedding", "corpus_id", m_sub=4, ksub=8)
+    path = str(tmp_path / "pq_model")
+    sim.save_pq_codebooks(spark, cbs, path)
+    loaded = sim.load_pq_codebooks(spark, path)
+    assert len(loaded) == len(cbs)
+    for a, b in zip(cbs, loaded):
+        assert (a == b).all()  # exact float64 round-trip
+    # querying with the loaded model is bit-identical to the fresh one
+    q = corpus.limit(2).withColumnRenamed("corpus_id", "query_id")
+    fresh = sim.pq_topk(corpus, q, k=3, m_sub=4, ksub=8, codebooks=cbs)
+    reused = sim.pq_topk(corpus, q, k=3, m_sub=4, ksub=8, codebooks=loaded)
+    assert [tuple(r) for r in fresh.collect()] == [
+        tuple(r) for r in reused.collect()
+    ]
