@@ -2187,3 +2187,67 @@ def q_rolling_time_window(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("cents").over(w).cast("long").alias("rolling_hour_cents"),
         F.count(F.lit(1)).over(w).cast("long").alias("rolling_hour_n"),
     ).orderBy("event_type", "ts", "event_id")
+
+
+@register(
+    "q_sequence_pattern",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_type = 'view'
+                          AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view_then_purchase,
+           CAST(SUM(CASE WHEN prev_type = 'error'
+                          AND event_type = 'error'
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_error_bursts
+    FROM o GROUP BY user_id
+    HAVING SUM(CASE WHEN prev_type = 'view' AND event_type = 'purchase'
+               THEN 1 ELSE 0 END) > 0
+        OR SUM(CASE WHEN prev_type = 'error' AND event_type = 'error'
+               THEN 1 ELSE 0 END) > 0
+    ORDER BY user_id
+    """,
+    doc="Sequence-pattern detection (MATCH_RECOGNIZE-lite): per user, "
+    "count IMMEDIATELY-ADJACENT event bigrams — view->purchase "
+    "(direct conversion, no intervening event) and error->error "
+    "(fault bursts) — via one LAG over the deterministic (ts, "
+    "event_id) order. Adjacency is what the funnel/conversion queries "
+    "deliberately don't test (they allow intervening events); "
+    "arbitrary regex-over-sequence patterns compile to the same "
+    "lag-chain shape. One window shuffle, exact integer lanes.",
+)
+def q_sequence_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    vp = F.when(
+        (F.col("prev_type") == "view") & (F.col("event_type") == "purchase"),
+        1,
+    ).otherwise(0)
+    ee = F.when(
+        (F.col("prev_type") == "error") & (F.col("event_type") == "error"), 1
+    ).otherwise(0)
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(vp).alias("n_view_then_purchase"),
+            F.sum(ee).alias("n_error_bursts"),
+        )
+        .filter(
+            (F.col("n_view_then_purchase") > 0) | (F.col("n_error_bursts") > 0)
+        )
+        .orderBy("user_id")
+    )
