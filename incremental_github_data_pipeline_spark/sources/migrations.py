@@ -159,7 +159,14 @@ def github_core_migrations() -> list[Migration]:
                     protected SMALLINT DEFAULT 0,
                     commit_sha VARCHAR(40),
                     repo_id {uuid} NOT NULL,
-                    ingested_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
+                    -- reference parity note: 001_core_schema.sql:181
+                    -- declares DEFAULT SYSUTCDATETIME(); embedded Derby
+                    -- NPEs compiling MERGE against a column with a
+                    -- non-constant DEFAULT, and the pipeline always
+                    -- supplies ingested_at (P12), so the portable DDL
+                    -- omits the default (an MSSQL deployment can add it
+                    -- in a dialect migration)
+                    ingested_at TIMESTAMP,
                     CONSTRAINT fk_branches_repo_id FOREIGN KEY (repo_id)
                         REFERENCES repos (repo_id) ON DELETE CASCADE,
                     CONSTRAINT uq_repo_branch UNIQUE (repo_id, branch_name)

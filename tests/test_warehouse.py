@@ -315,3 +315,82 @@ def test_merge_sql_changelog_mssql_dialect_emission(spark, tmp_path):
     assert sql.rstrip().endswith(";")
     assert "[tgt]" in sql and "[tgt_stage]" in sql  # bracket quoting
     assert "op" not in sql.split("INSERT (")[1].split(")")[0]  # op not loaded
+
+
+def test_full_five_table_load_in_fk_order(wh, spark, tmp_path):
+    """The complete load the reference left as TODO (load.py:57): all
+    FIVE tables, FK dependency order (owners/users -> repos -> issues/
+    branches), through staged MERGE into the constraint-checked schema;
+    replay is a no-op. Issues raw is reconstructed (the snapshot
+    stripped it) with the same fixture the golden replay certifies."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from test_github_golden import _reconstruct_issues_raw
+
+    from incremental_github_data_pipeline_spark.pipelines.github import (
+        run_transform,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    for f in ("repos_raw.json", "branches_raw.json"):
+        shutil.copy(f"/root/reference/data/raw_data/{f}", raw / f)
+    _reconstruct_issues_raw(raw / "issues_raw.json")
+
+    mig.bootstrap(wh, mig.github_core_migrations())
+    res = run_transform(spark, raw, issues_available=True)
+
+    def load_all():
+        wh.merge_upsert(res.owners, "owners", ["owner_id"])
+        wh.merge_upsert(res.users, "users", ["user_id"])
+        repos = res.repos.select(
+            "repo_id", "repo_name", "full_name", "description", "topics",
+            "language", "owner_id", "visibility",
+            F.col("private").cast("short").alias("private"),
+            F.col("disabled").cast("short").alias("disabled"),
+            F.col("fork").cast("short").alias("fork"),
+            F.col("archived").cast("short").alias("archived"),
+            "default_branch",
+            F.col("stargazers_count").cast("int").alias("stargazers_count"),
+            F.col("watchers_count").cast("int").alias("watchers_count"),
+            F.col("forks_count").cast("int").alias("forks_count"),
+            F.col("open_issues_count").cast("int").alias("open_issues_count"),
+            "created_at", "updated_at", "pushed_at",
+        )
+        wh.merge_upsert(repos, "repos", ["repo_id"])
+        issues = res.issues.select(
+            "issue_id",
+            F.col("number").cast("int").alias("number"),
+            "author_id",
+            # Reference defect (SURVEY 4.4 #6): one real issue title is
+            # 423 chars, over the reference DDL's own VARCHAR(250)
+            # (001_core_schema.sql:136) — its unimplemented load would
+            # have failed here. Explicit truncation, documented.
+            F.substring("title", 1, 250).alias("title"),
+            F.col("locked").cast("short").alias("locked"),
+            F.col("comments").cast("int").alias("comments"),
+            "pr_merged_at", "created_at", "updated_at", "closed_at",
+            "labels", "assignee_id", "repo_id",
+        )
+        wh.merge_upsert(issues, "issues", ["issue_id"])
+        branches = res.branches.select(
+            "branch_id", "branch_name",
+            F.col("protected").cast("short").alias("protected"),
+            "commit_sha", "repo_id", "ingested_at",
+        )
+        wh.merge_upsert(branches, "branches", ["branch_id"])
+
+    load_all()
+    counts = {
+        t: wh.read_table(t).count()
+        for t in ("owners", "users", "repos", "issues", "branches")
+    }
+    # reference audit-log row counts (pipeline_error_log.txt:4-10)
+    assert counts == {
+        "owners": 1, "users": 1582, "repos": 300,
+        "issues": 3210, "branches": 2628,
+    }
+    load_all()  # deterministic uuid5 keys => replay is a pure no-op
+    assert wh.read_table("issues").count() == 3210
+    assert wh.read_table("branches").count() == 2628
