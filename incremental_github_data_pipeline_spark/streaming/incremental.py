@@ -670,3 +670,58 @@ def twap_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_incremental_text_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    table_root: str,
+    checkpoint: str,
+    on_error: str = "skip",
+) -> None:
+    """Incremental compressed-corpus ingestion: watch a directory of
+    gzip shards with the ``binaryFile`` stream source, split each shard
+    into its gzip members (one document per member — the WARC/WET
+    layout; `operators.text.gzip_ingest`), and append each micro-batch
+    to a manifest-versioned table. availableNow + checkpoint = each
+    shard is ingested exactly once across restarts; every batch is a
+    table version, so a bad shard's ingestion can be time-traveled
+    around. Decode runs where the bytes land, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from incremental_github_data_pipeline_spark.operators.text import gzip_ingest
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+    )
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        # the binaryFile source's fixed schema, required explicitly for
+        # streaming reads
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.gz")
+        .load(src_dir)
+        .select(F.col("path").alias("shard"), F.col("content").alias("payload"))
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = gzip_ingest(
+            batch_df, payload_col="payload", id_col="shard", on_error=on_error
+        )
+        if docs.take(1):
+            commit_version(
+                docs.withColumn("n_chars", F.length("text").cast("long")),
+                table_root,
+                mode="append",
+            )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

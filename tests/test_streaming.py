@@ -470,3 +470,49 @@ def test_twap_stateful_matches_batch_across_restarts(spark, tmp_path):
     }
     assert got == want
     assert got["a"] == (3, 8_000_000, 10 * 2_000_000 + 40 * 6_000_000, 32.5)
+
+
+def test_incremental_text_ingest_exactly_once(spark, tmp_path):
+    import gzip
+    import io
+
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        history,
+        read_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        run_incremental_text_ingest,
+    )
+
+    def gz(*texts):
+        out = b""
+        for t in texts:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+                f.write(t.encode())
+            out += buf.getvalue()
+        return out
+
+    src = tmp_path / "shards"
+    src.mkdir()
+    (src / "a.gz").write_bytes(gz("doc one", "doc two"))
+    root = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    run_incremental_text_ingest(spark, str(src), root, ckpt)
+    assert read_version(spark, root).count() == 2
+
+    # new shard (one corrupt alongside) → only new members appended
+    (src / "b.gz").write_bytes(gz("doc three"))
+    (src / "c.gz").write_bytes(b"torn shard")
+    run_incremental_text_ingest(spark, str(src), root, ckpt)
+    texts = {r["text"] for r in read_version(spark, root).collect()}
+    assert texts == {"doc one", "doc two", "doc three"}
+
+    # replay with the same checkpoint is a no-op (exactly once)
+    n_versions = len(history(root))
+    run_incremental_text_ingest(spark, str(src), root, ckpt)
+    assert len(history(root)) == n_versions
+    assert read_version(spark, root).count() == 3
+    # the first ingest state is still time-travelable
+    assert read_version(spark, root, 1).count() == 2
