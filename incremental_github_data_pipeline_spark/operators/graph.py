@@ -139,7 +139,11 @@ def triangle_count(
         F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lo_first, F.col("da")).otherwise(F.col("db")).alias("du"),
         F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ three consumers (both wedge sides + the closing join) would each
+    # replay the dedup + two degree joins; one edge-list materialization
+    # replaces 3x recomputation — the same multi-use-frame discipline as
+    # the PageRank loop.
     l_ = oriented.select(
         F.col("u"), F.col("v").alias("w1"), F.col("dv").alias("dw1")
     )
