@@ -40,6 +40,7 @@ __all__ = [
     "vacuum",
     "merge_version",
     "commit_changelog",
+    "diff_versions",
 ]
 
 
@@ -369,3 +370,52 @@ def commit_changelog(
         base = read_version(spark, root)
     folded = apply_changelog(base, changes, key_cols, order_col, op_col)
     return commit_version(folded.select(*data_cols), root)
+
+
+def diff_versions(
+    spark: SparkSession,
+    root: str | Path,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two retained versions: one row per
+    changed key with status ``added`` / ``removed`` / ``changed``
+    (``unchanged`` keys are dropped — the diff is output-sensitive).
+    Comparison hashes all non-key columns with a 128-bit xxhash pair,
+    so wide rows diff without shuffling their payloads twice.
+
+    The pipeline-regression primitive: "what did this run change?" is
+    one full-outer join on the keys between two manifests — no stored
+    changelog needed, because versions are immutable.
+    """
+    from pyspark.sql import functions as F
+
+    old = read_version(spark, root, v_old)
+    new = read_version(spark, root, v_new)
+    non_keys = [c for c in old.columns if c not in key_cols]
+
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        fp = (
+            F.struct(
+                F.xxhash64(*[F.col(c) for c in non_keys], F.lit(1)),
+                F.xxhash64(*[F.col(c) for c in non_keys], F.lit(2)),
+            )
+            if non_keys
+            else F.lit(None)
+        )
+        return df.select(
+            *key_cols, fp.alias(f"_fp_{side}"), F.lit(True).alias(f"_in_{side}")
+        )
+
+    j = keyed(old, "old").join(keyed(new, "new"), key_cols, "full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*key_cols, "status")
+    )

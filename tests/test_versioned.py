@@ -172,3 +172,19 @@ def test_schema_evolution_appends_widen_and_backfill_null(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", 7.5)}
     # time travel to v1 keeps the narrow schema
     assert read_version(spark, root, 1).columns == ["id", "val"]
+
+
+def test_diff_versions_reports_added_removed_changed(spark, tmp_path):
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        diff_versions,
+    )
+
+    root = tmp_path / "t"
+    commit_version(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), root)
+    commit_version(_df(spark, [(1, "a"), (2, "B!"), (4, "d")]), root)
+    got = {
+        (r["id"], r["status"])
+        for r in diff_versions(spark, root, 1, 2, ["id"]).collect()
+    }
+    # 1 unchanged (absent), 2 changed, 3 removed, 4 added
+    assert got == {(2, "changed"), (3, "removed"), (4, "added")}
