@@ -120,11 +120,15 @@ _CERTIFY_FIRST = [
 # Round-5 rotation queue: whatever misses the r4 cut (registry > 50) —
 # check CORRECTNESS_r04.json at round start and front-load (1) any
 # non-green r4 rows, (2) oracle-backed queries still absent from every
-# snapshot — as of late round 4 that set is the post-window additions
-# q_media_qoi_stats, q_graph_pagerank, q_graph_triangles,
-# q_doc_allpairs_join plus the rotated-out re-cert queue
-# (q05_region_volume, q_group_agg, q_dedup_keep_last,
-# q_union_conform) — and (3) queries whose code changes in round 5.
+# snapshot — as of end of round 4 that set is the post-window additions
+# q_media_qoi_stats, q_media_png_palette_stats, q_media_phash_dups,
+# q_media_curation_funnel, q_graph_pagerank, q_graph_triangles,
+# q_doc_allpairs_join, q_doc_cap_per_source, q_doc_bpe_tokens,
+# q_text_gzip_ingest, q_variant_agg, q_chi_square_cells,
+# q_rolling_time_window, q_conversion_window, q_sequence_pattern,
+# plus the rotated-out re-cert queue (q05_region_volume, q_group_agg,
+# q_dedup_keep_last, q_union_conform) — and (3) queries whose code
+# changes in round 5.
 
 
 def load_all() -> dict[str, QuerySpec]:
