@@ -2251,3 +2251,45 @@ def q_sequence_pattern(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_equidepth_buckets",
+    oracle="""
+    WITH o AS (
+      SELECT l_extendedprice AS p, l_orderkey, l_linenumber,
+             NTILE(8) OVER (ORDER BY l_extendedprice, l_orderkey,
+                            l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(MIN(p) * 100) AS BIGINT) AS min_cents,
+           CAST(ROUND(MAX(p) * 100) AS BIGINT) AS max_cents
+    FROM o GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Equi-depth histogram (the optimizer-statistics shape): NTILE "
+    "over a TOTAL order — the (price, orderkey, linenumber) compound "
+    "key removes tie ambiguity, which is what makes NTILE's row-count "
+    "based splits engine-exact where value-based quantiles are not. "
+    "Bucket boundaries emit as exact cents. Note the single-partition "
+    "global-order window: fine for statistics builds (one pass, "
+    "bounded output), and the reason equi-WIDTH histograms "
+    "(q_price_histogram) are the first choice at 100 TB.",
+)
+def q_equidepth_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    o = li.select(
+        F.col("l_extendedprice").alias("p"),
+        F.ntile(8).over(w).alias("bucket"),
+    )
+    return (
+        o.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("p") * 100).cast("long").alias("min_cents"),
+            F.round(F.max("p") * 100).cast("long").alias("max_cents"),
+        )
+        .orderBy("bucket")
+    )
