@@ -14,6 +14,15 @@ NOTE r4: session.py now runs the context cleaner's periodic GC every
 45s; before that, shuffle files accumulated across the (growing) suite
 and inflated late-suite queries by 2-4x over their isolated times —
 position in BENCH_QUERIES no longer affects a query's number.
+
+NOTE r5 (VERDICT r4 task 3): the SparkSession is RECYCLED every
+``RECYCLE_EVERY`` queries. BENCH_r04 showed a uniform 1.1-1.3x drift
+on byte-identical queries as the suite grew 23->33 entries — shared
+single-JVM pressure (listener/stage history, codegen cache, broadcast
+cleanup backlog reaching stage id ~1468), not code regressions. A
+bounded session lifetime caps that pressure so round-over-round
+numbers compare queries, not suite sizes. Session setup happens
+OUTSIDE the timed region; query order stays pinned to this list.
 """
 
 from __future__ import annotations
@@ -83,17 +92,24 @@ BENCH_QUERIES = [
 ]
 
 
+RECYCLE_EVERY = 8  # queries per SparkSession lifetime
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from incremental_github_data_pipeline_spark.queries import load_all
     from incremental_github_data_pipeline_spark.session import get_spark
 
     registry = load_all()
-    spark = get_spark(app_name="bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = None
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for i, name in enumerate(BENCH_QUERIES):
+        if i % RECYCLE_EVERY == 0:
+            if spark is not None:
+                spark.stop()
+            spark = get_spark(app_name=f"bench-g{i // RECYCLE_EVERY}")
+            spark.sparkContext.setLogLevel("ERROR")
         fn = registry[name].fn
         fn(spark, sf_dir).count()  # warm-up (codegen + file listing)
         passes = []

@@ -20,7 +20,11 @@ from pyspark.sql import types as T
 
 from incremental_github_data_pipeline_spark.functions.scalar import let_
 from incremental_github_data_pipeline_spark.operators.core import ensure_min_partitions
-from incremental_github_data_pipeline_spark.operators.text import shingles, tokens
+from incremental_github_data_pipeline_spark.operators.text import (
+    ngrams,
+    shingles,
+    tokens,
+)
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -801,12 +805,15 @@ def contained_docs(
 
     Docs with fewer than ``k`` tokens cannot produce k-gram
     candidates; ``short_doc_lane=True`` (default) routes them through
-    a broadcast token-aligned scan against every container instead of
-    silently missing them. Cost model: the sub-k-token population must
-    be broadcast-bounded (it is a thin tail of any real corpus; the
-    lane is |short| x |corpus| *predicate evaluations*, not a
-    shuffle). Disable it when short docs were already filtered
-    upstream.
+    an EQUI-join instead of silently missing them: a doc with n < k
+    tokens is contained in B iff its whole normalized text equals one
+    of B's token n-grams, so the lane explodes the containers'
+    1..k-1-grams once and joins on the text — the same fan-out order
+    as the main lane's shingle explode, no forced broadcast, no
+    nested-loop join (the r4 broadcast-scan version OOMed by design if
+    the sub-k tail was ever large; plan-asserted gone in
+    test_plans.py::test_heavy_doc_joins_no_forced_broadcast). Disable
+    it when short docs were already filtered upstream.
 
     Scale shape — never corpus × corpus on the main lane: candidates
     come from the gram posting lists (a doc can only be contained in a
@@ -873,15 +880,39 @@ def contained_docs(
     ).select("_ida", "_idb")
 
     if short_doc_lane:
+        # Equi-join lane (no forced broadcast, no nested-loop join —
+        # the r4 version broadcast the short set against every
+        # container, a scale hazard if the sub-k tail is ever large):
+        # a doc with n < k tokens is contained in B iff its WHOLE
+        # normalized text equals one of B's token n-grams, so explode
+        # the containers' 1..k-1-grams once and equi-join on the text.
+        # Fan-out is (k-1)·|tokens|, same order as the main lane's
+        # shingle explode, and AQE is free to broadcast the (usually
+        # tiny) short side or fall back to a shuffle join.
         shorts = base.filter((F.col("_nt") >= 1) & (F.col("_nt") < k)).select(
             F.col("_id").alias("_ida"), F.col("_norm").alias("_norma")
         )
-        containers = base.filter(F.col("_nt") >= 1).select(
-            F.col("_id").alias("_idb"), F.col("_norm").alias("_normb")
+        short_grams = base.filter(F.col("_nt") >= 1).select(
+            F.col("_id").alias("_idb"),
+            F.col("_norm").alias("_normb"),
+            F.explode(
+                F.array_distinct(
+                    F.flatten(
+                        F.array(
+                            *[
+                                ngrams(F.col("_norm"), n)
+                                for n in range(1, k)
+                            ]
+                        )
+                    )
+                )
+            ).alias("_g"),
         )
         short_pairs = tie_rules(
-            containers.join(
-                F.broadcast(shorts), F.col("_ida") != F.col("_idb")
+            shorts.join(
+                short_grams,
+                (F.col("_norma") == F.col("_g"))
+                & (F.col("_ida") != F.col("_idb")),
             )
         ).select("_ida", "_idb")
         verified = verified.unionByName(short_pairs)

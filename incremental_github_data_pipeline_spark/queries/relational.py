@@ -2268,24 +2268,77 @@ def q_sequence_pattern(spark: SparkSession, sf: str) -> DataFrame:
            CAST(ROUND(MAX(p) * 100) AS BIGINT) AS max_cents
     FROM o GROUP BY bucket ORDER BY bucket
     """,
-    doc="Equi-depth histogram (the optimizer-statistics shape): NTILE "
-    "over a TOTAL order — the (price, orderkey, linenumber) compound "
-    "key removes tie ambiguity, which is what makes NTILE's row-count "
-    "based splits engine-exact where value-based quantiles are not. "
-    "Bucket boundaries emit as exact cents. Note the single-partition "
-    "global-order window: fine for statistics builds (one pass, "
-    "bounded output), and the reason equi-WIDTH histograms "
-    "(q_price_histogram) are the first choice at 100 TB.",
+    doc="Equi-depth histogram (the optimizer-statistics shape) with "
+    "NTILE-exact output but NO single-partition global window: a "
+    "two-pass distributed rank. Pass 1 range-partitions + locally "
+    "sorts on the tie-free compound key (price, orderkey, linenumber) "
+    "and collects per-partition row COUNTS (bounded by the partition "
+    "count, never row data); pass 2 turns the broadcast prefix "
+    "offsets plus a per-partition local index (monotonically_"
+    "increasing_id's low 33 bits, which count rows in post-sort "
+    "iterator order) into the exact global rank, and NTILE(8)'s "
+    "closed form — first n%8 buckets get one extra row — maps rank to "
+    "bucket as pure codegen arithmetic. The ranged frame is pinned "
+    "with localCheckpoint so both passes read ONE materialization "
+    "(the range exchange's reservoir sample is seeded per-RDD, so "
+    "re-execution could legally pick different bounds and corrupt the "
+    "offsets). Every stage is as parallel as the partition count; "
+    "oracle (NTILE over a total order) unchanged.",
 )
 def q_equidepth_buckets(spark: SparkSession, sf: str) -> DataFrame:
     li = T(spark, sf, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    o = li.select(
-        F.col("l_extendedprice").alias("p"),
-        F.ntile(8).over(w).alias("bucket"),
+    keys = ["p", "l_orderkey", "l_linenumber"]
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        li.select(
+            F.col("l_extendedprice").alias("p"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .repartitionByRange(nparts, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
+        .select(
+            "p",
+            F.spark_partition_id().alias("pid"),
+            # low 33 bits = per-partition record counter, assigned in
+            # the post-sort iterator order => local rank - 1.
+            F.monotonically_increasing_id()
+            .bitwiseAND(F.lit((1 << 33) - 1))
+            .alias("local_idx"),
+        )
+        .localCheckpoint()
     )
+    # Pass 1: per-partition counts -> prefix offsets (driver-side state
+    # is one integer per partition — bounded by cluster parallelism).
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    # Pass 2: global 0-based rank, then NTILE(8)'s closed form:
+    # q = total div 8, rem = total mod 8; the first rem buckets hold
+    # q+1 rows, the rest q. Integer `div` keeps the mapping exact at
+    # any rank magnitude (float division mis-rounds near 2^53).
+    q, rem = divmod(total, 8)
+    cut = rem * (q + 1)  # rank of the first small-bucket row
+    bucket = F.expr(
+        f"CAST(IF({q} = 0 OR r0 < {cut}, r0 div {q + 1}, "
+        f"{rem} + (r0 - {cut}) div {max(q, 1)}) AS INT) + 1"
+    ).alias("bucket")
     return (
-        o.groupBy("bucket")
+        ranged.select(
+            "p", (off_map[F.col("pid")] + F.col("local_idx")).alias("r0")
+        )
+        .select("p", bucket)
+        .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("p") * 100).cast("long").alias("min_cents"),

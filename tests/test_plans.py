@@ -242,3 +242,48 @@ def test_pagerank_checkpoint_keeps_plan_flat(spark):
     p6 = pagerank_integer(e, 50, iters=6)
     s2, s6 = len(plan_of(p2)), len(plan_of(p6))
     assert s6 < s2 * 3, f"plan grows with iterations: {s2} -> {s6}"
+
+
+def test_equidepth_no_single_partition_stage(spark, registry):
+    """VERDICT r4 #1: the equi-depth histogram must not funnel every row
+    through one task. The two-pass rank keeps every stage as parallel as
+    the partition count — no SinglePartition exchange, no global-order
+    Window node anywhere in the plan."""
+    plan = plan_of(registry["q_equidepth_buckets"].fn(spark, SF))
+    assert "SinglePartition" not in plan, "single-partition stage regressed"
+    assert "Window" not in plan, "global-order window regressed"
+
+
+@pytest.mark.parametrize(
+    "name", ["q_doc_allpairs_join", "q_doc_minhash_join", "q_doc_contained"]
+)
+def test_heavy_doc_joins_no_forced_broadcast(spark, registry, name):
+    """The round-4 heavy similarity joins claim (docstrings) that no
+    corpus-sized side is ever hint-broadcast and no cartesian appears.
+    Assert it: with size-based auto-broadcast and AQE off, any surviving
+    BroadcastExchange is hint-forced — none may sit over a documents
+    scan reachable without crossing a bounded (global-agg) node."""
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = registry[name].fn(spark, SF)
+        plan_str = plan_of(df)
+        assert "CartesianProduct" not in plan_str
+        assert "BroadcastNestedLoopJoin" not in plan_str
+        plan = df._jdf.queryExecution().executedPlan()
+        for node in _iter_physical_nodes(plan):
+            if node.nodeName() == "BroadcastExchange":
+                for sub in _iter_bounded_frontier(node):
+                    if not sub.nodeName().startswith("Scan"):
+                        continue
+                    assert "documents.parquet" not in sub.toString(), (
+                        f"{name}: hint-forced broadcast of the corpus"
+                    )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
