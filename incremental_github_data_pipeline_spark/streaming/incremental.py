@@ -615,8 +615,15 @@ def _twap_fn(
     (last_ts, last_v, n, sum_dt, num) = (
         state.get if state.exists else (None, None, 0, 0, 0)
     )
-    for pdf in batches:
-        pdf = pdf.sort_values(["_ts", "_tb"], kind="mergesort")
+    # A key's micro-batch arrives as an ITERATOR of Arrow chunks in
+    # arbitrary order; sorting chunks independently would fold a
+    # >1-chunk batch out of time order (negative dt contributions) —
+    # concatenate first so the sort spans the whole batch per key.
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["_ts", "_tb"], kind="mergesort"
+        )
         ts_us = pdf["_ts"].values.astype("datetime64[us]").astype("int64")
         for t, v in zip(ts_us, pdf["_v"].values):
             if last_ts is not None:
@@ -683,10 +690,18 @@ def run_incremental_text_ingest(
     gzip shards with the ``binaryFile`` stream source, split each shard
     into its gzip members (one document per member — the WARC/WET
     layout; `operators.text.gzip_ingest`), and append each micro-batch
-    to a manifest-versioned table. availableNow + checkpoint = each
-    shard is ingested exactly once across restarts; every batch is a
-    table version, so a bad shard's ingestion can be time-traveled
-    around. Decode runs where the bytes land, no shuffle."""
+    to a manifest-versioned table. Every batch is a table version, so a
+    bad shard's ingestion can be time-traveled around. Decode runs
+    where the bytes land, no shuffle.
+
+    Exactly-once is checkpoint + IDEMPOTENT sink, not checkpoint
+    alone: foreachBatch is at-least-once (a crash after the version
+    commit but before the offset commit replays the batch), so each
+    commit carries ``txn_id = <checkpoint>:<batch_id>`` and
+    ``commit_version`` turns the replay into a no-op returning the
+    already-committed version — the Structured Streaming docs'
+    batch-id-based dedup contract. Version retention must exceed the
+    one-batch replay horizon (it does: vacuum keeps ≥1 version)."""
     from pyspark.sql import functions as F
 
     from incremental_github_data_pipeline_spark.operators.text import gzip_ingest
@@ -716,6 +731,7 @@ def run_incremental_text_ingest(
                 docs.withColumn("n_chars", F.length("text").cast("long")),
                 table_root,
                 mode="append",
+                txn_id=f"text-ingest:{checkpoint}:{batch_id}",
             )
 
     (
