@@ -89,6 +89,11 @@ BENCH_QUERIES = [
     "q_doc_allpairs_join",
     # iterative graph shape: 5 PageRank rounds, one shuffle per round
     "q_graph_pagerank",
+    # round-5 additions: regex-heavy URL scan, posting-list build, and
+    # the sequential-per-key Arrow fold (EWMA)
+    "q_url_domain_stats",
+    "q_doc_inverted_index",
+    "q_ts_ewma",
 ]
 
 

@@ -1571,7 +1571,17 @@ def adpcm_decode_stats(media: DataFrame) -> DataFrame:
 def _lzw_compress(data: bytes, min_code_size: int) -> bytes:
     """GIF-flavor LZW: greedy longest-match against a growing dict,
     variable code width (min+1 .. 12 bits, LSB-first packing), CLEAR
-    emitted up front and on dictionary overflow, END at the tail."""
+    emitted up front and on dictionary overflow, END at the tail.
+
+    Width changes follow giflib's "late change" discipline: after
+    EVERY emitted data code — including the final flush, which adds no
+    dictionary entry — the width bumps when the next code to assign
+    no longer fits (``next_code >= 1 << width``). Keying the change to
+    emitted codes rather than table adds is what keeps encoder and
+    decoder in lock-step at the one place the two counts diverge (the
+    flush): a per-add rule desynchronizes a stream that ENDS exactly
+    at a width boundary, reading END with a bumped width the encoder
+    never used. Matches mainstream GIF codecs bit-for-bit."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     out = bytearray()
     acc = n_bits = 0
@@ -1597,16 +1607,22 @@ def _lzw_compress(data: bytes, min_code_size: int) -> bytes:
             buf = nb
             continue
         emit(table[buf], width)
-        table[nb] = next_code
-        next_code += 1
-        if next_code == (1 << width) and width < 12:
+        # bump BEFORE the add (next_code here = codes emitted so far +
+        # end), so the rule is per-emit, matching the decoder's
+        # per-read counter
+        if next_code >= (1 << width) and width < 12:
             width += 1
-        elif next_code == 4096:
+        if next_code >= 4095:  # giflib-conservative: 4095 never assigned
             emit(clear, width)
             table, next_code, width = fresh()
+        else:
+            table[nb] = next_code
+            next_code += 1
         buf = bytes([byte])
     if buf:
         emit(table[buf], width)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
     emit(end, width)
     if n_bits:
         out.append(acc & 0xFF)
@@ -1632,15 +1648,26 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
 
     table = {i: bytes([i]) for i in range(clear)}
     next_code, width = end + 1, min_code_size + 1
+    # pred counts CODES READ since the last clear (offset by end+1),
+    # running one ahead of the add-lagged dictionary — giflib's
+    # RunningCode. Width changes key off pred, not off table adds:
+    # the encoder's final flush emits without adding, so an add-based
+    # rule would bump one code early on streams that end exactly at a
+    # width boundary and misread END.
+    pred = end + 1
     out = bytearray()
     prev = None
     while True:
         code = read(width)
+        pred += 1
+        if pred > (1 << width) and width < 12:
+            width += 1
         if code == end:
             return bytes(out)
         if code == clear:
             table = {i: bytes([i]) for i in range(clear)}
             next_code, width = end + 1, min_code_size + 1
+            pred = end + 1
             prev = None
             continue
         if code in table:
@@ -1650,15 +1677,9 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
         else:
             raise ValueError(f"bad LZW code {code}")
         out.extend(entry)
-        if prev is not None and next_code < 4096:
+        if prev is not None and next_code < 4095:
             table[next_code] = prev + entry[:1]
             next_code += 1
-            # one EARLIER than the encoder's own bump: the decoder's
-            # dictionary lags the encoder by exactly one entry at read
-            # time (it adds entry k only after reading code k+1), so
-            # the width change must anticipate the encoder's
-            if next_code == (1 << width) - 1 and width < 12:
-                width += 1
         prev = entry
 
 

@@ -744,3 +744,112 @@ def load_pq_codebooks(spark, path: str):
         )
         out.append(np.array([c for _, c in cents], dtype=np.float64))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-5: integer-exact Gram matrix + ANN recall evaluation harness
+# ---------------------------------------------------------------------------
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str = "embedding", dims: int = 8, scale: int = 1000
+) -> DataFrame:
+    """Integer-exact Gram matrix over the first ``dims`` embedding
+    components: G[i,j] = Σ_rows q_i·q_j with q = floor(v·scale) — the
+    X'X building block of PCA/whitening/linear probes, kept on the
+    integer lattice so the matrix is bit-identical in any engine
+    (float dot products would depend on row order).
+
+    Plan shape: ALL dims·(dims+1)/2 upper-triangle sums evaluate in ONE
+    map-combined aggregate over the scan — no explode, no join, no
+    per-dimension shuffle; the d×d result is model-sized. ``stack``
+    unpivots the single aggregate row into (di, dj, dot) rows. At
+    100 TB this is one pass over the corpus with constant state — the
+    same mergeable-moments discipline as corr/regression
+    (queries/relational.py) lifted to a matrix.
+    """
+    v = as_double_vec(vec_col)
+    q = lambda i: F.floor(F.element_at(v, i) * scale).cast("long")  # noqa: E731
+    pairs = [(i, j) for i in range(1, dims + 1) for j in range(i, dims + 1)]
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(q(i) * q(j)).alias(f"g_{i}_{j}") for i, j in pairs],
+    )
+    stack = "stack({}, {}) as (di, dj, dot)".format(
+        len(pairs), ", ".join(f"{i}, {j}, g_{i}_{j}" for i, j in pairs)
+    )
+    return row.selectExpr(stack, "n")
+
+
+def pooled_ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "corpus_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """ANN quality evaluation: recall@k of a coarse BLOCK-POOLED scorer
+    against the exact int8-quantized ranking — the eval harness every
+    approximate index needs before it gates a 100 TB pipeline (an ANN
+    path without a recall number is a silent-data-loss risk).
+
+    Both lanes live on the integer lattice, so the recall counts are
+    engine-exact: the truth lane ranks by the full int8 dot product
+    (``quantized_topk`` semantics), the approximate lane pools each
+    quantized vector into ``n_blocks`` consecutive block sums (an
+    8x-compressed sketch — the dimensionality-reduction family IVF/PQ
+    belong to) and ranks by the pooled dot. Returns one row per query:
+    ``(query_id, n_overlap, k)``. Ties break by corpus id in both
+    lanes.
+    """
+    def lanes(df: DataFrame, id_out: str) -> DataFrame:
+        qd = quantize_embeddings(df, vec_col)
+        blk = F.transform(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+            lambda b: F.aggregate(
+                F.slice(
+                    F.col("q"),
+                    b * (F.size(F.col("q")) / n_blocks).cast("int") + 1,
+                    (F.size(F.col("q")) / n_blocks).cast("int"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return qd.select(F.col(id_out), F.col("q"), blk.alias("p"))
+
+    c = lanes(corpus, corpus_id)
+    qs = lanes(queries, query_id)
+    scored = c.crossJoin(F.broadcast(qs.select(
+        query_id, F.col("q").alias("qq"), F.col("p").alias("qp")
+    ))).select(
+        corpus_id,
+        query_id,
+        int_dot("q", "qq").alias("dot_exact"),
+        int_dot("p", "qp").alias("dot_pooled"),
+    )
+    we = Window.partitionBy(query_id).orderBy(
+        F.col("dot_exact").desc(), F.col(corpus_id)
+    )
+    wp = Window.partitionBy(query_id).orderBy(
+        F.col("dot_pooled").desc(), F.col(corpus_id)
+    )
+    ranked = scored.select(
+        query_id,
+        corpus_id,
+        F.row_number().over(we).alias("r_exact"),
+        F.row_number().over(wp).alias("r_pooled"),
+    )
+    return (
+        ranked.filter((F.col("r_exact") <= k) | (F.col("r_pooled") <= k))
+        .groupBy(query_id)
+        .agg(
+            F.sum(
+                ((F.col("r_exact") <= k) & (F.col("r_pooled") <= k))
+                .cast("long")
+            ).alias("n_overlap"),
+            F.lit(k).cast("long").alias("k"),
+        )
+    )

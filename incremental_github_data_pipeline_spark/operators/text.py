@@ -1191,3 +1191,165 @@ def gzip_ingest(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 curation operators: URL/domain analysis, deterministic weighted
+# sampling, boilerplate-line detection, inverted index
+# ---------------------------------------------------------------------------
+
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def url_stats(df, text_col: str = "text"):
+    """Per-domain URL statistics over a text corpus — the web-corpus
+    triage primitive (domain allow/deny lists, CDN filtering, crawl
+    frontier weighting). Extracts every URL, normalizes it (query
+    string stripped — tracking params must not split domains), keys by
+    host, and aggregates: total URLs, distinct source docs, https
+    share.
+
+    Pure scan-stage expressions (regexp_extract_all + explode) followed
+    by ONE aggregate shuffle on the domain key; text itself never
+    shuffles — only the extracted URLs do, a tiny fraction of corpus
+    bytes. No reference counterpart ([EXT], SURVEY.md §2.10).
+    """
+    urls = df.select(
+        F.col("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+        ).alias("url"),
+    ).select(
+        "doc_id",
+        F.regexp_replace(F.col("url"), r"\?.*$", "").alias("url_norm"),
+        F.regexp_extract(F.col("url"), r"^https?://([^/?\s]+)", 1).alias(
+            "domain"
+        ),
+        (F.substring(F.col("url"), 1, 6) == "https:")
+        .cast("long")
+        .alias("is_https"),
+    )
+    return urls.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("url_norm").alias("n_distinct_urls"),
+        F.sum("is_https").alias("n_https"),
+    )
+
+
+def weighted_sample_priority(
+    df,
+    id_col: str,
+    weight_col,
+    k: int = 100,
+):
+    """Deterministic weighted sampling without replacement: keep the
+    ``k`` rows with the smallest integer priority
+    ``knuth_hash(id) div weight`` (ties → id). Heavier rows draw
+    smaller priorities proportionally more often — the integer-exact
+    analogue of A-ExpJ priority sampling (Efraimidis-Spirakis keys
+    u^(1/w) replaced by a division so the kept SET is bit-reproducible
+    in any engine, no floats, no RNG; same portability trick as
+    ``sample_stratified``).
+
+    Plan shape: the priority is a scan-stage expression and the global
+    top-k compiles to TakeOrderedAndProject (per-partition heaps + one
+    k-row merge) — no global sort, no single-partition stage, which is
+    why this is also the 100 TB-safe way to take any deterministic
+    top-k.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    c = F.col(id_col)
+    hk = (c * F.lit(2654435761)) % F.lit(2147483648)
+    out = df.select(
+        c.alias(id_col),
+        w.cast("long").alias("weight"),
+        hk.cast("long").alias("hk"),
+    ).withColumn("priority", F.expr("hk div weight"))
+    return out.orderBy("priority", id_col).limit(k)
+
+
+def boilerplate_lines(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    sep: str = " | ",
+    min_pct: int = 80,
+):
+    """Boilerplate detection, the Trafilatura/CCNet idea at corpus
+    scale: a LINE that repeats across ≥ ``min_pct``% of one source's
+    documents is template chrome (nav bars, cookie banners, footers),
+    not content, and should be stripped before training. Returns
+    ``(source, line, n_docs_with, n_docs)`` for every flagged line.
+
+    Shape: explode lines (scan stage), one aggregate on
+    ``(source, line)`` with a distinct-doc count, joined against the
+    per-source doc totals — the totals frame is |sources| rows, so the
+    join broadcasts. The percentage test is integer cross-multiplied
+    (``n_with * 100 >= pct * n_docs``), no float thresholds.
+    """
+    import re
+
+    lines = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        # F.split takes a REGEX — escape the separator ('|' would be
+        # alternation and split on every space)
+        F.explode(F.split(F.col(text_col), re.escape(sep), -1)).alias("line"),
+    ).filter(F.length(F.trim("line")) > 0)
+    per_line = lines.groupBy("source", "line").agg(
+        F.countDistinct(id_col).alias("n_docs_with")
+    )
+    totals = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    return per_line.join(F.broadcast(totals), "source").filter(
+        F.col("n_docs_with") * 100 >= F.lit(min_pct) * F.col("n_docs")
+    )
+
+
+def inverted_index(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_docs: int = 2,
+    min_df: int = 2,
+):
+    """Inverted-index build: per term, document frequency, total term
+    frequency, and the ``top_docs`` highest-tf postings (tf desc, then
+    id — deterministic). The search-index primitive; also the posting
+    lists the AllPairs/containment dedups consume, surfaced as its own
+    operator.
+
+    Shape: token explode → one (term, doc) aggregate → one term-window
+    for the capped postings → one term aggregate. Postings emit as
+    ROWS (term, rank, doc, tf), not arrays — bounded fan-out, and
+    array-free output keeps downstream engines' comparators happy.
+    """
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+        )
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # two consumers (df/total_tf stats + the postings window) would
+        # each replay the corpus scan + token explode + aggregate; an
+        # index BUILD materializes its postings once by definition
+        .localCheckpoint(eager=True)
+    )
+    stats = tf.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col(id_col)
+    )
+    top = tf.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_docs
+    )
+    return (
+        top.join(stats, "term")
+        .filter(F.col("df") >= min_df)
+        .select("term", "df", "total_tf", "rank", id_col, "tf")
+    )

@@ -219,3 +219,126 @@ def zscore_outliers(
         F.lit(z_num * z_num) * n_var
     )
     return j.withColumn("is_outlier", flag).drop("_n", "_s", "_ss")
+
+
+def ewma_integer(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    order_col: str,
+    val_col: str,
+    num: int = 3,
+    den: int = 10,
+) -> DataFrame:
+    """Exponentially weighted moving average as an INTEGER recurrence:
+    r₀ = x₀, rₜ = (num·xₜ + (den−num)·rₜ₋₁) div den — smoothing factor
+    α = num/den with every step integral, so the smoothed series is
+    bit-identical in any engine replaying the recurrence (the same
+    certifiable-iteration trick as integer PageRank and the ADPCM
+    decoder; a float EWMA could never hash-match across engines).
+
+    An EWMA is inherently sequential IN TIME but parallel ACROSS keys,
+    so the physical shape is one shuffle on the key and an Arrow-batched
+    per-key fold (applyInPandas) — correct for series that fit a task
+    (hourly/daily rollups: thousands of points), which is what EWMAs
+    are computed over; pre-aggregate first, exactly like the other
+    grid operators in this module.
+
+    CONTRACT: values must be non-negative (sums of positive cents are).
+    Python ``//`` floors while SQL ``div`` truncates toward zero; they
+    agree only on non-negative operands, and the operator raises on
+    negative input rather than silently diverging from its oracle.
+    """
+    import pandas as pd
+
+    keys = _keys(key_cols)
+    out_schema = df.select(
+        *keys, order_col, F.col(val_col).cast("long").alias(val_col)
+    ).schema.add("ewma", "long", False)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        xs = pdf[val_col].to_numpy()
+        if (xs < 0).any():
+            raise ValueError("ewma_integer requires non-negative values")
+        r, out = None, []
+        for x in xs:
+            x = int(x)
+            r = x if r is None else (num * x + (den - num) * r) // den
+            out.append(r)
+        pdf["ewma"] = out
+        return pdf
+
+    return (
+        df.select(
+            *keys, order_col, F.col(val_col).cast("long").alias(val_col)
+        )
+        .groupBy(*keys)
+        .applyInPandas(fold, out_schema)
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    val_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Robust outlier detection per key via median absolute deviation:
+    med = lower median of the values, mad = lower median of
+    |x − med|, outlier ⇔ |x − med| > k·mad. Medians are the
+    LOWER median (the element at row_number (n+1) div 2 of the sorted
+    multiset) — a selection, not an interpolation, so the statistic is
+    an actual data value and therefore integer-exact and engine-
+    portable where an averaged even-count median is not. MAD tolerates
+    the asymmetric spikes that wreck mean/stddev z-scores.
+
+    Shape: the (usually pre-aggregated) series is materialized ONCE
+    with localCheckpoint — four consumers (both medians, the deviation
+    frame, the flag count) would otherwise each replay the upstream
+    scan + aggregate (the first cut planned 7 fact scans). After that:
+    two window shuffles on the key (one per median) plus broadcast
+    joins of the per-key 1-row statistics back onto the rows; returns
+    ``(keys..., n, med, mad, n_outliers)``.
+    """
+    keys = _keys(key_cols)
+
+    def lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(col)
+        wn = Window.partitionBy(*keys)
+        return (
+            frame.select(
+                *keys,
+                F.col(col),
+                F.row_number().over(w).alias("_rn"),
+                F.count(F.lit(1)).over(wn).alias("_n"),
+            )
+            .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+            .select(*keys, F.col(col).alias(out), F.col("_n").alias("n"))
+        )
+
+    vals = df.select(
+        *keys, F.col(val_col).cast("long").alias("x")
+    ).localCheckpoint(eager=True)
+    med = lower_median(vals, "x", "med")
+    dev = vals.join(F.broadcast(med.select(*keys, "med")), keys).select(
+        *keys, F.abs(F.col("x") - F.col("med")).alias("d")
+    )
+    mad = lower_median(dev, "d", "mad")
+    flags = (
+        vals.join(F.broadcast(med.select(*keys, "med")), keys)
+        .join(F.broadcast(mad.select(*keys, "mad")), keys)
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                (F.abs(F.col("x") - F.col("med")) > F.lit(k) * F.col("mad"))
+                .cast("long")
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        med.select(*keys, "n", "med")
+        .join(mad.select(*keys, "mad"), keys)
+        .join(flags, keys)
+    )

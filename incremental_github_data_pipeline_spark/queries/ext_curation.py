@@ -1,0 +1,233 @@
+"""[EXT] Round-5 corpus-curation queries: URL/domain triage,
+deterministic weighted sampling, boilerplate-line detection, inverted
+index (`operators/text.py` round-5 section).
+
+No reference counterpart (`/root/reference` is GitHub-API ELT); these
+are the web-corpus curation primitives a 100 TB training-data pipeline
+runs between ingestion and dedup (SURVEY.md §2.10 capability classes).
+URL/boilerplate inputs are deterministic doc_id-derived enrichments of
+the ``documents`` table so BOTH engines rebuild identical inputs in
+closed form — the same oracle pattern as the media codecs and the PII
+audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incremental_github_data_pipeline_spark.operators import text as tx
+from incremental_github_data_pipeline_spark.queries import register
+from incremental_github_data_pipeline_spark.sources.readers import read_table as T
+
+
+def _with_urls(d: DataFrame) -> DataFrame:
+    """documents + two deterministic URLs per doc (one https with a
+    tracking param, one http on even thirds) — closed-form so DuckDB
+    recomputes the same text."""
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.col("text"),
+            F.lit(" https://sub"),
+            F.col("doc_id") % 7,
+            F.lit(".example"),
+            F.col("doc_id") % 5,
+            F.lit(".com/p/"),
+            F.col("doc_id"),
+            F.lit("?utm=x"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat_ws(
+                    "",
+                    F.lit(" http://cdn"),
+                    F.col("doc_id") % 5,
+                    F.lit(".example.net/a/"),
+                    F.col("doc_id") % 11,
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@register(
+    "q_url_domain_stats",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' https://sub' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example' || CAST(doc_id % 5 AS VARCHAR)
+                  || '.com/p/' || CAST(doc_id AS VARCHAR) || '?utm=x'
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' http://cdn' || CAST(doc_id % 5 AS VARCHAR)
+                               || '.example.net/a/'
+                               || CAST(doc_id % 11 AS VARCHAR)
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(text, 'https?://[^\\s]+'))
+               AS url
+      FROM aug
+    ),
+    n AS (
+      SELECT doc_id,
+             regexp_replace(url, '\\?.*$', '') AS url_norm,
+             regexp_extract(url, '^https?://([^/?\\s]+)', 1) AS domain,
+             CASE WHEN url LIKE 'https:%' THEN 1 ELSE 0 END AS is_https
+      FROM u
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_distinct_urls,
+           CAST(SUM(is_https) AS BIGINT) AS n_https
+    FROM n GROUP BY domain ORDER BY domain
+    """,
+    doc="Per-domain URL triage (operators.text.url_stats): extract "
+    "every URL, strip tracking query strings, key by host, aggregate "
+    "volume / doc reach / https share — the domain allow/deny-list "
+    "input of web-corpus curation. Scan-stage regexes + ONE aggregate "
+    "shuffle of extracted URLs only (never the text).",
+)
+def q_url_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
+    aug = _with_urls(T(spark, sf, "documents"))
+    return tx.url_stats(aug).orderBy("domain")
+
+
+@register(
+    "q_doc_weighted_sample",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             (doc_id * 2654435761) % 2147483648 AS hk
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, weight,
+           CAST(hk AS BIGINT) AS hk,
+           CAST(hk // weight AS BIGINT) AS priority
+    FROM p ORDER BY priority, doc_id LIMIT 100
+    """,
+    doc="Deterministic weighted sampling without replacement "
+    "(operators.text.weighted_sample_priority): keep the 100 smallest "
+    "knuth_hash(id) div weight priorities — the integer-exact analogue "
+    "of Efraimidis-Spirakis A-ExpJ keys, so heavier (longer) docs are "
+    "proportionally likelier yet the kept SET is bit-reproducible "
+    "across engines and runs. Compiles to TakeOrderedAndProject "
+    "(per-partition heaps), no global sort, no single-partition stage.",
+)
+def q_doc_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return tx.weighted_sample_priority(d, "doc_id", "n_chars", k=100)
+
+
+@register(
+    "q_doc_boilerplate_lines",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 10 <> 0
+                  THEN 'NAV ' || source || ' | ' ELSE '' END
+             || text
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' | PROMO ' || source ELSE '' END AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, source, UNNEST(string_split(text, ' | ')) AS line
+      FROM aug
+    ),
+    per_line AS (
+      SELECT source, line, COUNT(DISTINCT doc_id) AS n_docs_with
+      FROM lines WHERE LENGTH(TRIM(line)) > 0 GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM aug GROUP BY 1
+    )
+    SELECT p.source, p.line,
+           CAST(p.n_docs_with AS BIGINT) AS n_docs_with,
+           CAST(t.n_docs AS BIGINT) AS n_docs
+    FROM per_line p JOIN totals t ON p.source = t.source
+    WHERE p.n_docs_with * 100 >= 80 * t.n_docs
+    ORDER BY p.source, p.line
+    """,
+    doc="Boilerplate-line detection (operators.text.boilerplate_lines): "
+    "a line repeating across >=80% of one source's docs is template "
+    "chrome (nav/footer/banner), not content — the strip-before-"
+    "training curation step. Inputs enriched in closed form: a NAV "
+    "line on 90% of docs per source (flagged) and a PROMO line on 50% "
+    "(correctly NOT flagged). One (source,line) aggregate + broadcast "
+    "of the |sources|-row totals; integer cross-multiplied threshold.",
+)
+def q_doc_boilerplate_lines(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 10 != 0,
+                F.concat(F.lit("NAV "), F.col("source"), F.lit(" | ")),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(" | PROMO "), F.col("source")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return tx.boilerplate_lines(aug, min_pct=80).select(
+        "source", "line", "n_docs_with", "n_docs"
+    ).orderBy("source", "line")
+
+
+@register(
+    "q_doc_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(TRIM(text), '\\s+')) AS term
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    tf AS (
+      SELECT term, doc_id, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df, SUM(tf) AS total_tf
+      FROM tf GROUP BY 1
+    ),
+    top AS (
+      SELECT term, doc_id, tf,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id) AS rank
+      FROM tf
+    )
+    SELECT t.term, CAST(s.df AS BIGINT) AS df,
+           CAST(s.total_tf AS BIGINT) AS total_tf,
+           CAST(t.rank AS BIGINT) AS rank,
+           CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(t.tf AS BIGINT) AS tf
+    FROM top t JOIN stats s ON t.term = s.term
+    WHERE t.rank <= 2 AND s.df >= 2
+    ORDER BY t.term, t.rank
+    """,
+    doc="Inverted-index build (operators.text.inverted_index): per "
+    "term, document frequency, total tf, and the top-2 postings by "
+    "(tf desc, doc_id) — the search-index primitive and the posting "
+    "lists the AllPairs/containment dedups consume. Token explode -> "
+    "(term,doc) aggregate -> term window for the capped postings; "
+    "postings emit as bounded ROWS, not arrays.",
+)
+def q_doc_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    out = tx.inverted_index(d, top_docs=2, min_df=2)
+    return out.select(
+        "term",
+        "df",
+        "total_tf",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("tf").cast("long").alias("tf"),
+    ).orderBy("term", "rank")

@@ -466,3 +466,115 @@ def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "q_embedding_gram",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM embeddings, range(1, 9) t(i)
+    )
+    SELECT CAST(a.i AS INT) AS di, CAST(b.i AS INT) AS dj,
+           CAST(SUM(a.v * b.v) AS BIGINT) AS dot,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY a.i, b.i ORDER BY di, dj
+    """,
+    doc="Integer-exact Gram matrix over the first 8 embedding dims "
+    "(operators.similarity.gram_matrix): G[i,j] = sum floor(v*1000)_i "
+    "* floor(v*1000)_j — the X'X building block of PCA/whitening/"
+    "linear probes, on the integer lattice so it is bit-identical "
+    "across engines. ONE map-combined aggregate evaluates all 36 "
+    "upper-triangle sums in a single corpus pass (constant state, no "
+    "explode, no join); stack unpivots the 1-row result.",
+)
+def q_embedding_gram(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    return sim.gram_matrix(emb, dims=8, scale=1000).orderBy("di", "dj")
+
+
+@register(
+    "q_ann_recall",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (a, b) -> a + b)) AS nn,
+             embedding
+      FROM embeddings
+    ),
+    nv AS (
+      SELECT vec_id,
+             CASE WHEN nn > 0
+                  THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / nn)
+                  ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+      FROM nrm
+    ),
+    sc AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                  ELSE 0.0 END AS s
+      FROM nv
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(v, x -> greatest(-127, least(127, floor(x * s)))) AS q
+      FROM sc
+    ),
+    blocks AS (
+      SELECT vec_id, CAST((i - 1) // 8 AS INT) AS blk,
+             CAST(SUM(q[i]) AS BIGINT) AS s
+      FROM qv, range(1, 65) t(i) GROUP BY 1, 2
+    ),
+    pooled AS (
+      SELECT c.vec_id AS corpus_id, qq.vec_id AS query_id,
+             SUM(c.s * qq.s) AS dot_pooled
+      FROM blocks c JOIN blocks qq
+        ON c.blk = qq.blk AND qq.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT c.vec_id AS corpus_id, qq.vec_id AS query_id,
+             CAST(list_dot_product(c.q, qq.q) AS BIGINT) AS dot_exact
+      FROM qv c CROSS JOIN (SELECT * FROM qv
+                            WHERE vec_id < {N_QUERIES}) qq
+    ),
+    ranked AS (
+      SELECT e.query_id, e.corpus_id,
+             ROW_NUMBER() OVER (PARTITION BY e.query_id
+                                ORDER BY e.dot_exact DESC, e.corpus_id)
+               AS r_exact,
+             ROW_NUMBER() OVER (PARTITION BY e.query_id
+                                ORDER BY p.dot_pooled DESC, e.corpus_id)
+               AS r_pooled
+      FROM exact e JOIN pooled p
+        ON e.query_id = p.query_id AND e.corpus_id = p.corpus_id
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN r_exact <= 10 AND r_pooled <= 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           CAST(10 AS BIGINT) AS k
+    FROM ranked WHERE r_exact <= 10 OR r_pooled <= 10
+    GROUP BY query_id ORDER BY query_id
+    """,
+    doc="ANN recall evaluation harness (operators.similarity."
+    "pooled_ann_recall): recall@10 of a block-pooled 8x-compressed "
+    "scorer against the exact int8-quantized ranking. Both lanes are "
+    "integer lattices, so the per-query overlap COUNTS are engine-"
+    "exact — the eval an approximate index must pass before gating a "
+    "100 TB pipeline (an ANN path without a recall number is a "
+    "silent-data-loss risk).",
+)
+def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return sim.pooled_ann_recall(
+        corpus, queries, k=10, n_blocks=8
+    ).orderBy("query_id")

@@ -220,3 +220,107 @@ def q_ts_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_ts_ewma",
+    oracle="""
+    WITH RECURSIVE h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, hr, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY hr) AS BIGINT) AS i
+      FROM h
+    ),
+    r AS (
+      SELECT event_type, hr, i, cents, cents AS ewma FROM x WHERE i = 1
+      UNION ALL
+      SELECT x.event_type, x.hr, x.i, x.cents,
+             (3 * x.cents + 7 * r.ewma) // 10
+      FROM x JOIN r ON x.event_type = r.event_type AND x.i = r.i + 1
+    )
+    SELECT event_type, hr, CAST(cents AS BIGINT) AS cents,
+           CAST(ewma AS BIGINT) AS ewma
+    FROM r ORDER BY event_type, hr
+    """,
+    doc="Integer EWMA (operators.timeseries.ewma_integer): r0 = x0, "
+    "r' = (3x + 7r) div 10 — alpha = 0.3 smoothing with every step "
+    "integral, so the smoothed series is bit-identical in any engine "
+    "replaying the recurrence (the certifiable-iteration trick of "
+    "integer PageRank / the ADPCM decoder; the oracle replays it as a "
+    "recursive CTE). Sequential in time, parallel across keys: one "
+    "key shuffle + an Arrow-batched per-key fold over the hourly "
+    "pre-aggregate.",
+)
+def q_ts_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    out = ts_ops.ewma_integer(
+        _hourly(spark, sf), "event_type", "hr", "cents", num=3, den=10
+    )
+    return out.select("event_type", "hr", "cents", "ewma").orderBy(
+        "event_type", "hr"
+    )
+
+
+@register(
+    "q_ts_anomaly_mad",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    med AS (
+      SELECT event_type, cents AS med, CAST(n AS BIGINT) AS n
+      FROM m WHERE rn = (n + 1) // 2
+    ),
+    d AS (
+      SELECT h.event_type, ABS(h.cents - med.med) AS dev, med.med, med.n
+      FROM h JOIN med ON h.event_type = med.event_type
+    ),
+    dm AS (
+      SELECT event_type, dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type, dev AS mad FROM dm WHERE rn = (cnt + 1) // 2
+    )
+    SELECT d.event_type, d.n,
+           CAST(d.med AS BIGINT) AS med,
+           CAST(mad.mad AS BIGINT) AS mad,
+           CAST(SUM(CASE WHEN d.dev > 5 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY d.event_type, d.n, d.med, mad.mad
+    ORDER BY d.event_type
+    """,
+    doc="Median-absolute-deviation outliers (operators.timeseries."
+    "mad_outliers): med and MAD are LOWER medians — selections at "
+    "row_number (n+1) div 2, actual data values, integer-exact and "
+    "engine-portable where interpolated medians are not; outlier ⇔ "
+    "|x−med| > 5·MAD. Robust to the asymmetric spikes that wreck "
+    "mean/stddev z-scores (q_ts_zscore_outliers is the parametric "
+    "twin). Two key-window shuffles + broadcast stat joins.",
+)
+def q_ts_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
+    out = ts_ops.mad_outliers(_hourly(spark, sf), "event_type", "cents", k=5)
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "med",
+        "mad",
+        "n_outliers",
+    ).orderBy("event_type")

@@ -2346,3 +2346,48 @@ def q_equidepth_buckets(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_group_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT o_orderstatus, o_orderpriority, cnt,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cnt DESC, o_orderpriority) AS rk
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM r WHERE rk = 1 ORDER BY o_orderstatus
+    """,
+    doc="Exact per-group MODE with a deterministic tie-break (highest "
+    "count, then smallest value) — the categorical summary statistic "
+    "SQL's approx variants can't certify. Two-level aggregate: the "
+    "(group, value) counts shuffle once, the per-group argmax is a "
+    "window over the |groups x values| count frame — tiny relative to "
+    "the fact scan, so the expensive stage is the single map-combined "
+    "count aggregate.",
+)
+def q_group_mode(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -61,6 +61,13 @@ QUERIES = [
     "q_ts_zscore_outliers",
     # PQ ANN after the Arrow-encode change
     "q_embedding_pq_topk",
+    # round-5 operators: regex URL scan, posting-list build,
+    # boilerplate detection, sequential-per-key EWMA fold, Gram matrix
+    "q_url_domain_stats",
+    "q_doc_inverted_index",
+    "q_doc_boilerplate_lines",
+    "q_ts_ewma",
+    "q_embedding_gram",
     # NOT in the default sweep: q_doc_allpairs_join. Replication makes
     # every document a 10-way identical clique, so the EXACT join's
     # true-pair output explodes quadratically (2,878 pairs at 1x ->

@@ -543,6 +543,22 @@ def test_gif_lzw_kwkwk_and_dictionary_overflow():
     assert (mm.decode_gif(mm.encode_gif(idx, pal)) == pal[idx]).all()
 
 
+def test_gif_lzw_stream_ending_at_width_boundary():
+    # Regression (hypothesis, round 5): a stream whose LAST data code
+    # lands exactly where the dictionary fills the current width. The
+    # encoder's flush adds no dict entry, so an add-keyed decoder bump
+    # rule reads END one bit wide and dies with "truncated LZW
+    # stream"; the per-read (giflib) rule keeps both sides in step.
+    data = bytes([4, 4, 0, 2, 4, 3])  # mcs=3: next_code hits 15 at flush
+    assert mm._lzw_decompress(mm._lzw_compress(data, 3), 3) == data
+    # sweep every length over a no-repeat pattern so each width
+    # boundary is crossed at (and next to) the flush for several mcs
+    for mcs in (2, 3, 4):
+        for n in range(1, 120):
+            d = bytes((i * 7 + 3) % (1 << mcs) for i in range(n))
+            assert mm._lzw_decompress(mm._lzw_compress(d, mcs), mcs) == d
+
+
 def test_gif_rejects_and_skips_extensions():
     with pytest.raises(ValueError, match="not a GIF"):
         mm.decode_gif(b"PNG........")
