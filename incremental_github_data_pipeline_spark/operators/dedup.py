@@ -20,11 +20,7 @@ from pyspark.sql import types as T
 
 from incremental_github_data_pipeline_spark.functions.scalar import let_
 from incremental_github_data_pipeline_spark.operators.core import ensure_min_partitions
-from incremental_github_data_pipeline_spark.operators.text import (
-    ngrams,
-    shingles,
-    tokens,
-)
+from incremental_github_data_pipeline_spark.operators.text import shingles, tokens
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -807,11 +803,12 @@ def contained_docs(
     candidates; ``short_doc_lane=True`` (default) routes them through
     an EQUI-join instead of silently missing them: a doc with n < k
     tokens is contained in B iff its whole normalized text equals one
-    of B's token n-grams, so the lane explodes the containers'
-    1..k-1-grams once and joins on the text — the same fan-out order
-    as the main lane's shingle explode, no forced broadcast, no
-    nested-loop join (the r4 broadcast-scan version OOMed by design if
-    the sub-k tail was ever large; plan-asserted gone in
+    of B's token n-grams. Only gram lengths that actually occur among
+    the short docs explode (present lengths ride one bounded
+    collect_set row; containers fan out by row, not by token, before
+    the pruning equi-join), so the lane's cost tracks the short-doc
+    tail and is FREE when the tail is empty. No forced broadcast of
+    anything data-sized, no nested-loop join (plan-asserted in
     test_plans.py::test_heavy_doc_joins_no_forced_broadcast). Disable
     it when short docs were already filtered upstream.
 
@@ -880,33 +877,48 @@ def contained_docs(
     ).select("_ida", "_idb")
 
     if short_doc_lane:
-        # Equi-join lane (no forced broadcast, no nested-loop join —
-        # the r4 version broadcast the short set against every
-        # container, a scale hazard if the sub-k tail is ever large):
-        # a doc with n < k tokens is contained in B iff its WHOLE
-        # normalized text equals one of B's token n-grams, so explode
-        # the containers' 1..k-1-grams once and equi-join on the text.
-        # Fan-out is (k-1)·|tokens|, same order as the main lane's
-        # shingle explode, and AQE is free to broadcast the (usually
-        # tiny) short side or fall back to a shuffle join.
+        # Equi-join lane, OUTPUT-SENSITIVE in the short-doc tail: a doc
+        # with n < k tokens is contained in B iff its WHOLE normalized
+        # text equals one of B's token n-grams — but only gram lengths
+        # that actually occur among the short docs need exploding. The
+        # first r5 cut exploded every container's 1..k-1-grams
+        # unconditionally, a (k-1)x token fan-out paid even with ZERO
+        # short docs (BENCH r5: 2.25s -> 4.04s at sf0.1 on a corpus
+        # with no sub-k docs). Now: present lengths come from ONE
+        # global collect_set row (bounded by k-1 integers BY
+        # CONSTRUCTION, so its broadcast is scale-safe — the plan test
+        # recognizes global aggregates as bounded), containers fan out
+        # by ROW to candidate lengths (<= k-1 per row, pre-gram), the
+        # broadcast equi-join prunes to present lengths, and only then
+        # do grams explode. No short docs -> empty lens -> the lane
+        # costs nothing. No nested-loop join, no corpus-sized
+        # broadcast (the r4 version broadcast the short set against
+        # every container — OOM by design if the tail was ever large).
         shorts = base.filter((F.col("_nt") >= 1) & (F.col("_nt") < k)).select(
             F.col("_id").alias("_ida"), F.col("_norm").alias("_norma")
         )
-        short_grams = base.filter(F.col("_nt") >= 1).select(
+        lens = (
+            base.filter((F.col("_nt") >= 1) & (F.col("_nt") < k))
+            .agg(F.collect_set("_nt").alias("_lens"))
+            .select(F.explode("_lens").alias("_glen"))
+        )
+        cand = base.filter(F.col("_nt") >= 1).select(
             F.col("_id").alias("_idb"),
             F.col("_norm").alias("_normb"),
             F.explode(
-                F.array_distinct(
-                    F.flatten(
-                        F.array(
-                            *[
-                                ngrams(F.col("_norm"), n)
-                                for n in range(1, k)
-                            ]
-                        )
-                    )
-                )
-            ).alias("_g"),
+                F.sequence(F.lit(1), F.least(F.col("_nt"), F.lit(k - 1)))
+            ).alias("_glen"),
+        )
+        present = cand.join(F.broadcast(lens), "_glen")
+        t = F.split(F.col("_normb"), " ")
+        gram_arr = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.col("_glen") + 1),
+                lambda i: F.array_join(F.slice(t, i, F.col("_glen")), " "),
+            )
+        )
+        short_grams = present.select(
+            "_idb", "_normb", F.explode(gram_arr).alias("_g")
         )
         short_pairs = tie_rules(
             shorts.join(
