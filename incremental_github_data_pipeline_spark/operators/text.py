@@ -1353,3 +1353,98 @@ def inverted_index(
         .filter(F.col("df") >= min_df)
         .select("term", "df", "total_tf", "rank", id_col, "tf")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning + RAG-shape chunking (round 5)
+# ---------------------------------------------------------------------------
+
+_BPE_SEP = "\x1f"  # unit separator: cannot occur in whitespace tokens
+
+
+def learn_bpe_merges(df, text_col: str = "text", n_merges: int = 4):
+    """Learn the first ``n_merges`` BPE merges from a corpus — the
+    tokenizer-TRAINING primitive (Sennrich et al. 2016: iterate
+    "count adjacent symbol pairs over the word-frequency table, merge
+    the most frequent"). Returns ``(step, pa, pb, cnt)`` rows, one per
+    learned merge, with a deterministic tie-break (count desc, then
+    pair lexicographic) so the merge table is bit-identical in any
+    engine replaying the same recurrence.
+
+    Scale shape — the corpus is scanned ONCE: the word-frequency
+    aggregate reduces 100 TB of text to a vocabulary-sized table
+    (checkpointed), and every round after that runs on the vocabulary
+    only — one pair-count aggregate shuffle plus a 1-row argmax
+    collect per round (bounded driver state, the PageRank-convergence
+    discipline). Words are kept as a ``\\x1f``-delimited symbol string
+    and each merge applies as a per-row string FOLD (``F.aggregate``)
+    whose left-to-right look-back exactly reproduces BPE's greedy
+    non-overlapping scan ("aaa" + merge (a,a) -> ["aa","a"], never
+    ["aa","aa"]); the leading separator in the end-anchor test keeps a
+    merged token from chain-merging within the same round. No
+    reference counterpart ([EXT], SURVEY.md §2.10).
+    """
+    sep = _BPE_SEP
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.lit(sep),
+                F.regexp_replace(F.col("word"), "(.)", "$1" + sep),
+            ).alias("seq"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        arr = F.filter(F.split(F.col("seq"), sep), lambda x: x != F.lit(""))
+        pairs_col = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("pa"),
+                    F.element_at(arr, i + 1).alias("pb"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pa:string,pb:string>>"))
+        top = (
+            words.select("freq", F.explode(pairs_col).alias("_pr"))
+            .groupBy(F.col("_pr.pa").alias("pa"), F.col("_pr.pb").alias("pb"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pa", "pb")
+            .limit(1)
+            .collect()  # ONE row: bounded driver state by construction
+        )
+        if not top:
+            break
+        pa, pb, cnt = top[0].pa, top[0].pb, int(top[0].cnt)
+        merges.append((step, pa, pb, cnt))
+        anchor, merged = sep + pa + sep, pa + pb + sep
+        fold = F.aggregate(
+            F.filter(F.split(F.col("seq"), sep), lambda x: x != F.lit("")),
+            F.lit(sep),
+            lambda acc, x: F.when(
+                (x == F.lit(pb)) & F.endswith(acc, F.lit(anchor)),
+                F.concat(
+                    F.substr(
+                        acc, F.lit(1), F.length(acc) - F.lit(len(pa) + 1)
+                    ),
+                    F.lit(merged),
+                ),
+            ).otherwise(F.concat(acc, x, F.lit(sep))),
+        )
+        words = words.select(fold.alias("seq"), "freq").localCheckpoint(
+            eager=True
+        )
+    return df.sparkSession.createDataFrame(
+        merges, "step BIGINT, pa STRING, pb STRING, cnt BIGINT"
+    )
+
+
+# (document chunking already exists above: chunk_documents /
+# make_chunk_udtf, certified by q_doc_chunks in queries/ext_text.py)

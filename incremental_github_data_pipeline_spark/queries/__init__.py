@@ -90,6 +90,7 @@ _CERTIFY_FIRST = [
     "q_ts_ewma",
     "q_ts_anomaly_mad",
     "q_group_mode",
+    "q_bpe_merges",
     # -- backfill: re-certify stable pillars on current testdata --
     # (testdata regenerates between rounds; oldest greens refresh
     # first.)

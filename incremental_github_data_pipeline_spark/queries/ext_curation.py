@@ -231,3 +231,76 @@ def q_doc_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.col("tf").cast("long").alias("tf"),
     ).orderBy("term", "rank")
+
+
+def _bpe_oracle(n: int = 4) -> str:
+    """Unrolled n-round BPE replay: per round, a pair-count aggregate,
+    a deterministic argmax, and the SAME left-to-right string fold the
+    Spark operator runs (list_reduce with the sep-anchored look-back),
+    so every learned merge is re-derived from scratch in SQL."""
+    parts = [
+        r"""
+    WITH words AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x != '')) AS word
+        FROM documents WHERE length(trim(text)) > 0
+      ) GROUP BY word
+    ),
+    w0 AS (
+      SELECT chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g')
+               AS seq, freq
+      FROM words
+    )"""
+    ]
+    for r in range(n):
+        parts.append(
+            f""",
+    p{r} AS (
+      SELECT l[i] AS pa, l[i+1] AS pb, SUM(freq) AS cnt
+      FROM (SELECT list_filter(string_split(seq, chr(31)), x -> x != '')
+              AS l, freq FROM w{r}),
+           UNNEST(range(1, len(l))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT pa, pb, cnt FROM p{r}
+             ORDER BY cnt DESC, pa, pb LIMIT 1),
+    w{r + 1} AS (
+      SELECT list_reduce(
+               list_prepend(chr(31),
+                 list_filter(string_split(seq, chr(31)), x -> x != '')),
+               (acc, x) -> CASE
+                 WHEN x = pb AND ends_with(acc, chr(31) || pa || chr(31))
+                 THEN substr(acc, 1, length(acc) - length(pa) - 1)
+                      || pa || pb || chr(31)
+                 ELSE acc || x || chr(31) END
+             ) AS seq, freq
+      FROM w{r}, b{r}
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS step, pa, pb, "
+        f"CAST(cnt AS BIGINT) AS cnt FROM b{r}"
+        for r in range(n)
+    )
+    parts.append(f"\n    SELECT * FROM ({union}) ORDER BY step")
+    return "".join(parts)
+
+
+@register(
+    "q_bpe_merges",
+    oracle=_bpe_oracle(4),
+    doc="BPE merge LEARNING (operators.text.learn_bpe_merges) — the "
+    "tokenizer-training primitive: four rounds of 'count adjacent "
+    "symbol pairs over the word-frequency vocabulary, merge the most "
+    "frequent', deterministic tie-break. The corpus is scanned ONCE "
+    "(word-frequency aggregate, checkpointed); each round is one "
+    "vocabulary-sized pair-count shuffle plus a 1-row argmax collect "
+    "(bounded driver state, the PageRank-iteration discipline). The "
+    "oracle re-derives all four merges from scratch: the same "
+    "greedy-scan fold runs as a DuckDB list_reduce, so a single wrong "
+    "merge application anywhere breaks every later round's counts.",
+)
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return tx.learn_bpe_merges(d, n_merges=4).orderBy("step")

@@ -132,3 +132,26 @@ def test_mad_outliers_lower_median_and_flags(spark):
     )
     [r] = ts.mad_outliers(df, "k", "x", k=5).collect()
     assert (r["n"], r["med"], r["mad"], r["n_outliers"]) == (5, 12, 2, 1)
+
+
+def test_learn_bpe_merges_greedy_scan_and_tiebreak(spark):
+    # aaab x3 + aab x2 + ba x1: round 1 must pick (a,a) with count 8
+    # (aaab contributes TWO overlapping (a,a) pairs x3), round 2 ties
+    # (aa,a)=3 vs (a,b)=3 -> lexicographic pa picks (a,b), round 3 is
+    # (aa,ab)=3 — each round exercises the greedy NON-overlapping fold
+    # ("aaa" merges to [aa, a], never [aa, aa]).
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab aab aab ba")], "doc_id long, text string"
+    )
+    rows = tx.learn_bpe_merges(df, n_merges=3).orderBy("step").collect()
+    assert [(r.step, r.pa, r.pb, r.cnt) for r in rows] == [
+        (1, "a", "a", 8),
+        (2, "a", "b", 3),
+        (3, "aa", "ab", 3),
+    ]
+
+
+def test_learn_bpe_merges_stops_when_dry(spark):
+    # single-char words: no adjacent pairs ever, zero merges learned
+    df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    assert tx.learn_bpe_merges(df, n_merges=4).count() == 0
