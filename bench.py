@@ -94,6 +94,10 @@ BENCH_QUERIES = [
     "q_url_domain_stats",
     "q_doc_inverted_index",
     "q_ts_ewma",
+    # iterative driver-coupled shape: 4 BPE rounds over the vocabulary
+    # (the work happens inside fn() — collect-per-round — so the timed
+    # region covers the whole training loop)
+    "q_bpe_merges",
 ]
 
 

@@ -1448,3 +1448,52 @@ def learn_bpe_merges(df, text_col: str = "text", n_merges: int = 4):
 
 # (document chunking already exists above: chunk_documents /
 # make_chunk_udtf, certified by q_doc_chunks in queries/ext_text.py)
+
+
+def negative_samples(
+    df,
+    id_col: str = "doc_id",
+    k: int = 4,
+    n_buckets: int = 1024,
+    anchors=None,
+):
+    """Deterministic contrastive negative sampling — K pseudo-random
+    corpus negatives per anchor, the pair-construction primitive of
+    embedding/contrastive training. A hash RING replaces an RNG: every
+    doc lands in ``knuth_hash(id) mod n_buckets``, each bucket elects
+    one representative (min (hash, id) — deterministic), and anchor A
+    draws its j-th negative from bucket ``(bucket(A) + j) mod
+    n_buckets``. Self-pairs are filtered; the sample is bit-reproducible
+    in any engine (the same integer-hash portability trick as
+    ``sample_stratified`` / ``weighted_sample_priority``).
+
+    Scale shape: ONE corpus aggregate reduces to the n_buckets-row
+    representative table (bounded BY PARAMETER, so its broadcast is
+    scale-safe); anchors fan out k ways map-side and equi-join the
+    broadcast ring. The corpus never shuffles; anchors never shuffle.
+    Returns ``(id, neg_rank, neg_id)``.
+    """
+    anchors = df if anchors is None else anchors
+    hk = lambda c: (c * F.lit(2654435761)) % F.lit(2147483648)  # noqa: E731
+    c = F.col(id_col)
+    w = Window.partitionBy("_bucket").orderBy("_hk", "_rep")
+    ring = (
+        df.select(
+            c.alias("_rep"),
+            hk(c).alias("_hk"),
+            (hk(c) % n_buckets).alias("_bucket"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_bucket", "_rep")
+    )
+    fan = anchors.select(
+        c.alias(id_col),
+        (hk(c) % n_buckets).alias("_ab"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank"),
+    ).withColumn("_bucket", (F.col("_ab") + F.col("neg_rank")) % n_buckets)
+    return (
+        fan.join(F.broadcast(ring), "_bucket")
+        .filter(F.col("_rep") != c)
+        .select(id_col, F.col("neg_rank").cast("long"), F.col("_rep").alias("neg_id"))
+    )

@@ -304,3 +304,47 @@ def _bpe_oracle(n: int = 4) -> str:
 def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
     return tx.learn_bpe_merges(d, n_merges=4).orderBy("step")
+
+
+@register(
+    "q_doc_negatives",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, (doc_id * 2654435761) % 2147483648 AS hk,
+             ((doc_id * 2654435761) % 2147483648) % 1024 AS bucket
+      FROM documents
+    ),
+    ring AS (
+      SELECT bucket, doc_id AS rep FROM (
+        SELECT bucket, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY bucket
+                                  ORDER BY hk, doc_id) AS rn
+        FROM h) WHERE rn = 1
+    ),
+    fan AS (
+      SELECT h.doc_id, j.j AS neg_rank, (h.bucket + j.j) % 1024 AS nb
+      FROM h, UNNEST(range(1, 5)) AS j(j)
+      WHERE h.doc_id < 64
+    )
+    SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
+           CAST(f.neg_rank AS BIGINT) AS neg_rank,
+           CAST(r.rep AS BIGINT) AS neg_id
+    FROM fan f JOIN ring r ON f.nb = r.bucket
+    WHERE r.rep != f.doc_id
+    ORDER BY doc_id, neg_rank
+    """,
+    doc="Deterministic contrastive negative sampling "
+    "(operators.text.negative_samples): a Knuth-hash RING replaces the "
+    "RNG — every doc lands in a bucket, buckets elect min-(hash,id) "
+    "representatives, anchor A draws negative j from bucket(A)+j. One "
+    "corpus aggregate builds the parameter-bounded ring (1024 rows, "
+    "broadcast scale-safe BY PARAMETER); anchors fan out k ways "
+    "map-side — corpus and anchors never shuffle. Bit-reproducible "
+    "sample, so the oracle replays the identical integer arithmetic.",
+)
+def q_doc_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    anchors = d.filter(F.col("doc_id") < 64)
+    return tx.negative_samples(d, k=4, n_buckets=1024, anchors=anchors).orderBy(
+        "doc_id", "neg_rank"
+    )

@@ -68,6 +68,9 @@ QUERIES = [
     "q_doc_boilerplate_lines",
     "q_ts_ewma",
     "q_embedding_gram",
+    # BPE: rounds run on the VOCABULARY (replicas multiply word freqs,
+    # not word types), so per-round cost should stay ~flat with N
+    "q_bpe_merges",
     # NOT in the default sweep: q_doc_allpairs_join. Replication makes
     # every document a 10-way identical clique, so the EXACT join's
     # true-pair output explodes quadratically (2,878 pairs at 1x ->
