@@ -349,25 +349,36 @@ def read_version(
     if skip is not None:
         col, lo, hi = skip
 
-        def survives(f: str) -> bool:
-            # stats keys are per-PART-file URIs under the data dir;
-            # strip the scheme before matching the manifest path.
+        def part_survives(bounds) -> bool:
             # A [null, null] bound (column entirely NULL in that part)
             # carries no range information — treat it as no stats, so
-            # the file is conservatively kept, never a TypeError.
-            bounds = [
-                b[col]
-                for p, b in stats.items()
-                if p.removeprefix("file://").startswith(f) and col in b
-            ]
-            bounds = [b for b in bounds if b[0] is not None and b[1] is not None]
-            if not bounds:
-                return True  # no usable stats → cannot skip
-            fmin = min(b[0] for b in bounds)
-            fmax = max(b[1] for b in bounds)
-            return (lo is None or fmax >= lo) and (hi is None or fmin <= hi)
+            # the part is conservatively kept, never a TypeError.
+            if bounds[0] is None or bounds[1] is None:
+                return True
+            return (lo is None or bounds[1] >= lo) and (
+                hi is None or bounds[0] <= hi
+            )
 
-        pruned = [f for f in files if survives(f)]
+        # Prune at PART-file granularity: stats keys are per-part URIs
+        # (input_file_name), so a compacted single-dir table whose
+        # parts were range-clustered still skips — dir-level pruning
+        # would aggregate the dir's bounds back to the full range and
+        # read everything. Dirs with no recorded stats are kept whole.
+        pruned = []
+        for f in files:
+            parts = [
+                (p, b)
+                for p, b in stats.items()
+                if p.removeprefix("file://").startswith(f)
+            ]
+            if not parts:
+                pruned.append(f)  # no usable stats → cannot skip
+                continue
+            pruned.extend(
+                p
+                for p, b in parts
+                if col not in b or part_survives(b[col])
+            )
         if not pruned:
             # schema-stable empty result: route through the same
             # projection as non-empty reads, or a post-evolution empty
@@ -597,4 +608,55 @@ def diff_versions(
         j.withColumn("status", status)
         .filter(F.col("status").isNotNull())
         .select(*key_cols, "status")
+    )
+
+
+def compact(
+    spark: SparkSession,
+    root: str | Path,
+    target_partitions: int = 1,
+    cluster_cols: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE for versioned tables: rewrite the CURRENT version's
+    many small files (the debris of zero-rewrite appends — one data
+    dir per commit) into ``target_partitions`` files and commit the
+    result as a new version. Logically a no-op: content is identical,
+    older versions stay time-travelable, and :func:`vacuum` reclaims
+    the small files once they fall out of retention.
+
+    ``cluster_cols`` range-partitions and sorts the rewrite on those
+    columns, so the recomputed per-file min/max stats (``stats_cols``,
+    defaulting to the cluster columns) become TIGHT and
+    :func:`read_version`'s file skipping starts pruning — compaction
+    is where clustering pays for itself. Multi-dimensional layouts can
+    pre-compose ``sources.writers.write_zordered`` instead.
+
+    Concurrency: the commit pins ``expected_version`` to the version
+    that was read, so an append landing mid-compaction raises
+    ``CommitConflict`` instead of being silently dropped by the
+    overwrite — retry on the new tip. (Real OPTIMIZE sizes bins by
+    bytes; partition count is the right knob at this scale and keeps
+    the rewrite one deterministic exchange.)
+    """
+    root = Path(root)
+    cur = latest_version(root)
+    if cur is None:
+        raise ValueError("cannot compact an empty table")
+    from pyspark.sql import functions as F
+
+    df = read_version(spark, root, version=cur)
+    if cluster_cols:
+        df = df.repartitionByRange(
+            target_partitions, *[F.col(c) for c in cluster_cols]
+        ).sortWithinPartitions(*cluster_cols)
+        stats_cols = stats_cols or cluster_cols
+    else:
+        df = df.repartition(target_partitions)
+    return commit_version(
+        df,
+        root,
+        mode="overwrite",
+        stats_cols=stats_cols,
+        expected_version=cur,
     )

@@ -155,3 +155,28 @@ def test_learn_bpe_merges_stops_when_dry(spark):
     # single-char words: no adjacent pairs ever, zero merges learned
     df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
     assert tx.learn_bpe_merges(df, n_merges=4).count() == 0
+
+
+def test_negative_samples_ring_determinism_and_no_self(spark):
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(40)], "doc_id long, text string"
+    )
+    anchors = df.filter(F.col("doc_id") < 8)
+    out = tx.negative_samples(
+        df, k=3, n_buckets=16, anchors=anchors
+    ).collect()
+    # deterministic: a second run returns the identical sample
+    again = tx.negative_samples(
+        df, k=3, n_buckets=16, anchors=anchors
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    for r in out:
+        assert r.neg_id != r.doc_id          # no self-pairs
+        assert 1 <= r.neg_rank <= 3
+    # every anchor draws at most k negatives (self-bucket collisions
+    # may drop one), and at least one anchor draws a full set
+    per = {}
+    for r in out:
+        per.setdefault(r.doc_id, set()).add(r.neg_rank)
+    assert all(len(v) <= 3 for v in per.values())
+    assert any(len(v) == 3 for v in per.values())

@@ -363,3 +363,76 @@ def test_diff_versions_sees_evolved_columns(spark, tmp_path):
         for r in diff_versions(spark, root, 2, 1, ["id"]).collect()
     }
     assert back == {(1, "changed")}
+
+
+def test_compact_preserves_content_and_shrinks_files(spark, tmp_path):
+    """OPTIMIZE: 6 append-debris data dirs rewrite into one; content
+    identical, old version still time-travelable, vacuum then reclaims
+    the small files without touching the compacted version."""
+    from incremental_github_data_pipeline_spark.sources.versioned import compact
+
+    root = tmp_path / "t"
+    for i in range(6):
+        commit_version(_df(spark, [(i, f"v{i}")]), root, mode="append")
+    before = {(r["id"], r["val"]) for r in read_version(spark, root).collect()}
+    v = compact(spark, root, target_partitions=1)
+    assert v == 7 and latest_version(root) == 7
+    m = history(root)[-1]
+    assert len(m["files"]) == 1  # 6 data dirs -> 1
+    after = {(r["id"], r["val"]) for r in read_version(spark, root).collect()}
+    assert after == before  # logical no-op
+    assert read_version(spark, root, 3).count() == 3  # time travel intact
+    vacuum(root, keep=1)
+    assert {(r["id"], r["val"]) for r in read_version(spark, root).collect()} == before
+
+
+def test_compact_clustering_enables_file_skipping(spark, tmp_path):
+    """cluster_cols makes per-file bounds tight: after compacting into
+    3 range-partitioned files, a point predicate reads 1 file."""
+    from incremental_github_data_pipeline_spark.sources import versioned
+
+    root = tmp_path / "t"
+    rows = [(i, f"v{i}") for i in range(90)]
+    import random
+
+    rng = random.Random(7)
+    rng.shuffle(rows)
+    for part in (rows[:30], rows[30:60], rows[60:]):
+        commit_version(_df(spark, part), root, mode="append")
+    versioned.compact(
+        spark, root, target_partitions=3, cluster_cols=["id"]
+    )
+    m = history(root)[-1]
+    assert len(m["files"]) == 1  # 3 append dirs -> 1 compacted dir
+    assert len(m["stats"]) == 3  # ...holding 3 range-clustered parts
+    hit = versioned.read_version(spark, root, skip=("id", 5, 5))
+    assert {r["id"] for r in hit.collect()} == {5}
+    # skipping proof: the pruned read touches ONE of the three parts
+    assert len(hit.inputFiles()) == 1
+
+
+def test_compact_conflicts_with_concurrent_append(spark, tmp_path):
+    """An append landing between read and commit must raise
+    CommitConflict, not be dropped by the overwrite."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        CommitConflict,
+        compact,
+    )
+
+    root = tmp_path / "t"
+    commit_version(_df(spark, [(1, "a")]), root, mode="append")
+    commit_version(_df(spark, [(2, "b")]), root, mode="append")
+
+    from incremental_github_data_pipeline_spark.sources import versioned as V
+    real_read = V.read_version
+
+    def racing_read(spark_, root_, version=None, skip=None):
+        out = real_read(spark_, root_, version=version, skip=skip)
+        commit_version(_df(spark_, [(3, "c")]), root_, mode="append")
+        return out
+
+    import unittest.mock as mock
+    with mock.patch.object(V, "read_version", side_effect=racing_read):
+        with pytest.raises(CommitConflict):
+            V.compact(spark, root)
+    assert read_version(spark, root).count() == 3  # append survived
