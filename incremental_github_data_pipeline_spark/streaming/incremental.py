@@ -741,3 +741,113 @@ def run_incremental_text_ingest(
         .start()
         .awaitTermination()
     )
+
+
+def run_incremental_ann_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    table_root: str,
+    model_path: str,
+    checkpoint: str,
+    m_sub: int = 8,
+    ksub: int = 16,
+) -> None:
+    """Incremental ANN index maintenance: watch a directory of JSONL
+    embedding shards (``{"vec_id": ..., "embedding": [...]}``), PQ-
+    encode each micro-batch, and append the 64x-compressed
+    reconstructions to a manifest-versioned table — the
+    index-new-crawl-increments-without-retraining lifecycle a 100 TB
+    ANN deployment needs. The FIRST batch trains the codebooks and
+    persists them (`operators.similarity.save_pq_codebooks`); every
+    later batch loads the SAME model artifact, so codes stay mutually
+    comparable across increments (retraining per batch would silently
+    break ADC score comparability — the classic drifting-index bug).
+
+    Encode is the Arrow map-side path (no shuffle; vectors never leave
+    the task that read them); exactly-once is checkpoint + idempotent
+    commit (``txn_id = ann-ingest:<checkpoint>:<batch_id>``), the same
+    contract as :func:`run_incremental_text_ingest`. Search the
+    result with :func:`ann_search_versioned`."""
+    from incremental_github_data_pipeline_spark.operators.similarity import (
+        load_pq_codebooks,
+        pq_encode_arrow,
+        pq_train,
+        save_pq_codebooks,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+    )
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("pathGlobFilter", "*.jsonl")
+        .json(src_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if Path(model_path).exists():
+            codebooks = load_pq_codebooks(spark, model_path)
+        else:
+            codebooks = pq_train(
+                batch_df, "embedding", "vec_id", m_sub=m_sub, ksub=ksub
+            )
+            save_pq_codebooks(spark, codebooks, model_path)
+        enc = pq_encode_arrow(batch_df, "embedding", "vec_id", codebooks)
+        commit_version(
+            enc,
+            table_root,
+            mode="append",
+            txn_id=f"ann-ingest:{checkpoint}:{batch_id}",
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def ann_search_versioned(
+    spark: SparkSession,
+    table_root: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """ADC top-k over a :func:`run_incremental_ann_ingest` table: the
+    stored reconstructions stream (corpus never shuffles), queries
+    broadcast, ranking key = dot(normalized query, reconstruction)
+    with the corpus-id tie-break — the same scoring lane as
+    ``pq_topk``, so results are bit-identical to encoding the full
+    corpus in one shot with the same codebooks. ``version`` time-
+    travels the search to an earlier index state."""
+    from incremental_github_data_pipeline_spark.operators.similarity import (
+        l2_normalize,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        read_version,
+    )
+
+    enc = read_version(spark, table_root, version=version)
+    qn = queries.select(F.col(query_id), l2_normalize(vec_col).alias("_qv"))
+    scored = enc.crossJoin(F.broadcast(qn)).select(
+        query_id,
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("_recon"), F.col("_qv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adc_score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("adc_score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id, "rank")
+    )

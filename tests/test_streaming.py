@@ -516,3 +516,85 @@ def test_incremental_text_ingest_exactly_once(spark, tmp_path):
     assert read_version(spark, root).count() == 3
     # the first ingest state is still time-travelable
     assert read_version(spark, root, 1).count() == 2
+
+
+def test_incremental_ann_ingest_trains_once_and_matches_batch(spark, tmp_path):
+    """Two-shard ANN ingest: shard 1 trains + persists the codebooks,
+    shard 2 encodes with the SAME model (no retrain — codes stay
+    comparable), each batch is one versioned commit, replay is a no-op,
+    and searching the incremental table is bit-identical to one-shot
+    pq_topk over the full corpus with the loaded codebooks."""
+    import json as _json
+
+    from incremental_github_data_pipeline_spark.operators.similarity import (
+        load_pq_codebooks,
+        pq_topk,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        history,
+        latest_version,
+        read_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        ann_search_versioned,
+        run_incremental_ann_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "table")
+    model = str(tmp_path / "model")
+    ckpt = str(tmp_path / "ckpt")
+
+    def vec(i, n=16):
+        return [((i * 7 + d * 13) % 29) / 29.0 + 0.05 for d in range(n)]
+
+    def shard(name, ids):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps({"vec_id": i, "embedding": vec(i)}) for i in ids
+            )
+        )
+
+    shard("a.jsonl", range(0, 40))
+    run_incremental_ann_ingest(
+        spark, str(src), root, model, ckpt, m_sub=4, ksub=8
+    )
+    assert latest_version(root) == 1
+    mtime = sorted(p.name for p in (tmp_path / "model").glob("*.parquet"))
+
+    shard("b.jsonl", range(40, 80))
+    run_incremental_ann_ingest(
+        spark, str(src), root, model, ckpt, m_sub=4, ksub=8
+    )
+    assert latest_version(root) == 2
+    assert read_version(spark, root).count() == 80
+    # model NOT retrained on the second batch
+    assert sorted(p.name for p in (tmp_path / "model").glob("*.parquet")) == mtime
+
+    # replay with no new shards: no new version
+    run_incremental_ann_ingest(
+        spark, str(src), root, model, ckpt, m_sub=4, ksub=8
+    )
+    assert latest_version(root) == 2
+
+    # incremental search == one-shot batch encode with the same model
+    queries = spark.createDataFrame(
+        [(i, vec(i)) for i in (3, 41, 77)], "query_id long, embedding array<double>"
+    )
+    inc = [
+        (r["query_id"], r["rank"], r["vec_id"], round(r["adc_score"], 12))
+        for r in ann_search_versioned(spark, root, queries, k=5).collect()
+    ]
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(80)], "vec_id long, embedding array<double>"
+    )
+    cbs = load_pq_codebooks(spark, model)
+    ref = [
+        (r["query_id"], r["rank"], r["vec_id"], round(r["adc_score"], 12))
+        for r in pq_topk(
+            corpus, queries, corpus_id="vec_id", k=5,
+            m_sub=4, ksub=8, codebooks=cbs,
+        ).collect()
+    ]
+    assert inc == ref
