@@ -1342,11 +1342,29 @@ def inverted_index(
         F.countDistinct(id_col).alias("df"),
         F.sum("tf").alias("total_tf"),
     )
+    # Two-phase top-k: a Zipf-heavy term (stopwords hit ~every doc)
+    # would push a corpus-sized posting list through ONE task under a
+    # plain per-term window. Salting first bounds any task to its
+    # salt's share, then the term-level window ranks at most
+    # 16·top_docs survivors per term — skew-immune for one extra
+    # bounded shuffle, identical output (both phases share the
+    # deterministic (tf desc, id) order).
+    n_salt = 16
+    w_local = Window.partitionBy("term", "_salt").orderBy(
+        F.col("tf").desc(), F.col(id_col)
+    )
     w = Window.partitionBy("term").orderBy(
         F.col("tf").desc(), F.col(id_col)
     )
-    top = tf.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= top_docs
+    top = (
+        tf.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+        )
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= top_docs)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_docs)
+        .drop("_salt", "_lrn")
     )
     return (
         top.join(stats, "term")
