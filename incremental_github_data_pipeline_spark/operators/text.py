@@ -1494,16 +1494,22 @@ def negative_samples(
     anchors = df if anchors is None else anchors
     hk = lambda c: (c * F.lit(2654435761)) % F.lit(2147483648)  # noqa: E731
     c = F.col(id_col)
-    w = Window.partitionBy("_bucket").orderBy("_hk", "_rep")
+    # representative election is a map-combinable min_by AGGREGATE, not
+    # a per-bucket window: each of the n_buckets partitions holds
+    # corpus/n_buckets rows, and a window would sort every one of them
+    # in a single task — the aggregate keeps partial minima map-side.
+    # (hk, id) pairs are distinct per id, so the min is unique and the
+    # election deterministic in any engine.
     ring = (
         df.select(
             c.alias("_rep"),
             hk(c).alias("_hk"),
             (hk(c) % n_buckets).alias("_bucket"),
         )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("_bucket", "_rep")
+        .groupBy("_bucket")
+        .agg(
+            F.min_by("_rep", F.struct("_hk", "_rep")).alias("_rep")
+        )
     )
     fan = anchors.select(
         c.alias(id_col),
