@@ -737,13 +737,18 @@ def dedup_against_corpus(
     identical text shares every gram). Returns the surviving rows of
     ``new_df``.
 
-    Scale shape — the corpus NEVER shuffles: the incoming batch is the
-    small side (that's what incremental means), so its distinct gram
-    set broadcasts; the 100 TB corpus is scanned map-side, each row
-    checked against the broadcast set, and only grams that actually
-    collide (⊆ the batch's gram set, so also broadcastable) flow back
-    to flag batch docs. Rerunning is idempotent: survivors re-checked
-    against the same corpus survive again.
+    Scale shape — the corpus never shuffles its ROWS: the incoming
+    batch is normally the small side (that's what incremental means),
+    so AQE broadcasts its distinct gram set and the corpus is scanned
+    map-side; only grams that actually collide (⊆ the batch's gram
+    set) flow back to flag batch docs. The broadcasts are AQE-CHOSEN,
+    not hint-forced: a batch too big to broadcast (a 100 GB crawl
+    increment against a 100 TB corpus) degrades to a gram equi-join —
+    the corpus shuffles 16-byte-ish gram keys once instead of the
+    driver dying building an over-budget broadcast table (observed at
+    the 100x scale sweep when the hint was forced). Rerunning is
+    idempotent: survivors re-checked against the same corpus survive
+    again.
     """
     # Materialize the batch grams once: three consumers below (gram set,
     # flag join, and the broadcast build) would otherwise each re-run
@@ -760,11 +765,11 @@ def dedup_against_corpus(
         corpus_df.select(
             F.explode(F.array_distinct(shingles(text_col, k))).alias("_sh")
         )
-        .join(F.broadcast(new_gram_set), "_sh", "left_semi")
+        .join(new_gram_set, "_sh", "left_semi")
         .distinct()
     )
     flagged = (
-        new_grams.join(F.broadcast(collided), "_sh", "left_semi")
+        new_grams.join(collided, "_sh", "left_semi")
         .select(F.col("_nid").alias(id_col))
         .distinct()
     )

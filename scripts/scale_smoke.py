@@ -120,10 +120,15 @@ def main() -> None:
         if only and name not in only:
             continue
         fn = registry[name].fn
-        fn(spark, str(out_dir)).count()  # warm-up
-        t0 = time.time()
-        rows = fn(spark, str(out_dir)).count()
-        timings[name] = {"sec": round(time.time() - t0, 2), "rows": rows}
+        try:
+            fn(spark, str(out_dir)).count()  # warm-up
+            t0 = time.time()
+            rows = fn(spark, str(out_dir)).count()
+            timings[name] = {"sec": round(time.time() - t0, 2), "rows": rows}
+        except Exception as e:  # record and continue: one blow-up must
+            # not erase the whole sweep's evidence
+            timings[name] = {"error": str(e).split("\n")[0][:200]}
+        print(f"# {name}: {timings[name]}", file=sys.stderr)
     if not only or "cc_distributed" in only:
         timings["cc_distributed"] = cc_distributed_case(spark, str(out_dir))
     print(json.dumps({"replicas": n, "queries": timings}))
