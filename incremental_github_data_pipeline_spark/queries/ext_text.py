@@ -1592,8 +1592,12 @@ def q_doc_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("_m", F.lit(True))
         .withColumnRenamed("text", "_ctext")
     )
+    # AQE-sized, not hint-forced: member is corpus-derived, and a
+    # forced broadcast of a growing side is exactly the 100x-sweep
+    # failure mode (see dedup_against_corpus) — at sf it broadcasts
+    # anyway, at scale it degrades to a shuffle join
     joined = flagged.join(
-        F.broadcast(member), flagged["text"] == member["_ctext"], "left"
+        member, flagged["text"] == member["_ctext"], "left"
     ).select(
         "doc_id",
         "bloom_maybe",

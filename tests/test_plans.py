@@ -255,7 +255,15 @@ def test_equidepth_no_single_partition_stage(spark, registry):
 
 
 @pytest.mark.parametrize(
-    "name", ["q_doc_allpairs_join", "q_doc_minhash_join", "q_doc_contained"]
+    "name",
+    [
+        "q_doc_allpairs_join",
+        "q_doc_minhash_join",
+        "q_doc_contained",
+        # r5: dedup_against_corpus hint-forced the batch gram set and
+        # died at the 100x sweep; AQE-sized now — keep it that way
+        "q_doc_incremental_dedup",
+    ],
 )
 def test_heavy_doc_joins_no_forced_broadcast(spark, registry, name):
     """The round-4 heavy similarity joins claim (docstrings) that no
