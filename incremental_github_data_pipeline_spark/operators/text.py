@@ -1380,13 +1380,17 @@ def inverted_index(
 _BPE_SEP = "\x1f"  # unit separator: cannot occur in whitespace tokens
 
 
-def learn_bpe_merges(df, text_col: str = "text", n_merges: int = 4):
-    """Learn the first ``n_merges`` BPE merges from a corpus — the
+def learn_bpe(df, text_col: str = "text", n_merges: int = 4):
+    """Learn ``n_merges`` BPE merges from a corpus and return BOTH
+    halves of the trained tokenizer: ``(merges DataFrame, vocab
+    DataFrame)`` — the merge table ``(step, pa, pb, cnt)`` and the
+    final per-word-type segmentation ``(word, freq, syms)`` (what
+    applying the merges to every vocabulary word yields — tokenizing a
+    document is then a word->syms lookup join, no re-deriving). The
     tokenizer-TRAINING primitive (Sennrich et al. 2016: iterate
     "count adjacent symbol pairs over the word-frequency table, merge
-    the most frequent"). Returns ``(step, pa, pb, cnt)`` rows, one per
-    learned merge, with a deterministic tie-break (count desc, then
-    pair lexicographic) so the merge table is bit-identical in any
+    the most frequent"), with a deterministic tie-break (count desc,
+    then pair lexicographic) so both outputs are bit-identical in any
     engine replaying the same recurrence.
 
     Scale shape — the corpus is scanned ONCE: the word-frequency
@@ -1409,6 +1413,7 @@ def learn_bpe_merges(df, text_col: str = "text", n_merges: int = 4):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "word",
             F.concat(
                 F.lit(sep),
                 F.regexp_replace(F.col("word"), "(.)", "$1" + sep),
@@ -1456,12 +1461,25 @@ def learn_bpe_merges(df, text_col: str = "text", n_merges: int = 4):
                 ),
             ).otherwise(F.concat(acc, x, F.lit(sep))),
         )
-        words = words.select(fold.alias("seq"), "freq").localCheckpoint(
-            eager=True
-        )
-    return df.sparkSession.createDataFrame(
+        words = words.select(
+            "word", fold.alias("seq"), "freq"
+        ).localCheckpoint(eager=True)
+    merges_df = df.sparkSession.createDataFrame(
         merges, "step BIGINT, pa STRING, pb STRING, cnt BIGINT"
     )
+    vocab = words.select(
+        "word",
+        "freq",
+        F.filter(F.split(F.col("seq"), sep), lambda x: x != F.lit("")).alias(
+            "syms"
+        ),
+    )
+    return merges_df, vocab
+
+
+def learn_bpe_merges(df, text_col: str = "text", n_merges: int = 4):
+    """Merge table only — see :func:`learn_bpe`."""
+    return learn_bpe(df, text_col, n_merges)[0]
 
 
 # (document chunking already exists above: chunk_documents /

@@ -91,6 +91,7 @@ _CERTIFY_FIRST = [
     "q_ts_anomaly_mad",
     "q_group_mode",
     "q_bpe_merges",
+    "q_bpe_vocab",
     "q_doc_negatives",
     # -- backfill: re-certify stable pillars on current testdata --
     # (testdata regenerates between rounds; oldest greens refresh

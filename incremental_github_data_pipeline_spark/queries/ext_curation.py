@@ -233,7 +233,7 @@ def q_doc_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("term", "rank")
 
 
-def _bpe_oracle(n: int = 4) -> str:
+def _bpe_oracle(n: int = 4, final: str = "merges") -> str:
     """Unrolled n-round BPE replay: per round, a pair-count aggregate,
     a deterministic argmax, and the SAME left-to-right string fold the
     Spark operator runs (list_reduce with the sep-anchored look-back),
@@ -248,7 +248,8 @@ def _bpe_oracle(n: int = 4) -> str:
       ) GROUP BY word
     ),
     w0 AS (
-      SELECT chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g')
+      SELECT word,
+             chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g')
                AS seq, freq
       FROM words
     )"""
@@ -266,7 +267,7 @@ def _bpe_oracle(n: int = 4) -> str:
     b{r} AS (SELECT pa, pb, cnt FROM p{r}
              ORDER BY cnt DESC, pa, pb LIMIT 1),
     w{r + 1} AS (
-      SELECT list_reduce(
+      SELECT word, list_reduce(
                list_prepend(chr(31),
                  list_filter(string_split(seq, chr(31)), x -> x != '')),
                (acc, x) -> CASE
@@ -278,12 +279,24 @@ def _bpe_oracle(n: int = 4) -> str:
       FROM w{r}, b{r}
     )"""
         )
-    union = " UNION ALL ".join(
-        f"SELECT CAST({r + 1} AS BIGINT) AS step, pa, pb, "
-        f"CAST(cnt AS BIGINT) AS cnt FROM b{r}"
-        for r in range(n)
-    )
-    parts.append(f"\n    SELECT * FROM ({union}) ORDER BY step")
+    if final == "merges":
+        union = " UNION ALL ".join(
+            f"SELECT CAST({r + 1} AS BIGINT) AS step, pa, pb, "
+            f"CAST(cnt AS BIGINT) AS cnt FROM b{r}"
+            for r in range(n)
+        )
+        parts.append(f"\n    SELECT * FROM ({union}) ORDER BY step")
+    else:  # the trained segmentation vocabulary after all n merges
+        parts.append(
+            f"""
+    SELECT word, CAST(freq AS BIGINT) AS freq,
+           CAST(len(list_filter(string_split(seq, chr(31)), x -> x != ''))
+                AS BIGINT) AS n_sym,
+           array_to_string(
+             list_filter(string_split(seq, chr(31)), x -> x != ''), ' ')
+             AS segmented
+    FROM w{n} ORDER BY freq DESC, word LIMIT 50"""
+        )
     return "".join(parts)
 
 
@@ -347,4 +360,31 @@ def q_doc_negatives(spark: SparkSession, sf: str) -> DataFrame:
     anchors = d.filter(F.col("doc_id") < 64)
     return tx.negative_samples(d, k=4, n_buckets=1024, anchors=anchors).orderBy(
         "doc_id", "neg_rank"
+    )
+
+
+@register(
+    "q_bpe_vocab",
+    oracle=_bpe_oracle(4, final="vocab"),
+    doc="The OTHER half of the trained tokenizer "
+    "(operators.text.learn_bpe): the per-word-type segmentation after "
+    "all four learned merges — top-50 vocabulary by frequency with "
+    "symbol counts and the segmented form. Tokenizing a corpus is then "
+    "a word->syms lookup join against this table, never a re-derive. "
+    "Oracle replays the full training (four rounds of pair counts, "
+    "argmax, fold-merge) AND the resulting segmentation of every "
+    "vocabulary word in SQL.",
+)
+def q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    _, vocab = tx.learn_bpe(d, n_merges=4)
+    return (
+        vocab.select(
+            "word",
+            "freq",
+            F.size("syms").cast("long").alias("n_sym"),
+            F.array_join("syms", " ").alias("segmented"),
+        )
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(50)
     )

@@ -180,3 +180,19 @@ def test_negative_samples_ring_determinism_and_no_self(spark):
         per.setdefault(r.doc_id, set()).add(r.neg_rank)
     assert all(len(v) <= 3 for v in per.values())
     assert any(len(v) == 3 for v in per.values())
+
+
+def test_learn_bpe_vocab_segmentation(spark):
+    # after merges (a,a) then (a,b) then (aa,ab): aaab collapses to a
+    # single symbol (merge 3 joins its [aa, ab]), aab -> [aa, b],
+    # ba -> [b, a]
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab aab aab ba")], "doc_id long, text string"
+    )
+    _, vocab = tx.learn_bpe(df, n_merges=3)
+    seg = {r["word"]: (r["freq"], list(r["syms"])) for r in vocab.collect()}
+    assert seg == {
+        "aaab": (3, ["aaab"]),
+        "aab": (2, ["aa", "b"]),
+        "ba": (1, ["b", "a"]),
+    }
