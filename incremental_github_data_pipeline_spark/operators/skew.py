@@ -89,3 +89,46 @@ def salted_aggregate(
             for out, (fn, _) in aggs.items()
         ]
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 10,
+) -> DataFrame:
+    """Skew DIAGNOSTIC — the measurement that decides between plain
+    shuffle, AQE skew-split, and :func:`salted_join`/:func:`
+    salted_aggregate`: per top-``top`` heaviest key, its row count,
+    integer parts-per-million share of the table, and the ratio to a
+    perfectly uniform key's share. ratio_x1000 >= ~10000 (10x uniform)
+    on a join/agg key is the act-now signal.
+
+    One map-combined count aggregate + a TakeOrdered top-k over the
+    (distinct-key-sized) count frame, with the two global scalars
+    (total rows, distinct keys) broadcast from 1-row aggregates — no
+    window, no sort of the full key space, nothing driver-sized.
+    """
+    keys = [F.col(k) for k in key_cols]
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n_rows",
+            # integer `div`, not float-divide-then-cast: the oracle
+            # floors integers, and a float quotient can land on the
+            # wrong side of a boundary
+            F.expr("n_rows * 1000000 div _total").alias("share_ppm"),
+            # ratio vs a uniform key's expected rows, scaled x1000:
+            # n_rows / (total / n_keys)
+            F.expr("n_rows * _n_keys * 1000 div _total").alias(
+                "ratio_x1000"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(top)
+    )

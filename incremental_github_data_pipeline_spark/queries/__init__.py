@@ -93,6 +93,7 @@ _CERTIFY_FIRST = [
     "q_bpe_merges",
     "q_bpe_vocab",
     "q_doc_negatives",
+    "q_skew_report",
     # -- backfill: re-certify stable pillars on current testdata --
     # (testdata regenerates between rounds; oldest greens refresh
     # first.)

@@ -388,3 +388,30 @@ def q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "word")
         .limit(50)
     )
+
+
+@register(
+    "q_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c)
+    SELECT c.l_suppkey, CAST(c.n_rows AS BIGINT) AS n_rows,
+           CAST(c.n_rows * 1000000 // t.total AS BIGINT) AS share_ppm,
+           CAST(c.n_rows * t.n_keys * 1000 // t.total AS BIGINT)
+             AS ratio_x1000
+    FROM c, t ORDER BY c.n_rows DESC, c.l_suppkey LIMIT 10
+    """,
+    doc="Skew diagnostic (operators.skew.skew_report): top-10 heaviest "
+    "join-key values with row counts, ppm share, and the x1000 ratio "
+    "to a uniform key — the measurement that decides between plain "
+    "shuffle, AQE skew-split, and salting. One map-combined count "
+    "aggregate + TakeOrdered over the key-count frame; global scalars "
+    "broadcast from a 1-row aggregate.",
+)
+def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.skew import skew_report
+
+    li = T(spark, sf, "lineitem")
+    return skew_report(li, ["l_suppkey"], top=10)
