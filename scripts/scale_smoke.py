@@ -71,6 +71,10 @@ QUERIES = [
     # BPE: rounds run on the VOCABULARY (replicas multiply word freqs,
     # not word types), so per-round cost should stay ~flat with N
     "q_bpe_merges",
+    # late round-5 additions: hash-ring sampling (corpus never
+    # shuffles), heavy-key diagnostic (map-combined counts)
+    "q_doc_negatives",
+    "q_skew_report",
     # NOT in the default sweep: q_doc_allpairs_join. Replication makes
     # every document a 10-way identical clique, so the EXACT join's
     # true-pair output explodes quadratically (2,878 pairs at 1x ->
