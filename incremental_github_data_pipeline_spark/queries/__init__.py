@@ -94,6 +94,7 @@ _CERTIFY_FIRST = [
     "q_bpe_vocab",
     "q_doc_negatives",
     "q_skew_report",
+    "q_source_report",
     # -- backfill: re-certify stable pillars on current testdata --
     # (testdata regenerates between rounds; oldest greens refresh
     # first.)

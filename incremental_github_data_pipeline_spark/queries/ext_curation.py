@@ -415,3 +415,60 @@ def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
 
     li = T(spark, sf, "lineitem")
     return skew_report(li, ["l_suppkey"], top=10)
+
+
+@register(
+    "q_source_report",
+    oracle=r"""
+    WITH d AS (
+      SELECT source,
+             list_filter(string_split_regex(TRIM(text), '\s+'),
+                         x -> x != '') AS t,
+             LENGTH(text) AS n_chars
+      FROM documents
+    ),
+    per AS (
+      SELECT source, n_chars, len(t) AS n_tok,
+             len(list_distinct(t)) AS n_dist
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short,
+           CAST(SUM(CASE WHEN 10 * (n_tok - n_dist) > 3 * n_tok
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_heavy
+    FROM per GROUP BY source ORDER BY source
+    """,
+    doc="Per-source dataset report card: doc/token/char volumes, the "
+    "short-doc tail, and repetition-heavy counts (>30% repeated "
+    "tokens, integer cross-multiplied) — the corpus-composition "
+    "overview run before every mixture decision. All lanes are exact "
+    "integer aggregates over ONE scan: the signals ride the scan "
+    "stage, one map-combined aggregate shuffles |sources| rows.",
+)
+def q_source_report(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    t = tx.tokens(F.col("text"))
+    per = d.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(t).alias("n_tok"),
+        F.size(F.array_distinct(t)).alias("n_dist"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum((F.col("n_tok") < 20).cast("long")).alias("n_short"),
+            F.sum(
+                (10 * (F.col("n_tok") - F.col("n_dist")) > 3 * F.col("n_tok"))
+                .cast("long")
+            ).alias("n_dup_heavy"),
+        )
+        .orderBy("source")
+    )

@@ -598,3 +598,42 @@ def test_incremental_ann_ingest_trains_once_and_matches_batch(spark, tmp_path):
         ).collect()
     ]
     assert inc == ref
+
+
+def test_ann_search_time_travel(spark, tmp_path):
+    """Searching version=1 must rank only the first batch's vectors."""
+    import json as _json
+
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        ann_search_versioned,
+        run_incremental_ann_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "table")
+
+    def vec(i, n=16):
+        return [((i * 11 + d * 3) % 23) / 23.0 + 0.1 for d in range(n)]
+
+    (src / "a.jsonl").write_text(
+        "\n".join(_json.dumps({"vec_id": i, "embedding": vec(i)}) for i in range(20))
+    )
+    run_incremental_ann_ingest(
+        spark, str(src), root, str(tmp_path / "m"), str(tmp_path / "c"),
+        m_sub=4, ksub=4,
+    )
+    (src / "b.jsonl").write_text(
+        "\n".join(_json.dumps({"vec_id": i, "embedding": vec(i)}) for i in range(20, 40))
+    )
+    run_incremental_ann_ingest(
+        spark, str(src), root, str(tmp_path / "m"), str(tmp_path / "c"),
+        m_sub=4, ksub=4,
+    )
+    q = spark.createDataFrame(
+        [(0, vec(25))], "query_id long, embedding array<double>"
+    )
+    v1_ids = {r["vec_id"] for r in ann_search_versioned(spark, root, q, k=30, version=1).collect()}
+    v2_ids = {r["vec_id"] for r in ann_search_versioned(spark, root, q, k=50).collect()}
+    assert v1_ids <= set(range(20))          # old index state only
+    assert v2_ids == set(range(40))          # latest sees both batches
