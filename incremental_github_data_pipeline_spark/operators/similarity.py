@@ -803,16 +803,25 @@ def pooled_ann_recall(
     belong to) and ranks by the pooled dot. Returns one row per query:
     ``(query_id, n_overlap, k)``. Ties break by corpus id in both
     lanes.
+
+    When the embedding dim is not divisible by ``n_blocks``, the LAST
+    block absorbs the ``dim % n_blocks`` trailing components (block
+    width is ``dim div n_blocks`` for the first n_blocks-1 blocks) —
+    every component contributes to the sketch; nothing is silently
+    dropped.
     """
     def lanes(df: DataFrame, id_out: str) -> DataFrame:
         qd = quantize_embeddings(df, vec_col)
+        base = (F.size(F.col("q")) / n_blocks).cast("int")
         blk = F.transform(
             F.sequence(F.lit(0), F.lit(n_blocks - 1)),
             lambda b: F.aggregate(
                 F.slice(
                     F.col("q"),
-                    b * (F.size(F.col("q")) / n_blocks).cast("int") + 1,
-                    (F.size(F.col("q")) / n_blocks).cast("int"),
+                    b * base + 1,
+                    F.when(
+                        b == n_blocks - 1, F.size(F.col("q")) - b * base
+                    ).otherwise(base),
                 ),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,

@@ -121,13 +121,19 @@ def skew_report(
             "n_rows",
             # integer `div`, not float-divide-then-cast: the oracle
             # floors integers, and a float quotient can land on the
-            # wrong side of a boundary
-            F.expr("n_rows * 1000000 div _total").alias("share_ppm"),
+            # wrong side of a boundary. Intermediates go through
+            # DECIMAL(38,0): at the target scale (1e13 total rows,
+            # 1e8 distinct keys) n_rows * _n_keys * 1000 overflows
+            # int64 silently in Spark while DuckDB promotes to
+            # HUGEINT — decimal keeps both engines exact.
+            F.expr(
+                "CAST(n_rows AS DECIMAL(38,0)) * 1000000 div _total"
+            ).alias("share_ppm"),
             # ratio vs a uniform key's expected rows, scaled x1000:
             # n_rows / (total / n_keys)
-            F.expr("n_rows * _n_keys * 1000 div _total").alias(
-                "ratio_x1000"
-            ),
+            F.expr(
+                "CAST(n_rows AS DECIMAL(38,0)) * _n_keys * 1000 div _total"
+            ).alias("ratio_x1000"),
         )
         .orderBy(F.col("n_rows").desc(), *key_cols)
         .limit(top)

@@ -1257,15 +1257,26 @@ def weighted_sample_priority(
     k-row merge) — no global sort, no single-partition stage, which is
     why this is also the 100 TB-safe way to take any deterministic
     top-k.
+
+    Rows with ``weight < 1`` are ineligible and filtered out (same
+    explicit non-negative contract as ``ewma_integer``): ``hk div 0``
+    is NULL, and Spark sorts NULLs FIRST ascending while DuckDB sorts
+    them LAST — without the filter a zero-weight row (e.g. an empty
+    document) would be sampled ahead of everything on one engine and
+    never on the other.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     c = F.col(id_col)
     hk = (c * F.lit(2654435761)) % F.lit(2147483648)
-    out = df.select(
-        c.alias(id_col),
-        w.cast("long").alias("weight"),
-        hk.cast("long").alias("hk"),
-    ).withColumn("priority", F.expr("hk div weight"))
+    out = (
+        df.select(
+            c.alias(id_col),
+            w.cast("long").alias("weight"),
+            hk.cast("long").alias("hk"),
+        )
+        .filter(F.col("weight") >= 1)
+        .withColumn("priority", F.expr("hk div weight"))
+    )
     return out.orderBy("priority", id_col).limit(k)
 
 

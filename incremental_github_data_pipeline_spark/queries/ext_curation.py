@@ -103,6 +103,7 @@ def q_url_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
              (doc_id * 2654435761) % 2147483648 AS hk
       FROM documents
+      WHERE n_chars >= 1
     )
     SELECT CAST(doc_id AS BIGINT) AS doc_id, weight,
            CAST(hk AS BIGINT) AS hk,
@@ -237,7 +238,14 @@ def _bpe_oracle(n: int = 4, final: str = "merges") -> str:
     """Unrolled n-round BPE replay: per round, a pair-count aggregate,
     a deterministic argmax, and the SAME left-to-right string fold the
     Spark operator runs (list_reduce with the sep-anchored look-back),
-    so every learned merge is re-derived from scratch in SQL."""
+    so every learned merge is re-derived from scratch in SQL.
+
+    The per-round best-pair join is ``LEFT JOIN b{r} ON TRUE`` (not a
+    cross join): when the corpus dries up before ``n`` merges, b{r} is
+    empty and NULL pa/pb send every fold step to the pass-through ELSE
+    branch, so w{r} survives unchanged — matching ``learn_bpe``'s
+    early-stop — instead of the cross join collapsing the whole
+    vocabulary to zero rows."""
     parts = [
         r"""
     WITH words AS (
@@ -276,7 +284,7 @@ def _bpe_oracle(n: int = 4, final: str = "merges") -> str:
                       || pa || pb || chr(31)
                  ELSE acc || x || chr(31) END
              ) AS seq, freq
-      FROM w{r}, b{r}
+      FROM w{r} LEFT JOIN b{r} ON TRUE
     )"""
         )
     if final == "merges":

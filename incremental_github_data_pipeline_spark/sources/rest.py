@@ -111,8 +111,13 @@ def fetch_per_repo(
 
     The reference loops repos sequentially on one thread; here each
     executor partition handles a slice of repos concurrently. Results
-    return as plain dicts (small at per-repo page caps); at true scale
-    land them straight to storage per-partition instead.
+    return as plain dicts (small at per-repo page caps); the final
+    ``collect`` accumulates every record on the driver, which is fine
+    at the reference's 300-page cap but NOT the scale tier. For large
+    fan-outs use ``sources.github_datasource`` instead (the Python
+    DataSource with page-per-partition planning): records stay on
+    executors as a DataFrame and land straight to storage without ever
+    transiting the driver.
     """
     if not repo_names:
         return []
