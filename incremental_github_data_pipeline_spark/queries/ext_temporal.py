@@ -237,3 +237,62 @@ def q_conversion_window(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_stream_join_attribution",
+    oracle="""
+    WITH i AS (
+      SELECT event_id AS impression_id, user_id, ts AS imp_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT i.impression_id, i.user_id, i.imp_ts,
+           c.click_id, c.click_ts,
+           CAST(epoch_us(c.click_ts) - epoch_us(i.imp_ts) AS BIGINT)
+             AS delay_us
+    FROM i LEFT JOIN c
+      ON i.user_id = c.user_id
+     AND c.click_ts >= i.imp_ts
+     AND c.click_ts <= i.imp_ts + INTERVAL 30 MINUTE
+    ORDER BY i.impression_id, c.click_id
+    """,
+    doc="Click/impression attribution — the batch twin of the "
+    "watermarked stream-stream left-outer join "
+    "(streaming.attribution_join): every view pairs with each "
+    "same-user click landing within 30 minutes after it; "
+    "never-converted views emit one NULL-click row. The SAME operator "
+    "call runs streaming (watermarks + time-banded state cleanup keep "
+    "join state bounded by rate x horizon) and batch (this plan) — "
+    "stream==batch across a checkpoint restart is pinned in "
+    "tests/test_streaming.py. One equi-shuffle on user_id; the time "
+    "band prunes pairs inside the join, never materializing the "
+    "per-user cross product. Reference n/a (batch-only, "
+    "transform.py:492-497).",
+)
+def q_stream_join_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.streaming import attribution_join
+
+    e = T(spark, sf, "events")
+    impressions = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("impression_id"),
+        "user_id",
+        F.col("ts").alias("imp_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return attribution_join(
+        impressions,
+        clicks,
+        on="user_id",
+        imp_ts="imp_ts",
+        click_ts="click_ts",
+        horizon="30 minutes",
+        how="left_outer",
+    ).orderBy("impression_id", "click_id")

@@ -1,4 +1,5 @@
 from incremental_github_data_pipeline_spark.streaming.incremental import (  # noqa: F401
+    attribution_join,
     dedup_within_watermark,
     enrich_stream_static,
     join_streams_windowed,

@@ -291,6 +291,71 @@ def join_streams_windowed(
     return lt.join(rt, cond & band, "inner")
 
 
+def attribution_join(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    on: str = "user_id",
+    imp_ts: str = "imp_ts",
+    click_ts: str = "click_ts",
+    horizon: str = "30 minutes",
+    how: str = "left_outer",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join, the click/impression
+    attribution shape: every impression pairs with each same-key click
+    whose timestamp lands in ``[imp_ts, imp_ts + horizon]``; with
+    ``how='left_outer'`` an impression that never converts still emits
+    one row (NULL click columns) once the watermark proves no matching
+    click can arrive.
+
+    State cleanup is what makes this scale: both sides carry event-time
+    watermarks and the join condition is time-banded, so Spark evicts
+    impression state older than ``watermark + horizon`` and click state
+    older than ``watermark`` — state is bounded by arrival rate × that
+    horizon, not by stream length. Without the band (or with only one
+    watermark) a left-outer stream-stream join is rejected by Spark's
+    UnsupportedOperationChecker, which is exactly the footgun this
+    wrapper removes.
+
+    Works unchanged on BATCH frames (watermarks are skipped; the band
+    join is ordinary SQL), so the same call is its own batch twin —
+    ``tests/test_streaming.py`` proves stream≡batch across a checkpoint
+    restart, and ``q_stream_join_attribution`` oracle-checks the batch
+    plan against DuckDB.
+
+    Output: all impression columns, then the click's non-key columns,
+    then ``delay_us`` (click_ts − imp_ts in exact integer microseconds,
+    the engine-portable lane; NULL for unconverted impressions).
+
+    Reference n/a — the reference pipeline is batch-only
+    (``transform.py:492-497``); this is the [EXT] incremental tier.
+    """
+    imp, clk = impressions, clicks
+    if imp.isStreaming:
+        imp = imp.withWatermark(imp_ts, watermark)
+    if clk.isStreaming:
+        clk = clk.withWatermark(click_ts, watermark)
+    i, c = imp.alias("i"), clk.alias("c")
+    cond = (
+        (F.col(f"i.{on}") == F.col(f"c.{on}"))
+        & (F.col(f"c.{click_ts}") >= F.col(f"i.{imp_ts}"))
+        & (
+            F.col(f"c.{click_ts}")
+            <= F.col(f"i.{imp_ts}") + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    joined = i.join(c, cond, how)
+    keep = [F.col(f"i.{col}") for col in impressions.columns] + [
+        F.col(f"c.{col}") for col in clicks.columns if col != on
+    ]
+    return joined.select(*keep).withColumn(
+        "delay_us",
+        (F.unix_micros(F.col(click_ts)) - F.unix_micros(F.col(imp_ts))).cast(
+            "long"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental corpus curation ([EXT] §2.10 — the streaming twin of
 # operators.text.curation_funnel)

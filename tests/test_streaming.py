@@ -637,3 +637,141 @@ def test_ann_search_time_travel(spark, tmp_path):
     v2_ids = {r["vec_id"] for r in ann_search_versioned(spark, root, q, k=50).collect()}
     assert v1_ids <= set(range(20))          # old index state only
     assert v2_ids == set(range(40))          # latest sees both batches
+
+
+def test_attribution_join_stream_matches_batch_across_restarts(
+    spark, tmp_path
+):
+    """Watermarked stream-stream left-outer attribution join folded
+    across two checkpoint-resumed runs (plus a watermark-advancing
+    sentinel run to flush outer state) must equal the batch twin over
+    the full event set — including a pair whose click arrives in the
+    SECOND run against an impression buffered in the first run's join
+    state, and a never-converted impression that must emit exactly one
+    NULL-click row."""
+    import datetime as dt
+
+    from incremental_github_data_pipeline_spark.streaming import (
+        attribution_join,
+    )
+
+    t0 = dt.datetime(2024, 6, 1)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    imp_schema = "impression_id long, user_id long, imp_ts timestamp"
+    clk_schema = "click_id long, user_id long, click_ts timestamp"
+    imp1 = spark.createDataFrame(
+        [(1, 1, m(0)), (2, 1, m(30)), (3, 2, m(5))], imp_schema
+    )
+    clk1 = spark.createDataFrame(
+        # 11 converts impression 1; 12 is outside impression 3's horizon
+        [(11, 1, m(4)), (12, 2, m(60))],
+        clk_schema,
+    )
+    imp2 = spark.createDataFrame([(4, 2, m(65))], imp_schema)
+    clk2 = spark.createDataFrame(
+        # 13 lands in run 2 but converts impression 2 from run 1 —
+        # the cross-restart join-state carry; 14 converts impression 4
+        [(13, 1, m(32)), (14, 2, m(66))],
+        clk_schema,
+    )
+    # far-future click for an absent user: advances the event-time
+    # watermark past every impression's horizon so the outer (NULL)
+    # rows flush; joins nothing itself
+    sentinel = spark.createDataFrame(
+        [(999, 999, m(60 * 24 * 10))], clk_schema
+    )
+
+    imp_src, clk_src = tmp_path / "imp", tmp_path / "clk"
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+
+    def run():
+        imps = spark.readStream.schema(imp_schema).parquet(str(imp_src))
+        clks = spark.readStream.schema(clk_schema).parquet(str(clk_src))
+        q = (
+            attribution_join(
+                imps,
+                clks,
+                on="user_id",
+                imp_ts="imp_ts",
+                click_ts="click_ts",
+                horizon="10 minutes",
+                how="left_outer",
+                watermark="5 minutes",
+            )
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    imp1.coalesce(1).write.mode("append").parquet(str(imp_src))
+    clk1.coalesce(1).write.mode("append").parquet(str(clk_src))
+    run()
+    imp2.coalesce(1).write.mode("append").parquet(str(imp_src))
+    clk2.coalesce(1).write.mode("append").parquet(str(clk_src))
+    run()
+    sentinel.coalesce(1).write.mode("append").parquet(str(clk_src))
+    run()
+    # one more pass: outer-side state evicted by the sentinel's
+    # watermark is emitted by the FOLLOWING micro-batch
+    run()
+
+    got = {
+        (r["impression_id"], r["click_id"], r["delay_us"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = attribution_join(
+        imp1.unionByName(imp2),
+        clk1.unionByName(clk2).unionByName(sentinel),
+        on="user_id",
+        imp_ts="imp_ts",
+        click_ts="click_ts",
+        horizon="10 minutes",
+        how="left_outer",
+    )
+    want = {
+        (r["impression_id"], r["click_id"], r["delay_us"])
+        for r in batch.collect()
+    }
+    assert want == {
+        (1, 11, 4 * 60_000_000),   # converted in run 1
+        (2, 13, 2 * 60_000_000),   # click arrived after the restart
+        (3, None, None),           # never converted: one NULL row
+        (4, 14, 1 * 60_000_000),   # converted within run 2
+    }
+    assert got == want
+    # exactly-once: no pair emitted twice across the four runs
+    assert len(spark.read.parquet(sink).collect()) == len(want)
+
+
+def test_attribution_join_inner_batch_prunes_band(spark):
+    """Inner variant drops both the unconverted impression and the
+    out-of-horizon click pair."""
+    import datetime as dt
+
+    from incremental_github_data_pipeline_spark.streaming import (
+        attribution_join,
+    )
+
+    t0 = dt.datetime(2024, 6, 1)
+    imps = spark.createDataFrame(
+        [(1, 1, t0), (2, 2, t0)],
+        "impression_id long, user_id long, imp_ts timestamp",
+    )
+    clks = spark.createDataFrame(
+        [
+            (11, 1, t0 + dt.timedelta(minutes=3)),
+            (12, 2, t0 + dt.timedelta(minutes=45)),
+            (13, 1, t0 - dt.timedelta(seconds=1)),  # click BEFORE view
+        ],
+        "click_id long, user_id long, click_ts timestamp",
+    )
+    rows = attribution_join(imps, clks, horizon="10 minutes", how="inner").collect()
+    assert [(r["impression_id"], r["click_id"]) for r in rows] == [(1, 11)]
