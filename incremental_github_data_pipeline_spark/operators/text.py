@@ -1391,7 +1391,12 @@ def inverted_index(
 _BPE_SEP = "\x1f"  # unit separator: cannot occur in whitespace tokens
 
 
-def learn_bpe(df, text_col: str = "text", n_merges: int = 4):
+def learn_bpe(
+    df,
+    text_col: str = "text",
+    n_merges: int = 4,
+    local_vocab_max: int = 200_000,
+):
     """Learn ``n_merges`` BPE merges from a corpus and return BOTH
     halves of the trained tokenizer: ``(merges DataFrame, vocab
     DataFrame)`` — the merge table ``(step, pa, pb, cnt)`` and the
@@ -1416,6 +1421,20 @@ def learn_bpe(df, text_col: str = "text", n_merges: int = 4):
     ["aa","aa"]); the leading separator in the end-anchor test keeps a
     merged token from chain-merging within the same round. No
     reference counterpart ([EXT], SURVEY.md §2.10).
+
+    Hybrid rounds (the ``connected_components`` ≤500k-edge discipline,
+    ``dedup.py:590``): after the one corpus scan, if the checkpointed
+    vocabulary holds at most ``local_vocab_max`` word types it is
+    collected ONCE and the merge rounds fold driver-locally — real
+    tokenizer training is 30k–50k merges, and one Spark job + 1-row
+    collect per merge would mean tens of thousands of sequential jobs
+    over a table that fits the driver after round one. Above the gate
+    the distributed per-round path runs unchanged. Both paths replay
+    the identical recurrence (greedy non-overlapping left-to-right
+    scan, count-desc/pair-lexicographic tie-break) and are pinned
+    bit-identical by a local-vs-distributed agreement test at
+    ``n_merges=1000``; set ``local_vocab_max=0`` to force the
+    distributed path.
     """
     sep = _BPE_SEP
     words = (
@@ -1433,6 +1452,8 @@ def learn_bpe(df, text_col: str = "text", n_merges: int = 4):
         )
         .localCheckpoint(eager=True)
     )
+    if words.count() <= local_vocab_max:
+        return _learn_bpe_local(df.sparkSession, words, n_merges)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         arr = F.filter(F.split(F.col("seq"), sep), lambda x: x != F.lit(""))
@@ -1488,9 +1509,111 @@ def learn_bpe(df, text_col: str = "text", n_merges: int = 4):
     return merges_df, vocab
 
 
-def learn_bpe_merges(df, text_col: str = "text", n_merges: int = 4):
+def _learn_bpe_local(spark, words, n_merges: int):
+    """Driver-local merge rounds for a gate-bounded vocabulary: the
+    exact recurrence of :func:`learn_bpe`'s distributed loop (pair
+    counts weighted by word freq incl. overlapping occurrences, argmax
+    by count desc then pair lexicographic, greedy non-overlapping
+    left-to-right merge), folded in plain Python over the collected
+    (word, syms, freq) rows. One collect, zero per-round jobs."""
+    sep = _BPE_SEP
+    rows = [
+        (r["word"], [s for s in r["seq"].split(sep) if s], int(r["freq"]))
+        for r in words.select("word", "seq", "freq").collect()
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for _w, syms, freq in rows:
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:
+            break
+        (pa, pb), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, pa, pb, cnt))
+        merged = pa + pb
+        nxt = []
+        for w, syms, freq in rows:
+            out: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == pa and syms[i + 1] == pb:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((w, out, freq))
+        rows = nxt
+    merges_df = spark.createDataFrame(
+        merges, "step BIGINT, pa STRING, pb STRING, cnt BIGINT"
+    )
+    vocab = spark.createDataFrame(
+        [(w, freq, syms) for w, syms, freq in rows],
+        "word STRING, freq BIGINT, syms ARRAY<STRING>",
+    )
+    return merges_df, vocab
+
+
+def learn_bpe_merges(
+    df,
+    text_col: str = "text",
+    n_merges: int = 4,
+    local_vocab_max: int = 200_000,
+):
     """Merge table only — see :func:`learn_bpe`."""
-    return learn_bpe(df, text_col, n_merges)[0]
+    return learn_bpe(df, text_col, n_merges, local_vocab_max)[0]
+
+
+def bpe_tokenize(df, vocab, text_col: str = "text", id_col: str = "doc_id"):
+    """Apply-side of the trained tokenizer: tokenize documents via the
+    (word → syms) lookup join :func:`learn_bpe`'s docstring promises —
+    never re-deriving merges per document. Whitespace words explode
+    with their position, broadcast-join the vocabulary (bounded: one
+    row per word TYPE), and unseen words fall back to character
+    segmentation (the BPE base case). Per document this returns exact
+    int64 ``n_words`` / ``n_tokens`` and the reassembled ``bpe_text``
+    (position-ordered segmented words, space-joined) so a single
+    misplaced merge anywhere surfaces in the string.
+
+    Scale shape: the corpus never shuffles for the join (vocab
+    broadcasts); the only wide op is the per-document reassembly
+    groupBy on ``id_col`` — one shuffle, rows pre-shrunk to (id, pos,
+    syms). Empty documents emit nothing (posexplode of an empty token
+    array), matching the trainer's corpus filter."""
+    sep = _BPE_SEP
+    char_split = F.filter(
+        F.split(
+            F.regexp_replace(F.col("word"), "(.)", "$1" + sep), sep
+        ),
+        lambda x: x != F.lit(""),
+    )
+    wordpos = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    joined = wordpos.join(
+        F.broadcast(vocab.select("word", "syms")), "word", "left"
+    ).select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("syms"), char_split).alias("syms"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.size("syms")).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda s: s.syms,
+                )
+            ),
+            " ",
+        ).alias("bpe_text"),
+    )
 
 
 # (document chunking already exists above: chunk_documents /

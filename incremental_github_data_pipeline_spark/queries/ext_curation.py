@@ -294,6 +294,35 @@ def _bpe_oracle(n: int = 4, final: str = "merges") -> str:
             for r in range(n)
         )
         parts.append(f"\n    SELECT * FROM ({union}) ORDER BY step")
+    elif final == "tokenize":
+        # apply-side: re-segment every word occurrence of the small-id
+        # documents with the trained vocabulary and reassemble per doc
+        parts.append(
+            f""",
+    dw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x != '') AS ws
+      FROM documents
+      WHERE length(trim(text)) > 0 AND doc_id < 200
+    ),
+    dwp AS (
+      SELECT doc_id, i AS pos, ws[i] AS word
+      FROM dw, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ),
+    seg AS (
+      SELECT word,
+             list_filter(string_split(seq, chr(31)), x -> x != '') AS syms
+      FROM w{n}
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens,
+           string_agg(array_to_string(s.syms, ' '), ' ' ORDER BY d.pos)
+             AS bpe_text
+    FROM dwp d JOIN seg s USING (word)
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
+        )
     else:  # the trained segmentation vocabulary after all n merges
         parts.append(
             f"""
@@ -395,6 +424,33 @@ def q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("freq").desc(), "word")
         .limit(50)
+    )
+
+
+@register(
+    "q_bpe_tokenize",
+    oracle=_bpe_oracle(4, final="tokenize"),
+    doc="Tokenizer APPLY (operators.text.bpe_tokenize): close the BPE "
+    "loop — train 4 merges on the full corpus, then tokenize the "
+    "small-id documents via the (word -> syms) lookup join against the "
+    "trained vocabulary, never re-deriving merges per document. The "
+    "vocabulary broadcasts (one row per word TYPE, bounded), the "
+    "corpus never shuffles for the join, and the only wide op is the "
+    "per-document reassembly groupBy. Emits exact int64 word/token "
+    "counts plus the reassembled segmented text, so one wrong merge "
+    "application anywhere in training OR apply breaks the string "
+    "compare. Oracle replays training AND application end-to-end in "
+    "SQL. Training itself now takes the hybrid local-rounds gate "
+    "(vocabulary <= local_vocab_max collects once, merges fold "
+    "driver-locally — the connected_components discipline), pinned "
+    "bit-identical to the distributed path by a 1000-merge agreement "
+    "test.",
+)
+def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    _, vocab = tx.learn_bpe(d, n_merges=4)
+    return tx.bpe_tokenize(d.filter(F.col("doc_id") < 200), vocab).orderBy(
+        "doc_id"
     )
 
 

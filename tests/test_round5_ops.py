@@ -134,16 +134,22 @@ def test_mad_outliers_lower_median_and_flags(spark):
     assert (r["n"], r["med"], r["mad"], r["n_outliers"]) == (5, 12, 2, 1)
 
 
-def test_learn_bpe_merges_greedy_scan_and_tiebreak(spark):
+@pytest.mark.parametrize("gate", [200_000, 0])
+def test_learn_bpe_merges_greedy_scan_and_tiebreak(spark, gate):
     # aaab x3 + aab x2 + ba x1: round 1 must pick (a,a) with count 8
     # (aaab contributes TWO overlapping (a,a) pairs x3), round 2 ties
     # (aa,a)=3 vs (a,b)=3 -> lexicographic pa picks (a,b), round 3 is
     # (aa,ab)=3 — each round exercises the greedy NON-overlapping fold
-    # ("aaa" merges to [aa, a], never [aa, aa]).
+    # ("aaa" merges to [aa, a], never [aa, aa]). gate=0 forces the
+    # distributed per-round path; the default takes the local fold.
     df = spark.createDataFrame(
         [(1, "aaab aaab aaab aab aab ba")], "doc_id long, text string"
     )
-    rows = tx.learn_bpe_merges(df, n_merges=3).orderBy("step").collect()
+    rows = (
+        tx.learn_bpe_merges(df, n_merges=3, local_vocab_max=gate)
+        .orderBy("step")
+        .collect()
+    )
     assert [(r.step, r.pa, r.pb, r.cnt) for r in rows] == [
         (1, "a", "a", 8),
         (2, "a", "b", 3),
@@ -195,4 +201,65 @@ def test_learn_bpe_vocab_segmentation(spark):
         "aaab": (3, ["aaab"]),
         "aab": (2, ["aa", "b"]),
         "ba": (1, ["b", "a"]),
+    }
+
+
+def test_learn_bpe_local_matches_distributed_1000_merges(spark):
+    """n_merges=1000 on a corpus that dries up after a few dozen
+    merges: the hybrid local-rounds gate and the distributed per-round
+    path must take the same early-stop and produce bit-identical merge
+    tables AND final segmentations (every word collapsed to one
+    symbol)."""
+    docs = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "banana bandana cabana",
+                "analog alphabet banana",
+                "cab cabana bandana dab",
+                "alphabet analog dab banana",
+            ]
+        )
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    m_loc, v_loc = tx.learn_bpe(df, n_merges=1000)
+    m_dist, v_dist = tx.learn_bpe(df, n_merges=1000, local_vocab_max=0)
+    loc = [(r.step, r.pa, r.pb, r.cnt) for r in m_loc.orderBy("step").collect()]
+    dist = [
+        (r.step, r.pa, r.pb, r.cnt) for r in m_dist.orderBy("step").collect()
+    ]
+    assert loc == dist
+    assert 0 < len(loc) < 1000  # dried up early on both paths
+    seg_loc = {
+        r["word"]: (r["freq"], list(r["syms"])) for r in v_loc.collect()
+    }
+    seg_dist = {
+        r["word"]: (r["freq"], list(r["syms"])) for r in v_dist.collect()
+    }
+    assert seg_loc == seg_dist
+    # fully trained: every word type is a single symbol
+    assert all(len(syms) == 1 for _f, syms in seg_loc.values())
+
+
+def test_bpe_tokenize_lookup_join_and_char_fallback(spark):
+    """Apply-side tokenization: trained words segment via the vocab
+    lookup; an unseen word falls back to character symbols; assembly
+    preserves word order and empty docs vanish."""
+    train = spark.createDataFrame(
+        [(1, "aaab aaab aaab aab aab ba")], "doc_id long, text string"
+    )
+    _, vocab = tx.learn_bpe(train, n_merges=2)  # merges: (a,a), (a,b)
+    apply_df = spark.createDataFrame(
+        [(10, "aab ba aaab"), (11, "zzz aab"), (12, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["bpe_text"])
+        for r in tx.bpe_tokenize(apply_df, vocab).collect()
+    }
+    # after (a,a) and (a,b): aab -> [aa, b]; ba -> [b, a];
+    # aaab -> [aa, ab]; zzz is unseen -> [z, z, z]
+    assert rows == {
+        10: (3, 6, "aa b b a aa ab"),
+        11: (2, 5, "z z z aa b"),
     }
