@@ -95,9 +95,16 @@ BENCH_QUERIES = [
     "q_doc_inverted_index",
     "q_ts_ewma",
     # iterative driver-coupled shape: 4 BPE rounds over the vocabulary
-    # (the work happens inside fn() — collect-per-round — so the timed
-    # region covers the whole training loop)
+    # (r6: the hybrid local gate folds the rounds driver-side after the
+    # one corpus scan — the timed region still covers the whole loop)
     "q_bpe_merges",
+    # round-6 additions (VERDICT r5 task 4): the previously invisible
+    # heavies — degree-oriented wedge join (the one quadratic-hazard
+    # graph shape) and a mapInPandas codec decode (QOI: the largest
+    # pure-Python decode surface) so regressions in either family show
+    # up round-over-round
+    "q_graph_triangles",
+    "q_media_qoi_stats",
 ]
 
 

@@ -1051,6 +1051,55 @@ def _png_filter_rows(
     return bytes(out)
 
 
+# Adam7 interlace pass grid (PNG spec 8.2): (x0, y0, dx, dy) — pass k
+# covers pixels at columns x0, x0+dx, … and rows y0, y0+dy, …; each
+# pass is filtered as its own sub-image.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter_block(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five per-row PNG filters over one filtered block of
+    ``h`` rows × ``stride`` bytes (a whole non-interlaced image, or one
+    Adam7 pass — the spec treats each pass as an independent sub-image,
+    so the same core serves both)."""
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, offset=y * (stride + 1) + 1, count=stride
+        ).astype(np.int64)
+        prior = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        cur = np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prior) % 256
+        else:  # Sub / Average / Paeth need the left neighbor serially
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    pred = _paeth(int(a), int(b), int(c))
+                else:
+                    raise ValueError(f"bad filter type {f}")
+                cur[i] = (row[i] + pred) % 256
+        out[y] = cur
+    return out.astype(np.uint8)
+
+
 def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as an
     8-bit PNG. ``filters`` picks the per-row filter type (default:
@@ -1097,13 +1146,49 @@ def encode_png_palette(
     )
 
 
+def encode_png_interlaced(
+    pixels: np.ndarray, filters: list[int] | None = None
+) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as an
+    Adam7-INTERLACED 8-bit PNG (IHDR interlace=1): the image is split
+    into the seven pass sub-images, each pass's rows are filtered
+    independently (default 0..4 cycle — every filter type appears in
+    multiple passes), and the passes concatenate into one deflate
+    stream, per spec. Empty passes (dimension smaller than the pass
+    offset) contribute zero bytes."""
+    px = np.asarray(pixels)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    bpp = 1 if gray else 3
+    img = px.reshape(h, w, bpp)
+    body = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        body += _png_filter_rows(
+            sub.reshape(ph, pw * bpp).astype(np.int64), bpp, filters
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 1)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode an 8-bit grayscale/truecolor/indexed PNG to a uint8 array
     of shape (h, w) or (h, w, 3): signature + chunk walk (CRC-verified),
     zlib inflate of the concatenated IDAT stream, per-row unfilter of
-    filter types 0-4, and PLTE lookup for color type 3. Interlaced and
-    16-bit/sub-byte-depth variants raise ``NotImplementedError``
-    (honest scope; no silent mis-decode)."""
+    filter types 0-4 (via :func:`_unfilter_block`), PLTE lookup for
+    color type 3, and Adam7 de-interlacing (each pass unfilters as its
+    own sub-image, then scatters onto the pass grid — the most common
+    honest-stub hit in real web-crawl images, now real). 16-bit and
+    sub-byte-depth variants raise ``NotImplementedError`` (honest
+    scope; no silent mis-decode)."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, w = 8, None
@@ -1125,8 +1210,12 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     "only 8-bit grayscale/truecolor/indexed PNG supported"
                 )
-            if interlace or comp or filt:
-                raise NotImplementedError("interlaced PNG not supported")
+            if comp or filt:
+                raise NotImplementedError(
+                    "nonzero compression/filter method not supported"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
             bpp = 3 if color_type == 2 else 1
         elif ctype == b"PLTE":
             if length % 3:
@@ -1142,37 +1231,30 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color_type == 3 and plte is None:
         raise ValueError("indexed PNG without PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = w * bpp
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT length mismatch")
-    out = np.zeros((h, stride), dtype=np.int64)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        row = np.frombuffer(
-            raw, dtype=np.uint8, offset=y * (stride + 1) + 1, count=stride
-        ).astype(np.int64)
-        prior = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
-        cur = np.zeros(stride, dtype=np.int64)
-        if f == 0:
-            cur = row
-        elif f == 2:  # Up
-            cur = (row + prior) % 256
-        else:  # Sub / Average / Paeth need the left neighbor serially
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                b = prior[i]
-                c = prior[i - bpp] if i >= bpp else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + b) // 2
-                elif f == 4:
-                    pred = _paeth(int(a), int(b), int(c))
-                else:
-                    raise ValueError(f"bad filter type {f}")
-                cur[i] = (row[i] + pred) % 256
-        out[y] = cur
-    px = out.astype(np.uint8)
+    if interlace:
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            block = raw[off : off + ph * (pstride + 1)]
+            if len(block) != ph * (pstride + 1):
+                raise ValueError("IDAT length mismatch")
+            img[y0::dy, x0::dx] = _unfilter_block(
+                block, ph, pstride, bpp
+            ).reshape(ph, pw, bpp)
+            off += ph * (pstride + 1)
+        if off != len(raw):
+            raise ValueError("IDAT length mismatch")
+        px = img.reshape(h, w * bpp)
+    else:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("IDAT length mismatch")
+        px = _unfilter_block(raw, h, stride, bpp)
     if color_type == 3:
         idx = px.reshape(h, w)
         if idx.max(initial=0) >= len(plte):
@@ -1292,6 +1374,36 @@ def make_png_media(spark, n: int = 48) -> DataFrame:
         px = _png_pixels(i)
         h, w = px.shape[:2]
         rows.append((i, "image", encode_png(px), "image/png", w, h, None))
+    return _sized_media(spark, rows)
+
+
+def _png_ipixels(i: int) -> np.ndarray:
+    """Closed-form test image for the INTERLACED fixture: same value
+    formula as :func:`_png_pixels` but sizes 3..15 × 2..12, small
+    enough that Adam7 passes go empty (w<5 kills pass 2, h<5 kills
+    pass 3, …) — the de-interlacer must skip them byte-exactly."""
+    w, h = 3 + (i % 13), 2 + (i % 11)
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    if i % 2:
+        return ((x * 11 + y * 17 + i * 5) % 256).astype(np.uint8)
+    c = np.arange(3)[None, None, :]
+    return ((x[:, :, None] * 11 + y[:, :, None] * 17 + c * 23 + i * 5) % 256).astype(
+        np.uint8
+    )
+
+
+def make_png_interlaced_media(spark, n: int = 24) -> DataFrame:
+    """Media table of REAL Adam7-interlaced PNG payloads (grayscale +
+    truecolor, all five row filters cycling within every pass) with
+    closed-form content."""
+    rows = []
+    for i in range(n):
+        px = _png_ipixels(i)
+        h, w = px.shape[:2]
+        rows.append(
+            (i, "image", encode_png_interlaced(px), "image/png", w, h, None)
+        )
     return _sized_media(spark, rows)
 
 

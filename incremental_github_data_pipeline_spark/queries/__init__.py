@@ -40,81 +40,85 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Certification rotation: the driver's per-round correctness snapshot
 # records the FIRST ~50 registry entries in registration order, so this
 # list is re-derived every round (VERDICT r3 confirmed the mechanics).
-# Round-4 was a perfect 50/50. Round-5 priorities (VERDICT r4 task 1):
-#   (a) the 16 registered-after-the-r4-window queries that have NEVER
-#       appeared in any CORRECTNESS_r*.json (judge pre-verified all 16
-#       locally; this retires the certification debt to 147/147);
-#   (b) the four pillars rotated out in r4 (stalest driver evidence);
-#   (c) queries whose code changed in round 5 (q_equidepth_buckets
-#       two-pass rank rewrite, q_media_gif_stats LZW width-sync fix
-#       are in (a)/backfill already) plus new round-5 operators.
-# Remaining slots backfill with stable high-value queries in import
-# order; previously-certified queries keep their archive rows.
+# Rounds 4 and 5 were perfect 50/50, and every query ever registered
+# (161/161) now has at least one green driver row. Round-6 priorities
+# (VERDICT r5 task 2 + round-start audit of CORRECTNESS_r01..r05):
+#   (a) queries NEW in round 6 — first driver rows;
+#   (b) queries whose code/oracle changed in round 6 (incl. the advisor
+#       fixes in commit 1efa087: weighted-sample weight guard, skew
+#       DECIMAL ratios, pooled-recall remainder block, BPE oracle
+#       early-stop) — re-certify post-change;
+#   (c) the 31 queries whose newest green row dates to the r2 snapshot
+#       (testdata regenerates every round — these are the stalest);
+#   (d) fill to 50 with the oldest r3-vintage rows (TPC-H pillars).
+# The remaining 42-minus-11 r3-vintage rows queue for round 7.
 _CERTIFY_FIRST = [
-    # -- (a) never in any driver snapshot (16) --
-    "q_equidepth_buckets",  # also rewritten this round (two-pass rank)
-    # r4-VERDICT flagged q_media_qoi_stats as 11.3s "Python decode
-    # cost"; measured r5: warm run 0.8s, the codec itself 22ms for all
-    # 32 payloads (runs already emit as numpy slices) — the 11.3s was
-    # first-mapInPandas session warmup attributed to whichever query
-    # ran first. No rewrite needed; early slot here absorbs warmup.
-    "q_media_qoi_stats",
-    "q_media_png_palette_stats",
-    "q_media_phash_dups",
-    "q_media_curation_funnel",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_doc_allpairs_join",
-    "q_doc_cap_per_source",
-    "q_doc_bpe_tokens",
-    "q_text_gzip_ingest",
-    "q_variant_agg",
-    "q_chi_square_cells",
-    "q_rolling_time_window",
-    "q_conversion_window",
-    "q_sequence_pattern",
-    # -- (b) rotated-out pillars, refresh on current testdata (4) --
-    "q05_region_volume",
-    "q_group_agg",
-    "q_dedup_keep_last",
-    "q_union_conform",
-    # -- (c) new round-5 operators: first driver rows --
-    # (window budget is EXACTLY 50 — the guard test in test_plans.py
-    # fails the build if this list overflows.)
-    "q_url_domain_stats",
+    # -- (a) new in round 6: first driver rows --
+    "q_stream_join_attribution",
+    "q_bpe_tokenize",
+    "q_media_png_interlaced_stats",
+    # -- (b) code/oracle changed in round 6 --
     "q_doc_weighted_sample",
-    "q_doc_boilerplate_lines",
-    "q_doc_inverted_index",
-    "q_embedding_gram",
+    "q_skew_report",
     "q_ann_recall",
-    "q_ts_ewma",
-    "q_ts_anomaly_mad",
-    "q_group_mode",
     "q_bpe_merges",
     "q_bpe_vocab",
-    "q_doc_negatives",
-    "q_skew_report",
-    "q_source_report",
-    # -- backfill: re-certify stable pillars on current testdata --
-    # (testdata regenerates between rounds; oldest greens refresh
-    # first.)
-    "q_media_gif_stats",  # LZW width-sync fix this round — re-certify
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q_sessionize",
-    "q_window_topk_per_group",
-    "q_minhash_near_dups",
-    "q_doc_minhash_join",
-    "q_doc_contained",
-    "q_semantic_dedup",
-    "q_doc_pack_sequences",
-    "q_approx_profile",
+    # -- (c) newest green row is r2-vintage (31) --
+    "q_anti_join",
+    "q_asof_join",
+    "q_cube",
+    "q_distinct_agg",
+    "q_doc_decontaminate",
+    "q_doc_incremental_dedup",
+    "q_doc_lang_dist",
+    "q_doc_overlap_pairs",
+    "q_doc_pii_audit",
+    "q_doc_quality",
+    "q_doc_repetition",
+    "q_doc_sample_stratified",
+    "q_doc_split",
+    "q_doc_token_stats",
+    "q_doc_top_terms",
+    "q_doc_vocab",
+    "q_embedding_norm_stats",
+    "q_embedding_topk",
+    "q_embedding_topk_arrow",
+    "q_except",
+    "q_fk_resolve_orphans",
+    "q_intersect",
+    "q_interval_overlap",
+    "q_lang_id",
+    "q_range_join_count",
+    "q_rollup",
+    "q_scalar_string",
+    "q_semi_join",
+    "q_top20_scan",
+    "q_verified_near_dups",
+    "q_window_running_total",
+    # -- (d) oldest r3-vintage rows: TPC-H pillars (fill to 50) --
+    "q02_best_supplier",
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
 ]
-# Round-6 rotation queue: check CORRECTNESS_r05.json at round start and
-# front-load (1) any non-green r5 rows, (2) oracle-backed queries still
-# absent from every snapshot (round-5 registrations that missed the r5
-# cut), (3) queries whose code changes in round 6, then the stalest
-# archive greens.
+# Round-7 rotation queue: check CORRECTNESS_r06.json at round start and
+# front-load (1) any non-green r6 rows, (2) round-6 registrations that
+# missed the r6 cut, (3) queries whose code changes in round 7, then the
+# remaining r3-vintage greens (q15..q22, q_case_when, q_date_parts,
+# q_dedup_clusters, q_doc_chunks, q_doc_curation_funnel, q_doc_dsir,
+# q_doc_exact_dedup, q_doc_lm_score, q_doc_mix_sources,
+# q_doc_remove_spans, q_embedding_quantized_topk, q_events_funnel,
+# q_events_hourly, q_events_new_users, q_expectations_audit,
+# q_grouping_sets, q_incremental_rollup, q_json_extract,
+# q_pivot_event_types, q_quantiles, q_salted_agg, q_string_agg,
+# q_validation_checks) and then r4-vintage rows.
 
 
 def load_all() -> dict[str, QuerySpec]:

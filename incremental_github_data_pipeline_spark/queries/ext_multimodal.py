@@ -387,6 +387,51 @@ def q_media_png_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_media_png_interlaced_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 3 + (i % 13) AS w, 2 + (i % 11) AS h,
+             CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END AS ch
+      FROM range(24) t(i)
+    ),
+    px AS (
+      SELECT m.media_id, m.w, m.h, m.ch, y.y,
+             (x.x * 11 + y.y * 17 + c.c * 23 + m.media_id * 5) % 256 AS v
+      FROM m, range(16) x(x), range(13) y(y), range(3) c(c)
+      WHERE x.x < m.w AND y.y < m.h AND c.c < m.ch
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(ch) AS BIGINT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (y + 1)) AS BIGINT) AS row_weighted_sum
+    FROM px GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL Adam7-INTERLACED PNG decode "
+    "(operators.multimodal.decode_png): the seven-pass de-interlace — "
+    "each pass unfilters as an independent sub-image (all five filter "
+    "types cycle within every pass) and scatters onto the pass grid — "
+    "previously the most commonly hit honest NotImplementedError in "
+    "web-crawl image data. Fixture sizes 3..15 x 2..12 force EMPTY "
+    "passes (w<5 kills pass 2, h<5 kills pass 3), which must "
+    "contribute exactly zero bytes. Content is closed-form, so DuckDB "
+    "recomputes exact pixel sums from range() with no codec; the "
+    "row-weighted lane catches any pass scattered to the wrong rows. "
+    "One Arrow-batched mapInPandas pass.",
+)
+def q_media_png_interlaced_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_png_interlaced_media,
+        png_decode_stats,
+    )
+
+    return png_decode_stats(make_png_interlaced_media(spark)).orderBy(
+        "media_id"
+    )
+
+
+@register(
     "q_media_g711_stats",
     oracle="""
     WITH m AS (

@@ -687,3 +687,68 @@ def test_png_palette_round_trip_and_contract():
         encode_png_palette(
             np.full((2, 2), 9, dtype=np.uint8), pal
         )
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlaced PNG (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_png_interlaced_roundtrip_edge_sizes():
+    """Every (w, h) in 1..9 square grid, both modes: empty passes
+    (w or h below a pass offset) must contribute zero bytes and the
+    scatter must land every pixel."""
+    rng = np.random.default_rng(11)
+    for w in range(1, 10):
+        for h in range(1, 10):
+            for shape in [(h, w), (h, w, 3)]:
+                px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+                rt = mm.decode_png(mm.encode_png_interlaced(px))
+                assert rt.shape == px.shape
+                assert (rt == px).all(), (w, h, len(shape))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_png_interlaced_roundtrip_fuzz(w, h, gray, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(
+        0, 256, size=(h, w) if gray else (h, w, 3), dtype=np.uint8
+    )
+    assert (mm.decode_png(mm.encode_png_interlaced(px)) == px).all()
+
+
+def test_png_interlaced_each_filter_type():
+    px = mm._png_ipixels(6)   # truecolor, passes partially empty
+    gpx = mm._png_ipixels(7)  # grayscale
+    for f in range(5):
+        for p in (px, gpx):
+            rt = mm.decode_png(mm.encode_png_interlaced(p, filters=[f]))
+            assert (rt == p).all(), f"filter {f}"
+
+
+def test_png_interlaced_truncated_pass_raises():
+    good = mm.encode_png_interlaced(mm._png_ipixels(3))
+    # re-deflate a truncated filtered stream: drop the final byte
+    import struct as _s
+    import zlib as _z
+
+    idat_at = good.index(b"IDAT")
+    (length,) = _s.unpack_from(">I", good, idat_at - 4)
+    raw = _z.decompress(good[idat_at + 4 : idat_at + 4 + length])
+    bad_idat = _z.compress(raw[:-1])
+    bad = (
+        good[: idat_at - 4]
+        + _s.pack(">I", len(bad_idat))
+        + b"IDAT"
+        + bad_idat
+        + _s.pack(">I", _z.crc32(b"IDAT" + bad_idat))
+        + good[idat_at + 8 + length :]
+    )
+    with pytest.raises(ValueError, match="IDAT length"):
+        mm.decode_png(bad)
