@@ -1100,20 +1100,38 @@ def _unfilter_block(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def _byte_raster(px: np.ndarray) -> tuple[np.ndarray, int, int, int]:
+    """Flatten an (h, w[, 3]) uint8/uint16 image to the PNG scanline
+    byte raster: returns ``(raster (h, stride) int64, bpp_bytes,
+    color_type, depth)``. 16-bit samples serialize big-endian per spec;
+    the filter delta ``bpp`` is BYTES per pixel (2× channels at
+    depth 16), which is exactly how the filters are defined."""
+    gray = px.ndim == 2
+    ch = 1 if gray else 3
+    h, w = px.shape[:2]
+    depth = 16 if px.dtype == np.uint16 else 8
+    if depth == 16:
+        img = px.reshape(h, w, ch).astype(np.uint16)
+        b = np.empty((h, w, ch, 2), dtype=np.int64)
+        b[..., 0] = img >> 8
+        b[..., 1] = img & 0xFF
+        raster = b.reshape(h, w * ch * 2)
+    else:
+        raster = px.reshape(h, w * ch).astype(np.int64)
+    return raster, ch * (depth // 8), 0 if gray else 2, depth
+
+
 def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
-    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as an
-    8-bit PNG. ``filters`` picks the per-row filter type (default:
-    cycle 0..4 so a decoder must implement ALL of None/Sub/Up/Average/
-    Paeth to reproduce the pixels — the encode side applies the exact
-    inverse of the unfilter math)."""
-    gray = pixels.ndim == 2
+    """Encode an (h, w, 3) RGB or (h, w) grayscale array as a PNG —
+    uint8 input emits bit depth 8, uint16 emits big-endian depth 16.
+    ``filters`` picks the per-row filter type (default: cycle 0..4 so
+    a decoder must implement ALL of None/Sub/Up/Average/Paeth to
+    reproduce the pixels — the encode side applies the exact inverse
+    of the unfilter math)."""
+    raster, bpp, color_type, depth = _byte_raster(pixels)
     h, w = pixels.shape[:2]
-    bpp = 1 if gray else 3
-    color_type = 0 if gray else 2
-    raw = _png_filter_rows(
-        pixels.reshape(h, w * bpp).astype(np.int64), bpp, filters
-    )
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = _png_filter_rows(raster, bpp, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -1149,8 +1167,8 @@ def encode_png_palette(
 def encode_png_interlaced(
     pixels: np.ndarray, filters: list[int] | None = None
 ) -> bytes:
-    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as an
-    Adam7-INTERLACED 8-bit PNG (IHDR interlace=1): the image is split
+    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8/uint16 array
+    as an Adam7-INTERLACED PNG (IHDR interlace=1): the image is split
     into the seven pass sub-images, each pass's rows are filtered
     independently (default 0..4 cycle — every filter type appears in
     multiple passes), and the passes concatenate into one deflate
@@ -1159,18 +1177,21 @@ def encode_png_interlaced(
     px = np.asarray(pixels)
     gray = px.ndim == 2
     h, w = px.shape[:2]
-    bpp = 1 if gray else 3
-    img = px.reshape(h, w, bpp)
+    ch = 1 if gray else 3
+    img = px.reshape(h, w, ch)
     body = bytearray()
+    depth, color_type = (16, None) if px.dtype == np.uint16 else (8, None)
+    color_type = 0 if gray else 2
     for x0, y0, dx, dy in _ADAM7:
         sub = img[y0::dy, x0::dx]
         ph, pw = sub.shape[:2]
         if ph == 0 or pw == 0:
             continue
-        body += _png_filter_rows(
-            sub.reshape(ph, pw * bpp).astype(np.int64), bpp, filters
+        raster, bpp, _, _ = _byte_raster(
+            sub.reshape(ph, pw) if gray else sub
         )
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 1)
+        body += _png_filter_rows(raster, bpp, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -1206,9 +1227,14 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color_type not in (0, 2, 3):
+            if color_type not in (0, 2, 3):
                 raise NotImplementedError(
-                    "only 8-bit grayscale/truecolor/indexed PNG supported"
+                    "only grayscale/truecolor/indexed PNG supported"
+                )
+            if depth not in (8, 16) or (depth == 16 and color_type == 3):
+                raise NotImplementedError(
+                    "only 8-bit (any supported color type) or 16-bit "
+                    "grayscale/truecolor PNG supported"
                 )
             if comp or filt:
                 raise NotImplementedError(
@@ -1216,7 +1242,8 @@ def decode_png(payload: bytes) -> np.ndarray:
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"bad interlace method {interlace}")
-            bpp = 3 if color_type == 2 else 1
+            channels = 3 if color_type == 2 else 1
+            bpp = channels * (depth // 8)  # filter delta is in BYTES
         elif ctype == b"PLTE":
             if length % 3:
                 raise ValueError("PLTE length not a multiple of 3")
@@ -1260,7 +1287,11 @@ def decode_png(payload: bytes) -> np.ndarray:
         if idx.max(initial=0) >= len(plte):
             raise ValueError("palette index out of range")
         return plte[idx]
-    return px.reshape(h, w, 3) if bpp == 3 else px.reshape(h, w)
+    if depth == 16:  # recombine big-endian byte pairs into uint16
+        b = px.reshape(h, w, channels, 2).astype(np.uint16)
+        out16 = (b[..., 0] << 8) | b[..., 1]
+        return out16 if channels == 3 else out16.reshape(h, w)
+    return px.reshape(h, w, 3) if channels == 3 else px.reshape(h, w)
 
 
 # ---------------------------------------------------------------------------
@@ -1404,6 +1435,36 @@ def make_png_interlaced_media(spark, n: int = 24) -> DataFrame:
         rows.append(
             (i, "image", encode_png_interlaced(px), "image/png", w, h, None)
         )
+    return _sized_media(spark, rows)
+
+
+def _png16_pixels(i: int) -> np.ndarray:
+    """Closed-form 16-bit test image: even ids truecolor, odd ids
+    grayscale. Values (x*257 + y*4097 + c*911 + i*13) % 65536 —
+    recomputable by a SQL range() join."""
+    w, h = 4 + (i % 9), 3 + (i % 7)
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    if i % 2:
+        return ((x * 257 + y * 4097 + i * 13) % 65536).astype(np.uint16)
+    c = np.arange(3)[None, None, :]
+    return (
+        (x[:, :, None] * 257 + y[:, :, None] * 4097 + c * 911 + i * 13)
+        % 65536
+    ).astype(np.uint16)
+
+
+def make_png16_media(spark, n: int = 24) -> DataFrame:
+    """Media table of REAL 16-bit PNG payloads: even ids truecolor
+    straight-laced, odd ids grayscale Adam7-INTERLACED — both
+    byte-level filter paths (bpp doubles at depth 16) on the certified
+    path."""
+    rows = []
+    for i in range(n):
+        px = _png16_pixels(i)
+        h, w = px.shape[:2]
+        enc = encode_png if i % 2 == 0 else encode_png_interlaced
+        rows.append((i, "image", enc(px), "image/png", w, h, None))
     return _sized_media(spark, rows)
 
 

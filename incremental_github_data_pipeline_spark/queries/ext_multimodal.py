@@ -432,6 +432,49 @@ def q_media_png_interlaced_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_media_png16_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 4 + (i % 9) AS w, 3 + (i % 7) AS h,
+             CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END AS ch
+      FROM range(24) t(i)
+    ),
+    px AS (
+      SELECT m.media_id, m.w, m.h, m.ch, y.y,
+             (x.x * 257 + y.y * 4097 + c.c * 911 + m.media_id * 13)
+               % 65536 AS v
+      FROM m, range(13) x(x), range(10) y(y), range(3) c(c)
+      WHERE x.x < m.w AND y.y < m.h AND c.c < m.ch
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(ch) AS BIGINT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (y + 1)) AS BIGINT) AS row_weighted_sum
+    FROM px GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL 16-bit PNG decode (operators.multimodal.decode_png, "
+    "depth 16): samples are big-endian byte PAIRS and the filter "
+    "delta doubles (bpp is defined in BYTES), so every unfilter "
+    "branch runs with the wider stride; even ids are truecolor "
+    "straight-laced, odd ids grayscale Adam7-interlaced — the "
+    "16-bit x interlace COMPOSITION is on the certified path. "
+    "Previously an honest NotImplementedError (the scientific/"
+    "medical/scanner-output PNG variant). Content is closed-form, so "
+    "DuckDB recomputes exact 16-bit pixel sums from range() with no "
+    "codec. One Arrow-batched mapInPandas pass.",
+)
+def q_media_png16_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_png16_media,
+        png_decode_stats,
+    )
+
+    return png_decode_stats(make_png16_media(spark)).orderBy("media_id")
+
+
+@register(
     "q_media_g711_stats",
     oracle="""
     WITH m AS (

@@ -394,11 +394,14 @@ def test_png_rejects_bad_payloads():
 
 
 def test_png_rejects_unsupported_variants():
-    # 16-bit depth / palette color types must raise, not mis-decode
-    ihdr = __import__("struct").pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
-    payload = mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
-    with pytest.raises(NotImplementedError):
-        mm.decode_png(payload)
+    # sub-byte depths and 16-bit PALETTE (not a spec combo we decode)
+    # must raise, not mis-decode
+    _s = __import__("struct")
+    for depth, ctype in [(4, 0), (1, 0), (2, 3), (16, 3)]:
+        ihdr = _s.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, 0)
+        payload = mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+        with pytest.raises(NotImplementedError):
+            mm.decode_png(payload)
 
 
 # ---------------------------------------------------------------------------
@@ -752,3 +755,44 @@ def test_png_interlaced_truncated_pass_raises():
     )
     with pytest.raises(ValueError, match="IDAT length"):
         mm.decode_png(bad)
+
+
+# ---------------------------------------------------------------------------
+# 16-bit PNG (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_png16_roundtrip_straight_and_interlaced():
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        h, w = int(rng.integers(1, 24)), int(rng.integers(1, 24))
+        gray = bool(rng.integers(0, 2))
+        px = rng.integers(
+            0, 65536, (h, w) if gray else (h, w, 3)
+        ).astype(np.uint16)
+        for enc in (mm.encode_png, mm.encode_png_interlaced):
+            out = mm.decode_png(enc(px))
+            assert out.dtype == np.uint16
+            assert out.shape == px.shape and (out == px).all()
+
+
+def test_png16_each_filter_type():
+    px = mm._png16_pixels(2)   # truecolor
+    gpx = mm._png16_pixels(3)  # grayscale
+    for f in range(5):
+        for p in (px, gpx):
+            assert (mm.decode_png(mm.encode_png(p, filters=[f])) == p).all()
+
+
+def test_png16_big_endian_sample_order():
+    # one pixel, value 0x0102: the IDAT byte stream must carry
+    # hi-byte first (filter 0 row: [0x00, 0x01, 0x02])
+    import zlib as _z
+
+    px = np.array([[0x0102]], dtype=np.uint16)
+    payload = mm.encode_png(px, filters=[0])
+    idat_at = payload.index(b"IDAT")
+    (length,) = __import__("struct").unpack_from(">I", payload, idat_at - 4)
+    raw = _z.decompress(payload[idat_at + 4 : idat_at + 4 + length])
+    assert raw == b"\x00\x01\x02"
+    assert mm.decode_png(payload)[0, 0] == 0x0102
