@@ -590,6 +590,19 @@ _AC_SYMBOLS = (
 _AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
 _AC_VALS = sorted(_AC_SYMBOLS)
 
+# Progressive AC table: adds the EOBn symbols (run<<4 | 0 for run 1..14
+# — end-of-band RUN LENGTHS, T.81 G.1.2.2) the sequential table never
+# needs. 176 symbols still fit one 8-bit code length with the all-ones
+# code unassigned.
+_AC_PROG_SYMBOLS = (
+    [r << 4 for r in range(15)]  # EOB0..EOB14 (EOB0 doubles as plain EOB)
+    + [0xF0]  # ZRL
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_SYMBOLS),
+                 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_PROG_VALS = sorted(_AC_PROG_SYMBOLS)
+
 
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """Canonical Huffman assignment (T.81 C.2): symbol -> (length, code)."""
@@ -786,19 +799,251 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _quantized_blocks(pixels: np.ndarray) -> tuple[np.ndarray, int, int, int]:
+    """Shared encoder front half: color transform, 8-pad, DCT+quantize.
+    Returns (coefs[(comp, by, bx, 64) zigzag int64], n_comp, h, w)."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        comps = pixels.astype(np.float64)[:, :, None]
+    else:
+        comps = _rgb_to_ycbcr(pixels)
+    n_comp = comps.shape[2]
+    comps = np.pad(comps, ((0, -h % 8), (0, -w % 8), (0, 0)), mode="edge")
+    bys, bxs = comps.shape[0] // 8, comps.shape[1] // 8
+    q = _QTABLE.reshape(8, 8)
+    coefs = np.zeros((n_comp, bys, bxs, 64), dtype=np.int64)
+    for by in range(bys):
+        for bx in range(bxs):
+            for c in range(n_comp):
+                block = comps[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c]
+                coef = np.round(
+                    (_DCT_T @ (block - 128.0) @ _DCT_T.T) / q
+                ).astype(np.int64)
+                coefs[c, by, bx] = coef.flatten()[_ZIGZAG]
+    return coefs, n_comp, h, w
+
+
+def _enc_dc_first(coefs, comp_ids, al, dc_codes) -> bytes:
+    """Progressive DC first scan (interleaved, T.81 G.1.2.1): baseline
+    DC difference coding of the point-transformed (arithmetic >> al)
+    coefficients."""
+    bw = _BitWriter()
+    pred = {c: 0 for c in comp_ids}
+    _, bys, bxs, _ = coefs.shape
+    for by in range(bys):
+        for bx in range(bxs):
+            for c in comp_ids:
+                v = int(coefs[c, by, bx, 0]) >> al
+                size, bits = _amplitude(v - pred[c])
+                pred[c] = v
+                length, code = dc_codes[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(bits, size)
+    return bw.flush()
+
+
+def _enc_dc_refine(coefs, comp_ids, al) -> bytes:
+    """DC successive-approximation refinement: one raw bit per block."""
+    bw = _BitWriter()
+    _, bys, bxs, _ = coefs.shape
+    for by in range(bys):
+        for bx in range(bxs):
+            for c in comp_ids:
+                bw.write((int(coefs[c, by, bx, 0]) >> al) & 1, 1)
+    return bw.flush()
+
+
+def _enc_ac_first(coefs, c, ss, se, al, ac_codes) -> bytes:
+    """Progressive AC first scan (single component, T.81 G.1.2.2):
+    run/size coding of the band's point-transformed (magnitude >> al,
+    sign reapplied) coefficients with cross-block EOB runs."""
+    bw = _BitWriter()
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            length, code = ac_codes[r << 4]
+            bw.write(code, length)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    _, bys, bxs, _ = coefs.shape
+    for by in range(bys):
+        for bx in range(bxs):
+            zz = coefs[c, by, bx]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                emit_eobrun()
+                while run > 15:
+                    length, code = ac_codes[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                size, bits = _amplitude(t if v > 0 else -t)
+                length, code = ac_codes[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                run = 0
+            if run:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+    emit_eobrun()
+    return bw.flush()
+
+
+def _enc_ac_refine(coefs, c, ss, se, al, ac_codes) -> bytes:
+    """Progressive AC refinement scan (T.81 G.1.2.3, the libjpeg
+    encode_mcu_AC_refine discipline): newly-significant coefficients
+    (|v| >> al == 1) code as (zero-history-run, size 1) + sign bit;
+    already-significant ones contribute one buffered correction bit
+    emitted after the next symbol — or appended to the pending EOB run
+    when the block ends with them."""
+    bw = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []  # correction bits riding the open EOB run
+
+    def emit_eobrun():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            length, code = ac_codes[r << 4]
+            bw.write(code, length)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+            eobrun = 0
+
+    _, bys, bxs, _ = coefs.shape
+    for by in range(bys):
+        for bx in range(bxs):
+            zz = coefs[c, by, bx]
+            absvals = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob = ss - 1  # position of the LAST newly-significant coef
+            for i, t in enumerate(absvals):
+                if t == 1:
+                    eob = ss + i
+            run = 0
+            br: list[int] = []  # correction bits of the current run
+            for k in range(ss, se + 1):
+                t = absvals[k - ss]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    emit_eobrun()
+                    length, code = ac_codes[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                if t > 1:  # already significant: buffer its next bit
+                    br.append(t & 1)
+                    continue
+                emit_eobrun()
+                length, code = ac_codes[(run << 4) | 1]
+                bw.write(code, length)
+                bw.write(0 if int(zz[k]) < 0 else 1, 1)
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+                run = 0
+            if run or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+    emit_eobrun()
+    return bw.flush()
+
+
+def encode_jpeg_progressive(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    PROGRESSIVE JFIF JPEG (SOF2) with a spectral-selection +
+    successive-approximation scan script that exercises every
+    progressive decode path: interleaved DC first at Al=1, per-component
+    AC first scans for bands 1-5 and 6-63 at Al=1 (cross-block EOB
+    runs), interleaved DC refinement, then per-component AC refinement
+    of both bands down to Al=0 (correction bits). The final
+    approximation is exact, so decoded coefficients are bit-identical
+    to the baseline encoding of the same pixels — flat blocks still
+    round-trip exactly under the flat q=8 table (the closed-form-oracle
+    contract of :func:`encode_jpeg`)."""
+    coefs, n_comp, h, w = _quantized_blocks(pixels)
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+    all_ids = list(range(n_comp))
+    scans: list[tuple[list[int], int, int, int, int, bytes]] = [
+        (all_ids, 0, 0, 0, 1, _enc_dc_first(coefs, all_ids, 1, dc_codes))
+    ]
+    for ss, se in ((1, 5), (6, 63)):
+        for c in all_ids:
+            scans.append(
+                ([c], ss, se, 0, 1, _enc_ac_first(coefs, c, ss, se, 1, ac_codes))
+            )
+    scans.append((all_ids, 0, 0, 1, 0, _enc_dc_refine(coefs, all_ids, 0)))
+    for ss, se in ((1, 5), (6, 63)):
+        for c in all_ids:
+            scans.append(
+                ([c], ss, se, 1, 0, _enc_ac_refine(coefs, c, ss, se, 0, ac_codes))
+            )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 72, 72, 0, 0)
+    )
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in _QTABLE))
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for c in range(n_comp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0)
+    out += seg(0xC2, sof)  # SOF2 progressive
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(
+        0xC4, bytes([0x10]) + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS)
+    )
+    for comp_ids, ss, se, ah, al, data in scans:
+        sos = struct.pack(">B", len(comp_ids))
+        for c in comp_ids:
+            sos += struct.pack(">BB", c + 1, 0x00)
+        sos += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        out += seg(0xDA, sos)
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to an (h, w) grayscale or
-    (h, w, 3) RGB uint8 array. Reads whatever tables the file carries
-    (any DQT/DHT, not just ours). Rejects — with an honest error, never
-    a silent mis-decode — progressive scans (SOF2), chroma subsampling,
-    12-bit precision, arithmetic coding and restart intervals."""
+    """Decode a baseline sequential OR progressive (SOF2) JPEG to an
+    (h, w) grayscale or (h, w, 3) RGB uint8 array. Reads whatever
+    tables the file carries (any DQT/DHT, not just ours); progressive
+    files replay their full scan script — spectral-selection bands,
+    cross-block EOB runs, and successive-approximation refinement
+    (sign-magnitude correction bits for AC, bitwise OR for DC, the
+    T.81 G.2 semantics). Rejects — with an honest error, never a
+    silent mis-decode — chroma subsampling, 12-bit precision,
+    arithmetic coding and restart intervals."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    frame = None  # (h, w, [(comp_id, qtable_id)])
-    scan = None  # [(comp_id, dc_id, ac_id)], entropy bytes
+    frame = None  # (h, w, [(comp_id, qtable_id)], progressive)
+    scans = []  # [(scan_comps, Ss, Se, Ah, Al, entropy bytes)]
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -827,7 +1072,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _huff_decoder(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision, fh, fw, n_comp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -839,11 +1084,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         "chroma subsampling not supported (4:4:4 only)"
                     )
                 comps.append((cid, tq))
-            frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = (fh, fw, comps, marker == 0xC2)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG frame (SOF{marker - 0xC0}) not supported"
+                f"unsupported JPEG frame type (SOF{marker - 0xC0})"
             )
         elif marker == 0xDD:  # DRI
             raise NotImplementedError("restart intervals not supported")
@@ -853,6 +1098,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(n_scan):
                 cid, tables = struct.unpack_from(">BB", body, 1 + 2 * c)
                 scan_comps.append((cid, tables >> 4, tables & 0x0F))
+            ss, se, ahal = struct.unpack_from(">BBB", body, 1 + 2 * n_scan)
             # entropy data runs to the next real marker; unstuff FF00
             data = bytearray()
             while pos < len(payload):
@@ -870,43 +1116,139 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     break
                 data.append(b)
                 pos += 1
-            scan = (scan_comps, bytes(data))
+            scans.append(
+                (scan_comps, ss, se, ahal >> 4, ahal & 0x0F, bytes(data))
+            )
         # APPn / COM / others: skipped via seglen
 
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
-    fh, fw, fcomps = frame
-    scan_comps, data = scan
-    if len(scan_comps) != len(fcomps):
-        raise NotImplementedError("multi-scan JPEG not supported")
+    if frame is None or not scans:
+        raise ValueError("JPEG missing SOF/SOS")
+    fh, fw, fcomps, progressive = frame
     qt_of = dict(fcomps)
+    comp_ix = {cid: i for i, (cid, _tq) in enumerate(fcomps)}
+    n_comp = len(fcomps)
+    bxs, bys = -(-fw // 8), -(-fh // 8)
+    # accumulate zigzag-order coefficients across scans (one scan for
+    # baseline; the full scan script for progressive)
+    coefs = np.zeros((n_comp, bys, bxs, 64), dtype=np.int64)
+    for scan_comps, ss, se, ah, al, data in scans:
+        br = _BitReader(data)
+        if ss == 0:
+            # DC scan (progressive) or full baseline scan (Se=63):
+            # interleaved MCU order, one block per scan component
+            pred = {cid: 0 for cid, _d, _a in scan_comps}
+            for by in range(bys):
+                for bx in range(bxs):
+                    for cid, dc_id, ac_id in scan_comps:
+                        zz = coefs[comp_ix[cid], by, bx]
+                        if ah == 0:
+                            size = br.read_symbol(huff[(0, dc_id)])
+                            pred[cid] += _extend(br.read_bits(size), size)
+                            zz[0] = pred[cid] << al
+                        elif br.read_bit():  # DC refinement: OR in 1<<al
+                            zz[0] |= 1 << al
+                        k = 1
+                        while k <= se:  # baseline AC (se=0 skips)
+                            sym = br.read_symbol(huff[(1, ac_id)])
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            if k > 63:
+                                raise ValueError(
+                                    "AC coefficient index overflow"
+                                )
+                            zz[k] = _extend(
+                                br.read_bits(sym & 0x0F), sym & 0x0F
+                            )
+                            k += 1
+        else:
+            # AC band scan: single component, its own block raster
+            if len(scan_comps) != 1:
+                raise ValueError("interleaved AC band scan is not legal")
+            cid, _dc_id, ac_id = scan_comps[0]
+            ci = comp_ix[cid]
+            table = huff[(1, ac_id)]
+            eobrun = 0
+            p1, m1 = 1 << al, -1 << al
+            for by in range(bys):
+                for bx in range(bxs):
+                    zz = coefs[ci, by, bx]
+                    if ah == 0:  # first scan for this band
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = br.read_symbol(table)
+                            r, s = sym >> 4, sym & 0x0F
+                            if s == 0:
+                                if r < 15:  # EOBn: run counts this block
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += br.read_bits(r)
+                                    break
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError(
+                                    "AC coefficient index overflow"
+                                )
+                            zz[k] = _extend(br.read_bits(s), s) << al
+                            k += 1
+                    else:  # refinement: correction bits (G.2, libjpeg)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = br.read_symbol(table)
+                                r, s = sym >> 4, sym & 0x0F
+                                newval = 0
+                                if s == 0:
+                                    if r < 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += br.read_bits(r)
+                                        break
+                                    # ZRL: skip 16 zero-history coefs
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "bad refinement size"
+                                        )
+                                    newval = p1 if br.read_bit() else m1
+                                while k <= se:
+                                    if zz[k] != 0:
+                                        if br.read_bit() and not (
+                                            zz[k] & p1
+                                        ):
+                                            zz[k] += (
+                                                p1 if zz[k] >= 0 else m1
+                                            )
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if newval and k <= se:
+                                    zz[k] = newval
+                                k += 1
+                        if eobrun:
+                            while k <= se:  # correction-bit sweep
+                                if zz[k] != 0:
+                                    if br.read_bit() and not (zz[k] & p1):
+                                        zz[k] += p1 if zz[k] >= 0 else m1
+                                k += 1
+                            eobrun -= 1
 
-    bw_blocks_x, bw_blocks_y = -(-fw // 8), -(-fh // 8)
-    out = np.zeros((bw_blocks_y * 8, bw_blocks_x * 8, len(fcomps)))
-    br = _BitReader(data)
-    pred = [0] * len(fcomps)
-    for by in range(bw_blocks_y):
-        for bx in range(bw_blocks_x):
-            for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
-                zz = np.zeros(64, dtype=np.int64)
-                size = br.read_symbol(huff[(0, dc_id)])
-                pred[ci] += _extend(br.read_bits(size), size)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = br.read_symbol(huff[(1, ac_id)])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _extend(br.read_bits(sym & 0x0F), sym & 0x0F)
-                    k += 1
+    out = np.zeros((bys * 8, bxs * 8, n_comp))
+    for by in range(bys):
+        for bx in range(bxs):
+            for ci, (cid, _tq) in enumerate(fcomps):
                 coef = np.zeros(64, dtype=np.float64)
-                coef[_ZIGZAG] = zz * qtables[qt_of[cid]][_ZIGZAG]
+                coef[_ZIGZAG] = coefs[ci, by, bx] * qtables[qt_of[cid]][_ZIGZAG]
                 block = _DCT_T.T @ coef.reshape(8, 8) @ _DCT_T + 128.0
                 out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = block
 
@@ -929,6 +1271,22 @@ def _jpeg_block_values(i: int) -> tuple[int, int, np.ndarray]:
     v = (i * 3 + bx[None, :] * 7 + by[:, None] * 13) % 256
     px = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)[:h, :w]
     return w, h, px.astype(np.uint8)
+
+
+def make_jpeg_progressive_media(spark, n: int = 32) -> DataFrame:
+    """Media table of REAL progressive (SOF2) JPEGs with the SAME
+    closed-form content as :func:`make_jpeg_media`: the final
+    successive approximation is exact, so decoded coefficients — and
+    the flat-block pixel values — are identical to the baseline
+    encoding, letting the same oracle certify the whole progressive
+    scan machinery."""
+    rows = []
+    for i in range(n):
+        w, h, px = _jpeg_block_values(i)
+        rows.append(
+            (i, "image", encode_jpeg_progressive(px), "image/jpeg", w, h, None)
+        )
+    return _sized_media(spark, rows)
 
 
 def make_jpeg_media(spark, n: int = 32) -> DataFrame:

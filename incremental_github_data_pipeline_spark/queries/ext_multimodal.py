@@ -347,6 +347,53 @@ def q_media_jpeg_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_media_jpeg_progressive_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 17 + (i % 14) AS w, 9 + (i % 12) AS h
+      FROM range(32) t(i)
+    ),
+    b AS (
+      SELECT media_id, w, h, bx.i AS bx, by.i AS by,
+             LEAST(8, w - bx.i * 8) AS nx,
+             LEAST(8, h - by.i * 8) AS ny,
+             (media_id * 3 + bx.i * 7 + by.i * 13) % 256 AS v
+      FROM m, range(4) bx(i), range(3) by(i)
+      WHERE bx.i * 8 < w AND by.i * 8 < h
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(SUM(nx * ny * v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(nx * ny * v * (bx + 1) * (by + 1)) AS BIGINT)
+             AS block_weighted_sum
+    FROM b GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL PROGRESSIVE JPEG decode (operators.multimodal.decode_jpeg "
+    "on SOF2 payloads) — previously the top honest NotImplementedError "
+    "for web-crawl images, now the full T.81 G.2 scan machinery: "
+    "spectral-selection bands, interleaved DC first + refinement "
+    "scans, per-component AC first scans with cross-block EOB runs "
+    "(EOBn symbols — the flat test blocks force MULTI-BLOCK runs), "
+    "and AC successive-approximation refinement with sign-magnitude "
+    "correction bits. The encoder's scan script ends at Al=0, so "
+    "decoded coefficients are bit-identical to the baseline encoding "
+    "of the same pixels — the SAME closed-form oracle certifies every "
+    "pixel, and a pytest pins progressive==baseline decode on random "
+    "content. One Arrow-batched mapInPandas pass.",
+)
+def q_media_jpeg_progressive_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        jpeg_decode_stats,
+        make_jpeg_progressive_media,
+    )
+
+    return jpeg_decode_stats(make_jpeg_progressive_media(spark, n=32)).orderBy(
+        "media_id"
+    )
+
+
+@register(
     "q_media_png_stats",
     oracle="""
     WITH m AS (

@@ -315,12 +315,12 @@ def test_jpeg_rejects_unsupported_features():
     # not a JPEG
     with pytest.raises(ValueError, match="SOI"):
         mm.decode_jpeg(b"\x00\x01\x02")
-    # progressive frame: flip SOF0 (FFC0) to SOF2 (FFC2)
+    # arithmetic-coded frame: flip SOF0 (FFC0) to SOF9 (FFC9)
     sof = bytes(payload).find(b"\xff\xc0")
-    prog = bytearray(payload)
-    prog[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF2"):
-        mm.decode_jpeg(bytes(prog))
+    arith = bytearray(payload)
+    arith[sof + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        mm.decode_jpeg(bytes(arith))
     # chroma subsampling: set the sampling byte of component 1 to 0x22
     sub = bytearray(payload)
     sub[sof + 2 + 2 + 6 + 1] = 0x22  # marker+len+B HH B, comp0 sampling
@@ -796,3 +796,58 @@ def test_png16_big_endian_sample_order():
     raw = _z.decompress(payload[idat_at + 4 : idat_at + 4 + length])
     assert raw == b"\x00\x01\x02"
     assert mm.decode_png(payload)[0, 0] == 0x0102
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """The progressive scan script ends at Al=0, so decoded
+    coefficients — hence pixels — must equal the baseline encoding's
+    decode bit-for-bit, for flat-block AND arbitrary content."""
+    for i in range(8):
+        _w, _h, px = mm._jpeg_block_values(i)
+        assert (
+            mm.decode_jpeg(mm.encode_jpeg_progressive(px)) == px
+        ).all(), f"flat {i}"
+    rng = np.random.default_rng(5)
+    for trial in range(10):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        gray = bool(rng.integers(0, 2))
+        px = rng.integers(
+            0, 256, (h, w) if gray else (h, w, 3)
+        ).astype(np.uint8)
+        base = mm.decode_jpeg(mm.encode_jpeg(px))
+        prog = mm.decode_jpeg(mm.encode_jpeg_progressive(px))
+        assert base.shape == prog.shape and (base == prog).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 32),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_progressive_property(w, h, gray, seed):
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w) if gray else (h, w, 3), dtype=np.uint8
+    )
+    base = mm.decode_jpeg(mm.encode_jpeg(px))
+    prog = mm.decode_jpeg(mm.encode_jpeg_progressive(px))
+    assert (base == prog).all()
+
+
+def test_jpeg_progressive_uses_multiblock_eob_runs():
+    """Flat images have all-zero AC bands, so the AC-first scans must
+    compress entire block rasters into EOBn runs (r > 0) — assert the
+    payload actually went through that path by being far smaller than
+    one EOB symbol per block would allow."""
+    px = np.full((64, 64), 200, np.uint8)  # 64 blocks, every AC zero
+    payload = mm.encode_jpeg_progressive(px)
+    # EOBn collapses 64 empty blocks per scan to ~2 bytes; per-block
+    # EOBs (baseline table) would need >= 64 bits per AC scan
+    assert len(payload) < len(mm.encode_jpeg(px)) + 40
+    assert (mm.decode_jpeg(payload) == px).all()
