@@ -1027,6 +1027,127 @@ def encode_jpeg_progressive(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_420(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
+    """Encode an (h, w, 3) RGB uint8 array as a baseline 4:2:0 JFIF
+    JPEG — luma at 2x2 sampling, chroma planes box-mean downsampled by
+    2 in both axes (the layout virtually every camera/web JPEG uses).
+    MCUs interleave four Y blocks + one Cb + one Cr. With
+    ``restart_interval`` > 0, a DRI segment is written and RSTn markers
+    (m cycling 0..7) split the entropy stream every that many MCUs,
+    resetting the DC predictors — the resync feature real encoders
+    emit. Neutral-gray inputs (r=g=b) have exactly constant chroma
+    (Cb=Cr=128 → all-zero chroma coefficients), so per-8x8-block
+    uniform gray images round-trip EXACTLY under the flat q=8 table —
+    the closed-form-oracle contract extended to the subsampled path."""
+    if pixels.ndim != 3:
+        raise ValueError("4:2:0 needs an (h, w, 3) RGB image")
+    h, w = pixels.shape[:2]
+    comps = _rgb_to_ycbcr(pixels)
+    # chroma box-mean over 2x2 (edge-replicated to even dims first)
+    cpad = np.pad(comps, ((0, -h % 2), (0, -w % 2), (0, 0)), mode="edge")
+    ch2, cw2 = cpad.shape[0] // 2, cpad.shape[1] // 2
+    planes = [
+        comps[:, :, 0],
+        cpad[:, :, 1].reshape(ch2, 2, cw2, 2).mean(axis=(1, 3)),
+        cpad[:, :, 2].reshape(ch2, 2, cw2, 2).mean(axis=(1, 3)),
+    ]
+    samp = [(2, 2), (1, 1), (1, 1)]
+    mcux, mcuy = -(-w // 16), -(-h // 16)
+    q = _QTABLE.reshape(8, 8)
+    coefs = []
+    for plane, (hi, vi) in zip(planes, samp):
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        plane = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        arr = np.zeros((th // 8, tw // 8, 64), dtype=np.int64)
+        for by in range(th // 8):
+            for bx in range(tw // 8):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = np.round(
+                    (_DCT_T @ (block - 128.0) @ _DCT_T.T) / q
+                ).astype(np.int64)
+                arr[by, bx] = coef.flatten()[_ZIGZAG]
+        coefs.append(arr)
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+
+    def emit_block(bw, zz, pred, c):
+        size, bits = _amplitude(int(zz[0]) - pred[c])
+        pred[c] = int(zz[0])
+        length, code = dc_codes[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_codes[0xF0]
+                bw.write(code, length)
+                run -= 16
+            size, bits = _amplitude(v)
+            length, code = ac_codes[(run << 4) | size]
+            bw.write(code, length)
+            bw.write(bits, size)
+            run = 0
+        if run:
+            length, code = ac_codes[0x00]
+            bw.write(code, length)
+
+    entropy = bytearray()
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    rst = 0
+    for m, (my, mx) in enumerate(
+        (my, mx) for my in range(mcuy) for mx in range(mcux)
+    ):
+        if restart_interval and m and m % restart_interval == 0:
+            entropy += bw.flush()
+            entropy += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            bw = _BitWriter()
+            pred = [0, 0, 0]
+        for c, (hi, vi) in enumerate(samp):
+            for v in range(vi):
+                for h_ in range(hi):
+                    emit_block(
+                        bw, coefs[c][my * vi + v, mx * hi + h_], pred, c
+                    )
+    entropy += bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 72, 72, 0, 0)
+    )
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in _QTABLE))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for c, (hi, vi) in enumerate(samp):
+        sof += struct.pack(">BBB", c + 1, (hi << 4) | vi, 0)
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = struct.pack(">B", 3)
+    for c in range(3):
+        sos += struct.pack(">BB", c + 1, 0x00)
+    sos += struct.pack(">BBB", 0, 63, 0)
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline sequential OR progressive (SOF2) JPEG to an
     (h, w) grayscale or (h, w, 3) RGB uint8 array. Reads whatever
@@ -1034,16 +1155,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     files replay their full scan script — spectral-selection bands,
     cross-block EOB runs, and successive-approximation refinement
     (sign-magnitude correction bits for AC, bitwise OR for DC, the
-    T.81 G.2 semantics). Rejects — with an honest error, never a
-    silent mis-decode — chroma subsampling, 12-bit precision,
-    arithmetic coding and restart intervals."""
+    T.81 G.2 semantics). Handles chroma subsampling (any integer
+    H/V sampling factors — 4:2:0, 4:2:2, 4:1:1, ... — chroma planes
+    upsample by sample replication) and restart intervals (RSTn
+    markers byte-align the entropy stream and reset DC predictors and
+    EOB runs, per T.81 E.1.4). Rejects — with an honest error, never
+    a silent mis-decode — 12-bit precision and arithmetic coding."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    frame = None  # (h, w, [(comp_id, qtable_id)], progressive)
-    scans = []  # [(scan_comps, Ss, Se, Ah, Al, entropy bytes)]
+    frame = None  # (h, w, [(comp_id, Hi, Vi, qtable_id)], progressive)
+    restart_interval = 0
+    scans = []  # [(scan_comps, Ss, Se, Ah, Al, [entropy segments])]
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -1079,11 +1204,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(n_comp):
                 cid, sampling, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling not supported (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
             frame = (fh, fw, comps, marker == 0xC2)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -1091,7 +1215,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"unsupported JPEG frame type (SOF{marker - 0xC0})"
             )
         elif marker == 0xDD:  # DRI
-            raise NotImplementedError("restart intervals not supported")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             n_scan = body[0]
             scan_comps = []
@@ -1100,6 +1224,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 scan_comps.append((cid, tables >> 4, tables & 0x0F))
             ss, se, ahal = struct.unpack_from(">BBB", body, 1 + 2 * n_scan)
             # entropy data runs to the next real marker; unstuff FF00
+            # and split at RSTn markers (one segment per restart
+            # interval — each resumes byte-aligned with fresh state)
+            segments: list[bytes] = []
             data = bytearray()
             while pos < len(payload):
                 b = payload[pos]
@@ -1110,72 +1237,108 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         pos += 2
                         continue
                     if 0xD0 <= nxt <= 0xD7:
-                        raise NotImplementedError(
-                            "restart markers not supported"
-                        )
+                        segments.append(bytes(data))
+                        data = bytearray()
+                        pos += 2
+                        continue
                     break
                 data.append(b)
                 pos += 1
+            segments.append(bytes(data))
             scans.append(
-                (scan_comps, ss, se, ahal >> 4, ahal & 0x0F, bytes(data))
+                (scan_comps, ss, se, ahal >> 4, ahal & 0x0F, segments)
             )
         # APPn / COM / others: skipped via seglen
 
     if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
     fh, fw, fcomps, progressive = frame
-    qt_of = dict(fcomps)
-    comp_ix = {cid: i for i, (cid, _tq) in enumerate(fcomps)}
+    qt_of = {cid: tq for cid, _hi, _vi, tq in fcomps}
+    samp = {cid: (hi, vi) for cid, hi, vi, _tq in fcomps}
+    comp_ix = {cid: i for i, (cid, _h, _v, _t) in enumerate(fcomps)}
     n_comp = len(fcomps)
-    bxs, bys = -(-fw // 8), -(-fh // 8)
+    hmax = max(hi for _c, hi, _v, _t in fcomps)
+    vmax = max(vi for _c, _h, vi, _t in fcomps)
+    mcux, mcuy = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+
+    def comp_dims(cid):
+        hi, vi = samp[cid]
+        return -(-fw * hi // hmax), -(-fh * vi // vmax)  # ceil
+
     # accumulate zigzag-order coefficients across scans (one scan for
-    # baseline; the full scan script for progressive)
-    coefs = np.zeros((n_comp, bys, bxs, 64), dtype=np.int64)
-    for scan_comps, ss, se, ah, al, data in scans:
-        br = _BitReader(data)
-        if ss == 0:
-            # DC scan (progressive) or full baseline scan (Se=63):
-            # interleaved MCU order, one block per scan component
-            pred = {cid: 0 for cid, _d, _a in scan_comps}
-            for by in range(bys):
-                for bx in range(bxs):
-                    for cid, dc_id, ac_id in scan_comps:
-                        zz = coefs[comp_ix[cid], by, bx]
-                        if ah == 0:
-                            size = br.read_symbol(huff[(0, dc_id)])
-                            pred[cid] += _extend(br.read_bits(size), size)
-                            zz[0] = pred[cid] << al
-                        elif br.read_bit():  # DC refinement: OR in 1<<al
-                            zz[0] |= 1 << al
-                        k = 1
-                        while k <= se:  # baseline AC (se=0 skips)
-                            sym = br.read_symbol(huff[(1, ac_id)])
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            if k > 63:
-                                raise ValueError(
-                                    "AC coefficient index overflow"
-                                )
-                            zz[k] = _extend(
-                                br.read_bits(sym & 0x0F), sym & 0x0F
-                            )
-                            k += 1
+    # baseline; the full scan script for progressive); grids are sized
+    # to the interleaved (MCU-padded) raster so edge dummy blocks fit
+    coefs = [
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+        for _cid, hi, vi, _tq in fcomps
+    ]
+    for scan_comps, ss, se, ah, al, segments in scans:
+        interleaved = len(scan_comps) > 1
+        if interleaved:
+            # MCU units: each scan component contributes Vi x Hi blocks
+            def units():
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        yield [
+                            (cid, dc_id, ac_id, my * vi + v, mx * hi + h_)
+                            for cid, dc_id, ac_id in scan_comps
+                            for hi, vi in (samp[cid],)
+                            for v in range(vi)
+                            for h_ in range(hi)
+                        ]
         else:
-            # AC band scan: single component, its own block raster
-            if len(scan_comps) != 1:
-                raise ValueError("interleaved AC band scan is not legal")
-            cid, _dc_id, ac_id = scan_comps[0]
-            ci = comp_ix[cid]
-            table = huff[(1, ac_id)]
-            eobrun = 0
-            p1, m1 = 1 << al, -1 << al
-            for by in range(bys):
-                for bx in range(bxs):
-                    zz = coefs[ci, by, bx]
+            # single component: its own true (non-dummy) block raster
+            def units():
+                cid, dc_id, ac_id = scan_comps[0]
+                cw, ch = comp_dims(cid)
+                for by in range(-(-ch // 8)):
+                    for bx in range(-(-cw // 8)):
+                        yield [(cid, dc_id, ac_id, by, bx)]
+
+        seg_ix = 0
+        br = _BitReader(segments[0])
+        pred = {cid: 0 for cid, _d, _a in scan_comps}
+        eobrun = 0
+        p1, m1 = 1 << al, -1 << al
+        for unit_no, unit in enumerate(units()):
+            if restart_interval and unit_no and unit_no % restart_interval == 0:
+                # RSTn boundary: byte-aligned fresh segment, predictors
+                # and EOB run reset (T.81 E.1.4)
+                seg_ix += 1
+                if seg_ix >= len(segments):
+                    raise ValueError("missing restart segment")
+                br = _BitReader(segments[seg_ix])
+                pred = {cid: 0 for cid, _d, _a in scan_comps}
+                eobrun = 0
+            for cid, dc_id, ac_id, by, bx in unit:
+                zz = coefs[comp_ix[cid]][by, bx]
+                if ss == 0:
+                    # DC scan (progressive) or full baseline scan
+                    if ah == 0:
+                        size = br.read_symbol(huff[(0, dc_id)])
+                        pred[cid] += _extend(br.read_bits(size), size)
+                        zz[0] = pred[cid] << al
+                    elif br.read_bit():  # DC refinement: OR in 1<<al
+                        zz[0] |= 1 << al
+                    k = 1
+                    while k <= se:  # baseline AC (se=0 skips)
+                        sym = br.read_symbol(huff[(1, ac_id)])
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        if k > 63:
+                            raise ValueError(
+                                "AC coefficient index overflow"
+                            )
+                        zz[k] = _extend(
+                            br.read_bits(sym & 0x0F), sym & 0x0F
+                        )
+                        k += 1
+                else:
+                    table = huff[(1, ac_id)]
                     if ah == 0:  # first scan for this band
                         if eobrun:
                             eobrun -= 1
@@ -1243,19 +1406,35 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                 k += 1
                             eobrun -= 1
 
-    out = np.zeros((bys * 8, bxs * 8, n_comp))
-    for by in range(bys):
-        for bx in range(bxs):
-            for ci, (cid, _tq) in enumerate(fcomps):
+    # per-component IDCT into its own plane, crop to the component's
+    # true dimensions, then upsample by sample replication to full size
+    out = np.zeros((fh, fw, n_comp))
+    for ci, (cid, hi, vi, _tq) in enumerate(fcomps):
+        cbys, cbxs = coefs[ci].shape[:2]
+        plane = np.zeros((cbys * 8, cbxs * 8))
+        qt = qtables[qt_of[cid]]
+        for by in range(cbys):
+            for bx in range(cbxs):
                 coef = np.zeros(64, dtype=np.float64)
-                coef[_ZIGZAG] = coefs[ci, by, bx] * qtables[qt_of[cid]][_ZIGZAG]
-                block = _DCT_T.T @ coef.reshape(8, 8) @ _DCT_T + 128.0
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = block
+                coef[_ZIGZAG] = coefs[ci][by, bx] * qt[_ZIGZAG]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT_T.T @ coef.reshape(8, 8) @ _DCT_T + 128.0
+                )
+        cw, ch = comp_dims(cid)
+        plane = plane[:ch, :cw]
+        if hi != hmax or vi != vmax:
+            if hmax % hi or vmax % vi:
+                raise NotImplementedError(
+                    "non-integral sampling ratio not supported"
+                )
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        out[:, :, ci] = plane[:fh, :fw]
 
-    out = out[:fh, :fw]
-    if len(fcomps) == 1:
+    if n_comp == 1:
         return np.clip(np.round(out[:, :, 0]), 0, 255).astype(np.uint8)
-    if len(fcomps) == 3:
+    if n_comp == 3:
         return _ycbcr_to_rgb(out)
     raise NotImplementedError("only 1- or 3-component JPEG supported")
 
@@ -1285,6 +1464,30 @@ def make_jpeg_progressive_media(spark, n: int = 32) -> DataFrame:
         w, h, px = _jpeg_block_values(i)
         rows.append(
             (i, "image", encode_jpeg_progressive(px), "image/jpeg", w, h, None)
+        )
+    return _sized_media(spark, rows)
+
+
+def make_jpeg420_media(spark, n: int = 32) -> DataFrame:
+    """Media table of REAL 4:2:0-subsampled color JPEGs: the grayscale
+    closed-form blocks replicated to neutral-gray RGB (Cb=Cr=128
+    exactly → all-zero chroma coefficients → EXACT round-trip), with
+    restart intervals cycling 0/1/2/3 MCUs so RSTn resync and DC
+    predictor resets ride the certified path."""
+    rows = []
+    for i in range(n):
+        w, h, px = _jpeg_block_values(i)
+        rgb = np.repeat(px[:, :, None], 3, axis=2)
+        rows.append(
+            (
+                i,
+                "image",
+                encode_jpeg_420(rgb, restart_interval=i % 4),
+                "image/jpeg",
+                w,
+                h,
+                None,
+            )
         )
     return _sized_media(spark, rows)
 
@@ -1323,6 +1526,8 @@ def jpeg_decode_stats(media: DataFrame) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 px = decode_jpeg(r.payload).astype(np.int64)
                 h, w = px.shape[:2]
+                if px.ndim == 3:  # color: sum channels, weights stay 2D
+                    px = px.sum(axis=2)
                 wy = np.arange(h)[:, None] // 8 + 1
                 wx = np.arange(w)[None, :] // 8 + 1
                 recs.append(

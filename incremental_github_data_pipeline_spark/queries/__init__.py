@@ -59,6 +59,7 @@ _CERTIFY_FIRST = [
     "q_media_png_interlaced_stats",
     "q_media_png16_stats",
     "q_media_jpeg_progressive_stats",
+    "q_media_jpeg420_stats",
     # -- (b) code/oracle changed in round 6 --
     "q_doc_weighted_sample",
     "q_skew_report",
@@ -106,12 +107,11 @@ _CERTIFY_FIRST = [
     "q09_product_profit",
     "q10_returned_items",
     "q11_important_parts",
-    "q12_late_shipments",
 ]
 # Round-7 rotation queue: check CORRECTNESS_r06.json at round start and
 # front-load (1) any non-green r6 rows, (2) round-6 registrations that
 # missed the r6 cut, (3) queries whose code changes in round 7, then the
-# remaining r3-vintage greens (q13, q14, q15..q22, q_case_when, q_date_parts,
+# remaining r3-vintage greens (q12, q13, q14, q15..q22, q_case_when, q_date_parts,
 # q_dedup_clusters, q_doc_chunks, q_doc_curation_funnel, q_doc_dsir,
 # q_doc_exact_dedup, q_doc_lm_score, q_doc_mix_sources,
 # q_doc_remove_spans, q_embedding_quantized_topk, q_events_funnel,

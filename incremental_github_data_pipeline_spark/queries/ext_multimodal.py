@@ -347,6 +347,53 @@ def q_media_jpeg_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_media_jpeg420_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 17 + (i % 14) AS w, 9 + (i % 12) AS h
+      FROM range(32) t(i)
+    ),
+    b AS (
+      SELECT media_id, w, h, bx.i AS bx, by.i AS by,
+             LEAST(8, w - bx.i * 8) AS nx,
+             LEAST(8, h - by.i * 8) AS ny,
+             (media_id * 3 + bx.i * 7 + by.i * 13) % 256 AS v
+      FROM m, range(4) bx(i), range(3) by(i)
+      WHERE bx.i * 8 < w AND by.i * 8 < h
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(3 * SUM(nx * ny * v) AS BIGINT) AS pixel_sum,
+           CAST(3 * SUM(nx * ny * v * (bx + 1) * (by + 1)) AS BIGINT)
+             AS block_weighted_sum
+    FROM b GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL 4:2:0 chroma-subsampled color JPEG decode — the layout "
+    "virtually every camera/web JPEG uses, previously an honest "
+    "NotImplementedError. MCUs interleave four Y blocks + Cb + Cr; "
+    "the decoder runs general sampling-factor grids (per-component "
+    "block rasters, dummy edge blocks, replicated chroma upsampling) "
+    "and RESTART INTERVALS (ids cycle DRI 0/1/2/3: RSTn markers "
+    "byte-align the stream and reset DC predictors mid-image). The "
+    "fixture is neutral-gray RGB (Cb=Cr=128 exactly, zero chroma "
+    "coefficients), so the subsampled path round-trips EXACTLY and "
+    "DuckDB recomputes every decoded pixel: channel-summed pixel and "
+    "block-weighted lanes are 3x the grayscale closed form. One "
+    "Arrow-batched mapInPandas pass.",
+)
+def q_media_jpeg420_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        jpeg_decode_stats,
+        make_jpeg420_media,
+    )
+
+    return jpeg_decode_stats(make_jpeg420_media(spark, n=32)).orderBy(
+        "media_id"
+    )
+
+
+@register(
     "q_media_jpeg_progressive_stats",
     oracle="""
     WITH m AS (

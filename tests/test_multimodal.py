@@ -321,11 +321,11 @@ def test_jpeg_rejects_unsupported_features():
     arith[sof + 1] = 0xC9
     with pytest.raises(NotImplementedError, match="SOF9"):
         mm.decode_jpeg(bytes(arith))
-    # chroma subsampling: set the sampling byte of component 1 to 0x22
-    sub = bytearray(payload)
-    sub[sof + 2 + 2 + 6 + 1] = 0x22  # marker+len+B HH B, comp0 sampling
-    with pytest.raises(NotImplementedError, match="subsampling"):
-        mm.decode_jpeg(bytes(sub))
+    # 12-bit precision: flip the SOF precision byte (marker+len, then B)
+    deep = bytearray(payload)
+    deep[sof + 4] = 12
+    with pytest.raises(NotImplementedError, match="precision"):
+        mm.decode_jpeg(bytes(deep))
 
 
 def test_jpeg_bitstream_byte_stuffing_roundtrip():
@@ -851,3 +851,63 @@ def test_jpeg_progressive_uses_multiblock_eob_runs():
     # EOBs (baseline table) would need >= 64 bits per AC scan
     assert len(payload) < len(mm.encode_jpeg(px)) + 40
     assert (mm.decode_jpeg(payload) == px).all()
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 chroma subsampling + restart intervals (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_420_exact_on_neutral_gray_blocks():
+    """Neutral-gray RGB (Cb=Cr=128 exactly -> zero chroma coefficients)
+    with per-8x8-block-uniform luma round-trips EXACTLY through the
+    subsampled path, with and without restart intervals."""
+    for i in range(6):
+        _w, _h, g = mm._jpeg_block_values(i)
+        rgb = np.repeat(g[:, :, None], 3, axis=2)
+        for ri in (0, 1, 3):
+            dec = mm.decode_jpeg(mm.encode_jpeg_420(rgb, restart_interval=ri))
+            assert dec.shape == rgb.shape and (dec == rgb).all(), (i, ri)
+
+
+def test_jpeg_420_smooth_color_content_close():
+    h, w = 33, 41
+    grad = np.stack(
+        [
+            np.clip(
+                np.arange(h)[:, None] * 2 + np.arange(w)[None, :] + 40 * c,
+                0,
+                255,
+            )
+            for c in range(3)
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    for ri in (0, 2, 7):
+        dec = mm.decode_jpeg(mm.encode_jpeg_420(grad, restart_interval=ri))
+        assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 12
+
+
+def test_jpeg_420_odd_dims_and_payload_sanity(spark=None):
+    rng = np.random.default_rng(9)
+    for _ in range(8):
+        h, w = int(rng.integers(1, 37)), int(rng.integers(1, 37))
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        d = mm.decode_jpeg(
+            mm.encode_jpeg_420(px, restart_interval=int(rng.integers(0, 4)))
+        )
+        assert d.shape == px.shape
+    # the payload really is subsampled: smaller than the 4:4:4 encoding
+    flat = np.full((48, 48, 3), 150, np.uint8)
+    assert len(mm.encode_jpeg_420(flat)) < len(mm.encode_jpeg(flat))
+
+
+def test_jpeg_420_restart_markers_present_and_reset():
+    _w, _h, g = mm._jpeg_block_values(3)
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    with_rst = mm.encode_jpeg_420(rgb, restart_interval=1)
+    without = mm.encode_jpeg_420(rgb)
+    # DRI segment + at least one RSTn marker byte pair
+    assert b"\xff\xdd" in with_rst and b"\xff\xdd" not in without
+    assert any(bytes([0xFF, 0xD0 + m]) in with_rst for m in range(8))
+    assert (mm.decode_jpeg(with_rst) == mm.decode_jpeg(without)).all()
