@@ -824,41 +824,38 @@ def _quantized_blocks(pixels: np.ndarray) -> tuple[np.ndarray, int, int, int]:
     return coefs, n_comp, h, w
 
 
-def _enc_dc_first(coefs, comp_ids, al, dc_codes) -> bytes:
+def _enc_dc_first(coefs, order, al, dc_codes) -> bytes:
     """Progressive DC first scan (interleaved, T.81 G.1.2.1): baseline
     DC difference coding of the point-transformed (arithmetic >> al)
-    coefficients."""
+    coefficients. ``coefs`` is one zigzag array per component;
+    ``order`` yields (comp, by, bx) in MCU block order (which, for
+    subsampled frames, emits Vi x Hi luma blocks per MCU)."""
     bw = _BitWriter()
-    pred = {c: 0 for c in comp_ids}
-    _, bys, bxs, _ = coefs.shape
-    for by in range(bys):
-        for bx in range(bxs):
-            for c in comp_ids:
-                v = int(coefs[c, by, bx, 0]) >> al
-                size, bits = _amplitude(v - pred[c])
-                pred[c] = v
-                length, code = dc_codes[size]
-                bw.write(code, length)
-                if size:
-                    bw.write(bits, size)
+    pred: dict[int, int] = {}
+    for c, by, bx in order:
+        v = int(coefs[c][by, bx, 0]) >> al
+        size, bits = _amplitude(v - pred.get(c, 0))
+        pred[c] = v
+        length, code = dc_codes[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
     return bw.flush()
 
 
-def _enc_dc_refine(coefs, comp_ids, al) -> bytes:
+def _enc_dc_refine(coefs, order, al) -> bytes:
     """DC successive-approximation refinement: one raw bit per block."""
     bw = _BitWriter()
-    _, bys, bxs, _ = coefs.shape
-    for by in range(bys):
-        for bx in range(bxs):
-            for c in comp_ids:
-                bw.write((int(coefs[c, by, bx, 0]) >> al) & 1, 1)
+    for c, by, bx in order:
+        bw.write((int(coefs[c][by, bx, 0]) >> al) & 1, 1)
     return bw.flush()
 
 
-def _enc_ac_first(coefs, c, ss, se, al, ac_codes) -> bytes:
+def _enc_ac_first(coef, blocks, ss, se, al, ac_codes) -> bytes:
     """Progressive AC first scan (single component, T.81 G.1.2.2):
     run/size coding of the band's point-transformed (magnitude >> al,
-    sign reapplied) coefficients with cross-block EOB runs."""
+    sign reapplied) coefficients with cross-block EOB runs. ``blocks``
+    yields (by, bx) over the component's TRUE (non-dummy) raster."""
     bw = _BitWriter()
     eobrun = 0
 
@@ -872,10 +869,8 @@ def _enc_ac_first(coefs, c, ss, se, al, ac_codes) -> bytes:
                 bw.write(eobrun - (1 << r), r)
             eobrun = 0
 
-    _, bys, bxs, _ = coefs.shape
-    for by in range(bys):
-        for bx in range(bxs):
-            zz = coefs[c, by, bx]
+    for by, bx in blocks:
+            zz = coef[by, bx]
             run = 0
             for k in range(ss, se + 1):
                 v = int(zz[k])
@@ -901,7 +896,7 @@ def _enc_ac_first(coefs, c, ss, se, al, ac_codes) -> bytes:
     return bw.flush()
 
 
-def _enc_ac_refine(coefs, c, ss, se, al, ac_codes) -> bytes:
+def _enc_ac_refine(coef, blocks, ss, se, al, ac_codes) -> bytes:
     """Progressive AC refinement scan (T.81 G.1.2.3, the libjpeg
     encode_mcu_AC_refine discipline): newly-significant coefficients
     (|v| >> al == 1) code as (zero-history-run, size 1) + sign bit;
@@ -925,10 +920,8 @@ def _enc_ac_refine(coefs, c, ss, se, al, ac_codes) -> bytes:
             pending = []
             eobrun = 0
 
-    _, bys, bxs, _ = coefs.shape
-    for by in range(bys):
-        for bx in range(bxs):
-            zz = coefs[c, by, bx]
+    for by, bx in blocks:
+            zz = coef[by, bx]
             absvals = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
             eob = ss - 1  # position of the LAST newly-significant coef
             for i, t in enumerate(absvals):
@@ -969,7 +962,9 @@ def _enc_ac_refine(coefs, c, ss, se, al, ac_codes) -> bytes:
     return bw.flush()
 
 
-def encode_jpeg_progressive(pixels: np.ndarray) -> bytes:
+def encode_jpeg_progressive(
+    pixels: np.ndarray, subsample_420: bool = False
+) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     PROGRESSIVE JFIF JPEG (SOF2) with a spectral-selection +
     successive-approximation scan script that exercises every
@@ -980,24 +975,60 @@ def encode_jpeg_progressive(pixels: np.ndarray) -> bytes:
     approximation is exact, so decoded coefficients are bit-identical
     to the baseline encoding of the same pixels — flat blocks still
     round-trip exactly under the flat q=8 table (the closed-form-oracle
-    contract of :func:`encode_jpeg`)."""
-    coefs, n_comp, h, w = _quantized_blocks(pixels)
+    contract of :func:`encode_jpeg`). With ``subsample_420`` (color
+    only) the same scan script runs over 4:2:0 planes — interleaved DC
+    scans emit four Y blocks per MCU while AC band scans walk each
+    component's true raster, the progressive+subsampled COMBINATION
+    that dominates real web images."""
+    if subsample_420:
+        coefs, samp, mcux, mcuy = _quantized_blocks_420(pixels)
+        h, w = pixels.shape[:2]
+        n_comp = 3
+    else:
+        arr, n_comp, h, w = _quantized_blocks(pixels)
+        coefs = [arr[c] for c in range(n_comp)]
+        samp = [(1, 1)] * n_comp
+        mcuy, mcux = arr.shape[1], arr.shape[2]
+    hmax = max(hi for hi, _vi in samp)
+    vmax = max(vi for _hi, vi in samp)
+
+    def mcu_order(comp_ids):
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in comp_ids:
+                    hi, vi = samp[c]
+                    for v in range(vi):
+                        for h_ in range(hi):
+                            yield (c, my * vi + v, mx * hi + h_)
+
+    def true_blocks(c):
+        hi, vi = samp[c]
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield (by, bx)
+
     dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
     ac_codes = _huff_codes(_AC_PROG_BITS, _AC_PROG_VALS)
     all_ids = list(range(n_comp))
     scans: list[tuple[list[int], int, int, int, int, bytes]] = [
-        (all_ids, 0, 0, 0, 1, _enc_dc_first(coefs, all_ids, 1, dc_codes))
+        (all_ids, 0, 0, 0, 1,
+         _enc_dc_first(coefs, mcu_order(all_ids), 1, dc_codes))
     ]
     for ss, se in ((1, 5), (6, 63)):
         for c in all_ids:
             scans.append(
-                ([c], ss, se, 0, 1, _enc_ac_first(coefs, c, ss, se, 1, ac_codes))
+                ([c], ss, se, 0, 1,
+                 _enc_ac_first(coefs[c], true_blocks(c), ss, se, 1, ac_codes))
             )
-    scans.append((all_ids, 0, 0, 1, 0, _enc_dc_refine(coefs, all_ids, 0)))
+    scans.append(
+        (all_ids, 0, 0, 1, 0, _enc_dc_refine(coefs, mcu_order(all_ids), 0))
+    )
     for ss, se in ((1, 5), (6, 63)):
         for c in all_ids:
             scans.append(
-                ([c], ss, se, 1, 0, _enc_ac_refine(coefs, c, ss, se, 0, ac_codes))
+                ([c], ss, se, 1, 0,
+                 _enc_ac_refine(coefs[c], true_blocks(c), ss, se, 0, ac_codes))
             )
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -1010,7 +1041,8 @@ def encode_jpeg_progressive(pixels: np.ndarray) -> bytes:
     out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in _QTABLE))
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
     for c in range(n_comp):
-        sof += struct.pack(">BBB", c + 1, 0x11, 0)
+        hi, vi = samp[c]
+        sof += struct.pack(">BBB", c + 1, (hi << 4) | vi, 0)
     out += seg(0xC2, sof)  # SOF2 progressive
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += seg(
@@ -1027,23 +1059,15 @@ def encode_jpeg_progressive(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def encode_jpeg_420(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
-    """Encode an (h, w, 3) RGB uint8 array as a baseline 4:2:0 JFIF
-    JPEG — luma at 2x2 sampling, chroma planes box-mean downsampled by
-    2 in both axes (the layout virtually every camera/web JPEG uses).
-    MCUs interleave four Y blocks + one Cb + one Cr. With
-    ``restart_interval`` > 0, a DRI segment is written and RSTn markers
-    (m cycling 0..7) split the entropy stream every that many MCUs,
-    resetting the DC predictors — the resync feature real encoders
-    emit. Neutral-gray inputs (r=g=b) have exactly constant chroma
-    (Cb=Cr=128 → all-zero chroma coefficients), so per-8x8-block
-    uniform gray images round-trip EXACTLY under the flat q=8 table —
-    the closed-form-oracle contract extended to the subsampled path."""
+def _quantized_blocks_420(pixels: np.ndarray):
+    """Encoder front half for 4:2:0 color: YCbCr transform, chroma
+    box-mean downsample by 2x2 (edge-replicated to even dims first),
+    MCU-padding, DCT+quantize. Returns (coefs list per component,
+    sampling factors, mcux, mcuy)."""
     if pixels.ndim != 3:
         raise ValueError("4:2:0 needs an (h, w, 3) RGB image")
     h, w = pixels.shape[:2]
     comps = _rgb_to_ycbcr(pixels)
-    # chroma box-mean over 2x2 (edge-replicated to even dims first)
     cpad = np.pad(comps, ((0, -h % 2), (0, -w % 2), (0, 0)), mode="edge")
     ch2, cw2 = cpad.shape[0] // 2, cpad.shape[1] // 2
     planes = [
@@ -1071,7 +1095,23 @@ def encode_jpeg_420(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
                 ).astype(np.int64)
                 arr[by, bx] = coef.flatten()[_ZIGZAG]
         coefs.append(arr)
+    return coefs, samp, mcux, mcuy
 
+
+def encode_jpeg_420(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
+    """Encode an (h, w, 3) RGB uint8 array as a baseline 4:2:0 JFIF
+    JPEG — luma at 2x2 sampling, chroma planes box-mean downsampled by
+    2 in both axes (the layout virtually every camera/web JPEG uses).
+    MCUs interleave four Y blocks + one Cb + one Cr. With
+    ``restart_interval`` > 0, a DRI segment is written and RSTn markers
+    (m cycling 0..7) split the entropy stream every that many MCUs,
+    resetting the DC predictors — the resync feature real encoders
+    emit. Neutral-gray inputs (r=g=b) have exactly constant chroma
+    (Cb=Cr=128 → all-zero chroma coefficients), so per-8x8-block
+    uniform gray images round-trip EXACTLY under the flat q=8 table —
+    the closed-form-oracle contract extended to the subsampled path."""
+    h, w = pixels.shape[:2]
+    coefs, samp, mcux, mcuy = _quantized_blocks_420(pixels)
     dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
 
@@ -1473,22 +1513,20 @@ def make_jpeg420_media(spark, n: int = 32) -> DataFrame:
     closed-form blocks replicated to neutral-gray RGB (Cb=Cr=128
     exactly → all-zero chroma coefficients → EXACT round-trip), with
     restart intervals cycling 0/1/2/3 MCUs so RSTn resync and DC
-    predictor resets ride the certified path."""
+    predictor resets ride the certified path. Odd ids encode
+    PROGRESSIVE 4:2:0 (the combination that dominates real web
+    images): interleaved DC scans emitting four Y blocks per MCU, AC
+    band scans walking each component's true raster."""
     rows = []
     for i in range(n):
         w, h, px = _jpeg_block_values(i)
         rgb = np.repeat(px[:, :, None], 3, axis=2)
-        rows.append(
-            (
-                i,
-                "image",
-                encode_jpeg_420(rgb, restart_interval=i % 4),
-                "image/jpeg",
-                w,
-                h,
-                None,
-            )
+        payload = (
+            encode_jpeg_progressive(rgb, subsample_420=True)
+            if i % 2
+            else encode_jpeg_420(rgb, restart_interval=i % 4)
         )
+        rows.append((i, "image", payload, "image/jpeg", w, h, None))
     return _sized_media(spark, rows)
 
 

@@ -374,8 +374,11 @@ def q_media_jpeg_stats(spark: SparkSession, sf: str) -> DataFrame:
     "NotImplementedError. MCUs interleave four Y blocks + Cb + Cr; "
     "the decoder runs general sampling-factor grids (per-component "
     "block rasters, dummy edge blocks, replicated chroma upsampling) "
-    "and RESTART INTERVALS (ids cycle DRI 0/1/2/3: RSTn markers "
-    "byte-align the stream and reset DC predictors mid-image). The "
+    "and RESTART INTERVALS (even ids cycle DRI 0/2: RSTn markers "
+    "byte-align the stream and reset DC predictors mid-image); odd "
+    "ids encode PROGRESSIVE 4:2:0 — the combination that dominates "
+    "real web images — so subsampled spectral-selection/refinement "
+    "scans are certified too. The "
     "fixture is neutral-gray RGB (Cb=Cr=128 exactly, zero chroma "
     "coefficients), so the subsampled path round-trips EXACTLY and "
     "DuckDB recomputes every decoded pixel: channel-summed pixel and "

@@ -911,3 +911,25 @@ def test_jpeg_420_restart_markers_present_and_reset():
     assert b"\xff\xdd" in with_rst and b"\xff\xdd" not in without
     assert any(bytes([0xFF, 0xD0 + m]) in with_rst for m in range(8))
     assert (mm.decode_jpeg(with_rst) == mm.decode_jpeg(without)).all()
+
+
+def test_jpeg_progressive_420_matches_sequential_420():
+    """The progressive scan script over 4:2:0 planes must decode
+    bit-identically to the sequential 4:2:0 encoding (same quantized
+    coefficients), and exactly on the neutral-gray block fixture."""
+    rng = np.random.default_rng(13)
+    for _ in range(6):
+        h, w = int(rng.integers(1, 37)), int(rng.integers(1, 37))
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        seq = mm.decode_jpeg(mm.encode_jpeg_420(px))
+        prog = mm.decode_jpeg(
+            mm.encode_jpeg_progressive(px, subsample_420=True)
+        )
+        assert seq.shape == prog.shape and (seq == prog).all()
+    for i in range(4):
+        _w, _h, g = mm._jpeg_block_values(i)
+        rgb = np.repeat(g[:, :, None], 3, axis=2)
+        dec = mm.decode_jpeg(
+            mm.encode_jpeg_progressive(rgb, subsample_420=True)
+        )
+        assert (dec == rgb).all()
