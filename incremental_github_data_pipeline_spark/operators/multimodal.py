@@ -1200,7 +1200,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     upsample by sample replication) and restart intervals (RSTn
     markers byte-align the entropy stream and reset DC predictors and
     EOB runs, per T.81 E.1.4). Rejects — with an honest error, never
-    a silent mis-decode — 12-bit precision and arithmetic coding."""
+    a silent mis-decode — 12-bit precision and arithmetic coding.
+
+    Marker state is PER SCAN: each SOS snapshots the DHT tables and
+    DRI interval in effect at that point, and every scan decodes with
+    its own snapshot — real encoders (libjpeg ``-optimize``) emit
+    per-scan Huffman tables REUSING ids 0/1 between scans, and DRI
+    may change between scans; decoding everything against the
+    last-defined tables (the pre-r7 behavior) silently mis-decodes
+    such files. Quantization tables stay frame-level: progressive
+    coefficients accumulate across scans and dequantize once, so a
+    mid-frame DQT redefinition has no well-defined meaning (T.81
+    encoders define them before the first scan)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -1285,8 +1296,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 data.append(b)
                 pos += 1
             segments.append(bytes(data))
+            # snapshot the DHT/DRI state IN EFFECT at this SOS — later
+            # redefinitions belong to later scans only
             scans.append(
-                (scan_comps, ss, se, ahal >> 4, ahal & 0x0F, segments)
+                (scan_comps, ss, se, ahal >> 4, ahal & 0x0F, segments,
+                 dict(huff), restart_interval)
             )
         # APPn / COM / others: skipped via seglen
 
@@ -1312,7 +1326,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
         for _cid, hi, vi, _tq in fcomps
     ]
-    for scan_comps, ss, se, ah, al, segments in scans:
+    for scan_comps, ss, se, ah, al, segments, huff, restart_interval in scans:
         interleaved = len(scan_comps) > 1
         if interleaved:
             # MCU units: each scan component contributes Vi x Hi blocks

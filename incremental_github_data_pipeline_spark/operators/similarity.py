@@ -808,19 +808,24 @@ def pooled_ann_recall(
     block absorbs the ``dim % n_blocks`` trailing components (block
     width is ``dim div n_blocks`` for the first n_blocks-1 blocks) —
     every component contributes to the sketch; nothing is silently
-    dropped.
+    dropped. When the dim is SMALLER than ``n_blocks`` the block count
+    clamps to the dim (one component per block — the sketch degrades
+    to the exact vector rather than to n_blocks-1 empty blocks plus
+    one block holding everything, which the pre-r7 code produced
+    silently).
     """
     def lanes(df: DataFrame, id_out: str) -> DataFrame:
         qd = quantize_embeddings(df, vec_col)
-        base = (F.size(F.col("q")) / n_blocks).cast("int")
+        nb = F.least(F.lit(n_blocks), F.size(F.col("q")))
+        base = (F.size(F.col("q")) / nb).cast("int")
         blk = F.transform(
-            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+            F.sequence(F.lit(0), nb - 1),
             lambda b: F.aggregate(
                 F.slice(
                     F.col("q"),
                     b * base + 1,
                     F.when(
-                        b == n_blocks - 1, F.size(F.col("q")) - b * base
+                        b == nb - 1, F.size(F.col("q")) - b * base
                     ).otherwise(base),
                 ),
                 F.lit(0).cast("long"),

@@ -1396,6 +1396,7 @@ def learn_bpe(
     text_col: str = "text",
     n_merges: int = 4,
     local_vocab_max: int = 200_000,
+    local_syms_max: int = 8_000_000,
 ):
     """Learn ``n_merges`` BPE merges from a corpus and return BOTH
     halves of the trained tokenizer: ``(merges DataFrame, vocab
@@ -1435,6 +1436,15 @@ def learn_bpe(
     bit-identical by a local-vs-distributed agreement test at
     ``n_merges=1000``; set ``local_vocab_max=0`` to force the
     distributed path.
+
+    The gate bounds what the driver would actually COLLECT, not just
+    the row count: driver memory is proportional to total symbols
+    (sum of word lengths), so a whitespace-free corpus (code, URLs)
+    with few very long word types must not slip through a types-only
+    gate. The local path is taken only when BOTH ``word types <=
+    local_vocab_max`` AND ``total symbols <= local_syms_max`` hold
+    (one extra aggregate row over the already-checkpointed
+    vocabulary, no extra corpus scan).
     """
     sep = _BPE_SEP
     words = (
@@ -1452,7 +1462,11 @@ def learn_bpe(
         )
         .localCheckpoint(eager=True)
     )
-    if words.count() <= local_vocab_max:
+    gate = words.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.coalesce(F.sum(F.length("word")), F.lit(0)).alias("n_syms"),
+    ).first()
+    if gate.n_types <= local_vocab_max and gate.n_syms <= local_syms_max:
         return _learn_bpe_local(df.sparkSession, words, n_merges)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
