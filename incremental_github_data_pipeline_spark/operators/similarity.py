@@ -816,7 +816,15 @@ def pooled_ann_recall(
     """
     def lanes(df: DataFrame, id_out: str) -> DataFrame:
         qd = quantize_embeddings(df, vec_col)
-        nb = F.least(F.lit(n_blocks), F.size(F.col("q")))
+        # Clamp to >=1 block: an EMPTY vector would otherwise make
+        # nb=0, so base = size/nb is a 0/0 NULL and sequence(0, nb-1)
+        # = sequence(0, -1) yields a DESCENDING [0, -1] — the sketch
+        # becomes an array of NULLs (null dot_pooled, null-ordered
+        # ranking). With nb=1 the empty vector pools to one empty-sum
+        # block = the well-defined all-zero sketch (advisor r7).
+        nb = F.greatest(
+            F.lit(1), F.least(F.lit(n_blocks), F.size(F.col("q")))
+        )
         base = (F.size(F.col("q")) / nb).cast("int")
         blk = F.transform(
             F.sequence(F.lit(0), nb - 1),
