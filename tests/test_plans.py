@@ -295,3 +295,22 @@ def test_heavy_doc_joins_no_forced_broadcast(spark, registry, name):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_plan_audit_covers_registry(registry):
+    """PLANS.md (the auto-generated physical-plan audit) must carry one
+    row per registered query — a registry addition without a plan-audit
+    refresh leaves the scale evidence stale (r6/r7 verdicts caught this
+    drift at 165/167)."""
+    import re
+
+    with open("/root/repo/PLANS.md") as fh:
+        text = fh.read()
+    rows = {
+        m.group(1)
+        for m in re.finditer(r"^\| (q\w+) \|", text, flags=re.M)
+    }
+    missing = sorted(set(registry) - rows)
+    extra = sorted(rows - set(registry))
+    assert not missing, f"PLANS.md missing rows for: {missing}"
+    assert not extra, f"PLANS.md rows for unregistered queries: {extra}"
