@@ -105,6 +105,13 @@ BENCH_QUERIES = [
     # up round-over-round
     "q_graph_triangles",
     "q_media_qoi_stats",
+    # round-8 additions (VERDICT r7 task 5): the r6 operators that
+    # never got a bench row — the batch twin of the stream-stream
+    # attribution join (watermark-bounded interval join shape) and the
+    # progressive-JPEG decode (the heaviest per-file codec path:
+    # full scan-script replay with spectral bands + refinement)
+    "q_stream_join_attribution",
+    "q_media_jpeg_progressive_stats",
 ]
 
 
