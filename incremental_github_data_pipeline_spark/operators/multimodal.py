@@ -1815,16 +1815,91 @@ def encode_png_interlaced(
     )
 
 
+def _pack_sub_byte(samples: np.ndarray, depth: int) -> np.ndarray:
+    """Pack an (h, w) array of samples (< 2**depth) into the MSB-first
+    PNG bit raster (PNG spec 7.2: pixels pack left-to-right into bytes
+    high-bit-first; row ends pad with zero bits) — (h, ceil(w*depth/8))
+    int64, the shape :func:`_png_filter_rows` consumes with bpp=1."""
+    h, w = samples.shape
+    shifts = np.arange(depth - 1, -1, -1)
+    bits = (
+        (samples[:, :, None].astype(np.uint8) >> shifts) & 1
+    ).reshape(h, w * depth)
+    pad = -(w * depth) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits.astype(np.uint8), axis=1).astype(np.int64)
+
+
+def _unpack_sub_byte(rowbytes: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """Inverse of :func:`_pack_sub_byte`: (h, stride) unfiltered bytes
+    → (h, w) samples; trailing pad bits in the last byte are ignored."""
+    h = rowbytes.shape[0]
+    bits = np.unpackbits(rowbytes.astype(np.uint8), axis=1)[:, : w * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (bits.reshape(h, w, depth) * weights).sum(axis=2).astype(np.uint8)
+
+
+def encode_png_lowdepth(
+    samples: np.ndarray,
+    depth: int,
+    palette: np.ndarray | None = None,
+    filters: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode an (h, w) sample array at SUB-BYTE bit depth 1/2/4 — the
+    favicon/icon/fax tier of real web-crawl images. Without ``palette``
+    the samples are grayscale levels in ``[0, 2**depth)`` (color
+    type 0; decoders scale to 8-bit by 255/(2**depth-1)); with
+    ``palette`` they are PLTE indices (color type 3). Filters apply to
+    the PACKED bytes with bpp=1 (filters are byte-defined regardless of
+    depth, PNG spec 9.2) and the default 0..4 cycle exercises all five;
+    ``interlace`` emits Adam7 passes, each bit-packed at its own pass
+    width (pad bits re-derive per pass)."""
+    if depth not in (1, 2, 4):
+        raise ValueError("sub-byte PNG depth must be 1, 2 or 4")
+    samples = np.asarray(samples)
+    if samples.max(initial=0) >= (1 << depth):
+        raise ValueError(f"sample out of range for depth {depth}")
+    color_type = 0 if palette is None else 3
+    if palette is not None and len(palette) > (1 << depth):
+        raise ValueError("palette larger than 2**depth entries")
+    h, w = samples.shape
+    if interlace:
+        body = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            body += _png_filter_rows(_pack_sub_byte(sub, depth), 1, filters)
+        raw = bytes(body)
+    else:
+        raw = _png_filter_rows(_pack_sub_byte(samples, depth), 1, filters)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    out = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(
+        b"IEND", b""
+    )
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit grayscale/truecolor/indexed PNG to a uint8 array
+    """Decode a grayscale/truecolor/indexed PNG to a uint8 array
     of shape (h, w) or (h, w, 3): signature + chunk walk (CRC-verified),
     zlib inflate of the concatenated IDAT stream, per-row unfilter of
     filter types 0-4 (via :func:`_unfilter_block`), PLTE lookup for
     color type 3, and Adam7 de-interlacing (each pass unfilters as its
     own sub-image, then scatters onto the pass grid — the most common
-    honest-stub hit in real web-crawl images, now real). 16-bit and
-    sub-byte-depth variants raise ``NotImplementedError`` (honest
-    scope; no silent mis-decode)."""
+    honest-stub hit in real web-crawl images, now real). Bit depths:
+    8 everywhere, 16 for grayscale/truecolor (big-endian pairs), and
+    SUB-BYTE 1/2/4 for grayscale/indexed (MSB-first packed rows,
+    byte-defined filters with bpp=1, per-pass re-padding under Adam7,
+    grayscale scaled by 255/(2**depth-1)). Unsupported combinations
+    raise ``NotImplementedError`` (honest scope; no silent
+    mis-decode)."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, w = 8, None
@@ -1846,10 +1921,16 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     "only grayscale/truecolor/indexed PNG supported"
                 )
-            if depth not in (8, 16) or (depth == 16 and color_type == 3):
+            if depth in (1, 2, 4):
+                if color_type not in (0, 3):
+                    raise NotImplementedError(
+                        "sub-byte depth only for grayscale/indexed PNG"
+                    )
+            elif depth not in (8, 16) or (depth == 16 and color_type == 3):
                 raise NotImplementedError(
-                    "only 8-bit (any supported color type) or 16-bit "
-                    "grayscale/truecolor PNG supported"
+                    "only 1/2/4-bit grayscale/indexed, 8-bit (any "
+                    "supported color type) or 16-bit grayscale/"
+                    "truecolor PNG supported"
                 )
             if comp or filt:
                 raise NotImplementedError(
@@ -1858,7 +1939,9 @@ def decode_png(payload: bytes) -> np.ndarray:
             if interlace not in (0, 1):
                 raise ValueError(f"bad interlace method {interlace}")
             channels = 3 if color_type == 2 else 1
-            bpp = channels * (depth // 8)  # filter delta is in BYTES
+            # filter delta is in BYTES, floored to 1 for sub-byte
+            # depths (PNG spec 9.2)
+            bpp = max(1, channels * (depth // 8))
         elif ctype == b"PLTE":
             if length % 3:
                 raise ValueError("PLTE length not a multiple of 3")
@@ -1873,6 +1956,41 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color_type == 3 and plte is None:
         raise ValueError("indexed PNG without PLTE chunk")
     raw = zlib.decompress(bytes(idat))
+    if depth < 8:
+        # sub-byte lane: unfilter the packed bytes (bpp=1), then
+        # unpack MSB-first bits at each (pass-)row's own width
+        if interlace:
+            sub = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                pstride = (pw * depth + 7) // 8
+                block = raw[off : off + ph * (pstride + 1)]
+                if len(block) != ph * (pstride + 1):
+                    raise ValueError("IDAT length mismatch")
+                sub[y0::dy, x0::dx] = _unpack_sub_byte(
+                    _unfilter_block(block, ph, pstride, 1), pw, depth
+                )
+                off += ph * (pstride + 1)
+            if off != len(raw):
+                raise ValueError("IDAT length mismatch")
+        else:
+            stride = (w * depth + 7) // 8
+            if len(raw) != h * (stride + 1):
+                raise ValueError("IDAT length mismatch")
+            sub = _unpack_sub_byte(
+                _unfilter_block(raw, h, stride, 1), w, depth
+            )
+        if color_type == 3:
+            if sub.max(initial=0) >= len(plte):
+                raise ValueError("palette index out of range")
+            return plte[sub]
+        # grayscale: scale to 8-bit (255/(2**depth-1) is exact for
+        # depths 1/2/4: x255, x85, x17)
+        return (sub * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if interlace:
         img = np.zeros((h, w, bpp), dtype=np.uint8)
         off = 0
@@ -2080,6 +2198,34 @@ def make_png16_media(spark, n: int = 24) -> DataFrame:
         h, w = px.shape[:2]
         enc = encode_png if i % 2 == 0 else encode_png_interlaced
         rows.append((i, "image", enc(px), "image/png", w, h, None))
+    return _sized_media(spark, rows)
+
+
+def make_png_lowdepth_media(spark, n: int = 24) -> DataFrame:
+    """Media table of REAL sub-byte-depth PNG payloads — depth cycles
+    1/2/4 by id, even ids indexed-color (closed-form palette), odd ids
+    grayscale; half the rows Adam7-interlaced so per-pass bit
+    re-padding is on the certified path. Sample formula
+    (x*3 + y*5 + i) % 2**depth; palette entry (k*29 + c*47 + i*7) %
+    256; widths 5..15 are mostly NOT byte-aligned at any depth, so
+    row-end pad bits exercise every row."""
+    rows = []
+    for i in range(n):
+        depth = (1, 2, 4)[i % 3]
+        w, h = 5 + (i % 11), 4 + (i % 9)
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        s = ((x * 3 + y * 5 + i) % (1 << depth)).astype(np.uint8)
+        if i % 2 == 0:
+            k = np.arange(1 << depth)[:, None]
+            c = np.arange(3)[None, :]
+            pal = ((k * 29 + c * 47 + i * 7) % 256).astype(np.uint8)
+        else:
+            pal = None
+        payload = encode_png_lowdepth(
+            s, depth, palette=pal, interlace=(i % 4 < 2)
+        )
+        rows.append((i, "image", payload, "image/png", w, h, None))
     return _sized_media(spark, rows)
 
 

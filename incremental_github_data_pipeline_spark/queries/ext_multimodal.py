@@ -572,6 +572,57 @@ def q_media_png16_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_media_png_lowdepth_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 5 + (i % 11) AS w, 4 + (i % 9) AS h,
+             CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END AS nv,
+             CASE i % 3 WHEN 0 THEN 255 WHEN 1 THEN 85 ELSE 17 END AS mult,
+             CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END AS ch
+      FROM range(24) t(i)
+    ),
+    px AS (
+      SELECT m.media_id, m.w, m.h, m.ch, y.y,
+             CASE WHEN m.ch = 1
+                  THEN ((x.x * 3 + y.y * 5 + m.media_id) % m.nv) * m.mult
+                  ELSE (((x.x * 3 + y.y * 5 + m.media_id) % m.nv) * 29
+                        + c.c * 47 + m.media_id * 7) % 256
+             END AS v
+      FROM m, range(16) x(x), range(13) y(y), range(3) c(c)
+      WHERE x.x < m.w AND y.y < m.h AND c.c < m.ch
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(ch) AS BIGINT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (y + 1)) AS BIGINT) AS row_weighted_sum
+    FROM px GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL sub-byte-depth PNG decode "
+    "(operators.multimodal.decode_png, depths 1/2/4 — the favicon/"
+    "icon/fax tier, previously the most common remaining honest "
+    "NotImplementedError): MSB-first bit-packed rows unfilter at "
+    "bpp=1 (filters are byte-defined regardless of depth), samples "
+    "unpack per row width with pad bits dropped, grayscale scales by "
+    "exactly 255/(2**depth-1) and indexed rows go through PLTE; half "
+    "the fixture is Adam7-interlaced so per-PASS re-padding is "
+    "certified too. Content is closed-form, so DuckDB recomputes the "
+    "exact pixel sums from range() with no codec. One Arrow-batched "
+    "mapInPandas pass.",
+)
+def q_media_png_lowdepth_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_png_lowdepth_media,
+        png_decode_stats,
+    )
+
+    return png_decode_stats(make_png_lowdepth_media(spark)).orderBy(
+        "media_id"
+    )
+
+
+@register(
     "q_media_g711_stats",
     oracle="""
     WITH m AS (

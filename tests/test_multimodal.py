@@ -394,10 +394,11 @@ def test_png_rejects_bad_payloads():
 
 
 def test_png_rejects_unsupported_variants():
-    # sub-byte depths and 16-bit PALETTE (not a spec combo we decode)
-    # must raise, not mis-decode
+    # sub-byte TRUECOLOR (not a spec combo) and 16-bit PALETTE must
+    # raise, not mis-decode (1/2/4-bit grayscale/indexed decode for
+    # real since r8)
     _s = __import__("struct")
-    for depth, ctype in [(4, 0), (1, 0), (2, 3), (16, 3)]:
+    for depth, ctype in [(4, 2), (1, 2), (2, 2), (16, 3)]:
         ihdr = _s.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, 0)
         payload = mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
         with pytest.raises(NotImplementedError):
@@ -933,3 +934,114 @@ def test_jpeg_progressive_420_matches_sequential_420():
             mm.encode_jpeg_progressive(rgb, subsample_420=True)
         )
         assert (dec == rgb).all()
+
+
+# ---------------------------------------------------------------------------
+# Sub-byte-depth PNG (round 8): 1/2/4-bit grayscale + indexed
+# ---------------------------------------------------------------------------
+
+
+def test_png_lowdepth_roundtrip_edge_sizes():
+    """Every depth x mode x a size grid including widths that are and
+    aren't byte-aligned at each depth: grayscale scales by exactly
+    255/(2**depth-1); indexed goes through PLTE; interlaced passes
+    re-pad at their own widths."""
+    rng = np.random.default_rng(7)
+    for depth in (1, 2, 4):
+        mult = 255 // ((1 << depth) - 1)
+        for w, h in [(1, 1), (8, 2), (9, 3), (5, 4), (16, 5), (23, 11)]:
+            s = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+            pal = rng.integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+            for interlace in (False, True):
+                gray = mm.decode_png(
+                    mm.encode_png_lowdepth(s, depth, interlace=interlace)
+                )
+                assert np.array_equal(gray, s * mult), (depth, w, h)
+                idx = mm.decode_png(
+                    mm.encode_png_lowdepth(
+                        s, depth, palette=pal, interlace=interlace
+                    )
+                )
+                assert np.array_equal(idx, pal[s]), (depth, w, h)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    depth=st.sampled_from([1, 2, 4]),
+    indexed=st.booleans(),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_png_lowdepth_roundtrip_fuzz(w, h, depth, indexed, interlace, seed):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+    pal = (
+        rng.integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+        if indexed
+        else None
+    )
+    got = mm.decode_png(
+        mm.encode_png_lowdepth(s, depth, palette=pal, interlace=interlace)
+    )
+    want = pal[s] if indexed else s * (255 // ((1 << depth) - 1))
+    assert np.array_equal(got, want)
+
+
+def test_png_lowdepth_pad_bits_are_ignored():
+    """A width that leaves pad bits in every row: flip the pad bits in
+    the packed raster by hand and the decode must not change (spec:
+    pad bits are arbitrary; packers usually zero them)."""
+    depth, w, h = 2, 5, 3  # 10 bits/row -> 6 pad bits in byte 2
+    s = (np.arange(h * w, dtype=np.uint8) % 4).reshape(h, w)
+    raster = mm._pack_sub_byte(s, depth)
+    dirty = raster.copy()
+    dirty[:, -1] |= 0x3F  # set all six pad bits
+    assert np.array_equal(mm._unpack_sub_byte(dirty, w, depth), s)
+
+
+def test_png_lowdepth_encoder_contract():
+    with pytest.raises(ValueError):
+        mm.encode_png_lowdepth(np.array([[1]], dtype=np.uint8), 3)
+    with pytest.raises(ValueError):
+        mm.encode_png_lowdepth(np.array([[4]], dtype=np.uint8), 2)
+    with pytest.raises(ValueError):
+        mm.encode_png_lowdepth(
+            np.array([[0]], dtype=np.uint8),
+            1,
+            palette=np.zeros((3, 3), dtype=np.uint8),
+        )
+
+
+def test_png_lowdepth_media_pipeline(spark):
+    """The fixture + stats pipeline: decoded stats at every depth must
+    equal the closed-form recomputation (the q_media_png_lowdepth_stats
+    oracle contract, pinned here without DuckDB)."""
+    rows = {
+        r["media_id"]: r
+        for r in mm.png_decode_stats(
+            mm.make_png_lowdepth_media(spark, n=12)
+        ).collect()
+    }
+    assert len(rows) == 12
+    for i, r in rows.items():
+        depth = (1, 2, 4)[i % 3]
+        nv, mult = 1 << depth, 255 // ((1 << depth) - 1)
+        w, h = 5 + (i % 11), 4 + (i % 9)
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        s = (x * 3 + y * 5 + i) % nv
+        if i % 2 == 0:
+            c = np.arange(3)[None, None, :]
+            v = (s[:, :, None] * 29 + c * 47 + i * 7) % 256
+            ch = 3
+        else:
+            v = s * mult
+            ch = 1
+        wy = (np.arange(h) + 1)[:, None]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
+        assert r["pixel_sum"] == int(v.sum())
+        assert r["row_weighted_sum"] == int(
+            (v.reshape(h, -1).sum(axis=1) * wy.ravel()).sum()
+        )
