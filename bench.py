@@ -112,6 +112,10 @@ BENCH_QUERIES = [
     # full scan-script replay with spectral bands + refinement)
     "q_stream_join_attribution",
     "q_media_jpeg_progressive_stats",
+    # round-8 addition (VERDICT r7 task 8): session-window attribution
+    # — the sessionize-then-band-join composite (two window shuffles
+    # sharing one exchange on user_id)
+    "q_stream_session_attribution",
 ]
 
 

@@ -296,3 +296,92 @@ def q_stream_join_attribution(spark: SparkSession, sf: str) -> DataFrame:
         horizon="30 minutes",
         how="left_outer",
     ).orderBy("impression_id", "click_id")
+
+
+@register(
+    "q_stream_session_attribution",
+    oracle="""
+    WITH i AS (
+      SELECT event_id AS impression_id, user_id, ts AS imp_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT user_id, ts, event_id
+      FROM events WHERE event_type = 'click'
+    ),
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_session_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT i.impression_id, i.user_id, i.imp_ts,
+           s.session_start, s.session_end, s.n_session_events,
+           CAST(epoch_us(s.session_start) - epoch_us(i.imp_ts) AS BIGINT)
+             AS delay_us
+    FROM i LEFT JOIN agg s
+      ON i.user_id = s.user_id
+     AND s.session_start >= i.imp_ts
+     AND s.session_start <= i.imp_ts + INTERVAL 30 MINUTE
+    ORDER BY i.impression_id, s.session_start
+    """,
+    doc="Session-window attribution — the batch twin of "
+    "streaming.session_attribution (VERDICT r7 task 8): clicks "
+    "collapse into 30-min-gap sessions per user (strict "
+    "session_window boundary: an event exactly gap after its "
+    "predecessor opens a NEW session), then every view pairs with "
+    "each same-user session STARTING within 30 minutes after it — "
+    "attribution by visit, not by raw click, so one session never "
+    "counts as many conversions. The SAME operator call runs "
+    "streaming as two chained stateful operators (watermarked "
+    "session_window agg feeding the watermarked time-banded "
+    "stream-stream join; both states bounded by rate x horizon) — "
+    "stream==batch across a checkpoint restart is pinned in "
+    "tests/test_streaming.py. Batch plan: one shuffle on user_id "
+    "shared by the lag window and the session agg, then the "
+    "equi-join's band prunes inside the join. Reference n/a "
+    "(batch-only, transform.py:492-497).",
+)
+def q_stream_session_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.streaming import (
+        session_attribution,
+    )
+
+    e = T(spark, sf, "events")
+    impressions = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("impression_id"),
+        "user_id",
+        F.col("ts").alias("imp_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return (
+        session_attribution(
+            impressions,
+            clicks,
+            on="user_id",
+            imp_ts="imp_ts",
+            ts_col="ts",
+            gap="30 minutes",
+            horizon="30 minutes",
+            how="left_outer",
+            tiebreak_col="event_id",
+        )
+        .orderBy("impression_id", "session_start")
+    )

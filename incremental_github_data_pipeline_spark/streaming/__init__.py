@@ -6,6 +6,7 @@ from incremental_github_data_pipeline_spark.streaming.incremental import (  # no
     merge_upsert,
     run_incremental_github,
     running_totals_stateful,
+    session_attribution,
     session_window_agg,
     stream_json_dir,
     twap_stateful,

@@ -356,6 +356,337 @@ def attribution_join(
     )
 
 
+def _interval_us(spec: str) -> int:
+    """Parse 'N seconds|minutes|hours|days' to integer microseconds."""
+    n, unit = spec.split()
+    mult = {
+        "second": 1_000_000,
+        "seconds": 1_000_000,
+        "minute": 60_000_000,
+        "minutes": 60_000_000,
+        "hour": 3_600_000_000,
+        "hours": 3_600_000_000,
+        "day": 86_400_000_000,
+        "days": 86_400_000_000,
+    }[unit.lower()]
+    return int(n) * mult
+
+
+_SESSION_ATTR_OUT = (
+    "impression_id long, user_id long, imp_ts timestamp, "
+    "session_start timestamp, session_end timestamp, "
+    "n_session_events long, delay_us long"
+)
+# Per-user state (all times integer microseconds UTC):
+#  - pending impressions (id, ts, matched?)  — live until the horizon
+#    plus every session that could start inside it is finalized;
+#  - sessions under construction or awaiting late impressions
+#    (start, last-event ts, count, finalized?).
+_SESSION_ATTR_STATE = (
+    "imp_id array<long>, imp_t array<long>, imp_m array<boolean>, "
+    "s_start array<long>, s_last array<long>, s_n array<long>, "
+    "s_fin array<boolean>"
+)
+
+
+def _session_attr_fn(gap_us: int, horizon_us: int, outer: bool):
+    """Build the applyInPandasWithState function for session_attribution.
+
+    Invariants that make the emission exactly-once and the state
+    bounded (all proved against the event-time watermark wm, below
+    which Spark drops input rows):
+
+    * a FINALIZED session (wm >= last + gap) can never change — any
+      future event has ts >= wm >= last + gap, which under the strict
+      merge rule (merge iff ts < last + gap) starts a new session;
+    * a non-finalized session can only extend or LOWER its start
+      (left-merge), and never to a start below wm — so once
+      wm > imp_ts + horizon, no session can newly enter that
+      impression's [imp_ts, imp_ts + horizon] window;
+    * a pair (impression, session) is emitted either when the session
+      FINALIZES (impression already in state) or when the impression
+      ARRIVES (session already finalized) — exactly one of the two
+      happens, so no pair is emitted twice;
+    * state eviction: an impression leaves once wm > imp_ts + horizon
+      and no in-window session is still open (emitting its NULL row
+      then, if outer and never matched); a finalized session leaves
+      once wm > start (a later impression would need
+      imp_ts <= start < wm, and such a row is watermark-dropped).
+    """
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (imp_id, imp_t, imp_m, s_start, s_last, s_n, s_fin) = (
+                list(x) for x in state.get
+            )
+        else:
+            imp_id, imp_t, imp_m = [], [], []
+            s_start, s_last, s_n, s_fin = [], [], [], []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        new_imp: list[tuple[int, int]] = []
+        new_evt: list[int] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t_us = (pdf["t"].astype("int64") // 1000).tolist()
+            for kind, rid, t in zip(
+                pdf["kind"].tolist(), pdf["rid"].tolist(), t_us
+            ):
+                if kind == 0:
+                    # rid arrives float64 when the batch mixes kinds
+                    # (events carry NULL rid) — int() it back or the
+                    # array<long> state round-trip nulls it
+                    new_imp.append((int(rid), t))
+                else:
+                    new_evt.append(t)
+
+        out_rows: list[tuple] = []
+        uid = key[0]
+
+        def emit(i_idx: int, s_idx: int | None) -> None:
+            iid, it = imp_id[i_idx], imp_t[i_idx]
+            if s_idx is None:
+                out_rows.append((iid, uid, it, None, None, None, None))
+            else:
+                st, en, n = s_start[s_idx], s_last[s_idx], s_n[s_idx]
+                out_rows.append((iid, uid, it, st, en, n, st - it))
+                imp_m[i_idx] = True
+
+        # 1) fold new events into the session list (sorted insert +
+        #    strict-rule merge pass; the list is tiny — everything
+        #    inside the watermark horizon for ONE key)
+        for t in sorted(new_evt):
+            s_start.append(t)
+            s_last.append(t)
+            s_n.append(1)
+            s_fin.append(False)
+        if new_evt:
+            order = sorted(range(len(s_start)), key=lambda i: s_start[i])
+            ns, nl, nn, nf = [], [], [], []
+            for i in order:
+                if ns and s_start[i] < nl[-1] + gap_us and not nf[-1]:
+                    nl[-1] = max(nl[-1], s_last[i])
+                    nn[-1] += s_n[i]
+                else:
+                    ns.append(s_start[i])
+                    nl.append(s_last[i])
+                    nn.append(s_n[i])
+                    nf.append(s_fin[i])
+            s_start, s_last, s_n, s_fin = ns, nl, nn, nf
+
+        # 2) new impressions match already-finalized sessions now
+        for iid, it in sorted(new_imp):
+            imp_id.append(iid)
+            imp_t.append(it)
+            imp_m.append(False)
+            for j in range(len(s_start)):
+                if s_fin[j] and it <= s_start[j] <= it + horizon_us:
+                    emit(len(imp_id) - 1, j)
+
+        # 3) finalize sessions the watermark has passed; each newly
+        #    finalized session pairs with every in-window impression
+        for j in range(len(s_start)):
+            if not s_fin[j] and wm_us >= s_last[j] + gap_us:
+                s_fin[j] = True
+                for i in range(len(imp_id)):
+                    if imp_t[i] <= s_start[j] <= imp_t[i] + horizon_us:
+                        emit(i, j)
+
+        # 4) evict resolved impressions (NULL row if outer & unmatched)
+        keep_i = []
+        for i in range(len(imp_id)):
+            blocked = any(
+                not s_fin[j] and s_start[j] <= imp_t[i] + horizon_us
+                for j in range(len(s_start))
+            )
+            if wm_us > imp_t[i] + horizon_us and not blocked:
+                if outer and not imp_m[i]:
+                    emit(i, None)
+            else:
+                keep_i.append(i)
+        imp_id = [imp_id[i] for i in keep_i]
+        imp_t = [imp_t[i] for i in keep_i]
+        imp_m = [imp_m[i] for i in keep_i]
+
+        # 5) evict finalized sessions no future impression can reach
+        keep_s = [
+            j
+            for j in range(len(s_start))
+            if not (s_fin[j] and wm_us > s_start[j])
+        ]
+        s_start = [s_start[j] for j in keep_s]
+        s_last = [s_last[j] for j in keep_s]
+        s_n = [s_n[j] for j in keep_s]
+        s_fin = [s_fin[j] for j in keep_s]
+
+        if imp_id or s_start:
+            state.update(
+                (imp_id, imp_t, imp_m, s_start, s_last, s_n, s_fin)
+            )
+            # wake this key when the next decision point passes: a
+            # session finalization or an impression horizon expiry
+            nxt = min(
+                [s_last[j] + gap_us for j in range(len(s_start)) if not s_fin[j]]
+                + [t + horizon_us + 1 for t in imp_t],
+                default=None,
+            )
+            if nxt is not None:
+                state.setTimeoutTimestamp(
+                    max(nxt // 1000, wm_us // 1000 + 1)
+                )
+        else:
+            state.remove()
+
+        if out_rows:
+            cols = list(zip(*out_rows))
+            yield pd.DataFrame(
+                {
+                    "impression_id": cols[0],
+                    "user_id": cols[1],
+                    "imp_ts": pd.to_datetime(cols[2], unit="us"),
+                    "session_start": pd.to_datetime(
+                        pd.Series(cols[3], dtype="float64"), unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        pd.Series(cols[4], dtype="float64"), unit="us"
+                    ),
+                    "n_session_events": pd.Series(
+                        cols[5], dtype="object"
+                    ),
+                    "delay_us": pd.Series(cols[6], dtype="object"),
+                }
+            )
+
+    return fn
+
+
+def session_attribution(
+    impressions: DataFrame,
+    events: DataFrame,
+    on: str = "user_id",
+    imp_ts: str = "imp_ts",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    horizon: str = "30 minutes",
+    how: str = "left_outer",
+    watermark: str = "10 minutes",
+    tiebreak_col: str | None = None,
+    impression_id: str = "impression_id",
+) -> DataFrame:
+    """Session-window attribution: gap-based sessions composed with the
+    attribution band join. The event stream is first collapsed into
+    sessions per key (strict ``session_window`` boundary rule: two
+    events merge iff ``next_ts < prev_ts + gap`` — an event landing
+    exactly ``gap`` after its predecessor opens a NEW session, because
+    the half-open per-event windows ``[ts, ts+gap)`` touch but do not
+    overlap); then every impression pairs with each same-key SESSION
+    whose start lands in ``[imp_ts, imp_ts + horizon]`` — the "did this
+    ad start a visit" question, where joining raw clicks would
+    over-count one visit as many conversions.
+
+    Streaming path: Spark's chained-stateful support does NOT cover a
+    session aggregation feeding a time-interval outer join (the
+    UnsupportedOperationChecker rejects it: the aggregated side's
+    selected ``session_window.start`` no longer carries event-time
+    watermark metadata), so this is the documented case (c) — a custom
+    stateful operator. Both inputs union into one keyed stream
+    (``kind`` 0=impression / 1=event) and a single
+    ``applyInPandasWithState`` per key maintains open sessions plus
+    pending impressions, emitting each (impression, session) pair
+    exactly once when the session finalizes — state bounded by
+    arrival rate × (watermark + max(gap, horizon)), evicted against
+    the event-time watermark with an EventTimeTimeout to resolve keys
+    that go quiet. Streaming contract: columns ``impression_id`` /
+    ``on`` / ``imp_ts`` and ``on`` / ``ts_col``, long ids.
+
+    Batch path (same call, its own twin): sessions via lag + running
+    sum with the exact same boundary rule, then the time-banded
+    equi-join (one shuffle on the key shared by window and agg). Note
+    q_sessionize's batch oracle uses the inclusive gap convention
+    (``<=``); this operator pins the strict one so stream ≡ batch
+    holds bit-exactly at the boundary.
+
+    Output: impression columns, then ``session_start``,
+    ``session_end`` (min/max event ts — engine-portable, NOT the
+    ``ts + gap`` window edge), ``n_session_events``, and ``delay_us``
+    (session_start − imp_ts in integer microseconds; NULL columns for
+    impressions that started no session under ``how='left_outer'``).
+
+    Reference n/a — batch-only reference (transform.py); this is the
+    [EXT] incremental tier (VERDICT r7 task 8).
+    """
+    if events.isStreaming or impressions.isStreaming:
+        tagged = (
+            impressions.select(
+                F.col(on).alias("k"),
+                F.lit(0).alias("kind"),
+                F.col(impression_id).alias("rid"),
+                F.col(imp_ts).alias("t"),
+            )
+            .unionByName(
+                events.select(
+                    F.col(on).alias("k"),
+                    F.lit(1).alias("kind"),
+                    F.lit(None).cast("long").alias("rid"),
+                    F.col(ts_col).alias("t"),
+                )
+            )
+            .withWatermark("t", watermark)
+        )
+        return tagged.groupBy("k").applyInPandasWithState(
+            _session_attr_fn(
+                _interval_us(gap),
+                _interval_us(horizon),
+                how == "left_outer",
+            ),
+            outputStructType=_SESSION_ATTR_OUT,
+            stateStructType=_SESSION_ATTR_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    else:
+        # tiebreak_col pins the lag/running-sum order for equal-ts
+        # events; without it, which of two tied rows carries is_new=1
+        # is nondeterministic and the running sum can split a tie pair
+        # across sessions (session_window always merges tied events,
+        # so a deterministic tie order is also what parity requires).
+        order = (
+            [ts_col, tiebreak_col] if tiebreak_col else [ts_col]
+        )
+        w = Window.partitionBy(on).orderBy(*order)
+        lag_ts = F.lag(ts_col).over(w)
+        is_new = F.when(
+            lag_ts.isNull()
+            | (F.col(ts_col) >= lag_ts + F.expr(f"INTERVAL {gap}")),
+            1,
+        ).otherwise(0)
+        wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sessions = (
+            events.withColumn("_new", is_new)
+            .withColumn("_sid", F.sum("_new").over(wsum))
+            .groupBy(on, "_sid")
+            .agg(
+                F.min(ts_col).alias("session_start"),
+                F.max(ts_col).alias("session_end"),
+                F.count(F.lit(1)).alias("n_session_events"),
+            )
+            .drop("_sid")
+        )
+    return attribution_join(
+        impressions,
+        sessions,
+        on=on,
+        imp_ts=imp_ts,
+        click_ts="session_start",
+        horizon=horizon,
+        how=how,
+        watermark=watermark,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental corpus curation ([EXT] §2.10 — the streaming twin of
 # operators.text.curation_funnel)

@@ -775,3 +775,151 @@ def test_attribution_join_inner_batch_prunes_band(spark):
     )
     rows = attribution_join(imps, clks, horizon="10 minutes", how="inner").collect()
     assert [(r["impression_id"], r["click_id"]) for r in rows] == [(1, 11)]
+
+
+def test_session_attribution_stream_matches_batch_across_restarts(
+    spark, tmp_path
+):
+    """Chained stateful operators — watermarked session_window agg
+    feeding the watermarked left-outer attribution join — folded across
+    checkpoint-resumed runs must equal the batch twin: a session whose
+    events arrive in run 2 attributes to an impression buffered in
+    run 1's join state, and an impression that starts no session emits
+    exactly one NULL row once the watermark proves it."""
+    import datetime as dt
+
+    from incremental_github_data_pipeline_spark.streaming import (
+        session_attribution,
+    )
+
+    t0 = dt.datetime(2024, 6, 1)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    imp_schema = "impression_id long, user_id long, imp_ts timestamp"
+    evt_schema = "event_id long, user_id long, ts timestamp"
+    imp1 = spark.createDataFrame(
+        # 1 converts in run 1; 2 never converts; 3 converts in run 2
+        [(1, 1, m(0)), (2, 2, m(0)), (3, 1, m(40))], imp_schema
+    )
+    evt1 = spark.createDataFrame(
+        # one user-1 session: start m(2), 2 events (gap 10 min)
+        [(11, 1, m(2)), (12, 1, m(5))], evt_schema
+    )
+    imp2 = spark.createDataFrame([], imp_schema)
+    evt2 = spark.createDataFrame(
+        # user-1 session start m(45) lands in impression 3's horizon
+        [(13, 1, m(45)), (14, 1, m(48))], evt_schema
+    )
+    sentinel = spark.createDataFrame(
+        [(999, 999, m(60 * 24 * 10))], evt_schema
+    )
+
+    imp_src, evt_src = tmp_path / "imp", tmp_path / "evt"
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+
+    def run():
+        imps = spark.readStream.schema(imp_schema).parquet(str(imp_src))
+        evts = spark.readStream.schema(evt_schema).parquet(str(evt_src))
+        q = (
+            session_attribution(
+                imps,
+                evts,
+                on="user_id",
+                imp_ts="imp_ts",
+                ts_col="ts",
+                gap="10 minutes",
+                horizon="10 minutes",
+                how="left_outer",
+                watermark="5 minutes",
+            )
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    imp1.coalesce(1).write.mode("append").parquet(str(imp_src))
+    evt1.coalesce(1).write.mode("append").parquet(str(evt_src))
+    run()
+    evt2.coalesce(1).write.mode("append").parquet(str(evt_src))
+    run()
+    sentinel.coalesce(1).write.mode("append").parquet(str(evt_src))
+    run()
+    # extra passes: the sentinel's watermark closes sessions in one
+    # batch, the join consumes them the next, outer rows flush after
+    run()
+    run()
+
+    cols = (
+        "impression_id",
+        "session_start",
+        "session_end",
+        "n_session_events",
+        "delay_us",
+    )
+    got = {
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = session_attribution(
+        imp1.unionByName(imp2),
+        evt1.unionByName(evt2).unionByName(sentinel),
+        on="user_id",
+        imp_ts="imp_ts",
+        ts_col="ts",
+        gap="10 minutes",
+        horizon="10 minutes",
+        how="left_outer",
+        tiebreak_col="event_id",
+    )
+    want = {tuple(r[c] for c in cols) for r in batch.collect()}
+    assert want == {
+        (1, m(2), m(5), 2, 2 * 60_000_000),
+        (2, None, None, None, None),
+        (3, m(45), m(48), 2, 5 * 60_000_000),
+    }
+    assert got == want
+    # exactly-once: no pair emitted twice across the five runs
+    assert len(spark.read.parquet(sink).collect()) == len(want)
+
+
+def test_session_attribution_batch_boundary_strict(spark):
+    """An event landing EXACTLY gap after its predecessor opens a new
+    session (session_window's half-open [ts, ts+gap) windows touch but
+    do not overlap) — the documented deviation from q_sessionize's
+    inclusive oracle convention."""
+    import datetime as dt
+
+    from incremental_github_data_pipeline_spark.streaming import (
+        session_attribution,
+    )
+
+    t0 = dt.datetime(2024, 6, 1)
+    imps = spark.createDataFrame(
+        [(1, 1, t0)], "impression_id long, user_id long, imp_ts timestamp"
+    )
+    evts = spark.createDataFrame(
+        [
+            (11, 1, t0 + dt.timedelta(minutes=1)),
+            # exactly 10 min after 11: NEW session under the strict rule
+            (12, 1, t0 + dt.timedelta(minutes=11)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rows = session_attribution(
+        imps, evts, gap="10 minutes", horizon="30 minutes", how="inner",
+        tiebreak_col="event_id",
+    ).collect()
+    starts = sorted(
+        (r["session_start"], r["n_session_events"]) for r in rows
+    )
+    assert starts == [
+        (t0 + dt.timedelta(minutes=1), 1),
+        (t0 + dt.timedelta(minutes=11), 1),
+    ]
