@@ -590,6 +590,18 @@ _AC_SYMBOLS = (
 _AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
 _AC_VALS = sorted(_AC_SYMBOLS)
 
+# 12-bit-precision tables (T.81 F.1.2.1.2: DC difference categories run
+# to 15, AC sizes to 14 at 12-bit depth). All 16 DC categories as 5-bit
+# codes (16 of 32 — all-ones unassigned), 226 AC symbols as 8-bit codes.
+_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC12_VALS = list(range(16))
+_AC12_SYMBOLS = (
+    [0x00, 0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 15)]
+)
+_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC12_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
+_AC12_VALS = sorted(_AC12_SYMBOLS)
+
 # Progressive AC table: adds the EOBn symbols (run<<4 | 0 for run 1..14
 # — end-of-band RUN LENGTHS, T.81 G.1.2.2) the sequential table never
 # needs. 176 symbols still fit one 8-bit code length with the all-ones
@@ -704,14 +716,14 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([y, cb, cr], axis=2)), 0, 255)
 
 
-def _ycbcr_to_rgb(comps: np.ndarray) -> np.ndarray:
+def _ycbcr_to_rgb(comps: np.ndarray, maxval: int = 255) -> np.ndarray:
+    half = float((maxval + 1) // 2)
     y, cb, cr = (comps[:, :, c] for c in range(3))
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
-        np.uint8
-    )
+    r = y + 1.402 * (cr - half)
+    g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+    b = y + 1.772 * (cb - half)
+    out = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, maxval)
+    return out.astype(np.uint8 if maxval <= 255 else np.uint16)
 
 
 def encode_jpeg(pixels: np.ndarray) -> bytes:
@@ -796,6 +808,81 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     out += seg(0xDA, sos)
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg12(
+    pixels: np.ndarray, qval: int = 8
+) -> bytes:
+    """Encode an (h, w) grayscale uint16 array (values 0..4095) as a
+    12-bit-precision extended sequential JPEG (SOF1) with a flat
+    ``qval`` quantization table carried as 16-bit DQT entries (pq=1) —
+    the scientific/medical imaging tier that was previously an honest
+    ``NotImplementedError`` in the decoder. General DCT + run-length +
+    Huffman coding via the self-describing 12-bit tables above (DC
+    categories to 15, AC sizes to 14); level shift is 2048 per T.81
+    A.3.1. Uniform 8x8 blocks round-trip exactly when ``8*(v-2048)`` is
+    a multiple of ``qval``, which the closed-form oracles exploit."""
+    if pixels.ndim != 2:
+        raise NotImplementedError("12-bit encoder is grayscale-only")
+    h, w = pixels.shape
+    comps = pixels.astype(np.float64)
+    comps = np.pad(comps, ((0, -h % 8), (0, -w % 8)), mode="edge")
+
+    dc_codes = _huff_codes(_DC12_BITS, _DC12_VALS)
+    ac_codes = _huff_codes(_AC12_BITS, _AC12_VALS)
+    q = np.full((8, 8), qval, dtype=np.float64)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(comps.shape[0] // 8):
+        for bx in range(comps.shape[1] // 8):
+            block = comps[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = np.round(
+                (_DCT_T @ (block - 2048.0) @ _DCT_T.T) / q
+            ).astype(np.int64)
+            zz = coef.flatten()[_ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            size, bits = _amplitude(diff)
+            length, code = dc_codes[size]
+            bw.write(code, length)
+            if size:
+                bw.write(bits, size)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac_codes[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                size, bits = _amplitude(v)
+                length, code = ac_codes[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                run = 0
+            if run:
+                length, code = ac_codes[0x00]
+                bw.write(code, length)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    # DQT with pq=1: 16-bit big-endian entries
+    out += seg(
+        0xDB,
+        bytes([0x10])
+        + b"".join(struct.pack(">H", qval) for _ in range(64)),
+    )
+    out += seg(0xC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC12_BITS) + bytes(_DC12_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC12_BITS) + bytes(_AC12_VALS))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.flush()
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -1233,12 +1320,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit DQT not supported")
-                qtables[tq] = np.frombuffer(
-                    body, dtype=np.uint8, count=64, offset=i + 1
-                ).astype(np.int32)
-                i += 65
+                if pq == 0:  # 8-bit entries
+                    qtables[tq] = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=i + 1
+                    ).astype(np.int32)
+                    i += 65
+                else:  # pq=1: 16-bit big-endian entries (12-bit frames)
+                    qtables[tq] = np.frombuffer(
+                        body, dtype=">u2", count=64, offset=i + 1
+                    ).astype(np.int32)
+                    i += 129
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             i = 0
             while i < len(body):
@@ -1248,10 +1339,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _huff_decoder(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline (8-bit) / SOF1 extended sequential (8 or
+            # 12-bit, same huffman decode path) / SOF2 progressive
             precision, fh, fw, n_comp = struct.unpack_from(">BHHB", body, 0)
-            if precision != 8:
-                raise NotImplementedError("only 8-bit precision supported")
+            if precision not in (8, 12) or (
+                precision == 12 and marker == 0xC0
+            ):
+                # T.81 B.2.2: SOF0 is 8-bit only; SOF1/SOF2 allow 12
+                raise NotImplementedError(
+                    f"SOF{marker - 0xC0} precision {precision} "
+                    "not supported (8, or 12 with SOF1/SOF2)"
+                )
             comps = []
             for c in range(n_comp):
                 cid, sampling, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
@@ -1259,8 +1358,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(f"bad sampling factors {hi}x{vi}")
                 comps.append((cid, hi, vi, tq))
-            frame = (fh, fw, comps, marker == 0xC2)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = (fh, fw, comps, marker == 0xC2, precision)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG frame type (SOF{marker - 0xC0})"
@@ -1306,7 +1405,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
-    fh, fw, fcomps, progressive = frame
+    fh, fw, fcomps, progressive, precision = frame
+    half, maxval = 1 << (precision - 1), (1 << precision) - 1
     qt_of = {cid: tq for cid, _hi, _vi, tq in fcomps}
     samp = {cid: (hi, vi) for cid, hi, vi, _tq in fcomps}
     comp_ix = {cid: i for i, (cid, _h, _v, _t) in enumerate(fcomps)}
@@ -1472,7 +1572,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 coef = np.zeros(64, dtype=np.float64)
                 coef[_ZIGZAG] = coefs[ci][by, bx] * qt[_ZIGZAG]
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _DCT_T.T @ coef.reshape(8, 8) @ _DCT_T + 128.0
+                    _DCT_T.T @ coef.reshape(8, 8) @ _DCT_T + half
                 )
         cw, ch = comp_dims(cid)
         plane = plane[:ch, :cw]
@@ -1487,9 +1587,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         out[:, :, ci] = plane[:fh, :fw]
 
     if n_comp == 1:
-        return np.clip(np.round(out[:, :, 0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(out[:, :, 0]), 0, maxval).astype(
+            np.uint8 if precision == 8 else np.uint16
+        )
     if n_comp == 3:
-        return _ycbcr_to_rgb(out)
+        return _ycbcr_to_rgb(out, maxval)
     raise NotImplementedError("only 1- or 3-component JPEG supported")
 
 
@@ -1552,6 +1654,29 @@ def make_jpeg_media(spark, n: int = 32) -> DataFrame:
         w, h, px = _jpeg_block_values(i)
         rows.append(
             (i, "image", encode_jpeg(px), "image/jpeg", w, h, None)
+        )
+    return _sized_media(spark, rows)
+
+
+def make_jpeg12_media(spark, n: int = 32) -> DataFrame:
+    """Media table of REAL 12-bit extended sequential (SOF1) JPEGs:
+    same closed-form block grid as :func:`make_jpeg_media` but with
+    12-bit values ``(i*97 + bx*311 + by*677) % 4096`` — flat blocks
+    round-trip exactly under the flat q=8 table (DC of a flat block is
+    ``8*(v-2048)``, integral after quantization), so the full 16-bit
+    DQT + extended-precision decode path is DuckDB-certifiable."""
+    rows = []
+    for i in range(n):
+        w, h = 17 + (i % 14), 9 + (i % 12)
+        bx = np.arange(-(-w // 8))
+        by = np.arange(-(-h // 8))
+        v = (i * 97 + bx[None, :] * 311 + by[:, None] * 677) % 4096
+        px = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)[:h, :w]
+        rows.append(
+            (
+                i, "image", encode_jpeg12(px.astype(np.uint16)),
+                "image/jpeg", w, h, None,
+            )
         )
     return _sized_media(spark, rows)
 

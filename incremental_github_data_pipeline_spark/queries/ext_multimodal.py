@@ -397,6 +397,51 @@ def q_media_jpeg420_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_media_jpeg12_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 17 + (i % 14) AS w, 9 + (i % 12) AS h
+      FROM range(32) t(i)
+    ),
+    b AS (
+      SELECT media_id, w, h, bx.i AS bx, by.i AS by,
+             LEAST(8, w - bx.i * 8) AS nx,
+             LEAST(8, h - by.i * 8) AS ny,
+             (media_id * 97 + bx.i * 311 + by.i * 677) % 4096 AS v
+      FROM m, range(4) bx(i), range(3) by(i)
+      WHERE bx.i * 8 < w AND by.i * 8 < h
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(SUM(nx * ny * v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(nx * ny * v * (bx + 1) * (by + 1)) AS BIGINT)
+             AS block_weighted_sum
+    FROM b GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL 12-bit-precision JPEG decode (SOF1 extended sequential + "
+    "16-bit DQT entries, pq=1) — the scientific/medical-imaging tier, "
+    "previously an honest NotImplementedError at both guard sites. "
+    "Level shift is 2048 per T.81 A.3.1; DC difference categories run "
+    "to 15 and AC sizes to 14, carried in self-describing DHT tables; "
+    "decoded samples come back uint16 in 0..4095. The fixture blocks "
+    "are uniform with 12-bit closed-form values that round-trip "
+    "EXACTLY under the flat q=8 table, so DuckDB recomputes every "
+    "decoded sample (pixel-sum + block-position-weighted lanes) from "
+    "range() with no codec. One Arrow-batched mapInPandas pass.",
+)
+def q_media_jpeg12_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        jpeg_decode_stats,
+        make_jpeg12_media,
+    )
+
+    return jpeg_decode_stats(make_jpeg12_media(spark, n=32)).orderBy(
+        "media_id"
+    )
+
+
+@register(
     "q_media_jpeg_progressive_stats",
     oracle="""
     WITH m AS (

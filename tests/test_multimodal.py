@@ -1045,3 +1045,53 @@ def test_png_lowdepth_media_pipeline(spark):
         assert r["row_weighted_sum"] == int(
             (v.reshape(h, -1).sum(axis=1) * wy.ravel()).sum()
         )
+
+
+class TestJpeg12Bit:
+    """12-bit extended sequential (SOF1) + 16-bit DQT decode."""
+
+    def test_flat_blocks_round_trip_exactly(self):
+        for i in (0, 5, 13, 27):
+            w, h = 17 + (i % 14), 9 + (i % 12)
+            bx, by = np.arange(-(-w // 8)), np.arange(-(-h // 8))
+            v = (i * 97 + bx[None, :] * 311 + by[:, None] * 677) % 4096
+            px = np.repeat(np.repeat(v, 8, 0), 8, 1)[:h, :w].astype(
+                np.uint16
+            )
+            dec = mm.decode_jpeg(mm.encode_jpeg12(px))
+            assert dec.dtype == np.uint16
+            assert np.array_equal(dec, px)
+
+    def test_true_16bit_dqt_entry(self):
+        # qval=256 needs a genuine 16-bit DQT entry (pq=1); values a
+        # multiple of 32 away from 2048 stay exact (DC = 8*(v-2048)/256)
+        v = (np.arange(3)[None, :] * 2 + np.arange(2)[:, None] * 5) * 32
+        v = v + 2048 - 160
+        px = np.repeat(np.repeat(v, 8, 0), 8, 1).astype(np.uint16)
+        payload = mm.encode_jpeg12(px, qval=256)
+        # the DQT segment really carries pq=1 16-bit entries
+        i = payload.index(b"\xff\xdb")
+        assert payload[i + 4] == 0x10  # pq=1, tq=0
+        assert int.from_bytes(payload[i + 5 : i + 7], "big") == 256
+        assert np.array_equal(mm.decode_jpeg(payload), px)
+
+    def test_general_content_lossy_but_bounded(self):
+        rng = np.random.RandomState(11)
+        px = rng.randint(0, 4096, (24, 32)).astype(np.float64)
+        px = (
+            (px + np.roll(px, 1, 0) + np.roll(px, 1, 1)) / 3
+        ).astype(np.uint16)
+        dec = mm.decode_jpeg(mm.encode_jpeg12(px))
+        assert dec.shape == px.shape
+        assert np.abs(dec.astype(int) - px.astype(int)).max() < 64
+
+    def test_sof0_rejects_12bit(self):
+        payload = bytearray(mm.encode_jpeg12(np.full((8, 8), 100, np.uint16)))
+        i = payload.index(b"\xff\xc1")
+        payload[i + 1] = 0xC0  # rewrite SOF1 -> SOF0 (8-bit only)
+        with pytest.raises(NotImplementedError):
+            mm.decode_jpeg(bytes(payload))
+
+    def test_encoder_rejects_color(self):
+        with pytest.raises(NotImplementedError):
+            mm.encode_jpeg12(np.zeros((8, 8, 3), np.uint16))
