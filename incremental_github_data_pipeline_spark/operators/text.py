@@ -1088,6 +1088,117 @@ def tf_idf(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def bm25_topk(
+    docs,
+    queries,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float | None = None,
+):
+    """BM25 top-k retrieval — the lexical-search primitive RAG corpora
+    are triaged with. Sparse scoring as a TERM EQUI-JOIN against the
+    postings (never query × corpus): per-doc term frequencies join the
+    distinct query terms on ``term``, so only postings of terms a
+    query actually contains ever shuffle — the inverted-index access
+    path, expressed declaratively so Catalyst plans it.
+
+    Score per (query, doc): Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b +
+    b·dl/avgdl)) with the Lucene/Robertson idf
+    ln(1 + (N − df + ½)/(df + ½)). N and avgdl ride as a broadcast
+    1-row aggregate. ``max_df_ratio`` optionally drops terms present
+    in more than that fraction of docs (stop-word pruning — at 100 TB
+    a stop-word's posting list is corpus-sized and its idf ≈ 0, so the
+    candidate blow-up buys nothing; pruning bounds the join fan-out by
+    construction). Ties rank by doc id asc — deterministic across
+    engines, the same convention as :func:`tf_idf`'s oracle lane.
+
+    Returns (qid, rank, doc id, n_terms long, sum_tf long, score
+    double) — the integer lanes are engine-exact for oracle
+    certification; the float score is informational.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    # dl / df / the join side all derive from tf. Materialize it once
+    # (the inverted_index precedent): per-branch column pruning
+    # specializes each replay (the df branch drops the count entirely),
+    # so the subtrees stop being canonically equal and Spark's exchange
+    # reuse CANNOT kick in — without the checkpoint the corpus is
+    # re-scanned and re-tokenized once per consumer, fatal at 100 TB.
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        docs.agg(F.count(F.lit(1)).alias("_n"))
+        # avgdl over ALL docs (empty docs count, matching dl's absence
+        # from postings): total tokens / total docs
+        .crossJoin(dl.agg(F.sum("dl").alias("_tot")))
+        .select(
+            "_n",
+            (
+                F.coalesce(F.col("_tot"), F.lit(0)) / F.col("_n")
+            ).alias("_avgdl"),
+        )
+    )
+    qterms = queries.select(
+        F.col(qid_col), F.explode(tokens(qtext_col)).alias("term")
+    ).distinct()
+
+    postings = tf.join(dfreq, "term")
+    if max_df_ratio is not None:
+        postings = postings.crossJoin(F.broadcast(stats)).filter(
+            F.col("df") <= F.col("_n") * F.lit(max_df_ratio)
+        ).drop("_n", "_avgdl")
+    hits = (
+        qterms.join(postings, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("_avgdl")
+                )
+            ),
+        )
+    )
+    scored = hits.groupBy(qid_col, id_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("tf").alias("sum_tf"),
+        F.sum("_s").alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "n_terms", "sum_tf", "score")
+    )
+
+
 def temperature_weights(
     df, alpha: float = 0.5, strata_col: str = "source", parts: int = 100
 ) -> dict[str, int]:

@@ -1668,6 +1668,85 @@ def q_doc_tfidf_top(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_doc_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(text), ' ')) END) AS DOUBLE)
+               / COUNT(*) AS avgdl
+      FROM documents
+    ),
+    q AS (
+      SELECT DISTINCT doc_id AS query_id, term FROM toks
+      WHERE doc_id < 8
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             COUNT(*) AS n_terms, SUM(tf.tf) AS sum_tf,
+             SUM(
+               ln(1 + (n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl))
+             ) AS score
+      FROM q
+      JOIN tf USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN n
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, n_terms, sum_tf,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+           CAST(n_terms AS BIGINT) AS n_terms,
+           CAST(sum_tf AS BIGINT) AS sum_tf
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    doc="BM25 top-5 retrieval (operators.text.bm25_topk): the first 8 "
+    "documents act as queries against the whole corpus. Lexical search "
+    "as a sparse TERM EQUI-JOIN against the postings — only postings "
+    "of terms a query contains ever shuffle (the inverted-index access "
+    "path; never query x corpus). Lucene idf ln(1+(N-df+0.5)/(df+0.5)), "
+    "k1=1.2, b=0.75; N/avgdl ride as a broadcast 1-row aggregate. "
+    "Compared values are the exact integer (rank, n_terms, sum_tf) "
+    "lanes; the float score is excluded like q_doc_tfidf_top's (rank "
+    "flips would need sub-1e-13 score gaps, and exact ties already "
+    "resolve via the doc-id tie-break).",
+)
+def q_doc_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    queries = docs.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    return (
+        tx.bm25_topk(docs, queries, k=5)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            "n_terms",
+            "sum_tf",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
     "q_doc_cm_counts",
     oracle="""
     WITH toks AS (

@@ -977,3 +977,65 @@ def test_lang_scores_argmax_agrees_with_lang_id(spark):
     for r in rows:
         scores = r["s"]
         assert scores[r["lang"]] == max(scores.values())
+
+
+class TestBm25TopK:
+    """bm25_topk: hand-computed ranking + stop-word pruning."""
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (0, "apple banana apple"),
+                (1, "banana cherry"),
+                (2, "cherry cherry cherry"),
+                (3, "apple"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_hand_computed_ranking(self, spark):
+        import math
+
+        docs = self._corpus(spark)
+        queries = spark.createDataFrame(
+            [(100, "apple cherry")], "query_id long, qtext string"
+        )
+        rows = tx.bm25_topk(docs, queries, k=4).orderBy("rank").collect()
+        # N=4, avgdl=2.25, df(apple)=df(cherry)=2 -> idf=ln(2);
+        # d2: 3*2.2/(3+1.2*(0.25+0.75*3/2.25)) = 6.6/4.5
+        # d3: 2.2/1.7   d0: 4.4/3.5   d1: 2.2/2.1   (all x ln 2)
+        assert [r["doc_id"] for r in rows] == [2, 3, 0, 1]
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+        assert all(r["n_terms"] == 1 for r in rows)
+        assert [r["sum_tf"] for r in rows] == [3, 1, 2, 1]
+        want = math.log(2) * 6.6 / 4.5
+        assert abs(rows[0]["score"] - want) < 1e-12
+
+    def test_max_df_ratio_prunes_stopwords(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "the apple"),
+                (1, "the banana"),
+                (2, "the cherry"),
+                (3, "the plum"),
+            ],
+            "doc_id long, text string",
+        )
+        queries = spark.createDataFrame(
+            [(9, "the apple")], "query_id long, qtext string"
+        )
+        # 'the' is in 4/4 docs; ratio 0.8 drops it -> only 'apple' hits
+        rows = tx.bm25_topk(
+            docs, queries, k=10, max_df_ratio=0.8
+        ).collect()
+        assert [(r["doc_id"], r["n_terms"]) for r in rows] == [(0, 1)]
+        # without pruning every doc matches via 'the'
+        rows = tx.bm25_topk(docs, queries, k=10).collect()
+        assert len(rows) == 4
+
+    def test_empty_query_text_yields_nothing(self, spark):
+        docs = self._corpus(spark)
+        queries = spark.createDataFrame(
+            [(1, "   ")], "query_id long, qtext string"
+        )
+        assert tx.bm25_topk(docs, queries).count() == 0
