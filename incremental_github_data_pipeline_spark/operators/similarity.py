@@ -781,6 +781,60 @@ def gram_matrix(
     return row.selectExpr(stack, "n")
 
 
+def rrf_fuse(
+    lex: DataFrame,
+    sem: DataFrame,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lanes — the
+    standard hybrid-search combiner (lexical BM25 + semantic ANN) a
+    RAG corpus is queried with: rrf(d) = Σ_lanes 1/(k0 + rank_lane(d)),
+    absent lanes contribute 0, final order rrf desc then id asc.
+
+    Both inputs are (qid, id, rank) top-k lists, so the fusion is a
+    FULL OUTER equi-join on (qid, id) over two already-tiny frames
+    (queries × k rows each) — candidate generation happened upstream
+    in each lane; fusion never touches the corpus. The rrf score is a
+    single two-term IEEE expression per row (division + one add, no
+    order-dependent aggregation), hence bit-identical across engines —
+    unlike summed float scores, it needs no exclusion from oracle
+    comparison, but ranks remain the semantic output.
+
+    Returns (qid, rank, id, lex_rank, sem_rank) with NULL lane ranks
+    where a document appeared in only one lane.
+    """
+    left = lex.select(
+        F.col(qid_col), F.col(id_col), F.col(rank_col).alias("lex_rank")
+    )
+    right = sem.select(
+        F.col(qid_col), F.col(id_col), F.col(rank_col).alias("sem_rank")
+    )
+    fused = (
+        left.join(right, [qid_col, id_col], "full_outer")
+        .withColumn(
+            "_rrf",
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k0) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k0) + F.col("sem_rank")), F.lit(0.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("_rrf"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "lex_rank", "sem_rank")
+    )
+
+
 def pooled_ann_recall(
     corpus: DataFrame,
     queries: DataFrame,

@@ -617,3 +617,115 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     return sim.pooled_ann_recall(
         corpus, queries, k=10, n_blocks=8
     ).orderBy("query_id")
+
+
+@register(
+    "q_hybrid_rrf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(text), ' ')) END) AS DOUBLE)
+               / COUNT(*) AS avgdl
+      FROM documents
+    ),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 8
+    ),
+    bm AS (
+      SELECT qt.query_id, tf.doc_id,
+             SUM(
+               ln(1 + (n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl))
+             ) AS score
+      FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+      GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS lex_rank
+      FROM bm QUALIFY lex_rank <= 10
+    ),
+    qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id < 8),
+    cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+    sem AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(cv.v, qv.v) DESC, doc_id
+             ) AS sem_rank
+      FROM cv CROSS JOIN qv QUALIFY sem_rank <= 10
+    ),
+    fused AS (
+      SELECT COALESCE(lex.query_id, sem.query_id) AS query_id,
+             COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.lex_rank, sem.sem_rank,
+             COALESCE(1.0 / (60 + lex.lex_rank), 0)
+               + COALESCE(1.0 / (60 + sem.sem_rank), 0) AS rrf
+      FROM lex FULL OUTER JOIN sem
+        ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+    )
+    SELECT query_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+           doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank
+    FROM fused QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="Hybrid retrieval: reciprocal-rank fusion "
+    "(operators.similarity.rrf_fuse) of the BM25 lexical lane "
+    "(text.bm25_topk, postings equi-join) and the exact-cosine "
+    "semantic lane (similarity.cosine_topk_bruteforce) over the SAME "
+    "id space — documents.doc_id == embeddings.vec_id; ids < 8 are "
+    "the query set. rrf = 1/(60+lex_rank) + 1/(60+sem_rank), absent "
+    "lanes contribute 0 — a single two-term IEEE expression per row "
+    "(no order-dependent float aggregation), so even the float rrf is "
+    "bit-identical across engines; compared lanes are the integer "
+    "(rank, lex_rank, sem_rank). Fusion is a full-outer join of two "
+    "queries-x-k frames: candidate generation stays in the lanes, "
+    "fusion never touches the corpus.",
+)
+def q_hybrid_rrf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators import text as tx
+
+    docs = T(spark, sf, "documents")
+    dqueries = docs.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    lex = tx.bm25_topk(docs, dqueries, k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    emb = T(spark, sf, "embeddings")
+    equeries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    sem = sim.cosine_topk_bruteforce(
+        corpus, equeries, corpus_id="doc_id", query_id="query_id",
+        vec_col="embedding", k=10,
+    ).select("query_id", "doc_id", "rank")
+    return (
+        sim.rrf_fuse(lex, sem, k0=60, k=5)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("sem_rank").cast("long").alias("sem_rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

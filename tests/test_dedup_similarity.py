@@ -755,3 +755,57 @@ def test_pq_codebooks_persist_bit_exactly(spark, tmp_path):
     assert [tuple(r) for r in fresh.collect()] == [
         tuple(r) for r in reused.collect()
     ]
+
+
+class TestRrfFuse:
+    """Reciprocal-rank fusion: hand-computed hybrid ordering."""
+
+    def test_both_lanes_beat_single_lane(self, spark):
+        from incremental_github_data_pipeline_spark.operators import (
+            similarity as sim,
+        )
+
+        lex = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id long, doc_id long, rank long",
+        )
+        sem = spark.createDataFrame(
+            [(1, 11, 1), (1, 13, 2)],
+            "query_id long, doc_id long, rank long",
+        )
+        rows = (
+            sim.rrf_fuse(lex, sem, k0=60, k=10).orderBy("rank").collect()
+        )
+        # 11: 1/62 + 1/61 ≈ .0325 beats 10: 1/61 ≈ .0164,
+        # then 13: 1/62, then 12: 1/63
+        assert [r["doc_id"] for r in rows] == [11, 10, 13, 12]
+        assert rows[0]["lex_rank"] == 2 and rows[0]["sem_rank"] == 1
+        assert rows[1]["sem_rank"] is None  # lex-only doc
+        assert rows[2]["lex_rank"] is None  # sem-only doc
+
+    def test_equal_scores_tie_break_by_id(self, spark):
+        from incremental_github_data_pipeline_spark.operators import (
+            similarity as sim,
+        )
+
+        lex = spark.createDataFrame(
+            [(1, 20, 1)], "query_id long, doc_id long, rank long"
+        )
+        sem = spark.createDataFrame(
+            [(1, 7, 1)], "query_id long, doc_id long, rank long"
+        )
+        rows = sim.rrf_fuse(lex, sem, k0=60, k=10).orderBy("rank").collect()
+        # identical 1/61 scores -> id asc
+        assert [(r["rank"], r["doc_id"]) for r in rows] == [(1, 7), (2, 20)]
+
+    def test_k_truncates(self, spark):
+        from incremental_github_data_pipeline_spark.operators import (
+            similarity as sim,
+        )
+
+        lex = spark.createDataFrame(
+            [(1, d, d) for d in range(1, 9)],
+            "query_id long, doc_id long, rank long",
+        )
+        sem = lex.limit(0)
+        assert sim.rrf_fuse(lex, sem, k=3).count() == 3
