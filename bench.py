@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     # — the sessionize-then-band-join composite (two window shuffles
     # sharing one exchange on user_id)
     "q_stream_session_attribution",
+    # round-8 addition: BM25 retrieval — the corpus-heavy postings
+    # equi-join lane of hybrid search (tf materialized once)
+    "q_doc_bm25_topk",
 ]
 
 
