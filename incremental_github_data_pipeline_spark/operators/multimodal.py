@@ -520,6 +520,74 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+MOTION_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("total_abs_diff", LongType(), False),
+        StructField("max_pair_diff", LongType(), False),
+        StructField("n_cuts", LongType(), False),
+    ]
+)
+
+
+def video_motion_stats(
+    media: DataFrame, cut_threshold: int = 30
+) -> DataFrame:
+    """Frame-delta motion statistics over decoded video: per video, the
+    exact integer sum of |frame[k+1] − frame[k]| over all consecutive
+    frame pairs, the maximum per-pair delta, and a scene-cut count —
+    pairs whose per-pixel-channel mean delta exceeds ``cut_threshold``
+    (compared as ``pair_sum > threshold · w·h·3``, so the detector is
+    integer-exact, no float mean). The shot-boundary primitive a video
+    training pipeline segments with before frame sampling.
+
+    One Arrow-batched mapInPandas pass; each video decodes and reduces
+    to 5 numbers inside its partition — no shuffle until the caller's
+    aggregation/ordering, payload I/O is the scale bound.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                if r.mime != "video/x-raw-rgb":
+                    continue
+                frames, _frame_ms = decode_rawvideo(r.payload)
+                n, h, w = frames.shape[:3]
+                if n < 2:
+                    recs.append((r.media_id, n, 0, 0, 0))
+                    continue
+                d = np.abs(
+                    frames[1:].astype(np.int64)
+                    - frames[:-1].astype(np.int64)
+                )
+                pair = d.sum(axis=(1, 2, 3))
+                cuts = int(
+                    (pair > cut_threshold * h * w * 3).sum()
+                )
+                recs.append(
+                    (
+                        r.media_id,
+                        n,
+                        int(pair.sum()),
+                        int(pair.max()),
+                        cuts,
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "n_frames", "total_abs_diff",
+                    "max_pair_diff", "n_cuts",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        batches, MOTION_STATS_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per (media_id, ts_ms)
     to decode — the distributed part of frame extraction. The decode

@@ -1146,3 +1146,55 @@ def q_media_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(audit("3_phash_dedup", filtered, survivors))
         .orderBy("stage")
     )
+
+
+@register(
+    "q_media_video_motion",
+    oracle=f"""
+    WITH v AS (
+      SELECT i AS media_id, 8 + (i % 5) AS w, 6 + (i % 4) AS h,
+             3 + (i % 6) AS n
+      FROM range({_REAL_MEDIA_N}) t(i) WHERE i % 3 = 2
+    ),
+    el AS (
+      SELECT media_id, v.n, v.w, v.h, k.i AS k,
+             ABS(CAST((x.i*7 + y.i*13 + c.i*29 + media_id*3
+                       + (k.i+1)*17) % 256 AS BIGINT)
+               - CAST((x.i*7 + y.i*13 + c.i*29 + media_id*3
+                       + k.i*17) % 256 AS BIGINT)) AS d
+      FROM v, range(8) k(i), range(9) y(i), range(12) x(i), range(3) c(i)
+      WHERE k.i < v.n - 1 AND y.i < v.h AND x.i < v.w
+    ),
+    pair AS (
+      SELECT media_id, n, w, h, k, SUM(d) AS pd
+      FROM el GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT media_id,
+           CAST(MAX(n) AS BIGINT) AS n_frames,
+           CAST(SUM(pd) AS BIGINT) AS total_abs_diff,
+           CAST(MAX(pd) AS BIGINT) AS max_pair_diff,
+           CAST(SUM(CASE WHEN pd > 30 * w * h * 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cuts
+    FROM pair GROUP BY media_id ORDER BY media_id
+    """,
+    doc="Frame-delta motion statistics + scene-cut detection over REAL "
+    "raw-RGB video decode (operators.multimodal.video_motion_stats): "
+    "per video the exact integer sum of |frame[k+1]-frame[k]| over "
+    "consecutive pairs, the max pair delta, and the count of pairs "
+    "whose mean per-pixel-channel delta exceeds 30 — compared as "
+    "pair_sum > 30*w*h*3, so the cut detector is integer-exact (no "
+    "float mean). The synthetic frames advance by +17 mod 256 per "
+    "frame, so most elements differ by 17 and wrapping ones by 239; "
+    "the mean sits near the 30 threshold and pairs land on BOTH sides, "
+    "exercising the detector for real. DuckDB recomputes every element "
+    "from range() with no codec. One Arrow-batched mapInPandas pass, "
+    "5 numbers per video, no shuffle before the final orderBy.",
+)
+def q_media_video_motion(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_real_media,
+        video_motion_stats,
+    )
+
+    media = make_real_media(spark, n=_REAL_MEDIA_N)
+    return video_motion_stats(media, cut_threshold=30).orderBy("media_id")

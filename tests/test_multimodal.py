@@ -1095,3 +1095,43 @@ class TestJpeg12Bit:
     def test_encoder_rejects_color(self):
         with pytest.raises(NotImplementedError):
             mm.encode_jpeg12(np.zeros((8, 8, 3), np.uint16))
+
+
+class TestVideoMotion:
+    def test_hand_computed_motion(self, spark):
+        # two frames differing by +10 everywhere except one pixel +200
+        f0 = np.full((1, 4, 4, 3), 50, np.uint8)
+        f1 = f0 + 10
+        f2 = f1.copy()
+        f2[0, 0, 0, 0] = 255  # 60 -> 255: delta 195 on one element
+        frames = np.concatenate([f0, f1, f2])
+        payload = mm.encode_rawvideo(frames, frame_ms=40)
+        media = spark.createDataFrame(
+            [(7, "video", payload, "video/x-raw-rgb", 4, 4, 120)],
+            "media_id long, kind string, payload binary, mime string,"
+            " width long, height long, duration_ms long",
+        )
+        r = mm.video_motion_stats(media, cut_threshold=12).collect()[0]
+        # pair0: 48 elems x 10 = 480; pair1: 195 (others 0)
+        assert r["n_frames"] == 3
+        assert r["total_abs_diff"] == 480 + 195
+        assert r["max_pair_diff"] == 480
+        # cut threshold 12: pair0 mean 10 (no), pair1 mean 195/48>4 (no)
+        assert r["n_cuts"] == 0
+        r = mm.video_motion_stats(media, cut_threshold=9).collect()[0]
+        assert r["n_cuts"] == 1  # pair0 mean 10 > 9; pair1 mean ~4.06 no
+
+    def test_single_frame_video(self, spark):
+        payload = mm.encode_rawvideo(
+            np.zeros((1, 2, 2, 3), np.uint8), frame_ms=40
+        )
+        media = spark.createDataFrame(
+            [(1, "video", payload, "video/x-raw-rgb", 2, 2, 40)],
+            "media_id long, kind string, payload binary, mime string,"
+            " width long, height long, duration_ms long",
+        )
+        r = mm.video_motion_stats(media).collect()[0]
+        assert (
+            r["n_frames"], r["total_abs_diff"], r["max_pair_diff"],
+            r["n_cuts"],
+        ) == (1, 0, 0, 0)
