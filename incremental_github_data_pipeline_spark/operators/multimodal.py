@@ -520,6 +520,77 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+VAD_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("n_voiced", LongType(), False),
+        StructField("n_segments", LongType(), False),
+        StructField("longest_segment", LongType(), False),
+    ]
+)
+
+
+def vad_segments(
+    media: DataFrame, frame_len: int = 160, threshold: int = 512
+) -> DataFrame:
+    """Energy-based voice-activity segmentation over decoded PCM WAV —
+    the pre-filter an ASR/audio training pipeline runs before anything
+    expensive: per recording, frames of ``frame_len`` samples are
+    voiced when their mean |sample| exceeds ``threshold``, compared as
+    ``sum|s| > threshold · frame_len`` so the detector is integer-exact
+    (no float mean). Emits frame count (full frames only), voiced
+    count, the number of maximal voiced runs (segments), and the
+    longest run — the numbers that drive keep/drop and chunking
+    decisions.
+
+    One Arrow-batched mapInPandas pass; each recording reduces to 4
+    numbers inside its partition, payload I/O is the scale bound.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                if r.mime != "audio/wav":
+                    continue
+                _sr, s = decode_wav(r.payload)
+                nf = len(s) // frame_len
+                if nf == 0:
+                    recs.append((r.media_id, 0, 0, 0, 0))
+                    continue
+                e = (
+                    np.abs(s[: nf * frame_len].astype(np.int64))
+                    .reshape(nf, frame_len)
+                    .sum(axis=1)
+                )
+                voiced = e > threshold * frame_len
+                # run-length over the voiced mask
+                n_seg = longest = cur = 0
+                for v in voiced:
+                    if v:
+                        cur += 1
+                        if cur == 1:
+                            n_seg += 1
+                        longest = max(longest, cur)
+                    else:
+                        cur = 0
+                recs.append(
+                    (r.media_id, nf, int(voiced.sum()), n_seg, longest)
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "n_frames", "n_voiced",
+                    "n_segments", "longest_segment",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches, VAD_STATS_SCHEMA
+    )
+
+
 MOTION_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

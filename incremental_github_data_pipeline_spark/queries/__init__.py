@@ -52,7 +52,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #       (testdata regenerates every round — these are the stalest);
 #   (d) fill to 50 with the oldest r4-vintage rows (alphabetical).
 # After this round no query's newest driver green predates r4; the
-# remaining 30 r4-vintage rows queue for round 9: q_doc_paragraph_dedup,
+# remaining 31 r4-vintage rows queue for round 9: q_doc_normalize,
+# q_doc_paragraph_dedup,
 # q_doc_tfidf_top,
 # q_embedding_ivf_topk,
 # q_embedding_near_dups, q_embedding_quantized_pool,
@@ -68,6 +69,7 @@ _CERTIFY_FIRST = [
     "q_doc_bm25_topk",
     "q_hybrid_rrf_topk",
     "q_media_video_motion",
+    "q_media_vad_segments",
     # -- (b) code changed in round 8 --
     "q_ann_recall",
     "q_embedding_pq_topk",
@@ -114,7 +116,6 @@ _CERTIFY_FIRST = [
     "q_doc_cm_counts",
     "q_doc_fingerprint",
     "q_doc_fuzzy_pairs",
-    "q_doc_normalize",
 ]
 
 

@@ -1198,3 +1198,77 @@ def q_media_video_motion(spark: SparkSession, sf: str) -> DataFrame:
 
     media = make_real_media(spark, n=_REAL_MEDIA_N)
     return video_motion_stats(media, cut_threshold=30).orderBy("media_id")
+
+
+@register(
+    "q_media_vad_segments",
+    oracle=f"""
+    WITH aud AS (
+      SELECT i AS media_id, 400 + 80 * (i % 20) AS n, 3 + (i % 7) AS k
+      FROM range({_REAL_MEDIA_N}) t(i) WHERE i % 3 = 1
+    ),
+    fr AS (
+      SELECT media_id, t.t // 160 AS f,
+             SUM(ABS(((t.t * aud.k + aud.media_id * 11) % 2048) - 1024))
+               AS e
+      FROM aud, range(1920) t(t)
+      WHERE t.t < (aud.n // 160) * 160
+      GROUP BY 1, 2
+    ),
+    voiced AS (
+      SELECT media_id, f,
+             CASE WHEN e > 512 * 160 THEN 1 ELSE 0 END AS v
+      FROM fr
+    ),
+    marks AS (
+      SELECT media_id, f, v,
+             CASE WHEN v = 1 AND COALESCE(LAG(v) OVER w, 0) = 0
+                  THEN 1 ELSE 0 END AS seg_start
+      FROM voiced WINDOW w AS (PARTITION BY media_id ORDER BY f)
+    ),
+    runs AS (
+      SELECT media_id, f, v, seg_start,
+             SUM(seg_start) OVER (PARTITION BY media_id ORDER BY f
+                  ROWS UNBOUNDED PRECEDING) AS rid
+      FROM marks
+    ),
+    seglen AS (
+      SELECT media_id, rid, SUM(v) AS len
+      FROM runs WHERE v = 1 GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT media_id, SUM(v) AS n_voiced, SUM(seg_start) AS n_segments
+      FROM runs GROUP BY 1
+    )
+    SELECT aud.media_id,
+           CAST(aud.n // 160 AS BIGINT) AS n_frames,
+           CAST(COALESCE(agg.n_voiced, 0) AS BIGINT) AS n_voiced,
+           CAST(COALESCE(agg.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(sl.longest, 0) AS BIGINT) AS longest_segment
+    FROM aud
+    LEFT JOIN agg USING (media_id)
+    LEFT JOIN (SELECT media_id, MAX(len) AS longest FROM seglen
+               GROUP BY 1) sl USING (media_id)
+    ORDER BY aud.media_id
+    """,
+    doc="Energy-based voice-activity segmentation over REAL PCM WAV "
+    "decode (operators.multimodal.vad_segments): 160-sample frames are "
+    "voiced when sum|s| > 512*160 (integer compare — no float mean), "
+    "then run-length stats: voiced frame count, maximal-run count, "
+    "longest run. The ASR-pipeline keep/drop pre-filter. The synthetic "
+    "sawtooth's mean |sample| sits at ~512, so frames land on BOTH "
+    "sides of the threshold and the run-length machinery is exercised "
+    "for real. DuckDB recomputes every sample from range() (no codec) "
+    "and replays the segmentation with window functions. One "
+    "Arrow-batched mapInPandas pass, 4 numbers per recording.",
+)
+def q_media_vad_segments(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_real_media,
+        vad_segments,
+    )
+
+    media = make_real_media(spark, n=_REAL_MEDIA_N)
+    return vad_segments(media, frame_len=160, threshold=512).orderBy(
+        "media_id"
+    )

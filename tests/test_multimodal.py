@@ -1135,3 +1135,42 @@ class TestVideoMotion:
             r["n_frames"], r["total_abs_diff"], r["max_pair_diff"],
             r["n_cuts"],
         ) == (1, 0, 0, 0)
+
+
+class TestVadSegments:
+    def _media(self, spark, samples):
+        payload = mm.encode_wav(np.asarray(samples, np.int16))
+        return spark.createDataFrame(
+            [(3, "audio", payload, "audio/wav", None, None, 1000)],
+            "media_id long, kind string, payload binary, mime string,"
+            " width long, height long, duration_ms long",
+        )
+
+    def test_hand_computed_segments(self, spark):
+        # 6 frames of 4 samples: voiced pattern 1,1,0,1,0,0 at thr 100
+        frames = [
+            [200, 200, 200, 200],   # mean 200 voiced
+            [101, 101, 101, 101],   # mean 101 voiced
+            [50, 50, 50, 50],       # silent
+            [-300, 300, -300, 300], # |.| mean 300 voiced
+            [0, 0, 0, 0],
+            [100, 100, 100, 100],   # mean 100 == thr -> NOT voiced (>)
+        ]
+        media = self._media(spark, [x for f in frames for x in f])
+        r = mm.vad_segments(media, frame_len=4, threshold=100).collect()[0]
+        assert (
+            r["n_frames"], r["n_voiced"], r["n_segments"],
+            r["longest_segment"],
+        ) == (6, 3, 2, 2)
+
+    def test_trailing_partial_frame_dropped(self, spark):
+        media = self._media(spark, [500] * 10)  # 2 full frames + 2 left
+        r = mm.vad_segments(media, frame_len=4, threshold=100).collect()[0]
+        assert r["n_frames"] == 2 and r["n_voiced"] == 2
+
+    def test_all_silent(self, spark):
+        media = self._media(spark, [0] * 8)
+        r = mm.vad_segments(media, frame_len=4, threshold=100).collect()[0]
+        assert (r["n_voiced"], r["n_segments"], r["longest_segment"]) == (
+            0, 0, 0,
+        )
