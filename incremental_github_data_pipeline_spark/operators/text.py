@@ -1692,6 +1692,239 @@ def learn_bpe_merges(
     return learn_bpe(df, text_col, n_merges, local_vocab_max)[0]
 
 
+def learn_unigram(
+    df,
+    text_col: str = "text",
+    vocab_size: int = 256,
+    n_iters: int = 3,
+    max_piece_len: int = 6,
+    seed_size: int = 2048,
+    count_scale: int = 10_000,
+):
+    """Unigram-LM tokenizer training (the SentencePiece/Kudo-2018
+    family — the OTHER major subword algorithm next to BPE): seed a
+    piece inventory from frequent substrings, run EM over the
+    word-frequency table (E-step: forward–backward expected piece
+    counts per word type; M-step: renormalize piece probabilities),
+    then prune to ``vocab_size`` by expected count, always retaining
+    every single character (lossless-coverage guarantee). Returns
+    ``(vocab, pieces)`` where ``vocab`` is the (word, freq, syms)
+    Viterbi segmentation of every word type — the SAME shape
+    :func:`learn_bpe` emits, so :func:`bpe_tokenize`'s broadcast
+    lookup join applies this tokenizer unchanged — and ``pieces`` is
+    (piece, qcount, logp_scaled, rank).
+
+    Determinism discipline (the pagerank/gram-matrix rule — no
+    order-dependent float aggregation ever crosses an engine
+    boundary): each word type's forward–backward runs in a FIXED
+    sequential order (log-domain float64, deterministic for fixed
+    inputs), its expected counts are quantized to integers
+    (× ``count_scale``) BEFORE the cross-word aggregation, so the
+    M-step consumes exact integer sums; piece log-probs re-enter the
+    E-step as scaled integers. Viterbi applies integer scores with a
+    longest-piece tie-break. Two runs — or two engines — replay the
+    identical recurrence. ``count_scale`` trades quantization grain
+    against int64 headroom (sum ≈ total corpus tokens × scale; 10^4
+    holds to ~10^14-token corpora).
+
+    Scale shape: the corpus is scanned ONCE into the checkpointed
+    word-type table; seeding, every E-step, and the final Viterbi are
+    Arrow-batched mapInPandas over word TYPES with the piece table
+    broadcast (driver state bounded by ``seed_size`` + charset, the
+    learn_bpe gate discipline); each M-step is one vocabulary-sized
+    aggregate + collect. Simplification vs full SentencePiece, stated
+    honestly: pruning is by expected count, not per-piece likelihood
+    loss. Reference n/a ([EXT], SURVEY.md §2.10).
+    """
+    import math
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+
+    def substr_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            recs = []
+            for w, fq in zip(pdf["word"], pdf["freq"]):
+                n = len(w)
+                for i in range(n):
+                    for ln in range(1, min(max_piece_len, n - i) + 1):
+                        recs.append((w[i : i + ln], int(fq)))
+            yield pd.DataFrame(recs, columns=["piece", "cnt"])
+
+    sub_counts = (
+        words.mapInPandas(substr_batches, "piece string, cnt long")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    chars = {
+        r["piece"]: r["cnt"]
+        for r in sub_counts.filter(F.length("piece") == 1).collect()
+    }
+    top = sub_counts.orderBy(F.col("cnt").desc(), "piece").limit(
+        seed_size
+    ).collect()
+    seed = dict(chars)
+    for r in top:
+        seed.setdefault(r["piece"], r["cnt"])
+
+    def to_logp(counts: dict[str, int]) -> dict[str, int]:
+        total = sum(counts.values())
+        return {
+            p: round(math.log(c / total) * 1_000_000)
+            for p, c in counts.items()
+            if c > 0
+        }
+
+    logp = to_logp(seed)
+
+    def e_step_fn(logp_b):
+        def fn(it):
+            import pandas as pd
+
+            lp = {p: v / 1e6 for p, v in logp_b.value.items()}
+            for pdf in it:
+                acc: dict[str, int] = {}
+                for w, fq in zip(pdf["word"], pdf["freq"]):
+                    n = len(w)
+                    NEG = float("-inf")
+                    la = [NEG] * (n + 1)
+                    la[0] = 0.0
+                    for j in range(1, n + 1):
+                        for i in range(max(0, j - max_piece_len), j):
+                            p = lp.get(w[i:j])
+                            if p is None or la[i] == NEG:
+                                continue
+                            v = la[i] + p
+                            la[j] = (
+                                v
+                                if la[j] == NEG
+                                else max(la[j], v)
+                                + math.log1p(
+                                    math.exp(-abs(la[j] - v))
+                                )
+                            )
+                    lb = [NEG] * (n + 1)
+                    lb[n] = 0.0
+                    for i in range(n - 1, -1, -1):
+                        for j in range(
+                            i + 1, min(n, i + max_piece_len) + 1
+                        ):
+                            p = lp.get(w[i:j])
+                            if p is None or lb[j] == NEG:
+                                continue
+                            v = lb[j] + p
+                            lb[i] = (
+                                v
+                                if lb[i] == NEG
+                                else max(lb[i], v)
+                                + math.log1p(
+                                    math.exp(-abs(lb[i] - v))
+                                )
+                            )
+                    lz = la[n]
+                    if lz == NEG:
+                        continue  # uncoverable (cannot happen: chars kept)
+                    for i in range(n):
+                        for j in range(
+                            i + 1, min(n, i + max_piece_len) + 1
+                        ):
+                            piece = w[i:j]
+                            p = lp.get(piece)
+                            if p is None or la[i] == NEG or lb[j] == NEG:
+                                continue
+                            ec = math.exp(la[i] + p + lb[j] - lz)
+                            q = round(ec * count_scale) * int(fq)
+                            if q:
+                                acc[piece] = acc.get(piece, 0) + q
+                yield pd.DataFrame(
+                    {
+                        "piece": list(acc.keys()),
+                        "qcount": list(acc.values()),
+                    }
+                )
+
+        return fn
+
+    counts: dict[str, int] = dict(seed)
+    for _ in range(n_iters):
+        b = spark.sparkContext.broadcast(logp)
+        agg = (
+            words.mapInPandas(e_step_fn(b), "piece string, qcount long")
+            .groupBy("piece")
+            .agg(F.sum("qcount").alias("qcount"))
+            .collect()
+        )
+        counts = {r["piece"]: r["qcount"] for r in agg}
+        for c in chars:  # coverage floor: single chars never vanish
+            counts.setdefault(c, 1)
+        logp = to_logp(counts)
+
+    keep = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:vocab_size]
+    final = {p: c for p, c in keep}
+    for c in chars:
+        final.setdefault(c, counts.get(c, 1))
+    logp = to_logp(final)
+
+    def viterbi_fn(logp_b):
+        def fn(it):
+            import pandas as pd
+
+            lp = logp_b.value
+            for pdf in it:
+                recs = []
+                for w, fq in zip(pdf["word"], pdf["freq"]):
+                    n = len(w)
+                    NEG = -(1 << 62)
+                    dp = [NEG] * (n + 1)
+                    bk = [0] * (n + 1)
+                    dp[0] = 0
+                    for j in range(1, n + 1):
+                        # i ascending = longest piece first; strict >
+                        # keeps it on ties (deterministic)
+                        for i in range(max(0, j - max_piece_len), j):
+                            p = lp.get(w[i:j])
+                            if p is None or dp[i] == NEG:
+                                continue
+                            if dp[i] + p > dp[j]:
+                                dp[j] = dp[i] + p
+                                bk[j] = i
+                    syms = []
+                    j = n
+                    while j > 0:
+                        syms.append(w[bk[j] : j])
+                        j = bk[j]
+                    recs.append((w, int(fq), syms[::-1]))
+                yield pd.DataFrame(
+                    recs, columns=["word", "freq", "syms"]
+                )
+
+        return fn
+
+    b = spark.sparkContext.broadcast(logp)
+    vocab = words.mapInPandas(
+        viterbi_fn(b), "word string, freq long, syms array<string>"
+    )
+    ranked = sorted(final.items(), key=lambda kv: (-kv[1], kv[0]))
+    pieces = spark.createDataFrame(
+        [
+            (p, int(c), int(logp[p]), r + 1)
+            for r, (p, c) in enumerate(ranked)
+        ],
+        "piece string, qcount long, logp_scaled long, rank long",
+    )
+    return vocab, pieces
+
+
 def bpe_tokenize(df, vocab, text_col: str = "text", id_col: str = "doc_id"):
     """Apply-side of the trained tokenizer: tokenize documents via the
     (word → syms) lookup join :func:`learn_bpe`'s docstring promises —

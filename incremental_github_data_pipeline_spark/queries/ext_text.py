@@ -2157,3 +2157,127 @@ def q_doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
         tx.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_unigram_tokenize",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
+           TRUE AS lossless,
+           TRUE AS tokens_le_chars
+    FROM documents WHERE length(trim(text)) > 0
+    ORDER BY doc_id
+    """,
+    doc="Unigram-LM tokenizer train + apply (operators.text."
+    "learn_unigram -> bpe_tokenize lookup join): EM over the word-type "
+    "table with per-word integer-quantized expected counts (the "
+    "pagerank determinism discipline), then integer-score Viterbi "
+    "segmentation applied via the same broadcast word->syms join as "
+    "BPE. The segmentation itself has no SQL oracle (forward-backward "
+    "+ Viterbi), so the CERTIFIED lanes are structural invariants the "
+    "oracle states in closed form and Spark must PROVE from the actual "
+    "segmentation (the q_embedding_ivf_topk pattern): per doc, "
+    "n_words matches the whitespace tokenization, the reassembled "
+    "pieces spell the document back losslessly (lossless TRUE), and "
+    "the piece count never exceeds the character count "
+    "(tokens_le_chars TRUE).",
+)
+def q_unigram_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    vocab, _pieces = tx.learn_unigram(
+        docs, vocab_size=256, n_iters=2, max_piece_len=4, seed_size=1024
+    )
+    out = tx.bpe_tokenize(docs, vocab)
+    stripped = F.regexp_replace(F.col("text"), r"\s+", "")
+    return (
+        out.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                F.regexp_replace(F.col("bpe_text"), " ", "")
+                == stripped
+            ).alias("lossless"),
+            (F.col("n_tokens") <= F.length(stripped)).alias(
+                "tokens_le_chars"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_unigram_pieces",
+    oracle="""
+    WITH chars AS (
+      SELECT DISTINCT unnest(string_split(
+        regexp_replace(trim(text), '\\s+', '', 'g'), '')) AS ch
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM chars) AS BIGINT)
+             AS n_corpus_chars,
+           TRUE AS all_chars_covered,
+           TRUE AS ranks_contiguous,
+           TRUE AS counts_nonincreasing
+    """,
+    doc="Unigram-LM piece inventory invariants (operators.text."
+    "learn_unigram): the trained piece table must cover every distinct "
+    "character the corpus contains (the lossless-coverage floor that "
+    "pruning is required to respect), carry contiguous ranks 1..n, and "
+    "be ordered by non-increasing expected count. The oracle computes "
+    "the corpus charset size in SQL and states the invariants; Spark "
+    "must prove them from the actual trained table — structural "
+    "certification for an EM artifact no SQL engine can replay.",
+)
+def q_unigram_pieces(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    _vocab, pieces = tx.learn_unigram(
+        docs, vocab_size=256, n_iters=2, max_piece_len=4, seed_size=1024
+    )
+    stripped = F.regexp_replace(F.trim(F.col("text")), r"\s+", "")
+    corpus_chars = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            F.explode(F.split(stripped, "(?!^)")).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    singles = pieces.filter(F.length("piece") == 1).select(
+        F.col("piece").alias("ch")
+    )
+    n_chars = corpus_chars.count()
+    n_covered = corpus_chars.join(singles, "ch", "semi").count()
+    stats = pieces.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rank").alias("rmin"),
+        F.max("rank").alias("rmax"),
+        F.count_distinct("rank").alias("rdist"),
+    ).collect()[0]
+    mindrop = (
+        pieces.select(
+            (
+                F.col("qcount")
+                - F.lead("qcount", 1).over(Window.orderBy("rank"))
+            ).alias("drop")
+        )
+        .agg(F.min("drop").alias("mindrop"))
+        .collect()[0]["mindrop"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_chars,
+                n_covered == n_chars,
+                stats["rmin"] == 1
+                and stats["rmax"] == stats["n"]
+                and stats["rdist"] == stats["n"],
+                (mindrop is None) or mindrop >= 0,
+            )
+        ],
+        "n_corpus_chars long, all_chars_covered boolean, "
+        "ranks_contiguous boolean, counts_nonincreasing boolean",
+    )

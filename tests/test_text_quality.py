@@ -1039,3 +1039,50 @@ class TestBm25TopK:
             [(1, "   ")], "query_id long, qtext string"
         )
         assert tx.bm25_topk(docs, queries).count() == 0
+
+
+class TestUnigramLM:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (0, "abab abab abab"),
+                (1, "ab cd cd"),
+                (2, "abcd abcd"),
+                (3, "ab"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_em_promotes_compositional_pieces(self, spark):
+        docs = self._docs(spark)
+        vocab, pieces = tx.learn_unigram(
+            docs, vocab_size=8, n_iters=3, max_piece_len=4
+        )
+        top = pieces.orderBy("rank").limit(2).collect()
+        assert {r["piece"] for r in top} == {"ab", "cd"}
+        segs = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+        # Viterbi prefers ab+ab / ab+cd over the rarer whole-word pieces
+        assert segs["abab"] == ["ab", "ab"]
+        assert segs["abcd"] == ["ab", "cd"]
+
+    def test_lossless_and_applies_via_bpe_tokenize(self, spark):
+        docs = self._docs(spark)
+        vocab, _ = tx.learn_unigram(docs, vocab_size=8, n_iters=2)
+        out = tx.bpe_tokenize(docs, vocab).orderBy("doc_id").collect()
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        for r in out:
+            assert r["bpe_text"].replace(" ", "") == texts[
+                r["doc_id"]
+            ].replace(" ", "")
+
+    def test_deterministic_across_runs(self, spark):
+        docs = self._docs(spark)
+        a = tx.learn_unigram(docs, vocab_size=8, n_iters=2)[1].collect()
+        b = tx.learn_unigram(docs, vocab_size=8, n_iters=2)[1].collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_single_chars_survive_pruning(self, spark):
+        docs = self._docs(spark)
+        _, pieces = tx.learn_unigram(docs, vocab_size=2, n_iters=1)
+        kept = {r["piece"] for r in pieces.collect()}
+        assert {"a", "b", "c", "d"} <= kept  # coverage floor
