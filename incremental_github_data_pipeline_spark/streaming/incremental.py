@@ -1139,6 +1139,173 @@ def run_incremental_text_ingest(
     )
 
 
+def run_incremental_index_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    table_root: str,
+    checkpoint: str,
+) -> None:
+    """Incremental SEARCH-INDEX maintenance: watch a directory of
+    document parquet shards (``doc_id long, text string``), tokenize
+    each micro-batch where it lands, and append three
+    manifest-versioned tables under ``table_root`` — ``postings/``
+    (term, doc_id, tf), ``termstats/`` (term, df_delta, tf_delta: the
+    batch's per-term contribution), and ``docstats/`` (one row per
+    batch: n_docs, total_len). New crawl increments extend the index
+    with O(batch) work; NOTHING about the existing corpus is re-read
+    or re-shuffled — the "deltas never re-join full tables"
+    incremental-maintenance discipline, applied to lexical search.
+    Query-time statistics (df, N, avgdl) FOLD the term-level /
+    batch-level delta tables instead of re-aggregating token-level
+    postings, so the expensive table is only ever touched by the
+    query-term equi-join.
+
+    Exactly-once follows run_incremental_text_ingest: foreachBatch is
+    at-least-once, so each of the three commits carries
+    ``txn_id = index-<table>:<checkpoint>:<batch_id>`` and a replayed
+    batch becomes a no-op returning the committed version. Postings
+    commits record per-file term min/max bounds (``stats_cols``), so a
+    query-term search can file-skip before any parquet opens.
+
+    Serving: :func:`bm25_search_versioned` — same scoring lane as
+    ``operators.text.bm25_topk``; ``version`` time-travels the search
+    to an earlier index state."""
+    from incremental_github_data_pipeline_spark.operators.text import tokens
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+    )
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src_dir
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        toks = batch_df.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        tf = (
+            toks.groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=True)  # one tokenize per batch
+        )
+        commit_version(
+            tf.select("term", "doc_id", "tf"),
+            f"{table_root}/postings",
+            mode="append",
+            stats_cols=["term"],
+            txn_id=f"index-postings:{checkpoint}:{batch_id}",
+        )
+        commit_version(
+            tf.groupBy("term").agg(
+                F.count(F.lit(1)).alias("df_delta"),
+                F.sum("tf").alias("tf_delta"),
+            ),
+            f"{table_root}/termstats",
+            mode="append",
+            txn_id=f"index-termstats:{checkpoint}:{batch_id}",
+        )
+        n_docs = batch_df.count()
+        total_len = (
+            tf.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("t"))
+            .collect()[0]["t"]
+        )
+        commit_version(
+            spark.createDataFrame(
+                [(int(batch_id), int(n_docs), int(total_len))],
+                "batch_id long, n_docs long, total_len long",
+            ),
+            f"{table_root}/docstats",
+            mode="append",
+            txn_id=f"index-docstats:{checkpoint}:{batch_id}",
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def bm25_search_versioned(
+    spark: SparkSession,
+    table_root: str,
+    queries: DataFrame,
+    k: int = 5,
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    k1: float = 1.2,
+    b: float = 0.75,
+    version: int | None = None,
+) -> DataFrame:
+    """BM25 top-k over a :func:`run_incremental_index_ingest` table:
+    df/N/avgdl fold the TERM-level and BATCH-level delta tables (never
+    the token-level postings), query terms equi-join the postings
+    (term-bounded file skipping via the manifest's min/max), and the
+    scoring expression is identical to ``operators.text.bm25_topk`` —
+    indexing the corpus in one shot or in N increments yields the same
+    ranking. ``version`` applies to all three tables for a consistent
+    time-traveled view ONLY when they were committed in lockstep (one
+    version per batch per table, as the ingester does)."""
+    from incremental_github_data_pipeline_spark.operators.text import tokens
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        read_version,
+    )
+
+    postings = read_version(spark, f"{table_root}/postings", version)
+    termstats = (
+        read_version(spark, f"{table_root}/termstats", version)
+        .groupBy("term")
+        .agg(F.sum("df_delta").alias("df"))
+    )
+    doc_tot = read_version(spark, f"{table_root}/docstats", version).agg(
+        F.sum("n_docs").alias("_n"),
+        (F.sum("total_len") / F.sum("n_docs")).alias("_avgdl"),
+    )
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    qterms = queries.select(
+        F.col(qid_col), F.explode(tokens(F.col(qtext_col))).alias("term")
+    ).distinct()
+    hits = (
+        qterms.join(postings, "term")
+        .join(termstats, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(doc_tot))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    scored = hits.groupBy(qid_col, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("tf").alias("sum_tf"),
+        F.sum("_s").alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", "doc_id", "n_terms", "sum_tf", "score")
+    )
+
+
 def run_incremental_ann_ingest(
     spark: SparkSession,
     src_dir: str,

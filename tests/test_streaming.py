@@ -923,3 +923,74 @@ def test_session_attribution_batch_boundary_strict(spark):
         (t0 + dt.timedelta(minutes=1), 1),
         (t0 + dt.timedelta(minutes=11), 1),
     ]
+
+
+def test_incremental_index_ingest_exactly_once_and_matches_one_shot(
+    spark, tmp_path
+):
+    """Search-index maintenance: two incremental ingests must (a) be
+    idempotent under a checkpoint replay of the same files, (b) yield
+    the SAME BM25 ranking as indexing everything in one shot
+    (operators.text.bm25_topk on the union), and (c) time-travel — the
+    version after batch 1 must rank without batch-2 documents."""
+    from incremental_github_data_pipeline_spark.operators import text as tx
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        latest_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        bm25_search_versioned,
+        run_incremental_index_ingest,
+    )
+
+    src = tmp_path / "docs"
+    root = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = spark.createDataFrame(
+        [
+            (0, "spark shuffles data across executors"),
+            (1, "parquet stores columnar data"),
+            (2, "spark reads parquet fast"),
+        ],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (3, "executors cache shuffled parquet data"),
+            (4, "columnar reads skip data"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "spark parquet data"), (101, "columnar executors")],
+        "query_id long, qtext string",
+    )
+    cols = ("query_id", "rank", "doc_id", "n_terms", "sum_tf")
+
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+    run_incremental_index_ingest(spark, str(src), root, ckpt)
+    v1 = latest_version(f"{root}/postings")
+    run_incremental_index_ingest(spark, str(src), root, ckpt)  # replay: no-op
+    assert latest_version(f"{root}/postings") == v1
+
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+    run_incremental_index_ingest(spark, str(src), root, ckpt)
+    assert latest_version(f"{root}/postings") == v1 + 1
+
+    got = {
+        tuple(r[c] for c in cols)
+        for r in bm25_search_versioned(spark, root, queries, k=3).collect()
+    }
+    want = {
+        tuple(r[c] for c in cols)
+        for r in tx.bm25_topk(
+            batch1.unionByName(batch2),
+            queries,
+            qtext_col="qtext",
+            k=3,
+        ).collect()
+    }
+    assert got == want and got
+
+    # time travel: at v1 only batch-1 docs exist
+    old = bm25_search_versioned(spark, root, queries, k=3, version=v1)
+    assert {r["doc_id"] for r in old.collect()} <= {0, 1, 2}
