@@ -279,6 +279,91 @@ def ewma_integer(
     )
 
 
+def cusum_alarms(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    order_col: str,
+    val_col: str,
+    target_col: str,
+    slack: int | str = 0,
+    threshold: int | str = 0,
+) -> DataFrame:
+    """CUSUM change-point detection (Page 1954) as pure WINDOW algebra:
+    the textbook recurrence S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − target − slack))
+    (and the mirrored S⁻ for downward shifts) looks sequential, but
+    max(0, ·) folds admit the exact prefix identity
+
+        Sₜ = Cₜ − min(0, min_{j≤t} Cⱼ),   C = running sum of the drift
+
+    so the whole detector is two window passes — running sum, then
+    running min over it — with NO stateful fold, no applyInPandas, no
+    recursion: Catalyst plans it as one shuffle on the key. Every step
+    is integer (drifts are differences of integer columns), so the
+    statistic is bit-identical in any engine replaying the algebra —
+    the certifiable-iteration discipline without the iteration.
+
+    ``target_col`` is the per-key reference level (join a median or a
+    known setpoint upstream); ``slack`` desensitizes small wobble;
+    ``alarm_pos``/``alarm_neg`` fire while the statistic exceeds
+    ``threshold``. ``slack``/``threshold`` take an int constant or a
+    column name (per-key tuning, e.g. a fraction of the median). This is the monitoring variant WITHOUT post-alarm
+    reset (alarms persist while the shift persists) — the reset
+    variant needs a sequential fold; the no-reset form is what the
+    prefix identity covers, stated honestly.
+
+    Output: keys, order, value, target, s_pos, s_neg (longs),
+    alarm_pos, alarm_neg (booleans). Reference n/a ([EXT] §2.10).
+    """
+    keys = _keys(key_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col(val_col).cast("long")
+    t = F.col(target_col).cast("long")
+    sl = (
+        F.col(slack).cast("long") if isinstance(slack, str) else F.lit(slack)
+    )
+    th = (
+        F.col(threshold).cast("long")
+        if isinstance(threshold, str)
+        else F.lit(threshold)
+    )
+    staged = df.select(
+        *keys, order_col, x.alias(val_col), t.alias(target_col),
+        sl.alias("_sl"), th.alias("_th"),
+    ).select(
+        "*",
+        F.sum(x - t - F.col("_sl")).over(w).alias("_c_pos"),
+        F.sum(t - F.col("_sl") - x).over(w).alias("_c_neg"),
+    )
+    return staged.select(
+        *keys,
+        order_col,
+        val_col,
+        target_col,
+        (
+            F.col("_c_pos")
+            - F.least(F.lit(0), F.min("_c_pos").over(w))
+        ).alias("s_pos"),
+        (
+            F.col("_c_neg")
+            - F.least(F.lit(0), F.min("_c_neg").over(w))
+        ).alias("s_neg"),
+        F.col("_th"),
+    ).select(
+        *keys,
+        order_col,
+        val_col,
+        target_col,
+        "s_pos",
+        "s_neg",
+        (F.col("s_pos") > F.col("_th")).alias("alarm_pos"),
+        (F.col("s_neg") > F.col("_th")).alias("alarm_neg"),
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     key_cols: str | Sequence[str],

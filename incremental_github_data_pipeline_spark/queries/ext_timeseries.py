@@ -324,3 +324,97 @@ def q_ts_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
         "mad",
         "n_outliers",
     ).orderBy("event_type")
+
+
+@register(
+    "q_ts_cusum",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    med AS (
+      SELECT event_type, cents AS med FROM m WHERE rn = (n + 1) // 2
+    ),
+    c AS (
+      SELECT h.event_type, h.hr, h.cents, med.med,
+             SUM(h.cents - med.med - med.med // 20) OVER w AS c_pos,
+             SUM(med.med - med.med // 20 - h.cents) OVER w AS c_neg
+      FROM h JOIN med ON h.event_type = med.event_type
+      WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT event_type, hr, cents, med,
+             c_pos - LEAST(0, MIN(c_pos) OVER w) AS s_pos,
+             c_neg - LEAST(0, MIN(c_neg) OVER w) AS s_neg
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, hr, CAST(cents AS BIGINT) AS cents,
+           CAST(med AS BIGINT) AS med,
+           CAST(s_pos AS BIGINT) AS s_pos,
+           CAST(s_neg AS BIGINT) AS s_neg,
+           s_pos > med AS alarm_pos,
+           s_neg > med AS alarm_neg
+    FROM s ORDER BY event_type, hr
+    """,
+    doc="CUSUM change-point detection (operators.timeseries."
+    "cusum_alarms): Page's S = max(0, S' + drift) recurrence via the "
+    "exact prefix identity S_t = C_t - min(0, min_{j<=t} C_j), so the "
+    "sequential-looking detector is two window passes — running sum, "
+    "then running min — planned by Catalyst as ONE key shuffle, no "
+    "stateful fold. Per-key reference level = the cents median "
+    "(low-median (n+1)//2, the q_ts_anomaly_mad convention), slack = "
+    "med//20, alarm threshold = med — all integer, so the statistic "
+    "and both alarm flags are bit-identical across engines. No-reset "
+    "monitoring variant (alarms persist while the shift persists), "
+    "stated honestly in the operator docstring.",
+)
+def q_ts_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = _hourly(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("cents")
+    med = (
+        h.select(
+            "event_type",
+            "cents",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("event_type"))
+            .alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("cents").alias("med"))
+    )
+    staged = h.join(med, "event_type").select(
+        "event_type",
+        "hr",
+        "cents",
+        "med",
+        (F.col("med") / 20).cast("long").alias("slk"),
+    )
+    out = ts_ops.cusum_alarms(
+        staged,
+        "event_type",
+        "hr",
+        "cents",
+        "med",
+        slack="slk",
+        threshold="med",
+    )
+    return out.select(
+        "event_type", "hr", "cents", "med",
+        "s_pos", "s_neg", "alarm_pos", "alarm_neg",
+    ).orderBy("event_type", "hr")

@@ -127,3 +127,59 @@ def test_zscore_outliers_constant_group_has_none(spark):
     assert all(
         not r["is_outlier"] for r in zscore_outliers(df, "g", "v").collect()
     )
+
+
+class TestCusumAlarms:
+    def test_prefix_identity_matches_sequential_recurrence(self, spark):
+        from incremental_github_data_pipeline_spark.operators import (
+            timeseries as ts_ops,
+        )
+
+        vals = [10, 10, 25, 30, 10, 2, 1, 10, 10, 40]
+        rows = [("k", i, v, 10) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "k string, i long, v long, tgt long"
+        )
+        out = (
+            ts_ops.cusum_alarms(
+                df, "k", "i", "v", "tgt", slack=2, threshold=15
+            )
+            .orderBy("i")
+            .collect()
+        )
+        # sequential reference: S+ = max(0, S+ + (v-12)), S- = max(0, S- + (8-v))
+        sp = sn = 0
+        for r, v in zip(out, vals):
+            sp = max(0, sp + (v - 10 - 2))
+            sn = max(0, sn + (10 - 2 - v))
+            assert (r["s_pos"], r["s_neg"]) == (sp, sn), r
+            assert r["alarm_pos"] == (sp > 15)
+            assert r["alarm_neg"] == (sn > 15)
+        # the spike run (25,30) must alarm upward; the dip run (2,1)
+        # drains the statistic back down (31 -> 4) before the final
+        # spike — the max(0,·) clamp in action, exact to the unit
+        assert any(r["alarm_pos"] for r in out)
+        assert out[3]["s_pos"] == 31 and out[8]["s_pos"] == 4
+
+    def test_per_key_isolation_and_column_params(self, spark):
+        from incremental_github_data_pipeline_spark.operators import (
+            timeseries as ts_ops,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("a", 0, 100, 10, 0, 5),
+                ("a", 1, 100, 10, 0, 5),
+                ("b", 0, 10, 10, 0, 5),
+            ],
+            "k string, i long, v long, tgt long, slk long, thr long",
+        )
+        out = {
+            (r["k"], r["i"]): r
+            for r in ts_ops.cusum_alarms(
+                df, "k", "i", "v", "tgt", slack="slk", threshold="thr"
+            ).collect()
+        }
+        assert out[("a", 1)]["s_pos"] == 180  # 90 + 90, no cross-key leak
+        assert out[("b", 0)]["s_pos"] == 0
+        assert out[("a", 0)]["alarm_pos"] and not out[("b", 0)]["alarm_pos"]
