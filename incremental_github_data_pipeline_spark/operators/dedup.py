@@ -725,6 +725,50 @@ def dedup_clusters(
     )
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: every member of a near-dup
+    CLUSTER lands in the same split. A per-document split
+    (text.assign_split) puts one near-duplicate in train and its twin
+    in test — the classic contamination bug that silently inflates
+    eval scores; splitting on the cluster representative (the
+    component's min id; singletons use their own id) makes that
+    impossible by construction. Same modular-arithmetic determinism as
+    assign_split: rep % 100 < train_pct → train, < train+val → val,
+    else test — stable across runs, engines, and corpus growth.
+
+    Scale shape: components come from the verified near-dup PAIR list
+    (candidate-sized, not corpus-sized); the corpus's only wide op is
+    the left join onto the component map. Returns (id, rep, split).
+    """
+    from incremental_github_data_pipeline_spark.operators.text import (
+        _id_bucket,
+    )
+
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    rep = F.coalesce("component", F.col(id_col))
+    b = _id_bucket(rep, 100)
+    return (
+        df.select(F.col(id_col))
+        .join(cc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            rep.alias("rep"),
+            F.when(b < train_pct, "train")
+            .when(b < train_pct + val_pct, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
 def dedup_against_corpus(
     new_df: DataFrame,
     corpus_df: DataFrame,

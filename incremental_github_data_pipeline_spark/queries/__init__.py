@@ -52,7 +52,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #       (testdata regenerates every round — these are the stalest);
 #   (d) fill to 50 with the oldest r4-vintage rows (alphabetical).
 # After this round no query's newest driver green predates r4; the
-# remaining 34 r4-vintage rows queue for round 9: q_doc_cm_counts,
+# remaining 35 r4-vintage rows queue for round 9: q_doc_bloom_prefilter,
+# q_doc_cm_counts,
 # q_doc_fingerprint,
 # q_doc_fuzzy_pairs, q_doc_normalize,
 # q_doc_paragraph_dedup,
@@ -75,6 +76,7 @@ _CERTIFY_FIRST = [
     "q_unigram_tokenize",
     "q_unigram_pieces",
     "q_ts_cusum",
+    "q_doc_cluster_split",
     # -- (b) code changed in round 8 --
     "q_ann_recall",
     "q_embedding_pq_topk",
@@ -117,7 +119,6 @@ _CERTIFY_FIRST = [
     "q_allocate_cents",
     "q_cdc_apply",
     "q_corr_qty_price",
-    "q_doc_bloom_prefilter",
 ]
 
 

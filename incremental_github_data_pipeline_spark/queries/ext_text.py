@@ -2281,3 +2281,48 @@ def q_unigram_pieces(spark: SparkSession, sf: str) -> DataFrame:
         "n_corpus_chars long, all_chars_covered boolean, "
         "ranks_contiguous boolean, counts_nonincreasing boolean",
     )
+
+
+@register(
+    "q_doc_cluster_split",
+    oracle=f"""
+    WITH RECURSIVE {_GRAM_PAIRS_SQL},
+    edges AS (
+      SELECT ida AS src, idb AS dst FROM pairs
+      UNION ALL SELECT idb, ida FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+    ),
+    cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(cc.component, d.doc_id) AS rep,
+           CASE WHEN COALESCE(cc.component, d.doc_id) % 100 < 80
+                THEN 'train'
+                WHEN COALESCE(cc.component, d.doc_id) % 100 < 90
+                THEN 'val' ELSE 'test' END AS split
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+    ORDER BY d.doc_id
+    """,
+    doc="Leakage-safe train/val/test split (operators.dedup."
+    "cluster_safe_split): near-dup cluster members share a split by "
+    "construction — the split key is the connected component's min id "
+    "(gram-overlap pairs -> min-label-propagation components; "
+    "singletons key on their own id), then the same engine-portable "
+    "rep % 100 modular assignment as q_doc_split. A per-document "
+    "split puts one near-duplicate in train and its twin in test (the "
+    "classic eval-contamination bug); this operator makes that "
+    "impossible. Oracle: DuckDB recursive-CTE transitive closure + "
+    "the identical CASE arithmetic.",
+)
+def q_doc_cluster_split(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    pairs = dd.gram_overlap_pairs(d, id_col="doc_id", text_col="text", k=5)
+    return (
+        dd.cluster_safe_split(d, pairs, id_col="doc_id")
+        .select("doc_id", "rep", "split")
+        .orderBy("doc_id")
+    )

@@ -809,3 +809,33 @@ class TestRrfFuse:
         )
         sem = lex.limit(0)
         assert sim.rrf_fuse(lex, sem, k=3).count() == 3
+
+
+class TestClusterSafeSplit:
+    def test_no_pair_straddles_splits(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+        )
+        # chain 0~1~2 plus pair (10, 35): 35 % 100 = 35 -> train bucket,
+        # but its rep is 10 -> same split as 10 whatever that is
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 35)], "id_a long, id_b long"
+        )
+        out = {
+            r["doc_id"]: (r["rep"], r["split"])
+            for r in dd.cluster_safe_split(docs, pairs).collect()
+        }
+        assert out[0] == out[1] == out[2] == (0, "train")
+        assert out[10] == out[35]  # the leakage guard
+        # singleton keys on its own id
+        assert out[7][0] == 7
+        assert len(out) == 40
+
+    def test_split_fractions_follow_rep_buckets(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(100)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        out = dd.cluster_safe_split(docs, pairs).groupBy("split").count()
+        got = {r["split"]: r["count"] for r in out.collect()}
+        assert got == {"train": 80, "val": 10, "test": 10}
