@@ -26,9 +26,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cusum_alarms",
+    "ewma_integer",
+    "mad_outliers",
     "resample_ffill",
-    "weighted_moving_avg",
     "time_weighted_avg",
+    "weighted_moving_avg",
     "zscore_outliers",
 ]
 
