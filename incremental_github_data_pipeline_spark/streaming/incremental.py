@@ -1147,21 +1147,23 @@ def run_incremental_index_ingest(
 ) -> None:
     """Incremental SEARCH-INDEX maintenance: watch a directory of
     document parquet shards (``doc_id long, text string``), tokenize
-    each micro-batch where it lands, and append three
+    each micro-batch where it lands, and append four
     manifest-versioned tables under ``table_root`` — ``postings/``
     (term, doc_id, tf), ``termstats/`` (term, df_delta, tf_delta: the
-    batch's per-term contribution), and ``docstats/`` (one row per
-    batch: n_docs, total_len). New crawl increments extend the index
-    with O(batch) work; NOTHING about the existing corpus is re-read
-    or re-shuffled — the "deltas never re-join full tables"
-    incremental-maintenance discipline, applied to lexical search.
-    Query-time statistics (df, N, avgdl) FOLD the term-level /
-    batch-level delta tables instead of re-aggregating token-level
-    postings, so the expensive table is only ever touched by the
-    query-term equi-join.
+    batch's per-term contribution), ``doclens/`` (doc_id, dl: each new
+    document's length, computed once at ingest), and ``docstats/``
+    (one row per batch: n_docs, total_len). New crawl increments
+    extend the index with O(batch) work; NOTHING about the existing
+    corpus is re-read or re-shuffled — the "deltas never re-join full
+    tables" incremental-maintenance discipline, applied to lexical
+    search. Query-time statistics (df, N, avgdl) FOLD the term-level /
+    batch-level delta tables, per-document lengths come from the
+    doc-level ``doclens`` table — the token-level postings are only
+    ever touched by the query-term equi-join, never re-aggregated at
+    serving time.
 
     Exactly-once follows run_incremental_text_ingest: foreachBatch is
-    at-least-once, so each of the three commits carries
+    at-least-once, so each of the four commits carries
     ``txn_id = index-<table>:<checkpoint>:<batch_id>`` and a replayed
     batch becomes a no-op returning the committed version. Postings
     commits record per-file term min/max bounds (``stats_cols``), so a
@@ -1206,6 +1208,16 @@ def run_incremental_index_ingest(
             mode="append",
             txn_id=f"index-termstats:{checkpoint}:{batch_id}",
         )
+        # Per-doc lengths, committed in the same lockstep so serving
+        # never has to rebuild them from the token-level postings (a
+        # corpus-sized shuffle per search at 100 TB). O(batch): docs
+        # only ever appear in one batch, so append is exact.
+        commit_version(
+            tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+            f"{table_root}/doclens",
+            mode="append",
+            txn_id=f"index-doclens:{checkpoint}:{batch_id}",
+        )
         n_docs = batch_df.count()
         total_len = (
             tf.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("t"))
@@ -1242,20 +1254,36 @@ def bm25_search_versioned(
     version: int | None = None,
 ) -> DataFrame:
     """BM25 top-k over a :func:`run_incremental_index_ingest` table:
-    df/N/avgdl fold the TERM-level and BATCH-level delta tables (never
-    the token-level postings), query terms equi-join the postings
-    (term-bounded file skipping via the manifest's min/max), and the
-    scoring expression is identical to ``operators.text.bm25_topk`` —
-    indexing the corpus in one shot or in N increments yields the same
-    ranking. ``version`` applies to all three tables for a consistent
-    time-traveled view ONLY when they were committed in lockstep (one
-    version per batch per table, as the ingester does)."""
+    df/N/avgdl fold the TERM-level and BATCH-level delta tables, doc
+    lengths join from the doc-level ``doclens`` table (never an
+    aggregate over the token-level postings — pinned by a plan test),
+    query terms equi-join the postings with term-bounded FILE skipping
+    (the distinct query terms are collected — workload-sized, the one
+    bounded collect here — and their [min, max] prunes postings parts
+    against the manifest's per-file term bounds before any parquet
+    opens), and the scoring expression is identical to
+    ``operators.text.bm25_topk`` — indexing the corpus in one shot or
+    in N increments yields the same ranking. ``version`` applies to
+    all four tables for a consistent time-traveled view ONLY when they
+    were committed in lockstep (one version per batch per table, as
+    the ingester does)."""
     from incremental_github_data_pipeline_spark.operators.text import tokens
     from incremental_github_data_pipeline_spark.sources.versioned import (
         read_version,
     )
 
-    postings = read_version(spark, f"{table_root}/postings", version)
+    qterms = queries.select(
+        F.col(qid_col), F.explode(tokens(F.col(qtext_col))).alias("term")
+    ).distinct()
+    term_list = sorted(
+        r["term"] for r in qterms.select("term").distinct().collect()
+    )
+    skip = (
+        ("term", term_list[0], term_list[-1]) if term_list else None
+    )
+    postings = read_version(
+        spark, f"{table_root}/postings", version, skip=skip
+    )
     termstats = (
         read_version(spark, f"{table_root}/termstats", version)
         .groupBy("term")
@@ -1265,10 +1293,7 @@ def bm25_search_versioned(
         F.sum("n_docs").alias("_n"),
         (F.sum("total_len") / F.sum("n_docs")).alias("_avgdl"),
     )
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    qterms = queries.select(
-        F.col(qid_col), F.explode(tokens(F.col(qtext_col))).alias("term")
-    ).distinct()
+    dl = read_version(spark, f"{table_root}/doclens", version)
     hits = (
         qterms.join(postings, "term")
         .join(termstats, "term")
@@ -1414,3 +1439,100 @@ def ann_search_versioned(
         .filter(F.col("rank") <= k)
         .orderBy(query_id, "rank")
     )
+
+
+def hybrid_search_versioned(
+    spark: SparkSession,
+    index_root: str,
+    ann_root: str,
+    queries: DataFrame,
+    k: int = 10,
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    vec_col: str = "embedding",
+    k0: int = 60,
+    lane_k: int | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Hybrid retrieval over INCREMENTALLY-maintained indexes: the
+    lexical lane is :func:`bm25_search_versioned` over a
+    :func:`run_incremental_index_ingest` table, the semantic lane is
+    :func:`ann_search_versioned` over a
+    :func:`run_incremental_ann_ingest` table, and the two top-k lists
+    fuse with ``operators.similarity.rrf_fuse`` — the versioned twin
+    of the batch ``q_hybrid_rrf_topk`` lane, so a corpus indexed in N
+    crawl increments serves the same fused ranking as one indexed in
+    a single shot (same codebooks, same BM25 statistics).
+
+    ``queries`` needs BOTH a text column and an embedding column (one
+    frame, two lanes). ``lane_k`` (default ``k``) bounds each lane's
+    candidate list before fusion; each lane touches only its own
+    index, the fusion join sees queries × lane_k rows per lane.
+    ``version`` time-travels both indexes — meaningful when the two
+    ingests ran in lockstep (same batch cadence), else pass None for
+    latest-of-each."""
+    from incremental_github_data_pipeline_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    lane_k = k if lane_k is None else lane_k
+    lex = bm25_search_versioned(
+        spark,
+        index_root,
+        queries.select(qid_col, qtext_col),
+        k=lane_k,
+        qid_col=qid_col,
+        qtext_col=qtext_col,
+        version=version,
+    )
+    sem = ann_search_versioned(
+        spark,
+        ann_root,
+        queries.select(qid_col, vec_col),
+        k=lane_k,
+        query_id=qid_col,
+        vec_col=vec_col,
+        version=version,
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse(lex, sem, qid_col=qid_col, id_col="doc_id", k0=k0, k=k)
+
+
+def compact_index(
+    spark: SparkSession,
+    table_root: str,
+    target_partitions: int = 4,
+) -> dict[str, int]:
+    """OPTIMIZE for a :func:`run_incremental_index_ingest` index: each
+    micro-batch appends one small postings part spanning the whole
+    alphabet, so after K batches the manifest's per-file term bounds
+    all cover [a..z] and :func:`bm25_search_versioned`'s term-range
+    file skipping stops pruning anything. This rewrites the postings
+    range-clustered ON TERM (``versioned.compact`` with
+    ``cluster_cols=["term"]``), so the recomputed per-part min/max
+    become tight alphabet slices and a point-term search opens ~1 of
+    ``target_partitions`` parts again; ``doclens`` likewise clusters
+    on doc_id. All four lockstep tables get exactly one new version in
+    the same call, so the version↔batch correspondence that makes
+    time travel consistent is preserved (every table advances by one).
+    Old versions stay readable; ``versioned.vacuum`` reclaims the
+    small pre-compaction parts once out of retention."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        compact,
+    )
+
+    return {
+        "postings": compact(
+            spark,
+            f"{table_root}/postings",
+            target_partitions=target_partitions,
+            cluster_cols=["term"],
+        ),
+        "doclens": compact(
+            spark,
+            f"{table_root}/doclens",
+            target_partitions=target_partitions,
+            cluster_cols=["doc_id"],
+        ),
+        "termstats": compact(spark, f"{table_root}/termstats"),
+        "docstats": compact(spark, f"{table_root}/docstats"),
+    }

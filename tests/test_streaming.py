@@ -975,11 +975,29 @@ def test_incremental_index_ingest_exactly_once_and_matches_one_shot(
     batch2.coalesce(1).write.mode("append").parquet(str(src))
     run_incremental_index_ingest(spark, str(src), root, ckpt)
     assert latest_version(f"{root}/postings") == v1 + 1
+    # all four delta tables commit in lockstep — one version per batch
+    for t in ("postings", "termstats", "doclens", "docstats"):
+        assert latest_version(f"{root}/{t}") == v1 + 1, t
 
-    got = {
-        tuple(r[c] for c in cols)
-        for r in bm25_search_versioned(spark, root, queries, k=3).collect()
-    }
+    served = bm25_search_versioned(spark, root, queries, k=3)
+    # 100 TB serving contract: the token-level postings are touched by
+    # exactly ONE scan (the query-term equi-join) — doc lengths join
+    # from the doclens delta table, never a corpus-sized re-aggregate
+    # of the postings (the pre-r9 flaw: a second postings scan feeding
+    # groupBy(doc_id) on every search call).
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln.split("ReadSchema:")[1]
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln
+    ]
+    # postings is the only table with a tf column: pre-r9 the dl
+    # subtree added a SECOND postings scan feeding groupBy(doc_id)
+    assert sum("tf:" in s for s in scans) == 1, plan
+    # ...and lengths now come from the doclens delta table (dl column)
+    assert sum("dl:" in s for s in scans) == 1, plan
+
+    got = {tuple(r[c] for c in cols) for r in served.collect()}
     want = {
         tuple(r[c] for c in cols)
         for r in tx.bm25_topk(
@@ -994,3 +1012,193 @@ def test_incremental_index_ingest_exactly_once_and_matches_one_shot(
     # time travel: at v1 only batch-1 docs exist
     old = bm25_search_versioned(spark, root, queries, k=3, version=v1)
     assert {r["doc_id"] for r in old.collect()} <= {0, 1, 2}
+
+
+def test_index_compaction_restores_term_file_skipping(spark, tmp_path):
+    """Each micro-batch appends one postings part spanning the whole
+    alphabet, so after K batches term-range file skipping prunes
+    nothing. compact_index rewrites the postings range-clustered on
+    term: a point-term read must then open ~1 of target_partitions
+    parts, ranking must be byte-identical before/after (compaction is
+    logically a no-op), and all four lockstep tables must advance by
+    exactly one version together."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        _files_and_stats,
+        _load_manifest,
+        latest_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        bm25_search_versioned,
+        compact_index,
+        run_incremental_index_ingest,
+    )
+
+    src = tmp_path / "docs"
+    root = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    words = ["alpha", "bravo", "golf", "hotel", "tango", "zulu"]
+    for b in range(4):  # 4 micro-batches → 4 alphabet-spanning parts
+        rows = [
+            (b * 10 + i, f"{words[i]} {words[(i + b) % 6]} common")
+            for i in range(6)
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        run_incremental_index_ingest(spark, str(src), root, ckpt)
+
+    queries = spark.createDataFrame(
+        [(1, "alpha"), (2, "zulu common")], "query_id long, qtext string"
+    )
+    cols = ("query_id", "rank", "doc_id", "n_terms", "sum_tf")
+    before = {
+        tuple(r[c] for c in cols)
+        for r in bm25_search_versioned(spark, root, queries, k=4).collect()
+    }
+
+    def point_term_parts(term: str) -> tuple[int, int]:
+        """(surviving, total) postings parts for a single-term skip."""
+        m = _load_manifest(
+            tmp_path / "index" / "postings",
+            latest_version(f"{root}/postings"),
+        )
+        _, stats = _files_and_stats(m)
+        total = len(stats)
+        survive = sum(
+            1
+            for b in stats.values()
+            if "term" not in b
+            or b["term"][0] is None
+            or (b["term"][0] <= term <= b["term"][1])
+        )
+        return survive, total
+
+    s, t = point_term_parts("zulu")
+    assert t == 4 and s == 4  # pre-compaction: every part spans z
+
+    vs = compact_index(spark, root, target_partitions=4)
+    assert set(vs) == {"postings", "doclens", "termstats", "docstats"}
+    for table in vs:
+        assert latest_version(f"{root}/{table}") == 5, table
+
+    s, t = point_term_parts("zulu")
+    assert t == 4 and s == 1, "clustered stats must prune to one part"
+    s, _ = point_term_parts("alpha")
+    assert s == 1
+
+    after = {
+        tuple(r[c] for c in cols)
+        for r in bm25_search_versioned(spark, root, queries, k=4).collect()
+    }
+    assert after == before and after
+
+
+def test_hybrid_search_versioned_matches_one_shot_lanes(spark, tmp_path):
+    """Versioned hybrid retrieval: ingest a BM25 index AND a PQ-ANN
+    index in two increments each, then fuse with
+    hybrid_search_versioned. The fused top-k must be identical to
+    fusing the one-shot twins — bm25_topk over the full corpus and an
+    ANN table built in a single batch with the SAME codebooks — i.e.
+    incremental maintenance changes nothing about the served ranking."""
+    from incremental_github_data_pipeline_spark.operators import text as tx
+    from incremental_github_data_pipeline_spark.operators.similarity import (
+        rrf_fuse,
+    )
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        ann_search_versioned,
+        hybrid_search_versioned,
+        run_incremental_ann_ingest,
+        run_incremental_index_ingest,
+    )
+    import json as _json
+
+    def vec(i, n=8):
+        return [((i * 11 + d * 5) % 23) / 23.0 + 0.1 for d in range(n)]
+
+    texts = {
+        i: " ".join(
+            ["spark", "parquet", "shuffle", "columnar", "cache", "skip"][
+                (i + j) % 6
+            ]
+            for j in range(4)
+        )
+        for i in range(24)
+    }
+
+    # lexical index: two parquet increments
+    doc_src = tmp_path / "docs"
+    idx_root = str(tmp_path / "bm25")
+    for ids in (range(0, 12), range(12, 24)):
+        spark.createDataFrame(
+            [(i, texts[i]) for i in ids], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(str(doc_src))
+        run_incremental_index_ingest(
+            spark, str(doc_src), idx_root, str(tmp_path / "bm25_ckpt")
+        )
+
+    # semantic index: two jsonl increments, model trained on batch 1
+    vec_src = tmp_path / "vecs"
+    vec_src.mkdir()
+    ann_root = str(tmp_path / "ann")
+    model = str(tmp_path / "model")
+    for name, ids in (("a.jsonl", range(0, 12)), ("b.jsonl", range(12, 24))):
+        (vec_src / name).write_text(
+            "\n".join(
+                _json.dumps({"vec_id": i, "embedding": vec(i)}) for i in ids
+            )
+        )
+        run_incremental_ann_ingest(
+            spark,
+            str(vec_src),
+            ann_root,
+            model,
+            str(tmp_path / "ann_ckpt"),
+            m_sub=4,
+            ksub=4,
+        )
+
+    queries = spark.createDataFrame(
+        [(i, texts[i], vec(i)) for i in (1, 13)],
+        "query_id long, qtext string, embedding array<double>",
+    )
+    cols = ("query_id", "rank", "doc_id", "lex_rank", "sem_rank")
+    got = {
+        tuple(r[c] for c in cols)
+        for r in hybrid_search_versioned(
+            spark, idx_root, ann_root, queries, k=5, lane_k=8
+        ).collect()
+    }
+
+    # one-shot twins: batch bm25 over the union; ANN table built in a
+    # single batch reusing the persisted codebooks
+    corpus = spark.createDataFrame(
+        [(i, texts[i]) for i in range(24)], "doc_id long, text string"
+    )
+    lex = tx.bm25_topk(
+        corpus, queries.select("query_id", "qtext"), qtext_col="qtext", k=8
+    )
+    one_src = tmp_path / "vecs_one"
+    one_src.mkdir()
+    (one_src / "all.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"vec_id": i, "embedding": vec(i)}) for i in range(24)
+        )
+    )
+    one_root = str(tmp_path / "ann_one")
+    run_incremental_ann_ingest(
+        spark,
+        str(one_src),
+        one_root,
+        model,
+        str(tmp_path / "ann_one_ckpt"),
+        m_sub=4,
+        ksub=4,
+    )
+    sem = ann_search_versioned(
+        spark, one_root, queries.select("query_id", "embedding"), k=8
+    ).withColumnRenamed("vec_id", "doc_id")
+    want = {
+        tuple(r[c] for c in cols)
+        for r in rrf_fuse(lex, sem, k0=60, k=5).collect()
+    }
+    assert got == want and got
