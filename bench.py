@@ -119,7 +119,53 @@ BENCH_QUERIES = [
     # round-8 addition: BM25 retrieval — the corpus-heavy postings
     # equi-join lane of hybrid search (tf materialized once)
     "q_doc_bm25_topk",
+    # round-9 additions (VERDICT r8 task 3): the nine r8 queries that
+    # never got a bench row — fused hybrid retrieval, unigram-LM
+    # training + Viterbi apply, CUSUM window algebra, the three new
+    # media lanes (VAD, video motion, 12-bit JPEG, sub-byte PNG), and
+    # the component-join split assigner
+    "q_hybrid_rrf_topk",
+    "q_unigram_pieces",
+    "q_unigram_tokenize",
+    "q_ts_cusum",
+    "q_media_vad_segments",
+    "q_media_video_motion",
+    "q_media_jpeg12_stats",
+    "q_media_png_lowdepth_stats",
+    "q_doc_cluster_split",
 ]
+
+# Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform
+# ~1.2x wall drift on byte-identical queries — machine load during the
+# round, not code. This probe is a PINNED job touching no testdata (a
+# fixed range -> hash-shuffle -> agg, byte-identical every round), timed
+# the same way as the queries (warm-up + median-of-3) in a fresh
+# session before any query runs. Its ratio vs the committed reference
+# time is reported alongside the totals, so environment drift is
+# self-diagnosing: probe_ratio ~1.0 + slow queries = code regression;
+# probe_ratio and query drift moving together = machine pressure,
+# divide it out before comparing rounds.
+# Reference pinned from an idle-machine r9 run (fresh session, warm-up
+# + median-of-3, exactly as the probe executes inside bench.py). Only
+# re-pin when the hardware/JVM changes, never to "fix" a bad round —
+# the whole point is that drift shows up as probe_ratio != 1.
+PROBE_REF_SEC = 0.575
+
+
+def _calibration_probe(spark) -> float:
+    def one() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 8_000_000, 1, 32)
+            .selectExpr("id % 9973 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .count()
+        )
+        return time.time() - t0
+
+    one()  # warm-up (codegen)
+    return round(statistics.median([one() for _ in range(3)]), 3)
 
 
 RECYCLE_EVERY = 8  # queries per SparkSession lifetime
@@ -131,6 +177,11 @@ def main() -> None:
     from incremental_github_data_pipeline_spark.session import get_spark
 
     registry = load_all()
+
+    spark = get_spark(app_name="bench-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    probe_sec = _calibration_probe(spark)
+    spark.stop()
     spark = None
 
     timings: dict[str, float] = {}
@@ -159,6 +210,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "probe_sec": probe_sec,
+                "probe_ratio": (
+                    round(probe_sec / PROBE_REF_SEC, 3)
+                    if PROBE_REF_SEC
+                    else None
+                ),
             }
         )
     )

@@ -39,86 +39,81 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 # Certification rotation: the driver's per-round correctness snapshot
 # records the FIRST ~50 registry entries in registration order, so this
-# list is re-derived every round (VERDICT r3 confirmed the mechanics).
-# Rounds 4-7 were perfect 50/50 and every query ever registered has a
-# green driver row in some round, but round 7 forgot to rotate, so the
-# archive tail aged (VERDICT r7 finding 1 / task 1). Round-8 priorities,
-# derived from CORRECTNESS_r01..r07 newest-green ages at round start:
-#   (a) queries NEW in round 8 — first driver rows ever;
-#   (b) queries whose code changed in round 8 (pooled-recall >=1-block
-#       clamp feeding q_ann_recall; persisted-codebook reuse in
-#       q_embedding_pq_topk) — re-certify post-change;
-#   (c) all 34 queries whose newest green row dates to the r3 snapshot
+# list is re-derived every round (VERDICT r3 confirmed the mechanics;
+# r8 proved the rotation discipline works — keep it a standing edit).
+# Round-9 priorities, derived from CORRECTNESS_r01..r08 newest-green
+# ages at round start (VERDICT r8 task 2):
+#   (a) all 34 queries whose newest green row dates to the r4 snapshot
 #       (testdata regenerates every round — these are the stalest);
-#   (d) fill to 50 with the oldest r4-vintage rows (alphabetical).
-# After this round no query's newest driver green predates r4; the
-# remaining 35 r4-vintage rows queue for round 9: q_doc_bloom_prefilter,
-# q_doc_cm_counts,
-# q_doc_fingerprint,
-# q_doc_fuzzy_pairs, q_doc_normalize,
-# q_doc_paragraph_dedup,
-# q_doc_tfidf_top,
-# q_embedding_ivf_topk,
-# q_embedding_near_dups, q_embedding_quantized_pool,
-# q_events_props_map, q_events_sliding, q_incremental_join,
-# q_media_adpcm_stats, q_media_g711_stats, q_media_jpeg_stats,
-# q_media_png_stats, q_ngram_jaccard_dedup, q_price_histogram,
-# q_recursive_hierarchy, q_retention_cohorts, and the rest of the r4 tail.
+#   (b) the five headline perf queries (r5-vintage) — the queries the
+#       bench leans on should also be the freshest-certified;
+#   (c) fill to 50 with the oldest r5-vintage rows (alphabetical).
+# After this round no query's newest driver green predates r5; the
+# remaining 29 r5-vintage rows queue for round 10: q_doc_pack_sequences,
+# q_embedding_gram,
+# q_equidepth_buckets, q_graph_triangles, q_group_agg, q_group_mode,
+# q_media_curation_funnel, q_media_decode_stats, q_media_features,
+# q_media_frame_plan, q_media_frame_samples, q_media_gif_stats,
+# q_media_metadata_profile, q_media_phash_dups,
+# q_media_png_palette_stats, q_media_qoi_stats, q_minhash_near_dups,
+# q_rolling_time_window, q_semantic_dedup, q_sequence_pattern,
+# q_sessionize, q_source_report, q_text_gzip_ingest, q_ts_anomaly_mad,
+# q_ts_ewma, q_union_conform, q_url_domain_stats (+ q_variant_agg,
+# q_window_topk_per_group).
 _CERTIFY_FIRST = [
-    # -- (a) new in round 8: first driver rows --
-    "q_media_png_lowdepth_stats",
-    "q_stream_session_attribution",
-    "q_media_jpeg12_stats",
-    "q_doc_bm25_topk",
-    "q_hybrid_rrf_topk",
-    "q_media_video_motion",
-    "q_media_vad_segments",
-    "q_unigram_tokenize",
-    "q_unigram_pieces",
-    "q_ts_cusum",
-    "q_doc_cluster_split",
-    # -- (b) code changed in round 8 --
-    "q_ann_recall",
-    "q_embedding_pq_topk",
-    # -- (c) newest green row is r3-vintage (34) --
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q_case_when",
-    "q_date_parts",
-    "q_dedup_clusters",
-    "q_doc_chunks",
-    "q_doc_curation_funnel",
-    "q_doc_dsir",
-    "q_doc_exact_dedup",
-    "q_doc_lm_score",
-    "q_doc_mix_sources",
-    "q_doc_remove_spans",
-    "q_embedding_quantized_topk",
-    "q_events_funnel",
-    "q_events_hourly",
-    "q_events_new_users",
-    "q_expectations_audit",
-    "q_grouping_sets",
-    "q_incremental_rollup",
-    "q_json_extract",
-    "q_pivot_event_types",
-    "q_quantiles",
-    "q_salted_agg",
-    "q_string_agg",
-    "q_validation_checks",
-    # -- (d) oldest r4-vintage rows (fill to 50) --
-    "q_allocate_cents",
-    "q_cdc_apply",
-    "q_corr_qty_price",
+    # -- (a) newest green row is r4-vintage (34) --
+    "q_doc_bloom_prefilter",
+    "q_doc_cm_counts",
+    "q_doc_fingerprint",
+    "q_doc_fuzzy_pairs",
+    "q_doc_normalize",
+    "q_doc_paragraph_dedup",
+    "q_doc_tfidf_top",
+    "q_embedding_ivf_topk",
+    "q_embedding_near_dups",
+    "q_embedding_quantized_pool",
+    "q_events_props_map",
+    "q_events_sliding",
+    "q_incremental_join",
+    "q_media_adpcm_stats",
+    "q_media_g711_stats",
+    "q_media_jpeg_stats",
+    "q_media_png_stats",
+    "q_ngram_jaccard_dedup",
+    "q_price_histogram",
+    "q_recursive_hierarchy",
+    "q_retention_cohorts",
+    "q_scd2_asof",
+    "q_scd2_history",
+    "q_simhash_near_dups",
+    "q_sketch_profile",
+    "q_ts_moving_avg",
+    "q_ts_resample_ffill",
+    "q_ts_time_weighted",
+    "q_ts_zscore_outliers",
+    "q_unpivot_measures",
+    "q_user_streaks",
+    "q_vocab_overlap",
+    "q_vocab_overlap_sketch",
+    "q_window_analytics",
+    # -- (b) headline perf queries (r5-vintage) --
+    "q01_pricing_summary",
+    "q_dedup_keep_last",
+    "q_doc_allpairs_join",
+    "q_graph_pagerank",
+    "q_doc_minhash_join",
+    # -- (c) oldest r5-vintage rows (fill to 50, alphabetical) --
+    "q03_shipping_priority",
+    "q05_region_volume",
+    "q_approx_profile",
+    "q_chi_square_cells",
+    "q_conversion_window",
+    "q_doc_boilerplate_lines",
+    "q_doc_bpe_tokens",
+    "q_doc_cap_per_source",
+    "q_doc_contained",
+    "q_doc_inverted_index",
+    "q_doc_negatives",
 ]
 
 
