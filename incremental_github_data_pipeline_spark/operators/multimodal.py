@@ -133,7 +133,7 @@ def _real_feature(mime: str, payload: bytes, dim: int) -> list[float]:
             v[4] = np.abs(np.diff(gray, axis=1)).mean() / 255.0
     elif mime == "audio/wav":
         _, s = decode_wav(payload)
-        x = s.astype(np.float64) / 32768.0
+        x = downmix_mono(s).astype(np.float64) / 32768.0
         v[0] = float(np.sqrt((x**2).mean()))
         v[1] = float((np.diff(np.signbit(x)) != 0).mean())
         mags = np.abs(np.fft.rfft(x))
@@ -250,27 +250,65 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return bgr[:, :, ::-1]  # BGR -> RGB
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
-    """Encode int16 samples as canonical mono 16-bit PCM WAV (stdlib
-    ``wave``: 44-byte RIFF/fmt/data header + frames)."""
+def encode_wav(
+    samples: np.ndarray,
+    sample_rate: int = WAV_SAMPLE_RATE,
+    sampwidth: int = 2,
+) -> bytes:
+    """Encode PCM samples as canonical RIFF WAV (stdlib ``wave``:
+    44-byte RIFF/fmt/data header + interleaved frames). ``samples`` is
+    (n,) for mono or (n, n_channels) for multi-channel; ``sampwidth``
+    2 = signed 16-bit (int16 input), 1 = unsigned 8-bit (uint8 input,
+    the WAV convention: silence at 128, not 0)."""
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
-        wf.setnchannels(1)
-        wf.setsampwidth(2)
+        wf.setnchannels(ch)
+        wf.setsampwidth(sampwidth)
         wf.setframerate(sample_rate)
-        wf.writeframes(samples.astype("<i2").tobytes())
+        dt = "<i2" if sampwidth == 2 else "u1"
+        wf.writeframes(samples.astype(dt).tobytes())  # C-order = interleaved
     return buf.getvalue()
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode 16-bit PCM WAV → (sample_rate, int16 sample array) via the
-    stdlib ``wave`` parser (chunk-aware, not header arithmetic)."""
+    """Decode PCM WAV → (sample_rate, int16 samples) via the stdlib
+    ``wave`` parser (chunk-aware, not header arithmetic). Handles mono
+    and stereo, 16-bit signed and 8-bit unsigned PCM — the formats
+    covering real crawl audio, which is overwhelmingly stereo. Mono
+    returns shape (n,); multi-channel returns (n_frames, n_channels)
+    (frames de-interleaved). 8-bit samples are recentred and upscaled
+    to the int16 lattice as ``(u − 128) · 256``, so amplitudes are
+    comparable across bit depths and every downstream consumer keeps a
+    single int16 contract."""
     with wave.open(io.BytesIO(payload), "rb") as wf:
-        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
-            raise NotImplementedError("only mono 16-bit PCM supported")
+        sw, ch = wf.getsampwidth(), wf.getnchannels()
+        if sw not in (1, 2) or ch not in (1, 2):
+            raise NotImplementedError(
+                f"only mono/stereo 8/16-bit PCM supported (got "
+                f"{ch} ch × {8 * sw} bit)"
+            )
         sr = wf.getframerate()
         frames = wf.readframes(wf.getnframes())
-    return sr, np.frombuffer(frames, dtype="<i2")
+    if sw == 2:
+        s = np.frombuffer(frames, dtype="<i2")
+    else:
+        s = (
+            (np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128)
+            * 256
+        )
+    if ch > 1:
+        s = s.reshape(-1, ch)
+    return sr, s
+
+
+def downmix_mono(s: np.ndarray) -> np.ndarray:
+    """Channel-mean downmix to mono: floor((Σ channels) / n_channels)
+    per frame, int64 accumulation (integer-exact, so oracles can replay
+    it in SQL as integer floor division). 1-D input passes through."""
+    if s.ndim == 1:
+        return s
+    return s.sum(axis=1, dtype=np.int64) // s.shape[1]
 
 
 RAWVIDEO_MAGIC = b"RVID"
@@ -353,6 +391,63 @@ def make_real_media(spark, n: int = 96) -> DataFrame:
     return _sized_media(spark, rows)
 
 
+def _wav_variant_frames(i: int) -> int:
+    return 300 + 50 * (i % 8)
+
+
+def _wav_channel(i: int, ch: int, n: int, bits: int) -> np.ndarray:
+    """Closed-form channel content for :func:`make_wav_variant_media`:
+    channel 0 uses multiplier 3 + i % 7 / offset i·11, channel 1 uses
+    5 + i % 3 / i·13 — distinct per channel so a swapped-channel bug
+    breaks the oracle. 16-bit values live on ±1024 (same lattice as
+    ``_audio_samples``); 8-bit values are the raw unsigned bytes."""
+    t = np.arange(n)
+    mult = (3 + i % 7) if ch == 0 else (5 + i % 3)
+    off = i * 11 if ch == 0 else i * 13
+    if bits == 16:
+        return (((t * mult + off) % 2048) - 1024).astype(np.int16)
+    return ((t * mult + off) % 256).astype(np.uint8)
+
+
+def make_wav_variant_media(spark, n: int = 24, id_offset: int = 1000) -> DataFrame:
+    """Media table covering the non-canonical PCM WAV shapes real crawl
+    audio arrives in: stereo 16-bit, mono 8-bit, stereo 8-bit (cycling
+    by id). Content is closed-form per (id, channel) via
+    :func:`_wav_channel`, so decoded per-channel means and the
+    channel-mean downmix are recomputable engine-independently — the
+    multichannel twin of :func:`make_real_media`'s audio lane. Ids
+    start at ``id_offset`` so variant rows can union with
+    make_real_media without collisions."""
+    rows = []
+    for i in range(n):
+        variant = i % 3  # 0: stereo16, 1: mono8, 2: stereo8
+        m = _wav_variant_frames(i)
+        if variant == 0:
+            s = np.stack(
+                [_wav_channel(i, 0, m, 16), _wav_channel(i, 1, m, 16)], axis=1
+            )
+            payload = encode_wav(s, sampwidth=2)
+        elif variant == 1:
+            payload = encode_wav(_wav_channel(i, 0, m, 8), sampwidth=1)
+        else:
+            s = np.stack(
+                [_wav_channel(i, 0, m, 8), _wav_channel(i, 1, m, 8)], axis=1
+            )
+            payload = encode_wav(s, sampwidth=1)
+        rows.append(
+            (
+                id_offset + i,
+                "audio",
+                payload,
+                "audio/wav",
+                None,
+                None,
+                m * 1000 // WAV_SAMPLE_RATE,
+            )
+        )
+    return _sized_media(spark, rows)
+
+
 # ---------------------------------------------------------------------------
 # Real decode stages (mapInPandas — Arrow-batched, schema-fixed)
 # ---------------------------------------------------------------------------
@@ -371,6 +466,9 @@ MEDIA_STATS_SCHEMA = StructType(
         StructField("mean_g", DoubleType(), True),
         StructField("mean_b", DoubleType(), True),
         StructField("mean_abs_sample", DoubleType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("mean_ch0", DoubleType(), True),
+        StructField("mean_ch1", DoubleType(), True),
     ]
 )
 
@@ -390,6 +488,7 @@ def decode_stats(media: DataFrame) -> DataFrame:
                     "height": None, "n_frames": None, "n_samples": None,
                     "sample_rate": None, "duration_ms": None, "mean_r": None,
                     "mean_g": None, "mean_b": None, "mean_abs_sample": None,
+                    "n_channels": None, "mean_ch0": None, "mean_ch1": None,
                 }
                 if r.mime in ("image/bmp", "image/jpeg"):
                     px = (
@@ -406,10 +505,22 @@ def decode_stats(media: DataFrame) -> DataFrame:
                     )
                 elif r.mime == "audio/wav":
                     sr, s = decode_wav(r.payload)
+                    ch = 1 if s.ndim == 1 else s.shape[1]
+                    mono = downmix_mono(s)
+                    per_ch = s.reshape(-1, ch).astype(np.int64)
                     row.update(
-                        n_samples=len(s), sample_rate=sr,
-                        duration_ms=len(s) * 1000 // sr,
-                        mean_abs_sample=float(np.abs(s.astype(np.int64)).mean()),
+                        n_samples=len(mono), sample_rate=sr,
+                        duration_ms=len(mono) * 1000 // sr,
+                        # abs over the channel-mean downmix, so mono
+                        # and stereo report on the same scale
+                        mean_abs_sample=float(
+                            np.abs(mono.astype(np.int64)).mean()
+                        ),
+                        n_channels=ch,
+                        mean_ch0=float(per_ch[:, 0].mean()),
+                        mean_ch1=(
+                            float(per_ch[:, 1].mean()) if ch > 1 else None
+                        ),
                     )
                 elif r.mime == "video/x-raw-rgb":
                     fr, frame_ms = decode_rawvideo(r.payload)
@@ -555,6 +666,7 @@ def vad_segments(
                 if r.mime != "audio/wav":
                     continue
                 _sr, s = decode_wav(r.payload)
+                s = downmix_mono(s)
                 nf = len(s) // frame_len
                 if nf == 0:
                     recs.append((r.media_id, 0, 0, 0, 0))

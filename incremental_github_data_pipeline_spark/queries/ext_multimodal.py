@@ -169,9 +169,42 @@ _DECODE_STATS_ORACLE = f"""
     ),
     aud_sums AS (
       SELECT aud.media_id, aud.n,
-             SUM(ABS(((t.t * aud.k + aud.media_id * 11) % 2048) - 1024)) AS sum_abs
+             SUM(ABS(((t.t * aud.k + aud.media_id * 11) % 2048) - 1024)) AS sum_abs,
+             SUM(((t.t * aud.k + aud.media_id * 11) % 2048) - 1024) AS sum_sig
       FROM aud, range(1920) t(t) WHERE t.t < aud.n
       GROUP BY aud.media_id, aud.n
+    ),
+    var AS (
+      SELECT 1000 + i AS media_id, i % 3 AS v, 300 + 50 * (i % 8) AS m,
+             3 + (i % 7) AS k0, i * 11 AS o0,
+             5 + (i % 3) AS k1, i * 13 AS o1
+      FROM range(24) t(i)
+    ),
+    var_sums AS (
+      -- stereo/8-bit PCM lanes: decoded value is ((t*k+o) % 2048) - 1024
+      -- for 16-bit, (((t*k+o) % 256) - 128) * 256 for 8-bit (decode_wav
+      -- recentres+upscales); downmix = floor channel mean, per channel
+      -- multiplier/offset differ so swapped channels break the compare
+      SELECT var.media_id, var.v, var.m,
+             SUM(CASE WHEN var.v = 0
+                 THEN ((t.t*var.k0 + var.o0) % 2048) - 1024
+                 ELSE (((t.t*var.k0 + var.o0) % 256) - 128) * 256 END) AS sum_ch0,
+             SUM(CASE WHEN var.v = 0
+                 THEN ((t.t*var.k1 + var.o1) % 2048) - 1024
+                 WHEN var.v = 2
+                 THEN (((t.t*var.k1 + var.o1) % 256) - 128) * 256 END) AS sum_ch1,
+             SUM(ABS(CASE
+                 WHEN var.v = 0 THEN CAST(FLOOR((
+                      (((t.t*var.k0 + var.o0) % 2048) - 1024)
+                    + (((t.t*var.k1 + var.o1) % 2048) - 1024)) / 2.0) AS BIGINT)
+                 WHEN var.v = 1
+                 THEN (((t.t*var.k0 + var.o0) % 256) - 128) * 256
+                 ELSE CAST(FLOOR((
+                      ((((t.t*var.k0 + var.o0) % 256) - 128) * 256)
+                    + ((((t.t*var.k1 + var.o1) % 256) - 128) * 256)) / 2.0) AS BIGINT)
+                 END)) AS sum_abs
+      FROM var, range(650) t(t) WHERE t.t < var.m
+      GROUP BY var.media_id, var.v, var.m
     ),
     vid AS (
       SELECT i AS media_id, 8 + (i % 5) AS w, 6 + (i % 4) AS h, 3 + (i % 6) AS nf
@@ -194,19 +227,31 @@ _DECODE_STATS_ORACLE = f"""
            CAST(NULL AS BIGINT) AS n_frames, CAST(NULL AS BIGINT) AS n_samples,
            CAST(NULL AS BIGINT) AS sample_rate, CAST(NULL AS BIGINT) AS duration_ms,
            CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
-           CAST(sum_b AS BIGINT) AS sum_b, CAST(NULL AS BIGINT) AS sum_abs
+           CAST(sum_b AS BIGINT) AS sum_b, CAST(NULL AS BIGINT) AS sum_abs,
+           CAST(NULL AS BIGINT) AS n_channels,
+           CAST(NULL AS BIGINT) AS sum_ch0, CAST(NULL AS BIGINT) AS sum_ch1
     FROM img_sums
     UNION ALL
     SELECT media_id, 'audio',
            NULL, NULL, NULL, CAST(n AS BIGINT),
            8000, CAST(n // 8 AS BIGINT),
-           NULL, NULL, NULL, CAST(sum_abs AS BIGINT)
+           NULL, NULL, NULL, CAST(sum_abs AS BIGINT),
+           1, CAST(sum_sig AS BIGINT), NULL
     FROM aud_sums
+    UNION ALL
+    SELECT media_id, 'audio',
+           NULL, NULL, NULL, CAST(m AS BIGINT),
+           8000, CAST(m // 8 AS BIGINT),
+           NULL, NULL, NULL, CAST(sum_abs AS BIGINT),
+           CAST(CASE WHEN v = 1 THEN 1 ELSE 2 END AS BIGINT),
+           CAST(sum_ch0 AS BIGINT), CAST(sum_ch1 AS BIGINT)
+    FROM var_sums
     UNION ALL
     SELECT media_id, 'video',
            CAST(w AS BIGINT), CAST(h AS BIGINT), CAST(nf AS BIGINT), NULL,
            NULL, CAST(nf * 100 AS BIGINT),
-           CAST(sum_r AS BIGINT), CAST(sum_g AS BIGINT), CAST(sum_b AS BIGINT), NULL
+           CAST(sum_r AS BIGINT), CAST(sum_g AS BIGINT), CAST(sum_b AS BIGINT), NULL,
+           NULL, NULL, NULL
     FROM vid_sums
     ORDER BY media_id
 """
@@ -215,19 +260,26 @@ _DECODE_STATS_ORACLE = f"""
 @register(
     "q_media_decode_stats",
     oracle=_DECODE_STATS_ORACLE,
-    doc="REAL codec decode (BMP header parse / PCM WAV / raw-video "
-    "container) through one Arrow-batched mapInPandas pass, emitting "
-    "per-media decoded statistics. The oracle recomputes every decoded "
-    "byte's closed form in DuckDB — a genuine cross-engine check of the "
-    "decode path, compared via exact integer channel sums.",
+    doc="REAL codec decode (BMP header parse / PCM WAV including "
+    "stereo and 8-bit lanes / raw-video container) through one "
+    "Arrow-batched mapInPandas pass, emitting per-media decoded "
+    "statistics. The oracle recomputes every decoded byte's closed "
+    "form in DuckDB — a genuine cross-engine check of the decode "
+    "path, compared via exact integer channel sums (r9: including "
+    "per-channel sums and the floor channel-mean downmix of the "
+    "stereo/8-bit WAV variants).",
 )
 def q_media_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     from incremental_github_data_pipeline_spark.operators.multimodal import (
         decode_stats,
         make_real_media,
+        make_wav_variant_media,
     )
 
-    stats = decode_stats(make_real_media(spark, n=_REAL_MEDIA_N))
+    media = make_real_media(spark, n=_REAL_MEDIA_N).unionByName(
+        make_wav_variant_media(spark, n=24)
+    )
+    stats = decode_stats(media)
     npix = (
         F.col("width") * F.col("height") * F.coalesce(F.col("n_frames"), F.lit(1))
     )
@@ -246,6 +298,13 @@ def q_media_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("mean_abs_sample") * F.col("n_samples"))
         .cast("long")
         .alias("sum_abs"),
+        "n_channels",
+        F.round(F.col("mean_ch0") * F.col("n_samples"))
+        .cast("long")
+        .alias("sum_ch0"),
+        F.round(F.col("mean_ch1") * F.col("n_samples"))
+        .cast("long")
+        .alias("sum_ch1"),
     ).orderBy("media_id")
 
 

@@ -91,6 +91,75 @@ def test_wav_roundtrip():
     assert np.array_equal(out, s)
 
 
+def test_wav_stereo16_roundtrip():
+    l = ((np.arange(500) * 13) % 4096 - 2048).astype(np.int16)
+    r = ((np.arange(500) * 7) % 4096 - 2048).astype(np.int16)
+    s = np.stack([l, r], axis=1)
+    sr, out = mm.decode_wav(mm.encode_wav(s, 8000))
+    assert sr == 8000 and out.shape == (500, 2)
+    assert np.array_equal(out, s)  # channels de-interleave, not swap
+    assert np.array_equal(mm.downmix_mono(out), (l.astype(np.int64) + r) // 2)
+
+
+def test_wav_8bit_roundtrip():
+    # 8-bit WAV is unsigned with silence at 128; decode recentres and
+    # upscales to the int16 lattice so amplitudes compare across depths
+    u = ((np.arange(700) * 11) % 256).astype(np.uint8)
+    sr, out = mm.decode_wav(mm.encode_wav(u, 8000, sampwidth=1))
+    assert sr == 8000
+    assert np.array_equal(out, (u.astype(np.int16) - 128) * 256)
+
+
+def test_wav_stereo8_roundtrip():
+    u0 = ((np.arange(300) * 11) % 256).astype(np.uint8)
+    u1 = ((np.arange(300) * 5 + 7) % 256).astype(np.uint8)
+    s = np.stack([u0, u1], axis=1)
+    _, out = mm.decode_wav(mm.encode_wav(s, 8000, sampwidth=1))
+    assert out.shape == (300, 2)
+    assert np.array_equal(out[:, 0], (u0.astype(np.int16) - 128) * 256)
+    assert np.array_equal(out[:, 1], (u1.astype(np.int16) - 128) * 256)
+
+
+def test_wav_unsupported_shapes_raise():
+    import struct as _struct
+
+    s = np.zeros(10, dtype=np.int16)
+    payload = bytearray(mm.encode_wav(s, 8000))
+    # patch fmt chunk to 3 channels (offset 22 in the canonical header)
+    payload[22:24] = _struct.pack("<H", 3)
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav(bytes(payload))
+
+
+def test_wav_variant_media_decode_stats(spark):
+    """decode_stats over the stereo/8-bit generator: per-channel means
+    and the channel-mean downmix match the closed-form content."""
+    stats = {
+        r["media_id"]: r
+        for r in mm.decode_stats(mm.make_wav_variant_media(spark, n=6)).collect()
+    }
+    assert len(stats) == 6
+    for i in range(6):
+        r = stats[1000 + i]
+        m = mm._wav_variant_frames(i)
+        bits = 16 if i % 3 == 0 else 8
+        ch = 1 if i % 3 == 1 else 2
+
+        def dec(c):
+            raw = mm._wav_channel(i, c, m, bits).astype(np.int64)
+            return raw if bits == 16 else (raw - 128) * 256
+
+        assert r["n_samples"] == m and r["n_channels"] == ch
+        assert abs(r["mean_ch0"] - dec(0).mean()) < 1e-9
+        if ch == 2:
+            assert abs(r["mean_ch1"] - dec(1).mean()) < 1e-9
+            mono = (dec(0) + dec(1)) // 2
+        else:
+            assert r["mean_ch1"] is None
+            mono = dec(0)
+        assert abs(r["mean_abs_sample"] - np.abs(mono).mean()) < 1e-9
+
+
 def test_rawvideo_roundtrip():
     fr = mm._video_frames(2)
     frames, frame_ms = mm.decode_rawvideo(mm.encode_rawvideo(fr, frame_ms=100))
