@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_integer", "triangle_count"]
+__all__ = ["k_core", "pagerank_integer", "triangle_count"]
 
 
 def _idiv(col, divisor: int):
@@ -168,3 +168,56 @@ def triangle_count(
         ).alias("b"),
         F.greatest("u", "w1", "w2").alias("c"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """The k-core of an undirected graph (direction/duplicates of the
+    input edge list ignored, self-loops dropped): the maximal induced
+    subgraph in which every vertex has degree ≥ k, computed by the
+    standard peel — repeatedly delete vertices of degree < k until none
+    remain. Returns ``(node, degree)`` with each survivor's degree
+    INSIDE the core. The result is deterministic (the k-core is unique
+    regardless of deletion order), which is what makes an iterative
+    peel certifiable against a SQL oracle that unrolls the rounds.
+
+    Scale shape: each round is one degree aggregate (shuffle on the
+    symmetrized edge key) plus two semi-joins restricting edges to
+    surviving endpoints, with a per-round ``localCheckpoint`` keeping
+    the plan O(1)-deep — the same iterative-lineage discipline as
+    :func:`pagerank_integer`. Rounds needed = peeling depth (O(log n)
+    on real graphs, bounded by degeneracy ordering length, NOT by n);
+    the loop stops at the first round that deletes nothing. The only
+    driver-side values are the per-round survivor counts (1-number
+    aggregates, the same gate as the PageRank round counter)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = sym
+    n_prev = None
+    for _ in range(max_rounds):
+        deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).localCheckpoint(eager=True)
+        n = keep.count()
+        if n == 0:
+            return keep.select(F.col("a").alias("node"), "degree")
+        if n == n_prev:
+            return keep.select(F.col("a").alias("node"), "degree")
+        n_prev = n
+        nodes = keep.select("a")
+        alive = (
+            alive.join(nodes, "a", "left_semi")
+            .join(nodes.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")

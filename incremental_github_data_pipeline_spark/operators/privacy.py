@@ -1,0 +1,80 @@
+"""Privacy / governance audit operators: k-anonymity and l-diversity
+reports over quasi-identifier equivalence classes.
+
+No counterpart in the reference (`/root/reference` has no governance
+surface); [EXT] per SURVEY.md §2.10 — the release-gating audit a
+training-data pipeline runs before publishing a derived dataset:
+k-anonymity (every quasi-identifier combination is shared by ≥ k rows,
+so no row is re-identifiable by those columns alone) and l-diversity
+(each class carries ≥ l distinct sensitive values, closing the
+homogeneity attack k-anonymity leaves open). Companion to the PII
+span detection in ``operators/text.py`` — that finds leaking VALUES,
+this audits the released SCHEMA's linkage risk.
+
+Both reports are single group-by aggregates on the quasi-identifier
+tuple — one map-combined shuffle over the table, class cardinality
+bounded by the quasi-identifier domain (not row count), nothing on the
+driver. At 100 TB the shuffle key is the quasi tuple; skew equals
+class skew, which is exactly what the report measures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["k_anonymity_report", "suppress_small_classes"]
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+    sensitive_col: str | None = None,
+    l: int = 2,
+) -> DataFrame:
+    """One row per quasi-identifier equivalence class:
+    ``class_size``, ``k_violation`` (class smaller than ``k``), and —
+    when ``sensitive_col`` is given — ``n_sensitive`` (distinct
+    sensitive values in the class) and ``l_violation`` (fewer than
+    ``l`` of them: the homogeneous class every member's sensitive value
+    leaks from, even at k-anonymous size).
+
+    The dataset is k-anonymous/l-diverse iff the respective violation
+    columns are all false — aggregate downstream or feed
+    :func:`suppress_small_classes`. Exact distinct count, not a sketch:
+    a release gate must not approximate its own pass/fail.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("class_size"),
+    ]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("n_sensitive")
+        )
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    out = out.withColumn("k_violation", F.col("class_size") < k)
+    if sensitive_col is not None:
+        out = out.withColumn("l_violation", F.col("n_sensitive") < l)
+    return out
+
+
+def suppress_small_classes(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Enforce k-anonymity by SUPPRESSION: drop every row whose
+    quasi-identifier class has fewer than ``k`` members — the simplest
+    sound release transform (generalization hierarchies are a policy
+    choice layered above). Implemented as the class-size aggregate
+    semi-joined back on the quasi tuple; the fact table shuffles once
+    on the same key as the audit, so audit + enforcement share a
+    partitioning at scale."""
+    big = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= k)
+        .select(*quasi_cols)
+    )
+    return df.join(big, list(quasi_cols), "left_semi")

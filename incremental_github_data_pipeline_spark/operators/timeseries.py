@@ -30,6 +30,8 @@ __all__ = [
     "ewma_integer",
     "mad_outliers",
     "resample_ffill",
+    "seasonal_decompose",
+    "theil_sen_slope",
     "time_weighted_avg",
     "weighted_moving_avg",
     "zscore_outliers",
@@ -429,4 +431,160 @@ def mad_outliers(
         med.select(*keys, "n", "med")
         .join(mad.select(*keys, "mad"), keys)
         .join(flags, keys)
+    )
+
+
+# Offset that makes every integral division in the decomposition /
+# Theil-Sen operators act on a NON-NEGATIVE numerator. Spark ``div``
+# and DuckDB ``//`` both truncate toward zero (measured: -7//3 = -2 in
+# DuckDB), but Python ``//`` floors — and these operators' recurrences
+# are also replayed by plain-Python property tests. On a non-negative
+# numerator floor and truncation coincide, so computing
+# ``((num + den*B) div den) - B`` pins ONE answer for all three
+# evaluators while leaving the quotient unchanged. B bounds |num/den|
+# at 10^10 — far above any scaled cents lane — while keeping ``den*B``
+# within int64 for den ≤ ~10^5.
+_FDIV_OFFSET = 10**10
+
+
+def _floor_div_expr(num: str, den: str) -> str:
+    """SQL text for floor(num/den) valid for signed ``num`` (den > 0)."""
+    b = _FDIV_OFFSET
+    return f"((({num}) + ({den}) * {b}) div ({den})) - {b}"
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    order_col: str,
+    val_col: str,
+    period: int,
+    half_window: int | None = None,
+    scale: int = 10**4,
+) -> DataFrame:
+    """Classic additive seasonal decomposition — value = trend +
+    seasonal + residual — as pure window algebra, no model fit:
+
+    * ``trend``    : centered moving average over ``2·half_window + 1``
+      rows (default ``period // 2`` each side; edge rows use their
+      partial window, the standard convention),
+    * ``seasonal`` : per-(key, phase) mean of the detrended series,
+      where ``phase = (row position in the key's order) mod period``,
+    * ``residual`` : value − trend − seasonal.
+
+    All three lanes are SCALED-INTEGER (``scale``, floor divisions via
+    the :data:`_FDIV_OFFSET` shift), so the decomposition is
+    bit-identical in any exact-arithmetic engine — the certifiable
+    analogue of statsmodels' seasonal_decompose(model="additive"),
+    minus the seasonal re-centering nicety (means are reported as-is;
+    subtracting the grand seasonal mean is one more subtraction the
+    caller can do).
+
+    Intended for PRE-AGGREGATED grids (hourly/daily rollups), like
+    every operator in this module. Physical shape: ONE shuffle on the
+    key for the row-number + moving-average window, one tiny
+    (key × period)-row aggregate for the seasonal means joined back by
+    broadcast — the fact frame never shuffles twice.
+
+    Returns keys, order, ``val`` (long), ``phase`` and the three
+    ``*_s`` scaled lanes.
+    """
+    keys = _keys(key_cols)
+    h = period // 2 if half_window is None else half_window
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    wc = w.rowsBetween(-h, h)
+    base = (
+        df.select(
+            *keys, order_col, F.col(val_col).cast("long").alias("val")
+        )
+        .withColumn("_vs", F.col("val") * scale)
+        .withColumn(
+            "phase", (F.row_number().over(w) - 1) % period
+        )
+        .withColumn("_tsum", F.sum("_vs").over(wc))
+        .withColumn("_tcnt", F.count("_vs").over(wc))
+        .withColumn("trend_s", F.expr(_floor_div_expr("_tsum", "_tcnt")))
+        .withColumn("_detr", F.col("_vs") - F.col("trend_s"))
+    )
+    seasonal = (
+        base.groupBy(*keys, "phase")
+        .agg(
+            F.sum("_detr").alias("_ssum"),
+            F.count(F.lit(1)).alias("_scnt"),
+        )
+        .withColumn("seasonal_s", F.expr(_floor_div_expr("_ssum", "_scnt")))
+        .select(*keys, "phase", "seasonal_s")
+    )
+    return (
+        base.join(F.broadcast(seasonal), [*keys, "phase"])
+        .withColumn(
+            "resid_s", F.col("_vs") - F.col("trend_s") - F.col("seasonal_s")
+        )
+        .select(
+            *keys, order_col, "val", "phase", "trend_s", "seasonal_s",
+            "resid_s",
+        )
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 10**4,
+) -> DataFrame:
+    """Theil–Sen robust trend estimate per key: the MEDIAN of all
+    pairwise slopes ``(y_j − y_i) / (x_j − x_i)`` over ``x_i < x_j`` —
+    the 29%-breakdown-point alternative to least squares that one
+    outlier can't drag. Slopes are scaled-integer floor divisions
+    (:data:`_FDIV_OFFSET` shift handles negative rises), the median is
+    the LOWER median picked by row_number over (slope, x_i, x_j) — an
+    actual pair's slope, deterministic under ties — so the estimate is
+    bit-identical across engines.
+
+    ``x_col`` and ``y_col`` must be integer lanes (epoch hours, cents).
+    Returns one row per key: ``n_points``, ``n_pairs``,
+    ``slope_s`` (scaled by ``scale``).
+
+    Scale contract: pairs grow O(g²) in the per-key GRID length g, not
+    in the raw data — run it on the pre-aggregated series (hourly grid:
+    ~10³ points → ~10⁶ pairs per key, each a few longs). The self-join
+    shuffles on the key once; skew equals grid-length skew, which is
+    bounded by the grid, not by row counts.
+    """
+    keys = _keys(key_cols)
+    pts = df.select(
+        *keys,
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    a = pts.select(*keys, F.col("_x").alias("_x1"), F.col("_y").alias("_y1"))
+    b = pts.select(*keys, F.col("_x").alias("_x2"), F.col("_y").alias("_y2"))
+    pairs = (
+        a.join(b, keys)
+        .filter(F.col("_x1") < F.col("_x2"))
+        .withColumn(
+            "_slope_s",
+            F.expr(
+                _floor_div_expr(
+                    f"(_y2 - _y1) * {scale}", "(_x2 - _x1)"
+                )
+            ),
+        )
+    )
+    wm = Window.partitionBy(*keys).orderBy("_slope_s", "_x1", "_x2")
+    ranked = pairs.withColumn("_rn", F.row_number().over(wm)).withColumn(
+        "_np", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    n_pts = pts.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        ranked.filter(F.col("_rn") == F.expr("(_np + 1) div 2"))
+        .select(
+            *keys,
+            F.col("_np").alias("n_pairs"),
+            F.col("_slope_s").alias("slope_s"),
+        )
+        .join(F.broadcast(n_pts), keys)
+        .select(*keys, "n_points", "n_pairs", "slope_s")
     )

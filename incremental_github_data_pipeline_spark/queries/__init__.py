@@ -125,6 +125,7 @@ def load_all() -> dict[str, QuerySpec]:
         ext_curation,
         ext_graph,
         ext_multimodal,
+        ext_privacy,
         ext_similarity,
         ext_temporal,
         ext_text,

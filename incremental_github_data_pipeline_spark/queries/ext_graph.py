@@ -133,3 +133,103 @@ def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("a", "b", "c")
     )
+
+
+# k-core needs degree VARIANCE to peel non-trivially; the PageRank graph
+# is near-8-regular (every node one in/out edge per function), so the
+# core query uses quadratic edge maps — (i²+3) % N collides, giving a
+# skewed degree distribution with a 3-round peel to a 366-node 4-core.
+KCORE_K = 4
+KCORE_FNS_SQL = [
+    "(node*node + 3) % {n}",
+    "(node*7 + 1) % {n}",
+    "(3*node*node + 11) % {n}",
+]
+_KCORE_ROUNDS = 6  # measured peel depth is 3; unroll double for margin
+
+
+def _kcore_edges(spark: SparkSession) -> DataFrame:
+    nodes = spark.range(N).select(F.col("id").alias("node"))
+    parts = [
+        nodes.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * F.col("node") + 3) % N).alias("dst"),
+        ),
+        nodes.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * 7 + 1) % N).alias("dst"),
+        ),
+        nodes.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * F.col("node") * 3 + 11) % N).alias("dst"),
+        ),
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionAll(p)
+    return e.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _kcore_oracle() -> str:
+    fns = [f.format(n=N) for f in KCORE_FNS_SQL]
+    edge_sql = (
+        "SELECT DISTINCT src, dst FROM (\n"
+        + "\n      UNION ALL ".join(
+            f"SELECT node AS src, {f} AS dst FROM nodes" for f in fns
+        )
+        + "\n    ) WHERE src <> dst"
+    )
+    steps = []
+    for t in range(1, _KCORE_ROUNDS + 1):
+        steps.append(
+            f"""p{t} AS (
+      SELECT a AS node FROM (
+        SELECT u.a, COUNT(*) AS c FROM und u
+        WHERE u.a IN (SELECT node FROM p{t - 1})
+          AND u.b IN (SELECT node FROM p{t - 1})
+        GROUP BY u.a) WHERE c >= {KCORE_K}
+    )"""
+        )
+    return f"""
+    WITH nodes AS (SELECT range AS node FROM range({N})),
+    e0 AS (
+      {edge_sql}
+    ),
+    und AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM e0
+        UNION ALL SELECT dst, src FROM e0)
+    ),
+    p0 AS (SELECT node FROM nodes),
+    {",".join(steps)}
+    SELECT CAST(u.a AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM und u
+    WHERE u.a IN (SELECT node FROM p{_KCORE_ROUNDS})
+      AND u.b IN (SELECT node FROM p{_KCORE_ROUNDS})
+    GROUP BY u.a ORDER BY node
+    """
+
+
+@register(
+    "q_graph_kcore",
+    oracle=_kcore_oracle(),
+    doc="k-core decomposition (operators/graph.k_core): iterative peel "
+    "of degree<k vertices to the unique maximal induced subgraph with "
+    "min degree ≥ k — the standard graph-density filter (spam/link-farm "
+    "triage on crawl graphs). Deletion-order independence makes the "
+    "iterative algorithm oracle-certifiable: DuckDB unrolls 6 peel "
+    "rounds (measured depth 3) over the same closed-form quadratic "
+    "edge set and must reproduce the surviving (node, core-degree) "
+    "rows exactly. Physical shape: one degree-aggregate shuffle + two "
+    "edge-restriction semi-joins per round, per-round localCheckpoint "
+    "keeping the plan flat; rounds = peeling depth, not |V|.",
+)
+def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        g_ops.k_core(_kcore_edges(spark), k=KCORE_K)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+        )
+        .orderBy("node")
+    )

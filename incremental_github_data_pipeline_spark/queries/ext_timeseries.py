@@ -418,3 +418,127 @@ def q_ts_cusum(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", "hr", "cents", "med",
         "s_pos", "s_neg", "alarm_pos", "alarm_neg",
     ).orderBy("event_type", "hr")
+
+
+_B = 10**10  # _FDIV_OFFSET twin — keep the SQL text in lockstep
+
+
+@register(
+    "q_ts_seasonal",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, hr, cents, cents * 10000 AS vs,
+             (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) - 1)
+               % 24 AS phase,
+             SUM(cents * 10000) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tsum,
+             COUNT(*) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tcnt
+      FROM h
+    ),
+    trended AS (
+      SELECT *, ((tsum + tcnt * {_B}) // tcnt) - {_B} AS trend_s
+      FROM base
+    ),
+    seas AS (
+      SELECT event_type, phase,
+             ((SUM(vs - trend_s) + COUNT(*) * {_B}) // COUNT(*)) - {_B}
+               AS seasonal_s
+      FROM trended GROUP BY 1, 2
+    )
+    SELECT t.event_type, t.hr, CAST(t.cents AS BIGINT) AS val,
+           CAST(t.phase AS BIGINT) AS phase,
+           CAST(t.trend_s AS BIGINT) AS trend_s,
+           CAST(s.seasonal_s AS BIGINT) AS seasonal_s,
+           CAST(t.vs - t.trend_s - s.seasonal_s AS BIGINT) AS resid_s
+    FROM trended t JOIN seas s USING (event_type, phase)
+    ORDER BY t.event_type, t.hr
+    """,
+    doc="Additive seasonal decomposition (operators/timeseries."
+    "seasonal_decompose): value = trend + seasonal + residual over the "
+    "hourly grid with a daily (period-24) cycle — centered 25-row "
+    "moving-average trend, per-(key, phase) detrended means, all in "
+    "scaled-integer arithmetic with offset floor divisions, so the "
+    "whole decomposition hash-matches DuckDB replaying the identical "
+    "window algebra. One key-window shuffle + one broadcast-joined "
+    "(key x 24)-row seasonal aggregate.",
+)
+def q_ts_seasonal(spark: SparkSession, sf: str) -> DataFrame:
+    out = ts_ops.seasonal_decompose(
+        _hourly(spark, sf), "event_type", "hr", "cents", period=24
+    )
+    return out.select(
+        "event_type",
+        "hr",
+        "val",
+        F.col("phase").cast("long").alias("phase"),
+        "trend_s",
+        "seasonal_s",
+        "resid_s",
+    ).orderBy("event_type", "hr")
+
+
+@register(
+    "q_ts_theil_sen",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS x,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+             (((b.y - a.y) * 10000 + (b.x - a.x) * {_B}) // (b.x - a.x))
+               - {_B} AS slope_s
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    ranked AS (
+      SELECT event_type, slope_s,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY slope_s, x1, x2) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM pairs
+    ),
+    n AS (SELECT event_type, COUNT(*) AS n_points FROM h GROUP BY 1)
+    SELECT r.event_type, CAST(n.n_points AS BIGINT) AS n_points,
+           CAST(r.np AS BIGINT) AS n_pairs,
+           CAST(r.slope_s AS BIGINT) AS slope_s
+    FROM ranked r JOIN n USING (event_type)
+    WHERE r.rn = (r.np + 1) // 2
+    ORDER BY r.event_type
+    """,
+    doc="Theil-Sen robust trend (operators/timeseries.theil_sen_slope): "
+    "lower-median of all pairwise slopes per key over the hourly grid "
+    "(x = epoch hours, y = cents), slopes as offset scaled-integer "
+    "floor divisions with a deterministic (slope, x1, x2) median pick "
+    "— bit-identical across engines, 29% breakdown point vs one "
+    "outlier dragging least squares. Pairs are O(grid^2) per key BY "
+    "DESIGN — the operator contract is pre-aggregated series, so pair "
+    "count is bounded by the grid parameter, not data volume; one "
+    "key-shuffled self-join.",
+)
+def q_ts_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    h = _hourly(spark, sf).select(
+        "event_type",
+        (F.unix_timestamp("hr") / 3600).cast("long").alias("x"),
+        F.col("cents").alias("y"),
+    )
+    return (
+        ts_ops.theil_sen_slope(h, "event_type", "x", "y")
+        .select(
+            "event_type",
+            "n_points",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "slope_s",
+        )
+        .orderBy("event_type")
+    )

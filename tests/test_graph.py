@@ -51,3 +51,40 @@ def test_pagerank_star_concentrates_on_hub(spark):
     assert ranks[1] == ranks[2] == ranks[3] == base
     assert ranks[0] > 3 * base  # the hub holds the accumulated mass
     assert len(ranks) == 4
+
+
+def test_kcore_peels_tail_into_empty_or_core(spark):
+    """K4 with a pendant path: the 3-core is exactly the K4 (peeling
+    the path takes TWO rounds — each removal exposes the next), and the
+    4-core of the same graph is empty."""
+    from incremental_github_data_pipeline_spark.operators.graph import k_core
+
+    k4 = list(combinations(range(4), 2))
+    path = [(3, 4), (4, 5)]  # 5 peels first, then 4 would drop below 3
+    e = _edges(spark, k4 + path)
+    got = {(r["node"], r["degree"]) for r in k_core(e, 3).collect()}
+    assert got == {(0, 3), (1, 3), (2, 3), (3, 3)}
+    assert k_core(e, 4).count() == 0
+
+
+def test_kcore_direction_and_duplicates_ignored(spark):
+    from incremental_github_data_pipeline_spark.operators.graph import k_core
+
+    tri = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (2, 0)]
+    got = {(r["node"], r["degree"]) for r in k_core(_edges(spark, tri), 2).collect()}
+    assert got == {(0, 2), (1, 2), (2, 2)}
+
+
+def test_kcore_reports_core_degrees_not_input_degrees(spark):
+    """Node 0's input degree is 5, but inside the 2-core (the square
+    0-1-2-3) its degree is 2 — the reported degree must be the induced
+    one."""
+    from incremental_github_data_pipeline_spark.operators.graph import k_core
+
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    pendants = [(0, 10), (0, 11), (0, 12)]
+    got = {
+        (r["node"], r["degree"])
+        for r in k_core(_edges(spark, square + pendants), 2).collect()
+    }
+    assert got == {(0, 2), (1, 2), (2, 2), (3, 2)}

@@ -1,0 +1,61 @@
+"""operators.privacy — k-anonymity / l-diversity audit and suppression
+(the oracle queries in queries/ext_privacy.py cover the bulk path)."""
+
+from __future__ import annotations
+
+from incremental_github_data_pipeline_spark.operators.privacy import (
+    k_anonymity_report,
+    suppress_small_classes,
+)
+
+ROWS = [
+    # (zip, age_band, diagnosis): class (z1, a) has 3 rows / 2 values,
+    # class (z1, b) has 1 row, class (z2, a) has 2 rows / 1 value
+    ("z1", "a", "flu"),
+    ("z1", "a", "flu"),
+    ("z1", "a", "cold"),
+    ("z1", "b", "flu"),
+    ("z2", "a", "cold"),
+    ("z2", "a", "cold"),
+]
+SCHEMA = "zip string, age string, dx string"
+
+
+def test_k_anonymity_and_l_diversity_flags(spark):
+    rep = {
+        (r["zip"], r["age"]): r
+        for r in k_anonymity_report(
+            spark.createDataFrame(ROWS, SCHEMA),
+            ["zip", "age"],
+            k=2,
+            sensitive_col="dx",
+            l=2,
+        ).collect()
+    }
+    assert rep[("z1", "a")]["class_size"] == 3
+    assert not rep[("z1", "a")]["k_violation"]
+    assert not rep[("z1", "a")]["l_violation"]  # 2 distinct diagnoses
+    assert rep[("z1", "b")]["k_violation"]  # singleton class
+    # k-anonymous but homogeneous: every member's diagnosis leaks
+    assert not rep[("z2", "a")]["k_violation"]
+    assert rep[("z2", "a")]["l_violation"]
+
+
+def test_report_without_sensitive_column_has_no_l_lane(spark):
+    rep = k_anonymity_report(
+        spark.createDataFrame(ROWS, SCHEMA), ["zip", "age"], k=2
+    )
+    assert "l_violation" not in rep.columns
+    assert "n_sensitive" not in rep.columns
+
+
+def test_suppression_drops_exactly_the_small_classes(spark):
+    out = suppress_small_classes(
+        spark.createDataFrame(ROWS, SCHEMA), ["zip", "age"], k=2
+    )
+    classes = {(r["zip"], r["age"]) for r in out.collect()}
+    assert classes == {("z1", "a"), ("z2", "a")}
+    assert out.count() == 5  # only the (z1, b) singleton is gone
+    # and the released table is now k-anonymous at k=2
+    rep = k_anonymity_report(out, ["zip", "age"], k=2)
+    assert rep.filter("k_violation").count() == 0

@@ -183,3 +183,78 @@ class TestCusumAlarms:
         assert out[("a", 1)]["s_pos"] == 180  # 90 + 90, no cross-key leak
         assert out[("b", 0)]["s_pos"] == 0
         assert out[("a", 0)]["alarm_pos"] and not out[("b", 0)]["alarm_pos"]
+
+
+class TestSeasonalDecompose:
+    def test_identity_and_pure_cycle(self, spark):
+        """A pure period-2 alternation with half_window=2 (full-period
+        windows interior): every row must satisfy the additive identity
+        vs = trend + seasonal + resid exactly, and the two phases'
+        seasonal components must pull in opposite directions."""
+        from incremental_github_data_pipeline_spark.operators import (
+            timeseries as ts_ops,
+        )
+
+        rows = [("a", t, 10 if t % 2 == 0 else 20) for t in range(8)]
+        df = spark.createDataFrame(rows, "k string, t long, v long")
+        out = ts_ops.seasonal_decompose(
+            df, "k", "t", "v", period=2, half_window=2, scale=100
+        ).collect()
+        assert len(out) == 8
+        for r in out:
+            assert r["val"] * 100 == (
+                r["trend_s"] + r["seasonal_s"] + r["resid_s"]
+            )
+        ph = {r["phase"]: r["seasonal_s"] for r in out}
+        assert ph[0] < 0 < ph[1]  # lows at even positions, highs at odd
+
+    def test_constant_series_decomposes_to_trend_only(self, spark):
+        from incremental_github_data_pipeline_spark.operators import (
+            timeseries as ts_ops,
+        )
+
+        df = spark.createDataFrame(
+            [("a", t, 7) for t in range(6)], "k string, t long, v long"
+        )
+        out = ts_ops.seasonal_decompose(
+            df, "k", "t", "v", period=3, scale=100
+        ).collect()
+        for r in out:
+            assert r["trend_s"] == 700
+            assert r["seasonal_s"] == 0 and r["resid_s"] == 0
+
+
+class TestTheilSen:
+    def test_outlier_robust_and_negative_slopes(self, spark):
+        from incremental_github_data_pipeline_spark.operators import (
+            timeseries as ts_ops,
+        )
+
+        up = [("up", x, 2 * x) for x in range(9)] + [("up", 9, 1000)]
+        down = [("dn", x, -3 * x) for x in range(9)]
+        df = spark.createDataFrame(up + down, "k string, x long, y long")
+        got = {
+            r["k"]: r
+            for r in ts_ops.theil_sen_slope(
+                df, "k", "x", "y", scale=100
+            ).collect()
+        }
+        # one wild outlier cannot drag the median off the true slope
+        assert got["up"]["slope_s"] == 200
+        assert got["up"]["n_points"] == 10 and got["up"]["n_pairs"] == 45
+        # negative slope survives the offset floor division exactly
+        assert got["dn"]["slope_s"] == -300
+
+    def test_even_pair_count_picks_lower_median(self, spark):
+        from incremental_github_data_pipeline_spark.operators import (
+            timeseries as ts_ops,
+        )
+
+        # 4 points -> 6 pairs (even): lower median = 3rd slope
+        df = spark.createDataFrame(
+            [("a", 0, 0), ("a", 1, 10), ("a", 2, 10), ("a", 3, 30)],
+            "k string, x long, y long",
+        )
+        [r] = ts_ops.theil_sen_slope(df, "k", "x", "y", scale=1).collect()
+        # slopes: 10,5,10,0,10,20 sorted -> 0,5,10,10,10,20; rn3 = 10
+        assert r["n_pairs"] == 6 and r["slope_s"] == 10
