@@ -326,3 +326,131 @@ def cm_estimate(
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers, bit-reproducible across engines
+# ---------------------------------------------------------------------------
+
+#: Multiply-xor avalanche hash (the public-domain "lowbias32" shape:
+#: two rounds of ``h ^= h>>16; h *= 0x45d9f3b`` plus a final mix) —
+#: chosen over xxhash64 deliberately: the whole point of this sketch
+#: variant is that a foreign engine can recompute the REGISTER TABLE
+#: itself in plain SQL (multiply / mod / xor / div-as-shift), so the
+#: oracle compares state bit-for-bit instead of trusting guarantee
+#: lanes. An affine LCG is NOT enough here: HLL reads leading zeros,
+#: and a linear map sends arithmetic-progression keys (sequential ids)
+#: to arithmetic progressions whose low bits are regular — measured
+#: +52% estimation bias before the avalanche rounds replaced it. The
+#: final ``% 2^31`` drops the sign bit: 31 hash bits = p index bits +
+#: (31 − p) rank bits, everything non-negative in both engines.
+_HLL_MULT = 0x45D9F3B
+
+
+def _hll_hash_sql(x: str, xor_fmt: str, idiv: str) -> str:
+    """SQL text of the 31-bit avalanche hash of non-negative ``x``.
+    ``xor_fmt`` is the dialect's xor template (Spark: ``({a} ^ {b})``,
+    DuckDB: ``xor({a}, {b})``) and ``idiv`` its integer-division token
+    (Spark ``div``, DuckDB ``//`` — both truncating; operands here are
+    non-negative so they agree); the ``>> 16`` shifts are spelled
+    ``idiv 65536`` and masks ``% 2^32`` so every other token is
+    dialect-identical. Products stay below 2^58 — no int64 overflow in
+    either engine."""
+    m32 = 1 << 32
+
+    def rnd(h: str) -> str:
+        mixed = xor_fmt.format(a=h, b=f"(({h}) {idiv} 65536)")
+        return f"((({mixed}) * {_HLL_MULT}) % {m32})"
+
+    h0 = f"(({x}) % {m32})"
+    h1 = rnd(h0)
+    h2 = rnd(h1)
+    final = xor_fmt.format(a=h2, b=f"(({h2}) {idiv} 65536)")
+    return f"(({final}) % {1 << 31})"
+
+
+def _bitwidth_cases(col_sql: str, bits: int) -> str:
+    """SQL CASE text: number of significant bits of ``col_sql``
+    (0 → 0), portable to any engine — no log2 float detour whose
+    rounding could flip a register near an exact power of two."""
+    whens = "\n        ".join(
+        f"WHEN {col_sql} >= {1 << (b - 1)} THEN {b}"
+        for b in range(bits, 0, -1)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols,
+    key_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """HyperLogLog state over a NON-NEGATIVE integer key column: per
+    group, ``2^p`` registers holding the max rank (leading-zero count
+    + 1 of the hash remainder). Returns ``(group..., hll_idx,
+    hll_rho)`` — at most ``2^p`` rows per group, CONSTANT regardless
+    of input size, and mergeable by ``union → groupBy max`` (shards /
+    days / streams sketch independently; the merge law is pinned in
+    tests). One shuffle on (group, idx) with map-side max combine.
+
+    Hash = 31-bit multiply-xor avalanche (:func:`_hll_hash_sql`),
+    index = top ``p`` bits, rank = ``(31 - p) - bitwidth(remainder)
+    + 1`` via an exact CASE chain — every step integer arithmetic both
+    Spark and DuckDB evaluate identically, so the sketch STATE is
+    oracle-comparable, not just its guarantees. Estimation
+    (:func:`hll_estimate`) is the one float step and stays out of
+    oracle lanes.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    rank_bits = 31 - p
+    h = _hll_hash_sql(key_col, "({a} ^ {b})", "div")
+    idx = f"({h} div {1 << rank_bits})"
+    rem = f"({h} % {1 << rank_bits})"
+    rho = f"({rank_bits} - {_bitwidth_cases(rem, rank_bits)} + 1)"
+    return (
+        df.select(
+            *group_cols,
+            F.expr(idx).cast("long").alias("hll_idx"),
+            F.expr(rho).cast("long").alias("hll_rho"),
+        )
+        .groupBy(*group_cols, "hll_idx")
+        .agg(F.max("hll_rho").alias("hll_rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables built with identical ``p``: max per
+    (group, idx) — associative/commutative/idempotent, so any shard
+    or generation order yields the same state."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    keys = [c for c in u.columns if c != "hll_rho"]
+    return u.groupBy(*keys).agg(F.max("hll_rho").alias("hll_rho"))
+
+
+def hll_estimate(registers: DataFrame, group_cols, p: int = 6) -> DataFrame:
+    """Distinct-count estimate from a register table: the classic
+    Flajolet HLL harmonic mean ``alpha_m · m² / Σ 2^(−rho)`` with the
+    small-range linear-counting correction (``m·ln(m/V)`` when the
+    estimate is below 2.5m and empty registers remain). The one
+    intentionally-float operator in this family — keep it OUT of
+    hash-compared lanes; the certifiable object is the register state.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("hll_rho"))).alias("_inv"),
+        F.count(F.lit(1)).alias("_nonzero"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("_inv") + (m - F.col("_nonzero")))
+    # ^ absent registers contribute 2^0 = 1 each to the harmonic sum
+    lin = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / (m - F.col("_nonzero"))
+    )
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("_nonzero") < m), lin
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias("hll_est"))

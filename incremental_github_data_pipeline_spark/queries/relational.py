@@ -2391,3 +2391,52 @@ def q_group_mode(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def _hll_oracle() -> str:
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        _bitwidth_cases,
+        _hll_hash_sql,
+    )
+
+    p = 6
+    rank_bits = 31 - p
+    h = _hll_hash_sql("c_custkey", "xor({a}, {b})", "//")
+    rem = f"({h} % {1 << rank_bits})"
+    width = _bitwidth_cases(rem, rank_bits)
+    return f"""
+    SELECT c_mktsegment,
+           CAST({h} // {1 << rank_bits} AS BIGINT) AS hll_idx,
+           CAST(MAX({rank_bits} - {width} + 1) AS BIGINT) AS hll_rho
+    FROM customer
+    GROUP BY c_mktsegment, hll_idx
+    ORDER BY c_mktsegment, hll_idx
+    """
+
+
+@register(
+    "q_hll_registers",
+    oracle=_hll_oracle(),
+    doc="HyperLogLog distinct sketch whose REGISTER STATE is the "
+    "compared object (operators/incremental_agg.hll_registers): "
+    "31-bit LCG hash, top-6-bit register index, exact CASE-chain "
+    "bit-width rank — every step integer arithmetic DuckDB replays "
+    "verbatim, so unlike guarantee-lane sketch oracles this one "
+    "hash-matches the sketch itself. 64 registers per group = "
+    "CONSTANT state, mergeable by union+max (merge law pinned in "
+    "test_incremental_agg.py); one (group, idx) shuffle with "
+    "map-side max combine. Estimation (hll_estimate) is the single "
+    "float step, certified separately by a relative-error test.",
+)
+def q_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        hll_registers,
+    )
+
+    return (
+        hll_registers(
+            T(spark, sf, "customer"), "c_mktsegment", "c_custkey", p=6
+        )
+        .select("c_mktsegment", "hll_idx", "hll_rho")
+        .orderBy("c_mktsegment", "hll_idx")
+    )

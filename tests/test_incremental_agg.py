@@ -205,3 +205,74 @@ def test_cm_estimate_unseen_key_is_zero(spark):
     probe = spark.createDataFrame([("definitely-unseen",)], "key string")
     [r] = ia.cm_estimate(probe, sketch, "key", width=512, depth=4).collect()
     assert r["cm_est"] == 0
+
+
+class TestHll:
+    def test_merge_law_and_constant_state(self, spark):
+        """Sketching two shards independently and merging must equal sketching
+        the union — the property that makes per-day/per-shard distinct
+        state foldable; and state never exceeds 2^p rows per group."""
+        from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+            hll_merge,
+            hll_registers,
+        )
+
+        a = spark.createDataFrame(
+            [("g", i) for i in range(0, 400)], "g string, k long"
+        )
+        b = spark.createDataFrame(
+            [("g", i) for i in range(200, 700)], "g string, k long"
+        )
+        merged = {
+            (r["hll_idx"], r["hll_rho"])
+            for r in hll_merge(
+                hll_registers(a, "g", "k", p=6),
+                hll_registers(b, "g", "k", p=6),
+            ).collect()
+        }
+        whole = {
+            (r["hll_idx"], r["hll_rho"])
+            for r in hll_registers(
+                a.unionByName(b), "g", "k", p=6
+            ).collect()
+        }
+        assert merged == whole
+        assert len(whole) <= 64
+
+    def test_estimate_relative_error(self, spark):
+        """p=8 (256 registers): the harmonic-mean estimate must land
+        within ~3x the theoretical 1.04/sqrt(m) = 6.5% standard error
+        for a range of true cardinalities."""
+        from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        rows = []
+        for g, n in (("s", 100), ("m", 1000), ("l", 20000)):
+            rows += [(g, i * 7 + 1) for i in range(n)]
+        df = spark.createDataFrame(rows, "g string, k long")
+        est = {
+            r["g"]: r["hll_est"]
+            for r in hll_estimate(
+                hll_registers(df, "g", "k", p=8), "g", p=8
+            ).collect()
+        }
+        for g, n in (("s", 100), ("m", 1000), ("l", 20000)):
+            assert abs(est[g] - n) / n < 0.20, (g, est[g])
+
+    def test_idempotent_merge(self, spark):
+        from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+            hll_merge,
+            hll_registers,
+        )
+
+        df = spark.createDataFrame(
+            [("g", i) for i in range(500)], "g string, k long"
+        )
+        s = hll_registers(df, "g", "k", p=6)
+        twice = {
+            (r["hll_idx"], r["hll_rho"]) for r in hll_merge(s, s).collect()
+        }
+        once = {(r["hll_idx"], r["hll_rho"]) for r in s.collect()}
+        assert twice == once
