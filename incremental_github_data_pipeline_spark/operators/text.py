@@ -1692,6 +1692,202 @@ def learn_bpe_merges(
     return learn_bpe(df, text_col, n_merges, local_vocab_max)[0]
 
 
+#: WordPiece likelihood-ratio score scale: score_s =
+#: (pair_count · SCALE) div (count(a) · count(b)), evaluated in
+#: DECIMAL(38,0) / HUGEINT so the product never overflows int64; the
+#: quotient is ≤ SCALE (pair_count ≤ min(ca, cb) ≤ ca·cb) and lands
+#: back in a bigint lane.
+_WP_SCORE_SCALE = 10**12
+
+
+def learn_wordpiece(
+    df,
+    text_col: str = "text",
+    n_merges: int = 4,
+    local_vocab_max: int = 200_000,
+    local_syms_max: int = 8_000_000,
+):
+    """Learn ``n_merges`` WordPiece merges — the THIRD major tokenizer
+    family next to :func:`learn_bpe` and :func:`learn_unigram`. Same
+    training loop as BPE (pair counts over the word-frequency
+    vocabulary, greedy merge, identical left-to-right fold) with
+    WordPiece's likelihood-ratio argmax (Schuster & Nakajima 2012 /
+    the BERT tokenizer): merge the pair maximizing
+    ``count(ab) / (count(a) · count(b))`` — the pair whose joint
+    frequency most exceeds what its parts' frequencies predict —
+    instead of raw ``count(ab)``. Rare-but-strongly-bound pairs
+    ("##ing" morphemes) win over merely common ones.
+
+    The score is the SCALED-INTEGER floor quotient
+    ``(cnt · 10^12) div (ca · cb)`` in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — measured to agree digit-for-digit — with
+    (score desc, pa, pb) tie-break, so training is bit-reproducible
+    across engines like every other iterative operator here. Returns
+    ``(merges DataFrame (step, pa, pb, cnt, score_s), vocab DataFrame
+    (word, freq, syms))``; apply-side tokenization reuses
+    :func:`bpe_tokenize` (a word→syms lookup join — the apply path is
+    family-agnostic).
+
+    Scale shape: identical to :func:`learn_bpe` — ONE corpus scan into
+    the checkpointed word-TYPE table, then per round one pair-count
+    aggregate + one symbol-count aggregate (both vocabulary-sized) and
+    a 1-row argmax collect; the same driver-local hybrid gate folds
+    ≤``local_vocab_max``-type vocabularies without per-round Spark
+    jobs, pinned bit-identical to the distributed path by tests.
+    """
+    sep = _BPE_SEP
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            F.concat(
+                F.lit(sep),
+                F.regexp_replace(F.col("word"), "(.)", "$1" + sep),
+            ).alias("seq"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    gate = words.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.coalesce(F.sum(F.length("word")), F.lit(0)).alias("n_syms"),
+    ).first()
+    if gate.n_types <= local_vocab_max and gate.n_syms <= local_syms_max:
+        return _learn_wordpiece_local(df.sparkSession, words, n_merges)
+    merges: list[tuple[int, str, str, int, int]] = []
+    for step in range(1, n_merges + 1):
+        arr = F.filter(F.split(F.col("seq"), sep), lambda x: x != F.lit(""))
+        pairs_col = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("pa"),
+                    F.element_at(arr, i + 1).alias("pb"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pa:string,pb:string>>"))
+        pair_cnt = (
+            words.select("freq", F.explode(pairs_col).alias("_pr"))
+            .groupBy(F.col("_pr.pa").alias("pa"), F.col("_pr.pb").alias("pb"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        sym_cnt = (
+            words.select("freq", F.explode(arr).alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = (
+            pair_cnt.join(
+                sym_cnt.select(F.col("sym").alias("pa"), F.col("c").alias("_ca")),
+                "pa",
+            )
+            .join(
+                sym_cnt.select(F.col("sym").alias("pb"), F.col("c").alias("_cb")),
+                "pb",
+            )
+            .withColumn(
+                "score_s",
+                F.expr(
+                    f"CAST((CAST(cnt AS DECIMAL(38,0)) * {_WP_SCORE_SCALE})"
+                    " div (CAST(_ca AS DECIMAL(38,0))"
+                    " * CAST(_cb AS DECIMAL(38,0))) AS BIGINT)"
+                ),
+            )
+            .orderBy(F.col("score_s").desc(), "pa", "pb")
+            .limit(1)
+            .collect()  # ONE row: bounded driver state by construction
+        )
+        if not top:
+            break
+        pa, pb = top[0].pa, top[0].pb
+        merges.append((step, pa, pb, int(top[0].cnt), int(top[0].score_s)))
+        anchor, merged = sep + pa + sep, pa + pb + sep
+        fold = F.aggregate(
+            F.filter(F.split(F.col("seq"), sep), lambda x: x != F.lit("")),
+            F.lit(sep),
+            lambda acc, x: F.when(
+                (x == F.lit(pb)) & F.endswith(acc, F.lit(anchor)),
+                F.concat(
+                    F.substr(
+                        acc, F.lit(1), F.length(acc) - F.lit(len(pa) + 1)
+                    ),
+                    F.lit(merged),
+                ),
+            ).otherwise(F.concat(acc, x, F.lit(sep))),
+        )
+        words = words.select(
+            "word", fold.alias("seq"), "freq"
+        ).localCheckpoint(eager=True)
+    merges_df = df.sparkSession.createDataFrame(
+        merges, "step BIGINT, pa STRING, pb STRING, cnt BIGINT, score_s BIGINT"
+    )
+    vocab = words.select(
+        "word",
+        "freq",
+        F.filter(F.split(F.col("seq"), sep), lambda x: x != F.lit("")).alias(
+            "syms"
+        ),
+    )
+    return merges_df, vocab
+
+
+def _learn_wordpiece_local(spark, words, n_merges: int):
+    """Driver-local WordPiece rounds for a gate-bounded vocabulary —
+    the exact recurrence of :func:`learn_wordpiece`'s distributed loop
+    (Python ints are exact, ``//`` floors and all quantities are
+    positive, so the score quotient matches the DECIMAL ``div``)."""
+    sep = _BPE_SEP
+    rows = [
+        (r["word"], [s for s in r["seq"].split(sep) if s], int(r["freq"]))
+        for r in words.select("word", "seq", "freq").collect()
+    ]
+    merges: list[tuple[int, str, str, int, int]] = []
+    for step in range(1, n_merges + 1):
+        pair_counts: dict[tuple[str, str], int] = {}
+        sym_counts: dict[str, int] = {}
+        for _w, syms, freq in rows:
+            for s in syms:
+                sym_counts[s] = sym_counts.get(s, 0) + freq
+            for pair in zip(syms, syms[1:]):
+                pair_counts[pair] = pair_counts.get(pair, 0) + freq
+        if not pair_counts:
+            break
+        scored = {
+            (pa, pb): (cnt * _WP_SCORE_SCALE)
+            // (sym_counts[pa] * sym_counts[pb])
+            for (pa, pb), cnt in pair_counts.items()
+        }
+        (pa, pb), score = min(
+            scored.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, pa, pb, pair_counts[(pa, pb)], score))
+        nxt = []
+        for w, syms, freq in rows:
+            out: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == pa and syms[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((w, out, freq))
+        rows = nxt
+    merges_df = spark.createDataFrame(
+        merges, "step BIGINT, pa STRING, pb STRING, cnt BIGINT, score_s BIGINT"
+    )
+    vocab = spark.createDataFrame(
+        [(w, freq, syms) for w, syms, freq in rows],
+        "word STRING, freq BIGINT, syms ARRAY<STRING>",
+    )
+    return merges_df, vocab
+
+
 def learn_unigram(
     df,
     text_col: str = "text",

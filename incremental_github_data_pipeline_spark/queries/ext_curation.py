@@ -536,3 +536,133 @@ def q_source_report(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _wordpiece_oracle(n: int = 4, final: str = "merges") -> str:
+    """Unrolled n-round WordPiece replay — the :func:`_bpe_oracle`
+    structure with the likelihood-ratio argmax: per round, pair counts
+    AND symbol counts over the current segmentation, best pair by
+    ``(cnt · 10^12) // (ca · cb)`` in HUGEINT (digit-for-digit the
+    Spark DECIMAL(38,0) ``div``), then the same sep-anchored
+    list_reduce fold applies the merge."""
+    scale = 10**12
+    parts = [
+        r"""
+    WITH words AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x != '')) AS word
+        FROM documents WHERE length(trim(text)) > 0
+      ) GROUP BY word
+    ),
+    w0 AS (
+      SELECT word,
+             chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g')
+               AS seq, freq
+      FROM words
+    )"""
+    ]
+    for r in range(n):
+        parts.append(
+            f""",
+    l{r} AS (
+      SELECT word, list_filter(string_split(seq, chr(31)), x -> x != '')
+               AS l, freq
+      FROM w{r}
+    ),
+    s{r} AS (
+      SELECT sym, SUM(freq) AS c FROM (
+        SELECT UNNEST(l) AS sym, freq FROM l{r}) GROUP BY 1
+    ),
+    p{r} AS (
+      SELECT l[i] AS pa, l[i+1] AS pb, SUM(freq) AS cnt
+      FROM l{r}, UNNEST(range(1, len(l))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b{r} AS (
+      SELECT p.pa, p.pb, p.cnt,
+             CAST((CAST(p.cnt AS HUGEINT) * {scale})
+                  // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS score_s
+      FROM p{r} p
+      JOIN s{r} ca ON ca.sym = p.pa
+      JOIN s{r} cb ON cb.sym = p.pb
+      ORDER BY score_s DESC, p.pa, p.pb LIMIT 1
+    ),
+    w{r + 1} AS (
+      SELECT word, list_reduce(
+               list_prepend(chr(31),
+                 list_filter(string_split(seq, chr(31)), x -> x != '')),
+               (acc, x) -> CASE
+                 WHEN x = pb AND ends_with(acc, chr(31) || pa || chr(31))
+                 THEN substr(acc, 1, length(acc) - length(pa) - 1)
+                      || pa || pb || chr(31)
+                 ELSE acc || x || chr(31) END
+             ) AS seq, freq
+      FROM w{r} LEFT JOIN b{r} ON TRUE
+    )"""
+        )
+    if final == "merges":
+        union = " UNION ALL ".join(
+            f"SELECT CAST({r + 1} AS BIGINT) AS step, pa, pb, "
+            f"CAST(cnt AS BIGINT) AS cnt, CAST(score_s AS BIGINT) AS score_s "
+            f"FROM b{r}"
+            for r in range(n)
+        )
+        parts.append(f"\n    SELECT * FROM ({union}) ORDER BY step")
+    else:
+        parts.append(
+            f"""
+    SELECT word, CAST(freq AS BIGINT) AS freq,
+           CAST(len(list_filter(string_split(seq, chr(31)), x -> x != ''))
+                AS BIGINT) AS n_sym,
+           array_to_string(
+             list_filter(string_split(seq, chr(31)), x -> x != ''), ' ')
+             AS segmented
+    FROM w{n} ORDER BY freq DESC, word LIMIT 50"""
+        )
+    return "".join(parts)
+
+
+@register(
+    "q_wordpiece_merges",
+    oracle=_wordpiece_oracle(4),
+    doc="WordPiece merge LEARNING (operators.text.learn_wordpiece) — "
+    "the BERT-family tokenizer trainer, completing the three major "
+    "families next to BPE and unigram-LM: same greedy loop as BPE but "
+    "the argmax is the likelihood ratio count(ab)/(count(a)count(b)) "
+    "as an exact scaled-integer quotient (DECIMAL div / HUGEINT //, "
+    "measured digit-identical), so rare-but-strongly-bound morpheme "
+    "pairs win over merely frequent ones. One corpus scan, per round "
+    "a vocabulary-sized pair-count + symbol-count aggregate and a "
+    "1-row argmax collect. The oracle re-derives all four merges AND "
+    "their scores from scratch in SQL — one wrong score or fold "
+    "application breaks every later round.",
+)
+def q_wordpiece_merges(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    merges, _ = tx.learn_wordpiece(d, n_merges=4)
+    return merges.orderBy("step")
+
+
+@register(
+    "q_wordpiece_vocab",
+    oracle=_wordpiece_oracle(4, final="vocab"),
+    doc="The trained WordPiece segmentation vocabulary after all four "
+    "likelihood-ratio merges (top-50 by frequency): tokenizing a "
+    "corpus is a word->syms lookup join against this table, reusing "
+    "the family-agnostic bpe_tokenize apply path. Oracle replays the "
+    "full training and final segmentation in SQL.",
+)
+def q_wordpiece_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    _, vocab = tx.learn_wordpiece(d, n_merges=4)
+    return (
+        vocab.select(
+            "word",
+            "freq",
+            F.size("syms").cast("long").alias("n_sym"),
+            F.array_join("syms", " ").alias("segmented"),
+        )
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(50)
+    )
