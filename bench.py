@@ -133,6 +133,16 @@ BENCH_QUERIES = [
     "q_media_jpeg12_stats",
     "q_media_png_lowdepth_stats",
     "q_doc_cluster_split",
+    # round-9 additions: the new operator families' heavy shapes —
+    # iterative k-core peel, the pair self-join (Theil-Sen), the
+    # decomposition window stack, WordPiece's per-round dual aggregate,
+    # the HLL register scan-agg, and the suppression semi-join
+    "q_graph_kcore",
+    "q_ts_theil_sen",
+    "q_ts_seasonal",
+    "q_wordpiece_merges",
+    "q_hll_registers",
+    "q_privacy_suppress",
 ]
 
 # Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform

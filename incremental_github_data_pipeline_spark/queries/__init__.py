@@ -49,10 +49,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #       bench leans on should also be the freshest-certified;
 #   (c) fill to 50 with the oldest r5-vintage rows (alphabetical).
 # After this round no query's newest driver green predates r5; the
-# remaining 29 r5-vintage rows queue for round 10: q_doc_pack_sequences,
-# q_embedding_gram,
-# q_equidepth_buckets, q_graph_triangles, q_group_agg, q_group_mode,
-# q_media_curation_funnel, q_media_decode_stats, q_media_features,
+# r5-vintage rows queueing for round 10: q_approx_profile,
+# q_chi_square_cells, q_conversion_window, q_doc_boilerplate_lines,
+# q_doc_bpe_tokens, q_doc_cap_per_source, q_doc_contained,
+# q_doc_inverted_index, q_doc_negatives, q_doc_pack_sequences,
+# q_embedding_gram, q_equidepth_buckets, q_graph_triangles,
+# q_group_agg, q_group_mode, q_media_curation_funnel, q_media_features,
 # q_media_frame_plan, q_media_frame_samples, q_media_gif_stats,
 # q_media_metadata_profile, q_media_phash_dups,
 # q_media_png_palette_stats, q_media_qoi_stats, q_minhash_near_dups,
@@ -61,6 +63,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # q_ts_ewma, q_union_conform, q_url_domain_stats (+ q_variant_agg,
 # q_window_topk_per_group).
 _CERTIFY_FIRST = [
+    # -- (0) new in round 9 (first driver rows) + the one r9 schema
+    #    change (q_media_decode_stats grew the stereo/8-bit WAV lanes) --
+    "q_graph_kcore",
+    "q_ts_seasonal",
+    "q_ts_theil_sen",
+    "q_privacy_kanon",
+    "q_privacy_suppress",
+    "q_hll_registers",
+    "q_wordpiece_merges",
+    "q_wordpiece_vocab",
+    "q_media_decode_stats",
     # -- (a) newest green row is r4-vintage (34) --
     "q_doc_bloom_prefilter",
     "q_doc_cm_counts",
@@ -105,15 +118,6 @@ _CERTIFY_FIRST = [
     # -- (c) oldest r5-vintage rows (fill to 50, alphabetical) --
     "q03_shipping_priority",
     "q05_region_volume",
-    "q_approx_profile",
-    "q_chi_square_cells",
-    "q_conversion_window",
-    "q_doc_boilerplate_lines",
-    "q_doc_bpe_tokens",
-    "q_doc_cap_per_source",
-    "q_doc_contained",
-    "q_doc_inverted_index",
-    "q_doc_negatives",
 ]
 
 
