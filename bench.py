@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "q_wordpiece_merges",
     "q_hll_registers",
     "q_privacy_suppress",
+    # FLAC decode: the heaviest per-file audio codec path (rice decode
+    # + prediction reconstruction per sample, pure Python in Arrow
+    # batches)
+    "q_media_flac_stats",
 ]
 
 # Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform

@@ -12,10 +12,14 @@ Decode is REAL for every format with a public, dependency-free codec:
   stdlib-``zlib`` inflate of the IDAT stream, per-row unfilter of all
   five filter types (None/Sub/Up/Average/Paeth), 8-bit grayscale and
   truecolor (see :func:`decode_png`);
-- ``audio/wav`` — 16-bit PCM via the stdlib ``wave`` module, plus
-  G.711 companded WAV (``mu``-law format tag 7, A-law tag 6) through a
+- ``audio/wav`` — PCM via the stdlib ``wave`` module (mono/stereo ×
+  8/16-bit; 8-bit recentred to the int16 lattice), plus G.711
+  companded WAV (``mu``-law format tag 7, A-law tag 6) through a
   hand-rolled RIFF chunk walk and the ITU expand formulas
   (:func:`decode_wav_g711`);
+- ``audio/flac`` — lossless COMPRESSED audio, fixed-predictor subset
+  (rice-coded residuals, CRC-8/16 + MD5 verified; integer-exact by
+  format design, so decode oracles work — see :func:`decode_flac`);
 - ``video/x-raw-rgb`` — a trivial length-prefixed raw-RGB frame
   container (what uncompressed AVI is, minus chunk bookkeeping).
 Formats that genuinely require external codec libraries (MP3/H.264 —
@@ -503,8 +507,12 @@ def decode_stats(media: DataFrame) -> DataFrame:
                         mean_g=float(px[:, :, 1].mean()),
                         mean_b=float(px[:, :, 2].mean()),
                     )
-                elif r.mime == "audio/wav":
-                    sr, s = decode_wav(r.payload)
+                elif r.mime in ("audio/wav", "audio/flac"):
+                    sr, s = (
+                        decode_wav(r.payload)
+                        if r.mime == "audio/wav"
+                        else decode_flac(r.payload)
+                    )
                     ch = 1 if s.ndim == 1 else s.shape[1]
                     mono = downmix_mono(s)
                     per_ch = s.reshape(-1, ch).astype(np.int64)
@@ -3454,5 +3462,431 @@ def make_funnel_media(spark) -> DataFrame:
         ).astype(np.uint8)
         rows.append(
             (300 + i, "image", encode_qoi(small), "image/qoi", 8, 8, None)
+        )
+    return _sized_media(spark, rows)
+
+
+# ---------------------------------------------------------------------------
+# FLAC — lossless compressed audio, the fixed-predictor subset
+# (integer-exact by format design: fixed linear prediction + rice-coded
+# residuals, so unlike MP3/AAC whose float synthesis filterbanks could
+# never hash-match across engines, FLAC round-trips bit-for-bit and a
+# decode-stats oracle works exactly like the PCM lanes. Reference:
+# the public FLAC format specification (RFC 9639 / flac format.html).
+# Encoder emits CONSTANT / VERBATIM / FIXED(0-4) subframes with
+# partition-order-0 rice residuals; decoder additionally verifies
+# CRC-8 (header), CRC-16 (frame) and the STREAMINFO MD5. LPC and
+# mid-side stereo stay honest NotImplementedError guards — this
+# encoder never emits them, and a foreign file using them fails loud,
+# never silently mis-decodes.)
+# ---------------------------------------------------------------------------
+
+
+class _FlacBitWriter:
+    """Plain MSB-first bit writer (no JPEG byte stuffing)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, length: int) -> None:
+        self._acc = (self._acc << length) | (value & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self.out.append((self._acc >> (self._n - 8)) & 0xFF)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        if self._n:
+            self.write(0, 8 - self._n)
+
+
+class _FlacBitReader:
+    """Plain MSB-first bit reader with byte-offset tracking (CRC
+    windows are byte slices of the payload)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos  # next byte to load
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC stream truncated")
+            self._acc = self.data[self.pos]
+            self.pos += 1
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read_bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read_bit() == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self._n = 0
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the FLAC
+    frame-header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 — the
+    FLAC whole-frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _utf8_code(n: int) -> bytes:
+    """FLAC's extended-UTF-8 number coding for frame numbers."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (5 * nbytes + 6 - nbytes)) and nbytes < 7:
+        nbytes += 1
+    out.append((0xFF00 >> nbytes) & 0xFF | (n >> (6 * (nbytes - 1))))
+    for i in range(nbytes - 2, -1, -1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def _utf8_decode(br: _FlacBitReader) -> int:
+    b0 = br.read_bits(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    n = b0 & (mask - 1)
+    for _ in range(nbytes - 1):
+        n = (n << 6) | (br.read_bits(8) & 0x3F)
+    return n
+
+
+_FLAC_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    r = x.astype(np.int64)
+    for _ in range(order):  # order-o residual = o-th difference
+        r = np.diff(r)
+    return r
+
+
+def _best_rice_param(res: np.ndarray) -> int:
+    """Smallest k whose total rice length stops shrinking (the
+    standard doubling heuristic on Σ zigzag)."""
+    total = int(np.abs(res.astype(np.int64)).sum()) * 2
+    k = 0
+    while k < 14 and (len(res) << (k + 1)) < total:
+        k += 1
+    return k
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int = WAV_SAMPLE_RATE,
+    block_size: int = 4096,
+) -> bytes:
+    """Encode int16 samples ((n,) mono or (n, 2) stereo) as a FLAC
+    stream: STREAMINFO (with the spec's MD5 of the unencoded
+    little-endian interleaved signal), then fixed-blocksize frames —
+    per channel the best of CONSTANT / FIXED(0..4) by Σ|residual|
+    (VERBATIM when rice would exceed raw), partition-order-0 rice
+    residuals, CRC-8 header and CRC-16 frame trailers. Independent
+    channels only (no mid-side) — lossless either way; mid-side is a
+    compression-ratio refinement, not a correctness feature."""
+    import hashlib
+
+    s = samples.astype("<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    md5 = hashlib.md5(s.tobytes()).digest()  # interleaved LE per spec
+
+    out = bytearray(b"fLaC")
+    info = _FlacBitWriter()
+    info.write(1, 1)  # last metadata block
+    info.write(0, 7)  # STREAMINFO
+    info.write(34, 24)
+    info.write(block_size, 16)
+    info.write(block_size, 16)
+    info.write(0, 24)  # min frame size unknown
+    info.write(0, 24)
+    info.write(sample_rate, 20)
+    info.write(ch - 1, 3)
+    info.write(15, 5)  # bps - 1 = 15
+    info.write(n, 36)
+    out += info.out + md5
+
+    for fno, start in enumerate(range(0, n, block_size)):
+        blk = s[start : start + block_size]
+        bs = blk.shape[0]
+        w = _FlacBitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)  # reserved
+        w.write(0, 1)  # fixed blocksize strategy
+        w.write(0b0111, 4)  # 16-bit blocksize-1 follows
+        w.write(0b0000, 4)  # sample rate from STREAMINFO
+        w.write(ch - 1, 4)  # independent channels
+        w.write(0b100, 3)  # 16 bps
+        w.write(0, 1)  # reserved
+        for b in _utf8_code(fno):
+            w.write(b, 8)
+        w.write(bs - 1, 16)
+        w.write(_crc8(bytes(w.out)), 8)
+        for c in range(ch):
+            x = blk[:, c].astype(np.int64)
+            if bs > 0 and (x == x[0]).all():
+                w.write(0, 1)
+                w.write(0b000000, 6)  # CONSTANT
+                w.write(0, 1)
+                w.write(int(x[0]) & 0xFFFF, 16)
+                continue
+            best_o, best_cost, best_res = 0, None, None
+            for o in range(0, min(4, bs - 1) + 1):
+                res = _fixed_residual(x, o)
+                cost = int(np.abs(res).sum())
+                if best_cost is None or cost < best_cost:
+                    best_o, best_cost, best_res = o, cost, res
+            res = best_res
+            k = _best_rice_param(res)
+            rice_bits = sum(
+                (int(abs(v)) * 2 - (1 if v < 0 else 0)) // (1 << k) + 1 + k
+                for v in res
+            )
+            if rice_bits > bs * 16:  # raw beats rice: VERBATIM
+                w.write(0, 1)
+                w.write(0b000001, 6)
+                w.write(0, 1)
+                for v in x:
+                    w.write(int(v) & 0xFFFF, 16)
+                continue
+            w.write(0, 1)
+            w.write(0b001000 | best_o, 6)  # FIXED, order
+            w.write(0, 1)
+            for v in x[:best_o]:
+                w.write(int(v) & 0xFFFF, 16)  # warm-up
+            w.write(0b00, 2)  # rice method (4-bit params)
+            w.write(0, 4)  # partition order 0
+            w.write(k, 4)
+            for v in res:
+                u = int(v) * 2 if v >= 0 else -int(v) * 2 - 1  # zigzag
+                w.write_unary(u >> k)
+                if k:
+                    w.write(u & ((1 << k) - 1), k)
+        w.align()
+        frame = bytes(w.out)
+        out += frame + _crc16(frame).to_bytes(2, "big")
+    return bytes(out)
+
+
+def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a FLAC stream → (sample_rate, int16 samples — (n,) mono,
+    (n, ch) multi-channel). Supports CONSTANT / VERBATIM / FIXED
+    subframes with rice / rice2 / escaped-raw residuals at any
+    partition order, independent channels, 16-bit. LPC subframes and
+    mid-side channel assignments raise ``NotImplementedError`` (honest
+    scope — never a silent mis-decode); CRC-8, CRC-16 and the
+    STREAMINFO MD5 are verified."""
+    import hashlib
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    sample_rate = channels = bps = None
+    total = 0
+    md5_expect = b"\x00" * 16
+    while True:  # metadata blocks
+        hdr = payload[pos]
+        btype, last = hdr & 0x7F, hdr & 0x80
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if btype == 0:
+            br = _FlacBitReader(body)
+            br.read_bits(16), br.read_bits(16)
+            br.read_bits(24), br.read_bits(24)
+            sample_rate = br.read_bits(20)
+            channels = br.read_bits(3) + 1
+            bps = br.read_bits(5) + 1
+            total = br.read_bits(36)
+            md5_expect = body[18:34]
+        pos += 4 + blen
+        if last:
+            break
+    if bps != 16:
+        raise NotImplementedError(f"only 16-bit FLAC supported (got {bps})")
+    out = np.zeros((total, channels), dtype=np.int16)
+    filled = 0
+    while filled < total:
+        frame_start = pos
+        br = _FlacBitReader(payload, pos)
+        if br.read_bits(14) != 0b11111111111110:
+            raise ValueError("lost FLAC frame sync")
+        br.read_bit()
+        br.read_bit()
+        bs_code = br.read_bits(4)
+        sr_code = br.read_bits(4)
+        ch_asgn = br.read_bits(4)
+        ss_code = br.read_bits(3)
+        br.read_bit()
+        if ch_asgn >= 8:
+            raise NotImplementedError("mid-side FLAC stereo not supported")
+        nch = ch_asgn + 1
+        _utf8_decode(br)
+        if bs_code == 0b0110:
+            bs = br.read_bits(8) + 1
+        elif bs_code == 0b0111:
+            bs = br.read_bits(16) + 1
+        else:
+            bs = {
+                1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608, 8: 256,
+                9: 512, 10: 1024, 11: 2048, 12: 4096, 13: 8192,
+                14: 16384, 15: 32768,
+            }[bs_code]
+        if sr_code == 0b1100:
+            br.read_bits(8)
+        elif sr_code in (0b1101, 0b1110):
+            br.read_bits(16)
+        hdr_crc = _crc8(payload[frame_start : br.pos])
+        if br.read_bits(8) != hdr_crc:
+            raise ValueError("FLAC frame-header CRC-8 mismatch")
+        _ = ss_code
+        blk = np.zeros((bs, nch), dtype=np.int64)
+        for c in range(nch):
+            br.read_bit()  # zero pad
+            styp = br.read_bits(6)
+            if br.read_bit():  # wasted bits
+                raise NotImplementedError("wasted-bits FLAC not supported")
+            if styp == 0b000000:
+                blk[:, c] = br.read_signed(16)
+            elif styp == 0b000001:
+                for i in range(bs):
+                    blk[i, c] = br.read_signed(16)
+            elif 0b001000 <= styp <= 0b001100:
+                order = styp & 0b000111
+                x = [br.read_signed(16) for _ in range(order)]
+                method = br.read_bits(2)
+                if method > 1:
+                    raise ValueError("reserved FLAC residual method")
+                pbits = 4 if method == 0 else 5
+                escape = (1 << pbits) - 1
+                porder = br.read_bits(4)
+                res: list[int] = []
+                nparts = 1 << porder
+                for part in range(nparts):
+                    cnt = bs >> porder
+                    if part == 0:
+                        cnt -= order
+                    k = br.read_bits(pbits)
+                    if k == escape:
+                        raw = br.read_bits(5)
+                        for _ in range(cnt):
+                            res.append(br.read_signed(raw) if raw else 0)
+                    else:
+                        for _ in range(cnt):
+                            q = br.read_unary()
+                            u = (q << k) | (br.read_bits(k) if k else 0)
+                            res.append((u >> 1) ^ -(u & 1))  # un-zigzag
+                coef = _FLAC_FIXED_COEFFS[order]
+                for i, r in enumerate(res):
+                    pred = sum(
+                        coef[j] * x[order + i - 1 - j] for j in range(order)
+                    )
+                    x.append(r + pred)
+                blk[:, c] = x
+            else:
+                raise NotImplementedError(
+                    "LPC FLAC subframes not supported (fixed-predictor "
+                    "subset decoder)"
+                )
+        br.align()
+        if _crc16(payload[frame_start : br.pos]) != int.from_bytes(
+            payload[br.pos : br.pos + 2], "big"
+        ):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = br.pos + 2
+        take = min(bs, total - filled)
+        out[filled : filled + take] = blk[:take].astype(np.int16)
+        filled += take
+    if md5_expect != b"\x00" * 16:
+        if hashlib.md5(out.astype("<i2").tobytes()).digest() != md5_expect:
+            raise ValueError("FLAC MD5 signature mismatch")
+    return sample_rate, out[:, 0] if channels == 1 else out
+
+
+def make_flac_media(spark, n: int = 24, id_offset: int = 2000) -> DataFrame:
+    """Media table of FLAC-compressed audio with the SAME closed-form
+    channel content as :func:`make_wav_variant_media`'s 16-bit lanes
+    (mono and stereo alternating by id), so the decode-stats oracle is
+    shared arithmetic: a FLAC decode must surface byte-identical
+    samples to the closed form or every sum lane breaks."""
+    rows = []
+    for i in range(n):
+        m = _wav_variant_frames(i)
+        if i % 2 == 0:
+            s = np.stack(
+                [_wav_channel(i, 0, m, 16), _wav_channel(i, 1, m, 16)],
+                axis=1,
+            )
+        else:
+            s = _wav_channel(i, 0, m, 16)
+        rows.append(
+            (
+                id_offset + i,
+                "audio",
+                encode_flac(s, block_size=256),
+                "audio/flac",
+                None,
+                None,
+                m * 1000 // WAV_SAMPLE_RATE,
+            )
         )
     return _sized_media(spark, rows)

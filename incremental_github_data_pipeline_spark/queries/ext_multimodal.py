@@ -1331,3 +1331,71 @@ def q_media_vad_segments(spark: SparkSession, sf: str) -> DataFrame:
     return vad_segments(media, frame_len=160, threshold=512).orderBy(
         "media_id"
     )
+
+
+_FLAC_STATS_ORACLE = """
+    WITH var AS (
+      SELECT 2000 + i AS media_id, i % 2 AS v, 300 + 50 * (i % 8) AS m,
+             3 + (i % 7) AS k0, i * 11 AS o0,
+             5 + (i % 3) AS k1, i * 13 AS o1
+      FROM range(24) t(i)
+    ),
+    sums AS (
+      SELECT var.media_id, var.v, var.m,
+             SUM(((t.t*var.k0 + var.o0) % 2048) - 1024) AS sum_ch0,
+             SUM(CASE WHEN var.v = 0
+                 THEN ((t.t*var.k1 + var.o1) % 2048) - 1024 END) AS sum_ch1,
+             SUM(ABS(CASE
+                 WHEN var.v = 0 THEN CAST(FLOOR((
+                      (((t.t*var.k0 + var.o0) % 2048) - 1024)
+                    + (((t.t*var.k1 + var.o1) % 2048) - 1024)) / 2.0) AS BIGINT)
+                 ELSE (((t.t*var.k0 + var.o0) % 2048) - 1024)
+                 END)) AS sum_abs
+      FROM var, range(650) t(t) WHERE t.t < var.m
+      GROUP BY var.media_id, var.v, var.m
+    )
+    SELECT media_id, CAST(m AS BIGINT) AS n_samples,
+           CAST(m // 8 AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN v = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_channels,
+           CAST(sum_abs AS BIGINT) AS sum_abs,
+           CAST(sum_ch0 AS BIGINT) AS sum_ch0,
+           CAST(sum_ch1 AS BIGINT) AS sum_ch1
+    FROM sums ORDER BY media_id
+"""
+
+
+@register(
+    "q_media_flac_stats",
+    oracle=_FLAC_STATS_ORACLE,
+    doc="FLAC decode — the first COMPRESSED lossless audio lane "
+    "(operators/multimodal.encode_flac/decode_flac: fixed-predictor "
+    "subset, partitioned-rice residuals, CRC-8/CRC-16/MD5 verified; "
+    "LPC and mid-side stay honest NotImplementedError guards). FLAC "
+    "is integer-exact by format design, so unlike MP3's float "
+    "filterbank a decode-stats oracle works: the generator compresses "
+    "closed-form 16-bit signals (mono/stereo alternating) and DuckDB "
+    "recomputes every decoded sample's per-channel and downmix sums — "
+    "one wrong residual, prediction, or CRC window breaks a lane.",
+)
+def q_media_flac_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        decode_stats,
+        make_flac_media,
+    )
+
+    stats = decode_stats(make_flac_media(spark, n=24))
+    return stats.select(
+        "media_id",
+        "n_samples",
+        "duration_ms",
+        "n_channels",
+        F.round(F.col("mean_abs_sample") * F.col("n_samples"))
+        .cast("long")
+        .alias("sum_abs"),
+        F.round(F.col("mean_ch0") * F.col("n_samples"))
+        .cast("long")
+        .alias("sum_ch0"),
+        F.round(F.col("mean_ch1") * F.col("n_samples"))
+        .cast("long")
+        .alias("sum_ch1"),
+    ).orderBy("media_id")

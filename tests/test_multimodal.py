@@ -1243,3 +1243,87 @@ class TestVadSegments:
         assert (r["n_voiced"], r["n_segments"], r["longest_segment"]) == (
             0, 0, 0,
         )
+
+
+class TestFlac:
+    def test_roundtrip_mono_and_stereo_bit_exact(self):
+        s = ((np.arange(5000) * 13) % 4096 - 2048).astype(np.int16)
+        sr, out = mm.decode_flac(mm.encode_flac(s, 8000, block_size=1024))
+        assert sr == 8000 and np.array_equal(out, s)
+        st = np.stack(
+            [s, ((np.arange(5000) * 7 + 3) % 4096 - 2048).astype(np.int16)],
+            axis=1,
+        )
+        _, out = mm.decode_flac(mm.encode_flac(st, 8000, block_size=777))
+        assert out.shape == (5000, 2) and np.array_equal(out, st)
+
+    def test_constant_and_extreme_values(self):
+        # constant blocks take the CONSTANT subframe path; int16
+        # extremes must survive the 16-bit signed lanes
+        s = np.full(600, -32768, dtype=np.int16)
+        s[300:] = 32767
+        _, out = mm.decode_flac(mm.encode_flac(s, 8000, block_size=300))
+        assert np.array_equal(out, s)
+
+    def test_random_noise_roundtrip(self):
+        # incompressible input exercises the VERBATIM escape
+        rng = np.random.default_rng(7)
+        s = rng.integers(-32768, 32768, size=3000, dtype=np.int16)
+        payload = mm.encode_flac(s, 8000, block_size=512)
+        _, out = mm.decode_flac(payload)
+        assert np.array_equal(out, s)
+
+    def test_compresses_smooth_signals(self):
+        # the point of FLAC: a smooth ramp (order-1/2 residuals ~0)
+        # must come out far smaller than raw PCM
+        s = (np.arange(20000) % 8192 - 4096).astype(np.int16)
+        payload = mm.encode_flac(s, 8000)
+        assert len(payload) < len(s) * 2 * 0.25
+
+    def test_corruption_detected_by_crc(self):
+        s = ((np.arange(800) * 13) % 4096 - 2048).astype(np.int16)
+        payload = bytearray(mm.encode_flac(s, 8000, block_size=800))
+        payload[-40] ^= 0x40  # flip a residual bit in the last frame
+        with pytest.raises(ValueError):
+            mm.decode_flac(bytes(payload))
+
+    def test_md5_signature_verified(self):
+        s = ((np.arange(800) * 13) % 4096 - 2048).astype(np.int16)
+        payload = bytearray(mm.encode_flac(s, 8000, block_size=400))
+        # STREAMINFO md5 lives in bytes 8+18 .. 8+34 of the block body
+        payload[26 + 5] ^= 0xFF
+        with pytest.raises(ValueError, match="MD5"):
+            mm.decode_flac(bytes(payload))
+
+    def test_streaminfo_fields(self):
+        st = np.stack(
+            [np.zeros(700, dtype=np.int16), np.ones(700, dtype=np.int16)],
+            axis=1,
+        )
+        payload = mm.encode_flac(st, 44100, block_size=256)
+        assert payload[:4] == b"fLaC"
+        sr, out = mm.decode_flac(payload)
+        assert sr == 44100 and out.shape == (700, 2)
+
+    def test_decode_stats_flac_matches_wav_closed_form(self, spark):
+        """decode_stats over FLAC media must reproduce the same
+        closed-form per-channel sums as the WAV generator — the decode
+        path is lossless end-to-end through Spark."""
+        stats = {
+            r["media_id"]: r
+            for r in mm.decode_stats(mm.make_flac_media(spark, n=4)).collect()
+        }
+        for i in range(4):
+            r = stats[2000 + i]
+            m = mm._wav_variant_frames(i)
+            ch = 2 if i % 2 == 0 else 1
+            c0 = mm._wav_channel(i, 0, m, 16).astype(np.int64)
+            assert r["n_samples"] == m and r["n_channels"] == ch
+            assert abs(r["mean_ch0"] - c0.mean()) < 1e-9
+            if ch == 2:
+                c1 = mm._wav_channel(i, 1, m, 16).astype(np.int64)
+                assert abs(r["mean_ch1"] - c1.mean()) < 1e-9
+                mono = (c0 + c1) // 2
+            else:
+                mono = c0
+            assert abs(r["mean_abs_sample"] - np.abs(mono).mean()) < 1e-9
