@@ -1536,3 +1536,69 @@ def compact_index(
         "termstats": compact(spark, f"{table_root}/termstats"),
         "docstats": compact(spark, f"{table_root}/docstats"),
     }
+
+
+def run_incremental_hll_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    table_root: str,
+    checkpoint: str,
+    schema: str,
+    group_col: str,
+    key_col: str,
+    p: int = 8,
+) -> None:
+    """Incremental DISTINCT-COUNT maintenance: watch a directory of
+    parquet shards (``schema``, e.g. ``"seg string, user_id long"``),
+    sketch each micro-batch with :func:`~incremental_github_data_pipeline_spark.
+    operators.incremental_agg.hll_registers`, fold it into the current
+    register state with ``hll_merge`` (union + max — associative,
+    commutative, idempotent), and commit the merged state as the next
+    version of a manifest-versioned table. Distinct counts are the
+    canonical NON-algebraic aggregate (the rollup module refuses them
+    outright — ``incremental_agg`` module docstring); the sketch makes
+    them incrementally maintainable with O(state) work per batch,
+    where state = groups × 2^p rows REGARDLESS of batch or history
+    size, and exact-replay determinism survives because the register
+    table is integer arithmetic end-to-end.
+
+    Exactly-once: foreachBatch is at-least-once, so each commit
+    carries ``txn_id = hll-ingest:<checkpoint>:<batch_id>`` and a
+    replayed batch is a no-op. Commits use ``mode="overwrite"``
+    (the state is a snapshot, not a log), so every version is a
+    consistent time-traveled sketch of the stream so far; max-merge
+    idempotence means even a torn retry that re-merges an already-
+    folded batch cannot change the state. Serving: ``read_version`` +
+    ``hll_estimate`` at any version."""
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        hll_merge,
+        hll_registers,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        regs = hll_registers(batch_df, group_col, key_col, p=p)
+        if latest_version(table_root) is not None:
+            regs = hll_merge(read_version(spark, table_root), regs)
+        commit_version(
+            regs,
+            table_root,
+            mode="overwrite",
+            txn_id=f"hll-ingest:{checkpoint}:{batch_id}",
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1202,3 +1202,82 @@ def test_hybrid_search_versioned_matches_one_shot_lanes(spark, tmp_path):
         for r in rrf_fuse(lex, sem, k0=60, k=5).collect()
     }
     assert got == want and got
+
+
+def test_incremental_hll_ingest_merges_and_time_travels(spark, tmp_path):
+    """Distinct-count sketch maintenance: two incremental batches must
+    (a) be replay-idempotent, (b) produce EXACTLY the register state of
+    one-shot sketching the union (the hll_merge law through the
+    versioned store), (c) time-travel — version 1 is batch 1's state —
+    and (d) estimate within sketch error at every version."""
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        hll_estimate,
+        hll_registers,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        latest_version,
+        read_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        run_incremental_hll_ingest,
+    )
+
+    src = tmp_path / "shards"
+    root = str(tmp_path / "hll")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "seg string, user_id long"
+    b1 = spark.createDataFrame(
+        [("a", i) for i in range(0, 800)] + [("b", i) for i in range(0, 50)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [("a", i) for i in range(400, 1200)]  # half overlap with b1
+        + [("b", i) for i in range(50, 80)],
+        schema,
+    )
+
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    run_incremental_hll_ingest(
+        spark, str(src), root, ckpt, schema, "seg", "user_id", p=8
+    )
+    v1 = latest_version(root)
+    run_incremental_hll_ingest(  # replay: no new version
+        spark, str(src), root, ckpt, schema, "seg", "user_id", p=8
+    )
+    assert latest_version(root) == v1
+
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    run_incremental_hll_ingest(
+        spark, str(src), root, ckpt, schema, "seg", "user_id", p=8
+    )
+    assert latest_version(root) == v1 + 1
+
+    got = {
+        (r["seg"], r["hll_idx"], r["hll_rho"])
+        for r in read_version(spark, root).collect()
+    }
+    want = {
+        (r["seg"], r["hll_idx"], r["hll_rho"])
+        for r in hll_registers(
+            b1.unionByName(b2), "seg", "user_id", p=8
+        ).collect()
+    }
+    assert got == want and got
+
+    # time travel: v1 is batch 1 alone
+    old = {
+        (r["seg"], r["hll_idx"], r["hll_rho"])
+        for r in read_version(spark, root, version=v1).collect()
+    }
+    want_v1 = {
+        (r["seg"], r["hll_idx"], r["hll_rho"])
+        for r in hll_registers(b1, "seg", "user_id", p=8).collect()
+    }
+    assert old == want_v1
+
+    est = {
+        r["seg"]: r["hll_est"]
+        for r in hll_estimate(read_version(spark, root), "seg", p=8).collect()
+    }
+    assert abs(est["a"] - 1200) / 1200 < 0.2
+    assert abs(est["b"] - 80) / 80 < 0.2
