@@ -494,11 +494,12 @@ def decode_stats(media: DataFrame) -> DataFrame:
                     "mean_g": None, "mean_b": None, "mean_abs_sample": None,
                     "n_channels": None, "mean_ch0": None, "mean_ch1": None,
                 }
-                if r.mime in ("image/bmp", "image/jpeg"):
-                    px = (
-                        decode_bmp(r.payload) if r.mime == "image/bmp"
-                        else decode_jpeg(r.payload)
-                    )
+                if r.mime in ("image/bmp", "image/jpeg", "image/tiff"):
+                    px = {
+                        "image/bmp": decode_bmp,
+                        "image/jpeg": decode_jpeg,
+                        "image/tiff": decode_tiff,
+                    }[r.mime](r.payload)
                     if px.ndim == 2:  # grayscale → same mean per channel
                         px = np.repeat(px[:, :, None], 3, axis=2)
                     row.update(
@@ -3887,6 +3888,194 @@ def make_flac_media(spark, n: int = 24, id_offset: int = 2000) -> DataFrame:
                 None,
                 None,
                 m * 1000 // WAV_SAMPLE_RATE,
+            )
+        )
+    return _sized_media(spark, rows)
+
+
+# ---------------------------------------------------------------------------
+# TIFF — baseline (TIFF 6.0 bilevel/gray/RGB, uncompressed) — the
+# scientific/scan/archival image tier. Spec: the public TIFF 6.0
+# specification. Encoder writes little-endian single-strip baseline
+# files; decoder handles both byte orders, multi-strip layouts, 8-bit
+# grayscale (PhotometricInterpretation 1) and 24-bit RGB (2).
+# Compressed variants (LZW/PackBits/JPEG-in-TIFF), planar layouts and
+# tiles raise NotImplementedError — honest scope, never a mis-decode.
+# ---------------------------------------------------------------------------
+
+_TIFF_TAG_WIDTH = 256
+_TIFF_TAG_LENGTH = 257
+_TIFF_TAG_BITS = 258
+_TIFF_TAG_COMPRESSION = 259
+_TIFF_TAG_PHOTOMETRIC = 262
+_TIFF_TAG_STRIP_OFFSETS = 273
+_TIFF_TAG_SAMPLES = 277
+_TIFF_TAG_ROWS_PER_STRIP = 278
+_TIFF_TAG_STRIP_COUNTS = 279
+_TIFF_TAG_PLANAR = 284
+
+
+def encode_tiff(px: np.ndarray, rows_per_strip: int | None = None) -> bytes:
+    """Encode (h, w) uint8 grayscale or (h, w, 3) uint8 RGB as an
+    uncompressed little-endian baseline TIFF. ``rows_per_strip``
+    splits the raster into multiple strips (default: one strip) — the
+    layout real scanners emit, exercised by the decoder tests."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    spp = 1 if gray else 3
+    rps = h if rows_per_strip is None else rows_per_strip
+    strips = []
+    for r0 in range(0, h, rps):
+        strips.append(px[r0 : r0 + rps].tobytes())
+
+    n_entries = 10
+    # layout: header(8) | IFD | [bits values if RGB] | offsets/counts
+    # arrays (if >2 strips... always externalized for simplicity when
+    # count > 1) | strip data
+    ifd_off = 8
+    ifd_size = 2 + n_entries * 12 + 4
+    cursor = ifd_off + ifd_size
+    bits_off = 0
+    if spp == 3:
+        bits_off = cursor
+        cursor += 6  # three SHORTs
+    n_strips = len(strips)
+    so_off = sc_off = 0
+    if n_strips > 1:
+        so_off = cursor
+        cursor += 4 * n_strips
+        sc_off = cursor
+        cursor += 4 * n_strips
+    data_off = cursor
+    offsets = []
+    pos = data_off
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    entries = [
+        entry(_TIFF_TAG_WIDTH, 3, 1, w),
+        entry(_TIFF_TAG_LENGTH, 3, 1, h),
+        (
+            entry(_TIFF_TAG_BITS, 3, 1, 8)
+            if spp == 1
+            else entry(_TIFF_TAG_BITS, 3, 3, bits_off)
+        ),
+        entry(_TIFF_TAG_COMPRESSION, 3, 1, 1),
+        entry(_TIFF_TAG_PHOTOMETRIC, 3, 1, 1 if gray else 2),
+        (
+            entry(_TIFF_TAG_STRIP_OFFSETS, 4, 1, offsets[0])
+            if n_strips == 1
+            else entry(_TIFF_TAG_STRIP_OFFSETS, 4, n_strips, so_off)
+        ),
+        entry(_TIFF_TAG_SAMPLES, 3, 1, spp),
+        entry(_TIFF_TAG_ROWS_PER_STRIP, 3, 1, rps),
+        (
+            entry(_TIFF_TAG_STRIP_COUNTS, 4, 1, len(strips[0]))
+            if n_strips == 1
+            else entry(_TIFF_TAG_STRIP_COUNTS, 4, n_strips, sc_off)
+        ),
+        entry(_TIFF_TAG_PLANAR, 3, 1, 1),
+    ]
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    out += struct.pack("<H", n_entries)
+    for e in sorted(entries, key=lambda b: struct.unpack("<H", b[:2])[0]):
+        out += e
+    out += struct.pack("<I", 0)  # no next IFD
+    if spp == 3:
+        out += struct.pack("<HHH", 8, 8, 8)
+    if n_strips > 1:
+        out += struct.pack(f"<{n_strips}I", *offsets)
+        out += struct.pack(f"<{n_strips}I", *(len(s) for s in strips))
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Decode baseline uncompressed TIFF → (h, w) uint8 grayscale or
+    (h, w, 3) uint8 RGB. Handles II and MM byte orders and multi-strip
+    rasters; compression, planar config 2, tiles and non-8-bit depths
+    raise ``NotImplementedError``."""
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        tag, typ, count, raw = struct.unpack_from(
+            bo + "HHII", payload, ifd_off + 2 + i * 12
+        )
+        tags[tag] = (typ, count, raw)
+
+    def values(tag: int, default=None) -> list[int]:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return [default]
+        typ, count, raw = tags[tag]
+        size = {3: 2, 4: 4}[typ]
+        fmt = "H" if typ == 3 else "I"
+        if size * count <= 4:
+            # packed into the value field (left-justified in file order)
+            buf = struct.pack(bo + "I", raw)
+            if bo == ">":
+                return list(
+                    struct.unpack_from(bo + fmt * count, buf, 0)
+                )
+            return list(struct.unpack_from(bo + fmt * count, buf, 0))
+        return list(struct.unpack_from(bo + fmt * count, payload, raw))
+
+    w = values(_TIFF_TAG_WIDTH)[0]
+    h = values(_TIFF_TAG_LENGTH)[0]
+    comp = values(_TIFF_TAG_COMPRESSION, 1)[0]
+    if comp != 1:
+        raise NotImplementedError(f"TIFF compression {comp} not supported")
+    if values(_TIFF_TAG_PLANAR, 1)[0] != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF not supported")
+    spp = values(_TIFF_TAG_SAMPLES, 1)[0]
+    bits = values(_TIFF_TAG_BITS, 8)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("only 8-bit TIFF samples supported")
+    offs = values(_TIFF_TAG_STRIP_OFFSETS)
+    cnts = values(_TIFF_TAG_STRIP_COUNTS)
+    raster = b"".join(payload[o : o + c] for o, c in zip(offs, cnts))
+    arr = np.frombuffer(raster, dtype=np.uint8, count=h * w * spp)
+    return arr.reshape(h, w) if spp == 1 else arr.reshape(h, w, spp)
+
+
+def make_tiff_media(spark, n: int = 24, id_offset: int = 3000) -> DataFrame:
+    """Media table of baseline TIFF images over the SAME closed-form
+    pixel rule as :func:`make_real_media`'s BMP lane (RGB and
+    grayscale alternating; multi-strip layouts every third id), so the
+    decode-stats oracle is shared arithmetic."""
+    rows = []
+    for i in range(n):
+        px = _image_pixels(i)
+        if i % 2 == 1:
+            px = px[:, :, 0]  # grayscale lane: channel 0 of the rule
+        rps = None if i % 3 else 5  # every third id: multi-strip
+        rows.append(
+            (
+                id_offset + i,
+                "image",
+                encode_tiff(px, rows_per_strip=rps),
+                "image/tiff",
+                px.shape[1],
+                px.shape[0],
+                None,
             )
         )
     return _sized_media(spark, rows)

@@ -49,8 +49,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #       bench leans on should also be the freshest-certified;
 #   (c) fill to 50 with the oldest r5-vintage rows (alphabetical).
 # After this round no query's newest driver green predates r5; the
-# r5-vintage rows queueing for round 10: q05_region_volume,
-# q_approx_profile,
+# r5-vintage rows queueing for round 10: q03_shipping_priority,
+# q05_region_volume, q_approx_profile,
 # q_chi_square_cells, q_conversion_window, q_doc_boilerplate_lines,
 # q_doc_bpe_tokens, q_doc_cap_per_source, q_doc_contained,
 # q_doc_inverted_index, q_doc_negatives, q_doc_pack_sequences,
@@ -76,6 +76,7 @@ _CERTIFY_FIRST = [
     "q_wordpiece_vocab",
     "q_media_decode_stats",
     "q_media_flac_stats",
+    "q_media_tiff_stats",
     # -- (a) newest green row is r4-vintage (34) --
     "q_doc_bloom_prefilter",
     "q_doc_cm_counts",
@@ -117,8 +118,6 @@ _CERTIFY_FIRST = [
     "q_doc_allpairs_join",
     "q_graph_pagerank",
     "q_doc_minhash_join",
-    # -- (c) oldest r5-vintage rows (fill to 50, alphabetical) --
-    "q03_shipping_priority",
 ]
 
 

@@ -1399,3 +1399,59 @@ def q_media_flac_stats(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("sum_ch1"),
     ).orderBy("media_id")
+
+
+_TIFF_STATS_ORACLE = """
+    WITH img AS (
+      SELECT 3000 + i AS media_id, i AS i, i % 2 AS gray,
+             16 + (i % 13) AS w, 12 + (i % 11) AS h
+      FROM range(24) t(i)
+    ),
+    sums AS (
+      SELECT img.media_id, img.gray, img.w, img.h,
+             SUM(CASE WHEN c.c = 0
+                 THEN (x.x*7 + y.y*13 + c.c*29 + img.i*3) % 256 END) AS s0,
+             SUM(CASE WHEN c.c = 1
+                 THEN (x.x*7 + y.y*13 + c.c*29 + img.i*3) % 256 END) AS s1,
+             SUM(CASE WHEN c.c = 2
+                 THEN (x.x*7 + y.y*13 + c.c*29 + img.i*3) % 256 END) AS s2
+      FROM img, range(28) x(x), range(22) y(y), range(3) c(c)
+      WHERE x.x < img.w AND y.y < img.h
+      GROUP BY img.media_id, img.gray, img.w, img.h
+    )
+    SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(s0 AS BIGINT) AS sum_r,
+           CAST(CASE WHEN gray = 1 THEN s0 ELSE s1 END AS BIGINT) AS sum_g,
+           CAST(CASE WHEN gray = 1 THEN s0 ELSE s2 END AS BIGINT) AS sum_b
+    FROM sums ORDER BY media_id
+"""
+
+
+@register(
+    "q_media_tiff_stats",
+    oracle=_TIFF_STATS_ORACLE,
+    doc="Baseline TIFF decode (operators/multimodal.encode_tiff/"
+    "decode_tiff: TIFF 6.0 uncompressed, II+MM byte orders, "
+    "multi-strip rasters, 8-bit gray + 24-bit RGB; LZW/PackBits/"
+    "planar/tiled stay honest NotImplementedError guards) — the "
+    "scientific/scan/archival image tier. RGB and grayscale lanes "
+    "alternate, every third file is multi-strip; DuckDB recomputes "
+    "every decoded pixel's closed form, so a wrong strip offset, "
+    "byte-order or IFD walk breaks an integer sum lane.",
+)
+def q_media_tiff_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        decode_stats,
+        make_tiff_media,
+    )
+
+    stats = decode_stats(make_tiff_media(spark, n=24))
+    npix = F.col("width") * F.col("height")
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("mean_r") * npix).cast("long").alias("sum_r"),
+        F.round(F.col("mean_g") * npix).cast("long").alias("sum_g"),
+        F.round(F.col("mean_b") * npix).cast("long").alias("sum_b"),
+    ).orderBy("media_id")

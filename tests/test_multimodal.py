@@ -1327,3 +1327,78 @@ class TestFlac:
             else:
                 mono = c0
             assert abs(r["mean_abs_sample"] - np.abs(mono).mean()) < 1e-9
+
+
+class TestTiff:
+    def test_roundtrip_rgb_gray_and_strips(self):
+        px = mm._image_pixels(4)
+        for rps in (None, 3, 1):
+            assert np.array_equal(
+                mm.decode_tiff(mm.encode_tiff(px, rows_per_strip=rps)), px
+            )
+        g = px[:, :, 1]
+        assert np.array_equal(mm.decode_tiff(mm.encode_tiff(g)), g)
+
+    def test_big_endian_decode(self):
+        """Hand-built MM (Motorola) grayscale TIFF: the decoder must
+        honor the declared byte order, including SHORT values packed
+        left-justified inside the 4-byte IFD value field."""
+        import struct as st
+
+        h, w = 3, 4
+        raster = bytes(range(h * w))
+        ifd_off = 8
+        entries = [
+            (256, 3, 1, w << 16),
+            (257, 3, 1, h << 16),
+            (258, 3, 1, 8 << 16),
+            (259, 3, 1, 1 << 16),
+            (262, 3, 1, 1 << 16),
+            (273, 4, 1, 0),  # patched below
+            (277, 3, 1, 1 << 16),
+            (278, 3, 1, h << 16),
+            (279, 4, 1, h * w),
+        ]
+        data_off = ifd_off + 2 + len(entries) * 12 + 4
+        entries[5] = (273, 4, 1, data_off)
+        buf = b"MM" + st.pack(">HI", 42, ifd_off) + st.pack(">H", len(entries))
+        for tag, typ, cnt, val in entries:
+            buf += st.pack(">HHII", tag, typ, cnt, val)
+        buf += st.pack(">I", 0) + raster
+        out = mm.decode_tiff(buf)
+        assert out.shape == (h, w)
+        assert np.array_equal(out, np.arange(h * w, dtype=np.uint8).reshape(h, w))
+
+    def test_unsupported_variants_raise(self):
+        px = mm._image_pixels(0)
+        payload = bytearray(mm.encode_tiff(px))
+        # compression tag (259) value lives in the sorted IFD; patch it
+        # to LZW (5) and expect the honest guard
+        import struct as st
+
+        n = st.unpack_from("<H", payload, 8)[0]
+        for i in range(n):
+            off = 10 + i * 12
+            if st.unpack_from("<H", payload, off)[0] == 259:
+                st.pack_into("<I", payload, off + 8, 5)
+        with pytest.raises(NotImplementedError):
+            mm.decode_tiff(bytes(payload))
+        with pytest.raises(ValueError):
+            mm.decode_tiff(b"XX" + bytes(payload[2:]))
+
+    def test_decode_stats_tiff_closed_form(self, spark):
+        stats = {
+            r["media_id"]: r
+            for r in mm.decode_stats(mm.make_tiff_media(spark, n=4)).collect()
+        }
+        for i in range(4):
+            r = stats[3000 + i]
+            px = mm._image_pixels(i)
+            assert (r["width"], r["height"]) == (px.shape[1], px.shape[0])
+            if i % 2 == 1:  # grayscale lane: channel-0 rule on all lanes
+                want = px[:, :, 0].mean()
+                assert abs(r["mean_r"] - want) < 1e-9
+                assert abs(r["mean_b"] - want) < 1e-9
+            else:
+                assert abs(r["mean_r"] - px[:, :, 0].mean()) < 1e-9
+                assert abs(r["mean_g"] - px[:, :, 1].mean()) < 1e-9
