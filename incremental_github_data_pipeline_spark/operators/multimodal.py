@@ -3915,20 +3915,50 @@ _TIFF_TAG_STRIP_COUNTS = 279
 _TIFF_TAG_PLANAR = 284
 
 
-def encode_tiff(px: np.ndarray, rows_per_strip: int | None = None) -> bytes:
-    """Encode (h, w) uint8 grayscale or (h, w, 3) uint8 RGB as an
-    uncompressed little-endian baseline TIFF. ``rows_per_strip``
-    splits the raster into multiple strips (default: one strip) — the
-    layout real scanners emit, exercised by the decoder tests."""
+def encode_tiff(
+    px: np.ndarray,
+    rows_per_strip: int | None = None,
+    compression: str = "none",
+    predictor: bool = False,
+) -> bytes:
+    """Encode (h, w) uint8 grayscale or (h, w, 3) uint8 RGB as a
+    little-endian TIFF. ``rows_per_strip`` splits the raster into
+    multiple strips (default: one strip) — the layout real scanners
+    emit. ``compression``: ``"none"`` (1), ``"packbits"`` (32773,
+    per-row RLE packets per the spec's note), or ``"lzw"`` (5, TIFF
+    EarlyChange variant); ``predictor=True`` (tag 317 = 2, horizontal
+    differencing per sample) is the standard companion that makes LZW
+    bite on smooth rasters."""
     gray = px.ndim == 2
     h, w = px.shape[:2]
     spp = 1 if gray else 3
     rps = h if rows_per_strip is None else rows_per_strip
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    src = px
+    if predictor:
+        if compression != "lzw":
+            raise ValueError("predictor is defined here for lzw only")
+        p = px.astype(np.int16)
+        src = np.empty_like(px)
+        if gray:
+            src[:, 0] = px[:, 0]
+            src[:, 1:] = (p[:, 1:] - p[:, :-1]).astype(np.uint8)
+        else:
+            src[:, 0, :] = px[:, 0, :]
+            src[:, 1:, :] = (p[:, 1:, :] - p[:, :-1, :]).astype(np.uint8)
     strips = []
     for r0 in range(0, h, rps):
-        strips.append(px[r0 : r0 + rps].tobytes())
+        raw = src[r0 : r0 + rps]
+        if comp_code == 1:
+            strips.append(raw.tobytes())
+        elif comp_code == 32773:
+            strips.append(
+                b"".join(_packbits_encode(row.tobytes()) for row in raw)
+            )
+        else:
+            strips.append(_tiff_lzw_encode(raw.tobytes()))
 
-    n_entries = 10
+    n_entries = 10 + (1 if predictor else 0)
     # layout: header(8) | IFD | [bits values if RGB] | offsets/counts
     # arrays (if >2 strips... always externalized for simplicity when
     # count > 1) | strip data
@@ -3964,7 +3994,7 @@ def encode_tiff(px: np.ndarray, rows_per_strip: int | None = None) -> bytes:
             if spp == 1
             else entry(_TIFF_TAG_BITS, 3, 3, bits_off)
         ),
-        entry(_TIFF_TAG_COMPRESSION, 3, 1, 1),
+        entry(_TIFF_TAG_COMPRESSION, 3, 1, comp_code),
         entry(_TIFF_TAG_PHOTOMETRIC, 3, 1, 1 if gray else 2),
         (
             entry(_TIFF_TAG_STRIP_OFFSETS, 4, 1, offsets[0])
@@ -3980,6 +4010,8 @@ def encode_tiff(px: np.ndarray, rows_per_strip: int | None = None) -> bytes:
         ),
         entry(_TIFF_TAG_PLANAR, 3, 1, 1),
     ]
+    if predictor:
+        entries.append(entry(317, 3, 1, 2))
     out = bytearray()
     out += b"II" + struct.pack("<HI", 42, ifd_off)
     out += struct.pack("<H", n_entries)
@@ -4039,39 +4071,67 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     w = values(_TIFF_TAG_WIDTH)[0]
     h = values(_TIFF_TAG_LENGTH)[0]
     comp = values(_TIFF_TAG_COMPRESSION, 1)[0]
-    if comp != 1:
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {comp} not supported")
     if values(_TIFF_TAG_PLANAR, 1)[0] != 1:
         raise NotImplementedError("planar TIFF not supported")
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF not supported")
+    pred = values(317, 1)[0]
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred} not supported")
     spp = values(_TIFF_TAG_SAMPLES, 1)[0]
     bits = values(_TIFF_TAG_BITS, 8)
     if any(b != 8 for b in bits):
         raise NotImplementedError("only 8-bit TIFF samples supported")
     offs = values(_TIFF_TAG_STRIP_OFFSETS)
     cnts = values(_TIFF_TAG_STRIP_COUNTS)
-    raster = b"".join(payload[o : o + c] for o, c in zip(offs, cnts))
+    rps = values(_TIFF_TAG_ROWS_PER_STRIP, h)[0]
+    parts = []
+    for si, (o, c) in enumerate(zip(offs, cnts)):
+        rows_here = min(rps, h - si * rps)
+        expected = rows_here * w * spp
+        chunk = payload[o : o + c]
+        if comp == 1:
+            parts.append(chunk[:expected])
+        elif comp == 32773:
+            parts.append(_packbits_decode(chunk, expected))
+        else:
+            parts.append(_tiff_lzw_decode(chunk, expected))
+    raster = b"".join(parts)
     arr = np.frombuffer(raster, dtype=np.uint8, count=h * w * spp)
-    return arr.reshape(h, w) if spp == 1 else arr.reshape(h, w, spp)
+    arr = arr.reshape(h, w) if spp == 1 else arr.reshape(h, w, spp)
+    if pred == 2:  # horizontal differencing: integrate along the row
+        acc = arr.astype(np.int64)
+        arr = (np.cumsum(acc, axis=1) % 256).astype(np.uint8)
+    return arr
 
 
 def make_tiff_media(spark, n: int = 24, id_offset: int = 3000) -> DataFrame:
     """Media table of baseline TIFF images over the SAME closed-form
     pixel rule as :func:`make_real_media`'s BMP lane (RGB and
-    grayscale alternating; multi-strip layouts every third id), so the
-    decode-stats oracle is shared arithmetic."""
+    grayscale alternating; multi-strip layouts every third id;
+    compression cycles none → PackBits → LZW, with the horizontal
+    predictor on half the LZW files), so the decode-stats oracle is
+    shared arithmetic — compression must be perfectly invisible to
+    every decoded-sum lane."""
     rows = []
     for i in range(n):
         px = _image_pixels(i)
         if i % 2 == 1:
             px = px[:, :, 0]  # grayscale lane: channel 0 of the rule
         rps = None if i % 3 else 5  # every third id: multi-strip
+        comp = ["none", "packbits", "lzw"][i % 3]
         rows.append(
             (
                 id_offset + i,
                 "image",
-                encode_tiff(px, rows_per_strip=rps),
+                encode_tiff(
+                    px,
+                    rows_per_strip=rps,
+                    compression=comp,
+                    predictor=(comp == "lzw" and i % 2 == 0),
+                ),
                 "image/tiff",
                 px.shape[1],
                 px.shape[0],
@@ -4079,3 +4139,123 @@ def make_tiff_media(spark, n: int = 24, id_offset: int = 3000) -> DataFrame:
             )
         )
     return _sized_media(spark, rows)
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Apple PackBits (TIFF compression 32773): literal packets
+    (n, bytes[n+1]) for 0 ≤ n ≤ 127, run packets (257-n, byte) for
+    129 ≤ n ≤ 255. Greedy: runs of ≥3 become run packets (2-byte runs
+    ride inside literals, the spec's recommendation)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    lit_start = i
+    while i < n:
+        run = 1
+        while i + run < n and row[i + run] == row[i] and run < 128:
+            run += 1
+        if run >= 3:
+            while lit_start < i:  # flush pending literals
+                take = min(128, i - lit_start)
+                out.append(take - 1)
+                out += row[lit_start : lit_start + take]
+                lit_start += take
+            out.append(257 - run)
+            out.append(row[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    while lit_start < i:
+        take = min(128, i - lit_start)
+        out.append(take - 1)
+        out += row[lit_start : lit_start + take]
+        lit_start += take
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("PackBits strip truncated")
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW (compression 5): MSB-first variable-width codes
+    9→12 bits, ClearCode 256 / EOI 257, and the TIFF "EarlyChange"
+    convention — the code width bumps one code EARLIER than the table
+    size alone would require. Plain string-table encoder; the table
+    resets at 4094 entries per the spec."""
+    CLEAR, EOI = 256, 257
+    out = _FlacBitWriter()  # plain MSB-first writer (no byte stuffing)
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out.write(CLEAR, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        out.write(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # EarlyChange: width grows when the NEXT code would not fit
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            out.write(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        out.write(table[w], width)
+    out.write(EOI, width)
+    out.align()
+    return bytes(out.out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    CLEAR, EOI = 256, 257
+    br = _FlacBitReader(data)
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = br.read_bits(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("invalid TIFF LZW code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        # EarlyChange mirror: the decoder's table is one entry BEHIND
+        # the encoder's (it appends only after the next code arrives),
+        # so it must widen one entry earlier than the table size alone
+        # suggests — the off-by-one TIFF's EarlyChange is famous for
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out[:expected])

@@ -1373,14 +1373,15 @@ class TestTiff:
         px = mm._image_pixels(0)
         payload = bytearray(mm.encode_tiff(px))
         # compression tag (259) value lives in the sorted IFD; patch it
-        # to LZW (5) and expect the honest guard
+        # to JPEG-in-TIFF (7 — genuinely unsupported; PackBits and LZW
+        # are real since r9) and expect the honest guard
         import struct as st
 
         n = st.unpack_from("<H", payload, 8)[0]
         for i in range(n):
             off = 10 + i * 12
             if st.unpack_from("<H", payload, off)[0] == 259:
-                st.pack_into("<I", payload, off + 8, 5)
+                st.pack_into("<I", payload, off + 8, 7)
         with pytest.raises(NotImplementedError):
             mm.decode_tiff(bytes(payload))
         with pytest.raises(ValueError):
@@ -1402,3 +1403,37 @@ class TestTiff:
             else:
                 assert abs(r["mean_r"] - px[:, :, 0].mean()) < 1e-9
                 assert abs(r["mean_g"] - px[:, :, 1].mean()) < 1e-9
+
+
+class TestTiffCompression:
+    def test_all_compressions_roundtrip(self):
+        px = mm._image_pixels(7)
+        g = px[:, :, 2]
+        for comp in ("none", "packbits", "lzw"):
+            for rps in (None, 4):
+                for im in (px, g):
+                    got = mm.decode_tiff(
+                        mm.encode_tiff(im, rows_per_strip=rps, compression=comp)
+                    )
+                    assert np.array_equal(got, im), (comp, rps, im.shape)
+
+    def test_lzw_predictor_roundtrip_and_compression_bite(self):
+        smooth = np.tile(np.arange(256, dtype=np.uint8), (64, 4))
+        raw = mm.encode_tiff(smooth)
+        lzwp = mm.encode_tiff(smooth, compression="lzw", predictor=True)
+        assert np.array_equal(mm.decode_tiff(lzwp), smooth)
+        # horizontal differencing turns the gradient into a constant
+        # stream: LZW must collapse it by >5x (measured ~95x)
+        assert len(lzwp) < len(raw) * 0.2
+
+    def test_lzw_table_reset_on_large_noise(self):
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, size=(80, 90, 3), dtype=np.uint8)
+        got = mm.decode_tiff(mm.encode_tiff(px, compression="lzw"))
+        assert np.array_equal(got, px)  # >4094 codes -> table resets
+
+    def test_packbits_known_packets(self):
+        # literal + run mix with exact packet layout
+        assert mm._packbits_encode(b"aaaa") == bytes([253]) + b"a"
+        assert mm._packbits_encode(b"abc") == bytes([2]) + b"abc"
+        assert mm._packbits_decode(bytes([128, 253]) + b"a", 4) == b"aaaa"
