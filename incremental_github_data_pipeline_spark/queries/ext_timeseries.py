@@ -542,3 +542,110 @@ def q_ts_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_ts_seasonal_anomaly",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, hr, cents, cents * 10000 AS vs,
+             (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) - 1)
+               % 24 AS phase,
+             SUM(cents * 10000) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tsum,
+             COUNT(*) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tcnt
+      FROM h
+    ),
+    trended AS (
+      SELECT *, ((tsum + tcnt * {_B}) // tcnt) - {_B} AS trend_s
+      FROM base
+    ),
+    seas AS (
+      SELECT event_type, phase,
+             ((SUM(vs - trend_s) + COUNT(*) * {_B}) // COUNT(*)) - {_B}
+               AS seasonal_s
+      FROM trended GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT t.event_type, t.hr,
+             t.vs - t.trend_s - s.seasonal_s AS r
+      FROM trended t JOIN seas s USING (event_type, phase)
+    ),
+    med AS (
+      SELECT event_type, r AS med FROM (
+        SELECT event_type, r,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM resid) WHERE rn = (n + 1) // 2
+    ),
+    mad AS (
+      SELECT d.event_type, d.dev AS mad FROM (
+        SELECT r.event_type, ABS(r.r - m.med) AS dev,
+               ROW_NUMBER() OVER (PARTITION BY r.event_type
+                                  ORDER BY ABS(r.r - m.med)) AS rn,
+               COUNT(*) OVER (PARTITION BY r.event_type) AS n
+        FROM resid r JOIN med m USING (event_type)) d
+      WHERE d.rn = (d.n + 1) // 2
+    )
+    SELECT r.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(m.med) AS BIGINT) AS med_resid_s,
+           CAST(MIN(a.mad) AS BIGINT) AS mad_resid_s,
+           CAST(SUM(CASE WHEN ABS(r.r - m.med) > 6 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM resid r JOIN med m USING (event_type) JOIN mad a USING (event_type)
+    GROUP BY r.event_type ORDER BY r.event_type
+    """,
+    doc="Seasonality-adjusted anomaly detection — the composition the "
+    "decomposition exists for: seasonal_decompose residuals flagged "
+    "by the robust MAD rule (|resid − median| > 6·MAD), so a spike at "
+    "3am is judged against 3am's norm, not the daily average. Pure "
+    "integer algebra end-to-end (scaled residuals, lower-median "
+    "row_number picks), one more key-window pass over the "
+    "decomposition's output — no new shuffle of the fact.",
+)
+def q_ts_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    dec = ts_ops.seasonal_decompose(
+        _hourly(spark, sf), "event_type", "hr", "cents", period=24
+    ).select("event_type", "hr", F.col("resid_s").alias("r"))
+    wk = Window.partitionBy("event_type")
+    med = (
+        dec.withColumn(
+            "_rn", F.row_number().over(wk.orderBy("r"))
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select("event_type", F.col("r").alias("med"))
+    )
+    devs = dec.join(F.broadcast(med), "event_type").withColumn(
+        "_dev", F.abs(F.col("r") - F.col("med"))
+    )
+    mad = (
+        devs.withColumn("_rn", F.row_number().over(wk.orderBy("_dev")))
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select("event_type", F.col("_dev").alias("mad"))
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med_resid_s"),
+            F.min("mad").alias("mad_resid_s"),
+            F.sum(
+                (F.col("_dev") > 6 * F.col("mad")).cast("long")
+            ).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
