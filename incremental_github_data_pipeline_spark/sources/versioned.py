@@ -325,6 +325,7 @@ def read_version(
     root: str | Path,
     version: int | None = None,
     skip: tuple[str, object, object] | None = None,
+    skip_values: tuple[str, list] | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). Time travel =
     passing an older retained version; reads resolve through the
@@ -336,6 +337,14 @@ def read_version(
     ``[min, max]`` overlaps ``[lo, hi]`` (None = unbounded; files
     without recorded stats are conservatively kept). The predicate
     itself is also applied, so results are exact either way.
+
+    ``skip_values=(col, values)`` is the IN-list twin: a part survives
+    only if SOME value falls inside its [min, max] — precise for
+    multi-point lookups (e.g. a query's term set) where a single
+    [min(values), max(values)] envelope would span everything between
+    the extremes and prune nothing. One read over the pruned list (no
+    per-value plan fan-out); the IN predicate is applied on top, so
+    results are exact either way. Mutually exclusive with ``skip``.
     """
     from pyspark.sql import functions as F
 
@@ -346,6 +355,41 @@ def read_version(
             raise FileNotFoundError(f"no committed version under {root}")
     manifest = _load_manifest(root, version)
     files, stats = _files_and_stats(manifest)
+    if skip is not None and skip_values is not None:
+        raise ValueError("pass skip or skip_values, not both")
+    if skip_values is not None:
+        col, vals = skip_values
+        vals = sorted(set(vals))
+        if not vals:
+            return _read_files(spark, manifest, files).filter(F.lit(False))
+
+        def part_survives(bounds) -> bool:
+            if bounds[0] is None or bounds[1] is None:
+                return True  # no range info → conservatively kept
+            import bisect
+
+            # any value in [min, max]? (vals sorted: one bisect)
+            i = bisect.bisect_left(vals, bounds[0])
+            return i < len(vals) and vals[i] <= bounds[1]
+
+        pruned = []
+        for f in files:
+            parts = [
+                (p, b)
+                for p, b in stats.items()
+                if p.removeprefix("file://").startswith(f)
+            ]
+            if not parts:
+                pruned.append(f)
+                continue
+            pruned.extend(
+                p for p, b in parts if col not in b or part_survives(b[col])
+            )
+        if not pruned:
+            return _read_files(spark, manifest, files).filter(F.lit(False))
+        return _read_files(spark, manifest, pruned).filter(
+            F.col(col).isin(vals)
+        )
     if skip is not None:
         col, lo, hi = skip
 

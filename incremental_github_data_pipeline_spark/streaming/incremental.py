@@ -1259,9 +1259,11 @@ def bm25_search_versioned(
     aggregate over the token-level postings — pinned by a plan test),
     query terms equi-join the postings with term-bounded FILE skipping
     (the distinct query terms are collected — workload-sized, the one
-    bounded collect here — and their [min, max] prunes postings parts
+    bounded collect here — and prune postings parts VALUE-precisely
     against the manifest's per-file term bounds before any parquet
-    opens), and the scoring expression is identical to
+    opens: a part survives only if some query term falls inside its
+    [min, max], so a {'apple', 'zebra'} workload does not read the
+    alphabet between them), and the scoring expression is identical to
     ``operators.text.bm25_topk`` — indexing the corpus in one shot or
     in N increments yields the same ranking. ``version`` applies to
     all four tables for a consistent time-traveled view ONLY when they
@@ -1278,11 +1280,11 @@ def bm25_search_versioned(
     term_list = sorted(
         r["term"] for r in qterms.select("term").distinct().collect()
     )
-    skip = (
-        ("term", term_list[0], term_list[-1]) if term_list else None
-    )
     postings = read_version(
-        spark, f"{table_root}/postings", version, skip=skip
+        spark,
+        f"{table_root}/postings",
+        version,
+        skip_values=("term", term_list) if term_list else None,
     )
     termstats = (
         read_version(spark, f"{table_root}/termstats", version)

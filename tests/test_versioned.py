@@ -436,3 +436,41 @@ def test_compact_conflicts_with_concurrent_append(spark, tmp_path):
         with pytest.raises(CommitConflict):
             V.compact(spark, root)
     assert read_version(spark, root).count() == 3  # append survived
+
+
+def test_skip_values_prunes_per_value_not_envelope(spark, tmp_path):
+    """IN-list skipping: values {5, 250} must open ONLY the first and
+    third of three disjoint-range parts — a [min, max] envelope skip
+    would span [5, 250] and read all three. Results stay exact (the
+    IN predicate applies on top), empty lists return a schema-stable
+    empty frame, and no-stats parts are conservatively kept."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+        read_version,
+    )
+
+    root = tmp_path / "t"
+    for lo in (0, 100, 200):
+        commit_version(
+            spark.range(lo, lo + 100).toDF("id").repartition(1),
+            root,
+            mode="append" if lo else "overwrite",
+            stats_cols=["id"],
+        )
+    picked = read_version(spark, root, skip_values=("id", [5, 250]))
+    assert len(picked.inputFiles()) == 2  # middle part skipped
+    assert {r["id"] for r in picked.collect()} == {5, 250}
+
+    # single value -> single part; absent value -> empty but exact
+    one = read_version(spark, root, skip_values=("id", [150]))
+    assert len(one.inputFiles()) == 1 and one.count() == 1
+    assert read_version(spark, root, skip_values=("id", [999])).count() == 0
+    empty = read_version(spark, root, skip_values=("id", []))
+    assert empty.count() == 0 and empty.columns == ["id"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_version(
+            spark, root, skip=("id", 0, 1), skip_values=("id", [1])
+        )
