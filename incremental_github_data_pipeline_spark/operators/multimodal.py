@@ -494,11 +494,19 @@ def decode_stats(media: DataFrame) -> DataFrame:
                     "mean_g": None, "mean_b": None, "mean_abs_sample": None,
                     "n_channels": None, "mean_ch0": None, "mean_ch1": None,
                 }
-                if r.mime in ("image/bmp", "image/jpeg", "image/tiff"):
+                if r.mime in (
+                    "image/bmp",
+                    "image/jpeg",
+                    "image/tiff",
+                    "image/x-portable-pixmap",
+                    "image/x-tga",
+                ):
                     px = {
                         "image/bmp": decode_bmp,
                         "image/jpeg": decode_jpeg,
                         "image/tiff": decode_tiff,
+                        "image/x-portable-pixmap": decode_pnm,
+                        "image/x-tga": decode_tga,
                     }[r.mime](r.payload)
                     if px.ndim == 2:  # grayscale → same mean per channel
                         px = np.repeat(px[:, :, None], 3, axis=2)
@@ -508,12 +516,12 @@ def decode_stats(media: DataFrame) -> DataFrame:
                         mean_g=float(px[:, :, 1].mean()),
                         mean_b=float(px[:, :, 2].mean()),
                     )
-                elif r.mime in ("audio/wav", "audio/flac"):
-                    sr, s = (
-                        decode_wav(r.payload)
-                        if r.mime == "audio/wav"
-                        else decode_flac(r.payload)
-                    )
+                elif r.mime in ("audio/wav", "audio/flac", "audio/aiff"):
+                    sr, s = {
+                        "audio/wav": decode_wav,
+                        "audio/flac": decode_flac,
+                        "audio/aiff": decode_aiff,
+                    }[r.mime](r.payload)
                     ch = 1 if s.ndim == 1 else s.shape[1]
                     mono = downmix_mono(s)
                     per_ch = s.reshape(-1, ch).astype(np.int64)
@@ -4259,3 +4267,249 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
         if len(table) == (1 << width) - 2 and width < 12:
             width += 1
     return bytes(out[:expected])
+
+
+# ---------------------------------------------------------------------------
+# Netpbm (PGM/PPM), TGA, AIFF — the long-tail formats ML image/audio
+# corpora actually contain (Netpbm from scientific tooling, TGA from
+# graphics/game assets, AIFF from Mac-originated audio). All three are
+# simple enough to implement faithfully from their public formats:
+# Netpbm is an ASCII header + raw raster; TGA an 18-byte header with
+# optional per-pixel RLE and a bottom-up default; AIFF is big-endian
+# IFF chunks with the sample rate as an 80-bit IEEE 754 extended
+# float.
+# ---------------------------------------------------------------------------
+
+
+def encode_pnm(px: np.ndarray) -> bytes:
+    """(h, w) uint8 → P5 (PGM); (h, w, 3) uint8 → P6 (PPM). Raw
+    (binary) variants, maxval 255."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    magic = b"P5" if gray else b"P6"
+    return magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Decode raw P5/P6 (and ASCII P2/P3) Netpbm → uint8 array.
+    Comment lines (#) in the header are honored; maxval must be 255
+    (16-bit Netpbm raises)."""
+    if payload[:1] != b"P" or payload[1:2] not in b"2356":
+        raise ValueError("not a P2/P3/P5/P6 Netpbm payload")
+    kind = payload[:2].decode()
+    # header tokenizer: whitespace-separated tokens, # starts a comment
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while payload[i : i + 1] not in (b"\n", b""):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 Netpbm supported")
+    spp = 3 if kind in ("P3", "P6") else 1
+    if kind in ("P5", "P6"):
+        i += 1  # exactly one whitespace byte after maxval
+        arr = np.frombuffer(payload, np.uint8, count=h * w * spp, offset=i)
+    else:  # ASCII sample values
+        vals = payload[i:].split()
+        arr = np.array(vals[: h * w * spp], dtype=np.uint16).astype(np.uint8)
+    return arr.reshape(h, w) if spp == 1 else arr.reshape(h, w, spp)
+
+
+def encode_tga(px: np.ndarray, rle: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB → TGA type 2 (uncompressed) or type 10
+    (RLE), 24-bit, bottom-up (the format default), BGR pixel order."""
+    h, w = px.shape[:2]
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 10 if rle else 2, 0, 0, 0, 0, 0, w, h, 24, 0
+    )
+    bgr = px[::-1, :, ::-1]  # bottom-up rows, BGR
+    if not rle:
+        return hdr + bgr.tobytes()
+    out = bytearray(hdr)
+    for row in bgr.reshape(h, w, 3):  # RLE packets never span rows
+        i = 0
+        while i < w:
+            run = 1
+            while (
+                i + run < w
+                and run < 128
+                and (row[i + run] == row[i]).all()
+            ):
+                run += 1
+            if run >= 2:
+                out.append(0x80 | (run - 1))
+                out += row[i].tobytes()
+                i += run
+            else:
+                lit = i
+                while (
+                    i < w
+                    and i - lit < 128
+                    and not (
+                        i + 1 < w and (row[i + 1] == row[i]).all()
+                    )
+                ):
+                    i += 1
+                if i == lit:
+                    i += 1
+                out.append(i - lit - 1)
+                out += row[lit:i].tobytes()
+    return bytes(out)
+
+
+def decode_tga(payload: bytes) -> np.ndarray:
+    """Decode 24-bit truecolor TGA (types 2 and 10) → (h, w, 3) uint8
+    RGB, honoring the descriptor's top-down bit and the id field.
+    Color-mapped/16/32-bit variants raise."""
+    (
+        idlen, cmap_type, img_type, _cm1, _cm2, _cm3, _x0, _y0, w, h,
+        bpp, desc,
+    ) = struct.unpack_from("<BBBHHBHHHHBB", payload, 0)
+    if cmap_type != 0 or img_type not in (2, 10) or bpp != 24:
+        raise NotImplementedError(
+            f"only 24-bit truecolor TGA supported (type {img_type}, "
+            f"{bpp} bpp, cmap {cmap_type})"
+        )
+    pos = 18 + idlen
+    if img_type == 2:
+        bgr = np.frombuffer(payload, np.uint8, count=h * w * 3, offset=pos)
+        bgr = bgr.reshape(h, w, 3)
+    else:
+        out = bytearray()
+        need = h * w * 3
+        while len(out) < need:
+            p = payload[pos]
+            pos += 1
+            n = (p & 0x7F) + 1
+            if p & 0x80:
+                out += payload[pos : pos + 3] * n
+                pos += 3
+            else:
+                out += payload[pos : pos + 3 * n]
+                pos += 3 * n
+        bgr = np.frombuffer(bytes(out[:need]), np.uint8).reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    if not (desc & 0x20):  # bit 5 clear = bottom-up (the default)
+        rgb = rgb[::-1]
+    return rgb
+
+
+def _f80_encode(x: int) -> bytes:
+    """80-bit IEEE 754 extended float (AIFF sample rate): sign(1) +
+    exponent(15, bias 16383) + explicit-integer-bit mantissa(64)."""
+    if x == 0:
+        return b"\x00" * 10
+    e = x.bit_length() - 1
+    mant = x << (63 - e)  # normalize: top bit explicit
+    return struct.pack(">H", 16383 + e) + struct.pack(">Q", mant)
+
+
+def _f80_decode(b: bytes) -> int:
+    se = struct.unpack(">H", b[:2])[0]
+    mant = struct.unpack(">Q", b[2:10])[0]
+    if se == 0 and mant == 0:
+        return 0
+    e = (se & 0x7FFF) - 16383
+    return round(mant / (1 << (63 - e)))
+
+
+def encode_aiff(samples: np.ndarray, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Encode int16 samples ((n,) mono or (n, ch)) as AIFF: FORM/AIFF
+    with COMM (channels, frames, 16 bits, 80-bit extended rate) and
+    SSND (big-endian interleaved frames) chunks."""
+    s = samples.astype(">i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    comm = struct.pack(">hLh", ch, n, 16) + _f80_encode(sample_rate)
+    ssnd = struct.pack(">LL", 0, 0) + s.tobytes()
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">L", len(comm)) + comm
+        + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
+def decode_aiff(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode AIFF → (sample_rate, int16 samples — (n,) mono or
+    (n, ch)). Chunk-walking parser (odd-length pad bytes honored);
+    AIFC/compressed and non-16-bit raise."""
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        if payload[8:12] == b"AIFC":
+            raise NotImplementedError("compressed AIFF-C not supported")
+        raise ValueError("not an AIFF payload")
+    pos = 12
+    ch = n_frames = bits = rate = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from(">L", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"COMM":
+            ch, n_frames, bits = struct.unpack_from(">hLh", body, 0)
+            rate = _f80_decode(body[8:18])
+        elif cid == b"SSND":
+            off, _block = struct.unpack_from(">LL", body, 0)
+            data = body[8 + off :]
+        pos += 8 + clen + (clen & 1)  # chunks pad to even length
+    if ch is None or data is None:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    if bits != 16:
+        raise NotImplementedError("only 16-bit AIFF supported")
+    s = np.frombuffer(data, dtype=">i2", count=n_frames * ch).astype(np.int16)
+    return rate, s if ch == 1 else s.reshape(-1, ch)
+
+
+def make_legacy_media(spark, n: int = 24, id_offset: int = 4000) -> DataFrame:
+    """Media table cycling the long-tail formats — PPM, PGM, TGA
+    (uncompressed), TGA-RLE, AIFF mono, AIFF stereo — over the SAME
+    closed-form content rules as the other generators (images:
+    :func:`_image_pixels`; audio: :func:`_wav_channel` 16-bit lanes),
+    so one oracle certifies that every container/compression variant
+    is invisible to the decoded statistics."""
+    rows = []
+    for i in range(n):
+        v = i % 6
+        if v < 4:
+            px = _image_pixels(i)
+            if v == 0:  # PPM (RGB)
+                payload, mime = encode_pnm(px), "image/x-portable-pixmap"
+            elif v == 1:  # PGM: grayscale channel-0 rule
+                px = px[:, :, 0]
+                payload, mime = encode_pnm(px), "image/x-portable-pixmap"
+            else:  # TGA, uncompressed (v=2) or RLE (v=3)
+                payload, mime = encode_tga(px, rle=(v == 3)), "image/x-tga"
+            rows.append(
+                (
+                    id_offset + i, "image", payload, mime,
+                    px.shape[1], px.shape[0], None,
+                )
+            )
+        else:
+            m = _wav_variant_frames(i)
+            if v == 4:
+                s = _wav_channel(i, 0, m, 16)
+            else:
+                s = np.stack(
+                    [_wav_channel(i, 0, m, 16), _wav_channel(i, 1, m, 16)],
+                    axis=1,
+                )
+            rows.append(
+                (
+                    id_offset + i, "audio", encode_aiff(s), "audio/aiff",
+                    None, None, m * 1000 // WAV_SAMPLE_RATE,
+                )
+            )
+    return _sized_media(spark, rows)

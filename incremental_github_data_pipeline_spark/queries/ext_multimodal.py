@@ -1455,3 +1455,105 @@ def q_media_tiff_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("mean_g") * npix).cast("long").alias("sum_g"),
         F.round(F.col("mean_b") * npix).cast("long").alias("sum_b"),
     ).orderBy("media_id")
+
+
+_LEGACY_STATS_ORACLE = """
+    WITH img AS (
+      SELECT 4000 + i AS media_id, i AS i, i % 6 AS v,
+             16 + (i % 13) AS w, 12 + (i % 11) AS h
+      FROM range(24) t(i) WHERE i % 6 < 4
+    ),
+    img_sums AS (
+      SELECT img.media_id, img.v, img.w, img.h,
+             SUM(CASE WHEN c.c = 0
+                 THEN (x.x*7 + y.y*13 + c.c*29 + img.i*3) % 256 END) AS s0,
+             SUM(CASE WHEN c.c = 1
+                 THEN (x.x*7 + y.y*13 + c.c*29 + img.i*3) % 256 END) AS s1,
+             SUM(CASE WHEN c.c = 2
+                 THEN (x.x*7 + y.y*13 + c.c*29 + img.i*3) % 256 END) AS s2
+      FROM img, range(28) x(x), range(22) y(y), range(3) c(c)
+      WHERE x.x < img.w AND y.y < img.h
+      GROUP BY img.media_id, img.v, img.w, img.h
+    ),
+    aud AS (
+      SELECT 4000 + i AS media_id, i % 6 AS v, 300 + 50 * (i % 8) AS m,
+             3 + (i % 7) AS k0, i * 11 AS o0,
+             5 + (i % 3) AS k1, i * 13 AS o1
+      FROM range(24) t(i) WHERE i % 6 >= 4
+    ),
+    aud_sums AS (
+      SELECT aud.media_id, aud.v, aud.m,
+             SUM(((t.t*aud.k0 + aud.o0) % 2048) - 1024) AS sum_ch0,
+             SUM(CASE WHEN aud.v = 5
+                 THEN ((t.t*aud.k1 + aud.o1) % 2048) - 1024 END) AS sum_ch1,
+             SUM(ABS(CASE
+                 WHEN aud.v = 5 THEN CAST(FLOOR((
+                      (((t.t*aud.k0 + aud.o0) % 2048) - 1024)
+                    + (((t.t*aud.k1 + aud.o1) % 2048) - 1024)) / 2.0) AS BIGINT)
+                 ELSE (((t.t*aud.k0 + aud.o0) % 2048) - 1024)
+                 END)) AS sum_abs
+      FROM aud, range(650) t(t) WHERE t.t < aud.m
+      GROUP BY aud.media_id, aud.v, aud.m
+    )
+    SELECT media_id, 'image' AS kind,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(NULL AS BIGINT) AS n_samples,
+           CAST(NULL AS BIGINT) AS n_channels,
+           CAST(s0 AS BIGINT) AS sum_r,
+           CAST(CASE WHEN v = 1 THEN s0 ELSE s1 END AS BIGINT) AS sum_g,
+           CAST(CASE WHEN v = 1 THEN s0 ELSE s2 END AS BIGINT) AS sum_b,
+           CAST(NULL AS BIGINT) AS sum_abs,
+           CAST(NULL AS BIGINT) AS sum_ch0, CAST(NULL AS BIGINT) AS sum_ch1
+    FROM img_sums
+    UNION ALL
+    SELECT media_id, 'audio', NULL, NULL,
+           CAST(m AS BIGINT),
+           CAST(CASE WHEN v = 5 THEN 2 ELSE 1 END AS BIGINT),
+           NULL, NULL, NULL,
+           CAST(sum_abs AS BIGINT),
+           CAST(sum_ch0 AS BIGINT), CAST(sum_ch1 AS BIGINT)
+    FROM aud_sums
+    ORDER BY media_id
+"""
+
+
+@register(
+    "q_media_legacy_stats",
+    oracle=_LEGACY_STATS_ORACLE,
+    doc="Long-tail container decode — Netpbm PPM/PGM (ASCII-header raw "
+    "raster), TGA types 2 + 10 (bottom-up BGR, per-row RLE packets), "
+    "AIFF mono/stereo (big-endian IFF chunks, 80-bit extended-float "
+    "sample rate) — the formats crawl corpora actually contain beside "
+    "the mainstream ones (operators/multimodal.decode_pnm/decode_tga/"
+    "decode_aiff). All six variants carry the SAME closed-form content "
+    "as the mainstream lanes, so one oracle certifies that container "
+    "and compression are invisible to every decoded sum.",
+)
+def q_media_legacy_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        decode_stats,
+        make_legacy_media,
+    )
+
+    stats = decode_stats(make_legacy_media(spark, n=24))
+    npix = F.col("width") * F.col("height")
+    return stats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_samples",
+        "n_channels",
+        F.round(F.col("mean_r") * npix).cast("long").alias("sum_r"),
+        F.round(F.col("mean_g") * npix).cast("long").alias("sum_g"),
+        F.round(F.col("mean_b") * npix).cast("long").alias("sum_b"),
+        F.round(F.col("mean_abs_sample") * F.col("n_samples"))
+        .cast("long")
+        .alias("sum_abs"),
+        F.round(F.col("mean_ch0") * F.col("n_samples"))
+        .cast("long")
+        .alias("sum_ch0"),
+        F.round(F.col("mean_ch1") * F.col("n_samples"))
+        .cast("long")
+        .alias("sum_ch1"),
+    ).orderBy("media_id")

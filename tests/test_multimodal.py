@@ -1437,3 +1437,81 @@ class TestTiffCompression:
         assert mm._packbits_encode(b"aaaa") == bytes([253]) + b"a"
         assert mm._packbits_encode(b"abc") == bytes([2]) + b"abc"
         assert mm._packbits_decode(bytes([128, 253]) + b"a", 4) == b"aaaa"
+
+
+class TestLegacyFormats:
+    def test_pnm_roundtrip_and_ascii_variants(self):
+        px = mm._image_pixels(5)
+        assert np.array_equal(mm.decode_pnm(mm.encode_pnm(px)), px)
+        g = px[:, :, 0]
+        assert np.array_equal(mm.decode_pnm(mm.encode_pnm(g)), g)
+        # ASCII P2 with a comment line in the header
+        p2 = b"P2\n# a comment\n3 2\n255\n0 10 20\n30 40 50\n"
+        assert np.array_equal(
+            mm.decode_pnm(p2),
+            np.array([[0, 10, 20], [30, 40, 50]], dtype=np.uint8),
+        )
+        p3 = b"P3\n1 1\n255\n7 8 9\n"
+        assert np.array_equal(
+            mm.decode_pnm(p3), np.array([[[7, 8, 9]]], dtype=np.uint8)
+        )
+        with pytest.raises(NotImplementedError):
+            mm.decode_pnm(b"P5\n1 1\n65535\n\x00\x00")
+        with pytest.raises(ValueError):
+            mm.decode_pnm(b"P7\nwhatever")
+
+    def test_tga_roundtrip_rle_and_topdown(self):
+        px = mm._image_pixels(9)
+        for rle in (False, True):
+            assert np.array_equal(mm.decode_tga(mm.encode_tga(px, rle=rle)), px)
+        # hand-built top-down (descriptor bit 5): rows must NOT flip
+        import struct as st
+
+        h, w = 2, 2
+        hdr = st.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, w, h, 24, 0x20)
+        bgr = bytes([3, 2, 1, 6, 5, 4, 9, 8, 7, 12, 11, 10])
+        out = mm.decode_tga(hdr + bgr)
+        assert out[0, 0].tolist() == [1, 2, 3]  # first byte row = top row
+        assert out[1, 1].tolist() == [10, 11, 12]
+        with pytest.raises(NotImplementedError):
+            mm.decode_tga(st.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 1, 1, 32, 0) + b"\0" * 4)
+
+    def test_tga_rle_run_vs_literal_packets(self):
+        # a row that is one long run plus distinct tail: runs compress
+        flat = np.zeros((1, 200, 3), np.uint8)
+        flat[0, 199] = [9, 9, 9]
+        payload = mm.encode_tga(flat, rle=True)
+        assert len(payload) < 18 + 200 * 3 // 4
+        assert np.array_equal(mm.decode_tga(payload), flat)
+
+    def test_aiff_roundtrip_f80_rates_and_guards(self):
+        s = ((np.arange(500) * 13) % 4096 - 2048).astype(np.int16)
+        for sr in (8000, 44100, 48000, 96000):
+            got_sr, out = mm.decode_aiff(mm.encode_aiff(s, sr))
+            assert got_sr == sr and np.array_equal(out, s)
+        st2 = np.stack([s, -s], axis=1)
+        _, out = mm.decode_aiff(mm.encode_aiff(st2))
+        assert np.array_equal(out, st2)
+        payload = bytearray(mm.encode_aiff(s))
+        payload[8:12] = b"AIFC"
+        with pytest.raises(NotImplementedError):
+            mm.decode_aiff(bytes(payload))
+        with pytest.raises(ValueError):
+            mm.decode_aiff(b"RIFF....WAVE")
+
+    def test_legacy_media_decode_stats_closed_form(self, spark):
+        stats = {
+            r["media_id"]: r
+            for r in mm.decode_stats(mm.make_legacy_media(spark, n=12)).collect()
+        }
+        px = mm._image_pixels(0)  # v=0: PPM RGB
+        assert abs(stats[4000]["mean_g"] - px[:, :, 1].mean()) < 1e-9
+        g = mm._image_pixels(1)[:, :, 0]  # v=1: PGM
+        assert abs(stats[4001]["mean_r"] - g.mean()) < 1e-9
+        t3 = mm._image_pixels(3)  # v=3: TGA-RLE
+        assert abs(stats[4003]["mean_b"] - t3[:, :, 2].mean()) < 1e-9
+        m = mm._wav_variant_frames(4)  # v=4: AIFF mono
+        c0 = mm._wav_channel(4, 0, m, 16).astype(np.int64)
+        assert stats[4004]["n_samples"] == m
+        assert abs(stats[4004]["mean_ch0"] - c0.mean()) < 1e-9
+        assert stats[4005]["n_channels"] == 2  # v=5: AIFF stereo
