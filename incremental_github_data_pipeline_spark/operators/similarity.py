@@ -929,3 +929,70 @@ def pooled_ann_recall(
             F.lit(k).cast("long").alias("k"),
         )
     )
+
+
+#: metric scale for the exact integer recall/MRR lanes
+_METRIC_SCALE = 10**6
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    qid_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval-quality evaluation — the QA gate a search/RAG
+    pipeline runs after every index or model change: per query,
+    ``n_rel`` (relevant documents in the qrels), ``hits_at_k``
+    (relevant retrieved within rank ≤ k), ``recall_at_k_s`` =
+    ``(hits · 10^6) div n_rel`` and ``mrr_s`` = ``10^6 div (first
+    relevant rank)`` (0 when nothing relevant is retrieved) — both
+    EXACT scaled-integer lanes, so the evaluation itself is
+    oracle-certifiable (NDCG's irrational log2 discounts are exactly
+    why it is NOT offered here; an uncertifiable metric in a release
+    gate is how regressions slip through).
+
+    ``results`` is a ranked list (qid, doc, rank); ``qrels`` the
+    relevance set (qid, doc). Queries present in qrels but retrieving
+    nothing still emit a row (zero hits). Physical shape: results are
+    queries × k rows and qrels candidate-sized — the join and both
+    aggregates are tiny by construction; the expensive work happened
+    upstream in the retrieval lane being evaluated.
+    """
+    r = results.select(
+        F.col(qid_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_rank"),
+    ).filter(F.col("_rank") <= k)
+    q = qrels.select(
+        F.col(qid_col).alias("_q"), F.col(doc_col).alias("_d")
+    ).distinct()
+    n_rel = q.groupBy("_q").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = (
+        r.join(q, ["_q", "_d"], "left_semi")
+        .groupBy("_q")
+        .agg(
+            F.count(F.lit(1)).alias("hits_at_k"),
+            F.min("_rank").alias("_first"),
+        )
+    )
+    return (
+        n_rel.join(hits, "_q", "left")
+        .select(
+            F.col("_q").alias(qid_col),
+            "n_rel",
+            F.coalesce(F.col("hits_at_k"), F.lit(0))
+            .cast("long")
+            .alias("hits_at_k"),
+            F.expr(
+                f"(coalesce(hits_at_k, 0) * {_METRIC_SCALE}) div n_rel"
+            ).alias("recall_at_k_s"),
+            F.coalesce(
+                F.expr(f"{_METRIC_SCALE} div _first"), F.lit(0)
+            )
+            .cast("long")
+            .alias("mrr_s"),
+        )
+    )

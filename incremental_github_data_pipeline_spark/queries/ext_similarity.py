@@ -729,3 +729,113 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "q_retrieval_metrics",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(text), ' ')) END) AS DOUBLE)
+               / COUNT(*) AS avgdl
+      FROM documents
+    ),
+    q AS (
+      SELECT DISTINCT doc_id AS query_id, term FROM toks
+      WHERE doc_id < 8
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             SUM(
+               ln(1 + (n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl))
+             ) AS score
+      FROM q
+      JOIN tf USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN n
+      GROUP BY 1, 2
+    ),
+    results AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS rank
+      FROM scored
+    ),
+    qrels AS (
+      -- ground truth: >= 4 shared distinct terms with the query doc
+      SELECT q.query_id, d.doc_id
+      FROM q JOIN (SELECT DISTINCT doc_id, term FROM toks) d USING (term)
+      WHERE d.doc_id != q.query_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 4
+    ),
+    n_rel AS (
+      SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY 1
+    ),
+    hits AS (
+      SELECT r.query_id, COUNT(*) AS hits_at_k, MIN(r.rank) AS first_rel
+      FROM results r JOIN qrels USING (query_id, doc_id)
+      WHERE r.rank <= 10
+      GROUP BY 1
+    )
+    SELECT n.query_id,
+           CAST(n.n_rel AS BIGINT) AS n_rel,
+           CAST(COALESCE(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+           CAST(COALESCE(h.hits_at_k, 0) * 1000000 // n.n_rel AS BIGINT)
+             AS recall_at_k_s,
+           CAST(COALESCE(1000000 // h.first_rel, 0) AS BIGINT) AS mrr_s
+    FROM n_rel n LEFT JOIN hits h USING (query_id)
+    ORDER BY n.query_id
+    """,
+    doc="Retrieval evaluation (operators/similarity.ranking_metrics) "
+    "over the BM25 lane: recall@10 and MRR as EXACT scaled-integer "
+    "lanes against a deterministic token-overlap ground truth (>= 4 "
+    "shared distinct terms) — the QA gate a search/RAG pipeline runs "
+    "after every index change, itself oracle-certified end-to-end "
+    "(the oracle re-derives the ranking AND the metrics; NDCG's "
+    "irrational log2 discounts are deliberately not offered — an "
+    "uncertifiable metric in a release gate is how regressions slip "
+    "through). Metrics cost queries x k rows; the retrieval being "
+    "judged is the expensive part.",
+)
+def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators import text as tx
+    from incremental_github_data_pipeline_spark.operators.similarity import (
+        ranking_metrics,
+    )
+
+    docs = T(spark, sf, "documents")
+    dqueries = docs.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    results = tx.bm25_topk(docs, dqueries, qtext_col="qtext", k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    ).distinct()
+    qt = toks.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    qrels = (
+        qt.join(toks, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= 4)
+        .select("query_id", "doc_id")
+    )
+    return ranking_metrics(results, qrels, k=10).orderBy("query_id")

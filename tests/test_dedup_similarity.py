@@ -839,3 +839,50 @@ class TestClusterSafeSplit:
         out = dd.cluster_safe_split(docs, pairs).groupBy("split").count()
         got = {r["split"]: r["count"] for r in out.collect()}
         assert got == {"train": 80, "val": 10, "test": 10}
+
+
+class TestRankingMetrics:
+    def test_hand_computed_recall_and_mrr(self, spark):
+        from incremental_github_data_pipeline_spark.operators.similarity import (
+            ranking_metrics,
+        )
+
+        results = spark.createDataFrame(
+            # q1: relevant at ranks 2 and 5 (of 3 relevant)
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (1, 14, 5),
+             # q2: nothing relevant retrieved
+             (2, 20, 1), (2, 21, 2),
+             # q3 retrieves beyond k only (rank 6 filtered at k=5)
+             (3, 30, 6)],
+            "query_id long, doc_id long, rank long",
+        )
+        qrels = spark.createDataFrame(
+            [(1, 11), (1, 14), (1, 99), (2, 77), (3, 30)],
+            "query_id long, doc_id long",
+        )
+        got = {
+            r["query_id"]: r
+            for r in ranking_metrics(results, qrels, k=5).collect()
+        }
+        assert (got[1]["n_rel"], got[1]["hits_at_k"]) == (3, 2)
+        assert got[1]["recall_at_k_s"] == 2 * 10**6 // 3
+        assert got[1]["mrr_s"] == 10**6 // 2  # first hit at rank 2
+        assert (got[2]["hits_at_k"], got[2]["mrr_s"]) == (0, 0)
+        # q3's only relevant doc sits past k: counted as a miss
+        assert (got[3]["hits_at_k"], got[3]["recall_at_k_s"]) == (0, 0)
+
+    def test_duplicate_qrels_do_not_double_count(self, spark):
+        from incremental_github_data_pipeline_spark.operators.similarity import (
+            ranking_metrics,
+        )
+
+        results = spark.createDataFrame(
+            [(1, 10, 1)], "query_id long, doc_id long, rank long"
+        )
+        qrels = spark.createDataFrame(
+            [(1, 10), (1, 10)], "query_id long, doc_id long"
+        )
+        [r] = ranking_metrics(results, qrels, k=5).collect()
+        assert (r["n_rel"], r["hits_at_k"], r["recall_at_k_s"]) == (
+            1, 1, 10**6,
+        )
