@@ -4513,3 +4513,69 @@ def make_legacy_media(spark, n: int = 24, id_offset: int = 4000) -> DataFrame:
                 )
             )
     return _sized_media(spark, rows)
+
+
+TRANSCODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("mime", StringType(), False),
+        StructField("n_bytes_in", LongType(), False),
+        StructField("n_bytes_out", LongType(), False),
+    ]
+)
+
+
+def transcode_audio(media: DataFrame, to: str = "audio/flac") -> DataFrame:
+    """Format NORMALIZATION — the unglamorous step every ingest
+    pipeline runs before training (one canonical audio container
+    instead of per-source zoo): decode each audio payload with its
+    mime's decoder (WAV incl. stereo/8-bit, FLAC, AIFF) and re-encode
+    as ``to`` (``audio/flac``, ``audio/wav`` or ``audio/aiff``).
+    Integer PCM in, integer PCM out — the transcode is LOSSLESS by
+    construction, and the decode-stats oracle over the output proves
+    it end-to-end (same closed-form sums as the input lanes).
+
+    One Arrow-batched mapInPandas pass; each payload decodes and
+    re-encodes inside its partition (payload I/O is the scale bound,
+    as with every codec stage here). Returns (media_id, payload, mime,
+    n_bytes_in, n_bytes_out) — the byte columns make compression
+    ratios queryable. 8-bit WAV input arrives on the int16 lattice
+    (decode_wav upscales), so round-tripping back to 8-bit is not
+    attempted: normalization targets are 16-bit containers."""
+    decoders = {
+        "audio/wav": decode_wav,
+        "audio/flac": decode_flac,
+        "audio/aiff": decode_aiff,
+    }
+    if to == "audio/flac":
+        enc = lambda s, sr: encode_flac(s, sr)  # noqa: E731
+    elif to == "audio/wav":
+        enc = lambda s, sr: encode_wav(s, sr)  # noqa: E731
+    elif to == "audio/aiff":
+        enc = lambda s, sr: encode_aiff(s, sr)  # noqa: E731
+    else:
+        raise ValueError(f"unsupported transcode target {to!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.mime not in decoders:
+                    continue
+                sr, s = decoders[r.mime](r.payload)
+                new = enc(s, sr)
+                out.append(
+                    (r.media_id, new, to, len(r.payload), len(new))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "payload", "mime",
+                    "n_bytes_in", "n_bytes_out",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches, TRANSCODE_SCHEMA
+    )

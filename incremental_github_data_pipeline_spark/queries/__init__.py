@@ -50,7 +50,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #   (c) fill to 50 with the oldest r5-vintage rows (alphabetical).
 # After this round no query's newest driver green predates r5; the
 # Also queueing for round 10: q_ts_seasonal_anomaly and
-# q_media_legacy_stats and q_retrieval_metrics (added after the
+# q_media_legacy_stats, q_retrieval_metrics and q_media_transcode_stats
+# (added after the
 # window filled — sweep-verified this round, needs its first driver
 # row next round).
 # r5-vintage rows queueing for round 10: q03_shipping_priority,

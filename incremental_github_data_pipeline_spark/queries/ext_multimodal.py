@@ -1557,3 +1557,90 @@ def q_media_legacy_stats(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("sum_ch1"),
     ).orderBy("media_id")
+
+
+_TRANSCODE_ORACLE = f"""
+    WITH var AS (
+      SELECT 1000 + i AS media_id, i % 3 AS v, 300 + 50 * (i % 8) AS m,
+             3 + (i % 7) AS k0, i * 11 AS o0,
+             5 + (i % 3) AS k1, i * 13 AS o1
+      FROM range(24) t(i)
+    ),
+    var_sums AS (
+      SELECT var.media_id, var.v, var.m,
+             SUM(CASE WHEN var.v = 0
+                 THEN ((t.t*var.k0 + var.o0) % 2048) - 1024
+                 ELSE (((t.t*var.k0 + var.o0) % 256) - 128) * 256 END) AS sum_ch0,
+             SUM(CASE WHEN var.v = 0
+                 THEN ((t.t*var.k1 + var.o1) % 2048) - 1024
+                 WHEN var.v = 2
+                 THEN (((t.t*var.k1 + var.o1) % 256) - 128) * 256 END) AS sum_ch1,
+             SUM(ABS(CASE
+                 WHEN var.v = 0 THEN CAST(FLOOR((
+                      (((t.t*var.k0 + var.o0) % 2048) - 1024)
+                    + (((t.t*var.k1 + var.o1) % 2048) - 1024)) / 2.0) AS BIGINT)
+                 WHEN var.v = 1
+                 THEN (((t.t*var.k0 + var.o0) % 256) - 128) * 256
+                 ELSE CAST(FLOOR((
+                      ((((t.t*var.k0 + var.o0) % 256) - 128) * 256)
+                    + ((((t.t*var.k1 + var.o1) % 256) - 128) * 256)) / 2.0) AS BIGINT)
+                 END)) AS sum_abs
+      FROM var, range(650) t(t) WHERE t.t < var.m
+      GROUP BY var.media_id, var.v, var.m
+    )
+    SELECT media_id, CAST(m AS BIGINT) AS n_samples,
+           CAST(CASE WHEN v = 1 THEN 1 ELSE 2 END AS BIGINT) AS n_channels,
+           CAST(sum_abs AS BIGINT) AS sum_abs,
+           CAST(sum_ch0 AS BIGINT) AS sum_ch0,
+           CAST(sum_ch1 AS BIGINT) AS sum_ch1
+    FROM var_sums ORDER BY media_id
+"""
+
+
+@register(
+    "q_media_transcode_stats",
+    oracle=_TRANSCODE_ORACLE,
+    doc="Distributed audio format normalization (operators/multimodal."
+    "transcode_audio): the stereo/8-bit WAV zoo re-encoded to FLAC "
+    "inside Arrow-batched partitions, then decoded AGAIN by "
+    "decode_stats — the oracle recomputes the ORIGINAL closed-form "
+    "sums, so the decode→re-encode→decode chain is proven lossless "
+    "end-to-end through Spark (integer PCM in, integer PCM out; the "
+    "pipeline step every multi-source audio corpus runs before "
+    "training).",
+)
+def q_media_transcode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        decode_stats,
+        make_wav_variant_media,
+        transcode_audio,
+    )
+
+    out = transcode_audio(make_wav_variant_media(spark, n=24), to="audio/flac")
+    media = out.select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        "payload",
+        "mime",
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return (
+        decode_stats(media)
+        .select(
+            "media_id",
+            "n_samples",
+            "n_channels",
+            F.round(F.col("mean_abs_sample") * F.col("n_samples"))
+            .cast("long")
+            .alias("sum_abs"),
+            F.round(F.col("mean_ch0") * F.col("n_samples"))
+            .cast("long")
+            .alias("sum_ch0"),
+            F.round(F.col("mean_ch1") * F.col("n_samples"))
+            .cast("long")
+            .alias("sum_ch1"),
+        )
+        .orderBy("media_id")
+    )

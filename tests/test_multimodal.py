@@ -1515,3 +1515,43 @@ class TestLegacyFormats:
         assert stats[4004]["n_samples"] == m
         assert abs(stats[4004]["mean_ch0"] - c0.mean()) < 1e-9
         assert stats[4005]["n_channels"] == 2  # v=5: AIFF stereo
+
+
+class TestTranscode:
+    def test_transcode_lossless_across_all_targets(self, spark):
+        """wav-zoo → {flac, wav, aiff}: every target decodes to the
+        identical int16 signal (integer PCM end-to-end)."""
+        media = mm.make_wav_variant_media(spark, n=6)
+        orig = {
+            r["media_id"]: mm.decode_wav(bytes(r["payload"]))
+            for r in media.collect()
+        }
+        for to, dec in (
+            ("audio/flac", mm.decode_flac),
+            ("audio/wav", mm.decode_wav),
+            ("audio/aiff", mm.decode_aiff),
+        ):
+            out = {
+                r["media_id"]: r
+                for r in mm.transcode_audio(media, to=to).collect()
+            }
+            assert len(out) == 6
+            for mid, (sr0, s0) in orig.items():
+                sr1, s1 = dec(bytes(out[mid]["payload"]))
+                assert sr1 == sr0 and np.array_equal(s1, s0), (to, mid)
+
+    def test_flac_transcode_compresses_lattice_signals(self, spark):
+        """The closed-form ramps have near-constant differences —
+        FLAC's order-1/2 predictors must beat the PCM container."""
+        media = mm.make_wav_variant_media(spark, n=3)  # 16-bit stereo id 1000
+        [r] = (
+            mm.transcode_audio(media, to="audio/flac")
+            .filter(F.col("media_id") == 1000)
+            .collect()
+        )
+        assert r["n_bytes_out"] < r["n_bytes_in"] * 0.6
+
+    def test_non_audio_rows_are_ignored(self, spark):
+        media = mm.make_real_media(spark, n=9)  # images+audio+video
+        out = mm.transcode_audio(media, to="audio/flac")
+        assert out.count() == 3  # only the audio third
