@@ -159,11 +159,17 @@ BENCH_QUERIES = [
 # self-diagnosing: probe_ratio ~1.0 + slow queries = code regression;
 # probe_ratio and query drift moving together = machine pressure,
 # divide it out before comparing rounds.
-# Reference pinned from an idle-machine r9 run (fresh session, warm-up
-# + median-of-3, exactly as the probe executes inside bench.py). Only
-# re-pin when the hardware/JVM changes, never to "fix" a bad round —
-# the whole point is that drift shows up as probe_ratio != 1.
-PROBE_REF_SEC = 0.575
+# Reference pinned from an idle-machine r9 session: median of three
+# INDEPENDENT fresh-session probe runs (0.388/0.440/0.476 — each
+# warm-up + median-of-3, exactly as the probe executes inside
+# bench.py). The first provisional pin (0.575) was measured minutes
+# after a bench smoke and read 0.73x on a truly idle machine — i.e.
+# it was itself load-contaminated, which the probe immediately
+# exposed; re-pinned once before any BENCH_r09 record existed. From
+# here on: only re-pin when the hardware/JVM changes, never to "fix"
+# a bad round — the whole point is that drift shows up as
+# probe_ratio != 1.
+PROBE_REF_SEC = 0.44
 
 
 def _calibration_probe(spark) -> float:
