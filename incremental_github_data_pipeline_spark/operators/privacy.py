@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity_report", "suppress_small_classes"]
+__all__ = ["generalize_to_k", "k_anonymity_report", "suppress_small_classes"]
 
 
 def k_anonymity_report(
@@ -78,3 +78,50 @@ def suppress_small_classes(
         .select(*quasi_cols)
     )
     return df.join(big, list(quasi_cols), "left_semi")
+
+
+def generalize_to_k(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+    ladder: Sequence,
+):
+    """Enforce k-anonymity by GENERALIZATION — the other standard
+    mechanism beside :func:`suppress_small_classes`: instead of
+    dropping rows in small classes, coarsen the quasi-identifiers up a
+    supplied ladder (nation → region → '*', zip5 → zip3 → '*', age →
+    decade …) until every class reaches size ``k``. Suppression costs
+    rows; generalization costs resolution — release policy picks the
+    trade.
+
+    ``ladder`` is an ordered list of step callables ``df → df``, each
+    rewriting the quasi columns one level coarser. Steps apply
+    IN ORDER until the audit passes or the ladder is exhausted, so the
+    result is deterministic (no lattice search — the ladder IS the
+    policy, fixed by the caller). Returns ``(released_df,
+    level_applied, n_violations_left)``; a nonzero residual means even
+    the coarsest level failed (compose with suppression for the
+    remainder — the standard hybrid).
+
+    Per level the gate is ONE map-combined class-size aggregate
+    reduced to a 1-row any-violation count (bounded driver state, the
+    k_core round-counter discipline); at most ``len(ladder)`` passes
+    over the data, each a projection rewrite — no shuffle beyond the
+    audit aggregate."""
+    level = 0
+    cur = df
+
+    def n_violations(frame: DataFrame) -> int:
+        return (
+            frame.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") < k)
+            .count()
+        )
+
+    viol = n_violations(cur)
+    while viol > 0 and level < len(ladder):
+        cur = ladder[level](cur)
+        level += 1
+        viol = n_violations(cur)
+    return cur, level, viol

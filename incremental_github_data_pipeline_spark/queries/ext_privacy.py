@@ -97,3 +97,92 @@ def q_privacy_suppress(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+_GK = 25
+
+
+@register(
+    "q_privacy_generalize",
+    oracle=f"""
+    WITH l0 AS (
+      SELECT n.n_name AS geo, c.c_mktsegment AS seg
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    l1 AS (
+      SELECT r.r_name AS geo, c.c_mktsegment AS seg
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    l2 AS (SELECT '*' AS geo, c_mktsegment AS seg FROM customer),
+    v0 AS (SELECT COUNT(*) AS v FROM (
+      SELECT 1 FROM l0 GROUP BY geo, seg HAVING COUNT(*) < {_GK})),
+    v1 AS (SELECT COUNT(*) AS v FROM (
+      SELECT 1 FROM l1 GROUP BY geo, seg HAVING COUNT(*) < {_GK})),
+    lvl AS (
+      SELECT CASE WHEN (SELECT v FROM v0) = 0 THEN 0
+                  WHEN (SELECT v FROM v1) = 0 THEN 1
+                  ELSE 2 END AS level
+    )
+    SELECT geo, seg,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((SELECT level FROM lvl) AS BIGINT) AS level
+    FROM (
+      SELECT geo, seg FROM l0 WHERE (SELECT level FROM lvl) = 0
+      UNION ALL
+      SELECT geo, seg FROM l1 WHERE (SELECT level FROM lvl) = 1
+      UNION ALL
+      SELECT geo, seg FROM l2 WHERE (SELECT level FROM lvl) = 2
+    )
+    GROUP BY geo, seg ORDER BY geo, seg
+    """,
+    doc="k-anonymity by GENERALIZATION (operators/privacy."
+    "generalize_to_k): the geo quasi-identifier climbs a fixed ladder "
+    "— nation → region → '*' — until every (geo, segment) class "
+    "reaches k=25; resolution is spent instead of rows (the "
+    "suppression trade's other side). The chosen level is "
+    "data-dependent, and the ORACLE replays the same adaptive "
+    "decision (violation counts at each level as scalar subqueries), "
+    "so the compare stays exact across testdata regenerations. One "
+    "class-size aggregate + 1-row gate per level.",
+)
+def q_privacy_generalize(spark: SparkSession, sf: str) -> DataFrame:
+    customer = T(spark, sf, "customer")
+    nation = T(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = T(spark, sf, "region").select("r_regionkey", "r_name")
+
+    base = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("geo"),
+            F.col("c_mktsegment").alias("seg"),
+            "n_regionkey",
+        )
+    )
+
+    def to_region(df: DataFrame) -> DataFrame:
+        return df.join(
+            F.broadcast(region), df.n_regionkey == region.r_regionkey
+        ).select(
+            F.col("r_name").alias("geo"), "seg", "n_regionkey"
+        )
+
+    def to_star(df: DataFrame) -> DataFrame:
+        return df.select(F.lit("*").alias("geo"), "seg", "n_regionkey")
+
+    from incremental_github_data_pipeline_spark.operators.privacy import (
+        generalize_to_k,
+    )
+
+    released, level, _resid = generalize_to_k(
+        base, ["geo", "seg"], k=_GK, ladder=[to_region, to_star]
+    )
+    return (
+        released.groupBy("geo", "seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("level", F.lit(level).cast("long"))
+        .orderBy("geo", "seg")
+    )

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from incremental_github_data_pipeline_spark.operators.privacy import (
     k_anonymity_report,
     suppress_small_classes,
@@ -59,3 +61,44 @@ def test_suppression_drops_exactly_the_small_classes(spark):
     # and the released table is now k-anonymous at k=2
     rep = k_anonymity_report(out, ["zip", "age"], k=2)
     assert rep.filter("k_violation").count() == 0
+
+
+def test_generalize_to_k_climbs_exactly_as_needed(spark):
+    from incremental_github_data_pipeline_spark.operators.privacy import (
+        generalize_to_k,
+        k_anonymity_report,
+    )
+
+    # zips z1a/z1b coarsen to z1; z2a stands alone
+    rows = (
+        [("z1a", "x")] * 2 + [("z1b", "x")] * 2 + [("z2a", "x")] * 4
+    )
+    df = spark.createDataFrame(rows, "zip string, seg string")
+
+    def coarsen(d):
+        return d.select(
+            F.substring("zip", 1, 2).alias("zip"), "seg"
+        )
+
+    def star(d):
+        return d.select(F.lit("*").alias("zip"), "seg")
+
+    # k=2: already anonymous -> level 0, untouched values
+    out, level, resid = generalize_to_k(df, ["zip", "seg"], 2, [coarsen, star])
+    assert (level, resid) == (0, 0)
+    assert {r["zip"] for r in out.collect()} == {"z1a", "z1b", "z2a"}
+
+    # k=4: z1a/z1b classes (size 2) violate -> one coarsening step
+    # fixes; generalization is FULL-DOMAIN (global recoding), so z2a
+    # coarsens to z2 along with everyone else — uniform resolution,
+    # the property that keeps released values join-compatible
+    out, level, resid = generalize_to_k(df, ["zip", "seg"], 4, [coarsen, star])
+    assert (level, resid) == (1, 0)
+    assert {r["zip"] for r in out.collect()} == {"z1", "z2"}
+    assert k_anonymity_report(out, ["zip", "seg"], 4).filter(
+        "k_violation"
+    ).count() == 0
+
+    # k=9: even '*' (8 rows) violates -> ladder exhausts with residual
+    out, level, resid = generalize_to_k(df, ["zip", "seg"], 9, [coarsen, star])
+    assert level == 2 and resid == 1
