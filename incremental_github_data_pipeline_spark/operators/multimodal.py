@@ -3590,7 +3590,10 @@ def _utf8_code(n: int) -> bytes:
         return bytes([n])
     out = []
     nbytes = 2
-    while n >= (1 << (5 * nbytes + 6 - nbytes)) and nbytes < 7:
+    # Capacity of an m-byte code is 5m+1 bits: the lead byte keeps
+    # (7-m) payload bits and each continuation byte adds 6, so
+    # (7-m) + 6(m-1) = 5m+1 (2 bytes -> 11 bits, 3 -> 16, ... 7 -> 36).
+    while n >= (1 << (5 * nbytes + 1)) and nbytes < 7:
         nbytes += 1
     out.append((0xFF00 >> nbytes) & 0xFF | (n >> (6 * (nbytes - 1))))
     for i in range(nbytes - 2, -1, -1):
@@ -3902,13 +3905,14 @@ def make_flac_media(spark, n: int = 24, id_offset: int = 2000) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# TIFF — baseline (TIFF 6.0 bilevel/gray/RGB, uncompressed) — the
+# TIFF — TIFF 6.0 gray/RGB: uncompressed, PackBits (32773) and LZW (5,
+# EarlyChange variant, with the horizontal predictor tag 317) — the
 # scientific/scan/archival image tier. Spec: the public TIFF 6.0
-# specification. Encoder writes little-endian single-strip baseline
-# files; decoder handles both byte orders, multi-strip layouts, 8-bit
-# grayscale (PhotometricInterpretation 1) and 24-bit RGB (2).
-# Compressed variants (LZW/PackBits/JPEG-in-TIFF), planar layouts and
-# tiles raise NotImplementedError — honest scope, never a mis-decode.
+# specification. Encoder writes little-endian single/multi-strip files
+# in any of the three compressions; decoder handles both byte orders,
+# multi-strip layouts, 8-bit grayscale (PhotometricInterpretation 1)
+# and 24-bit RGB (2). JPEG-in-TIFF, planar layouts, tiles and non-8-bit
+# depths raise NotImplementedError — honest scope, never a mis-decode.
 # ---------------------------------------------------------------------------
 
 _TIFF_TAG_WIDTH = 256
@@ -4037,10 +4041,11 @@ def encode_tiff(
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Decode baseline uncompressed TIFF → (h, w) uint8 grayscale or
-    (h, w, 3) uint8 RGB. Handles II and MM byte orders and multi-strip
-    rasters; compression, planar config 2, tiles and non-8-bit depths
-    raise ``NotImplementedError``."""
+    """Decode TIFF → (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
+    Handles II and MM byte orders, multi-strip rasters, and the
+    uncompressed (1), LZW (5, with horizontal predictor 2) and
+    PackBits (32773) compressions; JPEG-in-TIFF, planar config 2,
+    tiles and non-8-bit depths raise ``NotImplementedError``."""
     if payload[:2] == b"II":
         bo = "<"
     elif payload[:2] == b"MM":

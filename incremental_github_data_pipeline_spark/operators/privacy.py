@@ -42,6 +42,10 @@ def k_anonymity_report(
     ``l`` of them: the homogeneous class every member's sensitive value
     leaks from, even at k-anonymous size).
 
+    NULL quasi values form an equivalence class of their own (groupBy
+    groups NULLs together), and :func:`suppress_small_classes` matches
+    that class null-safely — audit and enforcement agree on NULL keys.
+
     The dataset is k-anonymous/l-diverse iff the respective violation
     columns are all false — aggregate downstream or feed
     :func:`suppress_small_classes`. Exact distinct count, not a sketch:
@@ -70,14 +74,28 @@ def suppress_small_classes(
     choice layered above). Implemented as the class-size aggregate
     semi-joined back on the quasi tuple; the fact table shuffles once
     on the same key as the audit, so audit + enforcement share a
-    partitioning at scale."""
+    partitioning at scale.
+
+    The semi-join is NULL-SAFE (``<=>`` per quasi column): groupBy
+    treats NULL as an equivalence class, so a NULL-keyed class of size
+    ≥ k is k-anonymous by :func:`k_anonymity_report`'s own accounting
+    and must survive suppression — a null-unsafe join would silently
+    drop every NULL-keyed row regardless of class size, over-
+    suppressing inconsistently with the audit it enforces (ADVICE r9).
+    ``<=>`` is still an equi-join key to Catalyst, so the plan stays a
+    hash semi-join, not a nested loop."""
+    quasi = list(quasi_cols)
     big = (
-        df.groupBy(*quasi_cols)
+        df.groupBy(*quasi)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= k)
-        .select(*quasi_cols)
+        .select([F.col(c).alias(f"_big_{c}") for c in quasi])
     )
-    return df.join(big, list(quasi_cols), "left_semi")
+    cond = None
+    for c in quasi:
+        term = df[c].eqNullSafe(big[f"_big_{c}"])
+        cond = term if cond is None else cond & term
+    return df.join(big, cond, "left_semi")
 
 
 def generalize_to_k(

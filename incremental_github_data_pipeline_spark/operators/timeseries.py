@@ -443,14 +443,33 @@ def mad_outliers(
 # ``((num + den*B) div den) - B`` pins ONE answer for all three
 # evaluators while leaving the quotient unchanged. B bounds |num/den|
 # at 10^10 — far above any scaled cents lane — while keeping ``den*B``
-# within int64 for den ≤ ~10^5.
+# within int64 for den ≤ ~10^5. The bound is ENFORCED row-by-row (see
+# _floor_div_expr): an out-of-envelope lane must fail loudly, not
+# silently flip trunc-vs-floor agreement between engines and surface
+# as an unexplainable cross-engine hash mismatch (ADVICE r9).
 _FDIV_OFFSET = 10**10
 
 
 def _floor_div_expr(num: str, den: str) -> str:
-    """SQL text for floor(num/den) valid for signed ``num`` (den > 0)."""
+    """SQL text for floor(num/den) valid for signed ``num`` (den > 0).
+
+    Guarded: the non-negativity trick requires ``|num| < den*B`` (i.e.
+    per-row scaled values averaging under 10^10) and ``den*B`` within
+    int64. ``assert_true`` enforces both inline — NULL (additive zero)
+    when the envelope holds, a loud error when it doesn't — so the
+    check is a codegen'd branch per row, not an extra pass over the
+    data. Spark-only text; oracle SQL twins restate the arithmetic
+    without the guard (DuckDB HUGEINT never wraps, and a Spark-side
+    failure aborts the compare anyway)."""
     b = _FDIV_OFFSET
-    return f"((({num}) + ({den}) * {b}) div ({den})) - {b}"
+    den_max = (2**63 - 1) // b
+    guard = (
+        f"ifnull(assert_true(abs({num}) < ({den}) * {b} "
+        f"AND ({den}) <= {den_max}, "
+        f"'floor-div envelope exceeded: |num| must stay under den*1e10 "
+        f"(see _FDIV_OFFSET)'), 0)"
+    )
+    return f"((({num}) + ({den}) * {b} + {guard}) div ({den})) - {b}"
 
 
 def seasonal_decompose(

@@ -1430,14 +1430,16 @@ _TIFF_STATS_ORACLE = """
 @register(
     "q_media_tiff_stats",
     oracle=_TIFF_STATS_ORACLE,
-    doc="Baseline TIFF decode (operators/multimodal.encode_tiff/"
-    "decode_tiff: TIFF 6.0 uncompressed, II+MM byte orders, "
-    "multi-strip rasters, 8-bit gray + 24-bit RGB; LZW/PackBits/"
-    "planar/tiled stay honest NotImplementedError guards) — the "
-    "scientific/scan/archival image tier. RGB and grayscale lanes "
-    "alternate, every third file is multi-strip; DuckDB recomputes "
-    "every decoded pixel's closed form, so a wrong strip offset, "
-    "byte-order or IFD walk breaks an integer sum lane.",
+    doc="TIFF decode (operators/multimodal.encode_tiff/decode_tiff: "
+    "TIFF 6.0 uncompressed + PackBits + LZW-with-horizontal-predictor, "
+    "II+MM byte orders, multi-strip rasters, 8-bit gray + 24-bit RGB; "
+    "JPEG-in-TIFF/planar/tiled/non-8-bit stay honest "
+    "NotImplementedError guards) — the scientific/scan/archival image "
+    "tier. RGB and grayscale lanes alternate, compression cycles "
+    "none/PackBits/LZW, every third file is multi-strip; DuckDB "
+    "recomputes every decoded pixel's closed form, so a wrong strip "
+    "offset, LZW code width, predictor sum, byte-order or IFD walk "
+    "breaks an integer sum lane.",
 )
 def q_media_tiff_stats(spark: SparkSession, sf: str) -> DataFrame:
     from incremental_github_data_pipeline_spark.operators.multimodal import (

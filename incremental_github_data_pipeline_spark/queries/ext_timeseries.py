@@ -615,9 +615,21 @@ def q_ts_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
 def q_ts_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    dec = ts_ops.seasonal_decompose(
-        _hourly(spark, sf), "event_type", "hr", "cents", period=24
-    ).select("event_type", "hr", F.col("resid_s").alias("r"))
+    # The decomposition (window + aggregate + broadcast join over the
+    # events fact) feeds three lanes (median, deviations, MAD) —
+    # materialize it ONCE, same discipline as mad_outliers
+    # (operators/timeseries.py): without the checkpoint each lane
+    # re-derives it from the raw scan (the first cut planned 8 fact
+    # scans; at 100 TB that is 8 reads of the fact where 1 suffices).
+    # The frame is the pre-aggregated hours × event_types grid —
+    # bounded, safe to pin.
+    dec = (
+        ts_ops.seasonal_decompose(
+            _hourly(spark, sf), "event_type", "hr", "cents", period=24
+        )
+        .select("event_type", "hr", F.col("resid_s").alias("r"))
+        .localCheckpoint(eager=True)
+    )
     wk = Window.partitionBy("event_type")
     med = (
         dec.withColumn(
@@ -627,8 +639,12 @@ def q_ts_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
         .select("event_type", F.col("r").alias("med"))
     )
-    devs = dec.join(F.broadcast(med), "event_type").withColumn(
-        "_dev", F.abs(F.col("r") - F.col("med"))
+    # devs feeds two consumers (the MAD median lane and the final
+    # aggregate) — pin it too so the broadcast join runs once.
+    devs = (
+        dec.join(F.broadcast(med), "event_type")
+        .withColumn("_dev", F.abs(F.col("r") - F.col("med")))
+        .localCheckpoint(eager=True)
     )
     mad = (
         devs.withColumn("_rn", F.row_number().over(wk.orderBy("_dev")))

@@ -2419,7 +2419,9 @@ def _hll_oracle() -> str:
     oracle=_hll_oracle(),
     doc="HyperLogLog distinct sketch whose REGISTER STATE is the "
     "compared object (operators/incremental_agg.hll_registers): "
-    "31-bit LCG hash, top-6-bit register index, exact CASE-chain "
+    "31-bit multiply-xor avalanche hash (an LCG was measured +52% "
+    "biased and rejected — see _hll_hash_sql), top-6-bit register "
+    "index, exact CASE-chain "
     "bit-width rank — every step integer arithmetic DuckDB replays "
     "verbatim, so unlike guarantee-lane sketch oracles this one "
     "hash-matches the sketch itself. 64 registers per group = "

@@ -1280,6 +1280,28 @@ class TestFlac:
         payload = mm.encode_flac(s, 8000)
         assert len(payload) < len(s) * 2 * 0.25
 
+    def test_frame_numbers_past_2047_roundtrip(self):
+        # Regression: the extended-UTF-8 coder used a 4n+6-bit capacity
+        # threshold instead of the spec's 5n+1 bits, so frame numbers
+        # 2048..16383 picked a 3-byte code built with 2-byte lead bits
+        # and emitted undecodable streams. 2100 frames of 16 samples
+        # crosses index 2047 cheaply.
+        s = ((np.arange(2100 * 16) * 13) % 4096 - 2048).astype(np.int16)
+        sr, out = mm.decode_flac(mm.encode_flac(s, 8000, block_size=16))
+        assert sr == 8000 and np.array_equal(out, s)
+
+    def test_utf8_code_capacity_boundaries(self):
+        # byte-length boundaries of the 5n+1-bit capacity ladder, each
+        # value must decode back exactly
+        for n, want_len in [
+            (0x7F, 1), (0x80, 2), (0x7FF, 2), (0x800, 3), (0xFFFF, 3),
+            (0x10000, 4), (0x1FFFFF, 4), (0x200000, 5),
+        ]:
+            code = mm._utf8_code(n)
+            assert len(code) == want_len, (hex(n), code.hex())
+            br = mm._FlacBitReader(code)
+            assert mm._utf8_decode(br) == n
+
     def test_corruption_detected_by_crc(self):
         s = ((np.arange(800) * 13) % 4096 - 2048).astype(np.int16)
         payload = bytearray(mm.encode_flac(s, 8000, block_size=800))

@@ -244,6 +244,19 @@ def test_pagerank_checkpoint_keeps_plan_flat(spark):
     assert s6 < s2 * 3, f"plan grows with iterations: {s2} -> {s6}"
 
 
+def test_seasonal_anomaly_checkpoint_kills_fact_rescans(spark, registry):
+    """VERDICT r9 #1: q_ts_seasonal_anomaly's decomposition feeds three
+    lanes; without materialization each lane replayed the fact scan +
+    window + aggregate (8 parquet scans in the audited r9 plan). With
+    dec/devs localCheckpointed the final plan must read the fact zero
+    times (only checkpoint RDDs) and stay shallow."""
+    plan = plan_of(registry["q_ts_seasonal_anomaly"].fn(spark, SF))
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 0, f"fact re-scans regressed: {n_scans} parquet scans"
+    n = plan.count("Exchange")
+    assert n <= 6, f"seasonal-anomaly plan grew to {n} exchanges"
+
+
 def test_equidepth_no_single_partition_stage(spark, registry):
     """VERDICT r4 #1: the equi-depth histogram must not funnel every row
     through one task. The two-pass rank keeps every stage as parallel as

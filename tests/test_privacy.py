@@ -63,6 +63,39 @@ def test_suppression_drops_exactly_the_small_classes(spark):
     assert rep.filter("k_violation").count() == 0
 
 
+def test_suppression_null_quasi_class_matches_audit(spark):
+    """ADVICE r9: a NULL quasi value forms an equivalence class in the
+    audit (groupBy groups NULLs), so a NULL-keyed class of size >= k
+    must SURVIVE suppression — the old null-unsafe semi-join dropped
+    every NULL-keyed row regardless of class size."""
+    rows = [
+        (None, "a", "flu"),
+        (None, "a", "flu"),
+        (None, "a", "cold"),  # NULL-zip class, size 3 -> keep at k=2
+        ("z9", None, "flu"),  # singleton NULL-age class -> drop at k=2
+        ("z1", "a", "flu"),
+        ("z1", "a", "cold"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    # the audit says the NULL-zip class is k-anonymous at k=2
+    rep = {
+        (r["zip"], r["age"]): r
+        for r in k_anonymity_report(df, ["zip", "age"], k=2).collect()
+    }
+    assert not rep[(None, "a")]["k_violation"]
+    assert rep[("z9", None)]["k_violation"]
+    # ... and suppression agrees with it
+    out = suppress_small_classes(df, ["zip", "age"], k=2)
+    classes = {(r["zip"], r["age"]) for r in out.collect()}
+    assert classes == {(None, "a"), ("z1", "a")}
+    assert out.count() == 5
+    # the null-safe condition must still plan as a hash semi-join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_generalize_to_k_climbs_exactly_as_needed(spark):
     from incremental_github_data_pipeline_spark.operators.privacy import (
         generalize_to_k,

@@ -208,6 +208,23 @@ class TestSeasonalDecompose:
         ph = {r["phase"]: r["seasonal_s"] for r in out}
         assert ph[0] < 0 < ph[1]  # lows at even positions, highs at odd
 
+    def test_envelope_violation_fails_loudly(self, spark):
+        """ADVICE r9: _FDIV_OFFSET's non-negativity trick needs scaled
+        values averaging under 10^10. Exceeding it used to silently
+        flip trunc-vs-floor agreement between engines; the inline
+        assert_true guard must turn that into a loud error instead."""
+        from incremental_github_data_pipeline_spark.operators import (
+            timeseries as ts_ops,
+        )
+
+        df = spark.createDataFrame(
+            [("a", t, 10**7) for t in range(6)], "k string, t long, v long"
+        )
+        with pytest.raises(Exception, match="floor-div envelope"):
+            ts_ops.seasonal_decompose(
+                df, "k", "t", "v", period=3, scale=10**4
+            ).collect()
+
     def test_constant_series_decomposes_to_trend_only(self, spark):
         from incremental_github_data_pipeline_spark.operators import (
             timeseries as ts_ops,
