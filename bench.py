@@ -147,6 +147,21 @@ BENCH_QUERIES = [
     # + prediction reconstruction per sample, pure Python in Arrow
     # batches)
     "q_media_flac_stats",
+    # round-10 additions (VERDICT r9 task 3): the eight r9 queries that
+    # never got a bench row — the k-anonymity audit aggregate, the
+    # WordPiece vocab projection, the TIFF PackBits/LZW decode lane,
+    # the seasonal-decomposition + MAD anomaly composite, the
+    # Netpbm/TGA/AIFF legacy-codec lane, the BM25-lane retrieval-eval
+    # composite, the distributed lossless transcode, and the
+    # generalization-ladder release gate
+    "q_privacy_kanon",
+    "q_wordpiece_vocab",
+    "q_media_tiff_stats",
+    "q_ts_seasonal_anomaly",
+    "q_media_legacy_stats",
+    "q_retrieval_metrics",
+    "q_media_transcode_stats",
+    "q_privacy_generalize",
 ]
 
 # Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform

@@ -3482,12 +3482,15 @@ def make_funnel_media(spark) -> DataFrame:
 # never hash-match across engines, FLAC round-trips bit-for-bit and a
 # decode-stats oracle works exactly like the PCM lanes. Reference:
 # the public FLAC format specification (RFC 9639 / flac format.html).
-# Encoder emits CONSTANT / VERBATIM / FIXED(0-4) subframes with
-# partition-order-0 rice residuals; decoder additionally verifies
-# CRC-8 (header), CRC-16 (frame) and the STREAMINFO MD5. LPC and
-# mid-side stereo stay honest NotImplementedError guards — this
-# encoder never emits them, and a foreign file using them fails loud,
-# never silently mis-decodes.)
+# Encoder emits CONSTANT / VERBATIM / FIXED(0-4) / LPC(<=8,
+# Levinson-Durbin quantized) subframes with partition-order-0 rice
+# residuals and optional left-side / right-side / mid-side stereo
+# decorrelation (r10 — real encoder output is overwhelmingly LPC with
+# mid-side); decoder handles all of those plus rice2 / escaped-raw
+# residuals at any partition order, and additionally verifies CRC-8
+# (header), CRC-16 (frame) and the STREAMINFO MD5. Wasted bits and
+# non-16-bit depths stay honest NotImplementedError guards — a foreign
+# file using them fails loud, never silently mis-decodes.)
 # ---------------------------------------------------------------------------
 
 
@@ -3642,21 +3645,185 @@ def _best_rice_param(res: np.ndarray) -> int:
     return k
 
 
+def _rice_bits(res: np.ndarray, k: int) -> int:
+    """Exact bit cost of rice-coding ``res`` with parameter ``k``."""
+    r = res.astype(np.int64)
+    zig = np.where(r >= 0, r * 2, -r * 2 - 1)
+    return int((zig >> k).sum()) + len(res) * (1 + k)
+
+
+def _lpc_coeffs(x: np.ndarray, order: int) -> list[float] | None:
+    """Levinson–Durbin forward predictor over the block's (windowless)
+    autocorrelation: returns ``a`` with x̂[i] = Σ a[j]·x[i−1−j], or
+    None when the recursion degenerates (constant/zero block, unstable
+    error). Encoder-side only — validity matters, optimality doesn't
+    (a worse predictor just costs bits, never correctness)."""
+    xf = x.astype(np.float64)
+    n = len(xf)
+    if n <= order:
+        return None
+    ac = [float(np.dot(xf[: n - lag], xf[lag:])) for lag in range(order + 1)]
+    if ac[0] == 0.0:
+        return None
+    a: list[float] = []
+    e = ac[0]
+    for m in range(1, order + 1):
+        acc = ac[m]
+        for j in range(m - 1):
+            acc -= a[j] * ac[m - 1 - j]
+        k = acc / e
+        a = [aj - k * ar for aj, ar in zip(a, reversed(a))] + [k]
+        e *= 1.0 - k * k
+        if e <= 0.0:
+            return None
+    return a
+
+
+def _quantize_lpc(
+    a: list[float], precision: int = 12
+) -> tuple[list[int], int] | None:
+    """Quantize float predictor coefficients to ``precision``-bit
+    signed integers with a common left shift (the spec's qlp shift,
+    0..15): the largest shift keeping every coefficient in range."""
+    cmax = max(abs(c) for c in a)
+    if cmax == 0.0:
+        return None
+    lim = (1 << (precision - 1)) - 1
+    shift = 0
+    while shift < 15 and cmax * (1 << (shift + 1)) <= lim:
+        shift += 1
+    q = [
+        max(-lim - 1, min(lim, int(round(c * (1 << shift))))) for c in a
+    ]
+    if all(v == 0 for v in q):
+        return None
+    return q, shift
+
+
+def _lpc_residual(x: np.ndarray, q: list[int], shift: int) -> np.ndarray:
+    """res[i] = x[order+i] − ((Σ q[j]·x[order+i−1−j]) >> shift) —
+    numpy ``>>`` on int64 is arithmetic, matching the spec's signed
+    shift and the decoder's Python ``>>``."""
+    order = len(q)
+    xi = x.astype(np.int64)
+    pred = np.zeros(len(xi) - order, dtype=np.int64)
+    for j, c in enumerate(q):
+        pred += c * xi[order - 1 - j : len(xi) - 1 - j]
+    pred >>= shift
+    return xi[order:] - pred
+
+
+def _write_rice_residual(w: _FlacBitWriter, res: np.ndarray, k: int) -> None:
+    w.write(0b00, 2)  # rice method (4-bit params)
+    w.write(0, 4)  # partition order 0
+    w.write(k, 4)
+    for v in res:
+        u = int(v) * 2 if v >= 0 else -int(v) * 2 - 1  # zigzag
+        w.write_unary(u >> k)
+        if k:
+            w.write(u & ((1 << k) - 1), k)
+
+
+def _encode_flac_subframe(
+    w: _FlacBitWriter, x: np.ndarray, sub_bps: int, lpc_order: int
+) -> None:
+    """One subframe at ``sub_bps`` bits (17 for a side channel): best
+    of CONSTANT / FIXED(0..4) / LPC(``lpc_order``, when > 0) by exact
+    rice bit cost including each candidate's header overhead, VERBATIM
+    when raw beats them all."""
+    bs = len(x)
+    mask = (1 << sub_bps) - 1
+    if bs > 0 and (x == x[0]).all():
+        w.write(0, 1)
+        w.write(0b000000, 6)  # CONSTANT
+        w.write(0, 1)
+        w.write(int(x[0]) & mask, sub_bps)
+        return
+    best_o, best_cost, best_res, best_k = 0, None, None, 0
+    for o in range(0, min(4, bs - 1) + 1):
+        res = _fixed_residual(x, o)
+        k = _best_rice_param(res)
+        cost = _rice_bits(res, k) + o * sub_bps
+        if best_cost is None or cost < best_cost:
+            best_o, best_cost, best_res, best_k = o, cost, res, k
+    lpc = None
+    if lpc_order > 0 and bs > lpc_order:
+        a = _lpc_coeffs(x, lpc_order)
+        qs = _quantize_lpc(a) if a is not None else None
+        if qs is not None:
+            q, shift = qs
+            prec = 12
+            res = _lpc_residual(x, q, shift)
+            k = _best_rice_param(res)
+            cost = (
+                _rice_bits(res, k)
+                + lpc_order * sub_bps  # warm-up
+                + 4 + 5 + lpc_order * prec  # precision/shift/coefs
+            )
+            if cost < best_cost:
+                lpc = (q, shift, prec, res, k)
+                best_cost = cost
+    if best_cost > bs * sub_bps:
+        # raw beats every predictor: VERBATIM
+        w.write(0, 1)
+        w.write(0b000001, 6)
+        w.write(0, 1)
+        for v in x:
+            w.write(int(v) & mask, sub_bps)
+        return
+    if lpc is not None:
+        q, shift, prec, res, k = lpc
+        w.write(0, 1)
+        w.write(0b100000 | (lpc_order - 1), 6)  # LPC, order-1
+        w.write(0, 1)
+        for v in x[:lpc_order]:
+            w.write(int(v) & mask, sub_bps)  # warm-up
+        w.write(prec - 1, 4)
+        w.write(shift & 0x1F, 5)
+        for c in q:
+            w.write(c & ((1 << prec) - 1), prec)
+        _write_rice_residual(w, res, k)
+        return
+    w.write(0, 1)
+    w.write(0b001000 | best_o, 6)  # FIXED, order
+    w.write(0, 1)
+    for v in x[:best_o]:
+        w.write(int(v) & mask, sub_bps)  # warm-up
+    _write_rice_residual(w, best_res, best_k)
+
+
 def encode_flac(
     samples: np.ndarray,
     sample_rate: int = WAV_SAMPLE_RATE,
     block_size: int = 4096,
+    lpc_order: int = 0,
+    stereo_mode: str = "independent",
 ) -> bytes:
     """Encode int16 samples ((n,) mono or (n, 2) stereo) as a FLAC
     stream: STREAMINFO (with the spec's MD5 of the unencoded
     little-endian interleaved signal), then fixed-blocksize frames —
-    per channel the best of CONSTANT / FIXED(0..4) by Σ|residual|
-    (VERBATIM when rice would exceed raw), partition-order-0 rice
-    residuals, CRC-8 header and CRC-16 frame trailers. Independent
-    channels only (no mid-side) — lossless either way; mid-side is a
-    compression-ratio refinement, not a correctness feature."""
+    per channel the best of CONSTANT / FIXED(0..4) / optional
+    LPC(``lpc_order`` ≤ 8, Levinson–Durbin coefficients quantized to
+    12 bits) by exact rice bit cost (VERBATIM when raw wins),
+    partition-order-0 rice residuals, CRC-8 header and CRC-16 frame
+    trailers.
+
+    ``stereo_mode`` picks the inter-channel decorrelation for 2-channel
+    input: ``"independent"``, ``"left_side"`` (left + side),
+    ``"right_side"`` (side + right), ``"mid_side"`` (mid + side) or
+    ``"auto"`` (per frame, cheapest by Σ|order-2 residual| — the
+    standard estimator). The side channel carries bps+1 = 17 bits per
+    the spec. All modes are lossless; decorrelation is a
+    compression-ratio refinement real encoders default to, which is
+    why the decoder must handle it (r10)."""
     import hashlib
 
+    if not 0 <= lpc_order <= 8:
+        raise ValueError("lpc_order must be in 0..8")
+    if stereo_mode not in (
+        "independent", "left_side", "right_side", "mid_side", "auto",
+    ):
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
     s = samples.astype("<i2")
     if s.ndim == 1:
         s = s[:, None]
@@ -3679,61 +3846,60 @@ def encode_flac(
     out += info.out + md5
 
     for fno, start in enumerate(range(0, n, block_size)):
-        blk = s[start : start + block_size]
+        blk = s[start : start + block_size].astype(np.int64)
         bs = blk.shape[0]
+        mode = stereo_mode if ch == 2 else "independent"
+        if mode == "auto":
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            mid = (left + right) >> 1
+            costs = {
+                "independent": int(
+                    np.abs(_fixed_residual(left, min(2, bs - 1))).sum()
+                    + np.abs(_fixed_residual(right, min(2, bs - 1))).sum()
+                ),
+                "left_side": int(
+                    np.abs(_fixed_residual(left, min(2, bs - 1))).sum()
+                    + np.abs(_fixed_residual(side, min(2, bs - 1))).sum()
+                ),
+                "right_side": int(
+                    np.abs(_fixed_residual(side, min(2, bs - 1))).sum()
+                    + np.abs(_fixed_residual(right, min(2, bs - 1))).sum()
+                ),
+                "mid_side": int(
+                    np.abs(_fixed_residual(mid, min(2, bs - 1))).sum()
+                    + np.abs(_fixed_residual(side, min(2, bs - 1))).sum()
+                ),
+            }
+            mode = min(costs, key=costs.get)
+        if mode == "independent":
+            ch_asgn = ch - 1
+            subframes = [(blk[:, c], 16) for c in range(ch)]
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if mode == "left_side":
+                ch_asgn, subframes = 0b1000, [(left, 16), (side, 17)]
+            elif mode == "right_side":
+                ch_asgn, subframes = 0b1001, [(side, 17), (right, 16)]
+            else:  # mid_side
+                mid = (left + right) >> 1
+                ch_asgn, subframes = 0b1010, [(mid, 16), (side, 17)]
         w = _FlacBitWriter()
         w.write(0b11111111111110, 14)
         w.write(0, 1)  # reserved
         w.write(0, 1)  # fixed blocksize strategy
         w.write(0b0111, 4)  # 16-bit blocksize-1 follows
         w.write(0b0000, 4)  # sample rate from STREAMINFO
-        w.write(ch - 1, 4)  # independent channels
+        w.write(ch_asgn, 4)
         w.write(0b100, 3)  # 16 bps
         w.write(0, 1)  # reserved
         for b in _utf8_code(fno):
             w.write(b, 8)
         w.write(bs - 1, 16)
         w.write(_crc8(bytes(w.out)), 8)
-        for c in range(ch):
-            x = blk[:, c].astype(np.int64)
-            if bs > 0 and (x == x[0]).all():
-                w.write(0, 1)
-                w.write(0b000000, 6)  # CONSTANT
-                w.write(0, 1)
-                w.write(int(x[0]) & 0xFFFF, 16)
-                continue
-            best_o, best_cost, best_res = 0, None, None
-            for o in range(0, min(4, bs - 1) + 1):
-                res = _fixed_residual(x, o)
-                cost = int(np.abs(res).sum())
-                if best_cost is None or cost < best_cost:
-                    best_o, best_cost, best_res = o, cost, res
-            res = best_res
-            k = _best_rice_param(res)
-            rice_bits = sum(
-                (int(abs(v)) * 2 - (1 if v < 0 else 0)) // (1 << k) + 1 + k
-                for v in res
-            )
-            if rice_bits > bs * 16:  # raw beats rice: VERBATIM
-                w.write(0, 1)
-                w.write(0b000001, 6)
-                w.write(0, 1)
-                for v in x:
-                    w.write(int(v) & 0xFFFF, 16)
-                continue
-            w.write(0, 1)
-            w.write(0b001000 | best_o, 6)  # FIXED, order
-            w.write(0, 1)
-            for v in x[:best_o]:
-                w.write(int(v) & 0xFFFF, 16)  # warm-up
-            w.write(0b00, 2)  # rice method (4-bit params)
-            w.write(0, 4)  # partition order 0
-            w.write(k, 4)
-            for v in res:
-                u = int(v) * 2 if v >= 0 else -int(v) * 2 - 1  # zigzag
-                w.write_unary(u >> k)
-                if k:
-                    w.write(u & ((1 << k) - 1), k)
+        for x, sub_bps in subframes:
+            _encode_flac_subframe(w, x, sub_bps, lpc_order)
         w.align()
         frame = bytes(w.out)
         out += frame + _crc16(frame).to_bytes(2, "big")
@@ -3742,12 +3908,14 @@ def encode_flac(
 
 def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
     """Decode a FLAC stream → (sample_rate, int16 samples — (n,) mono,
-    (n, ch) multi-channel). Supports CONSTANT / VERBATIM / FIXED
-    subframes with rice / rice2 / escaped-raw residuals at any
-    partition order, independent channels, 16-bit. LPC subframes and
-    mid-side channel assignments raise ``NotImplementedError`` (honest
-    scope — never a silent mis-decode); CRC-8, CRC-16 and the
-    STREAMINFO MD5 are verified."""
+    (n, ch) multi-channel). Supports CONSTANT / VERBATIM / FIXED /
+    LPC subframes with rice / rice2 / escaped-raw residuals at any
+    partition order, independent channels AND the left-side /
+    right-side / mid-side stereo decorrelations (side channel at
+    bps+1 = 17 bits per the spec) — the shapes real encoder output is
+    overwhelmingly made of. Wasted bits and non-16-bit depths raise
+    ``NotImplementedError`` (honest scope — never a silent
+    mis-decode); CRC-8, CRC-16 and the STREAMINFO MD5 are verified."""
     import hashlib
 
     if payload[:4] != b"fLaC":
@@ -3789,9 +3957,12 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         ch_asgn = br.read_bits(4)
         ss_code = br.read_bits(3)
         br.read_bit()
-        if ch_asgn >= 8:
-            raise NotImplementedError("mid-side FLAC stereo not supported")
-        nch = ch_asgn + 1
+        if ch_asgn > 0b1010:
+            raise ValueError(f"reserved FLAC channel assignment {ch_asgn}")
+        decorrelated = ch_asgn >= 0b1000
+        nch = 2 if decorrelated else ch_asgn + 1
+        # which subframe carries the (bps+1)-bit side channel
+        side_idx = {0b1000: 1, 0b1001: 0, 0b1010: 1}.get(ch_asgn, -1)
         _utf8_decode(br)
         if bs_code == 0b0110:
             bs = br.read_bits(8) + 1
@@ -3811,42 +3982,46 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         if br.read_bits(8) != hdr_crc:
             raise ValueError("FLAC frame-header CRC-8 mismatch")
         _ = ss_code
+        def read_residual(bs: int, order: int) -> list[int]:
+            method = br.read_bits(2)
+            if method > 1:
+                raise ValueError("reserved FLAC residual method")
+            pbits = 4 if method == 0 else 5
+            escape = (1 << pbits) - 1
+            porder = br.read_bits(4)
+            res: list[int] = []
+            for part in range(1 << porder):
+                cnt = bs >> porder
+                if part == 0:
+                    cnt -= order
+                k = br.read_bits(pbits)
+                if k == escape:
+                    raw = br.read_bits(5)
+                    for _ in range(cnt):
+                        res.append(br.read_signed(raw) if raw else 0)
+                else:
+                    for _ in range(cnt):
+                        q = br.read_unary()
+                        u = (q << k) | (br.read_bits(k) if k else 0)
+                        res.append((u >> 1) ^ -(u & 1))  # un-zigzag
+            return res
+
         blk = np.zeros((bs, nch), dtype=np.int64)
         for c in range(nch):
+            sub_bps = 17 if c == side_idx else 16
             br.read_bit()  # zero pad
             styp = br.read_bits(6)
             if br.read_bit():  # wasted bits
                 raise NotImplementedError("wasted-bits FLAC not supported")
             if styp == 0b000000:
-                blk[:, c] = br.read_signed(16)
+                blk[:, c] = br.read_signed(sub_bps)
             elif styp == 0b000001:
                 for i in range(bs):
-                    blk[i, c] = br.read_signed(16)
+                    blk[i, c] = br.read_signed(sub_bps)
             elif 0b001000 <= styp <= 0b001100:
                 order = styp & 0b000111
-                x = [br.read_signed(16) for _ in range(order)]
-                method = br.read_bits(2)
-                if method > 1:
-                    raise ValueError("reserved FLAC residual method")
-                pbits = 4 if method == 0 else 5
-                escape = (1 << pbits) - 1
-                porder = br.read_bits(4)
-                res: list[int] = []
-                nparts = 1 << porder
-                for part in range(nparts):
-                    cnt = bs >> porder
-                    if part == 0:
-                        cnt -= order
-                    k = br.read_bits(pbits)
-                    if k == escape:
-                        raw = br.read_bits(5)
-                        for _ in range(cnt):
-                            res.append(br.read_signed(raw) if raw else 0)
-                    else:
-                        for _ in range(cnt):
-                            q = br.read_unary()
-                            u = (q << k) | (br.read_bits(k) if k else 0)
-                            res.append((u >> 1) ^ -(u & 1))  # un-zigzag
+                x = [br.read_signed(sub_bps) for _ in range(order)]
+                res = read_residual(bs, order)
                 coef = _FLAC_FIXED_COEFFS[order]
                 for i, r in enumerate(res):
                     pred = sum(
@@ -3854,11 +4029,43 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
                     )
                     x.append(r + pred)
                 blk[:, c] = x
+            elif styp >= 0b100000:
+                order = (styp & 0b011111) + 1
+                x = [br.read_signed(sub_bps) for _ in range(order)]
+                prec = br.read_bits(4) + 1
+                if prec == 16:
+                    raise ValueError("invalid FLAC LPC precision escape")
+                shift = br.read_signed(5)
+                if shift < 0:
+                    # negative shifts were dropped from the spec; no
+                    # real encoder emits them
+                    raise NotImplementedError(
+                        "negative FLAC LPC shift not supported"
+                    )
+                coefs = [br.read_signed(prec) for _ in range(order)]
+                res = read_residual(bs, order)
+                for r in res:
+                    # Python >> floors on negatives = the spec's
+                    # arithmetic shift
+                    pred = (
+                        sum(coefs[j] * x[-1 - j] for j in range(order))
+                        >> shift
+                    )
+                    x.append(r + pred)
+                blk[:, c] = x
             else:
-                raise NotImplementedError(
-                    "LPC FLAC subframes not supported (fixed-predictor "
-                    "subset decoder)"
-                )
+                raise ValueError(f"reserved FLAC subframe type {styp}")
+        if decorrelated:
+            if ch_asgn == 0b1000:  # left + side
+                left, side = blk[:, 0], blk[:, 1]
+                blk = np.stack([left, left - side], axis=1)
+            elif ch_asgn == 0b1001:  # side + right
+                side, right = blk[:, 0], blk[:, 1]
+                blk = np.stack([side + right, right], axis=1)
+            else:  # mid + side
+                mid, side = blk[:, 0], blk[:, 1]
+                mid = (mid << 1) | (side & 1)
+                blk = np.stack([(mid + side) >> 1, (mid - side) >> 1], axis=1)
         br.align()
         if _crc16(payload[frame_start : br.pos]) != int.from_bytes(
             payload[br.pos : br.pos + 2], "big"
@@ -3879,8 +4086,16 @@ def make_flac_media(spark, n: int = 24, id_offset: int = 2000) -> DataFrame:
     channel content as :func:`make_wav_variant_media`'s 16-bit lanes
     (mono and stereo alternating by id), so the decode-stats oracle is
     shared arithmetic: a FLAC decode must surface byte-identical
-    samples to the closed form or every sum lane breaks."""
+    samples to the closed form or every sum lane breaks.
+
+    Encoding modes cycle deterministically by id (r10): stereo files
+    walk independent → left-side → right-side → mid-side
+    decorrelation, and every third file uses LPC order 8 (the rest
+    fixed predictors) — so the certified decode path covers every
+    subframe type and channel assignment the decoder claims, while
+    the CONTENT (and therefore the DuckDB oracle) is unchanged."""
     rows = []
+    stereo_modes = ["independent", "left_side", "right_side", "mid_side"]
     for i in range(n):
         m = _wav_variant_frames(i)
         if i % 2 == 0:
@@ -3888,13 +4103,20 @@ def make_flac_media(spark, n: int = 24, id_offset: int = 2000) -> DataFrame:
                 [_wav_channel(i, 0, m, 16), _wav_channel(i, 1, m, 16)],
                 axis=1,
             )
+            mode = stereo_modes[(i // 2) % 4]
         else:
             s = _wav_channel(i, 0, m, 16)
+            mode = "independent"
         rows.append(
             (
                 id_offset + i,
                 "audio",
-                encode_flac(s, block_size=256),
+                encode_flac(
+                    s,
+                    block_size=256,
+                    lpc_order=8 if i % 3 == 0 else 0,
+                    stereo_mode=mode,
+                ),
                 "audio/flac",
                 None,
                 None,
@@ -4554,7 +4776,13 @@ def transcode_audio(media: DataFrame, to: str = "audio/flac") -> DataFrame:
         "audio/aiff": decode_aiff,
     }
     if to == "audio/flac":
-        enc = lambda s, sr: encode_flac(s, sr)  # noqa: E731
+        # real-encoder defaults (r10): LPC order 8 + per-frame auto
+        # stereo decorrelation — the oracle over the output proves the
+        # whole LPC/decorrelation encode path lossless, not just the
+        # fixed-predictor subset
+        enc = lambda s, sr: encode_flac(  # noqa: E731
+            s, sr, lpc_order=8, stereo_mode="auto"
+        )
     elif to == "audio/wav":
         enc = lambda s, sr: encode_wav(s, sr)  # noqa: E731
     elif to == "audio/aiff":

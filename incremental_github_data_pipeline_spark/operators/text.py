@@ -1099,6 +1099,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     max_df_ratio: float | None = None,
+    tokens_df=None,
 ):
     """BM25 top-k retrieval — the lexical-search primitive RAG corpora
     are triaged with. Sparse scoring as a TERM EQUI-JOIN against the
@@ -1120,9 +1121,22 @@ def bm25_topk(
     Returns (qid, rank, doc id, n_terms long, sum_tf long, score
     double) — the integer lanes are engine-exact for oracle
     certification; the float score is informational.
+
+    ``tokens_df`` optionally supplies the corpus occurrence frame
+    (one ``(id_col, term)`` row per token occurrence) so a caller that
+    needs the tokens for another lane too (qrels derivation, vocab
+    stats) tokenizes the corpus ONCE and shares the frame — without it
+    a composite query pays a second full scan + tokenize of the corpus
+    (VERDICT r9 "double tokenization"). ``docs`` is still required for
+    the document count N (empty docs count toward N and avgdl but emit
+    no tokens).
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    toks = (
+        tokens_df
+        if tokens_df is not None
+        else docs.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("term")
+        )
     )
     # dl / df / the join side all derive from tf. Materialize it once
     # (the inverted_index precedent): per-branch column pruning

@@ -1367,15 +1367,19 @@ _FLAC_STATS_ORACLE = """
 @register(
     "q_media_flac_stats",
     oracle=_FLAC_STATS_ORACLE,
-    doc="FLAC decode — the first COMPRESSED lossless audio lane "
-    "(operators/multimodal.encode_flac/decode_flac: fixed-predictor "
-    "subset, partitioned-rice residuals, CRC-8/CRC-16/MD5 verified; "
-    "LPC and mid-side stay honest NotImplementedError guards). FLAC "
-    "is integer-exact by format design, so unlike MP3's float "
-    "filterbank a decode-stats oracle works: the generator compresses "
-    "closed-form 16-bit signals (mono/stereo alternating) and DuckDB "
+    doc="FLAC decode — the COMPRESSED lossless audio lane "
+    "(operators/multimodal.encode_flac/decode_flac: CONSTANT/VERBATIM/"
+    "FIXED/LPC(<=8) subframes, partitioned-rice residuals, left-side/"
+    "right-side/mid-side stereo decorrelation with the 17-bit side "
+    "channel, CRC-8/CRC-16/MD5 verified; wasted-bits and non-16-bit "
+    "depths stay honest NotImplementedError guards). FLAC is "
+    "integer-exact by format design, so unlike MP3's float filterbank "
+    "a decode-stats oracle works: the generator compresses closed-form "
+    "16-bit signals (mono/stereo alternating; stereo files cycle all "
+    "four channel assignments, every third file LPC-coded) and DuckDB "
     "recomputes every decoded sample's per-channel and downmix sums — "
-    "one wrong residual, prediction, or CRC window breaks a lane.",
+    "one wrong residual, prediction, decorrelation or CRC window "
+    "breaks a lane.",
 )
 def q_media_flac_stats(spark: SparkSession, sf: str) -> DataFrame:
     from incremental_github_data_pipeline_spark.operators.multimodal import (

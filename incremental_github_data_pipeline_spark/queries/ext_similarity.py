@@ -821,12 +821,17 @@ def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     dqueries = docs.filter(F.col("doc_id") < 8).select(
         F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
     )
-    results = tx.bm25_topk(docs, dqueries, qtext_col="qtext", k=10).select(
-        "query_id", "doc_id", "rank"
-    )
-    toks = docs.select(
+    # One corpus tokenization shared by BOTH lanes (VERDICT r9 "double
+    # tokenization"): the occurrence frame feeds bm25_topk (via
+    # tokens_df) and the qrels ground-truth derivation below —
+    # checkpointed so neither lane replays the scan + explode.
+    occ = docs.select(
         "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
-    ).distinct()
+    ).localCheckpoint(eager=True)
+    results = tx.bm25_topk(
+        docs, dqueries, qtext_col="qtext", k=10, tokens_df=occ
+    ).select("query_id", "doc_id", "rank")
+    toks = occ.distinct()
     qt = toks.filter(F.col("doc_id") < 8).select(
         F.col("doc_id").alias("query_id"), "term"
     )

@@ -1280,6 +1280,51 @@ class TestFlac:
         payload = mm.encode_flac(s, 8000)
         assert len(payload) < len(s) * 2 * 0.25
 
+    def test_lpc_and_stereo_decorrelation_roundtrip(self):
+        """r10: LPC subframes (Levinson-Durbin, order<=8) and all three
+        stereo decorrelations must round-trip bit-exactly; the side
+        channel carries 17 bits."""
+        rng = np.random.default_rng(3)
+        t = np.arange(9000)
+        l = (
+            3000 * np.sin(t / 50) + 500 * np.sin(t / 7)
+            + rng.normal(0, 40, len(t))
+        ).astype(np.int16)
+        r = (l * 0.8 + rng.normal(0, 30, len(t))).astype(np.int16)
+        st = np.stack([l, r], axis=1)
+        sizes = {}
+        for mode in (
+            "independent", "left_side", "right_side", "mid_side", "auto",
+        ):
+            for order in (0, 4, 8):
+                p = mm.encode_flac(
+                    st, 8000, block_size=1024,
+                    lpc_order=order, stereo_mode=mode,
+                )
+                sr, out = mm.decode_flac(p)
+                assert sr == 8000 and np.array_equal(out, st), (mode, order)
+                sizes[(mode, order)] = len(p)
+        # LPC on a tonal signal must actually compress vs fixed, and
+        # decorrelation must beat independent on correlated channels
+        assert sizes[("mid_side", 8)] < sizes[("independent", 0)]
+        # mono LPC too
+        p = mm.encode_flac(l, 8000, block_size=777, lpc_order=8)
+        _, out = mm.decode_flac(p)
+        assert np.array_equal(out, l)
+
+    def test_stereo_decorrelation_int16_extremes(self):
+        # side = l - r spans [-65535, 65535]: the full 17-bit lane
+        s = np.full(600, -32768, dtype=np.int16)
+        s[300:] = 32767
+        st = np.stack([s, (-1 - s.astype(np.int64)).astype(np.int16)], axis=1)
+        for mode in ("left_side", "right_side", "mid_side"):
+            _, out = mm.decode_flac(
+                mm.encode_flac(
+                    st, 8000, block_size=256, lpc_order=4, stereo_mode=mode
+                )
+            )
+            assert np.array_equal(out, st), mode
+
     def test_frame_numbers_past_2047_roundtrip(self):
         # Regression: the extended-UTF-8 coder used a 4n+6-bit capacity
         # threshold instead of the spec's 5n+1 bits, so frame numbers
