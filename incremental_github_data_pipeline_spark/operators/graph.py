@@ -48,24 +48,35 @@ def pagerank_integer(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """PageRank over ``iters`` synchronous iterations in scaled-integer
     arithmetic: ranks start at ``scale div n``, and each round applies
 
         r'(v) = ((100-d)*scale) div (100*n)
-                + (d * Σ_{u→v} (r(u) div deg(u))) div 100
+                + (d * (Σ_{u→v} (r(u) div deg(u)) [+ D div n])) div 100
 
     with every operation integral — order-independent and therefore
-    bit-reproducible across engines. Dangling mass is dropped (the
-    simplified variant); integral-division remainders dissipate the
-    same way in any engine replaying the recurrence.
+    bit-reproducible across engines.
+
+    ``redistribute_dangling`` (r10): real crawl graphs have many sinks
+    (pages with no out-links), and the simplified variant silently
+    leaks their rank mass every round. With the flag on, each round
+    adds ``D div n`` to every node's in-mass, where ``D`` is the total
+    rank held by out-degree-0 nodes — the standard uniform
+    redistribution, kept integer-exact (one extra 1-row aggregate per
+    round, broadcast back via crossJoin: no driver collect, no float).
+    Off by default for recurrence-compatibility with the certified
+    ``q_graph_pagerank`` oracle; integral-division remainders
+    dissipate the same way in any engine replaying either recurrence.
 
     Returns ``(node, rank)`` for all ``n_nodes`` nodes (ids 0..n-1),
     including nodes with no in-links (they hold the teleport floor).
 
-    One aggregate shuffle per iteration; per-round ``localCheckpoint``
-    keeps the plan flat, exactly like the distributed
-    connected-components loop it sits beside.
+    One aggregate shuffle per iteration (plus the 1-row dangling
+    aggregate when enabled); per-round ``localCheckpoint`` keeps the
+    plan flat, exactly like the distributed connected-components loop
+    it sits beside.
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -81,19 +92,27 @@ def pagerank_integer(
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + _idiv(
-                        f"({damping_pct} * coalesce(in_mass, 0L))", 100
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+        joined = nodes.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
         )
+        if redistribute_dangling:
+            dang = (
+                ranks.join(
+                    deg.withColumnRenamed("src", "node"), "node", "left_anti"
+                )
+                .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("_dm"))
+                .select(F.expr(f"_dm div {n_nodes}").alias("_dshare"))
+            )
+            mass = "(coalesce(in_mass, 0L) + _dshare)"
+            joined = joined.crossJoin(F.broadcast(dang))
+        else:
+            mass = "coalesce(in_mass, 0L)"
+        ranks = joined.select(
+            "node",
+            (
+                F.lit(base) + _idiv(f"({damping_pct} * {mass})", 100)
+            ).alias("rank"),
+        ).localCheckpoint(eager=False)
     return ranks
 
 

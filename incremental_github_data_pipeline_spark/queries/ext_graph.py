@@ -95,6 +95,68 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pagerank_dangling_oracle() -> str:
+    """Unrolled recurrence over the SINK-BEARING graph (edges only from
+    nodes not divisible by 5, so 80 of 400 nodes are dangling): each
+    round adds ``(Σ dangling rank) // N`` to every node's in-mass
+    before damping."""
+    base = (100 - 85) * SCALE // (100 * N)
+    edge_sql = _EDGE_SQL.replace(
+        "WHERE src <> dst", "WHERE src <> dst AND src % 5 <> 0"
+    )
+    steps = []
+    for t in range(1, ITERS + 1):
+        prev = f"r{t - 1}"
+        steps.append(
+            f"""d{t} AS (
+      SELECT COALESCE(SUM(rank), 0) // {N} AS share
+      FROM {prev} WHERE node NOT IN (SELECT src FROM deg)
+    ),
+    r{t} AS (
+      SELECT n.node,
+             {base} + (85 * (COALESCE(m.s, 0) + d.share)) // 100 AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank // deg.d) AS s
+        FROM e JOIN {prev} r ON r.node = e.src
+               JOIN deg ON deg.src = e.src
+        GROUP BY 1) m USING (node)
+      CROSS JOIN d{t} d
+    )"""
+        )
+    return f"""
+    WITH nodes AS (SELECT range AS node FROM range({N})),
+    e AS (
+      {edge_sql}
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+    r0 AS (SELECT node, {SCALE // N} AS rank FROM nodes),
+    {",".join(steps)}
+    SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+    FROM r{ITERS} ORDER BY node
+    """
+
+
+@register(
+    "q_graph_pagerank_dangling",
+    oracle=_pagerank_dangling_oracle(),
+    doc="PageRank WITH dangling-mass redistribution (operators/graph."
+    "pagerank_integer(redistribute_dangling=True)) over a graph where "
+    "a fifth of the nodes are genuine sinks (edges only from nodes "
+    "not divisible by 5): each round a 1-row aggregate sums the rank "
+    "held by out-degree-0 nodes and every node receives D div n extra "
+    "in-mass before damping — the uniform redistribution real crawl "
+    "graphs need (rank mass otherwise leaks every round). Still "
+    "integer-exact end-to-end; the oracle unrolls five rounds with a "
+    "per-round dangling-share CTE. Physical shape: the base loop plus "
+    "one broadcast 1-row frame per round — no driver collect.",
+)
+def q_graph_pagerank_dangling(spark: SparkSession, sf: str) -> DataFrame:
+    e = _edges(spark).filter(F.col("src") % 5 != 0)
+    return g_ops.pagerank_integer(
+        e, N, iters=ITERS, scale=SCALE, redistribute_dangling=True
+    ).orderBy("node")
+
+
 @register(
     "q_graph_triangles",
     oracle=f"""

@@ -53,6 +53,34 @@ def test_pagerank_star_concentrates_on_hub(spark):
     assert len(ranks) == 4
 
 
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    """r10: on a star whose hub is a SINK (1->0, 2->0, 3->0), the
+    simplified variant leaks the hub's mass every round; with
+    redistribute_dangling the total stays at the scale (up to the
+    bounded integral-division remainders) and the hub's mass flows
+    back to everyone."""
+    e = _edges(spark, [(1, 0), (2, 0), (3, 0)])
+    scale = 10**12
+    drop = pagerank_integer(e, 4, iters=5, scale=scale)
+    keep = pagerank_integer(
+        e, 4, iters=5, scale=scale, redistribute_dangling=True
+    )
+    t_drop = sum(r["rank"] for r in drop.collect())
+    t_keep = sum(r["rank"] for r in keep.collect())
+    # simplified variant has leaked a large share of the mass
+    assert t_drop < 0.8 * scale
+    # redistribution conserves it: each round loses at most
+    # n_nodes remainders from the div n share + div 100 damping
+    assert t_keep > 0.999 * scale
+    assert t_keep <= scale
+    ranks = {r["node"]: r["rank"] for r in keep.collect()}
+    base = 15 * scale // (100 * 4)
+    # leaves now hold MORE than the teleport floor (the hub's mass
+    # comes back to them), and the hub still dominates
+    assert all(ranks[i] > base for i in (1, 2, 3))
+    assert ranks[0] > ranks[1]
+
+
 def test_kcore_peels_tail_into_empty_or_core(spark):
     """K4 with a pendant path: the 3-core is exactly the K4 (peeling
     the path takes TWO rounds — each removal exposes the next), and the

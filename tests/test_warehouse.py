@@ -91,6 +91,35 @@ def test_bootstrap_failed_migration_rolls_back_atomically(wh):
 # ---------------------------------------------------------------------------
 
 
+def test_partitioned_read_fans_out_and_matches(wh, spark):
+    """VERDICT r9 #4: a keyed read must produce >1 input partition
+    (range-predicated parallel queries), return the same rows as the
+    single-stream read, and keep rows outside the bound estimates."""
+    rows = [(i, f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, val string")
+    wh.ensure_table("part_t", df.schema)
+    wh.write_table(df, "part_t")
+    seq = wh.read_table("part_t")
+    par = wh.read_table(
+        "part_t",
+        partition_column="id",
+        lower_bound=10,  # deliberately stale: rows 0..9 must survive
+        upper_bound=90,
+        num_partitions=4,
+    )
+    assert seq.rdd.getNumPartitions() == 1
+    assert par.rdd.getNumPartitions() == 4
+    assert sorted(tuple(r) for r in par.collect()) == sorted(
+        tuple(r) for r in seq.collect()
+    )
+    assert par.count() == 100
+
+
+def test_partitioned_read_requires_all_bounds(wh):
+    with pytest.raises(ValueError, match="requires"):
+        wh.read_table("any_t", partition_column="id", lower_bound=0)
+
+
 def test_merge_upsert_is_idempotent(wh, spark):
     df = _owners(spark, [("o1", "alice"), ("o2", "bob")])
     wh.merge_upsert(df, "owners_t", ["owner_id"])
