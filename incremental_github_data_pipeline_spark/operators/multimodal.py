@@ -4127,14 +4127,18 @@ def make_flac_media(spark, n: int = 24, id_offset: int = 2000) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# TIFF — TIFF 6.0 gray/RGB: uncompressed, PackBits (32773) and LZW (5,
-# EarlyChange variant, with the horizontal predictor tag 317) — the
-# scientific/scan/archival image tier. Spec: the public TIFF 6.0
-# specification. Encoder writes little-endian single/multi-strip files
-# in any of the three compressions; decoder handles both byte orders,
-# multi-strip layouts, 8-bit grayscale (PhotometricInterpretation 1)
-# and 24-bit RGB (2). JPEG-in-TIFF, planar layouts, tiles and non-8-bit
-# depths raise NotImplementedError — honest scope, never a mis-decode.
+# TIFF — TIFF 6.0 gray/RGB: uncompressed, PackBits (32773), LZW (5,
+# EarlyChange variant, with the horizontal predictor tag 317) and
+# new-style JPEG (7, TIFF TechNote 2: each strip a JPEG stream,
+# shared tables via the JPEGTables tag 347 — the scanned-document
+# layout, r10) — the scientific/scan/archival image tier. Spec: the
+# public TIFF 6.0 specification + TechNote 2. Encoder writes
+# little-endian single/multi-strip files in any of the four
+# compressions; decoder handles both byte orders, multi-strip
+# layouts, 8-bit grayscale (PhotometricInterpretation 1), 24-bit RGB
+# (2) and JPEG YCbCr (6). Old-style JPEG (6), planar layouts, tiles
+# and non-8-bit depths raise NotImplementedError — honest scope,
+# never a mis-decode.
 # ---------------------------------------------------------------------------
 
 _TIFF_TAG_WIDTH = 256
@@ -4147,6 +4151,33 @@ _TIFF_TAG_SAMPLES = 277
 _TIFF_TAG_ROWS_PER_STRIP = 278
 _TIFF_TAG_STRIP_COUNTS = 279
 _TIFF_TAG_PLANAR = 284
+_TIFF_TAG_JPEG_TABLES = 347
+_TIFF_TAG_YCBCR_SUBSAMPLING = 530
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a complete JPEG interchange stream into (tables stream,
+    abbreviated image stream) per TIFF TechNote 2: DQT/DHT segments
+    move into an SOI…EOI tables-only stream (the JPEGTables tag body),
+    everything else stays. Rejoining is tables[:-2] + image[2:]."""
+    pos = 2
+    tables = bytearray(b"\xff\xd8")
+    image = bytearray(b"\xff\xd8")
+    while pos < len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = stream[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(stream[pos + 2 : pos + 4], "big")
+        if marker == 0xDA:  # SOS: entropy data through EOI stays
+            image += stream[pos:]
+            break
+        seg = stream[pos : pos + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else image).extend(seg)
+        pos += 2 + seglen
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(image)
 
 
 def encode_tiff(
@@ -4159,19 +4190,30 @@ def encode_tiff(
     little-endian TIFF. ``rows_per_strip`` splits the raster into
     multiple strips (default: one strip) — the layout real scanners
     emit. ``compression``: ``"none"`` (1), ``"packbits"`` (32773,
-    per-row RLE packets per the spec's note), or ``"lzw"`` (5, TIFF
-    EarlyChange variant); ``predictor=True`` (tag 317 = 2, horizontal
+    per-row RLE packets per the spec's note), ``"lzw"`` (5, TIFF
+    EarlyChange variant), or ``"jpeg"`` (7, TechNote 2 new-style:
+    every strip is a JPEG stream, DQT/DHT hoisted into the shared
+    JPEGTables tag like libtiff writes scanned documents; RGB strips
+    are YCbCr 4:4:4, photometric 6; ``rows_per_strip`` must then be a
+    multiple of 8); ``predictor=True`` (tag 317 = 2, horizontal
     differencing per sample) is the standard companion that makes LZW
     bite on smooth rasters."""
     gray = px.ndim == 2
     h, w = px.shape[:2]
     spp = 1 if gray else 3
     rps = h if rows_per_strip is None else rows_per_strip
-    comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "jpeg": 7}[
+        compression
+    ]
+    if predictor and compression != "lzw":
+        raise ValueError("predictor is defined here for lzw only")
+    if comp_code == 7 and rows_per_strip is not None and rps % 8:
+        raise ValueError(
+            "JPEG-in-TIFF rows_per_strip must be a multiple of 8 "
+            "(TechNote 2 MCU alignment)"
+        )
     src = px
     if predictor:
-        if compression != "lzw":
-            raise ValueError("predictor is defined here for lzw only")
         p = px.astype(np.int16)
         src = np.empty_like(px)
         if gray:
@@ -4181,6 +4223,7 @@ def encode_tiff(
             src[:, 0, :] = px[:, 0, :]
             src[:, 1:, :] = (p[:, 1:, :] - p[:, :-1, :]).astype(np.uint8)
     strips = []
+    jpeg_tables = b""
     for r0 in range(0, h, rps):
         raw = src[r0 : r0 + rps]
         if comp_code == 1:
@@ -4189,13 +4232,22 @@ def encode_tiff(
             strips.append(
                 b"".join(_packbits_encode(row.tobytes()) for row in raw)
             )
+        elif comp_code == 7:
+            # tables are identical across strips (same encoder config):
+            # hoist the first strip's into the JPEGTables tag body
+            tables, image = _split_jpeg_tables(encode_jpeg(raw))
+            jpeg_tables = tables
+            strips.append(image)
         else:
             strips.append(_tiff_lzw_encode(raw.tobytes()))
 
-    n_entries = 10 + (1 if predictor else 0)
-    # layout: header(8) | IFD | [bits values if RGB] | offsets/counts
-    # arrays (if >2 strips... always externalized for simplicity when
-    # count > 1) | strip data
+    n_entries = (
+        10
+        + (1 if predictor else 0)
+        + ((2 if spp == 3 else 1) if comp_code == 7 else 0)
+    )
+    # layout: header(8) | IFD | [bits values if RGB] | [JPEGTables] |
+    # offsets/counts arrays (externalized when count > 1) | strip data
     ifd_off = 8
     ifd_size = 2 + n_entries * 12 + 4
     cursor = ifd_off + ifd_size
@@ -4203,6 +4255,10 @@ def encode_tiff(
     if spp == 3:
         bits_off = cursor
         cursor += 6  # three SHORTs
+    jt_off = 0
+    if jpeg_tables:
+        jt_off = cursor
+        cursor += len(jpeg_tables) + (len(jpeg_tables) & 1)  # word-align
     n_strips = len(strips)
     so_off = sc_off = 0
     if n_strips > 1:
@@ -4220,6 +4276,7 @@ def encode_tiff(
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         return struct.pack("<HHII", tag, typ, count, value)
 
+    photometric = 1 if gray else (6 if comp_code == 7 else 2)
     entries = [
         entry(_TIFF_TAG_WIDTH, 3, 1, w),
         entry(_TIFF_TAG_LENGTH, 3, 1, h),
@@ -4229,7 +4286,7 @@ def encode_tiff(
             else entry(_TIFF_TAG_BITS, 3, 3, bits_off)
         ),
         entry(_TIFF_TAG_COMPRESSION, 3, 1, comp_code),
-        entry(_TIFF_TAG_PHOTOMETRIC, 3, 1, 1 if gray else 2),
+        entry(_TIFF_TAG_PHOTOMETRIC, 3, 1, photometric),
         (
             entry(_TIFF_TAG_STRIP_OFFSETS, 4, 1, offsets[0])
             if n_strips == 1
@@ -4246,6 +4303,15 @@ def encode_tiff(
     ]
     if predictor:
         entries.append(entry(317, 3, 1, 2))
+    if comp_code == 7:
+        entries.append(
+            entry(_TIFF_TAG_JPEG_TABLES, 7, len(jpeg_tables), jt_off)
+        )
+        if spp == 3:
+            # 4:4:4 — both subsampling SHORTs are 1, packed inline
+            entries.append(
+                entry(_TIFF_TAG_YCBCR_SUBSAMPLING, 3, 2, 1 | (1 << 16))
+            )
     out = bytearray()
     out += b"II" + struct.pack("<HI", 42, ifd_off)
     out += struct.pack("<H", n_entries)
@@ -4254,6 +4320,8 @@ def encode_tiff(
     out += struct.pack("<I", 0)  # no next IFD
     if spp == 3:
         out += struct.pack("<HHH", 8, 8, 8)
+    if jpeg_tables:
+        out += jpeg_tables + b"\x00" * (len(jpeg_tables) & 1)
     if n_strips > 1:
         out += struct.pack(f"<{n_strips}I", *offsets)
         out += struct.pack(f"<{n_strips}I", *(len(s) for s in strips))
@@ -4265,9 +4333,11 @@ def encode_tiff(
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Decode TIFF → (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
     Handles II and MM byte orders, multi-strip rasters, and the
-    uncompressed (1), LZW (5, with horizontal predictor 2) and
-    PackBits (32773) compressions; JPEG-in-TIFF, planar config 2,
-    tiles and non-8-bit depths raise ``NotImplementedError``."""
+    uncompressed (1), LZW (5, with horizontal predictor 2), PackBits
+    (32773) and new-style JPEG (7, each strip a JPEG stream, shared
+    DQT/DHT rejoined from the JPEGTables tag when present — TechNote
+    2) compressions; old-style JPEG (6), planar config 2, tiles and
+    non-8-bit depths raise ``NotImplementedError``."""
     if payload[:2] == b"II":
         bo = "<"
     elif payload[:2] == b"MM":
@@ -4306,7 +4376,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     w = values(_TIFF_TAG_WIDTH)[0]
     h = values(_TIFF_TAG_LENGTH)[0]
     comp = values(_TIFF_TAG_COMPRESSION, 1)[0]
-    if comp not in (1, 5, 32773):
+    if comp == 6:
+        raise NotImplementedError(
+            "old-style JPEG-in-TIFF (compression 6) not supported — "
+            "deprecated by TechNote 2; new-style (7) is"
+        )
+    if comp not in (1, 5, 7, 32773):
         raise NotImplementedError(f"TIFF compression {comp} not supported")
     if values(_TIFF_TAG_PLANAR, 1)[0] != 1:
         raise NotImplementedError("planar TIFF not supported")
@@ -4322,6 +4397,25 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     offs = values(_TIFF_TAG_STRIP_OFFSETS)
     cnts = values(_TIFF_TAG_STRIP_COUNTS)
     rps = values(_TIFF_TAG_ROWS_PER_STRIP, h)[0]
+    if comp == 7:
+        tables = b""
+        if _TIFF_TAG_JPEG_TABLES in tags:
+            typ, count, raw = tags[_TIFF_TAG_JPEG_TABLES]
+            tables = payload[raw : raw + count]
+        blocks = []
+        for si, (o, c) in enumerate(zip(offs, cnts)):
+            stream = payload[o : o + c]
+            if tables:
+                # TechNote 2 rejoin: tables minus EOI + strip minus SOI
+                stream = tables[:-2] + stream[2:]
+            spx = decode_jpeg(stream)
+            rows_here = min(rps, h - si * rps)
+            blocks.append(spx[:rows_here])
+        arr = np.vstack(blocks)[:h]
+        if (arr.ndim == 2) != (spp == 1) or arr.shape[1] < w:
+            raise ValueError("JPEG strip shape disagrees with IFD")
+        arr = arr[:, :w]
+        return arr
     parts = []
     for si, (o, c) in enumerate(zip(offs, cnts)):
         rows_here = min(rps, h - si * rps)
@@ -4370,6 +4464,38 @@ def make_tiff_media(spark, n: int = 24, id_offset: int = 3000) -> DataFrame:
                 "image/tiff",
                 px.shape[1],
                 px.shape[0],
+                None,
+            )
+        )
+    return _sized_media(spark, rows)
+
+
+def make_tiff_jpeg_media(spark, n: int = 24, id_offset: int = 3100) -> DataFrame:
+    """Media table of JPEG-compressed TIFFs (compression 7, TechNote 2)
+    over the SAME flat-block closed form as :func:`make_jpeg_media` —
+    uniform 8×8 blocks round-trip exactly through the flat-q=8 DCT, so
+    a lossy codec inside a lossless container still certifies against
+    integer pixel sums. Grayscale and neutral-gray RGB (photometric 6,
+    YCbCr 4:4:4 with all-zero chroma) alternate; every third file is
+    multi-strip (rows_per_strip=8, each strip its own abbreviated JPEG
+    stream sharing the JPEGTables DQT/DHT) — the scanned-document
+    layout libtiff writes."""
+    rows = []
+    for i in range(n):
+        w, h, px = _jpeg_block_values(i)
+        data = px if i % 2 == 0 else np.repeat(px[:, :, None], 3, axis=2)
+        rows.append(
+            (
+                id_offset + i,
+                "image",
+                encode_tiff(
+                    data,
+                    rows_per_strip=8 if i % 3 == 0 else None,
+                    compression="jpeg",
+                ),
+                "image/tiff",
+                w,
+                h,
                 None,
             )
         )

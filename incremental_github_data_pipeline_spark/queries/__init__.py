@@ -49,7 +49,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #       plan);
 #   (a) the 39 queries whose newest driver green is still the r5
 #       snapshot — the last pre-r7 vintage anywhere in the registry.
-# 44 rows; after this round no query's newest driver green predates
+#   (0b/0c) the two queries NEW in round 10 (JPEG-in-TIFF,
+#       dangling-mass PageRank) and the two media lanes whose r10
+#       encoder mix changed (FLAC grew LPC/decorrelated fixtures).
+# 48 rows; after this round no query's newest driver green predates
 # r7 and every registered query has at least one driver row.
 _CERTIFY_FIRST = [
     # -- (0) first driver rows (registered post-r9-window) --
@@ -58,6 +61,14 @@ _CERTIFY_FIRST = [
     "q_retrieval_metrics",
     "q_media_transcode_stats",
     "q_privacy_generalize",
+    # -- (0b) new in round 10 --
+    "q_media_tiff_jpeg_stats",
+    "q_graph_pagerank_dangling",
+    # -- (0c) r10 behavior-adjacent refreshes: the FLAC lane grew
+    #    LPC + stereo decorrelation and the TIFF lane's docs/scope
+    #    changed — their driver rows should record the new encoder mix
+    "q_media_flac_stats",
+    "q_media_tiff_stats",
     # -- (a) newest green row is r5-vintage (39) --
     "q03_shipping_priority",
     "q05_region_volume",

@@ -1437,8 +1437,10 @@ _TIFF_STATS_ORACLE = """
     doc="TIFF decode (operators/multimodal.encode_tiff/decode_tiff: "
     "TIFF 6.0 uncompressed + PackBits + LZW-with-horizontal-predictor, "
     "II+MM byte orders, multi-strip rasters, 8-bit gray + 24-bit RGB; "
-    "JPEG-in-TIFF/planar/tiled/non-8-bit stay honest "
-    "NotImplementedError guards) — the scientific/scan/archival image "
+    "new-style JPEG-in-TIFF is certified separately by "
+    "q_media_tiff_jpeg_stats; old-style JPEG(6)/planar/tiled/non-8-bit "
+    "stay honest NotImplementedError guards) — the "
+    "scientific/scan/archival image "
     "tier. RGB and grayscale lanes alternate, compression cycles "
     "none/PackBits/LZW, every third file is multi-strip; DuckDB "
     "recomputes every decoded pixel's closed form, so a wrong strip "
@@ -1452,6 +1454,56 @@ def q_media_tiff_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     stats = decode_stats(make_tiff_media(spark, n=24))
+    npix = F.col("width") * F.col("height")
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("mean_r") * npix).cast("long").alias("sum_r"),
+        F.round(F.col("mean_g") * npix).cast("long").alias("sum_g"),
+        F.round(F.col("mean_b") * npix).cast("long").alias("sum_b"),
+    ).orderBy("media_id")
+
+
+@register(
+    "q_media_tiff_jpeg_stats",
+    oracle="""
+    WITH img AS (
+      SELECT 3100 + i AS media_id, i AS i,
+             17 + (i % 14) AS w, 9 + (i % 12) AS h
+      FROM range(24) t(i)
+    ),
+    sums AS (
+      SELECT img.media_id, img.w, img.h,
+             SUM((img.i*3 + (x.x//8)*7 + (y.y//8)*13) % 256) AS s
+      FROM img, range(31) x(x), range(21) y(y)
+      WHERE x.x < img.w AND y.y < img.h
+      GROUP BY 1, 2, 3
+    )
+    SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(s AS BIGINT) AS sum_r,
+           CAST(s AS BIGINT) AS sum_g,
+           CAST(s AS BIGINT) AS sum_b
+    FROM sums ORDER BY media_id
+    """,
+    doc="New-style JPEG-in-TIFF decode (r10, operators/multimodal: "
+    "TIFF compression 7 per TechNote 2 — every strip its own JPEG "
+    "stream, shared DQT/DHT rejoined from the JPEGTables tag, RGB as "
+    "photometric-6 YCbCr 4:4:4) — the scanned-document tier real "
+    "crawl corpora are full of. Content is the flat-8x8-block closed "
+    "form (uniform blocks round-trip EXACTLY through the flat-q=8 "
+    "DCT, neutral-gray RGB keeps chroma coefficients at zero), so "
+    "DuckDB recomputes every decoded pixel: a wrong tables rejoin, "
+    "strip seam, MCU crop or YCbCr step breaks an integer sum lane. "
+    "Gray/RGB alternate; every third file multi-strip at 8 rows.",
+)
+def q_media_tiff_jpeg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        decode_stats,
+        make_tiff_jpeg_media,
+    )
+
+    stats = decode_stats(make_tiff_jpeg_media(spark, n=24))
     npix = F.col("width") * F.col("height")
     return stats.select(
         "media_id",

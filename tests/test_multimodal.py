@@ -1440,15 +1440,16 @@ class TestTiff:
         px = mm._image_pixels(0)
         payload = bytearray(mm.encode_tiff(px))
         # compression tag (259) value lives in the sorted IFD; patch it
-        # to JPEG-in-TIFF (7 — genuinely unsupported; PackBits and LZW
-        # are real since r9) and expect the honest guard
+        # to Deflate (8 — genuinely unsupported; PackBits/LZW are real
+        # since r9, new-style JPEG since r10) and expect the honest
+        # guard
         import struct as st
 
         n = st.unpack_from("<H", payload, 8)[0]
         for i in range(n):
             off = 10 + i * 12
             if st.unpack_from("<H", payload, off)[0] == 259:
-                st.pack_into("<I", payload, off + 8, 7)
+                st.pack_into("<I", payload, off + 8, 8)
         with pytest.raises(NotImplementedError):
             mm.decode_tiff(bytes(payload))
         with pytest.raises(ValueError):
@@ -1504,6 +1505,42 @@ class TestTiffCompression:
         assert mm._packbits_encode(b"aaaa") == bytes([253]) + b"a"
         assert mm._packbits_encode(b"abc") == bytes([2]) + b"abc"
         assert mm._packbits_decode(bytes([128, 253]) + b"a", 4) == b"aaaa"
+
+    def test_jpeg_in_tiff_roundtrip_flat_blocks(self):
+        """r10: new-style JPEG-in-TIFF (compression 7) — flat 8x8
+        blocks round-trip exactly, gray and neutral-gray RGB, single
+        and multi-strip with shared JPEGTables."""
+        for i in (0, 5, 11):
+            w, h, px = mm._jpeg_block_values(i)
+            for data in (px, np.repeat(px[:, :, None], 3, axis=2)):
+                for rps in (None, 8):
+                    if rps and h <= 8:
+                        continue
+                    t = mm.encode_tiff(
+                        data, rows_per_strip=rps, compression="jpeg"
+                    )
+                    assert np.array_equal(mm.decode_tiff(t), data), (
+                        i, data.shape, rps,
+                    )
+
+    def test_jpeg_in_tiff_tables_are_shared_and_rejoined(self):
+        w, h, px = mm._jpeg_block_values(3)
+        t = mm.encode_tiff(px, rows_per_strip=8, compression="jpeg")
+        # JPEGTables tag present exactly once, strips are abbreviated
+        # (no DQT/DHT markers inside any strip)
+        assert t.count(b"\xff\xdb") == 1  # one DQT, in the tables body
+        assert mm.decode_tiff(t).shape == (h, w)
+
+    def test_jpeg_in_tiff_guards(self):
+        w, h, px = mm._jpeg_block_values(0)
+        with pytest.raises(ValueError, match="multiple of 8"):
+            mm.encode_tiff(px, rows_per_strip=5, compression="jpeg")
+        # old-style JPEG (6) must fail loud, not mis-decode
+        t = bytearray(mm.encode_tiff(px, compression="jpeg"))
+        i = t.find((259).to_bytes(2, "little"))
+        t[i + 8] = 6  # rewrite COMPRESSION value 7 -> 6
+        with pytest.raises(NotImplementedError, match="old-style"):
+            mm.decode_tiff(bytes(t))
 
 
 class TestLegacyFormats:
