@@ -162,6 +162,11 @@ BENCH_QUERIES = [
     "q_retrieval_metrics",
     "q_media_transcode_stats",
     "q_privacy_generalize",
+    # round-10 new operators, benched from first appearance: the
+    # JPEG-in-TIFF strip decode and the dangling-redistribution
+    # PageRank (one extra 1-row aggregate per round vs the base loop)
+    "q_media_tiff_jpeg_stats",
+    "q_graph_pagerank_dangling",
 ]
 
 # Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform

@@ -4128,17 +4128,18 @@ def make_flac_media(spark, n: int = 24, id_offset: int = 2000) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # TIFF — TIFF 6.0 gray/RGB: uncompressed, PackBits (32773), LZW (5,
-# EarlyChange variant, with the horizontal predictor tag 317) and
-# new-style JPEG (7, TIFF TechNote 2: each strip a JPEG stream,
-# shared tables via the JPEGTables tag 347 — the scanned-document
-# layout, r10) — the scientific/scan/archival image tier. Spec: the
-# public TIFF 6.0 specification + TechNote 2. Encoder writes
-# little-endian single/multi-strip files in any of the four
+# EarlyChange variant, with the horizontal predictor tag 317),
+# Deflate (8/32946, zlib strips — the other modern-writer default,
+# r10) and new-style JPEG (7, TIFF TechNote 2: each strip a JPEG
+# stream, shared tables via the JPEGTables tag 347 — the
+# scanned-document layout, r10) — the scientific/scan/archival image
+# tier. Spec: the public TIFF 6.0 specification + TechNote 2. Encoder
+# writes little-endian single/multi-strip files in any of the five
 # compressions; decoder handles both byte orders, multi-strip
 # layouts, 8-bit grayscale (PhotometricInterpretation 1), 24-bit RGB
-# (2) and JPEG YCbCr (6). Old-style JPEG (6), planar layouts, tiles
-# and non-8-bit depths raise NotImplementedError — honest scope,
-# never a mis-decode.
+# (2) and JPEG YCbCr (6). Old-style JPEG (6), CCITT fax, planar
+# layouts, tiles and non-8-bit depths raise NotImplementedError —
+# honest scope, never a mis-decode.
 # ---------------------------------------------------------------------------
 
 _TIFF_TAG_WIDTH = 256
@@ -4191,7 +4192,9 @@ def encode_tiff(
     multiple strips (default: one strip) — the layout real scanners
     emit. ``compression``: ``"none"`` (1), ``"packbits"`` (32773,
     per-row RLE packets per the spec's note), ``"lzw"`` (5, TIFF
-    EarlyChange variant), or ``"jpeg"`` (7, TechNote 2 new-style:
+    EarlyChange variant), ``"deflate"`` (8, Adobe-style zlib strips —
+    the other compression modern writers default to, r10), or
+    ``"jpeg"`` (7, TechNote 2 new-style:
     every strip is a JPEG stream, DQT/DHT hoisted into the shared
     JPEGTables tag like libtiff writes scanned documents; RGB strips
     are YCbCr 4:4:4, photometric 6; ``rows_per_strip`` must then be a
@@ -4202,11 +4205,11 @@ def encode_tiff(
     h, w = px.shape[:2]
     spp = 1 if gray else 3
     rps = h if rows_per_strip is None else rows_per_strip
-    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "jpeg": 7}[
-        compression
-    ]
-    if predictor and compression != "lzw":
-        raise ValueError("predictor is defined here for lzw only")
+    comp_code = {
+        "none": 1, "packbits": 32773, "lzw": 5, "deflate": 8, "jpeg": 7,
+    }[compression]
+    if predictor and compression not in ("lzw", "deflate"):
+        raise ValueError("predictor is defined here for lzw/deflate only")
     if comp_code == 7 and rows_per_strip is not None and rps % 8:
         raise ValueError(
             "JPEG-in-TIFF rows_per_strip must be a multiple of 8 "
@@ -4238,6 +4241,8 @@ def encode_tiff(
             tables, image = _split_jpeg_tables(encode_jpeg(raw))
             jpeg_tables = tables
             strips.append(image)
+        elif comp_code == 8:
+            strips.append(zlib.compress(raw.tobytes()))
         else:
             strips.append(_tiff_lzw_encode(raw.tobytes()))
 
@@ -4334,9 +4339,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     """Decode TIFF → (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
     Handles II and MM byte orders, multi-strip rasters, and the
     uncompressed (1), LZW (5, with horizontal predictor 2), PackBits
-    (32773) and new-style JPEG (7, each strip a JPEG stream, shared
-    DQT/DHT rejoined from the JPEGTables tag when present — TechNote
-    2) compressions; old-style JPEG (6), planar config 2, tiles and
+    (32773), Deflate (8 Adobe / 32946 old-code, zlib strips) and
+    new-style JPEG (7, each strip a JPEG stream, shared DQT/DHT
+    rejoined from the JPEGTables tag when present — TechNote 2)
+    compressions; old-style JPEG (6), planar config 2, tiles and
     non-8-bit depths raise ``NotImplementedError``."""
     if payload[:2] == b"II":
         bo = "<"
@@ -4381,7 +4387,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             "old-style JPEG-in-TIFF (compression 6) not supported — "
             "deprecated by TechNote 2; new-style (7) is"
         )
-    if comp not in (1, 5, 7, 32773):
+    if comp not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {comp} not supported")
     if values(_TIFF_TAG_PLANAR, 1)[0] != 1:
         raise NotImplementedError("planar TIFF not supported")
@@ -4425,6 +4431,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             parts.append(chunk[:expected])
         elif comp == 32773:
             parts.append(_packbits_decode(chunk, expected))
+        elif comp in (8, 32946):  # Adobe / old-code Deflate: zlib strips
+            parts.append(zlib.decompress(chunk)[:expected])
         else:
             parts.append(_tiff_lzw_decode(chunk, expected))
     raster = b"".join(parts)
@@ -4440,17 +4448,17 @@ def make_tiff_media(spark, n: int = 24, id_offset: int = 3000) -> DataFrame:
     """Media table of baseline TIFF images over the SAME closed-form
     pixel rule as :func:`make_real_media`'s BMP lane (RGB and
     grayscale alternating; multi-strip layouts every third id;
-    compression cycles none → PackBits → LZW, with the horizontal
-    predictor on half the LZW files), so the decode-stats oracle is
-    shared arithmetic — compression must be perfectly invisible to
-    every decoded-sum lane."""
+    compression cycles none → PackBits → LZW → Deflate (r10), with
+    the horizontal predictor on alternating LZW/Deflate files), so
+    the decode-stats oracle is shared arithmetic — compression must
+    be perfectly invisible to every decoded-sum lane."""
     rows = []
     for i in range(n):
         px = _image_pixels(i)
         if i % 2 == 1:
             px = px[:, :, 0]  # grayscale lane: channel 0 of the rule
         rps = None if i % 3 else 5  # every third id: multi-strip
-        comp = ["none", "packbits", "lzw"][i % 3]
+        comp = ["none", "packbits", "lzw", "deflate"][i % 4]
         rows.append(
             (
                 id_offset + i,
@@ -4459,7 +4467,9 @@ def make_tiff_media(spark, n: int = 24, id_offset: int = 3000) -> DataFrame:
                     px,
                     rows_per_strip=rps,
                     compression=comp,
-                    predictor=(comp == "lzw" and i % 2 == 0),
+                    predictor=(
+                        comp in ("lzw", "deflate") and (i // 4) % 2 == 0
+                    ),
                 ),
                 "image/tiff",
                 px.shape[1],

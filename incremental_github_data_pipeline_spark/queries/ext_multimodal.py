@@ -1442,10 +1442,11 @@ _TIFF_STATS_ORACLE = """
     "stay honest NotImplementedError guards) — the "
     "scientific/scan/archival image "
     "tier. RGB and grayscale lanes alternate, compression cycles "
-    "none/PackBits/LZW, every third file is multi-strip; DuckDB "
-    "recomputes every decoded pixel's closed form, so a wrong strip "
-    "offset, LZW code width, predictor sum, byte-order or IFD walk "
-    "breaks an integer sum lane.",
+    "none/PackBits/LZW/Deflate (r10), every third file is "
+    "multi-strip; DuckDB recomputes every decoded pixel's closed "
+    "form, so a wrong strip offset, LZW code width, zlib strip, "
+    "predictor sum, byte-order or IFD walk breaks an integer sum "
+    "lane.",
 )
 def q_media_tiff_stats(spark: SparkSession, sf: str) -> DataFrame:
     from incremental_github_data_pipeline_spark.operators.multimodal import (

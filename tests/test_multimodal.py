@@ -1440,16 +1440,16 @@ class TestTiff:
         px = mm._image_pixels(0)
         payload = bytearray(mm.encode_tiff(px))
         # compression tag (259) value lives in the sorted IFD; patch it
-        # to Deflate (8 — genuinely unsupported; PackBits/LZW are real
-        # since r9, new-style JPEG since r10) and expect the honest
-        # guard
+        # to CCITT Group 3 fax (3 — genuinely unsupported; PackBits/LZW
+        # are real since r9, new-style JPEG + Deflate since r10) and
+        # expect the honest guard
         import struct as st
 
         n = st.unpack_from("<H", payload, 8)[0]
         for i in range(n):
             off = 10 + i * 12
             if st.unpack_from("<H", payload, off)[0] == 259:
-                st.pack_into("<I", payload, off + 8, 8)
+                st.pack_into("<I", payload, off + 8, 3)
         with pytest.raises(NotImplementedError):
             mm.decode_tiff(bytes(payload))
         with pytest.raises(ValueError):
@@ -1477,13 +1477,19 @@ class TestTiffCompression:
     def test_all_compressions_roundtrip(self):
         px = mm._image_pixels(7)
         g = px[:, :, 2]
-        for comp in ("none", "packbits", "lzw"):
+        for comp in ("none", "packbits", "lzw", "deflate"):
             for rps in (None, 4):
                 for im in (px, g):
                     got = mm.decode_tiff(
                         mm.encode_tiff(im, rows_per_strip=rps, compression=comp)
                     )
                     assert np.array_equal(got, im), (comp, rps, im.shape)
+
+    def test_deflate_predictor_roundtrip(self):
+        smooth = np.tile(np.arange(256, dtype=np.uint8), (64, 4))
+        d = mm.encode_tiff(smooth, compression="deflate", predictor=True)
+        assert np.array_equal(mm.decode_tiff(d), smooth)
+        assert len(d) < len(mm.encode_tiff(smooth)) * 0.2
 
     def test_lzw_predictor_roundtrip_and_compression_bite(self):
         smooth = np.tile(np.arange(256, dtype=np.uint8), (64, 4))
