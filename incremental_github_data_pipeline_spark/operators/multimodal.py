@@ -4154,6 +4154,10 @@ _TIFF_TAG_STRIP_COUNTS = 279
 _TIFF_TAG_PLANAR = 284
 _TIFF_TAG_JPEG_TABLES = 347
 _TIFF_TAG_YCBCR_SUBSAMPLING = 530
+_TIFF_TAG_TILE_WIDTH = 322
+_TIFF_TAG_TILE_LENGTH = 323
+_TIFF_TAG_TILE_OFFSETS = 324
+_TIFF_TAG_TILE_COUNTS = 325
 
 
 def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
@@ -4181,11 +4185,35 @@ def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
     return bytes(tables), bytes(image)
 
 
+def _tiff_predict(chunk: np.ndarray) -> np.ndarray:
+    """Horizontal differencing (predictor 2) within one chunk: each
+    chunk (full-width strip row block, plane strip, or tile) predicts
+    along its OWN rows — tiles reset at the tile edge, which is why
+    the predictor must run per chunk, not on the assembled raster."""
+    p = chunk.astype(np.int16)
+    out = np.empty_like(chunk)
+    out[:, 0] = chunk[:, 0]
+    out[:, 1:] = (p[:, 1:] - p[:, :-1]).astype(np.uint8)
+    return out
+
+
+def _tiff_compress(raw: np.ndarray, comp_code: int) -> bytes:
+    if comp_code == 1:
+        return raw.tobytes()
+    if comp_code == 32773:
+        return b"".join(_packbits_encode(row.tobytes()) for row in raw)
+    if comp_code == 8:
+        return zlib.compress(raw.tobytes())
+    return _tiff_lzw_encode(raw.tobytes())
+
+
 def encode_tiff(
     px: np.ndarray,
     rows_per_strip: int | None = None,
     compression: str = "none",
     predictor: bool = False,
+    tile: tuple[int, int] | None = None,
+    planar: bool = False,
 ) -> bytes:
     """Encode (h, w) uint8 grayscale or (h, w, 3) uint8 RGB as a
     little-endian TIFF. ``rows_per_strip`` splits the raster into
@@ -4200,7 +4228,17 @@ def encode_tiff(
     are YCbCr 4:4:4, photometric 6; ``rows_per_strip`` must then be a
     multiple of 8); ``predictor=True`` (tag 317 = 2, horizontal
     differencing per sample) is the standard companion that makes LZW
-    bite on smooth rasters."""
+    bite on smooth rasters.
+
+    ``tile=(tw, tl)`` (r10) writes a TILED raster (TIFF 6.0 §15 —
+    satellite/medical/pyramid layouts): tile dims must be multiples of
+    16, edge tiles zero-padded to full size, tags 322-325 replace the
+    strip tags. ``planar=True`` (r10) writes PlanarConfiguration 2:
+    each strip carries ONE component's rows, strips ordered
+    plane-major (RRR…GGG…BBB) — the layout separations and some
+    scientific writers use. Tiles and planar are chunky-vs-separate
+    layout alternatives for the byte codecs; neither combines with
+    JPEG here (libtiff's restriction too)."""
     gray = px.ndim == 2
     h, w = px.shape[:2]
     spp = 1 if gray else 3
@@ -4215,44 +4253,55 @@ def encode_tiff(
             "JPEG-in-TIFF rows_per_strip must be a multiple of 8 "
             "(TechNote 2 MCU alignment)"
         )
-    src = px
-    if predictor:
-        p = px.astype(np.int16)
-        src = np.empty_like(px)
-        if gray:
-            src[:, 0] = px[:, 0]
-            src[:, 1:] = (p[:, 1:] - p[:, :-1]).astype(np.uint8)
-        else:
-            src[:, 0, :] = px[:, 0, :]
-            src[:, 1:, :] = (p[:, 1:, :] - p[:, :-1, :]).astype(np.uint8)
-    strips = []
+    if comp_code == 7 and (tile is not None or planar):
+        raise ValueError("JPEG-in-TIFF supports chunky strips only")
+    if tile is not None and planar:
+        raise ValueError("tiled planar not supported")
+    if tile is not None and (tile[0] % 16 or tile[1] % 16):
+        raise ValueError("TIFF tile dimensions must be multiples of 16")
+
+    chunks: list[np.ndarray] = []
     jpeg_tables = b""
-    for r0 in range(0, h, rps):
-        raw = src[r0 : r0 + rps]
-        if comp_code == 1:
-            strips.append(raw.tobytes())
-        elif comp_code == 32773:
-            strips.append(
-                b"".join(_packbits_encode(row.tobytes()) for row in raw)
-            )
-        elif comp_code == 7:
+    payload_chunks: list[bytes] = []
+    if tile is not None:
+        tw, tl = tile
+        padded = np.zeros(
+            (-(-h // tl) * tl, -(-w // tw) * tw) + px.shape[2:],
+            dtype=np.uint8,
+        )
+        padded[:h, :w] = px
+        for ty in range(padded.shape[0] // tl):
+            for tx in range(padded.shape[1] // tw):
+                chunks.append(
+                    padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+                )
+    elif planar and spp == 3:
+        for c in range(3):
+            for r0 in range(0, h, rps):
+                chunks.append(px[r0 : r0 + rps, :, c])
+    else:
+        for r0 in range(0, h, rps):
+            chunks.append(px[r0 : r0 + rps])
+    for raw in chunks:
+        if comp_code == 7:
             # tables are identical across strips (same encoder config):
             # hoist the first strip's into the JPEGTables tag body
             tables, image = _split_jpeg_tables(encode_jpeg(raw))
             jpeg_tables = tables
-            strips.append(image)
-        elif comp_code == 8:
-            strips.append(zlib.compress(raw.tobytes()))
+            payload_chunks.append(image)
         else:
-            strips.append(_tiff_lzw_encode(raw.tobytes()))
+            if predictor:
+                raw = _tiff_predict(raw)
+            payload_chunks.append(_tiff_compress(raw, comp_code))
 
+    tiled = tile is not None
     n_entries = (
-        10
+        (11 if tiled else 10)
         + (1 if predictor else 0)
         + ((2 if spp == 3 else 1) if comp_code == 7 else 0)
     )
     # layout: header(8) | IFD | [bits values if RGB] | [JPEGTables] |
-    # offsets/counts arrays (externalized when count > 1) | strip data
+    # offsets/counts arrays (externalized when count > 1) | chunk data
     ifd_off = 8
     ifd_size = 2 + n_entries * 12 + 4
     cursor = ifd_off + ifd_size
@@ -4264,17 +4313,17 @@ def encode_tiff(
     if jpeg_tables:
         jt_off = cursor
         cursor += len(jpeg_tables) + (len(jpeg_tables) & 1)  # word-align
-    n_strips = len(strips)
+    n_chunks = len(payload_chunks)
     so_off = sc_off = 0
-    if n_strips > 1:
+    if n_chunks > 1:
         so_off = cursor
-        cursor += 4 * n_strips
+        cursor += 4 * n_chunks
         sc_off = cursor
-        cursor += 4 * n_strips
+        cursor += 4 * n_chunks
     data_off = cursor
     offsets = []
     pos = data_off
-    for s in strips:
+    for s in payload_chunks:
         offsets.append(pos)
         pos += len(s)
 
@@ -4282,6 +4331,8 @@ def encode_tiff(
         return struct.pack("<HHII", tag, typ, count, value)
 
     photometric = 1 if gray else (6 if comp_code == 7 else 2)
+    off_tag = _TIFF_TAG_TILE_OFFSETS if tiled else _TIFF_TAG_STRIP_OFFSETS
+    cnt_tag = _TIFF_TAG_TILE_COUNTS if tiled else _TIFF_TAG_STRIP_COUNTS
     entries = [
         entry(_TIFF_TAG_WIDTH, 3, 1, w),
         entry(_TIFF_TAG_LENGTH, 3, 1, h),
@@ -4293,19 +4344,23 @@ def encode_tiff(
         entry(_TIFF_TAG_COMPRESSION, 3, 1, comp_code),
         entry(_TIFF_TAG_PHOTOMETRIC, 3, 1, photometric),
         (
-            entry(_TIFF_TAG_STRIP_OFFSETS, 4, 1, offsets[0])
-            if n_strips == 1
-            else entry(_TIFF_TAG_STRIP_OFFSETS, 4, n_strips, so_off)
+            entry(off_tag, 4, 1, offsets[0])
+            if n_chunks == 1
+            else entry(off_tag, 4, n_chunks, so_off)
         ),
         entry(_TIFF_TAG_SAMPLES, 3, 1, spp),
-        entry(_TIFF_TAG_ROWS_PER_STRIP, 3, 1, rps),
         (
-            entry(_TIFF_TAG_STRIP_COUNTS, 4, 1, len(strips[0]))
-            if n_strips == 1
-            else entry(_TIFF_TAG_STRIP_COUNTS, 4, n_strips, sc_off)
+            entry(cnt_tag, 4, 1, len(payload_chunks[0]))
+            if n_chunks == 1
+            else entry(cnt_tag, 4, n_chunks, sc_off)
         ),
-        entry(_TIFF_TAG_PLANAR, 3, 1, 1),
+        entry(_TIFF_TAG_PLANAR, 3, 1, 2 if planar and spp == 3 else 1),
     ]
+    if tiled:
+        entries.append(entry(_TIFF_TAG_TILE_WIDTH, 3, 1, tile[0]))
+        entries.append(entry(_TIFF_TAG_TILE_LENGTH, 3, 1, tile[1]))
+    else:
+        entries.append(entry(_TIFF_TAG_ROWS_PER_STRIP, 3, 1, rps))
     if predictor:
         entries.append(entry(317, 3, 1, 2))
     if comp_code == 7:
@@ -4327,23 +4382,26 @@ def encode_tiff(
         out += struct.pack("<HHH", 8, 8, 8)
     if jpeg_tables:
         out += jpeg_tables + b"\x00" * (len(jpeg_tables) & 1)
-    if n_strips > 1:
-        out += struct.pack(f"<{n_strips}I", *offsets)
-        out += struct.pack(f"<{n_strips}I", *(len(s) for s in strips))
-    for s in strips:
+    if n_chunks > 1:
+        out += struct.pack(f"<{n_chunks}I", *offsets)
+        out += struct.pack(f"<{n_chunks}I", *(len(s) for s in payload_chunks))
+    for s in payload_chunks:
         out += s
     return bytes(out)
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Decode TIFF → (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
-    Handles II and MM byte orders, multi-strip rasters, and the
-    uncompressed (1), LZW (5, with horizontal predictor 2), PackBits
-    (32773), Deflate (8 Adobe / 32946 old-code, zlib strips) and
-    new-style JPEG (7, each strip a JPEG stream, shared DQT/DHT
-    rejoined from the JPEGTables tag when present — TechNote 2)
-    compressions; old-style JPEG (6), planar config 2, tiles and
-    non-8-bit depths raise ``NotImplementedError``."""
+    Handles II and MM byte orders, multi-strip rasters, TILED rasters
+    (tags 322-325, edge tiles cropped — the satellite/medical layout,
+    r10), PlanarConfiguration 2 (plane-major strips, r10), and the
+    uncompressed (1), LZW (5, with horizontal predictor 2 — applied
+    per chunk, so tile edges reset the prediction), PackBits (32773),
+    Deflate (8 Adobe / 32946 old-code, zlib strips) and new-style
+    JPEG (7, each strip a JPEG stream, shared DQT/DHT rejoined from
+    the JPEGTables tag when present — TechNote 2) compressions;
+    old-style JPEG (6), CCITT fax and non-8-bit depths raise
+    ``NotImplementedError``."""
     if payload[:2] == b"II":
         bo = "<"
     elif payload[:2] == b"MM":
@@ -4389,10 +4447,14 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         )
     if comp not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {comp} not supported")
-    if values(_TIFF_TAG_PLANAR, 1)[0] != 1:
-        raise NotImplementedError("planar TIFF not supported")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not supported")
+    planar_cfg = values(_TIFF_TAG_PLANAR, 1)[0]
+    if planar_cfg not in (1, 2):
+        raise ValueError(f"bad TIFF planar configuration {planar_cfg}")
+    tiled = _TIFF_TAG_TILE_WIDTH in tags or _TIFF_TAG_TILE_LENGTH in tags
+    if comp == 7 and (tiled or planar_cfg == 2):
+        raise NotImplementedError("tiled/planar JPEG-in-TIFF not supported")
+    if tiled and planar_cfg == 2:
+        raise NotImplementedError("tiled planar TIFF not supported")
     pred = values(317, 1)[0]
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred} not supported")
@@ -4400,9 +4462,65 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     bits = values(_TIFF_TAG_BITS, 8)
     if any(b != 8 for b in bits):
         raise NotImplementedError("only 8-bit TIFF samples supported")
+    def unchunk(chunk: bytes, expected: int) -> bytes:
+        if comp == 1:
+            return chunk[:expected]
+        if comp == 32773:
+            return _packbits_decode(chunk, expected)
+        if comp in (8, 32946):  # Adobe / old-code Deflate: zlib chunks
+            return zlib.decompress(chunk)[:expected]
+        return _tiff_lzw_decode(chunk, expected)
+
+    def unpredict(a: np.ndarray) -> np.ndarray:
+        # predictor 2 integrates along each chunk's OWN rows — tiles
+        # reset at the tile edge, which is why this runs per chunk
+        if pred != 2:
+            return a
+        return (np.cumsum(a.astype(np.int64), axis=1) % 256).astype(
+            np.uint8
+        )
+
+    if tiled:
+        tw = values(_TIFF_TAG_TILE_WIDTH)[0]
+        tl = values(_TIFF_TAG_TILE_LENGTH)[0]
+        offs = values(_TIFF_TAG_TILE_OFFSETS)
+        cnts = values(_TIFF_TAG_TILE_COUNTS)
+        across = -(-w // tw)
+        shape = (h, w) if spp == 1 else (h, w, spp)
+        out = np.zeros(shape, dtype=np.uint8)
+        for ti, (o, c) in enumerate(zip(offs, cnts)):
+            ty, tx = divmod(ti, across)
+            raw = unchunk(payload[o : o + c], tl * tw * spp)
+            a = np.frombuffer(raw, dtype=np.uint8, count=tl * tw * spp)
+            a = a.reshape((tl, tw) if spp == 1 else (tl, tw, spp))
+            a = unpredict(a)
+            rows = min(tl, h - ty * tl)
+            cols = min(tw, w - tx * tw)
+            out[ty * tl : ty * tl + rows, tx * tw : tx * tw + cols] = a[
+                :rows, :cols
+            ]
+        return out
+
     offs = values(_TIFF_TAG_STRIP_OFFSETS)
     cnts = values(_TIFF_TAG_STRIP_COUNTS)
     rps = values(_TIFF_TAG_ROWS_PER_STRIP, h)[0]
+    if planar_cfg == 2 and spp > 1:
+        spi = -(-h // rps)  # strips per plane; chunks are plane-major
+        if len(offs) != spi * spp:
+            raise ValueError("planar TIFF strip count disagrees with IFD")
+        planes = []
+        for c in range(spp):
+            rows_parts = []
+            for si in range(spi):
+                o, cc = offs[c * spi + si], cnts[c * spi + si]
+                rows_here = min(rps, h - si * rps)
+                raw = unchunk(payload[o : o + cc], rows_here * w)
+                a = np.frombuffer(
+                    raw, dtype=np.uint8, count=rows_here * w
+                ).reshape(rows_here, w)
+                rows_parts.append(unpredict(a))
+            planes.append(np.vstack(rows_parts))
+        return np.stack(planes, axis=2)
     if comp == 7:
         tables = b""
         if _TIFF_TAG_JPEG_TABLES in tags:
@@ -4449,9 +4567,11 @@ def make_tiff_media(spark, n: int = 24, id_offset: int = 3000) -> DataFrame:
     pixel rule as :func:`make_real_media`'s BMP lane (RGB and
     grayscale alternating; multi-strip layouts every third id;
     compression cycles none → PackBits → LZW → Deflate (r10), with
-    the horizontal predictor on alternating LZW/Deflate files), so
-    the decode-stats oracle is shared arithmetic — compression must
-    be perfectly invisible to every decoded-sum lane."""
+    the horizontal predictor on alternating LZW/Deflate files; since
+    r10 some ids are TILED (16×16, edge-cropped) and some RGB ids
+    PLANAR (plane-major strips)), so the decode-stats oracle is
+    shared arithmetic — compression AND layout must be perfectly
+    invisible to every decoded-sum lane."""
     rows = []
     for i in range(n):
         px = _image_pixels(i)
@@ -4459,6 +4579,8 @@ def make_tiff_media(spark, n: int = 24, id_offset: int = 3000) -> DataFrame:
             px = px[:, :, 0]  # grayscale lane: channel 0 of the rule
         rps = None if i % 3 else 5  # every third id: multi-strip
         comp = ["none", "packbits", "lzw", "deflate"][i % 4]
+        tile = (16, 16) if i % 6 == 4 else None
+        planar = tile is None and i % 2 == 0 and i % 6 == 0 and i > 0
         rows.append(
             (
                 id_offset + i,
@@ -4470,6 +4592,8 @@ def make_tiff_media(spark, n: int = 24, id_offset: int = 3000) -> DataFrame:
                     predictor=(
                         comp in ("lzw", "deflate") and (i // 4) % 2 == 0
                     ),
+                    tile=tile,
+                    planar=planar,
                 ),
                 "image/tiff",
                 px.shape[1],

@@ -1485,6 +1485,45 @@ class TestTiffCompression:
                     )
                     assert np.array_equal(got, im), (comp, rps, im.shape)
 
+    def test_tiled_roundtrip_all_codecs(self):
+        """r10: tiled rasters (tags 322-325) — edge tiles zero-padded
+        on encode, cropped on decode; predictor resets at tile edges."""
+        rng = np.random.default_rng(5)
+        for shape in [(40, 55, 3), (40, 55), (16, 16, 3), (70, 33)]:
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            for comp in ("none", "packbits", "lzw", "deflate"):
+                t = mm.encode_tiff(px, compression=comp, tile=(16, 16))
+                assert np.array_equal(mm.decode_tiff(t), px), (shape, comp)
+            t = mm.encode_tiff(
+                px, compression="lzw", tile=(16, 32), predictor=True
+            )
+            assert np.array_equal(mm.decode_tiff(t), px), shape
+
+    def test_planar_roundtrip_all_codecs(self):
+        """r10: PlanarConfiguration 2 — plane-major strips
+        (RRR…GGG…BBB), with and without multi-strip and predictor."""
+        px = mm._image_pixels(3)
+        for comp in ("none", "packbits", "lzw", "deflate"):
+            for rps in (None, 7):
+                t = mm.encode_tiff(
+                    px, rows_per_strip=rps, compression=comp, planar=True
+                )
+                assert np.array_equal(mm.decode_tiff(t), px), (comp, rps)
+        t = mm.encode_tiff(
+            px, rows_per_strip=13, compression="deflate",
+            planar=True, predictor=True,
+        )
+        assert np.array_equal(mm.decode_tiff(t), px)
+
+    def test_tile_and_planar_guards(self):
+        px = mm._image_pixels(1)
+        with pytest.raises(ValueError, match="multiples of 16"):
+            mm.encode_tiff(px, tile=(10, 16))
+        with pytest.raises(ValueError, match="chunky strips"):
+            mm.encode_tiff(px, compression="jpeg", tile=(16, 16))
+        with pytest.raises(ValueError, match="tiled planar"):
+            mm.encode_tiff(px, tile=(16, 16), planar=True)
+
     def test_deflate_predictor_roundtrip(self):
         smooth = np.tile(np.arange(256, dtype=np.uint8), (64, 4))
         d = mm.encode_tiff(smooth, compression="deflate", predictor=True)
