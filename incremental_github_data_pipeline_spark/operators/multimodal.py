@@ -3484,13 +3484,14 @@ def make_funnel_media(spark) -> DataFrame:
 # the public FLAC format specification (RFC 9639 / flac format.html).
 # Encoder emits CONSTANT / VERBATIM / FIXED(0-4) / LPC(<=8,
 # Levinson-Durbin quantized) subframes with partition-order-0 rice
-# residuals and optional left-side / right-side / mid-side stereo
-# decorrelation (r10 — real encoder output is overwhelmingly LPC with
+# residuals, optional left-side / right-side / mid-side stereo
+# decorrelation, and automatic wasted-bits coding when samples share
+# low zero bits (r10 — real encoder output is overwhelmingly LPC with
 # mid-side); decoder handles all of those plus rice2 / escaped-raw
 # residuals at any partition order, and additionally verifies CRC-8
-# (header), CRC-16 (frame) and the STREAMINFO MD5. Wasted bits and
-# non-16-bit depths stay honest NotImplementedError guards — a foreign
-# file using them fails loud, never silently mis-decodes.)
+# (header), CRC-16 (frame) and the STREAMINFO MD5. Non-16-bit depths
+# stay an honest NotImplementedError guard — a foreign file using
+# them fails loud, never silently mis-decodes.)
 # ---------------------------------------------------------------------------
 
 
@@ -3730,20 +3731,42 @@ def _encode_flac_subframe(
     """One subframe at ``sub_bps`` bits (17 for a side channel): best
     of CONSTANT / FIXED(0..4) / LPC(``lpc_order``, when > 0) by exact
     rice bit cost including each candidate's header overhead, VERBATIM
-    when raw beats them all."""
+    when raw beats them all. When every sample shares k low zero bits
+    (upsampled / low-gain material) the spec's WASTED-BITS header is
+    emitted and the subframe codes ``x >> k`` at ``sub_bps − k`` —
+    strictly smaller, bit-exactly recoverable (r10)."""
     bs = len(x)
-    mask = (1 << sub_bps) - 1
     if bs > 0 and (x == x[0]).all():
         w.write(0, 1)
         w.write(0b000000, 6)  # CONSTANT
         w.write(0, 1)
-        w.write(int(x[0]) & mask, sub_bps)
+        w.write(int(x[0]) & ((1 << sub_bps) - 1), sub_bps)
         return
+    wasted = 0
+    nz = x[x != 0].astype(np.int64)
+    if len(nz):
+        low = np.bitwise_and(nz, -nz)
+        wasted = int(np.log2(low.astype(np.float64)).min())
+    wasted = min(wasted, sub_bps - 2)
+    if wasted:
+        x = x >> wasted
+    eff = sub_bps - wasted
+    mask = (1 << eff) - 1
+
+    def header(styp: int) -> None:
+        w.write(0, 1)  # zero pad
+        w.write(styp, 6)
+        if wasted:
+            w.write(1, 1)
+            w.write_unary(wasted - 1)  # (wasted-1) zeros then a one
+        else:
+            w.write(0, 1)
+
     best_o, best_cost, best_res, best_k = 0, None, None, 0
     for o in range(0, min(4, bs - 1) + 1):
         res = _fixed_residual(x, o)
         k = _best_rice_param(res)
-        cost = _rice_bits(res, k) + o * sub_bps
+        cost = _rice_bits(res, k) + o * eff
         if best_cost is None or cost < best_cost:
             best_o, best_cost, best_res, best_k = o, cost, res, k
     lpc = None
@@ -3757,38 +3780,32 @@ def _encode_flac_subframe(
             k = _best_rice_param(res)
             cost = (
                 _rice_bits(res, k)
-                + lpc_order * sub_bps  # warm-up
+                + lpc_order * eff  # warm-up
                 + 4 + 5 + lpc_order * prec  # precision/shift/coefs
             )
             if cost < best_cost:
                 lpc = (q, shift, prec, res, k)
                 best_cost = cost
-    if best_cost > bs * sub_bps:
+    if best_cost > bs * eff:
         # raw beats every predictor: VERBATIM
-        w.write(0, 1)
-        w.write(0b000001, 6)
-        w.write(0, 1)
+        header(0b000001)
         for v in x:
-            w.write(int(v) & mask, sub_bps)
+            w.write(int(v) & mask, eff)
         return
     if lpc is not None:
         q, shift, prec, res, k = lpc
-        w.write(0, 1)
-        w.write(0b100000 | (lpc_order - 1), 6)  # LPC, order-1
-        w.write(0, 1)
+        header(0b100000 | (lpc_order - 1))  # LPC, order-1
         for v in x[:lpc_order]:
-            w.write(int(v) & mask, sub_bps)  # warm-up
+            w.write(int(v) & mask, eff)  # warm-up
         w.write(prec - 1, 4)
         w.write(shift & 0x1F, 5)
         for c in q:
             w.write(c & ((1 << prec) - 1), prec)
         _write_rice_residual(w, res, k)
         return
-    w.write(0, 1)
-    w.write(0b001000 | best_o, 6)  # FIXED, order
-    w.write(0, 1)
+    header(0b001000 | best_o)  # FIXED, order
     for v in x[:best_o]:
-        w.write(int(v) & mask, sub_bps)  # warm-up
+        w.write(int(v) & mask, eff)  # warm-up
     _write_rice_residual(w, best_res, best_k)
 
 
@@ -3912,10 +3929,11 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
     LPC subframes with rice / rice2 / escaped-raw residuals at any
     partition order, independent channels AND the left-side /
     right-side / mid-side stereo decorrelations (side channel at
-    bps+1 = 17 bits per the spec) — the shapes real encoder output is
-    overwhelmingly made of. Wasted bits and non-16-bit depths raise
-    ``NotImplementedError`` (honest scope — never a silent
-    mis-decode); CRC-8, CRC-16 and the STREAMINFO MD5 are verified."""
+    bps+1 = 17 bits per the spec) and wasted-bits subframes — the
+    shapes real encoder output is overwhelmingly made of. Non-16-bit
+    depths raise ``NotImplementedError`` (honest scope — never a
+    silent mis-decode); CRC-8, CRC-16 and the STREAMINFO MD5 are
+    verified."""
     import hashlib
 
     if payload[:4] != b"fLaC":
@@ -4008,11 +4026,15 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
 
         blk = np.zeros((bs, nch), dtype=np.int64)
         for c in range(nch):
-            sub_bps = 17 if c == side_idx else 16
+            full_bps = 17 if c == side_idx else 16
             br.read_bit()  # zero pad
             styp = br.read_bits(6)
-            if br.read_bit():  # wasted bits
-                raise NotImplementedError("wasted-bits FLAC not supported")
+            wasted = 0
+            if br.read_bit():  # wasted-bits flag: unary (k-1) follows
+                wasted = 1 + br.read_unary()
+            sub_bps = full_bps - wasted
+            if sub_bps < 1:
+                raise ValueError("FLAC wasted bits exceed sample width")
             if styp == 0b000000:
                 blk[:, c] = br.read_signed(sub_bps)
             elif styp == 0b000001:
@@ -4055,6 +4077,8 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
                 blk[:, c] = x
             else:
                 raise ValueError(f"reserved FLAC subframe type {styp}")
+            if wasted:
+                blk[:, c] <<= wasted
         if decorrelated:
             if ch_asgn == 0b1000:  # left + side
                 left, side = blk[:, 0], blk[:, 1]
@@ -4911,34 +4935,58 @@ def _f80_decode(b: bytes) -> int:
     return round(mant / (1 << (63 - e)))
 
 
-def encode_aiff(samples: np.ndarray, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+def encode_aiff(
+    samples: np.ndarray,
+    sample_rate: int = WAV_SAMPLE_RATE,
+    aifc: str | None = None,
+) -> bytes:
     """Encode int16 samples ((n,) mono or (n, ch)) as AIFF: FORM/AIFF
     with COMM (channels, frames, 16 bits, 80-bit extended rate) and
-    SSND (big-endian interleaved frames) chunks."""
-    s = samples.astype(">i2")
+    SSND (big-endian interleaved frames) chunks.
+
+    ``aifc`` (r10) switches to the AIFF-C container: ``"NONE"``
+    (big-endian PCM, byte-compatible signal) or ``"sowt"``
+    (little-endian PCM — what macOS writes by default). AIFC adds the
+    mandatory FVER chunk and extends COMM with the compression type +
+    pascal-string name. Both are uncompressed PCM — 'compressed
+    AIFF-C' in the wild is overwhelmingly one of these two."""
+    if aifc not in (None, "NONE", "sowt"):
+        raise ValueError(f"unsupported AIFC compression {aifc!r}")
+    s = samples.astype("<i2" if aifc == "sowt" else ">i2")
     if s.ndim == 1:
         s = s[:, None]
     n, ch = s.shape
     comm = struct.pack(">hLh", ch, n, 16) + _f80_encode(sample_rate)
+    if aifc is not None:
+        name = {"NONE": b"not compressed", "sowt": b"16-bit little endian"}[
+            aifc
+        ]
+        pascal = bytes([len(name)]) + name
+        pascal += b"\x00" * (len(pascal) & 1)  # pad to even
+        comm += aifc.encode("ascii") + pascal
     ssnd = struct.pack(">LL", 0, 0) + s.tobytes()
-    body = (
-        b"AIFF"
-        + b"COMM" + struct.pack(">L", len(comm)) + comm
-        + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd
-    )
+    chunks = b""
+    if aifc is not None:
+        chunks += b"FVER" + struct.pack(">LL", 4, 0xA2805140)
+    chunks += b"COMM" + struct.pack(">L", len(comm)) + comm
+    chunks += b"SSND" + struct.pack(">L", len(ssnd)) + ssnd
+    body = (b"AIFC" if aifc is not None else b"AIFF") + chunks
     return b"FORM" + struct.pack(">L", len(body)) + body
 
 
 def decode_aiff(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode AIFF → (sample_rate, int16 samples — (n,) mono or
-    (n, ch)). Chunk-walking parser (odd-length pad bytes honored);
-    AIFC/compressed and non-16-bit raise."""
-    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
-        if payload[8:12] == b"AIFC":
-            raise NotImplementedError("compressed AIFF-C not supported")
+    """Decode AIFF / AIFF-C → (sample_rate, int16 samples — (n,) mono
+    or (n, ch)). Chunk-walking parser (odd-length pad bytes honored).
+    AIFC compression types ``NONE``/``twos`` (big-endian PCM) and
+    ``sowt`` (little-endian PCM, the macOS default) are supported
+    (r10); genuinely compressed types (ima4, ulaw, …) and non-16-bit
+    raise."""
+    is_aifc = payload[8:12] == b"AIFC"
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
         raise ValueError("not an AIFF payload")
     pos = 12
     ch = n_frames = bits = rate = None
+    ctype = b"NONE"
     data = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -4947,15 +4995,24 @@ def decode_aiff(payload: bytes) -> tuple[int, np.ndarray]:
         if cid == b"COMM":
             ch, n_frames, bits = struct.unpack_from(">hLh", body, 0)
             rate = _f80_decode(body[8:18])
+            if is_aifc and clen >= 22:
+                ctype = body[18:22]
         elif cid == b"SSND":
             off, _block = struct.unpack_from(">LL", body, 0)
             data = body[8 + off :]
         pos += 8 + clen + (clen & 1)  # chunks pad to even length
     if ch is None or data is None:
         raise ValueError("AIFF missing COMM or SSND chunk")
+    if ctype not in (b"NONE", b"twos", b"sowt"):
+        raise NotImplementedError(
+            f"compressed AIFF-C type {ctype!r} not supported"
+        )
     if bits != 16:
         raise NotImplementedError("only 16-bit AIFF supported")
-    s = np.frombuffer(data, dtype=">i2", count=n_frames * ch).astype(np.int16)
+    dtype = "<i2" if ctype == b"sowt" else ">i2"
+    s = np.frombuffer(data, dtype=dtype, count=n_frames * ch).astype(
+        np.int16
+    )
     return rate, s if ch == 1 else s.reshape(-1, ch)
 
 
@@ -4965,7 +5022,10 @@ def make_legacy_media(spark, n: int = 24, id_offset: int = 4000) -> DataFrame:
     closed-form content rules as the other generators (images:
     :func:`_image_pixels`; audio: :func:`_wav_channel` 16-bit lanes),
     so one oracle certifies that every container/compression variant
-    is invisible to the decoded statistics."""
+    is invisible to the decoded statistics. Since r10 the audio lanes
+    alternate classic AIFF with AIFF-C (mono → sowt little-endian,
+    stereo → NONE) every second cycle, so the AIFC chunk layout and
+    both byte orders ride the certified path."""
     rows = []
     for i in range(n):
         v = i % 6
@@ -4988,14 +5048,17 @@ def make_legacy_media(spark, n: int = 24, id_offset: int = 4000) -> DataFrame:
             m = _wav_variant_frames(i)
             if v == 4:
                 s = _wav_channel(i, 0, m, 16)
+                aifc = "sowt" if (i // 6) % 2 else None
             else:
                 s = np.stack(
                     [_wav_channel(i, 0, m, 16), _wav_channel(i, 1, m, 16)],
                     axis=1,
                 )
+                aifc = "NONE" if (i // 6) % 2 else None
             rows.append(
                 (
-                    id_offset + i, "audio", encode_aiff(s), "audio/aiff",
+                    id_offset + i, "audio", encode_aiff(s, aifc=aifc),
+                    "audio/aiff",
                     None, None, m * 1000 // WAV_SAMPLE_RATE,
                 )
             )

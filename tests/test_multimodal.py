@@ -1325,6 +1325,34 @@ class TestFlac:
             )
             assert np.array_equal(out, st), mode
 
+    def test_wasted_bits_roundtrip_and_reclaim(self):
+        """r10: subframes whose samples share k low zero bits
+        (upsampled/low-gain material) emit the wasted-bits header and
+        code at sub_bps−k — round-trips bit-exactly and the shifted
+        signal must not cost more than the unshifted one."""
+        rng = np.random.default_rng(9)
+        t = np.arange(6000)
+        base = (800 * np.sin(t / 40) + rng.normal(0, 20, len(t))).astype(
+            np.int16
+        )
+        p0 = mm.encode_flac(
+            (base >> 6).astype(np.int16), 8000, block_size=512
+        )
+        for k in (1, 3, 6):
+            s = (base >> 6 << k).astype(np.int16)
+            p = mm.encode_flac(s, 8000, block_size=512, lpc_order=8)
+            _, out = mm.decode_flac(p)
+            assert np.array_equal(out, s), k
+            assert len(p) <= len(p0) * 1.02, (k, len(p), len(p0))
+        # one wasted channel + one normal channel, through decorrelation
+        st = np.stack([(base >> 4 << 4).astype(np.int16), base], axis=1)
+        for mode in ("independent", "mid_side"):
+            p = mm.encode_flac(
+                st, 8000, block_size=256, lpc_order=8, stereo_mode=mode
+            )
+            _, out = mm.decode_flac(p)
+            assert np.array_equal(out, st), mode
+
     def test_frame_numbers_past_2047_roundtrip(self):
         # Regression: the extended-UTF-8 coder used a 4n+6-bit capacity
         # threshold instead of the spec's 5n+1 bits, so frame numbers
@@ -1641,12 +1669,37 @@ class TestLegacyFormats:
         st2 = np.stack([s, -s], axis=1)
         _, out = mm.decode_aiff(mm.encode_aiff(st2))
         assert np.array_equal(out, st2)
+        # r10: an AIFC form with a classic COMM decodes as NONE
         payload = bytearray(mm.encode_aiff(s))
         payload[8:12] = b"AIFC"
-        with pytest.raises(NotImplementedError):
-            mm.decode_aiff(bytes(payload))
+        _, out = mm.decode_aiff(bytes(payload))
+        assert np.array_equal(out, s)
         with pytest.raises(ValueError):
             mm.decode_aiff(b"RIFF....WAVE")
+
+    def test_aifc_none_and_sowt_roundtrip(self):
+        """r10: AIFF-C with NONE (big-endian) and sowt (little-endian,
+        the macOS default) PCM — FVER + extended COMM + both byte
+        orders; genuinely compressed types still fail loud."""
+        s = ((np.arange(700) * 17) % 4096 - 2048).astype(np.int16)
+        st2 = np.stack([s, -1 - s], axis=1)
+        for aifc in ("NONE", "sowt"):
+            for sig in (s, st2):
+                p = mm.encode_aiff(sig, 44100, aifc=aifc)
+                assert p[8:12] == b"AIFC" and b"FVER" in p[:24]
+                sr, out = mm.decode_aiff(p)
+                assert sr == 44100 and np.array_equal(out, sig), aifc
+        # sowt and NONE must differ on the wire but not after decode
+        a = mm.encode_aiff(s, aifc="NONE")
+        b = mm.encode_aiff(s, aifc="sowt")
+        assert a != b
+        p = bytearray(mm.encode_aiff(s, aifc="NONE"))
+        i = p.find(b"NONE")
+        p[i : i + 4] = b"ima4"
+        with pytest.raises(NotImplementedError, match="ima4"):
+            mm.decode_aiff(bytes(p))
+        with pytest.raises(ValueError):
+            mm.encode_aiff(s, aifc="ulaw")
 
     def test_legacy_media_decode_stats_closed_form(self, spark):
         stats = {
