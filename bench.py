@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     # PageRank (one extra 1-row aggregate per round vs the base loop)
     "q_media_tiff_jpeg_stats",
     "q_graph_pagerank_dangling",
+    "q_media_quarantine",
 ]
 
 # Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform

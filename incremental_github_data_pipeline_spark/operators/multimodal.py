@@ -473,15 +473,36 @@ MEDIA_STATS_SCHEMA = StructType(
         StructField("n_channels", LongType(), True),
         StructField("mean_ch0", DoubleType(), True),
         StructField("mean_ch1", DoubleType(), True),
+        StructField("decode_error", StringType(), True),
     ]
 )
 
 
-def decode_stats(media: DataFrame) -> DataFrame:
+def decode_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Run the REAL decoder for each payload and emit per-media decoded
     statistics — the cross-engine checkable face of the codec stage
     (means over deterministic content have closed forms an oracle can
-    recompute). One mapInPandas pass; unknown mime types raise."""
+    recompute). One mapInPandas pass; unknown mime types raise.
+
+    ``on_error`` (r10): ``"raise"`` (default — a bad payload fails the
+    job, the certification posture) or ``"quarantine"`` — at 100 TB a
+    crawl WILL contain truncated and corrupt files, and one of them
+    must not kill a thousand-executor batch. Quarantined rows keep
+    their id with all stat lanes NULL and the failure recorded in
+    ``decode_error`` (``ExcType: message``), so the pipeline splits
+    clean/bad with one filter on the SAME pass — no second decode, no
+    driver involvement, per-file isolation inside the Arrow batch.
+    Only decode-shaped failures are caught (ValueError /
+    NotImplementedError / struct.error / zlib.error / Key/IndexError
+    / OverflowError); genuine bugs still propagate."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"unknown on_error mode {on_error!r}")
+    catch: tuple = ()
+    if on_error == "quarantine":
+        catch = (
+            ValueError, NotImplementedError, struct.error, zlib.error,
+            KeyError, IndexError, OverflowError,
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -493,69 +514,81 @@ def decode_stats(media: DataFrame) -> DataFrame:
                     "sample_rate": None, "duration_ms": None, "mean_r": None,
                     "mean_g": None, "mean_b": None, "mean_abs_sample": None,
                     "n_channels": None, "mean_ch0": None, "mean_ch1": None,
+                    "decode_error": None,
                 }
-                if r.mime in (
-                    "image/bmp",
-                    "image/jpeg",
-                    "image/tiff",
-                    "image/x-portable-pixmap",
-                    "image/x-tga",
-                ):
-                    px = {
-                        "image/bmp": decode_bmp,
-                        "image/jpeg": decode_jpeg,
-                        "image/tiff": decode_tiff,
-                        "image/x-portable-pixmap": decode_pnm,
-                        "image/x-tga": decode_tga,
-                    }[r.mime](r.payload)
-                    if px.ndim == 2:  # grayscale → same mean per channel
-                        px = np.repeat(px[:, :, None], 3, axis=2)
-                    row.update(
-                        height=px.shape[0], width=px.shape[1],
-                        mean_r=float(px[:, :, 0].mean()),
-                        mean_g=float(px[:, :, 1].mean()),
-                        mean_b=float(px[:, :, 2].mean()),
-                    )
-                elif r.mime in ("audio/wav", "audio/flac", "audio/aiff"):
-                    sr, s = {
-                        "audio/wav": decode_wav,
-                        "audio/flac": decode_flac,
-                        "audio/aiff": decode_aiff,
-                    }[r.mime](r.payload)
-                    ch = 1 if s.ndim == 1 else s.shape[1]
-                    mono = downmix_mono(s)
-                    per_ch = s.reshape(-1, ch).astype(np.int64)
-                    row.update(
-                        n_samples=len(mono), sample_rate=sr,
-                        duration_ms=len(mono) * 1000 // sr,
-                        # abs over the channel-mean downmix, so mono
-                        # and stereo report on the same scale
-                        mean_abs_sample=float(
-                            np.abs(mono.astype(np.int64)).mean()
-                        ),
-                        n_channels=ch,
-                        mean_ch0=float(per_ch[:, 0].mean()),
-                        mean_ch1=(
-                            float(per_ch[:, 1].mean()) if ch > 1 else None
-                        ),
-                    )
-                elif r.mime == "video/x-raw-rgb":
-                    fr, frame_ms = decode_rawvideo(r.payload)
-                    row.update(
-                        n_frames=fr.shape[0], height=fr.shape[1],
-                        width=fr.shape[2], duration_ms=fr.shape[0] * frame_ms,
-                        mean_r=float(fr[:, :, :, 0].mean()),
-                        mean_g=float(fr[:, :, :, 1].mean()),
-                        mean_b=float(fr[:, :, :, 2].mean()),
-                    )
-                else:
-                    raise NotImplementedError(
-                        f"no dependency-free codec for mime {r.mime!r}"
+                try:
+                    _decode_one(r, row)
+                except catch as exc:
+                    row["decode_error"] = (
+                        f"{type(exc).__name__}: {exc}"[:500]
                     )
                 out.append(row)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, MEDIA_STATS_SCHEMA)
+
+
+def _decode_one(r, row: dict) -> None:
+    """Decode one media row into ``row``'s stat lanes (shared by both
+    decode_stats error modes)."""
+    if r.mime in (
+        "image/bmp",
+        "image/jpeg",
+        "image/tiff",
+        "image/x-portable-pixmap",
+        "image/x-tga",
+    ):
+        px = {
+            "image/bmp": decode_bmp,
+            "image/jpeg": decode_jpeg,
+            "image/tiff": decode_tiff,
+            "image/x-portable-pixmap": decode_pnm,
+            "image/x-tga": decode_tga,
+        }[r.mime](r.payload)
+        if px.ndim == 2:  # grayscale → same mean per channel
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        row.update(
+            height=px.shape[0], width=px.shape[1],
+            mean_r=float(px[:, :, 0].mean()),
+            mean_g=float(px[:, :, 1].mean()),
+            mean_b=float(px[:, :, 2].mean()),
+        )
+    elif r.mime in ("audio/wav", "audio/flac", "audio/aiff"):
+        sr, s = {
+            "audio/wav": decode_wav,
+            "audio/flac": decode_flac,
+            "audio/aiff": decode_aiff,
+        }[r.mime](r.payload)
+        ch = 1 if s.ndim == 1 else s.shape[1]
+        mono = downmix_mono(s)
+        per_ch = s.reshape(-1, ch).astype(np.int64)
+        row.update(
+            n_samples=len(mono), sample_rate=sr,
+            duration_ms=len(mono) * 1000 // sr,
+            # abs over the channel-mean downmix, so mono
+            # and stereo report on the same scale
+            mean_abs_sample=float(
+                np.abs(mono.astype(np.int64)).mean()
+            ),
+            n_channels=ch,
+            mean_ch0=float(per_ch[:, 0].mean()),
+            mean_ch1=(
+                float(per_ch[:, 1].mean()) if ch > 1 else None
+            ),
+        )
+    elif r.mime == "video/x-raw-rgb":
+        fr, frame_ms = decode_rawvideo(r.payload)
+        row.update(
+            n_frames=fr.shape[0], height=fr.shape[1],
+            width=fr.shape[2], duration_ms=fr.shape[0] * frame_ms,
+            mean_r=float(fr[:, :, :, 0].mean()),
+            mean_g=float(fr[:, :, :, 1].mean()),
+            mean_b=float(fr[:, :, :, 2].mean()),
+        )
+    else:
+        raise NotImplementedError(
+            f"no dependency-free codec for mime {r.mime!r}"
+        )
 
 
 def area_resample(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -1516,6 +1516,52 @@ def q_media_tiff_jpeg_stats(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@register(
+    "q_media_quarantine",
+    oracle="""
+    SELECT 3000 + i AS media_id,
+           CAST(CASE WHEN (3000 + i) % 5 = 3 THEN 1 ELSE 0 END AS BIGINT)
+             AS quarantined,
+           CASE WHEN (3000 + i) % 5 = 3 THEN NULL
+                ELSE CAST(16 + (i % 13) AS BIGINT) END AS width,
+           CASE WHEN (3000 + i) % 5 = 3 THEN NULL
+                ELSE CAST(12 + (i % 11) AS BIGINT) END AS height
+    FROM range(24) t(i) ORDER BY media_id
+    """,
+    doc="Corrupt-payload quarantine (r10, operators/multimodal."
+    "decode_stats(on_error='quarantine')): every fifth TIFF payload is "
+    "truncated to 32 bytes, and the SAME single mapInPandas pass must "
+    "route exactly those rows to the decode_error lane (stat lanes "
+    "NULL) while every healthy file still decodes — per-file isolation "
+    "with no second decode and no driver involvement. At 100 TB a "
+    "crawl WILL contain corrupt files; one of them must not kill a "
+    "thousand-executor batch, and the certification default "
+    "(on_error='raise') keeps the oracle posture strict everywhere "
+    "else. The oracle recomputes which ids are corrupt and the "
+    "surviving dimensions in closed form.",
+)
+def q_media_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        decode_stats,
+        make_tiff_media,
+    )
+
+    media = make_tiff_media(spark, n=24)
+    corrupted = media.withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") % 5 == 3, F.expr("substring(payload, 1, 32)")
+        ).otherwise(F.col("payload")),
+    )
+    stats = decode_stats(corrupted, on_error="quarantine")
+    return stats.select(
+        "media_id",
+        F.col("decode_error").isNotNull().cast("long").alias("quarantined"),
+        "width",
+        "height",
+    ).orderBy("media_id")
+
+
 _LEGACY_STATS_ORACLE = """
     WITH img AS (
       SELECT 4000 + i AS media_id, i AS i, i % 6 AS v,

@@ -1616,6 +1616,43 @@ class TestTiffCompression:
             mm.decode_tiff(bytes(t))
 
 
+class TestQuarantine:
+    def test_quarantine_isolates_bad_rows_same_pass(self, spark):
+        from pyspark.sql import functions as F
+
+        media = mm.make_tiff_media(spark, n=12)
+        corrupted = media.withColumn(
+            "payload",
+            F.when(
+                F.col("media_id") % 5 == 3,
+                F.expr("substring(payload, 1, 32)"),
+            ).otherwise(F.col("payload")),
+        )
+        rows = {
+            r["media_id"]: r
+            for r in mm.decode_stats(
+                corrupted, on_error="quarantine"
+            ).collect()
+        }
+        assert len(rows) == 12  # every row survives, none dropped
+        for mid, r in rows.items():
+            if mid % 5 == 3:
+                assert r["decode_error"] and r["width"] is None
+            else:
+                assert r["decode_error"] is None and r["width"] is not None
+
+    def test_raise_mode_still_raises(self, spark):
+        from pyspark.sql import functions as F
+
+        media = mm.make_tiff_media(spark, n=5).withColumn(
+            "payload", F.expr("substring(payload, 1, 16)")
+        )
+        with pytest.raises(Exception):
+            mm.decode_stats(media).collect()
+        with pytest.raises(ValueError, match="on_error"):
+            mm.decode_stats(media, on_error="skip")
+
+
 class TestLegacyFormats:
     def test_pnm_roundtrip_and_ascii_variants(self):
         px = mm._image_pixels(5)
