@@ -168,6 +168,9 @@ BENCH_QUERIES = [
     "q_media_tiff_jpeg_stats",
     "q_graph_pagerank_dangling",
     "q_media_quarantine",
+    # round-10 new family: blocked Fellegi-Sunter linkage (nation-block
+    # equi-join + codegen'd comparators over customer x supplier)
+    "q_linkage_blocked",
 ]
 
 # Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform

@@ -52,7 +52,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #   (0b/0c) the two queries NEW in round 10 (JPEG-in-TIFF,
 #       dangling-mass PageRank) and the two media lanes whose r10
 #       encoder mix changed (FLAC grew LPC/decorrelated fixtures).
-# 49 rows; after this round no query's newest driver green predates
+# 50 rows; after this round no query's newest driver green predates
 # r7 and every registered query has at least one driver row.
 _CERTIFY_FIRST = [
     # -- (0) first driver rows (registered post-r9-window) --
@@ -65,6 +65,7 @@ _CERTIFY_FIRST = [
     "q_media_tiff_jpeg_stats",
     "q_graph_pagerank_dangling",
     "q_media_quarantine",
+    "q_linkage_blocked",
     # -- (0c) r10 behavior-adjacent refreshes: the FLAC lane grew
     #    LPC + stereo decorrelation and the TIFF lane's docs/scope
     #    changed — their driver rows should record the new encoder mix
@@ -120,6 +121,7 @@ def load_all() -> dict[str, QuerySpec]:
     from incremental_github_data_pipeline_spark.queries import (  # noqa: F401
         ext_curation,
         ext_graph,
+        ext_linkage,
         ext_multimodal,
         ext_privacy,
         ext_similarity,
