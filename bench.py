@@ -171,6 +171,9 @@ BENCH_QUERIES = [
     # round-10 new family: blocked Fellegi-Sunter linkage (nation-block
     # equi-join + codegen'd comparators over customer x supplier)
     "q_linkage_blocked",
+    # round-10 new family: Holt linear-trend forecasting (per-key Arrow
+    # fold over the hourly pre-aggregate, recursive-CTE-certified)
+    "q_ts_holt_linear",
 ]
 
 # Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform

@@ -284,6 +284,96 @@ def ewma_integer(
     )
 
 
+def holt_linear(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    order_col: str,
+    val_col: str,
+    alpha: tuple[int, int] = (3, 10),
+    beta: tuple[int, int] = (2, 10),
+    scale: int = 100,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing as an INTEGER
+    recurrence — the short-horizon forecasting primitive (capacity
+    planning, ingest-volume projection) in certifiable arithmetic:
+
+        lvl₀ = s·x₀,   tr₀ = 0
+        fitₜ  = lvlₜ₋₁ + trₜ₋₁                     (one-step forecast)
+        lvlₜ  = fdiv(αn·s·xₜ + (αd−αn)·fitₜ, αd)
+        trₜ   = fdiv(βn·(lvlₜ−lvlₜ₋₁) + (βd−βn)·trₜ₋₁, βd)
+
+    with ``fdiv`` the :data:`_FDIV_OFFSET` floor division, so every
+    lane is bit-identical in any engine replaying the recurrence (the
+    oracle replays it as a recursive CTE, same trick as
+    :func:`ewma_integer` — and unlike EWMA the offset fdiv makes
+    NEGATIVE levels/trends safe, so falling series work). An h-step
+    forecast from the last row is ``lvl + h·tr`` — plain column math
+    the caller does; this returns the per-row state
+    ``(keys…, order, val, level_s, trend_s, fitted_s)`` with
+    ``fitted_s`` NULL on each key's first row.
+
+    Sequential in time, parallel across keys: one shuffle on the key
+    and an Arrow-batched per-key fold, the same contract (and the same
+    pre-aggregated-grid expectation) as every operator in this module.
+    The :data:`_FDIV_OFFSET` envelope is asserted per step — an
+    out-of-range lane fails loudly, never silently diverges from the
+    oracle."""
+    import pandas as pd
+
+    an, ad = alpha
+    bn, bd = beta
+    if not (0 < an < ad and 0 < bn < bd):
+        raise ValueError("alpha/beta must be proper positive fractions")
+    keys = _keys(key_cols)
+    base = df.select(
+        *keys, order_col, F.col(val_col).cast("long").alias(val_col)
+    )
+    # StructType.add mutates in place — build the output schema on a
+    # COPY so base's own schema (which applyInPandas reads its input
+    # columns from) stays untouched
+    from pyspark.sql.types import StructType
+
+    out_schema = (
+        StructType(list(base.schema.fields))
+        .add("level_s", "long", False)
+        .add("trend_s", "long", False)
+        .add("fitted_s", "long", True)
+    )
+    b = _FDIV_OFFSET
+
+    def fdiv(n: int, d: int) -> int:
+        if abs(n) >= d * b:
+            raise ValueError(
+                "holt_linear floor-div envelope exceeded (see _FDIV_OFFSET)"
+            )
+        return (n + d * b) // d - b
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        lvl = tr = None
+        levels, trends, fits = [], [], []
+        for x in pdf[val_col].to_numpy():
+            ys = int(x) * scale
+            if lvl is None:
+                lvl, tr, fit = ys, 0, None
+            else:
+                fit = lvl + tr
+                new_lvl = fdiv(an * ys + (ad - an) * fit, ad)
+                tr = fdiv(bn * (new_lvl - lvl) + (bd - bn) * tr, bd)
+                lvl = new_lvl
+            levels.append(lvl)
+            trends.append(tr)
+            fits.append(fit)
+        pdf["level_s"] = levels
+        pdf["trend_s"] = trends
+        pdf["fitted_s"] = pd.array(fits, dtype="Int64")
+        return pdf
+
+    return base.groupBy(*keys).applyInPandas(fold, out_schema)
+
+
 def cusum_alarms(
     df: DataFrame,
     key_cols: str | Sequence[str],

@@ -52,8 +52,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #   (0b/0c) the two queries NEW in round 10 (JPEG-in-TIFF,
 #       dangling-mass PageRank) and the two media lanes whose r10
 #       encoder mix changed (FLAC grew LPC/decorrelated fixtures).
-# 50 rows; after this round no query's newest driver green predates
-# r7 and every registered query has at least one driver row.
+# 50 rows (the window cap); after this round no query's newest driver
+# green predates r7. q_ts_holt_linear registered after the window
+# filled — sweep-verified this round, queues for its first driver row
+# in r11.
 _CERTIFY_FIRST = [
     # -- (0) first driver rows (registered post-r9-window) --
     "q_ts_seasonal_anomaly",

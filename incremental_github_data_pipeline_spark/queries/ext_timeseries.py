@@ -222,6 +222,68 @@ def q_ts_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_B10 = 10**10  # the operators' _FDIV_OFFSET, restated for the oracle
+# lvl' expression appears twice in the recursive step (tr' needs it and
+# SQL cannot reference a same-SELECT alias) — build it once here
+_HW_LVL = f"(((3 * x.cents * 100 + 7 * (r.lvl + r.tr)) + 10 * {_B10}) // 10 - {_B10})"
+
+
+@register(
+    "q_ts_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, hr, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY hr) AS BIGINT) AS i
+      FROM h
+    ),
+    r AS (
+      SELECT event_type, hr, i, cents,
+             cents * 100 AS lvl, CAST(0 AS BIGINT) AS tr,
+             CAST(NULL AS BIGINT) AS fitted
+      FROM x WHERE i = 1
+      UNION ALL
+      SELECT x.event_type, x.hr, x.i, x.cents,
+             {_HW_LVL},
+             ((2 * ({_HW_LVL} - r.lvl) + 8 * r.tr) + 10 * {_B10})
+               // 10 - {_B10},
+             r.lvl + r.tr
+      FROM x JOIN r ON x.event_type = r.event_type AND x.i = r.i + 1
+    )
+    SELECT event_type, hr, CAST(cents AS BIGINT) AS cents,
+           CAST(lvl AS BIGINT) AS level_s,
+           CAST(tr AS BIGINT) AS trend_s,
+           CAST(fitted AS BIGINT) AS fitted_s
+    FROM r ORDER BY event_type, hr
+    """,
+    doc="Holt linear-trend double exponential smoothing (r10, "
+    "operators.timeseries.holt_linear): lvl0 = 100·x0, tr0 = 0, then "
+    "fit = lvl + tr, lvl' = fdiv(3·100·x + 7·fit, 10), tr' = "
+    "fdiv(2·(lvl'−lvl) + 8·tr, 10) — alpha 0.3 / beta 0.2 smoothing "
+    "with every step an offset floor division, so levels, trends AND "
+    "one-step-ahead fits are bit-identical in any engine replaying "
+    "the recurrence (the oracle is a recursive CTE; the offset makes "
+    "NEGATIVE trends engine-safe, which plain EWMA's non-negative "
+    "contract cannot). The short-horizon forecasting primitive: an "
+    "h-step forecast from the last row is lvl + h·tr. Sequential in "
+    "time, parallel across keys — one key shuffle + Arrow fold over "
+    "the hourly pre-aggregate.",
+)
+def q_ts_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
+    out = ts_ops.holt_linear(
+        _hourly(spark, sf), "event_type", "hr", "cents",
+        alpha=(3, 10), beta=(2, 10), scale=100,
+    )
+    return out.select(
+        "event_type", "hr", "cents", "level_s", "trend_s", "fitted_s"
+    ).orderBy("event_type", "hr")
+
+
 @register(
     "q_ts_ewma",
     oracle="""

@@ -275,3 +275,83 @@ class TestTheilSen:
         [r] = ts_ops.theil_sen_slope(df, "k", "x", "y", scale=1).collect()
         # slopes: 10,5,10,0,10,20 sorted -> 0,5,10,10,10,20; rn3 = 10
         assert r["n_pairs"] == 6 and r["slope_s"] == 10
+
+
+class TestHoltLinear:
+    def test_hand_computed_recurrence(self, spark):
+        from incremental_github_data_pipeline_spark.operators.timeseries import (
+            holt_linear,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 14), ("a", 3, 9)],
+            "k string, t long, v long",
+        )
+        rows = {
+            r["t"]: r
+            for r in holt_linear(
+                df, "k", "t", "v", alpha=(3, 10), beta=(2, 10), scale=100
+            ).collect()
+        }
+        # t1: lvl=1000, tr=0, fit NULL
+        assert (rows[1]["level_s"], rows[1]["trend_s"]) == (1000, 0)
+        assert rows[1]["fitted_s"] is None
+        # t2: fit=1000; lvl=(3*1400+7*1000)//10=1120; tr=(2*120+0)//10=24
+        assert rows[2]["fitted_s"] == 1000
+        assert (rows[2]["level_s"], rows[2]["trend_s"]) == (1120, 24)
+        # t3: fit=1144; lvl=(3*900+7*1144)//10=1070 (floor of 1070.8);
+        # tr=(2*(1070-1120)+8*24)//10 = (-100+192)//10 = 9
+        assert rows[3]["fitted_s"] == 1144
+        assert (rows[3]["level_s"], rows[3]["trend_s"]) == (1070, 9)
+
+    def test_falling_series_negative_trend(self, spark):
+        from incremental_github_data_pipeline_spark.operators.timeseries import (
+            holt_linear,
+        )
+
+        df = spark.createDataFrame(
+            [("a", t, 100 - 10 * t) for t in range(8)],
+            "k string, t long, v long",
+        )
+        rows = sorted(
+            holt_linear(df, "k", "t", "v").collect(), key=lambda r: r["t"]
+        )
+        # a linearly falling series must converge to a negative trend
+        assert rows[-1]["trend_s"] < 0
+        # and the one-step fit tracks the fall (within smoothing lag)
+        assert rows[-1]["fitted_s"] > rows[-1]["level_s"]
+
+    def test_keys_are_independent(self, spark):
+        from incremental_github_data_pipeline_spark.operators.timeseries import (
+            holt_linear,
+        )
+
+        one = [("a", t, 7 * t + 3) for t in range(6)]
+        two = [("b", t, 1000 - t) for t in range(6)]
+        both = holt_linear(
+            spark.createDataFrame(one + two, "k string, t long, v long"),
+            "k", "t", "v",
+        )
+        solo = holt_linear(
+            spark.createDataFrame(one, "k string, t long, v long"),
+            "k", "t", "v",
+        )
+        a_both = sorted(
+            [tuple(r) for r in both.filter("k = 'a'").collect()]
+        )
+        a_solo = sorted([tuple(r) for r in solo.collect()])
+        assert a_both == a_solo
+
+    def test_guards(self, spark):
+        from incremental_github_data_pipeline_spark.operators.timeseries import (
+            holt_linear,
+        )
+
+        df = spark.createDataFrame([("a", 1, 1)], "k string, t long, v long")
+        with pytest.raises(ValueError, match="proper positive"):
+            holt_linear(df, "k", "t", "v", alpha=(10, 3))
+        big = spark.createDataFrame(
+            [("a", t, 10**8) for t in range(4)], "k string, t long, v long"
+        )
+        with pytest.raises(Exception, match="envelope"):
+            holt_linear(big, "k", "t", "v", scale=10**4).collect()
