@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     # round-10 new family: Holt linear-trend forecasting (per-key Arrow
     # fold over the hourly pre-aggregate, recursive-CTE-certified)
     "q_ts_holt_linear",
+    # the r10 forecast composite (decompose + Holt + re-seasonalize)
+    "q_ts_forecast_seasonal",
 ]
 
 # Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform

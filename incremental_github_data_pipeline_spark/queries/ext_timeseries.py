@@ -547,6 +547,142 @@ def q_ts_seasonal(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "hr")
 
 
+_HWF_LVL = (
+    f"(((3 * d.y + 7 * (r.lvl + r.tr)) + 10 * {_B}) // 10 - {_B})"
+)
+
+
+@register(
+    "q_ts_forecast_seasonal",
+    oracle=f"""
+    WITH RECURSIVE h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, hr, cents, cents * 10000 AS vs,
+             (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) - 1)
+               % 24 AS phase,
+             SUM(cents * 10000) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tsum,
+             COUNT(*) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tcnt
+      FROM h
+    ),
+    trended AS (
+      SELECT *, ((tsum + tcnt * {_B}) // tcnt) - {_B} AS trend_s
+      FROM base
+    ),
+    seas AS (
+      SELECT event_type, phase,
+             ((SUM(vs - trend_s) + COUNT(*) * {_B}) // COUNT(*)) - {_B}
+               AS seasonal_s
+      FROM trended GROUP BY 1, 2
+    ),
+    dec AS (
+      SELECT t.event_type, t.hr, t.phase,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.event_type ORDER BY t.hr) AS i,
+             t.vs - s.seasonal_s AS y
+      FROM trended t JOIN seas s USING (event_type, phase)
+    ),
+    r AS (
+      SELECT event_type, hr, i, y AS lvl, CAST(0 AS BIGINT) AS tr
+      FROM dec WHERE i = 1
+      UNION ALL
+      SELECT d.event_type, d.hr, d.i,
+             {_HWF_LVL},
+             ((2 * ({_HWF_LVL} - r.lvl) + 8 * r.tr) + 10 * {_B})
+               // 10 - {_B}
+      FROM dec d JOIN r ON d.event_type = r.event_type AND d.i = r.i + 1
+    ),
+    last AS (
+      SELECT r.event_type, r.lvl, r.tr, d.phase
+      FROM r JOIN dec d
+        ON d.event_type = r.event_type AND d.i = r.i
+      WHERE r.i = (SELECT MAX(i) FROM dec dd
+                   WHERE dd.event_type = r.event_type)
+    )
+    SELECT l.event_type, hz.h,
+           CAST(l.lvl + hz.h * l.tr + s2.seasonal_s AS BIGINT)
+             AS forecast_s
+    FROM last l
+    CROSS JOIN (SELECT CAST(range + 1 AS BIGINT) AS h FROM range(3)) hz
+    JOIN seas s2 ON s2.event_type = l.event_type
+                AND s2.phase = (l.phase + hz.h) % 24
+    ORDER BY l.event_type, hz.h
+    """,
+    doc="Seasonal short-horizon FORECAST (r10) — the composition the "
+    "module's pieces exist for: seasonal_decompose strips the daily "
+    "cycle, holt_linear (scale=1) smooths the deseasonalized "
+    "level+trend, and the h-step forecast re-adds the seasonal "
+    "component of the FUTURE phase: forecast_h = lvl + h·tr + "
+    "seasonal((last_phase + h) mod 24), h = 1..3. Every lane is the "
+    "offset-floor-div integer arithmetic of its parts, so the oracle "
+    "replays decomposition, recursion and re-seasonalization "
+    "end-to-end (negative deseasonalized values and trends are safe "
+    "by the offset). Physical shape: the decomposition's one "
+    "key-window shuffle (checkpointed once — the "
+    "q_ts_seasonal_anomaly discipline), the Holt Arrow fold, then "
+    "key-count-sized frames only.",
+)
+def q_ts_forecast_seasonal(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    dec = (
+        ts_ops.seasonal_decompose(
+            _hourly(spark, sf), "event_type", "hr", "cents", period=24
+        )
+        .select(
+            "event_type", "hr", "phase",
+            (F.col("trend_s") + F.col("resid_s")).alias("y"),
+            "seasonal_s",
+        )
+        .localCheckpoint(eager=True)
+    )
+    hw = ts_ops.holt_linear(
+        dec.select("event_type", "hr", "y"),
+        "event_type", "hr", "y",
+        alpha=(3, 10), beta=(2, 10), scale=1,
+    )
+    wd = Window.partitionBy("event_type").orderBy(F.desc("hr"))
+    last_hw = (
+        hw.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "level_s", "trend_s")
+    )
+    last_phase = (
+        dec.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", F.col("phase").alias("last_phase"))
+    )
+    seas = dec.groupBy("event_type", "phase").agg(
+        F.max("seasonal_s").alias("seasonal_s")
+    )
+    horizons = spark.range(1, 4).select(F.col("id").alias("h"))
+    fut = (
+        last_hw.join(last_phase, "event_type")
+        .crossJoin(F.broadcast(horizons))
+        .withColumn("phase", (F.col("last_phase") + F.col("h")) % 24)
+    )
+    return (
+        fut.join(F.broadcast(seas), ["event_type", "phase"])
+        .select(
+            "event_type",
+            "h",
+            (
+                F.col("level_s")
+                + F.col("h") * F.col("trend_s")
+                + F.col("seasonal_s")
+            ).alias("forecast_s"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
 @register(
     "q_ts_theil_sen",
     oracle=f"""
