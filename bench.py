@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "q_ts_holt_linear",
     # the r10 forecast composite (decompose + Holt + re-seasonalize)
     "q_ts_forecast_seasonal",
+    # personalized PageRank (seed teleport + dangling-to-seeds)
+    "q_graph_ppr",
 ]
 
 # Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform

@@ -26,6 +26,8 @@ skew-proofing for power-law graphs.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,6 +51,7 @@ def pagerank_integer(
     src: str = "src",
     dst: str = "dst",
     redistribute_dangling: bool = False,
+    seeds: Sequence[int] | None = None,
 ) -> DataFrame:
     """PageRank over ``iters`` synchronous iterations in scaled-integer
     arithmetic: ranks start at ``scale div n``, and each round applies
@@ -70,8 +73,20 @@ def pagerank_integer(
     ``q_graph_pagerank`` oracle; integral-division remainders
     dissipate the same way in any engine replaying either recurrence.
 
+    ``seeds`` (r10) switches to PERSONALIZED PageRank: the teleport
+    mass — and, when ``redistribute_dangling`` is on, the dangling
+    mass — flows only to the seed set instead of uniformly, so ranks
+    measure proximity TO THE SEEDS (the related-items / topic-focused
+    crawl-frontier primitive). The recurrence stays integer-exact:
+    seed base = ((100−d)·scale) div (100·|S|), dangling share =
+    D div |S| on seeds, both zero elsewhere; the initial vector also
+    concentrates on the seeds (PPR's standard start). ``seeds`` is a
+    model-sized list (it IS the personalization), broadcast as a
+    literal IN-set — never a driver collect of data.
+
     Returns ``(node, rank)`` for all ``n_nodes`` nodes (ids 0..n-1),
-    including nodes with no in-links (they hold the teleport floor).
+    including nodes with no in-links (they hold the teleport floor —
+    zero for non-seeds under personalization).
 
     One aggregate shuffle per iteration (plus the 1-row dangling
     aggregate when enabled); per-round ``localCheckpoint`` keeps the
@@ -82,8 +97,23 @@ def pagerank_integer(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
-    base = ((100 - damping_pct) * scale) // (100 * n_nodes)
-    ranks = nodes.select("node", F.lit(scale // n_nodes).alias("rank"))
+    if seeds is not None:
+        seeds = sorted(set(int(s) for s in seeds))
+        if not seeds:
+            raise ValueError("seeds must be non-empty when given")
+        n_targets = len(seeds)
+        is_target = F.col("node").isin(seeds)
+    else:
+        n_targets = n_nodes
+        is_target = F.lit(True)
+    base_val = ((100 - damping_pct) * scale) // (100 * n_targets)
+    base_col = F.when(is_target, F.lit(base_val)).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "node",
+        F.when(is_target, F.lit(scale // n_targets))
+        .otherwise(F.lit(0))
+        .alias("rank"),
+    )
     for _ in range(iters):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -95,24 +125,29 @@ def pagerank_integer(
         joined = nodes.join(
             contrib.withColumnRenamed("dst", "node"), "node", "left"
         )
+        mass = F.coalesce(F.col("in_mass"), F.lit(0))
         if redistribute_dangling:
             dang = (
                 ranks.join(
                     deg.withColumnRenamed("src", "node"), "node", "left_anti"
                 )
                 .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("_dm"))
-                .select(F.expr(f"_dm div {n_nodes}").alias("_dshare"))
+                .select(F.expr(f"_dm div {n_targets}").alias("_dshare"))
             )
-            mass = "(coalesce(in_mass, 0L) + _dshare)"
             joined = joined.crossJoin(F.broadcast(dang))
-        else:
-            mass = "coalesce(in_mass, 0L)"
-        ranks = joined.select(
-            "node",
-            (
-                F.lit(base) + _idiv(f"({damping_pct} * {mass})", 100)
-            ).alias("rank"),
-        ).localCheckpoint(eager=False)
+            mass = mass + F.when(is_target, F.col("_dshare")).otherwise(
+                F.lit(0)
+            )
+        ranks = (
+            joined.withColumn("_mass", mass)
+            .select(
+                "node",
+                (
+                    base_col + _idiv(f"({damping_pct} * _mass)", 100)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
     return ranks
 
 

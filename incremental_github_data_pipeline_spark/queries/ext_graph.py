@@ -157,6 +157,83 @@ def q_graph_pagerank_dangling(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("node")
 
 
+def _ppr_oracle() -> str:
+    """Unrolled personalized-PageRank recurrence over the sink-bearing
+    graph: teleport AND dangling mass flow only to the 8 seed nodes
+    (node % 50 = 0), so both the base and the per-round dangling share
+    carry a seed-membership CASE."""
+    n_seeds = len(range(0, N, 50))
+    base = (100 - 85) * SCALE // (100 * n_seeds)
+    edge_sql = _EDGE_SQL.replace(
+        "WHERE src <> dst", "WHERE src <> dst AND src % 5 <> 0"
+    )
+    steps = []
+    for t in range(1, ITERS + 1):
+        prev = f"r{t - 1}"
+        steps.append(
+            f"""d{t} AS (
+      SELECT COALESCE(SUM(rank), 0) // {n_seeds} AS share
+      FROM {prev} WHERE node NOT IN (SELECT src FROM deg)
+    ),
+    r{t} AS (
+      SELECT n.node,
+             CASE WHEN n.node % 50 = 0 THEN {base} ELSE 0 END
+             + (85 * (COALESCE(m.s, 0)
+                + CASE WHEN n.node % 50 = 0 THEN d.share ELSE 0 END))
+               // 100 AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank // deg.d) AS s
+        FROM e JOIN {prev} r ON r.node = e.src
+               JOIN deg ON deg.src = e.src
+        GROUP BY 1) m USING (node)
+      CROSS JOIN d{t} d
+    )"""
+        )
+    return f"""
+    WITH nodes AS (SELECT range AS node FROM range({N})),
+    e AS (
+      {edge_sql}
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+    r0 AS (
+      SELECT node,
+             CASE WHEN node % 50 = 0 THEN {SCALE // n_seeds} ELSE 0 END
+               AS rank
+      FROM nodes
+    ),
+    {",".join(steps)}
+    SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+    FROM r{ITERS} ORDER BY node
+    """
+
+
+@register(
+    "q_graph_ppr",
+    oracle=_ppr_oracle(),
+    doc="PERSONALIZED PageRank (r10, operators/graph.pagerank_integer"
+    "(seeds=…, redistribute_dangling=True)): teleport mass, dangling "
+    "mass and the initial vector all concentrate on an 8-node seed "
+    "set (node % 50 = 0) over the sink-bearing graph, so ranks "
+    "measure proximity TO THE SEEDS — the related-items / "
+    "topic-focused crawl-frontier primitive. Same integer-exact "
+    "recurrence and per-round localCheckpoint as the base loop; the "
+    "oracle unrolls five rounds with seed-membership CASEs in the "
+    "base and the per-round dangling-share lanes. Seeds are a "
+    "model-sized literal IN-set — personalization input, never a "
+    "data collect.",
+)
+def q_graph_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    e = _edges(spark).filter(F.col("src") % 5 != 0)
+    return g_ops.pagerank_integer(
+        e,
+        N,
+        iters=ITERS,
+        scale=SCALE,
+        redistribute_dangling=True,
+        seeds=list(range(0, N, 50)),
+    ).orderBy("node")
+
+
 @register(
     "q_graph_triangles",
     oracle=f"""

@@ -81,6 +81,36 @@ def test_pagerank_dangling_redistribution_conserves_mass(spark):
     assert ranks[0] > ranks[1]
 
 
+def test_personalized_pagerank_concentrates_near_seeds(spark):
+    """r10: on a path 0 -> 1 -> 2 -> 3 with seed {0}, rank must decay
+    with distance from the seed, non-seeds hold no teleport floor, and
+    mass is conserved when dangling redistribution is on."""
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    scale = 10**12
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(
+            e, 4, iters=8, scale=scale, seeds=[0],
+            redistribute_dangling=True,
+        ).collect()
+    }
+    assert ranks[0] > ranks[1] > ranks[2] > ranks[3]
+    total = sum(ranks.values())
+    assert total > 0.999 * scale
+    # uniform vs personalized must genuinely differ
+    uni = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(
+            e, 4, iters=8, scale=scale, redistribute_dangling=True
+        ).collect()
+    }
+    assert uni != ranks
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        pagerank_integer(e, 4, seeds=[])
+
+
 def test_kcore_peels_tail_into_empty_or_core(spark):
     """K4 with a pendant path: the 3-core is exactly the K4 (peeling
     the path takes TWO rounds — each removal exposes the next), and the
