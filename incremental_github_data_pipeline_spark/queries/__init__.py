@@ -53,9 +53,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #       dangling-mass PageRank) and the two media lanes whose r10
 #       encoder mix changed (FLAC grew LPC/decorrelated fixtures).
 # 50 rows (the window cap); after this round no query's newest driver
-# green predates r7. q_ts_holt_linear registered after the window
-# filled — sweep-verified this round, queues for its first driver row
-# in r11.
+# green predates r7. Registered after the window filled (sweep-verified
+# this round, queue for their first driver rows in r11):
+# q_ts_holt_linear, q_ts_forecast_seasonal, q_graph_ppr.
 _CERTIFY_FIRST = [
     # -- (0) first driver rows (registered post-r9-window) --
     "q_ts_seasonal_anomaly",
