@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     "q_ts_forecast_seasonal",
     # personalized PageRank (seed teleport + dangling-to-seeds)
     "q_graph_ppr",
+    # schema-drift audit (json key explode + grid + lag verdicts)
+    "q_schema_drift",
 ]
 
 # Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform

@@ -1,0 +1,98 @@
+"""Data-quality drift monitors for semi-structured ingest: per-window
+schema-key presence tracking over a JSON payload column.
+
+No counterpart in the reference (`/root/reference` validates fixed
+schemas only); [EXT] per SURVEY.md §2.10 — the upstream-broke-their-
+export detector every long-running ingest pipeline needs: crawl
+sources add, drop and rename JSON fields without notice, and the
+failure mode is silent NULL floods downstream, not errors. Companion
+to ``plans/expectations.py`` (which audits a KNOWN schema's
+constraints; this one watches the schema itself move).
+
+Scale shape (100 TB): key extraction is ``json_object_keys`` +
+``explode`` — map-side, no UDF; the stats are one map-combined
+aggregate on (window, key) plus a window-level row-count aggregate,
+then everything after is (windows × keys)-sized — monitoring-table
+small. The (window, key) shuffle key is as uniform as the key
+vocabulary; a pathological single-key corpus just degenerates to the
+window count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["schema_drift_report"]
+
+
+def schema_drift_report(
+    df: DataFrame,
+    json_col: str,
+    window_col: str,
+    shift_ppm: int = 100_000,
+) -> DataFrame:
+    """Per (window, key) presence audit over a JSON object column:
+    ``n_rows`` (window volume), ``n_present`` (rows carrying the key),
+    ``present_ppm`` (integer parts-per-million), ``prev_ppm`` (the
+    previous window's ratio; NULL on each key's first window) and a
+    ``status`` verdict:
+
+    - ``baseline`` — the table's first window (nothing to compare),
+    - ``new``      — key absent in the previous window, present now,
+    - ``dropped``  — key present before, zero rows carry it now,
+    - ``shifted``  — |present_ppm − prev_ppm| > ``shift_ppm``,
+    - ``stable``   — everything else.
+
+    The report is computed over the FULL (window × key-universe) grid
+    (both monitoring-table small), so a key that vanishes still gets
+    its ``dropped`` row — an explode-only pipeline would silently skip
+    exactly the rows that matter. Integer ppm arithmetic end-to-end:
+    the report is bit-reproducible in any engine that replays it."""
+    keyed = df.select(
+        F.col(window_col).alias("win"),
+        F.json_object_keys(F.col(json_col)).alias("_keys"),
+    )
+    per_win = keyed.groupBy("win").agg(F.count(F.lit(1)).alias("n_rows"))
+    present = (
+        keyed.select("win", F.explode("_keys").alias("key"))
+        .groupBy("win", "key")
+        .agg(F.count(F.lit(1)).alias("n_present"))
+    )
+    universe = present.select("key").distinct()
+    grid = per_win.crossJoin(universe)
+    stats = (
+        grid.join(present, ["win", "key"], "left")
+        .select(
+            "win",
+            "key",
+            "n_rows",
+            F.coalesce(F.col("n_present"), F.lit(0)).alias("n_present"),
+        )
+        .withColumn(
+            "present_ppm",
+            F.expr("n_present * 1000000 div n_rows"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("win")
+    out = stats.withColumn("prev_ppm", F.lag("present_ppm").over(w))
+    status = (
+        F.when(F.col("prev_ppm").isNull(), F.lit("baseline"))
+        .when(
+            (F.col("prev_ppm") == 0) & (F.col("present_ppm") > 0),
+            F.lit("new"),
+        )
+        .when(
+            (F.col("prev_ppm") > 0) & (F.col("present_ppm") == 0),
+            F.lit("dropped"),
+        )
+        .when(
+            F.abs(F.col("present_ppm") - F.col("prev_ppm"))
+            > F.lit(shift_ppm),
+            F.lit("shifted"),
+        )
+        .otherwise(F.lit("stable"))
+    )
+    return out.withColumn("status", status)

@@ -126,6 +126,7 @@ def load_all() -> dict[str, QuerySpec]:
         ext_linkage,
         ext_multimodal,
         ext_privacy,
+        ext_quality,
         ext_similarity,
         ext_temporal,
         ext_text,

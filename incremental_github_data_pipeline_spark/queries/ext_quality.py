@@ -1,0 +1,127 @@
+"""[EXT] Data-quality drift queries (`operators/quality.py`): schema-
+key presence tracking over a JSON payload — the upstream-broke-their-
+export detector.
+
+No reference counterpart (`/root/reference` validates fixed schemas
+only). The payload is synthesized from the events table with
+deterministic per-key presence rules (``to_json`` omits NULL struct
+fields), so DuckDB can recompute every presence count in closed form
+WITHOUT serializing JSON — the oracle replays the rules, the Spark
+lane proves ``json_object_keys`` + explode + grid + lag machinery
+extracts exactly what the rules injected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incremental_github_data_pipeline_spark.operators.quality import (
+    schema_drift_report,
+)
+from incremental_github_data_pipeline_spark.queries import register
+from incremental_github_data_pipeline_spark.queries.relational import T
+
+_SHIFT_PPM = 100_000
+
+
+@register(
+    "q_schema_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS win, event_id, event_type, user_id, value
+      FROM events
+    ),
+    counts AS (
+      SELECT win, COUNT(*) AS n_rows,
+             SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS k_v,
+             SUM(CASE WHEN event_type IN ('click', 'view')
+                       AND user_id IS NOT NULL THEN 1 ELSE 0 END) AS k_uid,
+             SUM(CASE WHEN event_id % 3 = 0
+                       AND event_type IS NOT NULL THEN 1 ELSE 0 END) AS k_et,
+             SUM(CASE WHEN win >= DATE '2024-01-15'
+                       AND value IS NOT NULL THEN 1 ELSE 0 END) AS k_v2,
+             SUM(CASE WHEN win < DATE '2024-01-10'
+                      THEN 1 ELSE 0 END) AS k_legacy
+      FROM e GROUP BY 1
+    ),
+    long AS (
+      SELECT win, n_rows, 'v' AS key, k_v AS n_present FROM counts
+      UNION ALL SELECT win, n_rows, 'uid', k_uid FROM counts
+      UNION ALL SELECT win, n_rows, 'et', k_et FROM counts
+      UNION ALL SELECT win, n_rows, 'v2', k_v2 FROM counts
+      UNION ALL SELECT win, n_rows, 'legacy', k_legacy FROM counts
+    ),
+    ppm AS (
+      SELECT win, key, n_rows, n_present,
+             n_present * 1000000 // n_rows AS present_ppm
+      FROM long
+    ),
+    lagd AS (
+      SELECT *, LAG(present_ppm) OVER (
+        PARTITION BY key ORDER BY win) AS prev_ppm
+      FROM ppm
+    )
+    SELECT win, key,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_present AS BIGINT) AS n_present,
+           CAST(present_ppm AS BIGINT) AS present_ppm,
+           CAST(prev_ppm AS BIGINT) AS prev_ppm,
+           CASE WHEN prev_ppm IS NULL THEN 'baseline'
+                WHEN prev_ppm = 0 AND present_ppm > 0 THEN 'new'
+                WHEN prev_ppm > 0 AND present_ppm = 0 THEN 'dropped'
+                WHEN ABS(present_ppm - prev_ppm) > {_SHIFT_PPM}
+                  THEN 'shifted'
+                ELSE 'stable' END AS status
+    FROM lagd ORDER BY win, key
+    """,
+    doc="Schema-drift audit (r10, operators/quality."
+    "schema_drift_report): per (day, key) presence over a JSON "
+    "payload whose keys appear by deterministic rules — uid only on "
+    "click/view rows, et on every third event, v2 BORN on Jan 15 "
+    "(status 'new'), legacy DYING on Jan 10 (status 'dropped') — so "
+    "the full machinery (json_object_keys, explode, the "
+    "window x key-universe grid that keeps vanished keys visible, "
+    "integer-ppm ratios, per-key lag, the five-way verdict) is "
+    "replayed by DuckDB from the rules alone, no JSON serialization "
+    "in the oracle. The upstream-broke-their-export detector: the "
+    "failure mode it catches is silent NULL floods, not errors.",
+)
+def q_schema_drift(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("value").alias("v"),
+            F.when(
+                F.col("event_type").isin("click", "view"), F.col("user_id")
+            ).alias("uid"),
+            F.when(F.col("event_id") % 3 == 0, F.col("event_type")).alias(
+                "et"
+            ),
+            F.when(
+                F.to_date("ts") >= F.lit("2024-01-15").cast("date"),
+                F.col("value"),
+            ).alias("v2"),
+            F.when(
+                F.to_date("ts") < F.lit("2024-01-10").cast("date"), F.lit(1)
+            ).alias("legacy"),
+        )
+    )
+    staged = ev.select(
+        F.to_date("ts").alias("day"), payload.alias("payload")
+    )
+    return (
+        schema_drift_report(
+            staged, "payload", "day", shift_ppm=_SHIFT_PPM
+        )
+        .select(
+            F.col("win"),
+            "key",
+            "n_rows",
+            "n_present",
+            "present_ppm",
+            "prev_ppm",
+            "status",
+        )
+        .orderBy("win", "key")
+    )

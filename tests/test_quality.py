@@ -1,0 +1,57 @@
+"""operators.quality — schema-drift presence audit (the oracle query
+q_schema_drift covers the bulk path)."""
+
+from __future__ import annotations
+
+from incremental_github_data_pipeline_spark.operators.quality import (
+    schema_drift_report,
+)
+
+ROWS = [
+    # window 1: keys a (2/2), b (1/2)
+    (1, '{"a": 1, "b": 2}'),
+    (1, '{"a": 3}'),
+    # window 2: a drops to 1/2 (50pp shift), b vanishes, c is born
+    (2, '{"a": 1, "c": 9}'),
+    (2, '{"c": 5}'),
+]
+
+
+def _report(spark, shift_ppm=100_000):
+    df = spark.createDataFrame(ROWS, "win long, payload string")
+    return {
+        (r["win"], r["key"]): r
+        for r in schema_drift_report(
+            df, "payload", "win", shift_ppm=shift_ppm
+        ).collect()
+    }
+
+
+def test_statuses_new_dropped_shifted_baseline(spark):
+    got = _report(spark)
+    # first window is baseline for every key (incl. c at 0 presence)
+    assert got[(1, "a")]["status"] == "baseline"
+    assert got[(1, "c")]["status"] == "baseline"
+    assert got[(1, "c")]["n_present"] == 0
+    # a: 1000000 -> 500000 ppm = shifted at the 10pp threshold
+    assert got[(2, "a")]["present_ppm"] == 500_000
+    assert got[(2, "a")]["prev_ppm"] == 1_000_000
+    assert got[(2, "a")]["status"] == "shifted"
+    # b: present -> zero = dropped (the grid keeps the vanished key)
+    assert got[(2, "b")]["n_present"] == 0
+    assert got[(2, "b")]["status"] == "dropped"
+    # c: zero -> present = new
+    assert got[(2, "c")]["status"] == "new"
+
+
+def test_shift_threshold_is_exclusive(spark):
+    # with a huge threshold the 50pp move reads stable
+    got = _report(spark, shift_ppm=600_000)
+    assert got[(2, "a")]["status"] == "stable"
+
+
+def test_grid_covers_every_window_key_pair(spark):
+    got = _report(spark)
+    assert set(got) == {(w, k) for w in (1, 2) for k in ("a", "b", "c")}
+    # window volumes ride every row
+    assert all(r["n_rows"] == 2 for r in got.values())
