@@ -257,6 +257,17 @@ def test_seasonal_anomaly_checkpoint_kills_fact_rescans(spark, registry):
     assert n <= 6, f"seasonal-anomaly plan grew to {n} exchanges"
 
 
+def test_forecast_composite_checkpoint_kills_fact_rescans(spark, registry):
+    """r10: q_ts_forecast_seasonal's decomposition feeds the Holt
+    lane, the last-phase lane and the seasonal table — checkpointed
+    once, so the final plan must read the fact zero times and stay
+    shallow (the q_ts_seasonal_anomaly discipline)."""
+    plan = plan_of(registry["q_ts_forecast_seasonal"].fn(spark, SF))
+    assert plan.count("Scan parquet") == 0
+    n = plan.count("Exchange")
+    assert n <= 8, f"forecast plan grew to {n} exchanges"
+
+
 def test_equidepth_no_single_partition_stage(spark, registry):
     """VERDICT r4 #1: the equi-depth histogram must not funnel every row
     through one task. The two-pass rank keeps every stage as parallel as
