@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "q_graph_ppr",
     # schema-drift audit (json key explode + grid + lag verdicts)
     "q_schema_drift",
+    # weighted PageRank (rank*w div W(u) contributions)
+    "q_graph_pagerank_weighted",
 ]
 
 # Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform

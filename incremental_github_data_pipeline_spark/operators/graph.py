@@ -52,6 +52,7 @@ def pagerank_integer(
     dst: str = "dst",
     redistribute_dangling: bool = False,
     seeds: Sequence[int] | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """PageRank over ``iters`` synchronous iterations in scaled-integer
     arithmetic: ranks start at ``scale div n``, and each round applies
@@ -84,6 +85,14 @@ def pagerank_integer(
     model-sized list (it IS the personalization), broadcast as a
     literal IN-set — never a driver collect of data.
 
+    ``weight`` (r10) names a POSITIVE-INTEGER edge-weight column:
+    node u sends ``(r(u)·w(u→v)) div W(u)`` along each edge, with
+    ``W(u)`` its total out-weight — link-strength-aware rank (crawl
+    frequency, citation counts, co-occurrence). The recurrence stays
+    integral: rank × weight is exact, one div per edge, and the
+    unweighted path is exactly ``weight=None`` (not weight≡1, whose
+    per-edge remainders would differ from the shared ``div deg``).
+
     Returns ``(node, rank)`` for all ``n_nodes`` nodes (ids 0..n-1),
     including nodes with no in-links (they hold the teleport floor —
     zero for non-seeds under personalization).
@@ -94,8 +103,24 @@ def pagerank_integer(
     it sits beside.
     """
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if weight is not None:
+        e = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+        # loud guard: a zero/negative weight silently leaks rank mass,
+        # so fail per-row instead (same inline-assert discipline as
+        # timeseries._floor_div_expr)
+        contrib_expr = (
+            "(rank * w + ifnull(assert_true(w > 0, "
+            "'pagerank edge weight must be positive'), 0)) div deg"
+        )
+    else:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        contrib_expr = "rank div deg"
     nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
     if seeds is not None:
         seeds = sorted(set(int(s) for s in seeds))
@@ -118,7 +143,7 @@ def pagerank_integer(
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
-            .select("dst", F.expr("rank div deg").alias("c"))
+            .select("dst", F.expr(contrib_expr).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )

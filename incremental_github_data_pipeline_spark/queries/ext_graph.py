@@ -95,6 +95,60 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pagerank_weighted_oracle() -> str:
+    """Unrolled weighted recurrence: node u sends (r(u)·w) // W(u)
+    along each edge, W(u) = Σ out-weights, w = (src·3 + dst·7) % 5 + 1."""
+    base = (100 - 85) * SCALE // (100 * N)
+    steps = []
+    for t in range(1, ITERS + 1):
+        prev = f"r{t - 1}"
+        steps.append(
+            f"""r{t} AS (
+      SELECT n.node,
+             {base} + (85 * COALESCE(m.s, 0)) // 100 AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM((r.rank * e.w) // wd.wsum) AS s
+        FROM e JOIN {prev} r ON r.node = e.src
+               JOIN wd ON wd.src = e.src
+        GROUP BY 1) m USING (node)
+    )"""
+        )
+    return f"""
+    WITH nodes AS (SELECT range AS node FROM range({N})),
+    e0 AS (
+      {_EDGE_SQL}
+    ),
+    e AS (SELECT src, dst, (src * 3 + dst * 7) % 5 + 1 AS w FROM e0),
+    wd AS (SELECT src, SUM(w) AS wsum FROM e GROUP BY 1),
+    r0 AS (SELECT node, {SCALE // N} AS rank FROM nodes),
+    {",".join(steps)}
+    SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+    FROM r{ITERS} ORDER BY node
+    """
+
+
+@register(
+    "q_graph_pagerank_weighted",
+    oracle=_pagerank_weighted_oracle(),
+    doc="WEIGHTED PageRank (r10, operators/graph.pagerank_integer"
+    "(weight=…)): each node distributes rank in proportion to "
+    "positive integer edge weights — (r(u)·w) div W(u) per edge with "
+    "W(u) the total out-weight — the link-strength-aware variant "
+    "(crawl frequency, citation counts, co-occurrence). Weights here "
+    "are the deterministic (src·3 + dst·7) % 5 + 1, so DuckDB "
+    "rebuilds them; the oracle unrolls five weighted rounds. "
+    "Zero/negative weights fail loudly via an inline assert (the "
+    "_floor_div_expr discipline), never leak mass silently.",
+)
+def q_graph_pagerank_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    e = _edges(spark).withColumn(
+        "w", (F.col("src") * 3 + F.col("dst") * 7) % 5 + 1
+    )
+    return g_ops.pagerank_integer(
+        e, N, iters=ITERS, scale=SCALE, weight="w"
+    ).orderBy("node")
+
+
 def _pagerank_dangling_oracle() -> str:
     """Unrolled recurrence over the SINK-BEARING graph (edges only from
     nodes not divisible by 5, so 80 of 400 nodes are dangling): each

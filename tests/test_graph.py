@@ -111,6 +111,29 @@ def test_personalized_pagerank_concentrates_near_seeds(spark):
         pagerank_integer(e, 4, seeds=[])
 
 
+def test_weighted_pagerank_follows_the_heavy_edge(spark):
+    """r10: 0 splits rank 9:1 between 1 and 2 — node 1 must outrank
+    node 2; unit weights must NOT equal the unweighted variant
+    bit-for-bit (shared div deg vs per-edge div remainders), and
+    non-positive weights fail loudly."""
+    import pytest as _pytest
+
+    e = spark.createDataFrame(
+        [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)],
+        "src long, dst long, w long",
+    )
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(e, 3, iters=5, weight="w").collect()
+    }
+    assert ranks[1] > ranks[2]
+    bad = spark.createDataFrame(
+        [(0, 1, 0), (1, 0, 1)], "src long, dst long, w long"
+    )
+    with _pytest.raises(Exception, match="positive"):
+        pagerank_integer(bad, 2, iters=1, weight="w").collect()
+
+
 def test_kcore_peels_tail_into_empty_or_core(spark):
     """K4 with a pendant path: the 3-core is exactly the K4 (peeling
     the path takes TWO rounds — each removal exposes the next), and the
