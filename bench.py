@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "q_schema_drift",
     # weighted PageRank (rank*w div W(u) contributions)
     "q_graph_pagerank_weighted",
+    # sliding-window HLL merge (register max over the dense day grid)
+    "q_hll_sliding",
 ]
 
 # Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform

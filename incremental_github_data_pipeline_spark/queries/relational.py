@@ -2393,6 +2393,93 @@ def q_group_mode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _hll_sliding_oracle() -> str:
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        _bitwidth_cases,
+        _hll_hash_sql,
+    )
+
+    p = 6
+    rank_bits = 31 - p
+    h = _hll_hash_sql("user_id", "xor({a}, {b})", "//")
+    rem = f"({h} % {1 << rank_bits})"
+    width = _bitwidth_cases(rem, rank_bits)
+    return f"""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    daily AS (
+      SELECT day,
+             CAST({h} // {1 << rank_bits} AS BIGINT) AS hll_idx,
+             CAST(MAX({rank_bits} - {width} + 1) AS BIGINT) AS rho
+      FROM ev GROUP BY day, hll_idx
+    ),
+    grid AS (
+      SELECT d.day, CAST(i.range AS BIGINT) AS hll_idx
+      FROM (SELECT DISTINCT day FROM ev) d, range({1 << p}) i
+    ),
+    dense AS (
+      SELECT g.day, g.hll_idx, COALESCE(d.rho, 0) AS rho
+      FROM grid g LEFT JOIN daily d USING (day, hll_idx)
+    )
+    SELECT day, hll_idx, CAST(rho AS BIGINT) AS rho,
+           CAST(MAX(rho) OVER (
+             PARTITION BY hll_idx ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rho7
+    FROM dense ORDER BY day, hll_idx
+    """
+
+
+@register(
+    "q_hll_sliding",
+    oracle=_hll_sliding_oracle(),
+    doc="SLIDING-WINDOW distinct-count sketch (r10): per-day HLL "
+    "register tables (operators/incremental_agg.hll_registers, p=6) "
+    "merged over a trailing 7-day window by REGISTER MAX — the "
+    "trailing-weekly-uniques metric computed without ever re-scanning "
+    "7 days of raw events, because the sketch's union law IS max. "
+    "The merge runs on the dense (day x 64-register) grid (missing "
+    "registers coalesce to 0), so the 6-PRECEDING row frame is "
+    "exactly 6 days; state per day is CONSTANT and the whole "
+    "monitoring table is days x 2^p rows. Register-exact oracle end "
+    "to end — daily sketch, grid, and windowed max all replayed by "
+    "DuckDB; estimation stays out of the certified lane as always.",
+)
+def q_hll_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        hll_registers,
+    )
+
+    ev = T(spark, sf, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = hll_registers(ev, "day", "user_id", p=6)
+    days = ev.select("day").distinct()
+    idxs = spark.range(64).select(F.col("id").alias("hll_idx"))
+    dense = (
+        days.crossJoin(F.broadcast(idxs))
+        .join(daily, ["day", "hll_idx"], "left")
+        .select(
+            "day",
+            "hll_idx",
+            F.coalesce(F.col("hll_rho"), F.lit(0))
+            .cast("long")
+            .alias("rho"),
+        )
+    )
+    w = (
+        Window.partitionBy("hll_idx")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        dense.withColumn("rho7", F.max("rho").over(w).cast("long"))
+        .orderBy("day", "hll_idx")
+    )
+
+
 def _hll_oracle() -> str:
     from incremental_github_data_pipeline_spark.operators.incremental_agg import (
         _bitwidth_cases,
