@@ -1604,3 +1604,144 @@ def run_incremental_hll_ingest(
         .start()
         .awaitTermination()
     )
+
+
+def run_incremental_drift_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    table_root: str,
+    checkpoint: str,
+    schema: str = "win date, payload string",
+    json_col: str = "payload",
+    window_col: str = "win",
+) -> None:
+    """Incremental SCHEMA-DRIFT maintenance: watch a directory of
+    parquet shards of (window, JSON payload) rows, reduce each
+    micro-batch to its per-(window, key) presence deltas + per-window
+    row-count deltas (``operators/quality``'s counting stage), and
+    APPEND them to a manifest-versioned table. Presence counts are
+    ALGEBRAIC (plain sums), so unlike the HLL state this is a delta
+    LOG, not a snapshot: per-batch work is O(batch scan) + O(batch's
+    windows × keys), nothing about history is re-read, and
+    :func:`drift_report_versioned` folds the deltas at serving time —
+    the same deltas-never-re-join-full-tables discipline as the BM25
+    termstats table.
+
+    Exactly-once: ``txn_id = drift-ingest:<checkpoint>:<batch_id>``
+    makes replays no-ops. Late data is handled by construction — a
+    late row just lands its deltas in a later version, and the fold
+    is order-independent because addition commutes."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        keyed = batch_df.select(
+            F.col(window_col).alias("win"),
+            F.json_object_keys(F.col(json_col)).alias("_keys"),
+        )
+        rows = (
+            keyed.groupBy("win")
+            .agg(F.count(F.lit(1)).alias("d_rows"))
+            .select(
+                "win",
+                F.lit(None).cast("string").alias("key"),
+                "d_rows",
+                F.lit(0).cast("long").alias("d_present"),
+            )
+        )
+        present = (
+            keyed.select("win", F.explode("_keys").alias("key"))
+            .groupBy("win", "key")
+            .agg(F.count(F.lit(1)).alias("d_present"))
+            .select(
+                "win",
+                "key",
+                F.lit(0).cast("long").alias("d_rows"),
+                "d_present",
+            )
+        )
+        commit_version(
+            rows.unionByName(present),
+            table_root,
+            mode="append",
+            txn_id=f"drift-ingest:{checkpoint}:{batch_id}",
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def drift_report_versioned(
+    spark: SparkSession,
+    table_root: str,
+    shift_ppm: int = 100_000,
+    version: int | None = None,
+) -> DataFrame:
+    """Serve the schema-drift report from a
+    :func:`run_incremental_drift_ingest` delta table: fold the
+    per-batch deltas by sum (one aggregate over the monitoring-sized
+    log), rebuild the dense window × key-universe grid, and apply the
+    same ppm/lag/verdict lanes as the batch
+    ``operators.quality.schema_drift_report`` — an N-increment ingest
+    must serve the identical report to a one-shot batch run (pinned in
+    tests). ``version`` time-travels the report to an earlier ingest
+    state."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        read_version,
+    )
+
+    deltas = read_version(spark, table_root, version=version)
+    per_win = (
+        deltas.filter(F.col("key").isNull())
+        .groupBy("win")
+        .agg(F.sum("d_rows").alias("n_rows"))
+    )
+    present = (
+        deltas.filter(F.col("key").isNotNull())
+        .groupBy("win", "key")
+        .agg(F.sum("d_present").alias("n_present"))
+    )
+    universe = present.select("key").distinct()
+    stats = (
+        per_win.crossJoin(universe)
+        .join(present, ["win", "key"], "left")
+        .select(
+            "win",
+            "key",
+            "n_rows",
+            F.coalesce(F.col("n_present"), F.lit(0)).alias("n_present"),
+        )
+        .withColumn(
+            "present_ppm", F.expr("n_present * 1000000 div n_rows")
+        )
+    )
+    w = Window.partitionBy("key").orderBy("win")
+    out = stats.withColumn("prev_ppm", F.lag("present_ppm").over(w))
+    status = (
+        F.when(F.col("prev_ppm").isNull(), F.lit("baseline"))
+        .when(
+            (F.col("prev_ppm") == 0) & (F.col("present_ppm") > 0),
+            F.lit("new"),
+        )
+        .when(
+            (F.col("prev_ppm") > 0) & (F.col("present_ppm") == 0),
+            F.lit("dropped"),
+        )
+        .when(
+            F.abs(F.col("present_ppm") - F.col("prev_ppm"))
+            > F.lit(shift_ppm),
+            F.lit("shifted"),
+        )
+        .otherwise(F.lit("stable"))
+    )
+    return out.withColumn("status", status)

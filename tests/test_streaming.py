@@ -1281,3 +1281,70 @@ def test_incremental_hll_ingest_merges_and_time_travels(spark, tmp_path):
     }
     assert abs(est["a"] - 1200) / 1200 < 0.2
     assert abs(est["b"] - 80) / 80 < 0.2
+
+
+def test_incremental_drift_ingest_matches_batch_report(spark, tmp_path):
+    """Schema-drift delta maintenance: two incremental batches must
+    (a) be replay-idempotent, (b) serve EXACTLY the batch
+    schema_drift_report of the union (delta fold through the versioned
+    store), and (c) time-travel — version 1 is batch 1's report."""
+    import datetime as dt
+
+    from incremental_github_data_pipeline_spark.operators.quality import (
+        schema_drift_report,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        latest_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        drift_report_versioned,
+        run_incremental_drift_ingest,
+    )
+
+    src = tmp_path / "shards"
+    root = str(tmp_path / "drift")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "win date, payload string"
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    b1 = spark.createDataFrame(
+        [(d1, '{"a": 1, "b": 2}'), (d1, '{"a": 3}')], schema
+    )
+    # batch 2: day 2 arrives AND a late day-1 row lands its delta later
+    b2 = spark.createDataFrame(
+        [(d2, '{"a": 1, "c": 9}'), (d2, '{"c": 5}'), (d1, '{"b": 7}')],
+        schema,
+    )
+
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    run_incremental_drift_ingest(spark, str(src), root, ckpt)
+    v1 = latest_version(root)
+    run_incremental_drift_ingest(spark, str(src), root, ckpt)  # replay
+    assert latest_version(root) == v1
+
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    run_incremental_drift_ingest(spark, str(src), root, ckpt)
+    assert latest_version(root) == v1 + 1
+
+    def canon(df):
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "win", "key", "n_rows", "n_present",
+                "present_ppm", "prev_ppm", "status",
+            ).collect()
+        )
+
+    served = canon(drift_report_versioned(spark, root))
+    batch = canon(
+        schema_drift_report(b1.unionByName(b2), "payload", "win")
+    )
+    assert served == batch and len(served) == 6  # 2 windows x 3 keys
+    # late day-1 'b' delta folded in: b never reads dropped
+    by = {(r[0], r[1]): r for r in served}
+    assert by[(d2, "b")][6] == "dropped"  # b IS gone in window 2
+    assert by[(d1, "b")][3] == 2  # both day-1 b rows counted
+
+    # time travel: version 1 = batch 1 only (keys a, b; one window)
+    v1_report = canon(drift_report_versioned(spark, root, version=v1))
+    assert {r[1] for r in v1_report} == {"a", "b"}
+    assert all(r[6] == "baseline" for r in v1_report)
