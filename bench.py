@@ -184,6 +184,9 @@ BENCH_QUERIES = [
     "q_graph_pagerank_weighted",
     # sliding-window HLL merge (register max over the dense day grid)
     "q_hll_sliding",
+    # winsorization fences + linkage best-match assignment
+    "q_ts_winsorize",
+    "q_linkage_best_match",
 ]
 
 # Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform

@@ -284,6 +284,65 @@ def ewma_integer(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    val_col: str,
+    lo_ppm: int = 10_000,
+    hi_ppm: int = 990_000,
+) -> DataFrame:
+    """Per-key winsorization — the metric-cleaning step that tames
+    heavy tails without dropping rows: values below the key's
+    ``lo_ppm``-quantile clamp up to it, above the ``hi_ppm``-quantile
+    clamp down. Quantiles are SELECTIONS, not interpolations: the
+    element at ``row_number == max(1, ceil(q·n / 10^6))`` of the
+    sorted multiset (ties broken by the value order itself), so both
+    fences are actual data values and the whole transform is
+    integer-exact and engine-portable — the same lower-median
+    discipline as :func:`mad_outliers`.
+
+    Returns the input rows plus ``lo_fence``, ``hi_fence``,
+    ``winsorized`` and ``clipped`` (bool). One window shuffle on the
+    key for the rank, fences broadcast back as per-key 1-row frames —
+    pre-aggregate first for the usual grid contract at 100 TB."""
+    if not (0 <= lo_ppm <= hi_ppm <= 1_000_000):
+        raise ValueError("need 0 <= lo_ppm <= hi_ppm <= 1e6")
+    keys = _keys(key_cols)
+    vals = df.select(
+        *df.columns, F.col(val_col).cast("long").alias("_x")
+    )
+    w = Window.partitionBy(*keys).orderBy("_x")
+    wn = Window.partitionBy(*keys)
+    ranked = vals.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+
+    def fence(ppm: int, out: str) -> DataFrame:
+        # ceil(ppm*n/1e6) on positive operands: (a + b - 1) div b —
+        # safe because div truncates toward zero == floors here
+        target = F.greatest(
+            F.lit(1), F.expr(f"({ppm} * _n + 999999) div 1000000")
+        )
+        return ranked.filter(F.col("_rn") == target).select(
+            *keys, F.col("_x").alias(out)
+        )
+
+    lo = fence(lo_ppm, "lo_fence")
+    hi = fence(hi_ppm, "hi_fence")
+    out = (
+        ranked.drop("_rn", "_n")
+        .join(F.broadcast(lo), keys)
+        .join(F.broadcast(hi), keys)
+        .withColumn(
+            "winsorized",
+            F.least(F.greatest(F.col("_x"), F.col("lo_fence")),
+                    F.col("hi_fence")),
+        )
+        .withColumn("clipped", F.col("winsorized") != F.col("_x"))
+    )
+    return out.drop("_x")
+
+
 def holt_linear(
     df: DataFrame,
     key_cols: str | Sequence[str],

@@ -101,3 +101,60 @@ def q_linkage_blocked(spark: SparkSession, sf: str) -> DataFrame:
     return blocked_linkage(
         cust, supp, ["nation"], comparators, upper=_UPPER, lower=_LOWER
     ).orderBy("left_id", "right_id")
+
+
+@register(
+    "q_linkage_best_match",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT c.c_custkey AS left_id, s.s_suppkey AS right_id,
+             CASE WHEN substring(c.c_name, -4, 4)
+                       = substring(s.s_name, -4, 4)
+                  THEN 1 ELSE 0 END AS name4_agree,
+             CASE WHEN ABS(c.c_acctbal - s.s_acctbal) <= 500
+                  THEN 1 ELSE 0 END AS bal_agree
+      FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+      WHERE c.c_custkey < 300
+    ),
+    scored AS (
+      SELECT left_id, right_id,
+             (CASE WHEN name4_agree = 1
+                   THEN {_W_NAME_A} ELSE {_W_NAME_D} END
+              + CASE WHEN bal_agree = 1
+                     THEN {_W_BAL_A} ELSE {_W_BAL_D} END) AS score
+      FROM pairs
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY left_id ORDER BY score DESC, right_id) AS rnk
+      FROM scored
+    )
+    SELECT CAST(left_id AS BIGINT) AS left_id,
+           CAST(right_id AS BIGINT) AS right_id,
+           CAST(score AS BIGINT) AS score,
+           CASE WHEN score >= {_UPPER} THEN 'match'
+                WHEN score <= {_LOWER} THEN 'non_match'
+                ELSE 'possible' END AS verdict
+    FROM best WHERE rnk = 1 ORDER BY left_id
+    """,
+    doc="Best-match ASSIGNMENT over the blocked linkage (r10): each "
+    "left entity keeps only its highest-scoring candidate "
+    "(deterministic (score desc, right_id) tie-break — a window "
+    "top-1 per left key, the standard step between pairwise scoring "
+    "and survivorship). One row per left entity with the winning "
+    "right id, score and verdict; the oracle replays scoring AND the "
+    "assignment window exactly.",
+)
+def q_linkage_best_match(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pairs = q_linkage_blocked(spark, sf)  # register() returns fn as-is
+    w = Window.partitionBy("left_id").orderBy(
+        F.desc("score"), F.asc("right_id")
+    )
+    return (
+        pairs.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") == 1)
+        .select("left_id", "right_id", "score", "verdict")
+        .orderBy("left_id")
+    )

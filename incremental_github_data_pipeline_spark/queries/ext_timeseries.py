@@ -222,6 +222,59 @@ def q_ts_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ts_winsorize",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, hr, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    lo AS (
+      SELECT event_type, cents AS lo_fence FROM ranked
+      WHERE rn = GREATEST(1, (50000 * n + 999999) // 1000000)
+    ),
+    hi AS (
+      SELECT event_type, cents AS hi_fence FROM ranked
+      WHERE rn = GREATEST(1, (950000 * n + 999999) // 1000000)
+    )
+    SELECT r.event_type, r.hr, CAST(r.cents AS BIGINT) AS cents,
+           CAST(lo.lo_fence AS BIGINT) AS lo_fence,
+           CAST(hi.hi_fence AS BIGINT) AS hi_fence,
+           CAST(LEAST(GREATEST(r.cents, lo.lo_fence), hi.hi_fence)
+                AS BIGINT) AS winsorized,
+           LEAST(GREATEST(r.cents, lo.lo_fence), hi.hi_fence)
+             <> r.cents AS clipped
+    FROM ranked r JOIN lo USING (event_type) JOIN hi USING (event_type)
+    ORDER BY r.event_type, r.hr
+    """,
+    doc="Per-key winsorization (r10, operators.timeseries.winsorize): "
+    "hourly cents clamp to the key's 5th/95th percentile FENCES, both "
+    "quantiles SELECTIONS (row_number = ceil(q*n), an actual data "
+    "value — the mad_outliers lower-median discipline), so the "
+    "transform is integer-exact and the oracle replays rank, fences, "
+    "clamp and the clipped flag verbatim. The heavy-tail-taming "
+    "cleaning step that keeps rows instead of dropping them; one "
+    "key-window shuffle + broadcast fence joins.",
+)
+def q_ts_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    out = ts_ops.winsorize(
+        _hourly(spark, sf), "event_type", "cents",
+        lo_ppm=50_000, hi_ppm=950_000,
+    )
+    return out.select(
+        "event_type", "hr", "cents", "lo_fence", "hi_fence",
+        "winsorized", "clipped",
+    ).orderBy("event_type", "hr")
+
+
 _B10 = 10**10  # the operators' _FDIV_OFFSET, restated for the oracle
 # lvl' expression appears twice in the recursive step (tr' needs it and
 # SQL cannot reference a same-SELECT alias) — build it once here
