@@ -54,10 +54,15 @@ def schema_drift_report(
         F.json_object_keys(F.col(json_col)).alias("_keys"),
     )
     per_win = keyed.groupBy("win").agg(F.count(F.lit(1)).alias("n_rows"))
+    # present feeds the key universe AND the grid join — materialize
+    # the (window × key)-sized aggregate once so the payload scan (the
+    # expensive column) runs exactly once; per_win's scan prunes down
+    # to the window column alone
     present = (
         keyed.select("win", F.explode("_keys").alias("key"))
         .groupBy("win", "key")
         .agg(F.count(F.lit(1)).alias("n_present"))
+        .localCheckpoint(eager=True)
     )
     universe = present.select("key").distinct()
     grid = per_win.crossJoin(universe)

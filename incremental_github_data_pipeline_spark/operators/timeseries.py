@@ -313,8 +313,13 @@ def winsorize(
     )
     w = Window.partitionBy(*keys).orderBy("_x")
     wn = Window.partitionBy(*keys)
-    ranked = vals.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(wn)
+    # three consumers (both fences + the output rows) — materialize the
+    # ranked series ONCE (the mad_outliers discipline; the input is a
+    # pre-aggregated grid by module contract, so the pin is bounded)
+    ranked = (
+        vals.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .localCheckpoint(eager=True)
     )
 
     def fence(ppm: int, out: str) -> DataFrame:

@@ -2455,8 +2455,17 @@ def q_hll_sliding(spark: SparkSession, sf: str) -> DataFrame:
     ev = T(spark, sf, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
-    daily = hll_registers(ev, "day", "user_id", p=6)
-    days = ev.select("day").distinct()
+    # days×64-sized — materialize once: it feeds the day universe AND
+    # the grid join (two consumers would otherwise each replay the
+    # events scan + sketch aggregate)
+    daily = hll_registers(ev, "day", "user_id", p=6).localCheckpoint(
+        eager=True
+    )
+    # every day has ≥1 occupied register at these volumes… is an
+    # assumption; the DAY UNIVERSE must not depend on it, so it still
+    # derives from the sketch frame (which carries every day that has
+    # ANY row — hll_registers emits ≥1 register per non-empty group)
+    days = daily.select("day").distinct()
     idxs = spark.range(64).select(F.col("id").alias("hll_idx"))
     dense = (
         days.crossJoin(F.broadcast(idxs))

@@ -1710,6 +1710,7 @@ def drift_report_versioned(
         deltas.filter(F.col("key").isNotNull())
         .groupBy("win", "key")
         .agg(F.sum("d_present").alias("n_present"))
+        .localCheckpoint(eager=True)  # feeds universe AND the grid join
     )
     universe = present.select("key").distinct()
     stats = (
