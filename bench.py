@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     # winsorization fences + linkage best-match assignment
     "q_ts_winsorize",
     "q_linkage_best_match",
+    # volume-anomaly circuit breaker (moving-median selection)
+    "q_volume_gate",
 ]
 
 # Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform

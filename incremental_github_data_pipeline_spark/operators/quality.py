@@ -23,7 +23,67 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["schema_drift_report"]
+__all__ = ["schema_drift_report", "volume_gate"]
+
+
+def volume_gate(
+    df: DataFrame,
+    window_col: str,
+    key_cols=None,
+    trailing: int = 7,
+    drop_ppm: int = 500_000,
+    spike_ppm: int = 1_000_000,
+) -> DataFrame:
+    """Volume-anomaly circuit breaker (r10): per window (optionally
+    per key), compare the row count against the LOWER MEDIAN of the
+    previous ``trailing`` windows and flag ``drop`` (count fell more
+    than ``drop_ppm`` below the median), ``spike`` (rose more than
+    ``spike_ppm`` above), ``ok``, or ``warmup`` (fewer than
+    ``trailing`` prior windows — no verdict without a full baseline).
+    The ingest-freshness gate that catches a half-delivered day or a
+    double-loaded feed BEFORE it trains into a model.
+
+    The median is a selection from an at-most-``trailing``-element
+    sorted array (collect_list over the moving frame) — exact,
+    bounded, integer; deviations are integral ppm divisions, so the
+    whole gate is engine-replayable. The counts frame is
+    monitoring-sized (one row per window[, key]); without keys the
+    ordering window runs on a single partition OF THAT TINY FRAME —
+    a dashboard table, not a fact scan, stated on purpose."""
+    keys = (
+        [key_cols] if isinstance(key_cols, str) else list(key_cols or [])
+    )
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*keys, window_col).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(window_col)
+        .rowsBetween(-trailing, -1)
+    )
+    arr = F.array_sort(F.collect_list("n_rows").over(w))
+    med = F.when(
+        F.size(arr) >= trailing,
+        F.element_at(arr, F.floor((F.size(arr) + 1) / 2).cast("int")),
+    )
+    out = counts.withColumn("trailing_median", med).withColumn(
+        "dev_ppm",
+        F.when(
+            F.col("trailing_median").isNotNull(),
+            F.expr(
+                "(n_rows - trailing_median) * 1000000 div trailing_median"
+            ),
+        ),
+    )
+    status = (
+        F.when(F.col("trailing_median").isNull(), F.lit("warmup"))
+        .when(F.col("dev_ppm") < -F.lit(drop_ppm), F.lit("drop"))
+        .when(F.col("dev_ppm") > F.lit(spike_ppm), F.lit("spike"))
+        .otherwise(F.lit("ok"))
+    )
+    return out.withColumn("status", status)
 
 
 def schema_drift_report(

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from incremental_github_data_pipeline_spark.operators.quality import (
     schema_drift_report,
+    volume_gate,
 )
 from incremental_github_data_pipeline_spark.queries import register
 from incremental_github_data_pipeline_spark.queries.relational import T
@@ -125,3 +126,65 @@ def q_schema_drift(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("win", "key")
     )
+
+
+@register(
+    "q_volume_gate",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_rows
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, day, n_rows,
+             list(n_rows) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prior
+      FROM counts
+    ),
+    g AS (
+      SELECT event_type, day, n_rows,
+             CASE WHEN prior IS NULL OR len(prior) < 7 THEN NULL
+                  ELSE list_sort(prior)[(len(prior) + 1) // 2]
+             END AS trailing_median
+      FROM m
+    ),
+    d AS (
+      SELECT *,
+             CASE WHEN trailing_median IS NOT NULL
+                  THEN (n_rows - trailing_median) * 1000000
+                       // trailing_median END AS dev_ppm
+      FROM g
+    )
+    SELECT event_type, day,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(trailing_median AS BIGINT) AS trailing_median,
+           CAST(dev_ppm AS BIGINT) AS dev_ppm,
+           CASE WHEN trailing_median IS NULL THEN 'warmup'
+                WHEN dev_ppm < -300000 THEN 'drop'
+                WHEN dev_ppm > 300000 THEN 'spike'
+                ELSE 'ok' END AS status
+    FROM d ORDER BY event_type, day
+    """,
+    doc="Volume-anomaly gate (r10, operators/quality.volume_gate): "
+    "per (event_type, day) row counts vs the LOWER MEDIAN of the "
+    "previous 7 days — a selection from a sorted at-most-7-element "
+    "array (collect_list over the moving frame: exact, bounded, "
+    "integer), deviations as integral ppm, warmup until a full "
+    "baseline exists. The ingest circuit breaker that catches a "
+    "half-delivered day or a double-loaded feed before it trains "
+    "into a model; the oracle replays the moving-median selection "
+    "and every verdict via DuckDB's list window.",
+)
+def q_volume_gate(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    out = volume_gate(
+        ev, "day", key_cols="event_type",
+        trailing=7, drop_ppm=300_000, spike_ppm=300_000,
+    )
+    return out.select(
+        "event_type", "day", "n_rows", "trailing_median",
+        "dev_ppm", "status",
+    ).orderBy("event_type", "day")

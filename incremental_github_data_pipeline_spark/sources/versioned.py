@@ -462,6 +462,27 @@ def _read_files(spark: SparkSession, manifest: dict, files: list) -> DataFrame:
     return df
 
 
+def restore_version(
+    spark: SparkSession,
+    root: str | Path,
+    version: int,
+    txn_id: str | None = None,
+) -> int:
+    """RESTORE (r10): make an earlier retained version the table's new
+    CURRENT state by committing its content as a NEW version — the
+    Delta-style rollback. History is never rewritten: time travel
+    still sees the bad interval, the audit trail survives, and a
+    second restore can undo the undo. Returns the new version number.
+
+    The restored content is read through :func:`read_version` and
+    committed with ``mode="overwrite"`` — one distributed copy of the
+    snapshot, no manifest surgery, so OCC, per-file stats capture and
+    ``txn_id`` idempotence all apply exactly as for any other
+    commit."""
+    df = read_version(spark, root, version=version)
+    return commit_version(df, root, mode="overwrite", txn_id=txn_id)
+
+
 def history(root: str | Path) -> list[dict]:
     """All retained manifests, oldest first."""
     root = Path(root)

@@ -55,3 +55,50 @@ def test_grid_covers_every_window_key_pair(spark):
     assert set(got) == {(w, k) for w in (1, 2) for k in ("a", "b", "c")}
     # window volumes ride every row
     assert all(r["n_rows"] == 2 for r in got.values())
+
+
+class TestVolumeGate:
+    def test_planted_drop_spike_and_warmup(self, spark):
+        from incremental_github_data_pipeline_spark.operators.quality import (
+            volume_gate,
+        )
+
+        # 7 baseline days of 10 rows, then a half day, then a triple day
+        rows = []
+        for d in range(1, 8):
+            rows += [(d,)] * 10
+        rows += [(8,)] * 4       # drop: -60% vs median 10
+        rows += [(9,)] * 30      # spike: +200% vs median 10
+        df = spark.createDataFrame(rows, "day long")
+        got = {
+            r["day"]: r
+            for r in volume_gate(
+                df, "day", trailing=7, drop_ppm=500_000,
+                spike_ppm=1_000_000,
+            ).collect()
+        }
+        for d in range(1, 8):
+            assert got[d]["status"] == "warmup", d
+        assert got[8]["status"] == "drop"
+        assert got[8]["trailing_median"] == 10
+        assert got[8]["dev_ppm"] == -600_000
+        # day 9's trailing window now contains the bad day 8; lower
+        # median of [10]*6 + [4] is still 10
+        assert got[9]["status"] == "spike"
+        assert got[9]["dev_ppm"] == 2_000_000
+
+    def test_keys_are_isolated(self, spark):
+        from incremental_github_data_pipeline_spark.operators.quality import (
+            volume_gate,
+        )
+
+        rows = [("a", d) for d in range(1, 8) for _ in range(10)]
+        rows += [("a", 8)] * 10
+        rows += [("b", 8)] * 3  # b has no history: warmup, not drop
+        df = spark.createDataFrame(rows, "k string, day long")
+        got = {
+            (r["k"], r["day"]): r["status"]
+            for r in volume_gate(df, "day", key_cols="k").collect()
+        }
+        assert got[("a", 8)] == "ok"
+        assert got[("b", 8)] == "warmup"

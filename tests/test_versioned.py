@@ -474,3 +474,36 @@ def test_skip_values_prunes_per_value_not_envelope(spark, tmp_path):
         read_version(
             spark, root, skip=("id", 0, 1), skip_values=("id", [1])
         )
+
+
+def test_restore_rolls_back_as_new_version(spark, tmp_path):
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+        latest_version,
+        read_version,
+        restore_version,
+    )
+
+    root = str(tmp_path / "t")
+    commit_version(
+        spark.createDataFrame([(1, "a")], "id long, v string"), root
+    )
+    commit_version(
+        spark.createDataFrame([(2, "bad")], "id long, v string"),
+        root,
+        mode="append",
+    )
+    v_bad = latest_version(root)
+    new_v = restore_version(spark, root, version=v_bad - 1)
+    assert new_v == v_bad + 1 and latest_version(root) == new_v
+    assert [tuple(r) for r in read_version(spark, root).collect()] == [
+        (1, "a")
+    ]
+    # the bad interval stays time-travelable (history not rewritten)
+    assert read_version(spark, root, version=v_bad).count() == 2
+    # idempotent under txn replay (same token -> same version back)
+    again = restore_version(spark, root, version=v_bad - 1, txn_id="r1")
+    assert (
+        restore_version(spark, root, version=v_bad - 1, txn_id="r1")
+        == again
+    )
