@@ -54,8 +54,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #       encoder mix changed (FLAC grew LPC/decorrelated fixtures).
 # 50 rows (the window cap); after this round no query's newest driver
 # green predates r7. Registered after the window filled (sweep-verified
-# this round, queue for their first driver rows in r11):
-# q_ts_holt_linear, q_ts_forecast_seasonal, q_graph_ppr.
+# 206/206 this round, queue for their first driver rows in r11):
+# q_ts_holt_linear, q_ts_forecast_seasonal, q_graph_ppr,
+# q_graph_pagerank_weighted, q_hll_sliding, q_ts_winsorize,
+# q_linkage_best_match, q_schema_drift, q_volume_gate.
 _CERTIFY_FIRST = [
     # -- (0) first driver rows (registered post-r9-window) --
     "q_ts_seasonal_anomaly",
