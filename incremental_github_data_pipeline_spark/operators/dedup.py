@@ -870,11 +870,17 @@ def contained_docs(
     verified_near_dups applied to substring containment.
     """
     toks = tokens(F.col(text_col))
+    # Every lane below (grams a/b sides, gram counts, both verify text
+    # joins, the short-doc equi lane and its length set) derives from
+    # this tokenized frame — materialize it ONCE so the source scans
+    # exactly once (the r10-audited plan re-read the parquet 16x, one
+    # per consumer: a genuine 100 TB killer). One corpus-sized pin vs
+    # 16 corpus scans is the same trade the seasonal-anomaly fix made.
     base = df.select(
         F.col(id_col).alias("_id"),
         F.array_join(toks, " ").alias("_norm"),
         F.size(toks).alias("_nt"),
-    )
+    ).localCheckpoint(eager=True)
     padded = lambda c: F.concat(F.lit(" "), c, F.lit(" "))  # noqa: E731
 
     def tie_rules(pairs: DataFrame) -> DataFrame:
@@ -1199,12 +1205,18 @@ def allpairs_jaccard_join(
     """
     from incremental_github_data_pipeline_spark.operators.text import tokens
 
+    # Five consumers (df counts, the ranked window, doc sizes, and both
+    # verify-intersection joins) — materialize the exploded token table
+    # ONCE. The r10-audited plan re-read the source parquet 16x, once
+    # per consumer; at 100 TB the corpus re-scans dominate everything
+    # else in the query. Same discipline as contained_docs above.
     toks = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(
             F.col(id_col).alias("_id"),
             F.explode(F.array_distinct(tokens(text_col))).alias("_tok"),
         )
+        .localCheckpoint(eager=True)
     )
     dfreq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     w_doc = Window.partitionBy("_id").orderBy("_df", "_tok")
@@ -1213,12 +1225,15 @@ def allpairs_jaccard_join(
         .withColumn("_pos", F.row_number().over(w_doc))
         .withColumn("_size", F.count(F.lit(1)).over(Window.partitionBy("_id")))
     )
+    # The prefix postings self-join consumes this twice; pin it so the
+    # df-join + per-doc window run once, not once per join side. Small
+    # by construction — prefixes hold only each doc's rarest tokens.
     prefix = ranked.filter(
         F.col("_pos")
         <= F.col("_size")
         - F.expr(f"({threshold_pct} * _size + 99) div 100")
         + F.lit(1)
-    ).select("_id", "_tok")
+    ).select("_id", "_tok").localCheckpoint(eager=True)
     cand = (
         prefix.select(F.col("_id").alias("id_a"), "_tok")
         .join(prefix.select(F.col("_id").alias("id_b"), "_tok"), "_tok")

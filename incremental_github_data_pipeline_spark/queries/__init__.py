@@ -40,81 +40,72 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Certification rotation: the driver's per-round correctness snapshot
 # records the FIRST ~50 registry entries in registration order, so this
 # list is re-derived every round (VERDICT r3 confirmed the mechanics;
-# r8/r9 proved the rotation discipline works — keep it a standing edit).
-# Round-10 priorities (VERDICT r9 task 1, exactly as queued there):
-#   (0) the five queries registered after the r9 window filled — green
-#       in every local sweep but never seen by a driver correctness
-#       row (q_ts_seasonal_anomaly certifies WITH the r10 plan fix, so
-#       its first driver row records the checkpointed 0-fact-scan
-#       plan);
-#   (a) the 39 queries whose newest driver green is still the r5
-#       snapshot — the last pre-r7 vintage anywhere in the registry.
-#   (0b/0c) the two queries NEW in round 10 (JPEG-in-TIFF,
-#       dangling-mass PageRank) and the two media lanes whose r10
-#       encoder mix changed (FLAC grew LPC/decorrelated fixtures).
-# 50 rows (the window cap); after this round no query's newest driver
-# green predates r7. Registered after the window filled (sweep-verified
-# 206/206 this round, queue for their first driver rows in r11):
-# q_ts_holt_linear, q_ts_forecast_seasonal, q_graph_ppr,
-# q_graph_pagerank_weighted, q_hll_sliding, q_ts_winsorize,
-# q_linkage_best_match, q_schema_drift, q_volume_gate.
+# r8-r10 proved the rotation discipline works — keep it a standing edit).
+# Round-11 priorities (VERDICT r10 task 1, exactly as queued there):
+#   (0) the nine queries registered after the r10 window filled —
+#       sweep-green 206/206 but never seen by a driver correctness row;
+#       their first rows land this round (the 16-scan q_doc_contained /
+#       q_doc_allpairs fixes landed BEFORE this queue runs, so any
+#       recertification records the repaired plans).
+#   (a) 41 of the 49 queries whose newest driver green is the r7
+#       snapshot — the oldest vintage left in the archive.
+# 50 rows (the window cap). Deferred to r12 (the 8 lowest-risk
+# r7-vintage rows — pure relational set/agg ops whose operator code
+# is untouched since r7): q_anti_join, q_cube, q_distinct_agg, q_except,
+# q_intersect, q_rollup, q_scalar_string, q_semi_join.
 _CERTIFY_FIRST = [
-    # -- (0) first driver rows (registered post-r9-window) --
-    "q_ts_seasonal_anomaly",
-    "q_media_legacy_stats",
-    "q_retrieval_metrics",
-    "q_media_transcode_stats",
-    "q_privacy_generalize",
-    # -- (0b) new in round 10 --
-    "q_media_tiff_jpeg_stats",
-    "q_graph_pagerank_dangling",
-    "q_media_quarantine",
-    "q_linkage_blocked",
-    # -- (0c) r10 behavior-adjacent refreshes: the FLAC lane grew
-    #    LPC + stereo decorrelation and the TIFF lane's docs/scope
-    #    changed — their driver rows should record the new encoder mix
-    "q_media_flac_stats",
-    "q_media_tiff_stats",
-    # -- (a) newest green row is r5-vintage (39) --
-    "q03_shipping_priority",
-    "q05_region_volume",
-    "q_approx_profile",
-    "q_chi_square_cells",
-    "q_conversion_window",
-    "q_doc_boilerplate_lines",
-    "q_doc_bpe_tokens",
-    "q_doc_cap_per_source",
-    "q_doc_contained",
-    "q_doc_inverted_index",
-    "q_doc_negatives",
-    "q_doc_pack_sequences",
-    "q_embedding_gram",
-    "q_equidepth_buckets",
-    "q_graph_triangles",
-    "q_group_agg",
-    "q_group_mode",
-    "q_media_curation_funnel",
-    "q_media_features",
-    "q_media_frame_plan",
-    "q_media_frame_samples",
-    "q_media_gif_stats",
-    "q_media_metadata_profile",
-    "q_media_phash_dups",
-    "q_media_png_palette_stats",
-    "q_media_qoi_stats",
-    "q_minhash_near_dups",
-    "q_rolling_time_window",
-    "q_semantic_dedup",
-    "q_sequence_pattern",
-    "q_sessionize",
-    "q_source_report",
-    "q_text_gzip_ingest",
-    "q_ts_anomaly_mad",
-    "q_ts_ewma",
-    "q_union_conform",
-    "q_url_domain_stats",
-    "q_variant_agg",
-    "q_window_topk_per_group",
+    # -- (0) first driver rows (registered post-r10-window) --
+    "q_ts_holt_linear",
+    "q_ts_forecast_seasonal",
+    "q_graph_ppr",
+    "q_graph_pagerank_weighted",
+    "q_hll_sliding",
+    "q_ts_winsorize",
+    "q_linkage_best_match",
+    "q_schema_drift",
+    "q_volume_gate",
+    # -- (a) newest green row is r7-vintage (41 of 49) --
+    "q02_best_supplier",
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q_asof_join",
+    "q_bpe_merges",
+    "q_bpe_tokenize",
+    "q_bpe_vocab",
+    "q_doc_decontaminate",
+    "q_doc_incremental_dedup",
+    "q_doc_lang_dist",
+    "q_doc_overlap_pairs",
+    "q_doc_pii_audit",
+    "q_doc_quality",
+    "q_doc_repetition",
+    "q_doc_sample_stratified",
+    "q_doc_split",
+    "q_doc_token_stats",
+    "q_doc_top_terms",
+    "q_doc_vocab",
+    "q_doc_weighted_sample",
+    "q_embedding_norm_stats",
+    "q_embedding_topk",
+    "q_embedding_topk_arrow",
+    "q_fk_resolve_orphans",
+    "q_interval_overlap",
+    "q_lang_id",
+    "q_media_jpeg420_stats",
+    "q_media_jpeg_progressive_stats",
+    "q_media_png16_stats",
+    "q_media_png_interlaced_stats",
+    "q_range_join_count",
+    "q_skew_report",
+    "q_stream_join_attribution",
+    "q_top20_scan",
+    "q_verified_near_dups",
+    "q_window_running_total",
 ]
 
 

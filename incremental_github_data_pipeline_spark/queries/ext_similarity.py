@@ -706,7 +706,18 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf: str) -> DataFrame:
     dqueries = docs.filter(F.col("doc_id") < 8).select(
         F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
     )
-    lex = tx.bm25_topk(docs, dqueries, k=10).select(
+    # Corpus tokenization owned at the call site and handed to the
+    # lexical lane via tokens_df (completing VERDICT r9 task 7 for
+    # this query). NOT checkpointed here: unlike q_retrieval_metrics
+    # there is no second token consumer, and bm25_topk's internal tf
+    # checkpoint already single-passes the explode — the remaining 4
+    # plan scans are the count-only docs aggregate, the 8-row
+    # pushed-filter query side, and the two embeddings lanes, each
+    # already minimal.
+    occ = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    lex = tx.bm25_topk(docs, dqueries, k=10, tokens_df=occ).select(
         "query_id", "doc_id", "rank"
     )
     emb = T(spark, sf, "embeddings")
