@@ -121,14 +121,27 @@ def blocked_linkage(
     Returns ``(left_id, right_id, <name>_agree per field …, score,
     verdict)`` — all integer/boolean lanes, bit-reproducible in any
     engine. Both inputs must carry their id column named ``left_id``/
-    ``right_id`` already; block columns must exist on both sides."""
+    ``right_id`` already; block columns must exist on both sides.
+
+    Rows with a NULL block key are DROPPED before the join (standard
+    blocking practice, and what a plain SQL ``=`` join does): the r10
+    version used a null-safe equality, which silently pooled every
+    NULL-keyed row from both sides into ONE all-NULL block — a hidden
+    cross product and the worst possible skew key at scale. A record
+    whose block key is unknown has no block; route such rows through a
+    second pass with a different blocking scheme instead."""
     if upper < lower:
         raise ValueError("upper threshold below lower")
-    lf = left.alias("_l")
-    rf = right.alias("_r")
+    lf = left
+    rf = right
+    for b in block_cols:
+        lf = lf.filter(F.col(b).isNotNull())
+        rf = rf.filter(F.col(b).isNotNull())
+    lf = lf.alias("_l")
+    rf = rf.alias("_r")
     cond = None
     for b in block_cols:
-        term = F.col(f"_l.{b}").eqNullSafe(F.col(f"_r.{b}"))
+        term = F.col(f"_l.{b}") == F.col(f"_r.{b}")
         cond = term if cond is None else cond & term
     pairs = lf.join(rf, cond)
     cols = [F.col(f"_l.{left_id}").alias(left_id),

@@ -492,16 +492,21 @@ def decode_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
     ``decode_error`` (``ExcType: message``), so the pipeline splits
     clean/bad with one filter on the SAME pass — no second decode, no
     driver involvement, per-file isolation inside the Arrow batch.
-    Only decode-shaped failures are caught (ValueError /
-    NotImplementedError / struct.error / zlib.error / Key/IndexError
-    / OverflowError); genuine bugs still propagate."""
+    Only PARSE-shaped failures are caught (ValueError /
+    NotImplementedError / struct.error / zlib.error / the slicing
+    OverflowError a truncated length field produces); Key/IndexError
+    are deliberately NOT in the net (r10 ADVICE) — they are the
+    classic symptoms of a decoder bug (bad table lookup, off-by-one
+    index), and swallowing them would let a codec regression silently
+    reclassify every file as corrupt data instead of failing the job.
+    Decoders raise ValueError for format-driven misses."""
     if on_error not in ("raise", "quarantine"):
         raise ValueError(f"unknown on_error mode {on_error!r}")
     catch: tuple = ()
     if on_error == "quarantine":
         catch = (
             ValueError, NotImplementedError, struct.error, zlib.error,
-            KeyError, IndexError, OverflowError,
+            OverflowError,
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3515,9 +3520,9 @@ def make_funnel_media(spark) -> DataFrame:
 # never hash-match across engines, FLAC round-trips bit-for-bit and a
 # decode-stats oracle works exactly like the PCM lanes. Reference:
 # the public FLAC format specification (RFC 9639 / flac format.html).
-# Encoder emits CONSTANT / VERBATIM / FIXED(0-4) / LPC(<=8,
-# Levinson-Durbin quantized) subframes with partition-order-0 rice
-# residuals, optional left-side / right-side / mid-side stereo
+# Encoder emits CONSTANT / VERBATIM / FIXED(0-4) / LPC(<=32 = spec
+# max; Levinson-Durbin quantized) subframes with partition-order-0
+# rice residuals, optional left-side / right-side / mid-side stereo
 # decorrelation, and automatic wasted-bits coding when samples share
 # low zero bits (r10 — real encoder output is overwhelmingly LPC with
 # mid-side); decoder handles all of those plus rice2 / escaped-raw
@@ -3853,10 +3858,12 @@ def encode_flac(
     stream: STREAMINFO (with the spec's MD5 of the unencoded
     little-endian interleaved signal), then fixed-blocksize frames —
     per channel the best of CONSTANT / FIXED(0..4) / optional
-    LPC(``lpc_order`` ≤ 8, Levinson–Durbin coefficients quantized to
-    12 bits) by exact rice bit cost (VERBATIM when raw wins),
-    partition-order-0 rice residuals, CRC-8 header and CRC-16 frame
-    trailers.
+    LPC(``lpc_order`` ≤ 32, the spec maximum; Levinson–Durbin
+    coefficients quantized to 12 bits) by exact rice bit cost
+    (VERBATIM when raw wins), partition-order-0 rice residuals, CRC-8
+    header and CRC-16 frame trailers. ``flac -8``'s default output is
+    order ≤ 12 — covered, with round-trip tests at 12 (r11; the r10
+    encoder capped at 8 and such files hit the guard).
 
     ``stereo_mode`` picks the inter-channel decorrelation for 2-channel
     input: ``"independent"``, ``"left_side"`` (left + side),
@@ -3868,8 +3875,8 @@ def encode_flac(
     why the decoder must handle it (r10)."""
     import hashlib
 
-    if not 0 <= lpc_order <= 8:
-        raise ValueError("lpc_order must be in 0..8")
+    if not 0 <= lpc_order <= 32:
+        raise ValueError("lpc_order must be in 0..32")
     if stereo_mode not in (
         "independent", "left_side", "right_side", "mid_side", "auto",
     ):
@@ -4147,10 +4154,12 @@ def make_flac_media(spark, n: int = 24, id_offset: int = 2000) -> DataFrame:
 
     Encoding modes cycle deterministically by id (r10): stereo files
     walk independent → left-side → right-side → mid-side
-    decorrelation, and every third file uses LPC order 8 (the rest
-    fixed predictors) — so the certified decode path covers every
-    subframe type and channel assignment the decoder claims, while
-    the CONTENT (and therefore the DuckDB oracle) is unchanged."""
+    decorrelation, and every third file is LPC-coded, alternating
+    order 8 and order 12 (r11 — the ``flac -8`` default tier; the
+    rest fixed predictors) — so the certified decode path covers
+    every subframe type and channel assignment the decoder claims,
+    while the CONTENT (and therefore the DuckDB oracle) is
+    unchanged."""
     rows = []
     stereo_modes = ["independent", "left_side", "right_side", "mid_side"]
     for i in range(n):
@@ -4171,7 +4180,9 @@ def make_flac_media(spark, n: int = 24, id_offset: int = 2000) -> DataFrame:
                 encode_flac(
                     s,
                     block_size=256,
-                    lpc_order=8 if i % 3 == 0 else 0,
+                    lpc_order=(8 if (i // 3) % 2 else 12)
+                    if i % 3 == 0
+                    else 0,
                     stereo_mode=mode,
                 ),
                 "audio/flac",
@@ -5132,12 +5143,12 @@ def transcode_audio(media: DataFrame, to: str = "audio/flac") -> DataFrame:
         "audio/aiff": decode_aiff,
     }
     if to == "audio/flac":
-        # real-encoder defaults (r10): LPC order 8 + per-frame auto
-        # stereo decorrelation — the oracle over the output proves the
-        # whole LPC/decorrelation encode path lossless, not just the
-        # fixed-predictor subset
+        # real-encoder defaults: LPC order 12 (the flac -8 tier, r11)
+        # + per-frame auto stereo decorrelation — the oracle over the
+        # output proves the whole LPC/decorrelation encode path
+        # lossless, not just the fixed-predictor subset
         enc = lambda s, sr: encode_flac(  # noqa: E731
-            s, sr, lpc_order=8, stereo_mode="auto"
+            s, sr, lpc_order=12, stereo_mode="auto"
         )
     elif to == "audio/wav":
         enc = lambda s, sr: encode_wav(s, sr)  # noqa: E731

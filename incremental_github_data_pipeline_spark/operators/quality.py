@@ -20,6 +20,8 @@ window count.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -91,6 +93,7 @@ def schema_drift_report(
     json_col: str,
     window_col: str,
     shift_ppm: int = 100_000,
+    key_universe: Sequence[str] | None = None,
 ) -> DataFrame:
     """Per (window, key) presence audit over a JSON object column:
     ``n_rows`` (window volume), ``n_present`` (rows carrying the key),
@@ -108,7 +111,16 @@ def schema_drift_report(
     (both monitoring-table small), so a key that vanishes still gets
     its ``dropped`` row — an explode-only pipeline would silently skip
     exactly the rows that matter. Integer ppm arithmetic end-to-end:
-    the report is bit-reproducible in any engine that replays it."""
+    the report is bit-reproducible in any engine that replays it.
+
+    The key universe defaults to every key OBSERVED in at least one
+    window — a key absent from the ENTIRE frame (e.g. retired before
+    the audited range starts) gets no rows at all, by construction
+    (r10 ADVICE: a data dependency, not a bug — the report can only
+    audit keys it has evidence of). Pass ``key_universe`` to pin an
+    explicit expected-key list instead: schema-registry-driven audits
+    then report ``dropped``/0-ppm rows even for keys no surviving row
+    carries."""
     keyed = df.select(
         F.col(window_col).alias("win"),
         F.json_object_keys(F.col(json_col)).alias("_keys"),
@@ -124,7 +136,12 @@ def schema_drift_report(
         .agg(F.count(F.lit(1)).alias("n_present"))
         .localCheckpoint(eager=True)
     )
-    universe = present.select("key").distinct()
+    if key_universe is not None:
+        universe = per_win.sparkSession.createDataFrame(
+            [(k,) for k in key_universe], "key string"
+        )
+    else:
+        universe = present.select("key").distinct()
     grid = per_win.crossJoin(universe)
     stats = (
         grid.join(present, ["win", "key"], "left")

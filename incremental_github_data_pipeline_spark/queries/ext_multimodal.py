@@ -1369,14 +1369,17 @@ _FLAC_STATS_ORACLE = """
     oracle=_FLAC_STATS_ORACLE,
     doc="FLAC decode — the COMPRESSED lossless audio lane "
     "(operators/multimodal.encode_flac/decode_flac: CONSTANT/VERBATIM/"
-    "FIXED/LPC(<=8) subframes, partitioned-rice residuals, left-side/"
-    "right-side/mid-side stereo decorrelation with the 17-bit side "
-    "channel, CRC-8/CRC-16/MD5 verified; wasted-bits and non-16-bit "
-    "depths stay honest NotImplementedError guards). FLAC is "
+    "FIXED/LPC(<=32, the spec max — r11 raised the encoder from 8 so "
+    "flac -8's order-12 default tier is exercised) subframes, "
+    "partitioned-rice residuals, left-side/right-side/mid-side stereo "
+    "decorrelation with the 17-bit side channel, wasted-bits coding "
+    "(r10), CRC-8/CRC-16/MD5 verified; non-16-bit depths stay an "
+    "honest NotImplementedError guard). FLAC is "
     "integer-exact by format design, so unlike MP3's float filterbank "
     "a decode-stats oracle works: the generator compresses closed-form "
     "16-bit signals (mono/stereo alternating; stereo files cycle all "
-    "four channel assignments, every third file LPC-coded) and DuckDB "
+    "four channel assignments, every third file LPC-coded at "
+    "alternating orders 8/12) and DuckDB "
     "recomputes every decoded sample's per-channel and downmix sums — "
     "one wrong residual, prediction, decorrelation or CRC window "
     "breaks a lane.",
@@ -1435,18 +1438,20 @@ _TIFF_STATS_ORACLE = """
     "q_media_tiff_stats",
     oracle=_TIFF_STATS_ORACLE,
     doc="TIFF decode (operators/multimodal.encode_tiff/decode_tiff: "
-    "TIFF 6.0 uncompressed + PackBits + LZW-with-horizontal-predictor, "
-    "II+MM byte orders, multi-strip rasters, 8-bit gray + 24-bit RGB; "
-    "new-style JPEG-in-TIFF is certified separately by "
-    "q_media_tiff_jpeg_stats; old-style JPEG(6)/planar/tiled/non-8-bit "
-    "stay honest NotImplementedError guards) — the "
+    "TIFF 6.0 uncompressed + PackBits + LZW-with-horizontal-predictor "
+    "+ Deflate, II+MM byte orders, multi-strip, TILED and PLANAR "
+    "rasters (r10), 8-bit gray + 24-bit RGB; new-style JPEG-in-TIFF "
+    "is certified separately by q_media_tiff_jpeg_stats; non-8-bit "
+    "depths and the tiled+planar+JPEG combinations stay honest "
+    "NotImplementedError guards) — the "
     "scientific/scan/archival image "
     "tier. RGB and grayscale lanes alternate, compression cycles "
     "none/PackBits/LZW/Deflate (r10), every third file is "
-    "multi-strip; DuckDB recomputes every decoded pixel's closed "
-    "form, so a wrong strip offset, LZW code width, zlib strip, "
-    "predictor sum, byte-order or IFD walk breaks an integer sum "
-    "lane.",
+    "multi-strip; the r10 fixture mix also cycles tiled and planar "
+    "layouts. DuckDB recomputes every decoded pixel's closed "
+    "form, so a wrong strip/tile offset, LZW code width, zlib strip, "
+    "predictor sum, byte-order, plane interleave or IFD walk breaks "
+    "an integer sum lane.",
 )
 def q_media_tiff_stats(spark: SparkSession, sf: str) -> DataFrame:
     from incremental_github_data_pipeline_spark.operators.multimodal import (

@@ -86,7 +86,12 @@ _SHIFT_PPM = 100_000
     "integer-ppm ratios, per-key lag, the five-way verdict) is "
     "replayed by DuckDB from the rules alone, no JSON serialization "
     "in the oracle. The upstream-broke-their-export detector: the "
-    "failure mode it catches is silent NULL floods, not errors.",
+    "failure mode it catches is silent NULL floods, not errors. "
+    "DATA DEPENDENCY (r10 ADVICE): both engines enumerate keys "
+    "OBSERVED in >=1 window — the fixture's dying key still appears "
+    "in early windows, so both lanes see it; a key absent from the "
+    "ENTIRE frame is invisible to the default (pass key_universe for "
+    "registry-pinned audits, tested in test_quality.py).",
 )
 def q_schema_drift(spark: SparkSession, sf: str) -> DataFrame:
     ev = T(spark, sf, "events")

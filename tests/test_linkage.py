@@ -102,6 +102,28 @@ def test_prefix_and_suffix_modes(spark):
     assert got[(1, 11)]["verdict"] == "non_match"
 
 
+def test_null_block_keys_are_dropped(spark):
+    """r10 ADVICE: a NULL block key means 'no block' — such rows must
+    pair with NOTHING, not pool into one giant all-NULL block (the
+    null-safe-equality behavior this pins against: a hidden cross
+    product and the worst skew key at scale)."""
+    left = LEFT + [(4, None, "smith", 100)]
+    right = RIGHT + [(14, None, "smith", 100)]
+    got = {
+        (r["left_id"], r["right_id"]): r
+        for r in blocked_linkage(
+            spark.createDataFrame(left, SCHEMA_L),
+            spark.createDataFrame(right, SCHEMA_R),
+            ["blk"],
+            COMPS,
+            upper=2500,
+            lower=-600,
+        ).collect()
+    }
+    # identical to the no-NULL-row universe: 4/14 appear in no pair
+    assert set(got) == {(1, 10), (1, 11), (2, 10), (2, 11), (3, 12)}
+
+
 def test_fs_weights_signs_and_guard():
     a, d = fs_weights(0.9, 0.1)
     assert a > 0 > d

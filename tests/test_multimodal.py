@@ -1281,9 +1281,10 @@ class TestFlac:
         assert len(payload) < len(s) * 2 * 0.25
 
     def test_lpc_and_stereo_decorrelation_roundtrip(self):
-        """r10: LPC subframes (Levinson-Durbin, order<=8) and all three
-        stereo decorrelations must round-trip bit-exactly; the side
-        channel carries 17 bits."""
+        """r10: LPC subframes (Levinson-Durbin) and all three stereo
+        decorrelations must round-trip bit-exactly; the side channel
+        carries 17 bits. r11 widened the order sweep past 8: order 12
+        is the flac -8 default tier, 32 the spec maximum."""
         rng = np.random.default_rng(3)
         t = np.arange(9000)
         l = (
@@ -1296,7 +1297,7 @@ class TestFlac:
         for mode in (
             "independent", "left_side", "right_side", "mid_side", "auto",
         ):
-            for order in (0, 4, 8):
+            for order in (0, 4, 8, 12, 32):
                 p = mm.encode_flac(
                     st, 8000, block_size=1024,
                     lpc_order=order, stereo_mode=mode,

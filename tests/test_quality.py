@@ -57,6 +57,25 @@ def test_grid_covers_every_window_key_pair(spark):
     assert all(r["n_rows"] == 2 for r in got.values())
 
 
+def test_explicit_key_universe_reports_never_seen_keys(spark):
+    """r10 ADVICE: the observed-key default cannot audit a key absent
+    from the whole frame; an explicit registry-driven universe must
+    report it at 0 ppm in every window (and may prune keys outside
+    the registry)."""
+    df = spark.createDataFrame(ROWS, "win long, payload string")
+    got = {
+        (r["win"], r["key"]): r
+        for r in schema_drift_report(
+            df, "payload", "win", key_universe=["a", "legacy"]
+        ).collect()
+    }
+    assert set(got) == {(w, k) for w in (1, 2) for k in ("a", "legacy")}
+    assert got[(1, "legacy")]["status"] == "baseline"
+    assert got[(1, "legacy")]["n_present"] == 0
+    assert got[(2, "legacy")]["present_ppm"] == 0
+    assert got[(2, "legacy")]["status"] == "stable"
+
+
 class TestVolumeGate:
     def test_planted_drop_spike_and_warmup(self, spark):
         from incremental_github_data_pipeline_spark.operators.quality import (
