@@ -49,10 +49,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #       recertification records the repaired plans).
 #   (a) 41 of the 49 queries whose newest driver green is the r7
 #       snapshot — the oldest vintage left in the archive.
-# 50 rows (the window cap). Deferred to r12 (the 8 lowest-risk
-# r7-vintage rows — pure relational set/agg ops whose operator code
-# is untouched since r7): q_anti_join, q_cube, q_distinct_agg, q_except,
-# q_intersect, q_rollup, q_scalar_string, q_semi_join.
+# 50 rows (the window cap): 9 + 1 first-appearances (q_media_webp_stats
+# is NEW in r11 — its first driver row should land with the round that
+# built it) + 40 r7-vintage. Deferred to r12 (9 lowest-risk r7-vintage
+# rows — pure relational set/agg/window ops whose operator code is
+# untouched since r7): q_anti_join, q_cube, q_distinct_agg, q_except,
+# q_intersect, q_rollup, q_scalar_string, q_semi_join,
+# q_window_running_total.
 _CERTIFY_FIRST = [
     # -- (0) first driver rows (registered post-r10-window) --
     "q_ts_holt_linear",
@@ -64,7 +67,9 @@ _CERTIFY_FIRST = [
     "q_linkage_best_match",
     "q_schema_drift",
     "q_volume_gate",
-    # -- (a) newest green row is r7-vintage (41 of 49) --
+    # -- (0b) new in round 11 --
+    "q_media_webp_stats",
+    # -- (a) newest green row is r7-vintage (40 of 49) --
     "q02_best_supplier",
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -105,7 +110,6 @@ _CERTIFY_FIRST = [
     "q_stream_join_attribution",
     "q_top20_scan",
     "q_verified_near_dups",
-    "q_window_running_total",
 ]
 
 

@@ -1754,3 +1754,54 @@ def q_media_transcode_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "q_media_webp_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS i, 5000 + i AS media_id,
+             16 + (i % 13) AS w, 12 + (i % 11) AS h
+      FROM range(24) t(i)
+    ),
+    px AS (
+      SELECT m.media_id, m.w, m.h, y.y,
+             CASE WHEN m.i % 6 = 4
+                  THEN (((x.x * 3 + y.y * 5 + m.i * 7) % (2 + (m.i % 15)))
+                        * 53 + c.c * 29 + m.i * 3) % 256
+                  ELSE (x.x * 7 + y.y * 13 + c.c * 29 + m.i * 3) % 256
+             END AS v
+      FROM m, range(29) x(x), range(23) y(y), range(3) c(c)
+      WHERE x.x < m.w AND y.y < m.h
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (y + 1)) AS BIGINT) AS row_weighted_sum
+    FROM px GROUP BY media_id ORDER BY media_id
+    """,
+    doc="Lossless WebP (VP8L) decode (r11, operators/multimodal."
+    "decode_webp_lossless) — the most common real-crawl image format, "
+    "previously the largest absent tier. VP8L is integer-exact "
+    "(prefix-coded ARGB + reversible integer transforms, no DCT), so "
+    "the decode-stats oracle works like the PNG lanes; lossy VP8 and "
+    "animation stay honest NotImplementedError guards. The fixture "
+    "cycle drives every decode path: color cache, LZ77 run "
+    "references, subtract-green, all 14 predictor modes (cycling), "
+    "negative-coefficient color transforms, sub-byte-bundled color "
+    "indexing (palette sizes 2..16 walk all three packing widths), "
+    "and two-group meta prefix codes. Non-palette rows reuse the BMP "
+    "closed form; palette rows use a low-color closed form — DuckDB "
+    "recomputes exact pixel sums plus a row-weighted lane (catches a "
+    "transform inverted against the wrong rows) from range(), no "
+    "codec. One Arrow-batched mapInPandas pass.",
+)
+def q_media_webp_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_webp_media,
+        webp_decode_stats,
+    )
+
+    return webp_decode_stats(make_webp_media(spark, n=24)).orderBy("media_id")

@@ -1795,3 +1795,132 @@ class TestTranscode:
         media = mm.make_real_media(spark, n=9)  # images+audio+video
         out = mm.transcode_audio(media, to="audio/flac")
         assert out.count() == 3  # only the audio third
+
+
+class TestWebPLossless:
+    """VP8L codec (r11): every decode path against the encoder twin,
+    plus container guards. Lossy VP8/animation are honest guards."""
+
+    def test_plain_and_cache_and_lz77_roundtrip(self):
+        for i in range(4):
+            px = mm._image_pixels(i)
+            for kw in (
+                {}, {"cache_bits": 1}, {"cache_bits": 4},
+                {"cache_bits": 8}, {"lz77": False},
+            ):
+                p = mm.encode_webp_lossless(px, **kw)
+                assert p[:4] == b"RIFF" and p[8:12] == b"WEBP"
+                assert np.array_equal(mm.decode_webp_lossless(p), px), kw
+
+    def test_all_predictor_modes_roundtrip(self):
+        for mode in range(14):
+            px = mm._image_pixels(mode)
+            p = mm.encode_webp_lossless(
+                px, predictor_mode=mode, transform_bits=2
+            )
+            assert np.array_equal(mm.decode_webp_lossless(p), px), mode
+
+    def test_color_transform_signed_coefficients(self):
+        px = mm._image_pixels(5)
+        for cte in ((1, 2, 3), (-5, 17, -128), (127, -1, 64)):
+            p = mm.encode_webp_lossless(
+                px, color_transform=cte, transform_bits=3
+            )
+            assert np.array_equal(mm.decode_webp_lossless(p), px), cte
+
+    def test_subtract_green_and_stacked_transforms(self):
+        px = mm._image_pixels(7)
+        p = mm.encode_webp_lossless(px, subtract_green=True)
+        assert np.array_equal(mm.decode_webp_lossless(p), px)
+        p = mm.encode_webp_lossless(
+            px, subtract_green=True, predictor_mode=11,
+            color_transform=(7, -3, 11), cache_bits=5, meta_bits=2,
+        )
+        assert np.array_equal(mm.decode_webp_lossless(p), px)
+
+    def test_palette_every_bundling_width(self):
+        # k <= 2 packs 8 px/byte, <= 4 packs 4, <= 16 packs 2; k > 16
+        # is unbundled — all four layouts must round-trip, including
+        # widths that don't divide the packing factor (edge trim)
+        for k in (2, 3, 4, 9, 16, 17, 200):
+            h, w = 13, 19
+            idx = (np.add.outer(np.arange(h) * 5, np.arange(w) * 3) + 1) % k
+            colors = np.stack(
+                [(np.arange(k) * 53) % 256, (np.arange(k) * 29 + 7) % 256,
+                 (np.arange(k) * 11 + 3) % 256],
+                axis=1,
+            ).astype(np.uint8)
+            px = colors[idx]
+            p = mm.encode_webp_lossless(px, palette=True)
+            assert np.array_equal(mm.decode_webp_lossless(p), px), k
+
+    def test_meta_prefix_groups_roundtrip(self):
+        px = mm._image_pixels(9)
+        for mb in (2, 3, 5):
+            p = mm.encode_webp_lossless(px, meta_bits=mb, cache_bits=3)
+            assert np.array_equal(mm.decode_webp_lossless(p), px), mb
+
+    def test_constant_image_is_one_long_backref(self):
+        px = np.full((40, 50, 3), 129, dtype=np.uint8)
+        p = mm.encode_webp_lossless(px)
+        # 2000 pixels as literal+runs: the whole stream fits in a
+        # few dozen bytes if LZ77 actually engages
+        assert len(p) < 120
+        assert np.array_equal(mm.decode_webp_lossless(p), px)
+
+    def test_gray_and_tiny_inputs(self):
+        g = mm._image_pixels(4)[:, :, 0]
+        out = mm.decode_webp_lossless(mm.encode_webp_lossless(g))
+        assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+        one = mm._image_pixels(3)[:1, :1]
+        assert np.array_equal(
+            mm.decode_webp_lossless(mm.encode_webp_lossless(one)), one
+        )
+
+    def test_container_guards(self):
+        px = mm._image_pixels(0)
+        p = bytearray(mm.encode_webp_lossless(px))
+        with pytest.raises(ValueError, match="RIFF"):
+            mm.decode_webp_lossless(b"JUNK" + bytes(p[4:]))
+        # lossy VP8 chunk tag fails loud, never mis-decodes
+        lossy = bytes(p).replace(b"VP8L", b"VP8 ")
+        with pytest.raises(NotImplementedError, match="lossy"):
+            mm.decode_webp_lossless(lossy)
+        anim = bytes(p).replace(b"VP8L", b"ANIM")
+        with pytest.raises(NotImplementedError, match="animated"):
+            mm.decode_webp_lossless(anim)
+        with pytest.raises(ValueError):
+            mm.decode_webp_lossless(bytes(p[:24]))  # truncated stream
+        bad = bytearray(p)
+        bad[20] ^= 0xFF  # clobber the VP8L signature byte
+        with pytest.raises(ValueError, match="signature"):
+            mm.decode_webp_lossless(bytes(bad))
+
+    def test_vp8x_extended_container_walks_to_vp8l(self):
+        px = mm._image_pixels(2)
+        p = mm.encode_webp_lossless(px)
+        body = p[12:]  # the VP8L chunk
+        vp8x = b"VP8X" + (10).to_bytes(4, "little") + bytes(10)
+        riff = b"WEBP" + vp8x + body
+        wrapped = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+        assert np.array_equal(mm.decode_webp_lossless(wrapped), px)
+
+    def test_palette_transform_combo_guard(self):
+        px = mm._image_pixels(0)
+        with pytest.raises(NotImplementedError, match="palette"):
+            mm.encode_webp_lossless(px, palette=True, subtract_green=True)
+
+    def test_decode_stats_matches_closed_form(self, spark):
+        stats = {
+            r["media_id"]: r
+            for r in mm.webp_decode_stats(
+                mm.make_webp_media(spark, n=6)
+            ).collect()
+        }
+        assert len(stats) == 6
+        for i in (0, 1, 2, 3, 5):
+            px = mm._image_pixels(i).astype(np.int64)
+            assert stats[5000 + i]["pixel_sum"] == int(px.sum()), i
+            wy = np.arange(px.shape[0]) + 1
+            rw = (px.reshape(px.shape[0], -1).sum(axis=1) * wy).sum()
+            assert stats[5000 + i]["row_weighted_sum"] == int(rw), i
