@@ -4296,7 +4296,11 @@ def encode_tiff(
     every strip is a JPEG stream, DQT/DHT hoisted into the shared
     JPEGTables tag like libtiff writes scanned documents; RGB strips
     are YCbCr 4:4:4, photometric 6; ``rows_per_strip`` must then be a
-    multiple of 8); ``predictor=True`` (tag 317 = 2, horizontal
+    multiple of 8), or ``"jpeg_old"`` (6, r11 — the pre-TechNote-2
+    embedding: ONE complete SOI..EOI stream referenced by both the
+    single strip tag and JPEGInterchangeFormat 513/514, the
+    belt-and-braces layout legacy writers emitted);
+    ``predictor=True`` (tag 317 = 2, horizontal
     differencing per sample) is the standard companion that makes LZW
     bite on smooth rasters.
 
@@ -4315,6 +4319,7 @@ def encode_tiff(
     rps = h if rows_per_strip is None else rows_per_strip
     comp_code = {
         "none": 1, "packbits": 32773, "lzw": 5, "deflate": 8, "jpeg": 7,
+        "jpeg_old": 6,
     }[compression]
     if predictor and compression not in ("lzw", "deflate"):
         raise ValueError("predictor is defined here for lzw/deflate only")
@@ -4323,8 +4328,12 @@ def encode_tiff(
             "JPEG-in-TIFF rows_per_strip must be a multiple of 8 "
             "(TechNote 2 MCU alignment)"
         )
-    if comp_code == 7 and (tile is not None or planar):
+    if comp_code in (6, 7) and (tile is not None or planar):
         raise ValueError("JPEG-in-TIFF supports chunky strips only")
+    if comp_code == 6 and rows_per_strip is not None:
+        raise ValueError(
+            "old-style JPEG-in-TIFF is one interchange stream, not strips"
+        )
     if tile is not None and planar:
         raise ValueError("tiled planar not supported")
     if tile is not None and (tile[0] % 16 or tile[1] % 16):
@@ -4352,6 +4361,12 @@ def encode_tiff(
     else:
         for r0 in range(0, h, rps):
             chunks.append(px[r0 : r0 + rps])
+    if comp_code == 6:
+        # one complete SOI..EOI stream, referenced BOTH by the strip
+        # tags (as a single strip) and by JPEGInterchangeFormat — the
+        # belt-and-braces layout real old-style writers emitted
+        chunks = []
+        payload_chunks.append(encode_jpeg(px))
     for raw in chunks:
         if comp_code == 7:
             # tables are identical across strips (same encoder config):
@@ -4369,6 +4384,7 @@ def encode_tiff(
         (11 if tiled else 10)
         + (1 if predictor else 0)
         + ((2 if spp == 3 else 1) if comp_code == 7 else 0)
+        + (2 if comp_code == 6 else 0)
     )
     # layout: header(8) | IFD | [bits values if RGB] | [JPEGTables] |
     # offsets/counts arrays (externalized when count > 1) | chunk data
@@ -4400,7 +4416,7 @@ def encode_tiff(
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         return struct.pack("<HHII", tag, typ, count, value)
 
-    photometric = 1 if gray else (6 if comp_code == 7 else 2)
+    photometric = 1 if gray else (6 if comp_code in (6, 7) else 2)
     off_tag = _TIFF_TAG_TILE_OFFSETS if tiled else _TIFF_TAG_STRIP_OFFSETS
     cnt_tag = _TIFF_TAG_TILE_COUNTS if tiled else _TIFF_TAG_STRIP_COUNTS
     entries = [
@@ -4442,6 +4458,9 @@ def encode_tiff(
             entries.append(
                 entry(_TIFF_TAG_YCBCR_SUBSAMPLING, 3, 2, 1 | (1 << 16))
             )
+    if comp_code == 6:
+        entries.append(entry(513, 4, 1, offsets[0]))  # interchange offset
+        entries.append(entry(514, 4, 1, len(payload_chunks[0])))
     out = bytearray()
     out += b"II" + struct.pack("<HI", 42, ifd_off)
     out += struct.pack("<H", n_entries)
@@ -4467,11 +4486,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     r10), PlanarConfiguration 2 (plane-major strips, r10), and the
     uncompressed (1), LZW (5, with horizontal predictor 2 — applied
     per chunk, so tile edges reset the prediction), PackBits (32773),
-    Deflate (8 Adobe / 32946 old-code, zlib strips) and new-style
+    Deflate (8 Adobe / 32946 old-code, zlib strips), new-style
     JPEG (7, each strip a JPEG stream, shared DQT/DHT rejoined from
-    the JPEGTables tag when present — TechNote 2) compressions;
-    old-style JPEG (6), CCITT fax and non-8-bit depths raise
-    ``NotImplementedError``."""
+    the JPEGTables tag when present — TechNote 2) and old-style JPEG
+    (6, r11 — the JPEGInterchangeFormat 513/514 single-stream variant)
+    compressions; old-style JPEG's per-strip-tables variant, CCITT fax
+    and non-8-bit depths raise ``NotImplementedError``."""
     if payload[:2] == b"II":
         bo = "<"
     elif payload[:2] == b"MM":
@@ -4511,10 +4531,27 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     h = values(_TIFF_TAG_LENGTH)[0]
     comp = values(_TIFF_TAG_COMPRESSION, 1)[0]
     if comp == 6:
-        raise NotImplementedError(
-            "old-style JPEG-in-TIFF (compression 6) not supported — "
-            "deprecated by TechNote 2; new-style (7) is"
-        )
+        # Old-style JPEG (r11): the pre-TechNote-2 embedding legacy
+        # scan archives still carry. The sane and common variant
+        # points JPEGInterchangeFormat (513) + ...Length (514) at one
+        # complete SOI..EOI stream; the per-strip
+        # JPEGQTables/DCTables/ACTables variant (tags 519-521 with no
+        # interchange stream) was never implemented consistently by
+        # real writers and stays an honest guard.
+        if 513 not in tags:
+            raise NotImplementedError(
+                "old-style JPEG-in-TIFF without a JPEGInterchangeFormat "
+                "stream (the per-strip tables variant) not supported"
+            )
+        off = values(513)[0]
+        ln = values(514, len(payload) - values(513)[0])[0]
+        stream = payload[off : off + ln]
+        if stream[:2] != b"\xff\xd8":
+            raise ValueError("JPEGInterchangeFormat does not start at SOI")
+        px = decode_jpeg(bytes(stream))
+        if px.shape[0] < h or px.shape[1] < w:
+            raise ValueError("old-style JPEG stream smaller than the IFD says")
+        return px[:h, :w]
     if comp not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {comp} not supported")
     planar_cfg = values(_TIFF_TAG_PLANAR, 1)[0]
@@ -4683,19 +4720,24 @@ def make_tiff_jpeg_media(spark, n: int = 24, id_offset: int = 3100) -> DataFrame
     YCbCr 4:4:4 with all-zero chroma) alternate; every third file is
     multi-strip (rows_per_strip=8, each strip its own abbreviated JPEG
     stream sharing the JPEGTables DQT/DHT) — the scanned-document
-    layout libtiff writes."""
+    layout libtiff writes. Since r11 every FOURTH file is OLD-STYLE
+    (compression 6: one JPEGInterchangeFormat stream) — the
+    pre-TechNote-2 embedding legacy scan archives still carry."""
     rows = []
     for i in range(n):
         w, h, px = _jpeg_block_values(i)
         data = px if i % 2 == 0 else np.repeat(px[:, :, None], 3, axis=2)
+        old = i % 4 == 1  # old-style wins over multi-strip when both hit
         rows.append(
             (
                 id_offset + i,
                 "image",
                 encode_tiff(
                     data,
-                    rows_per_strip=8 if i % 3 == 0 else None,
-                    compression="jpeg",
+                    rows_per_strip=(
+                        8 if i % 3 == 0 and not old else None
+                    ),
+                    compression="jpeg_old" if old else "jpeg",
                 ),
                 "image/tiff",
                 w,

@@ -47,15 +47,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #       their first rows land this round (the 16-scan q_doc_contained /
 #       q_doc_allpairs fixes landed BEFORE this queue runs, so any
 #       recertification records the repaired plans).
-#   (a) 41 of the 49 queries whose newest driver green is the r7
+#   (a) 37 of the 49 queries whose newest driver green is the r7
 #       snapshot — the oldest vintage left in the archive.
 # 50 rows (the window cap): 9 + 1 first-appearances (q_media_webp_stats
 # is NEW in r11 — its first driver row should land with the round that
-# built it) + 40 r7-vintage. Deferred to r12 (9 lowest-risk r7-vintage
-# rows — pure relational set/agg/window ops whose operator code is
-# untouched since r7): q_anti_join, q_cube, q_distinct_agg, q_except,
-# q_intersect, q_rollup, q_scalar_string, q_semi_join,
-# q_window_running_total.
+# built it) + 3 r11 changed-mix media refreshes + 37 r7-vintage.
+# Deferred to r12 (12 lowest-risk r7-vintage rows — pure relational
+# set/agg/window/scan ops whose operator code is untouched since r7):
+# q_anti_join, q_cube, q_distinct_agg, q_except, q_intersect,
+# q_interval_overlap, q_range_join_count, q_rollup, q_scalar_string,
+# q_semi_join, q_top20_scan, q_window_running_total.
 _CERTIFY_FIRST = [
     # -- (0) first driver rows (registered post-r10-window) --
     "q_ts_holt_linear",
@@ -69,7 +70,15 @@ _CERTIFY_FIRST = [
     "q_volume_gate",
     # -- (0b) new in round 11 --
     "q_media_webp_stats",
-    # -- (a) newest green row is r7-vintage (40 of 49) --
+    # -- (0c) r11 encoder-mix refreshes: the JPEG-in-TIFF lane grew
+    #    old-style (compression 6) files, the FLAC lane now cycles LPC
+    #    orders 8/12, and the transcode target encodes at order 12 —
+    #    their driver rows should record the new mixes (the r10
+    #    precedent for changed lanes)
+    "q_media_tiff_jpeg_stats",
+    "q_media_flac_stats",
+    "q_media_transcode_stats",
+    # -- (a) newest green row is r7-vintage (37 of 49) --
     "q02_best_supplier",
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -99,16 +108,13 @@ _CERTIFY_FIRST = [
     "q_embedding_topk",
     "q_embedding_topk_arrow",
     "q_fk_resolve_orphans",
-    "q_interval_overlap",
     "q_lang_id",
     "q_media_jpeg420_stats",
     "q_media_jpeg_progressive_stats",
     "q_media_png16_stats",
     "q_media_png_interlaced_stats",
-    "q_range_join_count",
     "q_skew_report",
     "q_stream_join_attribution",
-    "q_top20_scan",
     "q_verified_near_dups",
 ]
 

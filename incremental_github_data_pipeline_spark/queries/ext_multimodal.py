@@ -1492,16 +1492,20 @@ def q_media_tiff_stats(spark: SparkSession, sf: str) -> DataFrame:
            CAST(s AS BIGINT) AS sum_b
     FROM sums ORDER BY media_id
     """,
-    doc="New-style JPEG-in-TIFF decode (r10, operators/multimodal: "
-    "TIFF compression 7 per TechNote 2 — every strip its own JPEG "
+    doc="JPEG-in-TIFF decode (operators/multimodal): new-style "
+    "compression 7 per TechNote 2 (r10) — every strip its own JPEG "
     "stream, shared DQT/DHT rejoined from the JPEGTables tag, RGB as "
-    "photometric-6 YCbCr 4:4:4) — the scanned-document tier real "
-    "crawl corpora are full of. Content is the flat-8x8-block closed "
-    "form (uniform blocks round-trip EXACTLY through the flat-q=8 "
-    "DCT, neutral-gray RGB keeps chroma coefficients at zero), so "
-    "DuckDB recomputes every decoded pixel: a wrong tables rejoin, "
-    "strip seam, MCU crop or YCbCr step breaks an integer sum lane. "
-    "Gray/RGB alternate; every third file multi-strip at 8 rows.",
+    "photometric-6 YCbCr 4:4:4 — AND old-style compression 6 (r11): "
+    "one complete JPEGInterchangeFormat 513/514 stream, the "
+    "pre-TechNote-2 embedding legacy scan archives still carry (its "
+    "per-strip-tables variant stays an honest guard). The "
+    "scanned-document tier real crawl corpora are full of. Content "
+    "is the flat-8x8-block closed form (uniform blocks round-trip "
+    "EXACTLY through the flat-q=8 DCT, neutral-gray RGB keeps chroma "
+    "coefficients at zero), so DuckDB recomputes every decoded "
+    "pixel: a wrong tables rejoin, strip seam, MCU crop, 513 offset "
+    "or YCbCr step breaks an integer sum lane. Gray/RGB alternate; "
+    "every third file multi-strip at 8 rows, every fourth old-style.",
 )
 def q_media_tiff_jpeg_stats(spark: SparkSession, sf: str) -> DataFrame:
     from incremental_github_data_pipeline_spark.operators.multimodal import (

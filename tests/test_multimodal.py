@@ -1605,6 +1605,30 @@ class TestTiffCompression:
         assert t.count(b"\xff\xdb") == 1  # one DQT, in the tables body
         assert mm.decode_tiff(t).shape == (h, w)
 
+    def test_old_style_jpeg_in_tiff_roundtrip(self):
+        """r11: compression 6 with one JPEGInterchangeFormat stream —
+        the pre-TechNote-2 embedding. Block-exact content round-trips
+        bit-for-bit, gray and RGB."""
+        for i in range(4):
+            w, h, px = mm._jpeg_block_values(i)
+            t = mm.encode_tiff(px, compression="jpeg_old")
+            assert np.array_equal(mm.decode_tiff(t), px), i
+            g = px[:, :, 0] if px.ndim == 3 else px
+            t = mm.encode_tiff(g, compression="jpeg_old")
+            assert np.array_equal(mm.decode_tiff(t), g), i
+
+    def test_old_style_jpeg_tables_variant_guard(self):
+        # rewriting tag 513 -> 519 (JPEGQTables) models the per-strip
+        # tables variant: no interchange stream, must fail loud
+        _, _, px = mm._jpeg_block_values(1)
+        t = bytearray(mm.encode_tiff(px, compression="jpeg_old"))
+        i = t.find((513).to_bytes(2, "little"))
+        t[i : i + 2] = (519).to_bytes(2, "little")
+        with pytest.raises(NotImplementedError, match="JPEGInterchange"):
+            mm.decode_tiff(bytes(t))
+        with pytest.raises(ValueError, match="strips"):
+            mm.encode_tiff(px, compression="jpeg_old", rows_per_strip=8)
+
     def test_jpeg_in_tiff_guards(self):
         w, h, px = mm._jpeg_block_values(0)
         with pytest.raises(ValueError, match="multiple of 8"):
