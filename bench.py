@@ -189,7 +189,137 @@ BENCH_QUERIES = [
     "q_linkage_best_match",
     # volume-anomaly circuit breaker (moving-median selection)
     "q_volume_gate",
+    # round-11 additions (VERDICT r10 task 6 — the certified families
+    # with no bench row, so an r12-vs-r11 regression there is visible):
+    # the unbenched similarity lanes (IVF cells, pooled recall eval,
+    # embedding dedup, Gram matrix), the unbenched dedup lanes (exact,
+    # simhash, n-gram Jaccard, fuzzy verify, bloom prefilter), DSIR
+    # scoring, sequence packing, weighted sampling, the two heaviest
+    # unbenched codec lanes (full-filter PNG, GIF-LZW), the two-pass
+    # equi-depth rank and the cohort-retention window stack
+    "q_embedding_ivf_topk",
+    "q_ann_recall",
+    "q_semantic_dedup",
+    "q_embedding_gram",
+    "q_doc_exact_dedup",
+    "q_simhash_near_dups",
+    "q_ngram_jaccard_dedup",
+    "q_doc_fuzzy_pairs",
+    "q_doc_bloom_prefilter",
+    "q_doc_dsir",
+    "q_doc_pack_sequences",
+    "q_doc_weighted_sample",
+    "q_media_png_stats",
+    "q_media_gif_stats",
+    "q_equidepth_buckets",
+    "q_retention_cohorts",
+    # round-11 new operator, benched from first appearance: the VP8L
+    # decode lane (prefix-coded ARGB + inverse transforms per file)
+    "q_media_webp_stats",
 ]
+
+
+def _setup_drift_serving(spark, sf_dir: str) -> str:
+    """Build a 4-version drift delta table from the events payload rule
+    (the q_schema_drift staging) — setup only, never timed."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from incremental_github_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        run_incremental_drift_ingest,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_drift_")
+    _BENCH_TMP.append(tmp)
+    src, root, ckpt = f"{tmp}/src", f"{tmp}/t", f"{tmp}/ckpt"
+    ev = read_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("value").alias("v"),
+            F.when(
+                F.col("event_type").isin("click", "view"), F.col("user_id")
+            ).alias("uid"),
+            F.when(F.col("event_id") % 3 == 0, F.col("event_type")).alias(
+                "et"
+            ),
+        )
+    )
+    staged = ev.select(
+        F.to_date("ts").alias("win"), payload.alias("payload")
+    )
+    for i in range(4):
+        staged.filter(F.pmod(F.crc32("payload"), F.lit(4)) == i).coalesce(
+            2
+        ).write.mode("append").parquet(src)
+        run_incremental_drift_ingest(spark, src, root, ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return root
+
+
+def _run_drift_serving(spark, root: str) -> None:
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        drift_report_versioned,
+    )
+
+    drift_report_versioned(spark, root).count()
+
+
+def _setup_versioned_restore(spark, sf_dir: str) -> str:
+    """Commit 6 event-slice versions — RESTORE then re-points the
+    manifest at an earlier snapshot (history preserved)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from incremental_github_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_restore_")
+    _BENCH_TMP.append(tmp)
+    root = f"{tmp}/t"
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    for i in range(6):
+        commit_version(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(6)) == i),
+            root,
+            mode="append",
+        )
+    return root
+
+
+def _run_versioned_restore(spark, root: str) -> None:
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        read_version,
+        restore_version,
+    )
+
+    restore_version(spark, root, version=3)
+    read_version(spark, root).count()
+
+
+# Non-registry lanes (VERDICT r10 task 6): the versioned-store serving
+# paths have no (spark, sf)->DataFrame query shape — they need a
+# writable table built first — so they bench through setup/run pairs.
+# Setup runs once per lane OUTSIDE the timed region; the timed region
+# is the serving fold / the RESTORE commit + snapshot read. RESTORE
+# appends one version per pass (4 passes) — O(manifest) each, which is
+# exactly the cost being measured.
+EXTRA_LANES = [
+    ("x_drift_serving", _setup_drift_serving, _run_drift_serving),
+    ("x_versioned_restore", _setup_versioned_restore, _run_versioned_restore),
+]
+_BENCH_TMP: list[str] = []
 
 # Calibration probe (VERDICT r8 task 4): BENCH_r08 carried a uniform
 # ~1.2x wall drift on byte-identical queries — machine load during the
@@ -261,6 +391,23 @@ def main() -> None:
             fn(spark, sf_dir).count()
             passes.append(time.time() - t0)
         timings[name] = round(statistics.median(passes), 3)
+
+    import shutil
+
+    spark.stop()
+    spark = get_spark(app_name="bench-extras")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name, setup, run in EXTRA_LANES:
+        state = setup(spark, sf_dir)  # untimed
+        run(spark, state)  # warm-up
+        passes = []
+        for _ in range(3):
+            t0 = time.time()
+            run(spark, state)
+            passes.append(time.time() - t0)
+        timings[name] = round(statistics.median(passes), 3)
+    for tmp in _BENCH_TMP:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -138,3 +138,97 @@ def skew_report(
         .orderBy(F.col("n_rows").desc(), *key_cols)
         .limit(top)
     )
+
+
+def suggest_skew_mitigation(
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 10,
+    aqe_ratio_x1000: int = 10_000,
+    salt_ratio_x1000: int = 100_000,
+    max_buckets: int = 64,
+    for_aggregate: bool = False,
+) -> dict:
+    """Turn :func:`skew_report`'s measurement into a DECISION (r11,
+    VERDICT r10 stretch — the report existed, the verdict was manual):
+
+    - max ratio < ``aqe_ratio_x1000`` (default 10x uniform): ``"none"``
+      — a plain shuffle is fine, AQE's default behavior absorbs it.
+    - 10x..100x uniform on a JOIN key: ``"aqe"`` — sort-merge skew
+      split (already on in session.py) rewrites the hot partition at
+      runtime; returns the knob names so a non-default session can
+      check itself. Aggregations skip this tier — AQE does not split
+      aggregation shuffles, so ``for_aggregate=True`` escalates
+      straight to salting.
+    - >= ``salt_ratio_x1000`` (default 100x uniform): ``"salt"`` —
+      recommend :func:`salted_join` / :func:`salted_aggregate` with
+      ``buckets`` sized so the hottest key's per-task share drops back
+      to ~``aqe_ratio_x1000``: the smallest power of two >=
+      ratio/aqe_ratio, clamped to [2, ``max_buckets``] (a power of two
+      keeps the salt modulo cheap and the task fan-out aligned with
+      shuffle-partition counts).
+
+    The decision input is the top-``top`` row collect of skew_report —
+    bounded by construction (never data-sized). Returns a plain dict:
+    ``verdict``, ``buckets`` (salt only), ``hot_keys`` (the rows at or
+    above the AQE line), ``max_ratio_x1000``, ``max_share_ppm``, and
+    ``aqe_settings``."""
+    rows = skew_report(df, key_cols, top=top).collect()
+    if not rows:
+        return {
+            "verdict": "none", "buckets": None, "hot_keys": [],
+            "max_ratio_x1000": 0, "max_share_ppm": 0, "aqe_settings": {},
+        }
+    max_ratio = int(rows[0]["ratio_x1000"])
+    max_share = int(rows[0]["share_ppm"])
+    hot = [
+        {k: r[k] for k in key_cols}
+        | {"n_rows": r["n_rows"], "ratio_x1000": int(r["ratio_x1000"])}
+        for r in rows
+        if int(r["ratio_x1000"]) >= aqe_ratio_x1000
+    ]
+    aqe_settings = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "256MB",
+    }
+    if max_ratio < aqe_ratio_x1000:
+        verdict, buckets = "none", None
+    elif max_ratio < salt_ratio_x1000 and not for_aggregate:
+        verdict, buckets = "aqe", None
+    else:
+        need = -(-max_ratio // aqe_ratio_x1000)  # ceil ratio/target
+        buckets = 2
+        while buckets < need and buckets < max_buckets:
+            buckets *= 2
+        verdict = "salt"
+    return {
+        "verdict": verdict,
+        "buckets": buckets,
+        "hot_keys": hot,
+        "max_ratio_x1000": max_ratio,
+        "max_share_ppm": max_share,
+        "aqe_settings": aqe_settings if verdict == "aqe" else {},
+    }
+
+
+def apply_skew_mitigation(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    recommendation: dict,
+    how: str = "inner",
+) -> DataFrame:
+    """Dispatch a :func:`suggest_skew_mitigation` verdict onto a join:
+    ``"salt"`` routes through :func:`salted_join` with the recommended
+    bucket count; ``"none"``/``"aqe"`` return the plain join (AQE's
+    runtime rewrite needs no plan change — the settings just have to
+    be on). Results are identical in every branch; only the physical
+    spread differs."""
+    if recommendation.get("verdict") == "salt":
+        return salted_join(
+            left, right, on, buckets=recommendation["buckets"], how=how
+        )
+    return left.join(right, on, how)

@@ -7,8 +7,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from incremental_github_data_pipeline_spark.operators.skew import (
+    apply_skew_mitigation,
     salted_aggregate,
     salted_join,
+    suggest_skew_mitigation,
     with_salt,
 )
 
@@ -69,3 +71,59 @@ def test_salt_spreads_hot_key(spark, skewed):
     salted = with_salt(skewed.filter(F.col("k") == "HOT"), buckets=8)
     n_buckets = salted.select("_salt").distinct().count()
     assert n_buckets == 8, "hot key must spread over all salt buckets"
+
+
+class TestSkewAdvisory:
+    """r11: suggest_skew_mitigation turns the skew_report measurement
+    into a none/aqe/salt verdict (the decision used to be manual)."""
+
+    def test_planted_8020_hot_key_recommends_salt(self, spark):
+        # 80% of 5000 rows on one key, 1000 tail keys: the hot key is
+        # ~800x a uniform key's share -> salt, buckets sized to pull
+        # its per-task share back to ~10x uniform (ceil(800/10)=80 ->
+        # clamped to the 64 max)
+        df = spark.range(5000).select(
+            F.when(F.col("id") < 4000, "HOT")
+            .otherwise(F.concat(F.lit("k"), F.col("id") % 1000))
+            .alias("k")
+        )
+        rec = suggest_skew_mitigation(df, ["k"])
+        assert rec["verdict"] == "salt"
+        assert rec["buckets"] == 64
+        assert rec["hot_keys"][0]["k"] == "HOT"
+        assert rec["max_share_ppm"] == 800_000
+        assert rec["aqe_settings"] == {}
+
+    def test_uniform_keys_recommend_nothing(self, spark):
+        df = spark.range(4000).select((F.col("id") % 100).alias("k"))
+        rec = suggest_skew_mitigation(df, ["k"])
+        assert rec["verdict"] == "none"
+        assert rec["buckets"] is None and rec["hot_keys"] == []
+
+    def test_moderate_skew_recommends_aqe_for_joins_salt_for_aggs(
+        self, spark
+    ):
+        # hot key ~25x uniform: AQE's skew-join split absorbs a join,
+        # but aggregation shuffles have no AQE rewrite -> salt
+        df = spark.range(4000).select(
+            F.when(F.col("id") < 400, "HOT")
+            .otherwise(F.concat(F.lit("k"), F.col("id") % 225))
+            .alias("k")
+        )
+        rec = suggest_skew_mitigation(df, ["k"])
+        assert rec["verdict"] == "aqe"
+        assert "spark.sql.adaptive.skewJoin.enabled" in rec["aqe_settings"]
+        agg = suggest_skew_mitigation(df, ["k"], for_aggregate=True)
+        assert agg["verdict"] == "salt" and agg["buckets"] >= 2
+
+    def test_apply_dispatch_is_result_identical(self, spark, skewed):
+        dim = _dim(spark)
+        for rec in (
+            {"verdict": "salt", "buckets": 8},
+            {"verdict": "aqe"},
+            {"verdict": "none"},
+        ):
+            out = apply_skew_mitigation(skewed, dim, ["k"], rec)
+            plain = skewed.join(dim, ["k"], "inner")
+            assert sorted(map(tuple, out.select("k", "label").collect())) \
+                == sorted(map(tuple, plain.select("k", "label").collect()))
