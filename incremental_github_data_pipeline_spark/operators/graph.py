@@ -31,7 +31,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_core", "pagerank_integer", "triangle_count"]
+__all__ = [
+    "k_core",
+    "label_propagation",
+    "pagerank_integer",
+    "triangle_count",
+]
 
 
 def _idiv(col, divisor: int):
@@ -300,3 +305,64 @@ def k_core(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (r11) — the cheap community
+    detector: labels start as node ids, and each round every node
+    adopts the MOST FREQUENT label among its neighbors, ties broken by
+    the smallest label. The deterministic tie rule is what makes the
+    async algorithm's randomness disappear: a fixed round count +
+    deterministic argmax is replayable by an unrolled SQL recurrence,
+    the same certification trick as the PageRank lanes. (Classic LPA
+    converges asynchronously with random tie-breaks; the synchronous
+    deterministic variant can oscillate on bipartite structures, which
+    a FIXED iteration count also makes reproducible rather than
+    divergent.)
+
+    Direction/duplicates of the input are ignored (labels flow both
+    ways); self-loops dropped; isolated nodes don't appear in the edge
+    list and therefore keep their own label trivially. Returns
+    ``(node, label)``.
+
+    Scale shape: one (node, label) count aggregate + one per-node
+    argmax per round — two key shuffles per round over the edge list,
+    per-round ``localCheckpoint`` keeping the plan flat (the
+    pagerank_integer contract; the argmax is a ``max(struct(cnt,
+    -label))``, no window over the full edge list)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iters):
+        neigh = sym.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).groupBy(F.col("a").alias("node"), "label").agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        labels = (
+            neigh.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_cnt"),
+                        (-F.col("label")).alias("_neg"),
+                        F.col("label"),
+                    )
+                ).alias("_m")
+            )
+            .select("node", F.col("_m.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

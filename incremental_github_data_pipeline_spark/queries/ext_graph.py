@@ -426,3 +426,60 @@ def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+LP_ITERS = 3
+
+
+def _label_prop_oracle() -> str:
+    """Unrolled synchronous LPA recurrence: each round every node takes
+    the most frequent neighbor label, ties to the smallest label."""
+    steps = []
+    for t in range(1, LP_ITERS + 1):
+        prev = f"l{t - 1}"
+        steps.append(
+            f"""l{t} AS (
+      SELECT node, label FROM (
+        SELECT u.a AS node, r.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY u.a
+                 ORDER BY COUNT(*) DESC, r.label ASC) AS rn
+        FROM und u JOIN {prev} r ON r.node = u.b
+        GROUP BY u.a, r.label) WHERE rn = 1
+    )"""
+        )
+    return f"""
+    WITH nodes AS (SELECT range AS node FROM range({N})),
+    e AS (
+      {_EDGE_SQL}
+    ),
+    und AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM e
+        UNION ALL SELECT dst AS a, src AS b FROM e
+      ) WHERE a <> b
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+    {",".join(steps)}
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM l{LP_ITERS} ORDER BY node
+    """
+
+
+@register(
+    "q_graph_label_prop",
+    oracle=_label_prop_oracle(),
+    doc="Label propagation communities (r11, operators/graph."
+    "label_propagation): 3 synchronous rounds, each node adopting the "
+    "most frequent neighbor label with ties to the smallest label — "
+    "the deterministic tie rule turns classic LPA's randomness into "
+    "an unrolled SQL recurrence DuckDB replays exactly (the PageRank "
+    "certification trick applied to the cheap community detector). "
+    "Physical shape: two key shuffles per round (neighbor-label count "
+    "+ per-node struct-argmax, no window over the edge list), "
+    "per-round localCheckpoint keeping the plan flat.",
+)
+def q_graph_label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    return g_ops.label_propagation(_edges(spark), iters=LP_ITERS).orderBy(
+        "node"
+    )

@@ -186,3 +186,70 @@ def q_privacy_generalize(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("level", F.lit(level).cast("long"))
         .orderBy("geo", "seg")
     )
+
+
+_T_PPM = 60_000
+
+
+@register(
+    "q_privacy_tcloseness",
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY 1
+    ),
+    g AS (
+      SELECT c_nationkey AS v, COUNT(*) AS gc FROM customer GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS nt FROM customer),
+    mm AS (SELECT COUNT(*) AS m FROM g),
+    pc AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS v, COUNT(*) AS c
+      FROM customer GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT cls.seg, cls.n, g.v, g.gc, COALESCE(pc.c, 0) AS c
+      FROM cls CROSS JOIN g
+      LEFT JOIN pc ON pc.seg = cls.seg AND pc.v = g.v
+    ),
+    cum AS (
+      SELECT seg, n,
+             SUM(CAST(c AS HUGEINT) * tot.nt - CAST(gc AS HUGEINT) * n)
+               OVER (PARTITION BY seg ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM grid CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT seg, MAX(n) AS class_size, SUM(ABS(cum)) AS s
+      FROM cum GROUP BY seg
+    )
+    SELECT agg.seg AS c_mktsegment,
+           CAST(agg.class_size AS BIGINT) AS class_size,
+           CAST(agg.s * 1000000 // (CAST(agg.class_size AS HUGEINT)
+                * tot.nt * (mm.m - 1)) AS BIGINT) AS emd_ppm,
+           agg.s * 1000000 // (CAST(agg.class_size AS HUGEINT)
+                * tot.nt * (mm.m - 1)) > {_T_PPM} AS t_violation
+    FROM agg CROSS JOIN tot CROSS JOIN mm
+    ORDER BY c_mktsegment
+    """,
+    doc="t-closeness audit (r11, operators/privacy.t_closeness_report) "
+    "— the third rung of the release ladder after k-anonymity and "
+    "l-diversity: per market-segment class, the ordered-metric Earth "
+    "Mover's Distance between the class's nation distribution and the "
+    "table's, as an exact integer ppm lane (cross-multiplied counts "
+    "through DECIMAL, prefix sums over the ordered value grid, one "
+    "integral division at the end — DuckDB replays it digit-exact "
+    "with HUGEINT). Flags the SKEWED class that k/l both pass: "
+    "membership alone leaks when a class's sensitive distribution "
+    "diverges from the population's. Audit grid is classes x "
+    "sensitive domain — governance-sized, never fact-sized.",
+)
+def q_privacy_tcloseness(spark: SparkSession, sf: str) -> DataFrame:
+    report = pv.t_closeness_report(
+        T(spark, sf, "customer"),
+        ["c_mktsegment"],
+        "c_nationkey",
+        t_ppm=_T_PPM,
+        ordered=True,
+    )
+    return report.orderBy("c_mktsegment")

@@ -169,3 +169,59 @@ def test_kcore_reports_core_degrees_not_input_degrees(spark):
         for r in k_core(_edges(spark, square + pendants), 2).collect()
     }
     assert got == {(0, 2), (1, 2), (2, 2), (3, 2)}
+
+
+def test_label_propagation_two_triangles_and_a_bridge(spark):
+    """r11: deterministic synchronous LPA — each triangle collapses to
+    its smallest reachable label; the single bridge edge is outvoted,
+    so the communities stay separate."""
+    from incremental_github_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iters=3).collect()
+    }
+    assert got[0] == got[1] == got[2]
+    assert got[10] == got[11] == got[12]
+    assert got[0] != got[10]
+
+
+def test_label_propagation_direction_and_duplicates_ignored(spark):
+    from incremental_github_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    a = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    b = spark.createDataFrame(
+        [(1, 0), (2, 1), (2, 1), (0, 1)], "src long, dst long"
+    )
+    ra = sorted(tuple(r) for r in label_propagation(a, iters=2).collect())
+    rb = sorted(tuple(r) for r in label_propagation(b, iters=2).collect())
+    assert ra == rb
+
+
+def test_label_propagation_plan_stays_flat(spark):
+    """The per-round localCheckpoint contract: the final plan must not
+    grow with the iteration count (the pagerank_integer discipline)."""
+    from incremental_github_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.range(200).selectExpr(
+        "id AS src", "(id * 7 + 1) % 200 AS dst"
+    )
+    p2 = len(
+        label_propagation(edges, iters=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    p5 = len(
+        label_propagation(edges, iters=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p5 < p2 * 3, f"plan grows with iterations: {p2} -> {p5}"

@@ -135,3 +135,82 @@ def test_generalize_to_k_climbs_exactly_as_needed(spark):
     # k=9: even '*' (8 rows) violates -> ladder exhausts with residual
     out, level, resid = generalize_to_k(df, ["zip", "seg"], 9, [coarsen, star])
     assert level == 2 and resid == 1
+
+
+def test_t_closeness_hand_computed_emd(spark):
+    """r11: class a holds v={1,1,2}, class b v={2,3,3}, global uniform
+    over {1,2,3} -> ordered EMD is exactly 1/3 for both classes
+    (prefix |P-Q| sums (1/3 + 1/3) / (m-1=2)); categorical TV is also
+    1/3. Integer ppm lanes must floor to 333333."""
+    from incremental_github_data_pipeline_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 2), ("b", 3), ("b", 3)],
+        "q string, v int",
+    )
+    rows = {
+        r["q"]: r
+        for r in t_closeness_report(df, ["q"], "v", t_ppm=300_000).collect()
+    }
+    assert rows["a"]["emd_ppm"] == 333_333 and rows["a"]["t_violation"]
+    assert rows["b"]["emd_ppm"] == 333_333
+    ok = t_closeness_report(df, ["q"], "v", t_ppm=333_333).collect()
+    assert not any(r["t_violation"] for r in ok)  # threshold exclusive
+    cat = {
+        r["q"]: r
+        for r in t_closeness_report(
+            df, ["q"], "v", t_ppm=300_000, ordered=False
+        ).collect()
+    }
+    assert cat["a"]["emd_ppm"] == 333_333
+
+
+def test_t_closeness_identical_distribution_is_zero(spark):
+    from incremental_github_data_pipeline_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    # both classes mirror the global distribution exactly -> EMD 0
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 2)], "q string, v int"
+    )
+    for ordered in (True, False):
+        rows = t_closeness_report(
+            df, ["q"], "v", t_ppm=0, ordered=ordered
+        ).collect()
+        assert all(r["emd_ppm"] == 0 for r in rows)
+        assert not any(r["t_violation"] for r in rows)
+
+
+def test_t_closeness_ordered_sees_distance_categorical_cannot(spark):
+    """The ordered metric distinguishes NEAR misses from FAR ones.
+    Global is (1/2, 1/4, 1/4) over v=1,2,3; class a displaces 1/4 of
+    its mass ONE rank step (v3→v2), class b displaces 1/4 TWO steps
+    (v3→v1): same categorical TV (both 250000 ppm), but ordered EMD
+    125000 vs 250000 — the reason the paper uses EMD for numeric
+    attributes."""
+    from incremental_github_data_pipeline_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    rows_in = (
+        [("a", 1), ("a", 2)]
+        + [("b", 1)] * 3 + [("b", 2)]
+        + [("c", 3)] * 2
+    )
+    df = spark.createDataFrame(rows_in, "q string, v int")
+    ordered = {
+        r["q"]: r["emd_ppm"]
+        for r in t_closeness_report(df, ["q"], "v", t_ppm=0).collect()
+    }
+    cat = {
+        r["q"]: r["emd_ppm"]
+        for r in t_closeness_report(
+            df, ["q"], "v", t_ppm=0, ordered=False
+        ).collect()
+    }
+    assert cat["a"] == cat["b"] == 250_000
+    assert ordered["a"] == 125_000
+    assert ordered["b"] == 250_000
