@@ -216,6 +216,11 @@ BENCH_QUERIES = [
     # round-11 new operator, benched from first appearance: the VP8L
     # decode lane (prefix-coded ARGB + inverse transforms per file)
     "q_media_webp_stats",
+    # round-11 new families, benched from first appearance: the
+    # t-closeness EMD grid (classes x sensitive domain prefix window)
+    # and the 3-round label-propagation loop
+    "q_privacy_tcloseness",
+    "q_graph_label_prop",
 ]
 
 
