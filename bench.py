@@ -221,6 +221,9 @@ BENCH_QUERIES = [
     # and the 3-round label-propagation loop
     "q_privacy_tcloseness",
     "q_graph_label_prop",
+    # the decode->integer-resample->encode chain (heaviest new r11
+    # audio path: FLAC decode + per-sample interpolation + WAV encode)
+    "q_media_resample_stats",
 ]
 
 

@@ -6280,3 +6280,86 @@ def webp_decode_stats(media: DataFrame) -> DataFrame:
     return media.filter(F.col("mime") == "image/webp").mapInPandas(
         batches, PNG_STATS_SCHEMA
     )
+
+
+def resample_linear_fixed(
+    s: np.ndarray, src_rate: int, dst_rate: int
+) -> np.ndarray:
+    """Integer-exact linear-interpolation resampling (r11) — the
+    sample-rate normalization every audio training pipeline runs
+    (per-source 8/16/44.1 kHz zoo → one model rate). Output sample j
+    sits at source position j·src/dst; with num = j·src mod dst the
+    value is
+
+        y[j] = x[i] + ((x[i+1] − x[i]) · num) div dst
+
+    — one integer multiply + floor division per sample, so the result
+    is bit-reproducible in any engine (an engine-replayable SQL twin
+    certifies it), unlike float sinc/polyphase filters whose rounding
+    is implementation-defined. Linear interpolation is the quality
+    floor of real resamplers; the CONTRACT here is exactness, with the
+    filter quality ladder an acknowledged trade. Output length is
+    ceil(n·dst/src) (every output position strictly inside the input
+    span; the last input sample holds for positions past n−1 — the
+    standard edge clamp). Works per channel on (n,) or (n, ch) int16;
+    int32 intermediates cannot overflow (|Δ|·num < 2^17·dst)."""
+    if src_rate <= 0 or dst_rate <= 0:
+        raise ValueError("sample rates must be positive")
+    x = s.astype(np.int64)
+    mono = x.ndim == 1
+    if mono:
+        x = x[:, None]
+    n = x.shape[0]
+    if n == 0:
+        return s.copy()
+    m = -(-n * dst_rate // src_rate)  # ceil
+    j = np.arange(m, dtype=np.int64)
+    pos = j * src_rate
+    i = pos // dst_rate
+    num = pos % dst_rate
+    i_next = np.minimum(i + 1, n - 1)
+    i = np.minimum(i, n - 1)
+    y = x[i] + ((x[i_next] - x[i]) * num[:, None]) // dst_rate
+    out = y.astype(np.int16)
+    return out[:, 0] if mono else out
+
+
+def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
+    """Sample-rate NORMALIZATION over a media table: decode each audio
+    payload (WAV/FLAC/AIFF), resample to ``target_rate`` with the
+    integer-exact linear interpolator, and re-encode as WAV at the
+    target rate. One Arrow-batched mapInPandas pass (payload I/O is
+    the scale bound, as with every codec stage). Returns (media_id,
+    payload, mime, n_bytes_in, n_bytes_out) — the transcode_audio
+    contract, so the decode-stats oracle over the OUTPUT certifies the
+    whole decode → resample → encode chain end-to-end."""
+    decoders = {
+        "audio/wav": decode_wav,
+        "audio/flac": decode_flac,
+        "audio/aiff": decode_aiff,
+    }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.mime not in decoders:
+                    continue
+                sr, s = decoders[r.mime](r.payload)
+                new = encode_wav(
+                    resample_linear_fixed(s, sr, target_rate), target_rate
+                )
+                out.append(
+                    (r.media_id, new, "audio/wav", len(r.payload), len(new))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "payload", "mime",
+                    "n_bytes_in", "n_bytes_out",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches, TRANSCODE_SCHEMA
+    )

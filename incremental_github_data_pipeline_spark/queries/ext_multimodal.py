@@ -1809,3 +1809,107 @@ def q_media_webp_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return webp_decode_stats(make_webp_media(spark, n=24)).orderBy("media_id")
+
+
+def _resample_oracle() -> str:
+    """DuckDB twin of decode→resample(8000→12000)→encode over the FLAC
+    fixture lanes: output sample j sits at source position j·8000, so
+    i0 = (2j)//3 and num = (j·8000) mod 12000; the interpolation runs
+    in the +32768-shifted non-negative domain so `//` is floor in
+    every dialect (Spark div / DuckDB // / numpy // disagree on
+    negative operands — the offset discipline from the time-series
+    lanes)."""
+
+    def y(k: str, o: str) -> str:
+        x0 = f"(((i0*{k} + {o}) % 2048) - 1024)"
+        x1 = f"(((i1*{k} + {o}) % 2048) - 1024)"
+        return (
+            f"((({x0} + 32768) * (12000 - num) + ({x1} + 32768) * num)"
+            f" // 12000 - 32768)"
+        )
+
+    y0, y1 = y("k0", "o0"), y("k1", "o1")
+    return f"""
+    WITH var AS (
+      SELECT 2000 + i AS media_id, i % 2 AS v, 300 + 50 * (i % 8) AS m,
+             3 + (i % 7) AS k0, i * 11 AS o0,
+             5 + (i % 3) AS k1, i * 13 AS o1
+      FROM range(24) t(i)
+    ),
+    grid AS (
+      SELECT var.*, j.j,
+             LEAST((j.j * 2) // 3, var.m - 1) AS i0,
+             LEAST((j.j * 2) // 3 + 1, var.m - 1) AS i1,
+             (j.j * 8000) % 12000 AS num
+      FROM var, range(975) j(j) WHERE j.j < (var.m * 3 + 1) // 2
+    ),
+    sums AS (
+      SELECT media_id, v, MAX((m * 3 + 1) // 2) AS n_out,
+             SUM({y0}) AS sum_ch0,
+             SUM(CASE WHEN v = 0 THEN {y1} END) AS sum_ch1,
+             SUM(ABS(CASE WHEN v = 0
+                 THEN CAST(FLOOR(({y0} + {y1}) / 2.0) AS BIGINT)
+                 ELSE {y0} END)) AS sum_abs
+      FROM grid GROUP BY media_id, v
+    )
+    SELECT media_id,
+           CAST(n_out AS BIGINT) AS n_samples,
+           CAST(CASE WHEN v = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_channels,
+           CAST(sum_abs AS BIGINT) AS sum_abs,
+           CAST(sum_ch0 AS BIGINT) AS sum_ch0,
+           CAST(sum_ch1 AS BIGINT) AS sum_ch1
+    FROM sums ORDER BY media_id
+    """
+
+
+@register(
+    "q_media_resample_stats",
+    oracle=_resample_oracle(),
+    doc="Sample-rate normalization (r11, operators/multimodal."
+    "resample_audio + resample_linear_fixed): decode the FLAC fixture "
+    "lanes, resample 8000→12000 Hz with INTEGER-EXACT linear "
+    "interpolation (y[j] = x[i] + (Δ·num) div 12000 in the shifted "
+    "non-negative domain — bit-reproducible, unlike float "
+    "sinc/polyphase whose rounding is implementation-defined), and "
+    "re-encode WAV at the target rate. DuckDB recomputes every "
+    "resampled sample from the closed form and the same fixed-point "
+    "formula, so the whole decode→resample→encode chain is certified "
+    "end-to-end — the per-source 8/16/44.1 kHz zoo → one model rate "
+    "step every audio training pipeline runs. One Arrow-batched "
+    "mapInPandas pass.",
+)
+def q_media_resample_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        decode_stats,
+        make_flac_media,
+        resample_audio,
+    )
+
+    out = resample_audio(make_flac_media(spark, n=24), target_rate=12000)
+    media = out.select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        "payload",
+        "mime",
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return (
+        decode_stats(media)
+        .select(
+            "media_id",
+            "n_samples",
+            "n_channels",
+            F.round(F.col("mean_abs_sample") * F.col("n_samples"))
+            .cast("long")
+            .alias("sum_abs"),
+            F.round(F.col("mean_ch0") * F.col("n_samples"))
+            .cast("long")
+            .alias("sum_ch0"),
+            F.round(F.col("mean_ch1") * F.col("n_samples"))
+            .cast("long")
+            .alias("sum_ch1"),
+        )
+        .orderBy("media_id")
+    )

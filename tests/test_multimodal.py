@@ -1948,3 +1948,58 @@ class TestWebPLossless:
             wy = np.arange(px.shape[0]) + 1
             rw = (px.reshape(px.shape[0], -1).sum(axis=1) * wy).sum()
             assert stats[5000 + i]["row_weighted_sum"] == int(rw), i
+
+
+class TestResample:
+    """Integer-exact linear-interpolation resampling (r11)."""
+
+    def test_identity_and_integer_ratios(self):
+        s = ((np.arange(100) * 37) % 4001 - 2000).astype(np.int16)
+        assert np.array_equal(mm.resample_linear_fixed(s, 8000, 8000), s)
+        u = mm.resample_linear_fixed(s, 8000, 16000)
+        assert len(u) == 200 and np.array_equal(u[0::2], s)
+        mid = s[:-1].astype(np.int64) + (
+            s[1:].astype(np.int64) - s[:-1]
+        ) // 2  # floor midpoints, incl. negative deltas
+        assert np.array_equal(u[1:-1:2], mid.astype(np.int16))
+        d = mm.resample_linear_fixed(s, 16000, 8000)
+        assert np.array_equal(d, s[0::2])
+
+    def test_rational_ratio_and_stereo(self):
+        s = ((np.arange(101) * 13) % 2048 - 1024).astype(np.int16)
+        r = mm.resample_linear_fixed(s, 44100, 16000)
+        assert len(r) == -(-101 * 16000 // 44100)
+        st = np.stack([s, (-1 - s.astype(np.int64)).astype(np.int16)], axis=1)
+        us = mm.resample_linear_fixed(st, 8000, 12000)
+        assert us.shape == (-(-101 * 3 // 2), 2)
+        assert np.array_equal(
+            us[:, 0], mm.resample_linear_fixed(s, 8000, 12000)
+        )
+
+    def test_edge_clamp_and_guards(self):
+        one = np.array([5], dtype=np.int16)
+        up = mm.resample_linear_fixed(one, 8000, 24000)
+        assert np.array_equal(up, np.array([5, 5, 5], dtype=np.int16))
+        with pytest.raises(ValueError, match="positive"):
+            mm.resample_linear_fixed(one, 0, 8000)
+
+    def test_resample_audio_chain_through_spark(self, spark):
+        out = {
+            r["media_id"]: r
+            for r in mm.resample_audio(
+                mm.make_flac_media(spark, n=4), target_rate=16000
+            ).collect()
+        }
+        assert len(out) == 4
+        for i in range(4):
+            m = mm._wav_variant_frames(i)
+            sr, s = mm.decode_wav(out[2000 + i]["payload"])
+            assert sr == 16000
+            want = mm.resample_linear_fixed(
+                np.stack(
+                    [mm._wav_channel(i, 0, m, 16),
+                     mm._wav_channel(i, 1, m, 16)], axis=1
+                ) if i % 2 == 0 else mm._wav_channel(i, 0, m, 16),
+                8000, 16000,
+            )
+            assert np.array_equal(s, want), i
