@@ -224,6 +224,8 @@ BENCH_QUERIES = [
     # the decode->integer-resample->encode chain (heaviest new r11
     # audio path: FLAC decode + per-sample interpolation + WAV encode)
     "q_media_resample_stats",
+    # ACF: the 6-lead ordered window + decimal aggregate shape
+    "q_ts_acf",
 ]
 
 

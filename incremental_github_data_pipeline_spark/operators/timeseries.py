@@ -761,3 +761,91 @@ def theil_sen_slope(
         .join(F.broadcast(n_pts), keys)
         .select(*keys, "n_points", "n_pairs", "slope_s")
     )
+
+
+def acf_integer(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    order_col: str,
+    val_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Autocorrelation function (r11) — the seasonality detector: a
+    daily cycle in hourly data shows up as a ρ peak at lag 24 before
+    anyone commits to a seasonal_decompose period. Per key and lag
+    k = 1..``max_lag``, the standard biased estimator
+
+        ρ_k = c_k / c_0,  c_k = Σ_{t≤n−k} (x_t − x̄)(x_{t+k} − x̄)
+
+    kept INTEGER-EXACT end to end: with y_t = n·x_t − S (so y = n·(x −
+    x̄), an integer), c_k scales to Σ y_t·y_{t+k}, and ρ lands as ONE
+    offset floor division — ``rho_ppm = (Σ y_t y_{t+k} · 10⁶) fdiv
+    (Σ y_t²)`` — computed in DECIMAL(38,0) (y ~ n·x can square past
+    int64; the skew_report discipline) with the +den·B offset making
+    floor and truncate agree across engines on negative correlations.
+    ρ_ppm ∈ [−10⁶, 10⁶]; NULL when the series is constant (c_0 = 0 —
+    autocorrelation of a flat line is undefined, not zero).
+
+    CONTRACT — the series is the OBSERVED ordered sequence per key
+    (lag = "k rows earlier", positions from row_number over
+    ``order_col``): gap semantics belong to the caller (densify with
+    resample_locf first when calendar lags must be calendar-true).
+    Returns ``(keys…, lag, n_pairs, rho_ppm)``.
+
+    Shape: one stats aggregate + one ordered window per key carrying
+    ``max_lag`` leads (the grid is a pre-aggregated series by module
+    contract — resolution, not data volume), then one aggregate; no
+    self-join, no explode of the fact table."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(val_col).cast("long")).alias("_S"),
+    )
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    y = (
+        df.join(stats, keys)
+        .withColumn(
+            "_y",
+            (
+                F.col("_n") * F.col(val_col).cast("long") - F.col("_S")
+            ).cast("decimal(19,0)"),
+        )
+    )
+    lead_cols = [
+        F.lead("_y", k).over(w).alias(f"_y{k}") for k in range(1, max_lag + 1)
+    ]
+    prods = y.select(*keys, "_y", *lead_cols)
+    aggs = [
+        F.sum(
+            (F.col("_y") * F.col("_y")).cast("decimal(38,0)")
+        ).alias("_c0"),
+    ]
+    for k in range(1, max_lag + 1):
+        aggs.append(
+            F.sum(
+                (F.col("_y") * F.col(f"_y{k}")).cast("decimal(38,0)")
+            ).alias(f"_c{k}")
+        )
+        aggs.append(
+            F.count(F.col(f"_y{k}")).alias(f"_np{k}")
+        )
+    per_key = prods.groupBy(*keys).agg(*aggs)
+    b = 10**10
+    lanes = [
+        F.struct(
+            F.lit(k).cast("long").alias("lag"),
+            F.col(f"_np{k}").alias("n_pairs"),
+            F.when(
+                F.col("_c0") > 0,
+                F.expr(
+                    f"CAST((_c{k} * 1000000 + _c0 * {b}) div _c0"
+                    f" - {b} AS BIGINT)"
+                ),
+            ).alias("rho_ppm"),
+        )
+        for k in range(1, max_lag + 1)
+    ]
+    return (
+        per_key.select(*keys, F.explode(F.array(*lanes)).alias("_l"))
+        .select(*keys, "_l.lag", "_l.n_pairs", "_l.rho_ppm")
+    )

@@ -47,19 +47,19 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #       their first rows land this round (the 16-scan q_doc_contained /
 #       q_doc_allpairs fixes landed BEFORE this queue runs, so any
 #       recertification records the repaired plans).
-#   (a) 34 of the 49 queries whose newest driver green is the r7
+#   (a) 33 of the 49 queries whose newest driver green is the r7
 #       snapshot — the oldest vintage left in the archive.
-# 50 rows (the window cap): 9 + 4 first-appearances (the r11-built
+# 50 rows (the window cap): 9 + 5 first-appearances (the r11-built
 # q_media_webp_stats, q_privacy_tcloseness, q_graph_label_prop,
-# q_media_resample_stats — new operators certify in the round that
-# built them) + 3 r11 changed-mix media refreshes + 34 r7-vintage.
-# Deferred to r12 (15 lowest-risk r7-vintage rows — relational
-# set/agg/window/scan ops and simple text/embedding aggregates,
-# operator code untouched since r7): q_anti_join, q_cube,
-# q_distinct_agg, q_doc_top_terms, q_doc_vocab, q_embedding_norm_stats,
-# q_except, q_intersect, q_interval_overlap, q_range_join_count,
-# q_rollup, q_scalar_string, q_semi_join, q_top20_scan,
-# q_window_running_total.
+# q_media_resample_stats, q_ts_acf — new operators certify in the
+# round that built them) + 3 r11 changed-mix media refreshes + 33
+# r7-vintage. Deferred to r12 (16 lowest-risk r7-vintage rows —
+# relational set/agg/window/scan ops and simple text/embedding/sample
+# aggregates, operator code untouched since r7): q_anti_join, q_cube,
+# q_distinct_agg, q_doc_sample_stratified, q_doc_top_terms,
+# q_doc_vocab, q_embedding_norm_stats, q_except, q_intersect,
+# q_interval_overlap, q_range_join_count, q_rollup, q_scalar_string,
+# q_semi_join, q_top20_scan, q_window_running_total.
 _CERTIFY_FIRST = [
     # -- (0) first driver rows (registered post-r10-window) --
     "q_ts_holt_linear",
@@ -76,6 +76,7 @@ _CERTIFY_FIRST = [
     "q_privacy_tcloseness",
     "q_graph_label_prop",
     "q_media_resample_stats",
+    "q_ts_acf",
     # -- (0c) r11 encoder-mix refreshes: the JPEG-in-TIFF lane grew
     #    old-style (compression 6) files, the FLAC lane now cycles LPC
     #    orders 8/12, and the transcode target encodes at order 12 —
@@ -84,7 +85,7 @@ _CERTIFY_FIRST = [
     "q_media_tiff_jpeg_stats",
     "q_media_flac_stats",
     "q_media_transcode_stats",
-    # -- (a) newest green row is r7-vintage (34 of 49) --
+    # -- (a) newest green row is r7-vintage (33 of 49) --
     "q02_best_supplier",
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -104,7 +105,6 @@ _CERTIFY_FIRST = [
     "q_doc_pii_audit",
     "q_doc_quality",
     "q_doc_repetition",
-    "q_doc_sample_stratified",
     "q_doc_split",
     "q_doc_token_stats",
     "q_doc_weighted_sample",

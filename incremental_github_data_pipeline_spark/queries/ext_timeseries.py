@@ -916,3 +916,60 @@ def q_ts_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_ts_acf",
+    oracle=_HOURLY_SQL
+    + """,
+    st AS (
+      SELECT event_type, COUNT(*) AS n, SUM(cents) AS s FROM h GROUP BY 1
+    ),
+    y AS (
+      SELECT h.event_type, hr, (st.n * cents - st.s) AS y,
+             ROW_NUMBER() OVER (
+               PARTITION BY h.event_type ORDER BY hr) AS rn
+      FROM h JOIN st USING (event_type)
+    ),
+    p AS (
+      SELECT a.event_type, l.lag,
+             COUNT(b.y) AS n_pairs,
+             SUM(CAST(a.y AS HUGEINT) * b.y) AS ck
+      FROM y a CROSS JOIN (SELECT unnest(range(1, 7)) AS lag) l
+      LEFT JOIN y b
+        ON b.event_type = a.event_type AND b.rn = a.rn + l.lag
+      GROUP BY 1, 2
+    ),
+    c0 AS (
+      SELECT event_type, SUM(CAST(y AS HUGEINT) * y) AS c0
+      FROM y GROUP BY 1
+    )
+    SELECT p.event_type,
+           CAST(p.lag AS BIGINT) AS lag,
+           CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           CASE WHEN c0.c0 > 0 THEN CAST(
+             (p.ck * 1000000 + c0.c0 * 10000000000) // c0.c0
+             - 10000000000 AS BIGINT) END AS rho_ppm
+    FROM p JOIN c0 USING (event_type)
+    ORDER BY p.event_type, p.lag
+    """,
+    doc="Autocorrelation function (r11, operators/timeseries."
+    "acf_integer): per event type, lags 1..6 over the hourly revenue "
+    "series — the seasonality DETECTOR run before committing to a "
+    "seasonal_decompose period. The biased estimator rho_k = c_k/c_0 "
+    "kept integer-exact: y_t = n*x_t - S makes the centered products "
+    "integers, DECIMAL(38,0) absorbs the squares, and one offset "
+    "floor division lands rho as ppm (negative correlations floor "
+    "identically in Spark div and DuckDB // thanks to the offset). "
+    "NULL for a constant series (c_0 = 0: undefined, not zero). One "
+    "stats aggregate + one ordered window carrying 6 leads + one "
+    "aggregate per key — no self-join of the fact, no explode.",
+)
+def q_ts_acf(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.timeseries import (
+        acf_integer,
+    )
+
+    return acf_integer(
+        _hourly(spark, sf), "event_type", "hr", "cents", max_lag=6
+    ).orderBy("event_type", "lag")

@@ -355,3 +355,48 @@ class TestHoltLinear:
         )
         with pytest.raises(Exception, match="envelope"):
             holt_linear(big, "k", "t", "v", scale=10**4).collect()
+
+
+class TestAcf:
+    """acf_integer (r11): the integer-exact biased ACF estimator."""
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from incremental_github_data_pipeline_spark.operators.timeseries import (
+            acf_integer,
+        )
+
+        vals = [10, 20, 10, 0] * 6  # perfect period-4 signal
+        df = spark.createDataFrame(
+            [("a", t, v) for t, v in enumerate(vals)],
+            "k string, t long, v long",
+        )
+        got = {
+            r["lag"]: r for r in acf_integer(df, "k", "t", "v", 4).collect()
+        }
+        x = np.array(vals, float)
+        xc = x - x.mean()
+        c0 = (xc * xc).sum()
+        for k in range(1, 5):
+            want = int(np.floor((xc[:-k] * xc[k:]).sum() * 1e6 / c0))
+            assert got[k]["rho_ppm"] == want, k
+            assert got[k]["n_pairs"] == len(vals) - k
+        assert got[4]["rho_ppm"] == 833_333  # the period shows at lag 4
+        assert got[2]["rho_ppm"] == -916_667  # anti-phase at half period
+
+    def test_constant_series_is_null_and_keys_isolated(self, spark):
+        from incremental_github_data_pipeline_spark.operators.timeseries import (
+            acf_integer,
+        )
+
+        rows = [("flat", t, 5) for t in range(10)] + [
+            ("alt", t, 10 * (t % 2)) for t in range(10)
+        ]
+        df = spark.createDataFrame(rows, "k string, t long, v long")
+        got = {
+            (r["k"], r["lag"]): r["rho_ppm"]
+            for r in acf_integer(df, "k", "t", "v", 2).collect()
+        }
+        assert got[("flat", 1)] is None and got[("flat", 2)] is None
+        assert got[("alt", 1)] < 0 < got[("alt", 2)]
