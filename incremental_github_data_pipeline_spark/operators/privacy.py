@@ -185,17 +185,25 @@ def t_closeness_report(
     from pyspark.sql import Window
 
     quasi = list(quasi_cols)
-    per_class_val = df.groupBy(*quasi, sensitive_col).agg(
-        F.count(F.lit(1)).alias("_c")
+    # ONE fact scan: the (class × value) count table is the sufficient
+    # statistic — global distribution, class sizes, N and m all derive
+    # from it by summation, so they fold the checkpointed aggregate
+    # (audit-sized) instead of each re-reading the fact (the audited
+    # first cut scanned the table 5×, the recompute class every other
+    # multi-consumer lane in this repo eliminates).
+    per_class_val = (
+        df.groupBy(*quasi, sensitive_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
     )
-    global_val = df.groupBy(sensitive_col).agg(
-        F.count(F.lit(1)).alias("_g")
+    global_val = per_class_val.groupBy(sensitive_col).agg(
+        F.sum("_c").alias("_g")
     )
-    class_sizes = df.groupBy(*quasi).agg(
-        F.count(F.lit(1)).alias("class_size")
+    class_sizes = per_class_val.groupBy(*quasi).agg(
+        F.sum("_c").alias("class_size")
     )
-    totals = df.agg(
-        F.count(F.lit(1)).alias("_total"),
+    totals = per_class_val.agg(
+        F.sum("_c").alias("_total"),
     ).crossJoin(global_val.agg(F.count(F.lit(1)).alias("_m")))
     grid = class_sizes.crossJoin(global_val)
     joined = (

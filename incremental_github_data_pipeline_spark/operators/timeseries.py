@@ -797,6 +797,11 @@ def acf_integer(
     contract — resolution, not data volume), then one aggregate; no
     self-join, no explode of the fact table."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    # two consumers (the stats aggregate and the lead window) —
+    # materialize the series once so the upstream scan/pre-aggregate
+    # runs exactly once (the winsorize discipline; the input is a
+    # pre-aggregated grid by module contract, so the pin is bounded)
+    df = df.localCheckpoint(eager=True)
     stats = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col(val_col).cast("long")).alias("_S"),
