@@ -22,13 +22,14 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "generalize_to_k",
     "k_anonymity_report",
     "suppress_small_classes",
+    "t_closeness_from_counts",
     "t_closeness_report",
 ]
 
@@ -182,20 +183,39 @@ def t_closeness_report(
     quasi-identifier, never fact-sized. The prefix window runs per
     class over that grid. NULL sensitive values form a value of their
     own, ordered first (Spark and SQL NULLS FIRST agree)."""
-    from pyspark.sql import Window
-
     quasi = list(quasi_cols)
     # ONE fact scan: the (class × value) count table is the sufficient
     # statistic — global distribution, class sizes, N and m all derive
     # from it by summation, so they fold the checkpointed aggregate
     # (audit-sized) instead of each re-reading the fact (the audited
     # first cut scanned the table 5×, the recompute class every other
-    # multi-consumer lane in this repo eliminates).
+    # multi-consumer lane in this repo eliminates). The same property
+    # is what makes the audit INCREMENTALLY MAINTAINABLE: per-batch
+    # count deltas fold by sum (streaming/incremental.py's
+    # t_closeness_versioned serves from a versioned delta log).
     per_class_val = (
         df.groupBy(*quasi, sensitive_col)
         .agg(F.count(F.lit(1)).alias("_c"))
         .localCheckpoint(eager=True)
     )
+    return t_closeness_from_counts(
+        per_class_val, quasi, sensitive_col, t_ppm, ordered=ordered
+    )
+
+
+def t_closeness_from_counts(
+    per_class_val: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t_ppm: int,
+    ordered: bool = True,
+) -> DataFrame:
+    """The EMD lanes of :func:`t_closeness_report` over a precomputed
+    ``(quasi…, sensitive, _c)`` count table — the shared tail of the
+    batch operator and the versioned serving twin (the count table is
+    the audit's sufficient statistic, so an incrementally-folded one
+    must produce the identical report)."""
+    quasi = list(quasi_cols)
     global_val = per_class_val.groupBy(sensitive_col).agg(
         F.sum("_c").alias("_g")
     )

@@ -1746,3 +1746,93 @@ def drift_report_versioned(
         .otherwise(F.lit("stable"))
     )
     return out.withColumn("status", status)
+
+
+def run_incremental_tcloseness_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    table_root: str,
+    checkpoint: str,
+    schema: str,
+    quasi_cols,
+    sensitive_col: str,
+) -> None:
+    """Incremental t-CLOSENESS maintenance (r11): watch a directory of
+    parquet shards, reduce each micro-batch to its (quasi…, sensitive)
+    COUNT DELTAS — the audit's sufficient statistic
+    (``operators/privacy.t_closeness_report`` computes everything else
+    by summation) — and APPEND them to a manifest-versioned table.
+    Counts are algebraic, so this is a delta LOG like the drift
+    maintainer: per-batch work is O(batch scan) + O(batch's classes ×
+    values), history never re-read, and
+    :func:`t_closeness_versioned` folds the log at serving time. The
+    privacy release gate becomes continuously maintained instead of
+    recomputed from the fact table per release.
+
+    Exactly-once: ``txn_id = tclose-ingest:<checkpoint>:<batch_id>``
+    makes replays no-ops; late rows land their deltas in a later
+    version and the fold commutes (addition)."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+    )
+
+    quasi = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        deltas = batch_df.groupBy(*quasi, sensitive_col).agg(
+            F.count(F.lit(1)).alias("d_c")
+        )
+        commit_version(
+            deltas,
+            table_root,
+            mode="append",
+            txn_id=f"tclose-ingest:{checkpoint}:{batch_id}",
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def t_closeness_versioned(
+    spark: SparkSession,
+    table_root: str,
+    quasi_cols,
+    sensitive_col: str,
+    t_ppm: int,
+    ordered: bool = True,
+    version: int | None = None,
+) -> DataFrame:
+    """Serve the t-closeness report from a
+    :func:`run_incremental_tcloseness_ingest` delta table: fold the
+    per-batch count deltas by sum (one aggregate over the
+    governance-sized log), then apply the identical EMD lanes as the
+    batch operator (``privacy.t_closeness_from_counts`` — shared code,
+    not a reimplementation), so an N-increment ingest serves the SAME
+    report as a one-shot batch run (pinned in tests). ``version``
+    time-travels the audit to an earlier ingest state — "was this
+    release t-close when we shipped it" stays answerable."""
+    from incremental_github_data_pipeline_spark.operators.privacy import (
+        t_closeness_from_counts,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        read_version,
+    )
+
+    quasi = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+    counts = (
+        read_version(spark, table_root, version=version)
+        .groupBy(*quasi, sensitive_col)
+        .agg(F.sum("d_c").alias("_c"))
+        .localCheckpoint(eager=True)  # the from_counts consumers fold it
+    )
+    return t_closeness_from_counts(
+        counts, quasi, sensitive_col, t_ppm, ordered=ordered
+    )

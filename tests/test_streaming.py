@@ -1348,3 +1348,75 @@ def test_incremental_drift_ingest_matches_batch_report(spark, tmp_path):
     v1_report = canon(drift_report_versioned(spark, root, version=v1))
     assert {r[1] for r in v1_report} == {"a", "b"}
     assert all(r[6] == "baseline" for r in v1_report)
+
+
+def test_incremental_tcloseness_matches_batch_report(spark, tmp_path):
+    """r11: the t-closeness delta log must serve (a) the identical
+    report to a one-shot batch run after N increments (late rows
+    included — the fold commutes), (b) replay-idempotence, and (c)
+    time travel (version 1 audits batch 1's state)."""
+    from incremental_github_data_pipeline_spark.operators.privacy import (
+        t_closeness_report,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        latest_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        run_incremental_tcloseness_ingest,
+        t_closeness_versioned,
+    )
+
+    src = tmp_path / "shards"
+    root = str(tmp_path / "tclose")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "seg string, v int"
+    b1 = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 2)], schema
+    )
+    b2 = spark.createDataFrame(
+        [("b", 3), ("b", 3), ("a", 2)], schema  # a's late row lands here
+    )
+
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    run_incremental_tcloseness_ingest(
+        spark, str(src), root, ckpt, schema, ["seg"], "v"
+    )
+    v1 = latest_version(root)
+    run_incremental_tcloseness_ingest(  # replay: no new version
+        spark, str(src), root, ckpt, schema, ["seg"], "v"
+    )
+    assert latest_version(root) == v1
+
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    run_incremental_tcloseness_ingest(
+        spark, str(src), root, ckpt, schema, ["seg"], "v"
+    )
+    assert latest_version(root) == v1 + 1
+
+    def canon(df):
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "seg", "class_size", "emd_ppm", "t_violation"
+            ).collect()
+        )
+
+    served = canon(
+        t_closeness_versioned(spark, root, ["seg"], "v", t_ppm=100_000)
+    )
+    batch = canon(
+        t_closeness_report(
+            b1.unionByName(b2), ["seg"], "v", t_ppm=100_000
+        )
+    )
+    assert served == batch and len(served) == 2
+
+    # time travel: version 1 audits batch 1 alone
+    v1_served = canon(
+        t_closeness_versioned(
+            spark, root, ["seg"], "v", t_ppm=100_000, version=v1
+        )
+    )
+    assert v1_served == canon(
+        t_closeness_report(b1, ["seg"], "v", t_ppm=100_000)
+    )
