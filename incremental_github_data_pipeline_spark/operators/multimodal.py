@@ -5900,6 +5900,10 @@ def _vp8l_tokenize(
     n = len(pix)
     pos = 0
     while pos < n:
+        # two reference candidates: repeat-previous-pixel (distance 1)
+        # and repeat-previous-ROW (distance xsize, plane code 1 — the
+        # 2-D neighborhood path of the distance map, which a certified
+        # fixture must exercise, not just the linear dist-1 code)
         run = 0
         if lz77 and pos > 0:
             while (
@@ -5908,12 +5912,23 @@ def _vp8l_tokenize(
                 and run < 4096
             ):
                 run += 1
-        if run >= 3:
-            toks.append(("copy", pos, run, 1))
+        vrun = 0
+        if lz77 and pos >= xsize:
+            while (
+                pos + vrun < n
+                and pix[pos + vrun] == pix[pos - xsize + vrun]
+                and vrun < 4096
+            ):
+                vrun += 1
+        if max(run, vrun) >= 3:
+            length, dist = (
+                (vrun, xsize) if vrun > run else (run, 1)
+            )
+            toks.append(("copy", pos, length, dist))
             if cache is not None:
-                for i in range(pos, pos + run):
+                for i in range(pos, pos + length):
                     cache[_vp8l_cache_key(pix[i], cache_bits)] = pix[i]
-            pos += run
+            pos += length
             continue
         p = pix[pos]
         if cache is not None:

@@ -2003,3 +2003,24 @@ class TestResample:
                 8000, 16000,
             )
             assert np.array_equal(s, want), i
+
+
+def test_vertical_backrefs_exercise_the_distance_map():
+    """r11: rows that repeat the previous row emit distance = xsize
+    references (plane code 1 — the 2-D neighborhood path of the
+    120-entry distance map), not just the linear dist-1 code."""
+    px = np.tile(mm._image_pixels(6)[:1], (12, 1, 1))  # 12 equal rows
+    w = px.shape[1]
+    pix = [
+        mm._argb_pack(255, int(r), int(g), int(b))
+        for r, g, b in px.reshape(-1, 3)
+    ]
+    toks = mm._vp8l_tokenize(pix, w, 0, True)
+    dists = {t[3] for t in toks if t[0] == "copy"}
+    assert w in dists, dists
+    p = mm.encode_webp_lossless(px)
+    assert np.array_equal(mm.decode_webp_lossless(p), px)
+    # overlap case: dist < length (one row copied 11x in one token)
+    assert any(
+        t[3] == w and t[2] > w for t in toks if t[0] == "copy"
+    )
