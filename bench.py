@@ -226,6 +226,8 @@ BENCH_QUERIES = [
     "q_media_resample_stats",
     # ACF: the 6-lead ordered window + decimal aggregate shape
     "q_ts_acf",
+    # Matryoshka prefix-dim retrieval (truncated + full lanes)
+    "q_embedding_matryoshka",
 ]
 
 

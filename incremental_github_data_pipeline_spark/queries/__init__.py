@@ -59,7 +59,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # q_distinct_agg, q_doc_sample_stratified, q_doc_top_terms,
 # q_doc_vocab, q_embedding_norm_stats, q_except, q_intersect,
 # q_interval_overlap, q_range_join_count, q_rollup, q_scalar_string,
-# q_semi_join, q_top20_scan, q_window_running_total.
+# q_semi_join, q_top20_scan, q_window_running_total. Registered after
+# the window filled (sweep-green + benched; queue FIRST in r12):
+# q_embedding_matryoshka, plus the r12-deferred refresh rows above.
 _CERTIFY_FIRST = [
     # -- (0) first driver rows (registered post-r10-window) --
     "q_ts_holt_linear",

@@ -855,3 +855,85 @@ def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "doc_id")
     )
     return ranking_metrics(results, qrels, k=10).orderBy("query_id")
+
+
+_MRL_DIMS = 16  # truncated prefix width (full vectors are 64-d)
+
+
+@register(
+    "q_embedding_matryoshka",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+               FROM embeddings),
+         tr AS (
+           SELECT query_id, c.corpus_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                    list_cosine_similarity(c.cv[1:{_MRL_DIMS}],
+                                           q.qv[1:{_MRL_DIMS}]) DESC,
+                    c.corpus_id) AS rank
+           FROM c CROSS JOIN q
+         ),
+         fl AS (
+           SELECT query_id, c.corpus_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                    list_cosine_similarity(c.cv, q.qv) DESC,
+                    c.corpus_id) AS rank
+           FROM c CROSS JOIN q
+         )
+    SELECT tr.query_id, CAST(tr.rank AS BIGINT) AS rank, tr.corpus_id,
+           tr.corpus_id IN (
+             SELECT corpus_id FROM fl
+             WHERE fl.query_id = tr.query_id AND fl.rank <= {TOP_K}
+           ) AS in_full_topk
+    FROM tr WHERE tr.rank <= {TOP_K}
+    ORDER BY tr.query_id, tr.rank
+    """,
+    doc="Matryoshka truncated-dimension retrieval (r11): rank with only "
+    "the first 16 of 64 embedding dimensions — the MRL serving trick "
+    "(coarse prefix dims for cheap candidate generation, full dims "
+    "for rerank; 4x less memory bandwidth per comparison) — and flag "
+    "which truncated top-k hits survive in the full-dimension top-k "
+    "(the overlap lane IS the quality measurement that decides "
+    "whether a prefix width is servable). Prefix slice via F.slice, "
+    "exact brute-force cosine both lanes, ranks + membership compared "
+    "(float cosines excluded, the q_embedding_topk convention). At "
+    "100 TB the truncated lane is the scan-stage filter: same "
+    "broadcast-queries shape, a quarter of the arithmetic.",
+)
+def q_embedding_matryoshka(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding")
+    )
+    tq = trunc.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tc = trunc.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    tr = sim.cosine_topk_bruteforce(
+        tc, tq, corpus_id="corpus_id", query_id="query_id",
+        vec_col="embedding", k=TOP_K,
+    ).select("query_id", "rank", "corpus_id")
+    fq = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fc = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    full = sim.cosine_topk_bruteforce(
+        fc, fq, corpus_id="corpus_id", query_id="query_id",
+        vec_col="embedding", k=TOP_K,
+    ).select("query_id", "corpus_id")
+    return (
+        tr.join(
+            full.withColumn("in_full_topk", F.lit(True)),
+            ["query_id", "corpus_id"],
+            "left",
+        )
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "corpus_id",
+            F.coalesce("in_full_topk", F.lit(False)).alias("in_full_topk"),
+        )
+        .orderBy("query_id", "rank")
+    )
