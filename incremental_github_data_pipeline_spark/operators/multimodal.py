@@ -17,9 +17,13 @@ Decode is REAL for every format with a public, dependency-free codec:
   companded WAV (``mu``-law format tag 7, A-law tag 6) through a
   hand-rolled RIFF chunk walk and the ITU expand formulas
   (:func:`decode_wav_g711`);
-- ``audio/flac`` — lossless COMPRESSED audio, fixed-predictor subset
+- ``audio/flac`` — lossless COMPRESSED audio, fixed + LPC predictors
   (rice-coded residuals, CRC-8/16 + MD5 verified; integer-exact by
   format design, so decode oracles work — see :func:`decode_flac`);
+- ``image/webp`` — lossless WebP / VP8L (r11): prefix-coded ARGB with
+  color cache, LZ77 distance map, all transforms incl. sub-byte
+  palette bundling and meta prefix codes; lossy VP8 raises (see
+  :func:`decode_webp_lossless`);
 - ``video/x-raw-rgb`` — a trivial length-prefixed raw-RGB frame
   container (what uncompressed AVI is, minus chunk bookkeeping).
 Formats that genuinely require external codec libraries (MP3/H.264 —
