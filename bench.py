@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "q_ts_acf",
     # Matryoshka prefix-dim retrieval (truncated + full lanes)
     "q_embedding_matryoshka",
+    # augmentation chain: VP8L decode + permutation + weighted stats
+    "q_media_augment_stats",
 ]
 
 

@@ -6382,3 +6382,92 @@ def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
     return media.filter(F.col("kind") == "audio").mapInPandas(
         batches, TRANSCODE_SCHEMA
     )
+
+
+AUGMENT_OPS = ("hflip", "vflip", "rot90", "rot180", "rot270", "crop")
+
+
+def augment_image(px: np.ndarray, op: str) -> np.ndarray:
+    """One deterministic augmentation (r11) — the training-data staple
+    that multiplies image corpora before model ingest. All six ops are
+    INTEGER-EXACT pixel permutations/selections (no interpolation, so
+    the augmented corpus certifies exactly like the decoded one):
+    ``hflip``/``vflip``, ``rot90``/``rot180``/``rot270``
+    (counter-clockwise, the numpy convention), and ``crop`` (fixed
+    (2, 3) offset, 4/6 pixels of border removed — deterministic, the
+    random-crop seed is the caller's policy knob, not hidden state)."""
+    if op == "hflip":
+        return px[:, ::-1].copy()
+    if op == "vflip":
+        return px[::-1].copy()
+    if op in ("rot90", "rot180", "rot270"):
+        return np.rot90(px, {"rot90": 1, "rot180": 2, "rot270": 3}[op]).copy()
+    if op == "crop":
+        h, w = px.shape[:2]
+        if h <= 4 or w <= 6:
+            raise ValueError("image too small for the fixed crop margins")
+        return px[2 : h - 2, 3 : w - 3].copy()
+    raise ValueError(f"unknown augmentation op {op!r}")
+
+
+AUGMENT_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("op", StringType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("pixel_sum", LongType(), False),
+        StructField("row_weighted_sum", LongType(), False),
+        StructField("col_weighted_sum", LongType(), False),
+    ]
+)
+
+
+def augment_decode_stats(media: DataFrame, ops=AUGMENT_OPS) -> DataFrame:
+    """Decode each image payload (BMP/PNG/WebP/TIFF/JPEG dispatch),
+    apply the op selected by ``media_id % len(ops)``, and emit exact
+    integer pixel statistics of the AUGMENTED raster: total, row- and
+    column-position-weighted sums. The weighted pair pins orientation
+    exactly — a flip or rotation applied around the wrong axis keeps
+    the total and breaks a weighted lane (which is why plain
+    pixel_sum alone could never certify this stage). One Arrow-batched
+    mapInPandas pass; augmentation is a view-then-copy on the decoded
+    array — the decode dominates, the permutation is free."""
+    decoders = {
+        "image/bmp": decode_bmp,
+        "image/png": decode_png,
+        "image/webp": decode_webp_lossless,
+        "image/tiff": decode_tiff,
+        "image/jpeg": decode_jpeg,
+    }
+    ops = list(ops)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                if r.mime not in decoders:
+                    continue
+                px = decoders[r.mime](r.payload)
+                op = ops[r.media_id % len(ops)]
+                out = augment_image(px, op).astype(np.int64)
+                hh, ww = out.shape[:2]
+                wy = np.arange(hh) + 1
+                wx = np.arange(ww) + 1
+                flat = out.reshape(hh, ww, -1)
+                rw = (flat.sum(axis=(1, 2)) * wy).sum()
+                cw = (flat.sum(axis=(0, 2)) * wx).sum()
+                recs.append(
+                    (r.media_id, op, ww, hh, int(out.sum()),
+                     int(rw), int(cw))
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "op", "width", "height",
+                         "pixel_sum", "row_weighted_sum",
+                         "col_weighted_sum"],
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, AUGMENT_STATS_SCHEMA
+    )

@@ -1913,3 +1913,73 @@ def q_media_resample_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "q_media_augment_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS i, 5000 + i AS media_id,
+             16 + (i % 13) AS w, 12 + (i % 11) AS h,
+             CASE CAST((5000 + i) % 6 AS INTEGER)
+               WHEN 0 THEN 'hflip' WHEN 1 THEN 'vflip'
+               WHEN 2 THEN 'rot90' WHEN 3 THEN 'rot180'
+               WHEN 4 THEN 'rot270' ELSE 'crop' END AS op
+      FROM range(24) t(i)
+    ),
+    px AS (
+      SELECT m.*, x.x AS x, y.y AS y,
+             CASE WHEN m.i % 6 = 4
+                  THEN (((x.x * 3 + y.y * 5 + m.i * 7) % (2 + (m.i % 15)))
+                        * 53 + c.c * 29 + m.i * 3) % 256
+                  ELSE (x.x * 7 + y.y * 13 + c.c * 29 + m.i * 3) % 256
+             END AS v
+      FROM m, range(29) x(x), range(23) y(y), range(3) c(c)
+      WHERE x.x < m.w AND y.y < m.h
+    ),
+    mapped AS (
+      SELECT media_id, op, v,
+             CASE op WHEN 'hflip' THEN y WHEN 'vflip' THEN h - 1 - y
+                     WHEN 'rot90' THEN w - 1 - x
+                     WHEN 'rot180' THEN h - 1 - y
+                     WHEN 'rot270' THEN x ELSE y - 2 END AS yp,
+             CASE op WHEN 'hflip' THEN w - 1 - x WHEN 'vflip' THEN x
+                     WHEN 'rot90' THEN y WHEN 'rot180' THEN w - 1 - x
+                     WHEN 'rot270' THEN h - 1 - y ELSE x - 3 END AS xp,
+             CASE op WHEN 'rot90' THEN h WHEN 'rot270' THEN h
+                     WHEN 'crop' THEN w - 6 ELSE w END AS wp,
+             CASE op WHEN 'rot90' THEN w WHEN 'rot270' THEN w
+                     WHEN 'crop' THEN h - 4 ELSE h END AS hp
+      FROM px
+      WHERE op <> 'crop'
+         OR (x >= 3 AND x < w - 3 AND y >= 2 AND y < h - 2)
+    )
+    SELECT media_id, op,
+           CAST(MAX(wp) AS BIGINT) AS width,
+           CAST(MAX(hp) AS BIGINT) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (yp + 1)) AS BIGINT) AS row_weighted_sum,
+           CAST(SUM(v * (xp + 1)) AS BIGINT) AS col_weighted_sum
+    FROM mapped GROUP BY media_id, op ORDER BY media_id
+    """,
+    doc="Image augmentation (r11, operators/multimodal.augment_image + "
+    "augment_decode_stats): the training-data multiplier — flips, all "
+    "three rotations and a fixed-margin crop, each an INTEGER-EXACT "
+    "pixel permutation/selection (no interpolation), applied over the "
+    "WebP fixture lanes so the VP8L decode sits inside the certified "
+    "chain. The oracle recomputes every augmented pixel's OUTPUT "
+    "position from the op's index mapping in closed form; the row- "
+    "AND column-weighted sum pair pins orientation exactly (a flip "
+    "around the wrong axis preserves totals and one weighted lane — "
+    "never both). One Arrow-batched mapInPandas pass; the permutation "
+    "is free next to the decode.",
+)
+def q_media_augment_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        augment_decode_stats,
+        make_webp_media,
+    )
+
+    return augment_decode_stats(make_webp_media(spark, n=24)).orderBy(
+        "media_id"
+    )

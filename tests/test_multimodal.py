@@ -2024,3 +2024,59 @@ def test_vertical_backrefs_exercise_the_distance_map():
     assert any(
         t[3] == w and t[2] > w for t in toks if t[0] == "copy"
     )
+
+
+class TestAugment:
+    """Integer-exact image augmentation (r11)."""
+
+    def test_ops_match_numpy_and_invert(self):
+        px = mm._image_pixels(5)
+        assert np.array_equal(
+            mm.augment_image(px, "hflip"), px[:, ::-1]
+        )
+        assert np.array_equal(
+            mm.augment_image(px, "vflip"), px[::-1]
+        )
+        for k, op in ((1, "rot90"), (2, "rot180"), (3, "rot270")):
+            assert np.array_equal(mm.augment_image(px, op), np.rot90(px, k))
+        # involutions / inverses
+        for op in ("hflip", "vflip", "rot180"):
+            assert np.array_equal(
+                mm.augment_image(mm.augment_image(px, op), op), px
+            )
+        assert np.array_equal(
+            mm.augment_image(mm.augment_image(px, "rot90"), "rot270"), px
+        )
+        c = mm.augment_image(px, "crop")
+        assert c.shape == (px.shape[0] - 4, px.shape[1] - 6, 3)
+        assert np.array_equal(c, px[2:-2, 3:-3])
+
+    def test_guards(self):
+        px = mm._image_pixels(0)
+        with pytest.raises(ValueError, match="unknown"):
+            mm.augment_image(px, "zoom")
+        with pytest.raises(ValueError, match="small"):
+            mm.augment_image(px[:4, :6], "crop")
+
+    def test_stats_lane_weighted_sums(self, spark):
+        rows = {
+            (r["media_id"]): r
+            for r in mm.augment_decode_stats(
+                mm.make_webp_media(spark, n=6)
+            ).collect()
+        }
+        assert len(rows) == 6
+        for i in range(6):
+            mid = 5000 + i
+            op = mm.AUGMENT_OPS[mid % len(mm.AUGMENT_OPS)]
+            if i % 6 == 4:
+                continue  # palette rule row, pinned by the oracle
+            out = mm.augment_image(
+                mm._image_pixels(i), op
+            ).astype(np.int64)
+            hh, ww = out.shape[:2]
+            assert rows[mid]["op"] == op
+            assert (rows[mid]["width"], rows[mid]["height"]) == (ww, hh)
+            wy = np.arange(hh) + 1
+            rw = (out.reshape(hh, -1).sum(axis=1) * wy).sum()
+            assert rows[mid]["row_weighted_sum"] == int(rw), (i, op)
