@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["schema_drift_report", "volume_gate"]
+__all__ = ["schema_drift_report", "volume_gate", "volume_gate_from_counts"]
 
 
 def volume_gate(
@@ -55,11 +55,33 @@ def volume_gate(
     keys = (
         [key_cols] if isinstance(key_cols, str) else list(key_cols or [])
     )
-    from pyspark.sql import Window
-
     counts = df.groupBy(*keys, window_col).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+    return volume_gate_from_counts(
+        counts, window_col, keys,
+        trailing=trailing, drop_ppm=drop_ppm, spike_ppm=spike_ppm,
+    )
+
+
+def volume_gate_from_counts(
+    counts: DataFrame,
+    window_col: str,
+    key_cols=None,
+    trailing: int = 7,
+    drop_ppm: int = 500_000,
+    spike_ppm: int = 1_000_000,
+) -> DataFrame:
+    """The gate lanes of :func:`volume_gate` over a precomputed
+    ``(keys…, window, n_rows)`` counts frame — the shared tail of the
+    batch operator and the versioned serving twin (per-window counts
+    are the gate's sufficient statistic, and counts fold by sum, so an
+    incrementally-maintained counts log must gate identically)."""
+    keys = (
+        [key_cols] if isinstance(key_cols, str) else list(key_cols or [])
+    )
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy(*keys)
         .orderBy(window_col)

@@ -1836,3 +1836,88 @@ def t_closeness_versioned(
     return t_closeness_from_counts(
         counts, quasi, sensitive_col, t_ppm, ordered=ordered
     )
+
+
+def run_incremental_volume_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    table_root: str,
+    checkpoint: str,
+    schema: str,
+    window_col: str,
+    key_cols=None,
+) -> None:
+    """Incremental VOLUME-GATE maintenance (r11): watch a directory of
+    parquet shards, reduce each micro-batch to its per-(key…, window)
+    row-count deltas — the gate's sufficient statistic — and APPEND
+    them to a manifest-versioned log. Per-batch work is O(batch scan)
+    + O(batch's windows × keys); :func:`volume_gate_versioned` folds
+    the log at serving time, so the ingest-freshness breaker runs on
+    continuously maintained counts instead of re-scanning the fact
+    table per check. Exactly-once via
+    ``txn_id = volume-ingest:<checkpoint>:<batch_id>``; a late row
+    lands its delta in a later version and the fold commutes."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+    )
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols or [])
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        deltas = batch_df.groupBy(*keys, window_col).agg(
+            F.count(F.lit(1)).alias("d_rows")
+        )
+        commit_version(
+            deltas,
+            table_root,
+            mode="append",
+            txn_id=f"volume-ingest:{checkpoint}:{batch_id}",
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def volume_gate_versioned(
+    spark: SparkSession,
+    table_root: str,
+    window_col: str,
+    key_cols=None,
+    trailing: int = 7,
+    drop_ppm: int = 500_000,
+    spike_ppm: int = 1_000_000,
+    version: int | None = None,
+) -> DataFrame:
+    """Serve the volume-anomaly gate from a
+    :func:`run_incremental_volume_ingest` delta log: fold the count
+    deltas by sum (one aggregate over the monitoring-sized log), then
+    apply the identical trailing-median lanes as the batch operator
+    (``quality.volume_gate_from_counts`` — shared code). An
+    N-increment ingest gates identically to a one-shot batch run
+    (pinned in tests); ``version`` time-travels the gate — "what did
+    the breaker see before yesterday's backfill landed"."""
+    from incremental_github_data_pipeline_spark.operators.quality import (
+        volume_gate_from_counts,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        read_version,
+    )
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols or [])
+    counts = (
+        read_version(spark, table_root, version=version)
+        .groupBy(*keys, window_col)
+        .agg(F.sum("d_rows").alias("n_rows"))
+    )
+    return volume_gate_from_counts(
+        counts, window_col, keys,
+        trailing=trailing, drop_ppm=drop_ppm, spike_ppm=spike_ppm,
+    )

@@ -1420,3 +1420,71 @@ def test_incremental_tcloseness_matches_batch_report(spark, tmp_path):
     assert v1_served == canon(
         t_closeness_report(b1, ["seg"], "v", t_ppm=100_000)
     )
+
+
+def test_incremental_volume_gate_matches_batch(spark, tmp_path):
+    """r11: the volume-count delta log must gate identically to the
+    one-shot batch operator after N increments (late rows commute),
+    replay idempotently, and time-travel."""
+    import datetime as dt
+
+    from incremental_github_data_pipeline_spark.operators.quality import (
+        volume_gate,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        latest_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        run_incremental_volume_ingest,
+        volume_gate_versioned,
+    )
+
+    src = tmp_path / "shards"
+    root = str(tmp_path / "vol")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "day date, event_id long"
+    days = [dt.date(2024, 1, d) for d in range(1, 6)]
+    rows1 = [(days[d], i) for d in range(4) for i in range(10 + d)]
+    # batch 2: day 5 collapses to 2 rows (a drop) + a late day-1 row
+    rows2 = [(days[4], i) for i in range(2)] + [(days[0], 99)]
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    run_incremental_volume_ingest(
+        spark, str(src), root, ckpt, schema, "day"
+    )
+    v1 = latest_version(root)
+    run_incremental_volume_ingest(  # replay: no new version
+        spark, str(src), root, ckpt, schema, "day"
+    )
+    assert latest_version(root) == v1
+
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    run_incremental_volume_ingest(
+        spark, str(src), root, ckpt, schema, "day"
+    )
+
+    def canon(df):
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "day", "n_rows", "trailing_median", "dev_ppm", "status"
+            ).collect()
+        )
+
+    kw = dict(trailing=3, drop_ppm=500_000, spike_ppm=1_000_000)
+    served = canon(
+        volume_gate_versioned(spark, root, "day", **kw)
+    )
+    batch = canon(volume_gate(b1.unionByName(b2), "day", **kw))
+    assert served == batch and len(served) == 5
+    by = {r[0]: r for r in served}
+    assert by[days[4]][4] == "drop"  # the half-delivered day flags
+    assert by[days[0]][1] == 11  # the late day-1 row counted
+
+    # time travel: version 1 = batch 1's counts only
+    v1_served = canon(
+        volume_gate_versioned(spark, root, "day", version=v1, **kw)
+    )
+    assert v1_served == canon(volume_gate(b1, "day", **kw))
