@@ -230,6 +230,8 @@ BENCH_QUERIES = [
     "q_embedding_matryoshka",
     # augmentation chain: VP8L decode + permutation + weighted stats
     "q_media_augment_stats",
+    # the skew measurement + decision over a planted 80/20 key
+    "q_skew_advisory",
 ]
 
 

@@ -666,3 +666,77 @@ def q_wordpiece_vocab(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "word")
         .limit(50)
     )
+
+
+@register(
+    "q_skew_advisory",
+    oracle="""
+    WITH k AS (
+      SELECT CASE WHEN event_id % 5 > 0 THEN -1 ELSE user_id END AS k
+      FROM events
+    ),
+    c AS (SELECT k, COUNT(*) AS n FROM k GROUP BY 1),
+    t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c),
+    top AS (SELECT n FROM c ORDER BY n DESC, k LIMIT 1),
+    m AS (
+      SELECT CAST(top.n * t.n_keys * 1000 // t.total AS BIGINT) AS ratio,
+             CAST(top.n * 1000000 // t.total AS BIGINT) AS share
+      FROM top, t
+    ),
+    hot AS (
+      SELECT COUNT(*) AS nh FROM (
+        SELECT c.n, c.k FROM c ORDER BY c.n DESC, c.k LIMIT 10
+      ) top10, t
+      WHERE top10.n * t.n_keys * 1000 // t.total >= 10000
+    )
+    SELECT CASE WHEN m.ratio < 10000 THEN 'none'
+                WHEN m.ratio < 100000 THEN 'aqe'
+                ELSE 'salt' END AS verdict,
+           CASE WHEN m.ratio >= 100000 THEN
+             CAST(CASE WHEN (m.ratio + 9999) // 10000 <= 2 THEN 2
+                       WHEN (m.ratio + 9999) // 10000 <= 4 THEN 4
+                       WHEN (m.ratio + 9999) // 10000 <= 8 THEN 8
+                       WHEN (m.ratio + 9999) // 10000 <= 16 THEN 16
+                       WHEN (m.ratio + 9999) // 10000 <= 32 THEN 32
+                       ELSE 64 END AS BIGINT)
+           END AS buckets,
+           m.ratio AS max_ratio_x1000,
+           m.share AS max_share_ppm,
+           CAST(hot.nh AS BIGINT) AS n_hot_keys
+    FROM m, hot
+    """,
+    doc="Auto-skew advisory as DATA (r11, operators/skew."
+    "suggest_skew_mitigation): an 80/20-planted join key (every "
+    "non-fifth event collapses to one hot key) must yield the 'salt' "
+    "verdict with the power-of-two bucket count that pulls the hot "
+    "key back to ~10x uniform, clamped to 64 — the decision itself is "
+    "integer arithmetic over the skew_report lanes, so DuckDB replays "
+    "verdict, bucket sizing, ratio, share and the hot-key count "
+    "exactly. Decision input is the bounded top-10 collect; the "
+    "1-row output frame is the decision record a pipeline would log "
+    "next to the job it tuned.",
+)
+def q_skew_advisory(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.skew import (
+        suggest_skew_mitigation,
+    )
+
+    ev = T(spark, sf, "events").select(
+        F.when(F.col("event_id") % 5 > 0, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("k")
+    )
+    rec = suggest_skew_mitigation(ev, ["k"])
+    return spark.createDataFrame(
+        [
+            (
+                rec["verdict"],
+                rec["buckets"],
+                rec["max_ratio_x1000"],
+                rec["max_share_ppm"],
+                len(rec["hot_keys"]),
+            )
+        ],
+        "verdict string, buckets long, max_ratio_x1000 long, "
+        "max_share_ppm long, n_hot_keys long",
+    )
