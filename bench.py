@@ -232,6 +232,8 @@ BENCH_QUERIES = [
     "q_media_augment_stats",
     # the skew measurement + decision over a planted 80/20 key
     "q_skew_advisory",
+    # AVI-MJPEG container walk + per-frame JPEG decode
+    "q_media_avi_stats",
 ]
 
 

@@ -6471,3 +6471,191 @@ def augment_decode_stats(media: DataFrame, ops=AUGMENT_OPS) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(
         batches, AUGMENT_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# AVI / Motion-JPEG (r11) — the real container the web's legacy video
+# clips arrive in: a RIFF 'AVI ' file whose 'movi' list carries one
+# complete JPEG stream per frame ('MJPG' fourcc). Reusing the baseline
+# JPEG codec makes the whole container integer-certifiable on flat-
+# block content — per-frame decode is exactly the image lane's math.
+# Reference: the public AVI RIFF specification (msdn AVI RIFF File
+# Format) + OpenDML; scope is the classic single-video-stream form
+# (no audio interleave, no OpenDML indexes — honest guards).
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray] | np.ndarray, frame_ms: int = 100
+) -> bytes:
+    """Encode frames (each (h, w) gray or (h, w, 3) RGB uint8, all the
+    same size) as a minimal single-stream AVI-MJPEG: LIST hdrl
+    (avih + strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)), LIST
+    movi of one '00dc' JPEG chunk per frame, and an idx1 index (the
+    classic layout players expect)."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all AVI frames must share one size")
+    payloads = [encode_jpeg(f) for f in frames]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    n = len(frames)
+    maxbuf = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<14I",
+        frame_ms * 1000,  # microseconds per frame
+        0, 0, 0x10,  # max bytes/sec, padding, AVIF_HASINDEX
+        n, 0, 1, maxbuf, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<10I", 0, 0, 0, frame_ms, 1000, 0, n, maxbuf,
+                      0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = [chunk(b"00dc", p) for p in payloads]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx, off = [], 4  # offsets relative to the 'movi' tag
+    for c in movi_chunks:
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(c) - 8))
+        off += len(c)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a single-video-stream AVI-MJPEG: walk the RIFF lists,
+    take frame duration from avih, decode every '00dc'/'00db' chunk in
+    the movi list with the baseline JPEG decoder. Returns
+    ``(frames, frame_ms)`` with frames stacked (n, h, w[, 3]). Audio
+    interleave ('##wb' chunks) and non-MJPG video fourccs fail loud —
+    they need codecs this container doesn't ship."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    frame_ms = 100
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal frame_ms
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif tag == b"avih":
+                us = int.from_bytes(buf[body_start : body_start + 4],
+                                    "little")
+                frame_ms = max(1, us // 1000)
+            elif tag == b"strh":
+                fcc = buf[body_start : body_start + 8]
+                if fcc[:4] == b"vids" and fcc[4:8] not in (b"MJPG", b"mjpg"):
+                    raise NotImplementedError(
+                        f"AVI video codec {fcc[4:8]!r} not supported — "
+                        "only MJPG"
+                    )
+            elif tag[2:4] in (b"dc", b"db") and size:
+                frames.append(decode_jpeg(buf[body_start : body_start + size]))
+            elif tag[2:4] == b"wb":
+                raise NotImplementedError(
+                    "AVI audio interleave not supported"
+                )
+            pos = body_start + size + (size & 1)
+
+    walk(payload, 12, len(payload))
+    if not frames:
+        raise ValueError("no MJPEG frames in AVI movi list")
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("AVI frames disagree on dimensions")
+    return np.stack(frames), frame_ms
+
+
+def make_avi_media(spark, n: int = 16, id_offset: int = 6000) -> DataFrame:
+    """Media table of AVI-MJPEG clips over flat-block closed-form
+    frames: clip i has 3 + (i % 4) frames of the
+    (17+(i%14)) × (9+(i%12)) grayscale block rule with the frame index
+    mixed in — v(bx, by, k) = (i*3 + k*5 + bx*7 + by*13) % 256 — so
+    every decoded pixel of every frame is DuckDB-recomputable and a
+    frame-ORDER bug breaks the frame-weighted lane."""
+    rows = []
+    for i in range(n):
+        w, h = 17 + (i % 14), 9 + (i % 12)
+        nf = 3 + (i % 4)
+        frames = []
+        for k in range(nf):
+            bx = np.arange(-(-w // 8))
+            by = np.arange(-(-h // 8))
+            v = (i * 3 + k * 5 + bx[None, :] * 7 + by[:, None] * 13) % 256
+            frames.append(
+                np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)[:h, :w]
+                .astype(np.uint8)
+            )
+        rows.append(
+            (
+                id_offset + i, "video",
+                encode_avi_mjpeg(frames, frame_ms=40 + 10 * (i % 3)),
+                "video/x-msvideo", w, h, nf * (40 + 10 * (i % 3)),
+            )
+        )
+    return _sized_media(spark, rows)
+
+
+AVI_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("frame_ms", LongType(), False),
+        StructField("pixel_sum", LongType(), False),
+        StructField("frame_weighted_sum", LongType(), False),
+    ]
+)
+
+
+def avi_decode_stats(media: DataFrame) -> DataFrame:
+    """Full AVI-MJPEG decode per payload → exact integer pixel sum plus
+    a frame-position-weighted sum (Σ (k+1)·frame_sum — catches frames
+    decoded out of order, which a total alone cannot). One
+    Arrow-batched mapInPandas pass."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                fr, fms = decode_avi_mjpeg(r.payload)
+                x = fr.astype(np.int64)
+                per = x.reshape(x.shape[0], -1).sum(axis=1)
+                wk = np.arange(x.shape[0]) + 1
+                recs.append(
+                    (r.media_id, x.shape[0], x.shape[2], x.shape[1], fms,
+                     int(per.sum()), int((per * wk).sum()))
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "n_frames", "width", "height",
+                         "frame_ms", "pixel_sum", "frame_weighted_sum"],
+            )
+
+    return media.filter(F.col("mime") == "video/x-msvideo").mapInPandas(
+        batches, AVI_STATS_SCHEMA
+    )

@@ -1983,3 +1983,49 @@ def q_media_augment_stats(spark: SparkSession, sf: str) -> DataFrame:
     return augment_decode_stats(make_webp_media(spark, n=24)).orderBy(
         "media_id"
     )
+
+
+@register(
+    "q_media_avi_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS i, 6000 + i AS media_id,
+             17 + (i % 14) AS w, 9 + (i % 12) AS h,
+             3 + (i % 4) AS nf, 40 + 10 * (i % 3) AS fms
+      FROM range(16) t(i)
+    ),
+    px AS (
+      SELECT m.media_id, m.nf, m.w, m.h, m.fms, k.k,
+             (m.i * 3 + k.k * 5 + (x.x // 8) * 7 + (y.y // 8) * 13)
+               % 256 AS v
+      FROM m, range(6) k(k), range(31) x(x), range(21) y(y)
+      WHERE k.k < m.nf AND x.x < m.w AND y.y < m.h
+    )
+    SELECT media_id,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(fms) AS BIGINT) AS frame_ms,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (k + 1)) AS BIGINT) AS frame_weighted_sum
+    FROM px GROUP BY media_id ORDER BY media_id
+    """,
+    doc="AVI Motion-JPEG decode (r11, operators/multimodal."
+    "encode_avi_mjpeg/decode_avi_mjpeg): the real RIFF container "
+    "legacy web video clips arrive in — LIST hdrl (avih/strh/strf), "
+    "movi '00dc' chunks each a complete baseline-JPEG stream, idx1 "
+    "index; audio interleave and non-MJPG fourccs fail loud. Frames "
+    "are flat-block closed forms with the frame index mixed in, so "
+    "DuckDB recomputes every pixel of every frame; the "
+    "frame-position-weighted lane catches frames decoded out of "
+    "order (a total survives reordering, (k+1)-weighting cannot). "
+    "Frame duration comes from avih microseconds-per-frame. One "
+    "Arrow-batched mapInPandas pass.",
+)
+def q_media_avi_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        avi_decode_stats,
+        make_avi_media,
+    )
+
+    return avi_decode_stats(make_avi_media(spark, n=16)).orderBy("media_id")

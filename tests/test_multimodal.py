@@ -2080,3 +2080,52 @@ class TestAugment:
             wy = np.arange(hh) + 1
             rw = (out.reshape(hh, -1).sum(axis=1) * wy).sum()
             assert rows[mid]["row_weighted_sum"] == int(rw), (i, op)
+
+
+class TestAviMjpeg:
+    """AVI Motion-JPEG container (r11)."""
+
+    def test_roundtrip_gray_and_rgb(self):
+        g = [mm._jpeg_block_values(i)[2] for i in (3, 3, 3)]
+        fr, fms = mm.decode_avi_mjpeg(mm.encode_avi_mjpeg(g, frame_ms=40))
+        assert fms == 40 and fr.shape[0] == 3
+        assert all(np.array_equal(fr[k], g[k]) for k in range(3))
+        # neutral-gray RGB frames (zero chroma -> block-exact)
+        rgb = [np.repeat(f[:, :, None], 3, axis=2) for f in g[:2]]
+        fr, _ = mm.decode_avi_mjpeg(mm.encode_avi_mjpeg(rgb))
+        assert fr.shape == (2,) + rgb[0].shape
+        assert np.array_equal(fr[0], rgb[0])
+
+    def test_frame_order_and_duration(self):
+        frames = []
+        for k in range(4):
+            w, h, px = mm._jpeg_block_values(5)
+            frames.append(((px.astype(np.int64) + 16 * k) % 256)
+                          .astype(np.uint8))
+        # 16k offsets keep blocks flat -> exact; order must survive
+        fr, fms = mm.decode_avi_mjpeg(
+            mm.encode_avi_mjpeg(frames, frame_ms=70)
+        )
+        assert fms == 70
+        for k in range(4):
+            assert np.array_equal(fr[k], frames[k]), k
+
+    def test_guards(self):
+        w, h, px = mm._jpeg_block_values(1)
+        p = bytearray(mm.encode_avi_mjpeg([px]))
+        i = p.find(b"vidsMJPG")
+        p[i + 4 : i + 8] = b"H264"
+        with pytest.raises(NotImplementedError, match="MJPG"):
+            mm.decode_avi_mjpeg(bytes(p))
+        with pytest.raises(ValueError, match="RIFF/AVI"):
+            mm.decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+        with pytest.raises(ValueError, match="share one size"):
+            mm.encode_avi_mjpeg([px, px[:8, :8]])
+        with pytest.raises(ValueError, match="at least one"):
+            mm.encode_avi_mjpeg([])
+        # planted audio chunk fails loud
+        q = bytearray(mm.encode_avi_mjpeg([px]))
+        j = q.find(b"00dc")
+        q[j : j + 4] = b"01wb"
+        with pytest.raises(NotImplementedError, match="audio"):
+            mm.decode_avi_mjpeg(bytes(q))
