@@ -234,6 +234,8 @@ BENCH_QUERIES = [
     "q_skew_advisory",
     # AVI-MJPEG container walk + per-frame JPEG decode
     "q_media_avi_stats",
+    # favicon decode (PNG-in-ICO + 32-bit DIB/AND-mask entries)
+    "q_media_ico_stats",
 ]
 
 

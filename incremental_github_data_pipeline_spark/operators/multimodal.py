@@ -6659,3 +6659,127 @@ def avi_decode_stats(media: DataFrame) -> DataFrame:
     return media.filter(F.col("mime") == "video/x-msvideo").mapInPandas(
         batches, AVI_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# ICO (r11) — favicons: the one image format EVERY web crawl collects
+# millions of. Reference: the public ICONDIR/ICONDIRENTRY layout + the
+# BMP DIB conventions (doubled-height XOR/AND mask). Scope: the two
+# forms that dominate real favicons — PNG-compressed entries (the
+# modern default) and 32-bit BGRA DIB entries with the 1-bit AND mask;
+# palettized/low-depth DIB entries fail loud by name.
+# ---------------------------------------------------------------------------
+
+
+def encode_ico(
+    images: list[np.ndarray] | np.ndarray, png: bool = True
+) -> bytes:
+    """Encode one or more (h, w[, 3|4]) uint8 images (each ≤ 256 on a
+    side — the format's directory limit) as an ICO. ``png=True`` stores
+    complete PNG streams per entry (the modern form); ``png=False``
+    stores 32-bit BGRA DIBs with the doubled-height header and an
+    all-opaque AND mask (the classic form)."""
+    if isinstance(images, np.ndarray):
+        images = [images]
+    if not images:
+        raise ValueError("ICO needs at least one image")
+    bodies = []
+    for px in images:
+        h, w = px.shape[:2]
+        if h > 256 or w > 256:
+            raise ValueError("ICO entries are limited to 256x256")
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        if png:
+            bodies.append(encode_png(px[:, :, :3]))
+        else:
+            if px.shape[2] == 3:
+                a = np.full((h, w, 1), 255, dtype=np.uint8)
+                px = np.concatenate([px, a], axis=2)
+            hdr = struct.pack(
+                "<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0,
+                w * h * 4, 0, 0, 0, 0,
+            )
+            bgra = px[::-1, :, [2, 1, 0, 3]].tobytes()  # bottom-up BGRA
+            row_bytes = ((w + 31) // 32) * 4
+            mask = b"\x00" * (row_bytes * h)  # all-opaque AND mask
+            bodies.append(hdr + bgra + mask)
+    out = struct.pack("<HHH", 0, 1, len(images))
+    offset = 6 + 16 * len(images)
+    for px, body in zip(images, bodies):
+        h, w = px.shape[:2]
+        out += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(body), offset
+        )
+        offset += len(body)
+    return out + b"".join(bodies)
+
+
+def decode_ico(payload: bytes) -> np.ndarray:
+    """Decode an ICO's LARGEST entry (the crawl-pipeline convention —
+    one representative raster per favicon) to (h, w, 3) uint8 RGB or
+    (h, w, 4) RGBA when the AND mask / alpha carries transparency.
+    PNG entries route through the PNG decoder; DIB entries must be
+    32-bit BGRA (palettized favicons fail loud by bit depth)."""
+    if len(payload) < 6:
+        raise ValueError("truncated ICO")
+    reserved, typ, count = struct.unpack_from("<HHH", payload, 0)
+    if reserved != 0 or typ not in (1, 2) or count == 0:
+        raise ValueError("not an ICO/CUR file")
+    best, best_area = None, -1
+    for k in range(count):
+        w8, h8, _, _, _, _, size, off = struct.unpack_from(
+            "<BBBBHHII", payload, 6 + 16 * k
+        )
+        w, h = w8 or 256, h8 or 256
+        if w * h > best_area:
+            best_area, best = w * h, (size, off)
+    size, off = best
+    body = payload[off : off + size]
+    if body[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(body)
+    (hdr_size, w, h2, planes, bits) = struct.unpack_from("<IiiHH", body, 0)
+    if hdr_size != 40:
+        raise ValueError("unexpected DIB header size in ICO")
+    if bits != 32:
+        raise NotImplementedError(
+            f"{bits}-bit DIB favicon entries not supported — 32-bit "
+            "BGRA and PNG entries are"
+        )
+    h = h2 // 2  # doubled height: XOR image + AND mask
+    xor_bytes = w * h * 4
+    bgra = np.frombuffer(
+        body[40 : 40 + xor_bytes], dtype=np.uint8
+    ).reshape(h, w, 4)[::-1]
+    rgba = bgra[:, :, [2, 1, 0, 3]].copy()
+    row_bytes = ((w + 31) // 32) * 4
+    mask_raw = np.frombuffer(
+        body[40 + xor_bytes : 40 + xor_bytes + row_bytes * h],
+        dtype=np.uint8,
+    ).reshape(h, row_bytes)[::-1]
+    bits_arr = np.unpackbits(mask_raw, axis=1)[:, :w]
+    rgba[:, :, 3] = np.where(bits_arr == 1, 0, rgba[:, :, 3])
+    if np.all(rgba[:, :, 3] == 255):
+        return rgba[:, :, :3]
+    return rgba
+
+
+def make_ico_media(spark, n: int = 24, id_offset: int = 7000) -> DataFrame:
+    """Media table of favicons over the BMP closed-form pixel rule:
+    PNG-entry and DIB-entry forms alternate, and every third file is
+    MULTI-SIZE (a 8×8 thumbnail plus the full raster — the decoder
+    must pick the largest)."""
+    rows = []
+    for i in range(n):
+        px = _image_pixels(i)
+        images = [px]
+        if i % 3 == 0:
+            images = [px[:8, :8], px]  # decoder must pick the larger
+        payload = encode_ico(images, png=(i % 2 == 0))
+        rows.append(
+            (
+                id_offset + i, "image", payload, "image/x-icon",
+                px.shape[1], px.shape[0], None,
+            )
+        )
+    return _sized_media(spark, rows)

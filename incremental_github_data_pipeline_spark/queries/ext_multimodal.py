@@ -2029,3 +2029,73 @@ def q_media_avi_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return avi_decode_stats(make_avi_media(spark, n=16)).orderBy("media_id")
+
+
+@register(
+    "q_media_ico_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS i, 7000 + i AS media_id,
+             16 + (i % 13) AS w, 12 + (i % 11) AS h
+      FROM range(24) t(i)
+    ),
+    px AS (
+      SELECT m.media_id, m.w, m.h, y.y,
+             (x.x * 7 + y.y * 13 + c.c * 29 + m.i * 3) % 256 AS v
+      FROM m, range(29) x(x), range(23) y(y), range(3) c(c)
+      WHERE x.x < m.w AND y.y < m.h
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (y + 1)) AS BIGINT) AS row_weighted_sum
+    FROM px GROUP BY media_id ORDER BY media_id
+    """,
+    doc="ICO favicon decode (r11, operators/multimodal.encode_ico/"
+    "decode_ico) — the one image format every web crawl collects "
+    "millions of. PNG-entry (modern) and 32-bit BGRA DIB-entry "
+    "(classic, doubled-height XOR/AND mask) forms alternate; every "
+    "third file is multi-size and the decoder must pick the LARGEST "
+    "entry (the 8x8 thumbnail planted first breaks both sum lanes if "
+    "entry selection regresses); palettized DIB entries fail loud. "
+    "Content is the BMP closed form, so DuckDB recomputes exact "
+    "pixel + row-weighted sums. One Arrow-batched mapInPandas pass.",
+)
+def q_media_ico_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        decode_ico,
+        make_ico_media,
+    )
+    import numpy as np
+    import pandas as pd
+
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        PNG_STATS_SCHEMA,
+    )
+
+    def batches(it):
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                px = decode_ico(r.payload).astype(np.int64)
+                hh, ww = px.shape[:2]
+                wy = np.arange(hh) + 1
+                rw = (px.reshape(hh, -1).sum(axis=1) * wy).sum()
+                recs.append(
+                    (r.media_id, ww, hh, px.shape[2], int(px.sum()),
+                     int(rw))
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "width", "height", "channels",
+                         "pixel_sum", "row_weighted_sum"],
+            )
+
+    return (
+        make_ico_media(spark, n=24)
+        .filter(F.col("mime") == "image/x-icon")
+        .mapInPandas(batches, PNG_STATS_SCHEMA)
+        .orderBy("media_id")
+    )

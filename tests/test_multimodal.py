@@ -2129,3 +2129,50 @@ class TestAviMjpeg:
         q[j : j + 4] = b"01wb"
         with pytest.raises(NotImplementedError, match="audio"):
             mm.decode_avi_mjpeg(bytes(q))
+
+
+class TestIco:
+    """ICO favicon container (r11)."""
+
+    def test_png_and_dib_roundtrip(self):
+        px = mm._image_pixels(2)
+        for png in (True, False):
+            assert np.array_equal(
+                mm.decode_ico(mm.encode_ico(px, png=png)), px
+            ), png
+
+    def test_largest_entry_selection_and_256(self):
+        px = mm._image_pixels(4)
+        p = mm.encode_ico([px[:8, :8], px], png=True)
+        assert mm.decode_ico(p).shape == px.shape
+        big = np.tile(px, (20, 16, 1))[:256, :256]  # w8/h8 wrap to 0
+        assert np.array_equal(
+            mm.decode_ico(mm.encode_ico(big, png=False)), big
+        )
+
+    def test_alpha_and_and_mask(self):
+        px = mm._image_pixels(1)
+        rgba = np.concatenate(
+            [px, np.full(px.shape[:2] + (1,), 128, np.uint8)], axis=2
+        )
+        out = mm.decode_ico(mm.encode_ico(rgba, png=False))
+        assert out.shape[2] == 4 and np.all(out[:, :, 3] == 128)
+        # planted AND-mask bit punches a transparent pixel
+        p = bytearray(mm.encode_ico(px, png=False))
+        h, w = px.shape[:2]
+        row_bytes = ((w + 31) // 32) * 4
+        p[-row_bytes * h] = 0x80  # top-left bit of the bottom mask row
+        out = mm.decode_ico(bytes(p))
+        assert out.shape[2] == 4 and out[h - 1, 0, 3] == 0
+
+    def test_guards(self):
+        px = mm._image_pixels(0)
+        with pytest.raises(ValueError, match="ICO"):
+            mm.decode_ico(b"\x01\x00\x01\x00\x01\x00")
+        with pytest.raises(ValueError, match="256"):
+            mm.encode_ico(np.zeros((300, 10, 3), np.uint8))
+        p = bytearray(mm.encode_ico(px, png=False))
+        i = p.find((32).to_bytes(2, "little"), 6 + 16)  # DIB bit depth
+        p[i : i + 2] = (8).to_bytes(2, "little")
+        with pytest.raises(NotImplementedError, match="8-bit"):
+            mm.decode_ico(bytes(p))
