@@ -236,6 +236,8 @@ BENCH_QUERIES = [
     "q_media_avi_stats",
     # favicon decode (PNG-in-ICO + 32-bit DIB/AND-mask entries)
     "q_media_ico_stats",
+    # regex-heavy HTML text extraction (5 regexp passes per doc)
+    "q_doc_html_strip",
 ]
 
 

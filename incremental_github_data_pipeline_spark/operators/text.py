@@ -2241,3 +2241,41 @@ def negative_samples(
         .filter(F.col("_rep") != c)
         .select(id_col, F.col("neg_rank").cast("long"), F.col("_rep").alias("neg_id"))
     )
+
+
+# the fixed HTML-entity subset strip_html decodes — the named entities
+# that dominate real markup plus the apostrophe's two spellings; the
+# full numeric-entity space needs chr() and stays out of the
+# engine-portable contract (documented scope, like the codec guards)
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # LAST: '&amp;lt;' must become '&lt;', not '<'
+]
+
+
+def strip_html(col: Column | str) -> Column:
+    """HTML → text (r11): the first stage of every crawl-text pipeline.
+    Removes <script>/<style> blocks WITH their contents (the two
+    elements whose text is never prose), comments, then every
+    remaining tag; decodes the dominant named entities (amp last, so
+    double-escaped markup un-escapes one level per pass, the standard
+    behavior); collapses whitespace and trims. Pure regexp/replace
+    expressions — lookaround-free and non-greedy-only, so Java regex
+    (Spark) and RE2-style engines (DuckDB oracle twins) agree match
+    for match; codegen-side, no UDF. Real-world caveat documented:
+    this is the crawl-scale TEXT EXTRACTOR (tag-blind, like the
+    classic WET pipeline), not a DOM parser — attribute semantics,
+    numeric entities and CDATA stay out of contract."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, repl in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(repl))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

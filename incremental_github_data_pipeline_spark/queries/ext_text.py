@@ -2326,3 +2326,77 @@ def q_doc_cluster_split(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "rep", "split")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_doc_html_strip",
+    oracle=r"""
+    WITH wrapped AS (
+      SELECT doc_id,
+             '<html><head><script>var id=' || doc_id ||
+             ';</script><style>.c' || doc_id || '{color:red}</style>'
+             || '</head><body><!-- doc ' || doc_id || ' --><h1>D' ||
+             doc_id || '</h1><p>' || text ||
+             '</p><div class="f">&amp;src=' || doc_id ||
+             '&nbsp;&lt;end&gt;</div></body></html>' AS html
+      FROM documents WHERE doc_id < 300
+    ),
+    s1 AS (
+      SELECT doc_id, regexp_replace(html,
+        '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM wrapped
+    ),
+    s2 AS (
+      SELECT doc_id, regexp_replace(t,
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t
+      FROM s2
+    ),
+    s4 AS (
+      SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3
+    ),
+    s5 AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(replace(
+               t, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+               '&amp;', '&') AS t
+      FROM s4
+    )
+    SELECT doc_id,
+           TRIM(regexp_replace(t, '\s+', ' ', 'g')) AS text,
+           CAST(len(string_split(
+             TRIM(regexp_replace(t, '\s+', ' ', 'g')), ' ')) AS BIGINT)
+             AS n_tokens
+    FROM s5 ORDER BY doc_id
+    """,
+    doc="HTML text extraction (r11, operators/text.strip_html) — the "
+    "first stage of every crawl-text pipeline (the classic WET-style "
+    "tag-blind extractor, not a DOM parser): script/style blocks "
+    "removed WITH contents, comments and tags stripped, the dominant "
+    "named entities decoded (amp last — double-escaped markup "
+    "un-escapes one level, the standard behavior), whitespace "
+    "collapsed. Docs are wrapped in deterministic markup with planted "
+    "script/style/comment/entity traps, and the FULL stripped string "
+    "is hash-compared cross-engine — the patterns are lookaround-free "
+    "and non-greedy-only so Java regex and RE2 agree match for match. "
+    "Pure codegen expressions, no UDF.",
+)
+def q_doc_html_strip(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><script>var id="), did,
+        F.lit(";</script><style>.c"), did,
+        F.lit("{color:red}</style></head><body><!-- doc "), did,
+        F.lit(" --><h1>D"), did, F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p><div class="f">&amp;src='), did,
+        F.lit("&nbsp;&lt;end&gt;</div></body></html>"),
+    )
+    stripped = tx.strip_html(html)
+    return d.select(
+        "doc_id",
+        stripped.alias("text"),
+        F.size(F.split(stripped, " ")).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")

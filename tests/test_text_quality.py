@@ -1086,3 +1086,45 @@ class TestUnigramLM:
         _, pieces = tx.learn_unigram(docs, vocab_size=2, n_iters=1)
         kept = {r["piece"] for r in pieces.collect()}
         assert {"a", "b", "c", "d"} <= kept  # coverage floor
+
+
+class TestStripHtml:
+    """strip_html (r11): the WET-style crawl text extractor."""
+
+    def _one(self, spark, s: str) -> str:
+        from incremental_github_data_pipeline_spark.operators.text import (
+            strip_html,
+        )
+
+        df = spark.createDataFrame([(s,)], "t string")
+        return df.select(strip_html("t").alias("o")).collect()[0]["o"]
+
+    def test_script_style_comments_tags_entities(self, spark):
+        out = self._one(
+            spark,
+            '<html><head><script>var x="<p>";</script><style>.c{}</style>'
+            "</head><body><!-- note --><h1>Title</h1><p>Hello   world</p>"
+            "<div>&amp;id=7 &lt;tag&gt; &quot;q&quot; &#39;a&#39;&nbsp;end"
+            "</div></body></html>",
+        )
+        assert out == 'Title Hello world &id=7 <tag> "q" \'a\' end'
+
+    def test_script_contents_never_leak(self, spark):
+        # a '<' inside a script string must not derail tag stripping
+        out = self._one(
+            spark, "<p>a</p><script>if (1<2) alert('<b>x</b>')</script><p>b</p>"
+        )
+        assert out == "a b"
+
+    def test_amp_decodes_one_level_last(self, spark):
+        assert self._one(spark, "&amp;lt;") == "&lt;"
+        assert self._one(spark, "&amp;amp;") == "&amp;"
+
+    def test_plain_text_passthrough(self, spark):
+        assert self._one(spark, "  no   markup  ") == "no markup"
+
+    def test_multiline_blocks(self, spark):
+        out = self._one(
+            spark, "<style>\n.a{}\n.b{}\n</style>one\n<script>\nx\n</script>two"
+        )
+        assert out == "one two"
