@@ -238,6 +238,8 @@ BENCH_QUERIES = [
     "q_media_ico_stats",
     # regex-heavy HTML text extraction (5 regexp passes per doc)
     "q_doc_html_strip",
+    # URL canonicalization (split/sort/regexp stack per url)
+    "q_url_canonical",
 ]
 
 

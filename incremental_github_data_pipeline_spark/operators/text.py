@@ -2279,3 +2279,46 @@ def strip_html(col: Column | str) -> Column:
     for ent, repl in _HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(repl))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """URL canonicalization (r11) — the dedup prerequisite: the same
+    page arrives under dozens of spellings, and exact/near dedup keyed
+    on raw URLs silently keeps them all. Normalizations (the safe,
+    semantics-preserving set): drop the fragment, lowercase scheme and
+    host (never the path — paths are case-significant), strip the
+    scheme's default port (:80 http / :443 https), empty path → '/',
+    SORT the query parameters (order is almost never significant and
+    trackers permute it), drop a trailing lone '?'. Pure
+    split/sort/regexp expressions, engine-portable and codegen-side.
+    Scope: http(s) URLs; percent-encoding normalization and tracker-
+    param stripping are policy layers above this mechanical core."""
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.regexp_replace(hostport, r":80$", ""),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.regexp_replace(hostport, r":443$", ""),
+    ).otherwise(hostport)
+    # path = everything between host and the first '?'; query = after it
+    path = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
+    query = F.when(
+        rest.contains("?"),
+        F.regexp_replace(rest, r"^[^?]*\?", ""),
+    ).otherwise(F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qsorted = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(
+            F.lit("")
+        ),
+    )

@@ -62,8 +62,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # q_semi_join, q_top20_scan, q_window_running_total. Registered after
 # the window filled (sweep-green + benched; queue FIRST in r12):
 # q_embedding_matryoshka, q_media_augment_stats, q_skew_advisory,
-# q_media_avi_stats, q_media_ico_stats, q_doc_html_strip, plus the
-# r12-deferred refresh rows above.
+# q_media_avi_stats, q_media_ico_stats, q_doc_html_strip,
+# q_url_canonical, plus the r12-deferred refresh rows above.
 _CERTIFY_FIRST = [
     # -- (0) first driver rows (registered post-r10-window) --
     "q_ts_holt_linear",

@@ -2400,3 +2400,98 @@ def q_doc_html_strip(spark: SparkSession, sf: str) -> DataFrame:
         stripped.alias("text"),
         F.size(F.split(stripped, " ")).cast("long").alias("n_tokens"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_url_canonical",
+    oracle=r"""
+    WITH u0 AS (
+      SELECT doc_id,
+             'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END ||
+             '://Host' || (doc_id % 7) || '.Example.COM' ||
+             CASE WHEN doc_id % 3 = 0 THEN
+               ':' || CASE WHEN doc_id % 2 = 0 THEN '443' ELSE '80' END
+             ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ''
+                  ELSE '/Dir' || (doc_id % 4) || '/p' END ||
+             CASE WHEN doc_id % 4 = 0 THEN ''
+                  ELSE '?z=' || doc_id || '&a=' || (doc_id % 3) END ||
+             CASE WHEN doc_id % 2 = 0 THEN '#frag' || doc_id ELSE '' END
+               AS u
+      FROM documents WHERE doc_id < 400
+    ),
+    s1 AS (
+      SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM u0
+    ),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(u,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      FROM s1
+    ),
+    hp AS (
+      SELECT doc_id, scheme, rest,
+             lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+             regexp_extract(rest, '^[^/?]*([^?]*)', 1) AS path,
+             CASE WHEN contains(rest, '?')
+                  THEN regexp_replace(rest, '^[^?]*\?', '')
+                  ELSE '' END AS q
+      FROM parts
+    )
+    SELECT doc_id,
+           scheme || '://' ||
+           CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                  THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https' AND hostport LIKE '%:443'
+                  THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END ||
+           CASE WHEN path = '' THEN '/' ELSE path END ||
+           CASE WHEN q <> ''
+                THEN '?' || array_to_string(list_sort(
+                       string_split(q, '&')), '&')
+                ELSE '' END AS url
+    FROM hp ORDER BY doc_id
+    """,
+    doc="URL canonicalization (r11, operators/text.canonicalize_url) — "
+    "the dedup prerequisite: the same page arrives under dozens of "
+    "spellings. Fragment dropped, scheme+host lowercased (path case "
+    "preserved), default ports stripped per scheme, empty path -> "
+    "'/', query parameters SORTED, trailing '?' dropped. The fixture "
+    "synthesizes URLs cycling every normalization trap (mixed case, "
+    ":80/:443, missing path, permutable params, fragments) from "
+    "doc_id rules, and the FULL canonical string hash-compares "
+    "cross-engine — pure split/sort/regexp expressions, no UDF. "
+    "Percent-encoding and tracker-param policy stay documented layers "
+    "above this mechanical core.",
+)
+def q_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    did = F.col("doc_id")
+    s = F.concat(
+        F.lit("HTTP"),
+        F.when(did % 2 == 0, F.lit("S")).otherwise(F.lit("")),
+        F.lit("://Host"), (did % 7).cast("string"), F.lit(".Example.COM"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(":"),
+                F.when(did % 2 == 0, F.lit("443")).otherwise(F.lit("80")),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/Dir"), (did % 4).cast("string"), F.lit("/p"))
+        ),
+        F.when(did % 4 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("?z="), did.cast("string"),
+                F.lit("&a="), (did % 3).cast("string"),
+            )
+        ),
+        F.when(did % 2 == 0, F.concat(F.lit("#frag"), did.cast("string")))
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id", tx.canonicalize_url(s).alias("url")
+    ).orderBy("doc_id")

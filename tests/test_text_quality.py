@@ -1128,3 +1128,43 @@ class TestStripHtml:
             spark, "<style>\n.a{}\n.b{}\n</style>one\n<script>\nx\n</script>two"
         )
         assert out == "one two"
+
+
+class TestCanonicalizeUrl:
+    """canonicalize_url (r11): the URL-dedup prerequisite."""
+
+    def _one(self, spark, s: str) -> str:
+        from incremental_github_data_pipeline_spark.operators.text import (
+            canonicalize_url,
+        )
+
+        df = spark.createDataFrame([(s,)], "u string")
+        return df.select(canonicalize_url("u").alias("o")).collect()[0]["o"]
+
+    def test_full_normalization_stack(self, spark):
+        assert (
+            self._one(spark, "HTTP://Example.COM:80/Path/Pg?b=2&a=1#f")
+            == "http://example.com/Path/Pg?a=1&b=2"
+        )
+
+    def test_default_ports_are_scheme_aware(self, spark):
+        assert self._one(spark, "https://e.com:443/") == "https://e.com/"
+        assert self._one(spark, "http://e.com:443/") == "http://e.com:443/"
+        assert self._one(spark, "http://e.com:8080/") == "http://e.com:8080/"
+
+    def test_path_case_preserved_empty_path_rooted(self, spark):
+        assert self._one(spark, "https://E.com/A/B") == "https://e.com/A/B"
+        assert self._one(spark, "https://e.com") == "https://e.com/"
+        assert self._one(spark, "https://e.com?x=1") == "https://e.com/?x=1"
+
+    def test_trailing_question_and_duplicate_params(self, spark):
+        assert self._one(spark, "https://e.com/p?") == "https://e.com/p"
+        assert (
+            self._one(spark, "http://e.com/p?a=1&a=0")
+            == "http://e.com/p?a=0&a=1"
+        )
+
+    def test_canonical_forms_collide_for_dedup(self, spark):
+        a = self._one(spark, "HTTPS://E.com:443/x?b=2&a=1#top")
+        b = self._one(spark, "https://e.com/x?a=1&b=2")
+        assert a == b
