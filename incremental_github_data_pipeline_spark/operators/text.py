@@ -2322,3 +2322,253 @@ def canonicalize_url(col: Column | str) -> Column:
             F.lit("")
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC record parsing (r11): the container ONE stage before gzip_ingest's
+# WET member split — raw web crawls (Common Crawl, Internet Archive,
+# wget --warc) ship as WARC 1.0/1.1 streams whose response records hold
+# the HTTP transaction that strip_html / canonicalize_url then consume.
+# Reference scope note: the reference pipeline ingests REST JSON only
+# (reference etl/extract.py); crawl containers are [EXT] surface.
+# ---------------------------------------------------------------------------
+
+
+def warc_records(payload: bytes) -> list[dict]:
+    """Parse one WARC stream into its records (stdlib-only, exact
+    framing per ISO 28500): each record is a ``WARC/1.x`` version line,
+    CRLF-terminated named headers up to a blank line, exactly
+    ``Content-Length`` block bytes, then the spec's two-CRLF record
+    separator. Both physical layouts are accepted: plain concatenated
+    records, and the ``.warc.gz`` convention where every record is its
+    own gzip member (detected by magic, split via :func:`gzip_members`
+    — the layout that keeps records independently seekable, the reason
+    the spec recommends it).
+
+    ``response`` records whose Content-Type is ``application/http``
+    have their block parsed one level further: HTTP status line +
+    headers + body, yielding ``http_status``, the HTTP-level
+    ``content_type`` and the body alone as ``body``; every other
+    record type keeps its whole block as ``body``. Any framing
+    violation (bad version line, missing blank line, short block,
+    absent separator, unparseable Content-Length) raises ValueError —
+    truncation must fail loud, not silently drop the tail of a shard.
+    """
+    if payload[:2] == b"\x1f\x8b":
+        chunks = gzip_members(payload)
+    else:
+        chunks = [payload]
+    out: list[dict] = []
+    for chunk in chunks:
+        pos = 0
+        while pos < len(chunk):
+            rec, pos = _parse_warc_record(chunk, pos)
+            out.append(rec)
+    return out
+
+
+def _parse_warc_record(buf: bytes, pos: int) -> tuple[dict, int]:
+    eol = buf.find(b"\r\n", pos)
+    if eol < 0 or not buf[pos:eol].startswith(b"WARC/"):
+        raise ValueError("bad WARC version line")
+    version = buf[pos:eol].decode("ascii", "replace")
+    if version not in ("WARC/1.0", "WARC/1.1"):
+        raise ValueError(f"unsupported WARC version {version!r}")
+    headers: dict[str, str] = {}
+    pos = eol + 2
+    while True:
+        eol = buf.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("WARC headers not terminated")
+        line = buf[pos:eol]
+        pos = eol + 2
+        if not line:
+            break
+        name, sep, value = line.partition(b":")
+        if not sep:
+            raise ValueError("malformed WARC header line")
+        headers[name.strip().decode("ascii", "replace").lower()] = (
+            value.strip().decode("utf-8", "replace")
+        )
+    try:
+        length = int(headers["content-length"])
+    except (KeyError, ValueError):
+        raise ValueError("missing or unparseable Content-Length") from None
+    if pos + length > len(buf):
+        raise ValueError("WARC block shorter than Content-Length")
+    block = buf[pos : pos + length]
+    pos += length
+    if buf[pos : pos + 4] != b"\r\n\r\n":
+        raise ValueError("missing WARC record separator")
+    pos += 4
+    rec = {
+        "warc_type": headers.get("warc-type", ""),
+        "target_uri": headers.get("warc-target-uri"),
+        "warc_date": headers.get("warc-date"),
+        "http_status": None,
+        "content_type": headers.get("content-type"),
+        "body": block,
+    }
+    if rec["warc_type"] == "response" and str(
+        headers.get("content-type", "")
+    ).startswith("application/http"):
+        status, ctype, body = _parse_http_response(block)
+        rec["http_status"] = status
+        rec["content_type"] = ctype
+        rec["body"] = body
+    return rec, pos
+
+
+def _parse_http_response(block: bytes) -> tuple[int, str | None, bytes]:
+    head, sep, body = block.partition(b"\r\n\r\n")
+    if not sep:
+        raise ValueError("HTTP response block missing header terminator")
+    lines = head.split(b"\r\n")
+    parts = lines[0].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError("bad HTTP status line in response record")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise ValueError("bad HTTP status code") from None
+    ctype = None
+    for line in lines[1:]:
+        name, s, value = line.partition(b":")
+        if s and name.strip().lower() == b"content-type":
+            ctype = value.strip().decode("utf-8", "replace")
+    return status, ctype, body
+
+
+def warc_ingest(
+    df,
+    payload_col: str = "payload",
+    id_col: str = "payload_id",
+    on_error: str = "raise",
+):
+    """Decode WARC payloads into one row per record: ``(id,
+    record_idx, warc_type, target_uri, warc_date, http_status,
+    content_type, text)`` — ``text`` is the UTF-8 record body (HTTP
+    body alone for response records). One Arrow-batched mapInPandas
+    pass, same shape as :func:`gzip_ingest`: parsing runs where the
+    bytes already are, no shuffle, and everything downstream (status
+    filters, strip_html, canonicalize_url, token stats) stays in
+    codegen expressions.
+
+    ``on_error="raise"`` (default) is the strict certification
+    contract; ``"skip"`` drops corrupt payloads whole — the crawl-
+    shard quarantine mode, recoverable as a left_anti join on the id.
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("record_idx", IntegerType(), False),
+            StructField("warc_type", StringType(), False),
+            StructField("target_uri", StringType(), True),
+            StructField("warc_date", StringType(), True),
+            StructField("http_status", IntegerType(), True),
+            StructField("content_type", StringType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        cols = (
+            "record_idx warc_type target_uri warc_date http_status "
+            "content_type text"
+        ).split()
+        for pdf in it:
+            rows: dict[str, list] = {id_col: []}
+            for c in cols:
+                rows[c] = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    recs = warc_records(getattr(r, payload_col))
+                    texts = [
+                        rec["body"].decode("utf-8") for rec in recs
+                    ]
+                except (ValueError, UnicodeDecodeError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                for j, rec in enumerate(recs):
+                    rows[id_col].append(getattr(r, id_col))
+                    rows["record_idx"].append(j)
+                    rows["warc_type"].append(rec["warc_type"])
+                    rows["target_uri"].append(rec["target_uri"])
+                    rows["warc_date"].append(rec["warc_date"])
+                    rows["http_status"].append(rec["http_status"])
+                    rows["content_type"].append(rec["content_type"])
+                    rows["text"].append(texts[j])
+            pdf_out = pd.DataFrame(rows)
+            pdf_out["http_status"] = pdf_out["http_status"].astype(
+                "Int32"
+            )
+            yield pdf_out
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def warc_build(records: list[dict], gzip_per_record: bool = False) -> bytes:
+    """Serialize records to WARC 1.0 bytes (the encoder twin that makes
+    the parser testable without fixtures on disk, and the writer a
+    crawl-producing stage would use). Each record dict: ``warc_type``
+    (required), optional ``target_uri``/``warc_date``/``content_type``
+    /``http_status``/``http_content_type``, ``body`` bytes. When
+    ``http_status`` is given the block is wrapped as an HTTP response
+    (status line + Content-Type + Content-Length headers).
+    ``gzip_per_record=True`` emits the ``.warc.gz`` member-per-record
+    layout (mtime pinned to 0 so bytes are deterministic)."""
+    import gzip as _gzip
+    import io as _io
+
+    out = []
+    for rec in records:
+        body = rec.get("body", b"")
+        if rec.get("http_status") is not None:
+            http_head = (
+                f"HTTP/1.1 {rec['http_status']} "
+                f"{_HTTP_REASONS.get(rec['http_status'], 'OK')}\r\n"
+                f"Content-Type: {rec.get('http_content_type', 'text/html')}"
+                f"\r\nContent-Length: {len(body)}\r\n\r\n"
+            ).encode("ascii")
+            block = http_head + body
+            ctype = "application/http; msgtype=response"
+        else:
+            block = body
+            ctype = rec.get("content_type", "text/plain")
+        head = ["WARC/1.0", f"WARC-Type: {rec['warc_type']}"]
+        if rec.get("target_uri"):
+            head.append(f"WARC-Target-URI: {rec['target_uri']}")
+        if rec.get("warc_date"):
+            head.append(f"WARC-Date: {rec['warc_date']}")
+        head.append(f"Content-Type: {ctype}")
+        head.append(f"Content-Length: {len(block)}")
+        raw = (
+            "\r\n".join(head).encode("utf-8")
+            + b"\r\n\r\n"
+            + block
+            + b"\r\n\r\n"
+        )
+        if gzip_per_record:
+            buf = _io.BytesIO()
+            with _gzip.GzipFile(
+                fileobj=buf, mode="wb", mtime=0, compresslevel=6
+            ) as f:
+                f.write(raw)
+            raw = buf.getvalue()
+        out.append(raw)
+    return b"".join(out)
+
+
+_HTTP_REASONS = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}

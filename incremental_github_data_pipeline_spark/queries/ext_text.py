@@ -2495,3 +2495,207 @@ def q_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
     return d.select(
         "doc_id", tx.canonicalize_url(s).alias("url")
     ).orderBy("doc_id")
+
+
+def _warc_corpus(spark):
+    """12 WARC payloads x 4 records — warcinfo / response / request /
+    response — even payload ids in the .warc.gz member-per-record
+    layout, odd ids plain concatenated (the parser must make layout
+    invisible). Every field is a closed-form doc_id rule the oracle
+    replays; response bodies wrap gzip-corpus-style word runs in
+    deterministic HTML with a title (the strip_html target)."""
+    rows = []
+    for i in range(12):
+        words1 = " ".join(
+            f"w{(i * 7 + 3 + j) % 20}" for j in range(5 + ((i + 1) % 6))
+        )
+        words3 = " ".join(
+            f"w{(i * 7 + 9 + j) % 20}" for j in range(5 + ((i + 3) % 6))
+        )
+
+        def html(text, i=i):
+            return (
+                f"<html><head><title>T{i}</title></head>"
+                f"<body><p>{text}</p></body></html>"
+            ).encode("utf-8")
+
+        recs = [
+            {
+                "warc_type": "warcinfo",
+                "content_type": "application/warc-fields",
+                "body": (
+                    f"software: synthgen/{i}\r\n"
+                    "format: WARC file version 1.0\r\n"
+                ).encode("ascii"),
+            },
+            {
+                "warc_type": "response",
+                "target_uri": (
+                    f"HTTPS://Host{i % 7}.Example.COM:443"
+                    f"/Dir{i % 4}/p?z={i}&a={i % 3}#frag{i}"
+                ),
+                "warc_date": f"2024-02-{(i % 9) + 1:02d}T00:00:00Z",
+                "http_status": 404 if (i + 1) % 5 == 0 else 200,
+                "body": html(words1),
+            },
+            {
+                "warc_type": "request",
+                "target_uri": f"https://host{i % 7}.example.com/Dir{i % 4}/p",
+                "content_type": "application/http; msgtype=request",
+                "body": (
+                    f"GET /Dir{i % 4}/p HTTP/1.1\r\n"
+                    f"Host: host{i % 7}.example.com\r\n"
+                ).encode("ascii"),
+            },
+            {
+                "warc_type": "response",
+                "target_uri": f"http://host{i % 7}.example.com:80/q{i % 5}",
+                "warc_date": f"2024-02-{(i % 9) + 1:02d}T06:00:00Z",
+                "http_status": 301 if i % 4 == 0 else 200,
+                "body": html(words3),
+            },
+        ]
+        rows.append((i, tx.warc_build(recs, gzip_per_record=i % 2 == 0)))
+    return spark.createDataFrame(rows, "payload_id long, payload binary")
+
+
+# DuckDB twin of the _warc_corpus closed-form fields (shared by both
+# WARC queries): one row per (payload i, record m) with every header
+# and the response body text replayed from the doc_id rules.
+_WARC_FIELDS_SQL = r"""
+    ids AS (SELECT i, m FROM range(12) t(i), range(4) t2(m)),
+    wtoks AS (
+      SELECT i, m, j.j AS j
+      FROM ids, range(11) j(j)
+      WHERE m IN (1, 3) AND j.j < 5 + ((i + m) % 6)
+    ),
+    bodytext AS (
+      SELECT i, m,
+             string_agg(
+               'w' || ((i*7 + 3*m + j) % 20), ' ' ORDER BY j) AS words
+      FROM wtoks GROUP BY 1, 2
+    ),
+    fields AS (
+      SELECT ids.i, ids.m,
+        CASE ids.m WHEN 0 THEN 'warcinfo' WHEN 1 THEN 'response'
+                   WHEN 2 THEN 'request' ELSE 'response' END AS warc_type,
+        CASE ids.m
+          WHEN 1 THEN 'HTTPS://Host' || (ids.i % 7) || '.Example.COM:443'
+                      || '/Dir' || (ids.i % 4) || '/p?z=' || ids.i
+                      || '&a=' || (ids.i % 3) || '#frag' || ids.i
+          WHEN 2 THEN 'https://host' || (ids.i % 7) || '.example.com'
+                      || '/Dir' || (ids.i % 4) || '/p'
+          WHEN 3 THEN 'http://host' || (ids.i % 7)
+                      || '.example.com:80/q' || (ids.i % 5)
+        END AS target_uri,
+        CASE ids.m
+          WHEN 1 THEN '2024-02-' || lpad(CAST((ids.i % 9) + 1 AS VARCHAR),
+                      2, '0') || 'T00:00:00Z'
+          WHEN 3 THEN '2024-02-' || lpad(CAST((ids.i % 9) + 1 AS VARCHAR),
+                      2, '0') || 'T06:00:00Z'
+        END AS warc_date,
+        CASE ids.m
+          WHEN 1 THEN CASE WHEN (ids.i + 1) % 5 = 0 THEN 404 ELSE 200 END
+          WHEN 3 THEN CASE WHEN ids.i % 4 = 0 THEN 301 ELSE 200 END
+        END AS http_status,
+        CASE ids.m WHEN 0 THEN 'application/warc-fields'
+                   WHEN 2 THEN 'application/http; msgtype=request'
+                   ELSE 'text/html' END AS content_type,
+        CASE ids.m
+          WHEN 0 THEN 'software: synthgen/' || ids.i || chr(13) || chr(10)
+                      || 'format: WARC file version 1.0'
+                      || chr(13) || chr(10)
+          WHEN 2 THEN 'GET /Dir' || (ids.i % 4) || '/p HTTP/1.1'
+                      || chr(13) || chr(10) || 'Host: host' || (ids.i % 7)
+                      || '.example.com' || chr(13) || chr(10)
+          ELSE '<html><head><title>T' || ids.i || '</title></head><body><p>'
+               || bodytext.words || '</p></body></html>'
+        END AS body
+      FROM ids LEFT JOIN bodytext
+        ON ids.i = bodytext.i AND ids.m = bodytext.m
+    )
+"""
+
+
+@register(
+    "q_warc_ingest",
+    oracle=r"""
+    WITH """ + _WARC_FIELDS_SQL + r"""
+    SELECT i AS payload_id, CAST(m AS INTEGER) AS record_idx, warc_type,
+           target_uri, warc_date, CAST(http_status AS INTEGER)
+             AS http_status, content_type,
+           CAST(length(body) AS BIGINT) AS n_chars
+    FROM fields ORDER BY payload_id, record_idx
+    """,
+    doc="WARC container ingestion (r11, operators/text.warc_ingest + "
+    "warc_records) — the crawl-native record format one stage before "
+    "the WET member split gzip_ingest covers: ISO 28500 framing "
+    "(version line, CRLF headers, Content-Length block, two-CRLF "
+    "separator) in BOTH physical layouts (plain concatenated and the "
+    "member-per-record .warc.gz convention, alternated across the "
+    "fixture), response records' HTTP transaction parsed one level "
+    "further (status line, Content-Type, body isolated). Every header "
+    "field and body length hash-compares against the closed-form "
+    "generator rules. One Arrow-batched mapInPandas pass, parse where "
+    "the bytes live, no shuffle.",
+)
+def q_warc_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    recs = tx.warc_ingest(_warc_corpus(spark))
+    return recs.select(
+        "payload_id",
+        "record_idx",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "http_status",
+        "content_type",
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("payload_id", "record_idx")
+
+
+@register(
+    "q_warc_html_extract",
+    oracle=r"""
+    WITH """ + _WARC_FIELDS_SQL + r""",
+    ok AS (
+      SELECT i, m, target_uri, body FROM fields
+      WHERE warc_type = 'response' AND http_status = 200
+    ),
+    stripped AS (
+      SELECT i, m,
+        TRIM(regexp_replace(regexp_replace(body, '<[^>]+>', ' ', 'g'),
+             '\s+', ' ', 'g')) AS text,
+        CASE WHEN m = 1
+          THEN 'https://host' || (i % 7) || '.example.com/Dir' || (i % 4)
+               || '/p?a=' || (i % 3) || '&z=' || i
+          ELSE 'http://host' || (i % 7) || '.example.com/q' || (i % 5)
+        END AS url
+      FROM ok
+    )
+    SELECT i AS payload_id, CAST(m AS INTEGER) AS record_idx, url, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM stripped ORDER BY payload_id, record_idx
+    """,
+    doc="Crawl-text extraction composite (r11): warc_ingest -> keep "
+    "HTTP-200 response records -> strip_html on the body -> "
+    "canonicalize_url on the WARC-Target-URI — the full first stage "
+    "of a web-corpus pipeline (the WET generation step plus the dedup "
+    "key), end-to-end in one plan: Arrow parse pass then pure codegen "
+    "regexp/sort expressions, no extra shuffle before the ORDER BY. "
+    "The whole extracted string and canonical URL hash-compare "
+    "cross-engine; the 404/301 rows planted in the fixture prove the "
+    "status filter.",
+)
+def q_warc_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    recs = tx.warc_ingest(_warc_corpus(spark))
+    ok = recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    )
+    stripped = tx.strip_html(F.col("text"))
+    return ok.select(
+        "payload_id",
+        "record_idx",
+        tx.canonicalize_url(F.col("target_uri")).alias("url"),
+        stripped.alias("text"),
+        F.size(F.split(stripped, " ")).cast("long").alias("n_tokens"),
+    ).orderBy("payload_id", "record_idx")

@@ -1168,3 +1168,112 @@ class TestCanonicalizeUrl:
         a = self._one(spark, "HTTPS://E.com:443/x?b=2&a=1#top")
         b = self._one(spark, "https://e.com/x?a=1&b=2")
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# WARC record parsing
+# ---------------------------------------------------------------------------
+
+
+def _warc_sample():
+    from incremental_github_data_pipeline_spark.operators.text import warc_build
+
+    return [
+        {
+            "warc_type": "warcinfo",
+            "content_type": "application/warc-fields",
+            "body": b"software: synth\r\n",
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "https://h.example.com/p",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "http_status": 200,
+            "body": b"<html><p>hi there</p></html>",
+        },
+        {
+            "warc_type": "request",
+            "target_uri": "https://h.example.com/p",
+            "content_type": "application/http; msgtype=request",
+            "body": b"GET /p HTTP/1.1\r\n",
+        },
+    ], warc_build
+
+
+def test_warc_roundtrip_both_layouts():
+    recs, warc_build = _warc_sample()
+    from incremental_github_data_pipeline_spark.operators.text import warc_records
+
+    for gz in (False, True):
+        parsed = warc_records(warc_build(recs, gzip_per_record=gz))
+        assert [r["warc_type"] for r in parsed] == [
+            "warcinfo", "response", "request",
+        ]
+        assert parsed[0]["http_status"] is None
+        assert parsed[0]["body"] == b"software: synth\r\n"
+        assert parsed[1]["http_status"] == 200
+        assert parsed[1]["content_type"] == "text/html"
+        assert parsed[1]["body"] == b"<html><p>hi there</p></html>"
+        assert parsed[1]["target_uri"] == "https://h.example.com/p"
+        assert parsed[2]["http_status"] is None  # requests not HTTP-parsed
+        assert parsed[2]["body"].startswith(b"GET /p")
+
+
+def test_warc_framing_violations_raise():
+    import pytest as _pytest
+
+    from incremental_github_data_pipeline_spark.operators.text import (
+        warc_build,
+        warc_records,
+    )
+
+    recs, _ = _warc_sample()
+    good = warc_build(recs)
+    with _pytest.raises(ValueError, match="version"):
+        warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
+    # short block: truncating the payload kills the final separator
+    with _pytest.raises(ValueError, match="separator|shorter"):
+        warc_records(good[:-3])
+    # unsupported version
+    with _pytest.raises(ValueError, match="version"):
+        warc_records(good.replace(b"WARC/1.0", b"WARC/9.9", 1))
+    # content-length must exist: drop the header line entirely
+    head, _, rest = good.partition(b"\r\n\r\n")
+    lines = [
+        ln for ln in head.split(b"\r\n") if not ln.startswith(b"Content-Length")
+    ]
+    with _pytest.raises(ValueError):
+        warc_records(b"\r\n".join(lines) + b"\r\n\r\n" + rest)
+
+
+def test_warc_ingest_rows_and_skip(spark):
+    import pytest as _pytest
+
+    from incremental_github_data_pipeline_spark.operators.text import (
+        warc_build,
+        warc_ingest,
+    )
+
+    recs, _ = _warc_sample()
+    df = spark.createDataFrame(
+        [
+            (1, warc_build(recs)),
+            (2, b"garbage not warc"),
+            (3, warc_build(recs[1:2], gzip_per_record=True)),
+        ],
+        "payload_id long, payload binary",
+    )
+    got = {
+        (r["payload_id"], r["record_idx"], r["warc_type"], r["http_status"])
+        for r in warc_ingest(df, on_error="skip").collect()
+    }
+    assert got == {
+        (1, 0, "warcinfo", None),
+        (1, 1, "response", 200),
+        (1, 2, "request", None),
+        (3, 0, "response", 200),
+    }
+    with _pytest.raises(Exception):
+        warc_ingest(df).collect()
+    with _pytest.raises(ValueError, match="on_error"):
+        warc_ingest(df, on_error="quarantine")
