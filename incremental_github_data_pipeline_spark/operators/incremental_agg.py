@@ -454,3 +454,175 @@ def hll_estimate(registers: DataFrame, group_cols, p: int = 6) -> DataFrame:
         (raw <= 2.5 * m) & (F.col("_nonzero") < m), lin
     ).otherwise(raw)
     return agg.select(*group_cols, est.alias("hll_est"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values, "bottom-k theta") distinct sketch — the
+# oracle-CERTIFIABLE counterpart of both this module's HLL family and
+# Spark's native theta_sketch_agg (used by q_vocab_overlap_sketch):
+# unlike HLL, whose estimate is a float harmonic mean, every KMV output
+# — state, distinct estimate, union estimate, Jaccard — is exact
+# integer arithmetic a foreign engine replays bit-for-bit. Same
+# portable 31-bit avalanche hash (_hll_hash_sql). Reference scope note:
+# the reference has no sketches at all (its dedup is pandas
+# drop_duplicates, reference etl/transform.py); [EXT] surface.
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols,
+    key_col: str,
+    k: int = 64,
+    pre_trim_salts: int | None = 16,
+) -> DataFrame:
+    """Per group, the ``k`` smallest DISTINCT 31-bit hash values of the
+    key — ``(group..., kmv_hash)``, at most ``k`` rows per group.
+    Mergeable by union → distinct → re-rank (:func:`kmv_merge`): the k
+    smallest of a union are always among the union of per-shard k
+    smallest, so shards / days / streams sketch independently.
+
+    Plan shape: one (group, hash) shuffle with map-side combine for
+    the distinct, then bottom-k selection. The selection is two-level:
+    first bottom-k within each of ``pre_trim_salts`` hash-derived
+    buckets (window over (group, hash % S)), then bottom-k of the
+    ≤ S·k survivors per group — so no single task ever sorts a whole
+    group's distinct-hash set, the skew that would otherwise cap a
+    100 TB high-cardinality key. ``pre_trim_salts=None`` skips the
+    pre-trim (fine for lexicon-bounded keys)."""
+    from pyspark.sql import Window
+
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    h = _hll_hash_sql(key_col, "({a} ^ {b})", "div")
+    distinct = (
+        df.select(*group_cols, F.expr(h).cast("long").alias("kmv_hash"))
+        .groupBy(*group_cols, "kmv_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    if pre_trim_salts is not None:
+        w1 = Window.partitionBy(
+            *group_cols, (F.col("kmv_hash") % pre_trim_salts).alias("_salt")
+        ).orderBy("kmv_hash")
+        distinct = (
+            distinct.withColumn("_rk", F.row_number().over(w1))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+    w2 = Window.partitionBy(*group_cols).orderBy("kmv_hash")
+    return (
+        distinct.withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge sketches built with identical hash and ``k``: union →
+    distinct → bottom-k per group. Associative, commutative and
+    idempotent (a hash present twice collapses in the distinct), so
+    shard order and replayed batches cannot change the state. Inputs
+    are ≤ k rows per group each, so the re-rank window is bounded —
+    no pre-trim needed."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    keys = [c for c in u.columns if c != "kmv_hash"]
+    w = Window.partitionBy(*keys).orderBy("kmv_hash")
+    return (
+        u.groupBy(*keys, "kmv_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols, k: int = 64) -> DataFrame:
+    """Distinct-count estimate per group — and unlike
+    :func:`hll_estimate`, an EXACT INTEGER lane: with fewer than ``k``
+    sampled hashes the sketch saw every distinct value and the
+    estimate IS the exact count; at ``k`` it is the classic KMV
+    ``(k-1)/U(k)`` estimator with the kth-smallest hash normalized to
+    ``(0, 1]`` as ``(h+1)/2^31``, evaluated as one int64-safe integer
+    division ``(k-1)·2^31 div (h_k + 1)``. Certifiable end-to-end."""
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("kmv_hash").alias("_hk"),
+    )
+    est = F.when(F.col("_n") < k, F.col("_n")).otherwise(
+        F.expr(f"{(k - 1) * (1 << 31)} div (_hk + 1)")
+    )
+    return agg.select(
+        *group_cols, est.cast("long").alias("kmv_est")
+    )
+
+
+def kmv_jaccard(
+    sketch: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise Jaccard similarity between every two groups' key sets,
+    estimated from their sketches alone — the theta-sketch trick: the
+    bottom-k of the UNION of two sketches is a uniform sample of the
+    union, so the fraction of it present in both sides estimates
+    J(A, B). Output per (group_a < group_b): ``sample_size`` (=
+    min(k, |union sample|)), ``n_common_sample``, ``jaccard_ppm`` =
+    n_common·10⁶ div sample_size (EXACT when the union has < k
+    distinct hashes — the sample is then the whole union), and the
+    integer union-size estimate ``est_union``. Everything is integer
+    arithmetic over ≤ 2k rows per pair; with G groups the pair frame
+    is G²·k sketch rows — model-sized, broadcast-friendly, never a
+    fact-table join."""
+    from pyspark.sql import Window
+
+    a = sketch.select(
+        F.col(group_col).alias("group_a"),
+        "kmv_hash",
+        F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+    )
+    b = sketch.select(
+        F.col(group_col).alias("group_b"),
+        "kmv_hash",
+        F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"),
+    )
+    ga = sketch.select(F.col(group_col).alias("group_a")).distinct()
+    gb = sketch.select(F.col(group_col).alias("group_b")).distinct()
+    pairs = ga.join(gb, F.col("group_a") < F.col("group_b"))
+    un = (
+        pairs.join(a, "group_a")
+        .unionByName(pairs.join(b, "group_b").select(pairs.columns + ["kmv_hash", "in_a", "in_b"]))
+        .groupBy("group_a", "group_b", "kmv_hash")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("group_a", "group_b").orderBy("kmv_hash")
+    bot = un.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k
+    )
+    res = bot.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("sample_size"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_common_sample"),
+        F.max("kmv_hash").alias("_hk"),
+    )
+    est_union = F.when(
+        F.col("sample_size") < k, F.col("sample_size")
+    ).otherwise(F.expr(f"{(k - 1) * (1 << 31)} div (_hk + 1)"))
+    return res.select(
+        "group_a",
+        "group_b",
+        F.col("sample_size").cast("long").alias("sample_size"),
+        F.col("n_common_sample").cast("long").alias("n_common_sample"),
+        F.expr("n_common_sample * 1000000 div sample_size")
+        .cast("long")
+        .alias("jaccard_ppm"),
+        est_union.cast("long").alias("est_union"),
+    )

@@ -2538,3 +2538,140 @@ def q_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
         .select("c_mktsegment", "hll_idx", "hll_rho")
         .orderBy("c_mktsegment", "hll_idx")
     )
+
+
+def _kmv_oracle_prefix(key_sql: str, table: str, group_sql: str) -> str:
+    """DuckDB replay of kmv_sketch(k=64) over ``table``: distinct
+    31-bit avalanche hashes of ``key_sql`` per ``group_sql``, bottom-64
+    by row_number (the Spark side's salt pre-trim is a pure
+    optimization — the k smallest survive it by construction, so the
+    direct bottom-k here is the same set)."""
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        _hll_hash_sql,
+    )
+
+    h = _hll_hash_sql(key_sql, "xor({a}, {b})", "//")
+    return f"""
+    hashes AS (
+      SELECT DISTINCT {group_sql} AS g, {h} AS kh FROM {table}
+    ),
+    ranked AS (
+      SELECT g, kh, row_number() OVER (PARTITION BY g ORDER BY kh) AS rk
+      FROM hashes
+    ),
+    sk AS (SELECT g, kh FROM ranked WHERE rk <= 64)
+    """
+
+
+@register(
+    "q_kmv_distinct",
+    oracle=r"""
+    WITH """ + _kmv_oracle_prefix("c_custkey", "customer", "c_mktsegment") + r""",
+    agg AS (
+      SELECT g, count(*) AS n, max(kh) AS hk FROM sk GROUP BY g
+    ),
+    ex AS (
+      SELECT c_mktsegment AS g, count(DISTINCT c_custkey) AS exact_d
+      FROM customer GROUP BY 1
+    )
+    SELECT agg.g AS c_mktsegment,
+           CAST(agg.n AS BIGINT) AS n_sample,
+           CAST(CASE WHEN agg.n < 64 THEN agg.n
+                ELSE 135291469824 // (agg.hk + 1) END AS BIGINT)
+             AS kmv_est,
+           CAST(ex.exact_d AS BIGINT) AS exact_distinct
+    FROM agg JOIN ex ON agg.g = ex.g
+    ORDER BY c_mktsegment
+    """,
+    doc="KMV (k-minimum-values) distinct sketch with an INTEGER-EXACT "
+    "estimate (r11, operators/incremental_agg.kmv_sketch/kmv_estimate)"
+    " — the certifiable counterpart of both the HLL family (whose "
+    "estimate is a float harmonic mean, kept out of oracle lanes) and "
+    "Spark's native theta_sketch_agg: bottom-64 distinct 31-bit "
+    "avalanche hashes per group, estimate = (k-1)·2^31 div (h_k+1), "
+    "exact count when the group has fewer than k distinct keys — "
+    "every lane, state AND estimate, hash-compared cross-engine next "
+    "to the exact distinct count. Mergeable by union+distinct+re-rank "
+    "(merge law pinned in tests); one (group, hash) shuffle, then a "
+    "salt-bucketed two-level bottom-k so no task sorts a whole "
+    "group's hash set at 100 TB.",
+)
+def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    cust = T(spark, sf, "customer")
+    sk = kmv_sketch(cust, "c_mktsegment", "c_custkey", k=64)
+    est = kmv_estimate(sk, "c_mktsegment", k=64)
+    n = sk.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample")
+    )
+    exact = cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").cast("long").alias("exact_distinct")
+    )
+    return (
+        n.join(est, "c_mktsegment")
+        .join(exact, "c_mktsegment")
+        .select("c_mktsegment", "n_sample", "kmv_est", "exact_distinct")
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q_kmv_jaccard",
+    oracle=r"""
+    WITH """ + _kmv_oracle_prefix("o_custkey", "orders", "o_orderpriority") + r""",
+    pairs AS (
+      SELECT a.g AS ga, b.g AS gb
+      FROM (SELECT DISTINCT g FROM sk) a, (SELECT DISTINCT g FROM sk) b
+      WHERE a.g < b.g
+    ),
+    un AS (
+      SELECT p.ga, p.gb, s.kh,
+             max(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.g IN (p.ga, p.gb)
+      GROUP BY 1, 2, 3
+    ),
+    bot AS (
+      SELECT ga, gb, kh, in_a, in_b,
+             row_number() OVER (PARTITION BY ga, gb ORDER BY kh) AS rk
+      FROM un
+    ),
+    res AS (
+      SELECT ga, gb, count(*) AS n, sum(in_a * in_b) AS common,
+             max(kh) AS hk
+      FROM bot WHERE rk <= 64 GROUP BY 1, 2
+    )
+    SELECT ga AS group_a, gb AS group_b,
+           CAST(n AS BIGINT) AS sample_size,
+           CAST(common AS BIGINT) AS n_common_sample,
+           CAST(common * 1000000 // n AS BIGINT) AS jaccard_ppm,
+           CAST(CASE WHEN n < 64 THEN n
+                ELSE 135291469824 // (hk + 1) END AS BIGINT) AS est_union
+    FROM res ORDER BY group_a, group_b
+    """,
+    doc="Sketch-only pairwise set similarity (r11, operators/"
+    "incremental_agg.kmv_jaccard) — the theta-sketch trick made "
+    "integer-exact: the bottom-64 of the UNION of two groups' KMV "
+    "sketches is a uniform union sample, the fraction present in both "
+    "estimates J(A,B) as n_common·10^6 div sample_size, and the same "
+    "kth hash yields the integer union-size estimate — customer sets "
+    "per order priority compared without ever joining the fact table "
+    "against itself (G²·k sketch rows total, broadcast-sized). All "
+    "four lanes hash-compared against a full DuckDB replay.",
+)
+def q_kmv_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    sk = kmv_sketch(
+        T(spark, sf, "orders"), "o_orderpriority", "o_custkey", k=64
+    )
+    return kmv_jaccard(sk, "o_orderpriority", k=64).orderBy(
+        "group_a", "group_b"
+    )

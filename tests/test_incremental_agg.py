@@ -276,3 +276,107 @@ class TestHll:
         }
         once = {(r["hll_idx"], r["hll_rho"]) for r in s.collect()}
         assert twice == once
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch
+# ---------------------------------------------------------------------------
+
+
+class TestKMV:
+    def _df(self, spark):
+        rows = [("X", i) for i in range(1000)] + [
+            ("Y", i) for i in range(500, 1500)
+        ]
+        return spark.createDataFrame(rows, "g string, key long")
+
+    def test_state_bounded_and_sorted(self, spark):
+        from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+            kmv_sketch,
+        )
+
+        sk = kmv_sketch(self._df(spark), "g", "key", k=64)
+        per = {r["g"]: r["n"] for r in
+               sk.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert per == {"X": 64, "Y": 64}
+        # the sketch is exactly the k smallest distinct hashes: no dup
+        hashes = [r["kmv_hash"] for r in
+                  sk.filter(F.col("g") == "X").collect()]
+        assert len(set(hashes)) == 64
+
+    def test_merge_law_shards_equal_whole(self, spark):
+        from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+            kmv_merge,
+            kmv_sketch,
+        )
+
+        df = self._df(spark)
+        whole = kmv_sketch(df, "g", "key", k=64)
+        h1 = kmv_sketch(df.filter(F.col("key") % 2 == 0), "g", "key", k=64)
+        h2 = kmv_sketch(df.filter(F.col("key") % 2 == 1), "g", "key", k=64)
+        merged = kmv_merge(h1, h2, k=64)
+        assert merged.exceptAll(whole).count() == 0
+        assert whole.exceptAll(merged).count() == 0
+        # idempotence: re-merging the merged state is a no-op
+        again = kmv_merge(merged, merged, k=64)
+        assert again.exceptAll(merged).count() == 0
+
+    def test_estimate_exact_below_k_and_close_above(self, spark):
+        from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        tiny = spark.createDataFrame(
+            [("A", i) for i in range(10)], "g string, key long"
+        )
+        est = kmv_estimate(
+            kmv_sketch(tiny, "g", "key", k=64), "g", k=64
+        ).collect()
+        assert est[0]["kmv_est"] == 10  # exact below k
+        big = kmv_estimate(
+            kmv_sketch(self._df(spark), "g", "key", k=64), "g", k=64
+        )
+        for r in big.collect():
+            assert abs(r["kmv_est"] - 1000) < 350  # ~1/sqrt(63) rel err
+
+    def test_pre_trim_is_invisible(self, spark):
+        from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+            kmv_sketch,
+        )
+
+        df = self._df(spark)
+        trimmed = kmv_sketch(df, "g", "key", k=64, pre_trim_salts=16)
+        direct = kmv_sketch(df, "g", "key", k=64, pre_trim_salts=None)
+        assert trimmed.exceptAll(direct).count() == 0
+        assert direct.exceptAll(trimmed).count() == 0
+
+    def test_jaccard_exact_on_small_union(self, spark):
+        from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+            kmv_jaccard,
+            kmv_sketch,
+        )
+
+        tiny = spark.createDataFrame(
+            [("A", i) for i in range(10)]
+            + [("B", i) for i in range(5, 20)],
+            "g string, key long",
+        )
+        sk = kmv_sketch(tiny, "g", "key", k=64)
+        row = kmv_jaccard(sk, "g", k=64).collect()[0]
+        # union = 20 < k: the sample IS the union, everything exact
+        assert (row["sample_size"], row["n_common_sample"]) == (20, 5)
+        assert row["jaccard_ppm"] == 250000
+        assert row["est_union"] == 20
+
+    def test_jaccard_tracks_true_overlap(self, spark):
+        from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+            kmv_jaccard,
+            kmv_sketch,
+        )
+
+        sk = kmv_sketch(self._df(spark), "g", "key", k=64)
+        row = kmv_jaccard(sk, "g", k=64).collect()[0]
+        # true J = 500/1500 = 0.333; k=64 keeps it within sampling noise
+        assert 150000 < row["jaccard_ppm"] < 550000
+        assert 1000 < row["est_union"] < 2100
