@@ -483,3 +483,150 @@ def q_graph_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     return g_ops.label_propagation(_edges(spark), iters=LP_ITERS).orderBy(
         "node"
     )
+
+
+HITS_SCALE = 10**6
+HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    rounds = []
+    prev_h = "h0"
+    for t in range(1, HITS_ITERS + 1):
+        rounds.append(
+            f"""a{t}r AS (
+      SELECT n.node, COALESCE(m.s, 0) AS raw
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(h.hub) AS s
+        FROM e JOIN {prev_h} h ON h.node = e.src GROUP BY 1) m
+      USING (node)
+    ),
+    a{t} AS (
+      SELECT node, (raw * {HITS_SCALE}) //
+             GREATEST((SELECT SUM(raw) FROM a{t}r), 1) AS auth
+      FROM a{t}r
+    ),
+    h{t}r AS (
+      SELECT n.node, COALESCE(m.s, 0) AS raw
+      FROM nodes n LEFT JOIN (
+        SELECT e.src AS node, SUM(a.auth) AS s
+        FROM e JOIN a{t} a ON a.node = e.dst GROUP BY 1) m
+      USING (node)
+    ),
+    h{t} AS (
+      SELECT node, (raw * {HITS_SCALE}) //
+             GREATEST((SELECT SUM(raw) FROM h{t}r), 1) AS hub
+      FROM h{t}r
+    )"""
+        )
+        prev_h = f"h{t}"
+    return f"""
+    WITH nodes AS (SELECT range AS node FROM range({N})),
+    e AS (
+      {_EDGE_SQL}
+    ),
+    h0 AS (SELECT node, {HITS_SCALE} AS hub FROM nodes),
+    {",".join(rounds)}
+    SELECT CAST(n.node AS BIGINT) AS node,
+           CAST(h.hub AS BIGINT) AS hub,
+           CAST(a.auth AS BIGINT) AS auth
+    FROM nodes n
+    JOIN h{HITS_ITERS} h USING (node)
+    JOIN a{HITS_ITERS} a USING (node)
+    ORDER BY node
+    """
+
+
+@register(
+    "q_graph_hits",
+    oracle=_hits_oracle(),
+    doc="HITS hubs and authorities (r11, operators/graph.hits_integer)"
+    " — the query-independent link-analysis pair to PageRank, in "
+    "scaled-integer arithmetic with L1 normalization as one integral "
+    "division per node per half-round (the irrational L2 norm is "
+    "exactly what keeps classic HITS out of certified lanes; the L1 "
+    "variant is the standard convex-combination form). Each round is "
+    "two aggregate shuffles (dst then src) plus two 1-row broadcast "
+    "normalizing sums — no driver collect, per-round localCheckpoint; "
+    "the oracle unrolls all three rounds and every hub/auth value "
+    "hash-compares bit-for-bit.",
+)
+def q_graph_hits(spark: SparkSession, sf: str) -> DataFrame:
+    res = g_ops.hits_integer(
+        _edges(spark), N, iters=HITS_ITERS, scale=HITS_SCALE
+    )
+    return res.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("hub").cast("long").alias("hub"),
+        F.col("auth").cast("long").alias("auth"),
+    ).orderBy("node")
+
+
+@register(
+    "q_graph_link_pred",
+    oracle=f"""
+    WITH nodes AS (SELECT range AS node FROM range({N})),
+    e AS (
+      {_EDGE_SQL}
+    ),
+    und AS (
+      SELECT src AS a, dst AS b FROM e
+      UNION
+      SELECT dst AS a, src AS b FROM e
+    ),
+    deg AS (SELECT a AS z, COUNT(*) AS deg FROM und GROUP BY 1),
+    adj AS (SELECT b AS z, a AS n FROM und),
+    wed AS (
+      SELECT l.z, l.n AS na, r.n AS nb
+      FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n
+    ),
+    sc AS (
+      SELECT na AS node_a, nb AS node_b, COUNT(*) AS cn,
+             SUM(1000000 // d.deg) AS ra
+      FROM wed JOIN deg d ON d.z = wed.z GROUP BY 1, 2
+    ),
+    fresh AS (
+      SELECT sc.* FROM sc
+      LEFT JOIN und ON und.a = sc.node_a AND und.b = sc.node_b
+      WHERE und.a IS NULL
+    )
+    SELECT CAST(node_a AS BIGINT) AS node_a,
+           CAST(node_b AS BIGINT) AS node_b,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           CAST(ra AS BIGINT) AS ra_ppm,
+           CAST(cn * 1000000 // (da.deg + db.deg - cn) AS BIGINT)
+             AS jaccard_ppm
+    FROM fresh
+    JOIN deg da ON da.z = fresh.node_a
+    JOIN deg db ON db.z = fresh.node_b
+    ORDER BY ra_ppm DESC, common_neighbors DESC, node_a, node_b
+    LIMIT 200
+    """,
+    doc="Neighborhood link prediction (r11, operators/graph."
+    "link_prediction): common-neighbor count, Resource Allocation "
+    "index as Σ 10^6 div deg(z) (RA instead of Adamic–Adar precisely "
+    "because 1/deg needs no irrational ln — certifiable), and Jaccard "
+    "ppm, for every non-adjacent distance-2 pair. One wedge self-join "
+    "on the shared neighbor (the triangle_count key), one pair "
+    "aggregate, one left_anti against the edge set; the top-200 by "
+    "(ra, cn, pair) is a total order, so the ranked head "
+    "hash-compares exactly.",
+)
+def q_graph_link_pred(spark: SparkSession, sf: str) -> DataFrame:
+    res = g_ops.link_prediction(_edges(spark))
+    return (
+        res.orderBy(
+            F.desc("ra_ppm"),
+            F.desc("common_neighbors"),
+            "node_a",
+            "node_b",
+        )
+        .limit(200)
+        .select(
+            F.col("node_a").cast("long"),
+            F.col("node_b").cast("long"),
+            "common_neighbors",
+            "ra_ppm",
+            "jaccard_ppm",
+        )
+    )

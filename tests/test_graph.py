@@ -225,3 +225,108 @@ def test_label_propagation_plan_stays_flat(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert p5 < p2 * 3, f"plan grows with iterations: {p2} -> {p5}"
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities
+# ---------------------------------------------------------------------------
+
+
+def test_hits_star_separates_hub_from_authorities(spark):
+    from incremental_github_data_pipeline_spark.operators.graph import hits_integer
+
+    # node 0 links to 1, 2, 3: 0 is the pure hub, 1-3 the authorities
+    star = _edges(spark, [(0, 1), (0, 2), (0, 3)])
+    got = {r["node"]: (r["hub"], r["auth"]) for r in
+           hits_integer(star, 4, iters=3, scale=10**6).collect()}
+    assert got[0][0] == 10**6 and got[0][1] == 0  # all hub mass
+    for v in (1, 2, 3):
+        assert got[v][0] == 0
+        assert abs(got[v][1] - 333333) <= 1  # authority mass split 3 ways
+
+
+def test_hits_hand_computed_two_hub_graph(spark):
+    from incremental_github_data_pipeline_spark.operators.graph import hits_integer
+
+    # 0->2, 1->2, 1->3: authority mass concentrates on 2; hub 1 (two
+    # out-links onto both authorities) beats hub 0
+    e = _edges(spark, [(0, 2), (1, 2), (1, 3)])
+    got = {r["node"]: (r["hub"], r["auth"]) for r in
+           hits_integer(e, 4, iters=3, scale=10**6).collect()}
+    assert got[1][0] > got[0][0] > 0
+    assert got[2][1] > got[3][1] > 0
+    # L1 normalization: each vector sums to ~scale (integral-division
+    # remainders only ever lose a few ppm)
+    assert sum(h for h, _ in got.values()) >= 10**6 - 4
+    assert sum(a for _, a in got.values()) >= 10**6 - 4
+    assert sum(h for h, _ in got.values()) <= 10**6
+    assert sum(a for _, a in got.values()) <= 10**6
+
+
+def test_hits_empty_edges_all_zero(spark):
+    from incremental_github_data_pipeline_spark.operators.graph import hits_integer
+
+    e = _edges(spark, [(0, 1)]).filter("src > 99")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in
+           hits_integer(e, 3, iters=2).collect()}
+    assert got == {0: (0, 0), 1: (0, 0), 2: (0, 0)}
+
+
+def test_hits_overflow_guard():
+    import pytest as _pytest
+
+    from incremental_github_data_pipeline_spark.operators.graph import hits_integer
+
+    with _pytest.raises(ValueError, match="int64"):
+        hits_integer(None, 10**7, scale=10**12)
+
+
+# ---------------------------------------------------------------------------
+# link prediction
+# ---------------------------------------------------------------------------
+
+
+def test_link_prediction_hand_computed_path(spark):
+    from incremental_github_data_pipeline_spark.operators.graph import (
+        link_prediction,
+    )
+
+    # path 0-1-2 plus 1-3: non-adjacent pairs through hub 1 (deg 3):
+    # (0,2), (0,3), (2,3) each share exactly neighbor 1
+    e = _edges(spark, [(0, 1), (1, 2), (1, 3)])
+    got = {(r["node_a"], r["node_b"]): r for r in
+           link_prediction(e).collect()}
+    assert set(got) == {(0, 2), (0, 3), (2, 3)}
+    for r in got.values():
+        assert r["common_neighbors"] == 1
+        assert r["ra_ppm"] == 1000000 // 3  # 1/deg(1)
+        # deg(a)=deg(b)=1, union = 1+1-1
+        assert r["jaccard_ppm"] == 1000000
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from incremental_github_data_pipeline_spark.operators.graph import (
+        link_prediction,
+    )
+
+    # triangle: every distance-2 pair is already adjacent -> no rows
+    e = _edges(spark, [(0, 1), (1, 2), (0, 2)])
+    assert link_prediction(e).count() == 0
+
+
+def test_link_prediction_max_wedge_degree_drops_hub_paths(spark):
+    from incremental_github_data_pipeline_spark.operators.graph import (
+        link_prediction,
+    )
+
+    # hub 9 connects 0..4 (deg 5); side chain 0-5-1 (deg(5)=2)
+    pairs = [(9, i) for i in range(5)] + [(0, 5), (5, 1)]
+    e = _edges(spark, pairs)
+    full = {(r["node_a"], r["node_b"]): r["ra_ppm"] for r in
+            link_prediction(e).collect()}
+    # (0,1) reachable via 9 (1/5) and via 5 (1/2)
+    assert full[(0, 1)] == 1000000 // 5 + 1000000 // 2
+    capped = {(r["node_a"], r["node_b"]): r["ra_ppm"] for r in
+              link_prediction(e, max_wedge_degree=2).collect()}
+    assert capped[(0, 1)] == 1000000 // 2  # hub wedge excluded
+    assert (2, 3) in full and (2, 3) not in capped
