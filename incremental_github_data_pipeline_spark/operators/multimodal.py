@@ -546,6 +546,7 @@ def _decode_one(r, row: dict) -> None:
         "image/tiff",
         "image/webp",
         "image/x-portable-pixmap",
+        "image/x-pcx",
         "image/x-tga",
     ):
         px = {
@@ -554,6 +555,7 @@ def _decode_one(r, row: dict) -> None:
             "image/tiff": decode_tiff,
             "image/webp": decode_webp_lossless,
             "image/x-portable-pixmap": decode_pnm,
+            "image/x-pcx": decode_pcx,
             "image/x-tga": decode_tga,
         }[r.mime](r.payload)
         if px.ndim == 2:  # grayscale → same mean per channel
@@ -564,11 +566,12 @@ def _decode_one(r, row: dict) -> None:
             mean_g=float(px[:, :, 1].mean()),
             mean_b=float(px[:, :, 2].mean()),
         )
-    elif r.mime in ("audio/wav", "audio/flac", "audio/aiff"):
+    elif r.mime in ("audio/wav", "audio/flac", "audio/aiff", "audio/x-au"):
         sr, s = {
             "audio/wav": decode_wav,
             "audio/flac": decode_flac,
             "audio/aiff": decode_aiff,
+            "audio/x-au": decode_au,
         }[r.mime](r.payload)
         ch = 1 if s.ndim == 1 else s.shape[1]
         mono = downmix_mono(s)
@@ -6781,5 +6784,263 @@ def make_ico_media(spark, n: int = 24, id_offset: int = 7000) -> DataFrame:
                 id_offset + i, "image", payload, "image/x-icon",
                 px.shape[1], px.shape[0], None,
             )
+        )
+    return _sized_media(spark, rows)
+
+
+# ---------------------------------------------------------------------------
+# Sun AU (.au / .snd) audio container — the other classic uncompressed
+# audio family beside WAV/AIFF (NeXT/Sun Unix lineage; still what
+# `audio/basic` telephony snippets and many speech-corpus archives are).
+# Big-endian throughout. Encodings covered: 1 (G.711 mu-law, reusing
+# MULAW_TABLE), 2 (8-bit signed linear), 3 (16-bit signed linear),
+# 27 (G.711 A-law via ALAW_TABLE); floats/ADPCM raise by name.
+# ---------------------------------------------------------------------------
+
+_AU_MAGIC = b".snd"
+_AU_ULAW, _AU_PCM8, _AU_PCM16, _AU_ALAW = 1, 2, 3, 27
+
+
+def encode_au(
+    samples: np.ndarray,
+    sample_rate: int = WAV_SAMPLE_RATE,
+    encoding: int = _AU_PCM16,
+    annotation: bytes = b"",
+) -> bytes:
+    """Encode audio as a Sun AU payload. ``samples`` is int16 PCM
+    ((n,) or (n, ch)) for encodings 3/2 (2 truncates to the top byte:
+    callers encoding 8-bit pass values already on the ±127<<8
+    lattice), or raw uint8 G.711 codewords for encodings 1/27 (the
+    same raw-codes contract as :func:`encode_wav_g711`). The optional
+    annotation (a NUL-padded label in real writers) extends the data
+    offset — decoders must honor it, so the tests plant one."""
+    if encoding in (_AU_ULAW, _AU_ALAW):
+        ch = 1 if samples.ndim == 1 else samples.shape[1]
+        data = samples.astype(np.uint8).tobytes()
+    elif encoding == _AU_PCM16:
+        s = samples.astype(">i2")
+        ch = 1 if s.ndim == 1 else s.shape[1]
+        data = s.tobytes()
+    elif encoding == _AU_PCM8:
+        s16 = samples.astype(np.int16)
+        ch = 1 if s16.ndim == 1 else s16.shape[1]
+        data = (s16 >> 8).astype(np.int8).tobytes()
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding}")
+    if len(annotation) % 8:  # real writers pad the header to 8 bytes
+        annotation += b"\x00" * (8 - len(annotation) % 8)
+    hdr = struct.pack(
+        ">4s5I",
+        _AU_MAGIC,
+        24 + len(annotation),
+        len(data),
+        encoding,
+        sample_rate,
+        ch,
+    )
+    return hdr + annotation + data
+
+
+def decode_au(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode Sun AU → (sample_rate, int16 samples — (n,) mono or
+    (n, ch) interleaved). Header-first parse honoring the variable
+    data offset and the 0xFFFFFFFF unknown-length convention (length
+    then runs to EOF — what streaming writers emit); G.711 encodings
+    expand through the same ITU tables as the WAV G.711 path, 8-bit
+    linear joins the int16 lattice at <<8. Unsupported encodings
+    (float, ADPCM, 24/32-bit) raise by number."""
+    if payload[:4] != _AU_MAGIC:
+        raise ValueError("not an AU payload (bad .snd magic)")
+    _, offset, size, encoding, rate, ch = struct.unpack_from(
+        ">4s5I", payload, 0
+    )
+    if offset < 24 or offset > len(payload):
+        raise ValueError("bad AU data offset")
+    data = payload[offset:]
+    if size != 0xFFFFFFFF:
+        if size > len(data):
+            raise ValueError("AU data shorter than header size")
+        data = data[:size]
+    if encoding == _AU_PCM16:
+        if len(data) % (2 * ch):
+            raise ValueError("AU 16-bit data not frame-aligned")
+        s = np.frombuffer(data, dtype=">i2").astype(np.int16)
+    elif encoding == _AU_PCM8:
+        s = np.frombuffer(data, dtype=np.int8).astype(np.int16) << 8
+    elif encoding in (_AU_ULAW, _AU_ALAW):
+        table = MULAW_TABLE if encoding == _AU_ULAW else ALAW_TABLE
+        s = table[np.frombuffer(data, dtype=np.uint8)]
+    else:
+        raise NotImplementedError(
+            f"AU encoding {encoding} not supported"
+        )
+    return rate, s if ch == 1 else s.reshape(-1, ch)
+
+
+# ---------------------------------------------------------------------------
+# ZSoft PCX — the legacy DOS/scan-archive raster format (RLE over
+# per-plane scanlines). 24-bit RGB (3 planes) and 8-bit paletted
+# (1 plane + trailing VGA palette) are the shapes that survive in
+# archives; EGA 4-plane and 1-bit raise by name.
+# ---------------------------------------------------------------------------
+
+
+def _pcx_rle_encode(row: bytes) -> bytes:
+    """PCX RLE for one scanline: runs of 1..63 as (0xC0|len, value);
+    a single byte ≥ 0xC0 MUST also be a run pair (the top two bits
+    are the run marker). Runs never cross scanline boundaries —
+    that's why this encodes per line."""
+    out = bytearray()
+    i = 0
+    while i < len(row):
+        v = row[i]
+        run = 1
+        while run < 63 and i + run < len(row) and row[i + run] == v:
+            run += 1
+        if run > 1 or v >= 0xC0:
+            out.append(0xC0 | run)
+            out.append(v)
+        else:
+            out.append(v)
+        i += run
+    return bytes(out)
+
+
+def _pcx_rle_decode(payload: bytes, pos: int, n: int) -> tuple[bytes, int]:
+    out = bytearray()
+    while len(out) < n:
+        if pos >= len(payload):
+            raise ValueError("PCX RLE stream truncated")
+        b = payload[pos]
+        pos += 1
+        if b >= 0xC0:
+            if pos >= len(payload):
+                raise ValueError("PCX RLE run missing value byte")
+            out.extend(payload[pos : pos + 1] * (b & 0x3F))
+            pos += 1
+        else:
+            out.append(b)
+    if len(out) != n:
+        raise ValueError("PCX RLE run crossed scanline boundary")
+    return bytes(out), pos
+
+
+def encode_pcx(px: np.ndarray) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as PCX v5:
+    8 bits per plane, RLE, even bytes-per-line (the spec's word
+    alignment — decoders must crop the pad column). Grayscale writes
+    the 1-plane paletted form with a gray-ramp VGA palette appended
+    after the 0x0C marker, which is how 8-bit PCX carries gray."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    nplanes = 1 if gray else 3
+    bpl = w + (w & 1)
+    hdr = struct.pack(
+        "<BBBB4H2H48sBBHH58s",
+        0x0A, 5, 1, 8,
+        0, 0, w - 1, h - 1,
+        72, 72,
+        b"\x00" * 48, 0, nplanes, bpl, 1, b"\x00" * 58,
+    )
+    body = bytearray()
+    for y in range(h):
+        for p in range(nplanes):
+            line = (px[y] if gray else px[y, :, p]).astype(np.uint8)
+            row = line.tobytes() + b"\x00" * (bpl - w)
+            body += _pcx_rle_encode(row)
+    out = hdr + bytes(body)
+    if gray:
+        ramp = bytes(v for v in range(256) for _ in range(3))
+        out += b"\x0c" + ramp
+    return out
+
+
+def decode_pcx(payload: bytes) -> np.ndarray:
+    """Decode PCX → (h, w, 3) uint8 RGB, or (h, w) grayscale when the
+    file is paletted and its palette is exactly the gray ramp (the
+    form :func:`encode_pcx` writes). Validates magic/version/encoding;
+    EGA multi-plane sub-8-bit layouts raise by name."""
+    if len(payload) < 128 or payload[0] != 0x0A:
+        raise ValueError("not a PCX payload (bad manufacturer byte)")
+    (_, ver, enc, bpp, xmin, ymin, xmax, ymax) = struct.unpack_from(
+        "<BBBB4H", payload, 0
+    )
+    nplanes = payload[65]
+    (bpl,) = struct.unpack_from("<H", payload, 66)
+    if enc != 1:
+        raise NotImplementedError("uncompressed PCX not supported")
+    if bpp != 8 or nplanes not in (1, 3):
+        raise NotImplementedError(
+            f"PCX {bpp}-bit {nplanes}-plane layout not supported"
+        )
+    w, h = xmax - xmin + 1, ymax - ymin + 1
+    pos = 128
+    rows = []
+    for _ in range(h):
+        planes = []
+        for _p in range(nplanes):
+            line, pos = _pcx_rle_decode(payload, pos, bpl)
+            planes.append(np.frombuffer(line[:w], dtype=np.uint8))
+        rows.append(np.stack(planes, axis=-1))
+    px = np.stack(rows, axis=0)  # (h, w, nplanes)
+    if nplanes == 3:
+        return px
+    # paletted: VGA palette trails after the 0x0C marker
+    if len(payload) < pos + 769 or payload[-769] != 0x0C:
+        raise ValueError("paletted PCX missing VGA palette")
+    pal = np.frombuffer(payload[-768:], dtype=np.uint8).reshape(256, 3)
+    idx = px[:, :, 0]
+    if np.array_equal(pal, np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)):
+        return idx  # gray ramp → true grayscale raster
+    return pal[idx]
+
+
+def make_au_pcx_media(spark, n: int = 24, id_offset: int = 8000) -> DataFrame:
+    """Media table cycling PCX RGB / PCX gray / AU 16-bit mono / AU
+    16-bit stereo / AU mu-law / AU 8-bit — over the SAME closed-form
+    rules as every other generator (images: :func:`_image_pixels`,
+    PCM lanes: :func:`_wav_channel`, mu-law codes: :func:`_g711_codes`)
+    so the shared oracle certifies the containers are invisible. The
+    8-bit AU lane pre-quantizes onto the ±127·256 lattice (top-byte
+    truncation is the lossy step — done HERE so decode is exact);
+    every fourth AU file carries an annotation block to pin the
+    variable data offset."""
+    rows = []
+    for i in range(n):
+        v = i % 6
+        annot = b"synth" if i % 4 == 0 else b""
+        if v < 2:
+            px = _image_pixels(i)
+            if v == 1:
+                px = px[:, :, 0]
+            rows.append(
+                (id_offset + i, "image", encode_pcx(px), "image/x-pcx",
+                 px.shape[1], px.shape[0], None)
+            )
+            continue
+        if v in (2, 3):
+            m = 300 + 50 * (i % 8)
+            s = _wav_channel(i, 0, m, 16)
+            if v == 3:
+                s = np.stack([s, _wav_channel(i, 1, m, 16)], axis=1)
+            payload = encode_au(s, annotation=annot)
+            dur = m * 1000 // WAV_SAMPLE_RATE
+        elif v == 4:
+            codes = _g711_codes(i)
+            payload = encode_au(
+                codes, sample_rate=8000, encoding=_AU_ULAW,
+                annotation=annot,
+            )
+            dur = len(codes) * 1000 // 8000
+        else:  # v == 5: 8-bit linear on the top-byte lattice
+            m = 300 + 50 * (i % 8)
+            s = (
+                (_wav_channel(i, 0, m, 16) >> 8).astype(np.int16) << 8
+            )
+            payload = encode_au(s, encoding=_AU_PCM8, annotation=annot)
+            dur = m * 1000 // WAV_SAMPLE_RATE
+        rows.append(
+            (id_offset + i, "audio", payload, "audio/x-au",
+             None, None, dur)
         )
     return _sized_media(spark, rows)

@@ -2099,3 +2099,144 @@ def q_media_ico_stats(spark: SparkSession, sf: str) -> DataFrame:
         .mapInPandas(batches, PNG_STATS_SCHEMA)
         .orderBy("media_id")
     )
+
+
+_AU_PCX_STATS_ORACLE = """
+    WITH img AS (
+      SELECT 8000 + i AS media_id, i AS i, i % 6 AS v,
+             16 + (i % 13) AS w, 12 + (i % 11) AS h
+      FROM range(24) t(i) WHERE i % 6 < 2
+    ),
+    img_sums AS (
+      SELECT img.media_id, img.v, img.w, img.h,
+             SUM(CASE WHEN c.c = 0
+                 THEN (x.x*7 + y.y*13 + c.c*29 + img.i*3) % 256 END) AS s0,
+             SUM(CASE WHEN c.c = 1
+                 THEN (x.x*7 + y.y*13 + c.c*29 + img.i*3) % 256 END) AS s1,
+             SUM(CASE WHEN c.c = 2
+                 THEN (x.x*7 + y.y*13 + c.c*29 + img.i*3) % 256 END) AS s2
+      FROM img, range(28) x(x), range(22) y(y), range(3) c(c)
+      WHERE x.x < img.w AND y.y < img.h
+      GROUP BY img.media_id, img.v, img.w, img.h
+    ),
+    pcm AS (
+      SELECT 8000 + i AS media_id, i % 6 AS v, 300 + 50 * (i % 8) AS m,
+             3 + (i % 7) AS k0, i * 11 AS o0,
+             5 + (i % 3) AS k1, i * 13 AS o1
+      FROM range(24) t(i) WHERE i % 6 IN (2, 3, 5)
+    ),
+    pcm_vals AS (
+      SELECT pcm.media_id, pcm.v, pcm.m,
+             CASE WHEN pcm.v = 5
+               THEN CAST(FLOOR((((t.t*pcm.k0 + pcm.o0) % 2048) - 1024)
+                    / 256.0) AS BIGINT) * 256
+               ELSE ((t.t*pcm.k0 + pcm.o0) % 2048) - 1024 END AS c0,
+             CASE WHEN pcm.v = 3
+               THEN ((t.t*pcm.k1 + pcm.o1) % 2048) - 1024 END AS c1
+      FROM pcm, range(650) t(t) WHERE t.t < pcm.m
+    ),
+    pcm_sums AS (
+      SELECT media_id, v, m,
+             SUM(c0) AS sum_ch0, SUM(c1) AS sum_ch1,
+             SUM(ABS(CASE WHEN v = 3
+                 THEN CAST(FLOOR((c0 + c1) / 2.0) AS BIGINT)
+                 ELSE c0 END)) AS sum_abs
+      FROM pcm_vals GROUP BY 1, 2, 3
+    ),
+    ulaw AS (
+      SELECT 8000 + i AS media_id, 160 + 40 * (i % 8) AS n,
+             i AS i
+      FROM range(24) t(i) WHERE i % 6 = 4
+    ),
+    ulaw_pcm AS (
+      SELECT ulaw.media_id, ulaw.n,
+        CASE WHEN (255 - c.c) >= 128
+          THEN 132 - (((255 - c.c) % 16) * 8 + 132)
+               * (1 << (((255 - c.c) // 16) % 8))
+          ELSE (((255 - c.c) % 16) * 8 + 132)
+               * (1 << (((255 - c.c) // 16) % 8)) - 132
+        END AS s
+      FROM ulaw, (
+        SELECT ulaw2.i AS i, t.t AS t,
+               (t.t * (3 + ulaw2.i % 5) + ulaw2.i * 7) % 256 AS c
+        FROM (SELECT i FROM range(24) t0(i) WHERE i % 6 = 4) ulaw2,
+             range(440) t(t)
+      ) c
+      WHERE c.i = ulaw.i AND c.t < ulaw.n
+    ),
+    ulaw_sums AS (
+      SELECT media_id, MAX(n) AS m, SUM(s) AS sum_ch0,
+             SUM(ABS(s)) AS sum_abs
+      FROM ulaw_pcm GROUP BY 1
+    )
+    SELECT media_id, 'image' AS kind,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(NULL AS BIGINT) AS n_samples,
+           CAST(NULL AS BIGINT) AS n_channels,
+           CAST(s0 AS BIGINT) AS sum_r,
+           CAST(CASE WHEN v = 1 THEN s0 ELSE s1 END AS BIGINT) AS sum_g,
+           CAST(CASE WHEN v = 1 THEN s0 ELSE s2 END AS BIGINT) AS sum_b,
+           CAST(NULL AS BIGINT) AS sum_abs,
+           CAST(NULL AS BIGINT) AS sum_ch0, CAST(NULL AS BIGINT) AS sum_ch1
+    FROM img_sums
+    UNION ALL
+    SELECT media_id, 'audio', NULL, NULL,
+           CAST(m AS BIGINT),
+           CAST(CASE WHEN v = 3 THEN 2 ELSE 1 END AS BIGINT),
+           NULL, NULL, NULL,
+           CAST(sum_abs AS BIGINT),
+           CAST(sum_ch0 AS BIGINT), CAST(sum_ch1 AS BIGINT)
+    FROM pcm_sums
+    UNION ALL
+    SELECT media_id, 'audio', NULL, NULL,
+           CAST(m AS BIGINT), CAST(1 AS BIGINT),
+           NULL, NULL, NULL,
+           CAST(sum_abs AS BIGINT),
+           CAST(sum_ch0 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ulaw_sums
+    ORDER BY media_id
+"""
+
+
+@register(
+    "q_media_au_pcx_stats",
+    oracle=_AU_PCX_STATS_ORACLE,
+    doc="Sun AU and ZSoft PCX decode (r11, operators/multimodal."
+    "decode_au/decode_pcx) — the remaining archive-tier containers: "
+    "PCX 24-bit 3-plane and 8-bit paletted-gray RLE scanlines (runs "
+    "pinned to never cross line boundaries, even bytes-per-line pad "
+    "column cropped), AU big-endian 16-bit mono/stereo, G.711 mu-law "
+    "through the same ITU expand closed form the WAV G.711 oracle "
+    "replays, and 8-bit linear on the top-byte lattice; every fourth "
+    "AU file plants an annotation block so the variable data offset "
+    "rides the certified path. Same closed-form content rules as "
+    "every other generator — container invisibility is the theorem.",
+)
+def q_media_au_pcx_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        decode_stats,
+        make_au_pcx_media,
+    )
+
+    stats = decode_stats(make_au_pcx_media(spark, n=24))
+    npix = F.col("width") * F.col("height")
+    return stats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_samples",
+        "n_channels",
+        F.round(F.col("mean_r") * npix).cast("long").alias("sum_r"),
+        F.round(F.col("mean_g") * npix).cast("long").alias("sum_g"),
+        F.round(F.col("mean_b") * npix).cast("long").alias("sum_b"),
+        F.round(F.col("mean_abs_sample") * F.col("n_samples"))
+        .cast("long")
+        .alias("sum_abs"),
+        F.round(F.col("mean_ch0") * F.col("n_samples"))
+        .cast("long")
+        .alias("sum_ch0"),
+        F.round(F.col("mean_ch1") * F.col("n_samples"))
+        .cast("long")
+        .alias("sum_ch1"),
+    ).orderBy("media_id")

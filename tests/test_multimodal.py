@@ -2176,3 +2176,119 @@ class TestIco:
         p[i : i + 2] = (8).to_bytes(2, "little")
         with pytest.raises(NotImplementedError, match="8-bit"):
             mm.decode_ico(bytes(p))
+
+
+# ---------------------------------------------------------------------------
+# Sun AU + ZSoft PCX
+# ---------------------------------------------------------------------------
+
+
+class TestAuPcx:
+    def test_au_roundtrip_pcm16_mono_stereo_with_annotation(self):
+        import numpy as np
+
+        from incremental_github_data_pipeline_spark.operators import multimodal as mm
+
+        s = mm._wav_channel(5, 0, 400, 16)
+        sr, out = mm.decode_au(mm.encode_au(s, annotation=b"label"))
+        assert sr == mm.WAV_SAMPLE_RATE
+        assert np.array_equal(out, s)
+        st = np.stack([s, mm._wav_channel(5, 1, 400, 16)], axis=1)
+        _, out2 = mm.decode_au(mm.encode_au(st))
+        assert out2.shape == (400, 2) and np.array_equal(out2, st)
+
+    def test_au_g711_lanes_match_itu_tables(self):
+        import numpy as np
+
+        from incremental_github_data_pipeline_spark.operators import multimodal as mm
+
+        codes = mm._g711_codes(6)
+        sr, mu = mm.decode_au(
+            mm.encode_au(codes, sample_rate=8000, encoding=1)
+        )
+        assert sr == 8000 and np.array_equal(mu, mm.MULAW_TABLE[codes])
+        _, al = mm.decode_au(
+            mm.encode_au(codes, sample_rate=8000, encoding=27)
+        )
+        assert np.array_equal(al, mm.ALAW_TABLE[codes])
+
+    def test_au_8bit_joins_int16_lattice(self):
+        import numpy as np
+
+        from incremental_github_data_pipeline_spark.operators import multimodal as mm
+
+        s = mm._wav_channel(2, 0, 350, 16)
+        lat = (s >> 8).astype(np.int16) << 8
+        _, out = mm.decode_au(mm.encode_au(lat, encoding=2))
+        assert np.array_equal(out, lat)
+
+    def test_au_unknown_length_convention_and_guards(self):
+        import struct
+
+        import numpy as np
+        import pytest as _pytest
+
+        from incremental_github_data_pipeline_spark.operators import multimodal as mm
+
+        s = mm._wav_channel(1, 0, 100, 16)
+        payload = bytearray(mm.encode_au(s))
+        struct.pack_into(">I", payload, 8, 0xFFFFFFFF)  # size unknown
+        _, out = mm.decode_au(bytes(payload))
+        assert np.array_equal(out, s)  # runs to EOF
+        with _pytest.raises(ValueError, match="magic"):
+            mm.decode_au(b"RIFFxxxx")
+        bad = bytearray(mm.encode_au(s))
+        struct.pack_into(">I", bad, 12, 6)  # encoding 6 = float32
+        with _pytest.raises(NotImplementedError, match="6"):
+            mm.decode_au(bytes(bad))
+        short = mm.encode_au(s)[:-10]  # declared size > data
+        with _pytest.raises(ValueError, match="shorter"):
+            mm.decode_au(short)
+
+    def test_pcx_roundtrip_rgb_gray_and_odd_width(self):
+        import numpy as np
+
+        from incremental_github_data_pipeline_spark.operators import multimodal as mm
+
+        px = mm._image_pixels(3)
+        assert np.array_equal(mm.decode_pcx(mm.encode_pcx(px)), px)
+        g = px[:, :, 0]
+        got = mm.decode_pcx(mm.encode_pcx(g))
+        assert got.ndim == 2 and np.array_equal(got, g)
+        odd = mm._image_pixels(4)[:, :15]  # odd width: pad column
+        assert np.array_equal(mm.decode_pcx(mm.encode_pcx(odd)), odd)
+
+    def test_pcx_rle_packets_and_guards(self):
+        import pytest as _pytest
+
+        from incremental_github_data_pipeline_spark.operators import multimodal as mm
+
+        # values >= 0xC0 must round-trip even as singletons (run form)
+        row = bytes([0xC5, 0xC5, 0x10, 0xFF, 0x00, 0x00, 0x00])
+        enc = mm._pcx_rle_encode(row)
+        dec, pos = mm._pcx_rle_decode(enc, 0, len(row))
+        assert dec == row and pos == len(enc)
+        with _pytest.raises(ValueError, match="manufacturer"):
+            mm.decode_pcx(b"\x00" * 200)
+        good = bytearray(mm.encode_pcx(mm._image_pixels(1)))
+        good[65] = 4  # EGA 4-plane
+        with _pytest.raises(NotImplementedError, match="plane"):
+            mm.decode_pcx(bytes(good))
+        with _pytest.raises(ValueError, match="missing value byte"):
+            mm._pcx_rle_decode(b"\xc5", 0, 5)
+        with _pytest.raises(ValueError, match="truncated"):
+            mm._pcx_rle_decode(b"\x10", 0, 5)
+
+    def test_au_pcx_media_decodes_through_shared_stats(self, spark):
+        from incremental_github_data_pipeline_spark.operators.multimodal import (
+            decode_stats,
+            make_au_pcx_media,
+        )
+
+        got = decode_stats(make_au_pcx_media(spark, n=12)).collect()
+        assert len(got) == 12
+        kinds = {r["media_id"]: r["kind"] for r in got}
+        assert kinds[8000] == "image" and kinds[8002] == "audio"
+        by_id = {r["media_id"]: r for r in got}
+        assert by_id[8003]["n_channels"] == 2  # stereo AU
+        assert by_id[8004]["sample_rate"] == 8000  # mu-law AU
