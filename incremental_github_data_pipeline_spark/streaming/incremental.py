@@ -1921,3 +1921,65 @@ def volume_gate_versioned(
         counts, window_col, keys,
         trailing=trailing, drop_ppm=drop_ppm, spike_ppm=spike_ppm,
     )
+
+
+def run_incremental_kmv_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    table_root: str,
+    checkpoint: str,
+    schema: str,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> None:
+    """Incremental KMV (bottom-k) sketch maintenance — the certifiable
+    sibling of :func:`run_incremental_hll_ingest`: watch a directory of
+    parquet shards, sketch each micro-batch with
+    :func:`~incremental_github_data_pipeline_spark.operators.incremental_agg.kmv_sketch`,
+    fold it into the current state with ``kmv_merge`` (union →
+    distinct → re-rank: associative, commutative, idempotent — the
+    k smallest of a union are among the union of per-shard k
+    smallest), and commit the merged state as the next version of a
+    manifest-versioned table. Per-batch work is O(batch scan) +
+    O(groups × k) state rows regardless of history; serving is
+    ``read_version`` + ``kmv_estimate`` (integer-exact) or
+    ``kmv_jaccard`` between groups at any version.
+
+    Exactly-once: ``txn_id = kmv-ingest:<checkpoint>:<batch_id>``
+    makes replayed batches no-ops; overwrite commits keep every
+    version a consistent snapshot, and merge idempotence means a torn
+    retry that re-folds an already-merged batch cannot change the
+    state."""
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        kmv_merge,
+        kmv_sketch,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sk = kmv_sketch(batch_df, group_col, key_col, k=k)
+        if latest_version(table_root) is not None:
+            sk = kmv_merge(read_version(spark, table_root), sk, k=k)
+        commit_version(
+            sk,
+            table_root,
+            mode="overwrite",
+            txn_id=f"kmv-ingest:{checkpoint}:{batch_id}",
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

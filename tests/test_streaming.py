@@ -1488,3 +1488,82 @@ def test_incremental_volume_gate_matches_batch(spark, tmp_path):
         volume_gate_versioned(spark, root, "day", version=v1, **kw)
     )
     assert v1_served == canon(volume_gate(b1, "day", **kw))
+
+
+def test_incremental_kmv_ingest_merges_and_time_travels(spark, tmp_path):
+    """KMV sketch maintenance: replay-idempotent, N-increment state ≡
+    one-shot sketch of the union (the merge law through the versioned
+    store), time travel to the batch-1 state, and the INTEGER estimate
+    exact below k / within sampling error at k."""
+    from incremental_github_data_pipeline_spark.operators.incremental_agg import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        latest_version,
+        read_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        run_incremental_kmv_ingest,
+    )
+
+    src = tmp_path / "shards"
+    root = str(tmp_path / "kmv")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "seg string, user_id long"
+    b1 = spark.createDataFrame(
+        [("a", i) for i in range(0, 800)] + [("b", i) for i in range(0, 30)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [("a", i) for i in range(400, 1200)]
+        + [("b", i) for i in range(30, 50)],
+        schema,
+    )
+
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    run_incremental_kmv_ingest(
+        spark, str(src), root, ckpt, schema, "seg", "user_id", k=64
+    )
+    v1 = latest_version(root)
+    run_incremental_kmv_ingest(  # replay: no new version
+        spark, str(src), root, ckpt, schema, "seg", "user_id", k=64
+    )
+    assert latest_version(root) == v1
+
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    run_incremental_kmv_ingest(
+        spark, str(src), root, ckpt, schema, "seg", "user_id", k=64
+    )
+    assert latest_version(root) == v1 + 1
+
+    got = {
+        (r["seg"], r["kmv_hash"])
+        for r in read_version(spark, root).collect()
+    }
+    want = {
+        (r["seg"], r["kmv_hash"])
+        for r in kmv_sketch(
+            b1.unionByName(b2), "seg", "user_id", k=64
+        ).collect()
+    }
+    assert got == want and got
+
+    old = {
+        (r["seg"], r["kmv_hash"])
+        for r in read_version(spark, root, version=v1).collect()
+    }
+    want_v1 = {
+        (r["seg"], r["kmv_hash"])
+        for r in kmv_sketch(b1, "seg", "user_id", k=64).collect()
+    }
+    assert old == want_v1
+
+    est = {
+        r["seg"]: r["kmv_est"]
+        for r in kmv_estimate(
+            read_version(spark, root), "seg", k=64
+        ).collect()
+    }
+    assert est["b"] == 50  # below k: exact by construction
+    assert abs(est["a"] - 1200) < 420  # at k: within ~1/sqrt(63)
