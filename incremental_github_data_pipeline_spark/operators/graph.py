@@ -481,14 +481,22 @@ def link_prediction(
     anyway) bounds the join at a documented, tiny score deficit.
     Default None = exact.
     """
+    # und feeds three lanes (degrees, adjacency, the existing-edge
+    # anti-join) and deg three more — materialize each once instead of
+    # re-deriving the edge scan per lane (the q_doc_contained lesson);
+    # both are edge-/node-bounded, the frames the CC and k-core loops
+    # already checkpoint
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    deg = und.groupBy(F.col("a").alias("z")).agg(
-        F.count(F.lit(1)).alias("deg")
+    deg = (
+        und.groupBy(F.col("a").alias("z"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     adj = und.select(F.col("b").alias("z"), F.col("a").alias("n")).join(
         deg, "z"

@@ -580,9 +580,13 @@ def kmv_jaccard(
     integer union-size estimate ``est_union``. Everything is integer
     arithmetic over ≤ 2k rows per pair; with G groups the pair frame
     is G²·k sketch rows — model-sized, broadcast-friendly, never a
-    fact-table join."""
+    fact-table join. The sketch feeds four lanes (both sides + both
+    group lists), so it is materialized ONCE here — bounded at
+    groups × k rows by construction — instead of re-deriving the
+    upstream scan per lane (the q_doc_contained lesson)."""
     from pyspark.sql import Window
 
+    sketch = sketch.localCheckpoint(eager=True)
     a = sketch.select(
         F.col(group_col).alias("group_a"),
         "kmv_hash",

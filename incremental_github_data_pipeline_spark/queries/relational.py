@@ -2603,7 +2603,11 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     cust = T(spark, sf, "customer")
-    sk = kmv_sketch(cust, "c_mktsegment", "c_custkey", k=64)
+    # the sketch feeds two lanes (size + estimate): materialize its
+    # groups x k rows once rather than re-scanning customer per lane
+    sk = kmv_sketch(cust, "c_mktsegment", "c_custkey", k=64).localCheckpoint(
+        eager=True
+    )
     est = kmv_estimate(sk, "c_mktsegment", k=64)
     n = sk.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("long").alias("n_sample")

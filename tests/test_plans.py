@@ -356,3 +356,30 @@ def test_plan_audit_covers_registry(registry):
     extra = sorted(rows - set(registry))
     assert not missing, f"PLANS.md missing rows for: {missing}"
     assert not extra, f"PLANS.md rows for unregistered queries: {extra}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exch",
+    [
+        # bounds = today's raw Exchange substring count (shuffle +
+        # broadcast) + 1 headroom; pre-fix these plans sat at 19/25
+        ("q_kmv_jaccard", 10),
+        ("q_graph_link_pred", 9),
+        ("q_kmv_distinct", 8),
+    ],
+)
+def test_sketch_and_wedge_frames_materialized_once(
+    spark, registry, name, max_exch
+):
+    """r11 plan pins: kmv_jaccard consumes its sketch four ways and
+    link_prediction its undirected edge set three ways — before the
+    checkpoint-once fix the audited plans re-derived the upstream scan
+    per lane (19/25 exchanges). The materialized frames are bounded by
+    construction (groups x k sketch rows / edge and node sets), so the
+    serving plans must stay shallow and scan the fact at most once
+    (kmv_distinct's exact-count comparison lane)."""
+    plan = plan_of(registry[name].fn(spark, SF))
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 1, f"{name}: {n_scans} parquet scans"
+    n = plan.count("Exchange")
+    assert n <= max_exch, f"{name} plan grew to {n} exchanges"
