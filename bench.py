@@ -240,6 +240,21 @@ BENCH_QUERIES = [
     "q_doc_html_strip",
     # URL canonicalization (split/sort/regexp stack per url)
     "q_url_canonical",
+    # round-11 late additions, benched from first appearance: WARC
+    # record parse (framing walk + HTTP split per payload) and the
+    # full crawl-extract composite (parse + strip_html + canonical)
+    "q_warc_ingest",
+    "q_warc_html_extract",
+    # KMV bottom-k sketch (distinct + estimate) and the sketch-only
+    # pairwise Jaccard (union bottom-k over G^2 pairs)
+    "q_kmv_distinct",
+    "q_kmv_jaccard",
+    # the 3-round HITS double-aggregate loop and the wedge self-join
+    # link-prediction scorer
+    "q_graph_hits",
+    "q_graph_link_pred",
+    # AU/PCX container decode lane (RLE scanlines + G.711 expand)
+    "q_media_au_pcx_stats",
 ]
 
 
