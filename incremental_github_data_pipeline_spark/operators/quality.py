@@ -200,3 +200,96 @@ def schema_drift_report(
         .otherwise(F.lit("stable"))
     )
     return out.withColumn("status", status)
+
+
+def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column data-profiling audit (r11) — the governance summary a
+    warehouse runs on every landed table: for each named column,
+    ``n_rows``, ``n_null`` + ``null_ppm``, exact ``n_distinct``
+    (non-null), the most frequent value as ``top_value`` (rendered to
+    string; ties broken by smallest value — deterministic) with
+    ``top_count`` and ``top_share_ppm``, and ``gini_ppm`` — the Gini
+    impurity 1 − Σ (cᵢ/n)² of the non-null value distribution in ppm.
+    Gini instead of Shannon entropy deliberately: entropy's ln is
+    irrational, Gini is one exact fraction — Σ cᵢ² flows through
+    DECIMAL(38,0) so petabyte-scale counts cannot overflow, and the
+    final ppm is a floor ``div`` both engines evaluate identically.
+    All-null columns keep their row with NULL top/gini lanes.
+
+    Plan shape: ONE scan however many columns are profiled — rows melt
+    to (column, value) pairs map-side (explode of a struct array), one
+    map-combined (column, value) histogram shuffle, then a per-column
+    1-row fold over the histogram. The shuffle carries value
+    HISTOGRAMS, never rows; no driver-side count, no per-column
+    re-scan (the q_doc_contained lesson applied at design time)."""
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.column", "s._v")
+    hist = melted.groupBy("column", "_v").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    nn_n = F.when(F.col("_v").isNotNull(), F.col("_n"))
+    agg = hist.groupBy("column").agg(
+        F.sum("_n").alias("_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("_v").isNull(), F.col("_n"))), F.lit(0)
+        ).alias("_nulls"),
+        F.coalesce(F.sum(nn_n), F.lit(0)).alias("_nn"),
+        F.count(nn_n).alias("n_distinct"),
+        # min over (-count, value): largest count first, then the
+        # SMALLEST value on ties — deterministic without a window
+        F.min(
+            F.when(
+                F.col("_v").isNotNull(),
+                F.struct(
+                    (-F.col("_n")).alias("_negn"),
+                    F.col("_v").alias("_v"),
+                ),
+            )
+        ).alias("_top"),
+        F.sum(
+            F.when(
+                F.col("_v").isNotNull(),
+                F.col("_n").cast("decimal(38,0)") * F.col("_n"),
+            )
+        ).alias("_sumsq"),
+    )
+    return agg.select(
+        "column",
+        F.col("_rows").cast("long").alias("n_rows"),
+        F.col("_nulls").cast("long").alias("n_null"),
+        F.expr("(_nulls * 1000000) div _rows").cast("long").alias(
+            "null_ppm"
+        ),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("_top._v").alias("top_value"),
+        (-F.col("_top._negn")).cast("long").alias("top_count"),
+        F.when(
+            F.col("_nn") > 0,
+            F.expr("((-_top._negn) * 1000000) div _nn"),
+        )
+        .cast("long")
+        .alias("top_share_ppm"),
+        # Spark's `div` floors DECIMAL operands exactly like DuckDB's
+        # HUGEINT // — no rounding-at-scale hazard from decimal `/`
+        F.when(
+            F.col("_nn") > 0,
+            F.lit(1000000)
+            - F.expr(
+                "(_sumsq * 1000000) div "
+                "(CAST(_nn AS DECIMAL(38,0)) * _nn)"
+            ),
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )

@@ -854,3 +854,122 @@ def acf_integer(
         per_key.select(*keys, F.explode(F.array(*lanes)).alias("_l"))
         .select(*keys, "_l.lag", "_l.n_pairs", "_l.rho_ppm")
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    order_col: str,
+    val_col: str,
+    period: int,
+    alpha: tuple[int, int] = (3, 10),
+    beta: tuple[int, int] = (2, 10),
+    gamma: tuple[int, int] = (3, 10),
+    scale: int = 100,
+) -> DataFrame:
+    """Holt–Winters ADDITIVE triple exponential smoothing as an INTEGER
+    recurrence — the complete classical forecasting ladder's top rung
+    (EWMA → Holt → Holt–Winters), in certifiable arithmetic. Unlike
+    the ``q_ts_forecast_seasonal`` composition (decompose once, Holt
+    the residual — seasonality FROZEN at fit time), HW re-estimates
+    the seasonal profile every cycle, which is what tracks drifting
+    seasonality on long-running ingest volumes.
+
+    Initialization (first ``period`` rows per key): lvl = fdiv(Σ s·x,
+    m), tr = 0, seasᵢ = s·xᵢ − lvl — the textbook first-cycle init.
+    Then for each row t ≥ m, with sp = the seasonal fitted m steps
+    ago:
+
+        fitₜ  = lvl + tr + sp
+        lvl′  = fdiv(αn·(s·xₜ − sp) + (αd−αn)·(lvl+tr), αd)
+        tr′   = fdiv(βn·(lvl′−lvl) + (βd−βn)·tr, βd)
+        seasₜ = fdiv(γn·(s·xₜ − lvl′) + (γd−γn)·sp, γd)
+
+    Every lane is an offset floor division (:data:`_FDIV_OFFSET`), so
+    level, trend, seasonal AND one-step fits are bit-identical in any
+    engine replaying the recurrence — the oracle carries the m-slot
+    seasonal state as a LIST column in a recursive CTE. An h-step
+    forecast from the last row is ``lvl + h·tr + seas[(t+h) mod m]``
+    — plain column math over this output.
+
+    Keys with fewer than ``period`` rows get the init treatment only
+    (lvl = mean of what exists, seas = deviations, fitted NULL) —
+    deterministic, never a job-killing guard at 100 TB where stray
+    short keys are a certainty. Sequential in time, parallel across
+    keys: one key shuffle + Arrow-batched per-key fold, the module's
+    standard contract, with the envelope asserted per step.
+
+    Returns ``(keys…, order, val, level_s, trend_s, seas_s,
+    fitted_s)`` — ``seas_s`` is the seasonal value SET at this row
+    (init deviation for the first cycle, smoothed update after),
+    ``fitted_s`` NULL through the first cycle.
+    """
+    import pandas as pd
+
+    an, ad = alpha
+    bn, bd = beta
+    gn, gd = gamma
+    if not (0 < an < ad and 0 < bn < bd and 0 < gn < gd):
+        raise ValueError(
+            "alpha/beta/gamma must be proper positive fractions"
+        )
+    if period < 2:
+        raise ValueError("period must be at least 2")
+    keys = _keys(key_cols)
+    base = df.select(
+        *keys, order_col, F.col(val_col).cast("long").alias(val_col)
+    )
+    from pyspark.sql.types import StructType
+
+    out_schema = (
+        StructType(list(base.schema.fields))
+        .add("level_s", "long", False)
+        .add("trend_s", "long", False)
+        .add("seas_s", "long", False)
+        .add("fitted_s", "long", True)
+    )
+    b = _FDIV_OFFSET
+
+    def fdiv(n: int, d: int) -> int:
+        if abs(n) >= d * b:
+            raise ValueError(
+                "holt_winters floor-div envelope exceeded "
+                "(see _FDIV_OFFSET)"
+            )
+        return (n + d * b) // d - b
+
+    m = period
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        ys = [int(x) * scale for x in pdf[val_col].to_numpy()]
+        n = len(ys)
+        init_n = min(m, n)
+        lvl = fdiv(sum(ys[:init_n]), init_n)
+        tr = 0
+        seas = [y - lvl for y in ys[:init_n]]
+        levels = [lvl] * init_n
+        trends = [0] * init_n
+        seas_out = list(seas)
+        fits: list[int | None] = [None] * init_n
+        for t in range(m, n):
+            sp = seas[t - m]
+            fit = lvl + tr + sp
+            new_lvl = fdiv(an * (ys[t] - sp) + (ad - an) * (lvl + tr), ad)
+            tr = fdiv(bn * (new_lvl - lvl) + (bd - bn) * tr, bd)
+            lvl = new_lvl
+            s_new = fdiv(gn * (ys[t] - lvl) + (gd - gn) * sp, gd)
+            seas.append(s_new)
+            levels.append(lvl)
+            trends.append(tr)
+            seas_out.append(s_new)
+            fits.append(fit)
+        pdf["level_s"] = levels
+        pdf["trend_s"] = trends
+        pdf["seas_s"] = seas_out
+        pdf["fitted_s"] = pd.array(fits, dtype="Int64")
+        return pdf
+
+    return base.groupBy(*keys).applyInPandas(fold, out_schema)

@@ -193,3 +193,92 @@ def q_volume_gate(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", "day", "n_rows", "trailing_median",
         "dev_ppm", "status",
     ).orderBy("event_type", "day")
+
+
+def _profile_col_oracle(name: str, expr: str) -> str:
+    """One column's profile block (shared CTE shape): value histogram,
+    deterministic top pick, HUGEINT-exact Gini ppm."""
+    return f"""
+    SELECT '{name}' AS "column",
+           (SELECT COUNT(*) FROM orders) AS n_rows,
+           (SELECT COUNT(*) FROM orders WHERE ({expr}) IS NULL) AS n_null,
+           (SELECT COUNT(*) FROM orders WHERE ({expr}) IS NULL) * 1000000
+             // (SELECT COUNT(*) FROM orders) AS null_ppm,
+           (SELECT COUNT(*) FROM (
+              SELECT CAST({expr} AS VARCHAR) v FROM orders
+              WHERE ({expr}) IS NOT NULL GROUP BY 1)) AS n_distinct,
+           (SELECT v FROM (
+              SELECT CAST({expr} AS VARCHAR) v, COUNT(*) n FROM orders
+              WHERE ({expr}) IS NOT NULL GROUP BY 1)
+            ORDER BY n DESC, v LIMIT 1) AS top_value,
+           (SELECT n FROM (
+              SELECT CAST({expr} AS VARCHAR) v, COUNT(*) n FROM orders
+              WHERE ({expr}) IS NOT NULL GROUP BY 1)
+            ORDER BY n DESC, v LIMIT 1) AS top_count,
+           (SELECT n FROM (
+              SELECT CAST({expr} AS VARCHAR) v, COUNT(*) n FROM orders
+              WHERE ({expr}) IS NOT NULL GROUP BY 1)
+            ORDER BY n DESC, v LIMIT 1) * 1000000
+             // (SELECT COUNT(*) FROM orders
+                 WHERE ({expr}) IS NOT NULL) AS top_share_ppm,
+           (SELECT 1000000 - (SUM(n::HUGEINT * n) * 1000000)
+                   // (SUM(n)::HUGEINT * SUM(n)) FROM (
+              SELECT CAST({expr} AS VARCHAR) v, COUNT(*) n FROM orders
+              WHERE ({expr}) IS NOT NULL GROUP BY 1)) AS gini_ppm
+    """
+
+
+_PROFILE_COLS = [
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_custkey", "o_custkey"),
+    (
+        "prio_nullable",
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END",
+    ),
+]
+
+
+@register(
+    "q_column_profile",
+    oracle="""
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null AS BIGINT) AS n_null,
+           CAST(null_ppm AS BIGINT) AS null_ppm,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(gini_ppm AS BIGINT) AS gini_ppm,
+           CAST(top_count AS BIGINT) AS top_count,
+           CAST(top_share_ppm AS BIGINT) AS top_share_ppm,
+           top_value, "column"
+    FROM ("""
+    + "\nUNION ALL\n".join(
+        _profile_col_oracle(n, e) for n, e in _PROFILE_COLS
+    )
+    + """)
+    ORDER BY "column"
+    """,
+    doc="Per-column data-profiling audit (r11, operators/quality."
+    "column_profile): null counts + ppm, exact distinct count, the "
+    "most frequent value with a deterministic smallest-value "
+    "tie-break (min over (-count, value) structs — no window), and "
+    "Gini impurity 1 − Σ(cᵢ/n)² in ppm — Gini over Shannon entropy "
+    "deliberately, because ln is irrational and Gini is one exact "
+    "DECIMAL(38,0) fraction with a floor `div` both engines evaluate "
+    "identically. One value-histogram shuffle per column, 1-row "
+    "aggregate each, never a row collect; the planted-null lane "
+    "(orderkey % 7) proves the null accounting.",
+)
+def q_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.quality import (
+        column_profile,
+    )
+
+    orders = T(spark, sf, "orders").select(
+        "o_orderstatus",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio_nullable"),
+    )
+    return column_profile(
+        orders, ["o_orderstatus", "o_custkey", "prio_nullable"]
+    ).orderBy("column")

@@ -973,3 +973,100 @@ def q_ts_acf(spark: SparkSession, sf: str) -> DataFrame:
     return acf_integer(
         _hourly(spark, sf), "event_type", "hr", "cents", max_lag=6
     ).orderBy("event_type", "lag")
+
+
+# Holt–Winters recursive-step expressions: lvl' feeds tr' and seas' in
+# the same SELECT, so it is inlined (SQL cannot reference a same-SELECT
+# alias) — built once here like _HW_LVL above
+_HWS_YS = "(x.cents * 100)"
+_HWS_LVL = (
+    f"(((3 * ({_HWS_YS} - r.seas[1]) + 7 * (r.lvl + r.tr))"
+    f" + 10 * {_B10}) // 10 - {_B10})"
+)
+_HWS_TR = (
+    f"(((2 * ({_HWS_LVL} - r.lvl) + 8 * r.tr) + 10 * {_B10})"
+    f" // 10 - {_B10})"
+)
+_HWS_SEAS = (
+    f"(((3 * ({_HWS_YS} - {_HWS_LVL}) + 7 * r.seas[1])"
+    f" + 10 * {_B10}) // 10 - {_B10})"
+)
+
+
+@register(
+    "q_ts_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, hr, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY hr) AS BIGINT) AS i
+      FROM h
+    ),
+    lvl0 AS (
+      SELECT event_type,
+             CAST((SUM(cents * 100) + 24 * {_B10}) // 24 - {_B10}
+                  AS BIGINT) AS lvl
+      FROM x WHERE i <= 24 GROUP BY 1
+    ),
+    seas0 AS (
+      SELECT x.event_type,
+             list(CAST(x.cents * 100 - l.lvl AS BIGINT)
+                  ORDER BY x.i) AS seas
+      FROM x JOIN lvl0 l USING (event_type)
+      WHERE x.i <= 24 GROUP BY 1
+    ),
+    r AS (
+      SELECT l.event_type, CAST(NULL AS TIMESTAMP) AS hr,
+             CAST(0 AS BIGINT) AS cents, CAST(24 AS BIGINT) AS i,
+             l.lvl AS lvl, CAST(0 AS BIGINT) AS tr, s.seas AS seas,
+             CAST(NULL AS BIGINT) AS seas_set,
+             CAST(NULL AS BIGINT) AS fitted
+      FROM lvl0 l JOIN seas0 s USING (event_type)
+      UNION ALL
+      SELECT x.event_type, x.hr, x.cents, x.i,
+             CAST({_HWS_LVL} AS BIGINT),
+             CAST({_HWS_TR} AS BIGINT),
+             r.seas[2:] || [CAST({_HWS_SEAS} AS BIGINT)],
+             CAST({_HWS_SEAS} AS BIGINT),
+             CAST(r.lvl + r.tr + r.seas[1] AS BIGINT)
+      FROM x JOIN r ON x.event_type = r.event_type AND x.i = r.i + 1
+    )
+    SELECT event_type, hr, cents,
+           lvl AS level_s, tr AS trend_s,
+           seas_set AS seas_s, fitted AS fitted_s
+    FROM r WHERE i > 24
+    UNION ALL
+    SELECT x.event_type, x.hr, x.cents,
+           l.lvl, CAST(0 AS BIGINT),
+           CAST(x.cents * 100 - l.lvl AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM x JOIN lvl0 l USING (event_type) WHERE x.i <= 24
+    ORDER BY event_type, hr
+    """,
+    doc="Holt–Winters additive triple exponential smoothing (r11, "
+    "operators.timeseries.holt_winters) — the forecasting ladder's "
+    "top rung, period 24 over the hourly grid: first-cycle init "
+    "(lvl = fdiv(Σ, 24), seas = deviations, fitted NULL), then the "
+    "textbook level/trend/seasonal mutual recurrence with every lane "
+    "an offset floor division. Unlike the frozen-seasonality "
+    "decompose-then-Holt composite, HW re-learns the daily profile "
+    "every cycle. The oracle carries the 24-slot seasonal STATE as a "
+    "list column in a recursive CTE (seas[2:] || [new] per step) — "
+    "level, trend, the seasonal update AND the one-step fit all "
+    "hash-compare bit-for-bit. One key shuffle + Arrow fold.",
+)
+def q_ts_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
+    out = ts_ops.holt_winters(
+        _hourly(spark, sf), "event_type", "hr", "cents",
+        period=24, alpha=(3, 10), beta=(2, 10), gamma=(3, 10),
+        scale=100,
+    )
+    return out.select(
+        "event_type", "hr", "cents",
+        "level_s", "trend_s", "seas_s", "fitted_s",
+    ).orderBy("event_type", "hr")

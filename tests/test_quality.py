@@ -121,3 +121,65 @@ class TestVolumeGate:
         }
         assert got[("a", 8)] == "ok"
         assert got[("b", 8)] == "warmup"
+
+
+# ---------------------------------------------------------------------------
+# column_profile
+# ---------------------------------------------------------------------------
+
+
+class TestColumnProfile:
+    def test_hand_computed_lanes(self, spark):
+        from incremental_github_data_pipeline_spark.operators.quality import (
+            column_profile,
+        )
+
+        df = spark.createDataFrame(
+            [("x", 1), ("x", 2), ("y", None), ("y", 2), (None, 2), ("x", 3)],
+            "a string, b int",
+        )
+        got = {
+            r["column"]: r for r in column_profile(df, ["a", "b"]).collect()
+        }
+        a = got["a"]
+        assert (a["n_rows"], a["n_null"], a["null_ppm"]) == (6, 1, 166666)
+        assert (a["n_distinct"], a["top_value"], a["top_count"]) == (2, "x", 3)
+        assert a["top_share_ppm"] == 600000  # 3 of 5 non-null
+        assert a["gini_ppm"] == 480000  # 1 - (9+4)/25
+        b = got["b"]
+        assert (b["n_distinct"], b["top_value"], b["gini_ppm"]) == (
+            3, "2", 560000,  # 1 - (1+9+1)/25
+        )
+
+    def test_tie_break_picks_smallest_value(self, spark):
+        from incremental_github_data_pipeline_spark.operators.quality import (
+            column_profile,
+        )
+
+        df = spark.createDataFrame(
+            [("b",), ("a",), ("a",), ("b",)], "v string"
+        )
+        row = column_profile(df, ["v"]).collect()[0]
+        assert (row["top_value"], row["top_count"]) == ("a", 2)
+
+    def test_all_null_column_keeps_row(self, spark):
+        from incremental_github_data_pipeline_spark.operators.quality import (
+            column_profile,
+        )
+
+        df = spark.createDataFrame([(None,), (None,)], "c string")
+        row = column_profile(df, ["c"]).collect()[0]
+        assert (row["n_rows"], row["n_null"], row["null_ppm"]) == (
+            2, 2, 1000000,
+        )
+        assert row["n_distinct"] == 0
+        assert row["top_value"] is None and row["gini_ppm"] is None
+
+    def test_constant_column_zero_gini(self, spark):
+        from incremental_github_data_pipeline_spark.operators.quality import (
+            column_profile,
+        )
+
+        df = spark.createDataFrame([("k",)] * 5, "v string")
+        row = column_profile(df, ["v"]).collect()[0]
+        assert row["gini_ppm"] == 0 and row["top_share_ppm"] == 1000000

@@ -400,3 +400,88 @@ class TestAcf:
         }
         assert got[("flat", 1)] is None and got[("flat", 2)] is None
         assert got[("alt", 1)] < 0 < got[("alt", 2)]
+
+
+# ---------------------------------------------------------------------------
+# Holt–Winters additive
+# ---------------------------------------------------------------------------
+
+
+class TestHoltWinters:
+    def _run(self, spark, vals, period=2, **kw):
+        from incremental_github_data_pipeline_spark.operators.timeseries import (
+            holt_winters,
+        )
+
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate(vals)],
+            "k string, t long, x long",
+        )
+        rows = holt_winters(
+            df, "k", "t", "x", period=period, scale=1, **kw
+        ).orderBy("t").collect()
+        return [
+            (r["level_s"], r["trend_s"], r["seas_s"], r["fitted_s"])
+            for r in rows
+        ]
+
+    def test_pure_cycle_fits_exactly(self, spark):
+        # alternating 10/20, period 2, all smoothing 1/2: after init,
+        # level stays 15, trend 0, seasonals ±5, every fit EXACT
+        got = self._run(
+            spark, [10, 20, 10, 20, 10, 20],
+            alpha=(1, 2), beta=(1, 2), gamma=(1, 2),
+        )
+        assert got[0] == (15, 0, -5, None)
+        assert got[1] == (15, 0, 5, None)
+        for t, (lvl, tr, seas, fit) in enumerate(got[2:], start=2):
+            assert (lvl, tr) == (15, 0)
+            assert seas == (-5 if t % 2 == 0 else 5)
+            assert fit == (10 if t % 2 == 0 else 20)
+
+    def test_trend_is_learned(self, spark):
+        # strictly rising series: trend must end positive and the level
+        # must track upward
+        got = self._run(
+            spark, [10, 12, 14, 16, 18, 20, 22, 24],
+            alpha=(5, 10), beta=(5, 10), gamma=(1, 10),
+        )
+        assert got[-1][1] > 0
+        assert got[-1][0] > got[2][0]
+
+    def test_short_key_gets_init_only(self, spark):
+        got = self._run(spark, [7], period=4)
+        assert got == [(7, 0, 0, None)]
+
+    def test_multi_key_isolation(self, spark):
+        from incremental_github_data_pipeline_spark.operators.timeseries import (
+            holt_winters,
+        )
+
+        rows = [("a", i, 10 if i % 2 == 0 else 20) for i in range(6)]
+        rows += [("b", i, 1000) for i in range(6)]
+        df = spark.createDataFrame(rows, "k string, t long, x long")
+        out = holt_winters(
+            df, "k", "t", "x", period=2, scale=1,
+            alpha=(1, 2), beta=(1, 2), gamma=(1, 2),
+        )
+        b_rows = out.filter("k = 'b'").orderBy("t").collect()
+        # constant series: level pinned at 1000, seasonals 0, exact fit
+        assert all(r["level_s"] == 1000 for r in b_rows)
+        assert all(r["seas_s"] == 0 for r in b_rows)
+        assert all(
+            r["fitted_s"] == 1000 for r in b_rows if r["fitted_s"] is not None
+        )
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from incremental_github_data_pipeline_spark.operators.timeseries import (
+            holt_winters,
+        )
+
+        df = spark.createDataFrame([("k", 0, 1)], "k string, t long, x long")
+        with _pytest.raises(ValueError, match="fraction"):
+            holt_winters(df, "k", "t", "x", period=2, alpha=(10, 10))
+        with _pytest.raises(ValueError, match="period"):
+            holt_winters(df, "k", "t", "x", period=1)
