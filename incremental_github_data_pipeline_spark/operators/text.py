@@ -2572,3 +2572,66 @@ def warc_build(records: list[dict], gzip_per_record: bool = False) -> bytes:
 
 
 _HTTP_REASONS = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}
+
+
+def split_sentences(col: Column | str) -> Column:
+    """Sentence segmentation (r11) → ``array<string>`` — the unit the
+    sentence-level pipeline stages (boilerplate dedup, quality
+    per-sentence scoring, pack-by-sentence) operate on. Rule-based and
+    deliberately lookaround-free (RE2-portable, like
+    :func:`strip_html`): a boundary is punctuation ``[.!?]`` followed
+    by whitespace followed by a capital letter or digit — the
+    capital-gate keeps abbreviation-internal periods ("men. at" /
+    "e.g. x") inside their sentence, the standard cheap heuristic.
+    Implemented as one capture-group regexp_replace that injects a
+    control-char sentinel at each boundary plus one split — both
+    codegen expressions, no UDF. Each sentence keeps its terminating
+    punctuation; pieces are trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    marked = F.regexp_replace(
+        c, r"([.!?])\s+([A-Z0-9])", "$1\x01$2"
+    )
+    return F.transform(F.split(marked, "\x01"), F.trim)
+
+
+def _build_mojibake_map() -> list[tuple[str, str]]:
+    """(corrupt, repaired) pairs for the classic double-encoding bug:
+    UTF-8 bytes re-decoded as Windows-1252 ('Ã©' for 'é', 'â€œ' for a
+    curly quote). Generated from the target characters themselves —
+    ``t.encode('utf-8').decode('cp1252')`` IS the corruption — so the
+    table cannot drift from the encodings it models. Targets whose
+    UTF-8 bytes hit cp1252's five unmapped slots (0x81/8d/8f/90/9d —
+    e.g. the right curly double quote) are excluded: their mojibake
+    carries control characters no SQL literal should hold, and real
+    repair tools special-case them too. Longest sources first so a
+    3-byte sequence never half-matches after a 2-byte repair."""
+    targets = "éèêëáíóúäöüçñ°ïÉÈÇ‘’“–—«»…€™"
+    pairs = []
+    for t in targets:
+        try:
+            corrupt = t.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue
+        pairs.append((corrupt, t))
+    pairs.sort(key=lambda p: len(p[0]), reverse=True)
+    return pairs
+
+
+MOJIBAKE_MAP = _build_mojibake_map()
+
+
+def fix_mojibake(col: Column | str) -> Column:
+    """Repair double-encoded text (r11) — the single most common crawl
+    encoding defect: a UTF-8 page served or stored as Windows-1252 and
+    re-encoded, leaving 'Ã©'-style two/three-char sequences where one
+    accented char belongs. Table-driven sequence replacement over
+    :data:`MOJIBAKE_MAP` (a curated, self-generating common-sequence
+    table — NOT a general byte-level transcoder, which would need the
+    raw bytes this column no longer has); each rule is one ``replace``
+    expression, codegen-side, applied longest-source-first. Clean text
+    passes through untouched — every source sequence is letterfrequency-
+    impossible in real prose."""
+    c = F.col(col) if isinstance(col, str) else col
+    for corrupt, repaired in MOJIBAKE_MAP:
+        c = F.replace(c, F.lit(corrupt), F.lit(repaired))
+    return c

@@ -2699,3 +2699,181 @@ def q_warc_html_extract(spark: SparkSession, sf: str) -> DataFrame:
         stripped.alias("text"),
         F.size(F.split(stripped, " ")).cast("long").alias("n_tokens"),
     ).orderBy("payload_id", "record_idx")
+
+
+# Sentence fixture: doc i < 240 carries 2 + i%3 sentences; sentence j
+# has collision key k = (i*3 + 7j) % 40 that fully determines its
+# content (so cross-doc duplicates exist by construction), docs with
+# i%4 == 0 embed an abbreviation-style "men. at end" inside sentence 0
+# (period + space + LOWERCASE — the splitter must keep it inline), and
+# the terminator cycles . ! ? by k%3.
+_SENT_GRID_SQL = """
+    ids AS (
+      SELECT d.doc_id AS i, j.j AS j
+      FROM documents d, range(4) j(j)
+      WHERE d.doc_id < 240 AND j.j < 2 + (d.doc_id % 3)
+    ),
+    sent AS (
+      SELECT i, j, (i*3 + 7*j) % 40 AS k,
+             'S' || ((i*3 + 7*j) % 40)
+             || ' a' || (((i*3 + 7*j) % 40) % 7)
+             || ' b' || ((((i*3 + 7*j) % 40) * 3) % 10)
+             || CASE WHEN j = 0 AND i % 4 = 0
+                     THEN ' men. at end' ELSE '' END
+             || substr('.!?', ((i*3 + 7*j) % 40) % 3 + 1, 1) AS content
+      FROM ids
+    )
+"""
+
+
+def _sentence_text(i):
+    """Spark expression building doc i's punctuated text (the same
+    closed-form rule as _SENT_GRID_SQL)."""
+    n_sent = 2 + (i % 3)
+    segs = []
+    for j in range(4):
+        k = (i * 3 + F.lit(7 * j)) % 40
+        body = F.concat(
+            F.lit("S"), k.cast("string"),
+            F.lit(" a"), (k % 7).cast("string"),
+            F.lit(" b"), ((k * 3) % 10).cast("string"),
+            F.when(
+                (F.lit(j) == 0) & (i % 4 == 0), F.lit(" men. at end")
+            ).otherwise(F.lit("")),
+            F.substring(F.lit(".!?"), 1, 3).substr(
+                (k % 3 + 1).cast("int"), F.lit(1)
+            ),
+        )
+        segs.append(
+            F.when(
+                F.lit(j) < n_sent,
+                F.concat(F.lit(" " if j else ""), body),
+            ).otherwise(F.lit(""))
+        )
+    return F.concat(*segs)
+
+
+@register(
+    "q_doc_sentences",
+    oracle="""
+    WITH """ + _SENT_GRID_SQL + """
+    SELECT i AS doc_id,
+           CAST(2 + (i % 3) AS BIGINT) AS n_sentences,
+           MIN(CASE WHEN j = 0 THEN content END) AS first_sentence,
+           MIN(CASE WHEN j = 2 + (i % 3) - 1 THEN content END)
+             AS last_sentence
+    FROM sent GROUP BY i ORDER BY doc_id
+    """,
+    doc="Sentence segmentation (r11, operators/text.split_sentences): "
+    "boundary = [.!?] + whitespace + capital/digit, as ONE capture-"
+    "group regexp_replace injecting a sentinel plus a split — "
+    "lookaround-free so Java regex and RE2 agree, pure codegen. The "
+    "fixture plants abbreviation-style periods before lowercase "
+    "('men. at end') that must stay INSIDE their sentence, cycles all "
+    "three terminators, and the oracle reconstructs every doc's "
+    "sentence list from the generator rules — the splitter must "
+    "recover the generator's sentences exactly (count, first and "
+    "last string all hash-compared).",
+)
+def q_doc_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 240)
+    sents = tx.split_sentences(_sentence_text(F.col("doc_id")))
+    return d.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        sents.getItem(0).alias("first_sentence"),
+        F.element_at(sents, -1).alias("last_sentence"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_sentence_dedup",
+    oracle="""
+    WITH """ + _SENT_GRID_SQL + """
+    SELECT content AS sentence,
+           CAST(COUNT(DISTINCT i) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM sent GROUP BY content
+    HAVING COUNT(DISTINCT i) >= 2
+    ORDER BY sentence
+    """,
+    doc="Sentence-level exact dedup (r11): explode split_sentences "
+    "output across the corpus, group by the full sentence string, "
+    "keep sentences appearing in 2+ documents — the sentence-grain "
+    "boilerplate detector (cookie banners, license blurbs) that "
+    "paragraph-level dedup misses when paragraphs differ by one "
+    "line. One explode + one (sentence) map-combined aggregate; the "
+    "fixture's collision keys make the expected duplicate set "
+    "closed-form.",
+)
+def q_sentence_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 240)
+    sents = tx.split_sentences(_sentence_text(F.col("doc_id")))
+    ex = d.select("doc_id", F.explode(sents).alias("sentence"))
+    return (
+        ex.groupBy("sentence")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("sentence")
+    )
+
+
+def _mojibake_oracle() -> str:
+    """Replay fix_mojibake's replace chain in DuckDB, generated from
+    the same MOJIBAKE_MAP so table and oracle cannot drift."""
+    chain = "corrupt"
+    for c, r in tx.MOJIBAKE_MAP:
+        chain = f"replace({chain}, '{c}', '{r}')"
+    return f"""
+    WITH src AS (
+      SELECT doc_id,
+             'CafÃ© nÂ°' || doc_id || ': â€œQuote hereâ€¦ â€“ seg '
+             || (doc_id % 5)
+             || CASE WHEN doc_id % 2 = 0 THEN ' DÃ©jÃ¡ vu â„¢.'
+                     ELSE ' naÃ¯ve rÃ©sumÃ©.' END AS corrupt
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, {chain} AS fixed,
+           CAST(length(corrupt) - length({chain}) AS BIGINT)
+             AS n_chars_fixed
+    FROM src ORDER BY doc_id
+    """
+
+
+@register(
+    "q_doc_fix_mojibake",
+    oracle=_mojibake_oracle(),
+    doc="Mojibake repair (r11, operators/text.fix_mojibake): the "
+    "classic UTF-8-decoded-as-Windows-1252 double encoding ('Ã©' for "
+    "'é', 'â€œ' for a curly quote) repaired by a table-driven replace "
+    "chain whose table is GENERATED from the target characters "
+    "(t.encode(utf8).decode(cp1252) IS the corruption — table and "
+    "repair cannot drift), applied longest-source-first. The fixture "
+    "plants two- and three-char sequences from every family "
+    "(accents, degree sign, curly quotes, dashes, ellipsis, "
+    "trademark) and the FULL repaired string hash-compares against "
+    "the oracle's identical chain; the char-count delta pins that "
+    "every planted sequence collapsed. Pure codegen replaces, no "
+    "UDF.",
+)
+def q_doc_fix_mojibake(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id")
+    corrupt = F.concat(
+        F.lit("CafÃ© nÂ°"), did.cast("string"),
+        F.lit(": â€œQuote hereâ€¦ â€“ seg "),
+        (did % 5).cast("string"),
+        F.when(did % 2 == 0, F.lit(" DÃ©jÃ¡ vu â„¢."))
+        .otherwise(F.lit(" naÃ¯ve rÃ©sumÃ©.")),
+    )
+    fixed = tx.fix_mojibake(corrupt)
+    return d.select(
+        "doc_id",
+        fixed.alias("fixed"),
+        (F.length(corrupt) - F.length(fixed))
+        .cast("long")
+        .alias("n_chars_fixed"),
+    ).orderBy("doc_id")

@@ -1277,3 +1277,66 @@ def test_warc_ingest_rows_and_skip(spark):
         warc_ingest(df).collect()
     with _pytest.raises(ValueError, match="on_error"):
         warc_ingest(df, on_error="quarantine")
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation
+# ---------------------------------------------------------------------------
+
+
+class TestSplitSentences:
+    def _one(self, spark, text):
+        from incremental_github_data_pipeline_spark.operators.text import (
+            split_sentences,
+        )
+
+        df = spark.createDataFrame([(text,)], "t string")
+        return df.select(split_sentences("t").alias("s")).collect()[0]["s"]
+
+    def test_three_terminators_and_digits(self, spark):
+        got = self._one(spark, "One two. Three four! Five? 6 seven.")
+        assert got == ["One two.", "Three four!", "Five?", "6 seven."]
+
+    def test_abbreviation_period_stays_inline(self, spark):
+        got = self._one(spark, "See e.g. the men. at end. Next one.")
+        # period + space + lowercase is NOT a boundary
+        assert got == ["See e.g. the men. at end.", "Next one."]
+
+    def test_no_boundary_single_sentence(self, spark):
+        assert self._one(spark, "no caps here. still going") == [
+            "no caps here. still going"
+        ]
+
+    def test_trailing_unterminated_tail_kept(self, spark):
+        got = self._one(spark, "Done. And then some")
+        assert got == ["Done.", "And then some"]
+
+
+class TestFixMojibake:
+    def _one(self, spark, text):
+        from incremental_github_data_pipeline_spark.operators.text import (
+            fix_mojibake,
+        )
+
+        df = spark.createDataFrame([(text,)], "t string")
+        return df.select(fix_mojibake("t").alias("f")).collect()[0]["f"]
+
+    def test_classic_sequences_repair(self, spark):
+        assert self._one(spark, "CafÃ© â€œquotedâ€¦ â€“ naÃ¯ve") == (
+            "Café “quoted… – naïve"
+        )
+
+    def test_clean_text_untouched(self, spark):
+        clean = 'Already fine: é, "quotes", 100% — done.'
+        assert self._one(spark, clean) == clean
+
+    def test_map_is_self_generating(self):
+        from incremental_github_data_pipeline_spark.operators.text import (
+            MOJIBAKE_MAP,
+        )
+
+        for corrupt, repaired in MOJIBAKE_MAP:
+            assert repaired.encode("utf-8").decode("cp1252") == corrupt
+        # longest-first application order
+        lens = [len(c) for c, _ in MOJIBAKE_MAP]
+        assert lens == sorted(lens, reverse=True)
