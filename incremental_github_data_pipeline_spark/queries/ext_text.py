@@ -2877,3 +2877,90 @@ def q_doc_fix_mojibake(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_chars_fixed"),
     ).orderBy("doc_id")
+
+
+def _avro_corpus(spark):
+    """16 Avro OCF payloads x 20 flat records (null codec for even
+    payload ids, deflate for odd; 8 records per block so every payload
+    is multi-block) — fields from closed-form doc_id rules, with
+    negative longs (zigzag sign path), a nullable union lane and an
+    enum lane."""
+    from incremental_github_data_pipeline_spark.sources.avro import avro_build
+
+    schema = {
+        "type": "record",
+        "name": "evt",
+        "fields": [
+            {"name": "name", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "ok", "type": "boolean"},
+            {
+                "name": "tag",
+                "type": {
+                    "type": "enum", "name": "t",
+                    "symbols": ["A", "B", "C"],
+                },
+            },
+            {"name": "opt", "type": ["null", "long"]},
+        ],
+    }
+    rows = []
+    for i in range(16):
+        recs = [
+            {
+                "name": f"w{(i * 7 + m) % 20}",
+                "n": i * 100 + m * 3 - 50,
+                "ok": (i + m) % 2 == 0,
+                "tag": "ABC"[(i + m) % 3],
+                "opt": None if m % 4 == 0 else i * m,
+            }
+            for m in range(20)
+        ]
+        rows.append(
+            (
+                i,
+                avro_build(
+                    schema, recs,
+                    codec="null" if i % 2 == 0 else "deflate",
+                    records_per_block=8,
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "payload_id long, payload binary")
+
+
+@register(
+    "q_avro_ingest",
+    oracle="""
+    WITH ids AS (SELECT i, m FROM range(16) t(i), range(20) t2(m))
+    SELECT i AS payload_id, CAST(m AS INTEGER) AS record_idx,
+           'w' || ((i*7 + m) % 20) AS name,
+           CAST(i*100 + m*3 - 50 AS BIGINT) AS n,
+           (i + m) % 2 = 0 AS ok,
+           substr('ABC', (i + m) % 3 + 1, 1) AS tag,
+           CAST(CASE WHEN m % 4 = 0 THEN NULL ELSE i*m END AS BIGINT)
+             AS opt
+    FROM ids ORDER BY payload_id, record_idx
+    """,
+    doc="Avro Object Container File ingestion (r11, sources/avro."
+    "avro_ingest) — the schema-travels-with-the-data interchange "
+    "format Kafka pipelines and warehouse exports ship, decoded by an "
+    "in-repo stdlib binary codec (spark-avro's optional jar is not "
+    "bundled): magic + metadata map walk, per-block sync-marker "
+    "verification, null AND deflate codecs (alternated across the "
+    "fixture), zigzag varints incl. negative longs, the "
+    "['null', long] union idiom and enum-to-symbol decode; declared "
+    "fields are checked against the embedded writer schema by name, "
+    "so drift errors instead of nulling. Multi-block payloads (8 "
+    "records/block); every field of every record hash-compares "
+    "against the closed-form rules. One Arrow-batched mapInPandas "
+    "pass, parse where the bytes live.",
+)
+def q_avro_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.sources.avro import avro_ingest
+
+    recs = avro_ingest(
+        _avro_corpus(spark),
+        "name string, n long, ok boolean, tag string, opt long",
+    )
+    return recs.orderBy("payload_id", "record_idx")

@@ -187,3 +187,126 @@ def test_write_rotating_orc_and_json_roundtrip(spark, tmp_path):
             )
         assert sorted(r["id"] for r in back.collect()) == list(range(50))
         assert back.filter("doubled != id * 2").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Avro OCF
+# ---------------------------------------------------------------------------
+
+
+def _avro_schema():
+    return {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "name", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "opt", "type": ["null", "long"]},
+            {
+                "name": "tag",
+                "type": {
+                    "type": "enum", "name": "e", "symbols": ["A", "B"],
+                },
+            },
+            {"name": "blob", "type": "bytes"},
+            {
+                "name": "fx",
+                "type": {"type": "fixed", "name": "f", "size": 2},
+            },
+        ],
+    }
+
+
+def _avro_recs(n=25):
+    return [
+        {
+            "name": f"w{i}",
+            "n": i * 7 - 100,  # negative longs: zigzag sign path
+            "opt": None if i % 3 == 0 else i,
+            "tag": "AB"[i % 2],
+            "blob": bytes([i % 256]),
+            "fx": bytes([i % 256, 255 - i % 256]),
+        }
+        for i in range(n)
+    ]
+
+
+def test_avro_roundtrip_both_codecs_multiblock():
+    from incremental_github_data_pipeline_spark.sources.avro import (
+        avro_build,
+        avro_records,
+    )
+
+    recs = _avro_recs()
+    for codec in ("null", "deflate"):
+        payload = avro_build(
+            _avro_schema(), recs, codec=codec, records_per_block=7
+        )
+        schema, got = avro_records(payload)
+        assert got == recs
+        assert schema["name"] == "r"
+
+
+def test_avro_framing_and_scope_guards():
+    import pytest as _pytest
+
+    from incremental_github_data_pipeline_spark.sources.avro import (
+        avro_build,
+        avro_records,
+    )
+
+    good = avro_build(_avro_schema(), _avro_recs(5))
+    with _pytest.raises(ValueError, match="magic"):
+        avro_records(b"PAR1" + good)
+    with _pytest.raises(ValueError):
+        avro_records(good[:-10])  # torn block
+    # corrupt the sync marker of the (single) data block
+    bad = good[:-16] + b"\x00" * 16
+    with _pytest.raises(ValueError, match="sync"):
+        avro_records(bad)
+    # nested/array types are out of contract, loud by name
+    nested = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "a", "type": {"type": "array",
+                                          "items": "long"}}],
+    }
+    with _pytest.raises(NotImplementedError):
+        avro_build(nested, [{"a": [1]}])
+    with _pytest.raises(ValueError, match="codec"):
+        avro_build(_avro_schema(), [], codec="snappy")
+
+
+def test_avro_ingest_schema_check_and_skip(spark):
+    import pytest as _pytest
+
+    from incremental_github_data_pipeline_spark.sources.avro import (
+        avro_build,
+        avro_ingest,
+    )
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "name", "type": "string"},
+            {"name": "n", "type": "long"},
+        ],
+    }
+    ok = avro_build(schema, [{"name": "x", "n": 1}, {"name": "y", "n": -2}])
+    df = spark.createDataFrame(
+        [(1, ok), (2, b"not avro")], "payload_id long, payload binary"
+    )
+    got = {
+        (r["payload_id"], r["record_idx"], r["name"], r["n"])
+        for r in avro_ingest(
+            df, "name string, n long", on_error="skip"
+        ).collect()
+    }
+    assert got == {(1, 0, "x", 1), (1, 1, "y", -2)}
+    with _pytest.raises(Exception):
+        avro_ingest(df, "name string, n long").collect()
+    # declared field absent from the writer schema: loud, not nulls
+    df_ok = spark.createDataFrame(
+        [(1, ok)], "payload_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="missing"):
+        avro_ingest(df_ok, "name string, missing_col long").collect()
