@@ -973,3 +973,116 @@ def holt_winters(
         return pdf
 
     return base.groupBy(*keys).applyInPandas(fold, out_schema)
+
+
+def ccf_integer(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Cross-correlation function (r11) — :func:`acf_integer`'s
+    two-series sibling, the lead/lag discoverer ("errors rise 2 hours
+    after deploys"; "purchases trail clicks by a day"). Per key and
+    lag k ∈ [−max_lag, +max_lag], over the aligned pair series, with
+    u = n·x − Sx and v = n·y − Sy (integer centerings):
+
+        c_xy(k) = Σ u_t · v_{t+k}     (negative k: x lags y)
+        beta_ppm(k)  = c_xy(k)·10⁶ fdiv Σ u²   (slope of y on lagged x)
+        gamma_ppm(k) = c_xy(k)·10⁶ fdiv Σ v²   (slope of x on lagged y)
+
+    Pearson's r_k needs √(c_xx·c_yy) — irrational, uncertifiable. The
+    two REGRESSION slopes need no square root, each is one offset
+    floor division in DECIMAL(38,0), and their product IS r_k²
+    (beta·gamma = c_xy²/(c_xx·c_yy)) — so callers threshold squared
+    correlation exactly, and argmax |beta| over k finds the lead/lag
+    without ever leaving integer arithmetic. NULL lanes when the
+    corresponding denominator is zero (a constant series has no
+    slope). Same contract as ACF: positions are observed row order
+    per key (densify first for calendar-true lags), the input is a
+    pre-aggregated grid by module contract.
+
+    Shape: one stats aggregate + one ordered window per key carrying
+    max_lag leads of BOTH series, one aggregate, no self-join."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    df = df.localCheckpoint(eager=True)
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(x_col).cast("long")).alias("_Sx"),
+        F.sum(F.col(y_col).cast("long")).alias("_Sy"),
+    )
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    base = df.join(stats, keys).select(
+        *keys,
+        F.col(order_col),
+        (F.col("_n") * F.col(x_col).cast("long") - F.col("_Sx"))
+        .cast("decimal(19,0)")
+        .alias("_u"),
+        (F.col("_n") * F.col(y_col).cast("long") - F.col("_Sy"))
+        .cast("decimal(19,0)")
+        .alias("_v"),
+    )
+    lead_cols = []
+    for k in range(1, max_lag + 1):
+        lead_cols.append(F.lead("_v", k).over(w).alias(f"_v{k}"))
+        lead_cols.append(F.lead("_u", k).over(w).alias(f"_u{k}"))
+    prods = base.select(*keys, "_u", "_v", *lead_cols)
+    aggs = [
+        F.sum((F.col("_u") * F.col("_u")).cast("decimal(38,0)")).alias(
+            "_cxx"
+        ),
+        F.sum((F.col("_v") * F.col("_v")).cast("decimal(38,0)")).alias(
+            "_cyy"
+        ),
+        F.sum((F.col("_u") * F.col("_v")).cast("decimal(38,0)")).alias(
+            "_c0"
+        ),
+        F.count(F.lit(1)).alias("_np0"),
+    ]
+    for k in range(1, max_lag + 1):
+        aggs.append(
+            F.sum(
+                (F.col("_u") * F.col(f"_v{k}")).cast("decimal(38,0)")
+            ).alias(f"_cp{k}")
+        )
+        aggs.append(
+            F.sum(
+                (F.col(f"_u{k}") * F.col("_v")).cast("decimal(38,0)")
+            ).alias(f"_cm{k}")
+        )
+        aggs.append(F.count(F.col(f"_v{k}")).alias(f"_np{k}"))
+    per_key = prods.groupBy(*keys).agg(*aggs)
+    b = 10**10
+
+    def lane(k: int, c: str, np_col: str):
+        return F.struct(
+            F.lit(k).cast("long").alias("lag"),
+            F.col(np_col).alias("n_pairs"),
+            F.when(
+                F.col("_cxx") > 0,
+                F.expr(
+                    f"CAST(({c} * 1000000 + _cxx * {b}) div _cxx"
+                    f" - {b} AS BIGINT)"
+                ),
+            ).alias("beta_ppm"),
+            F.when(
+                F.col("_cyy") > 0,
+                F.expr(
+                    f"CAST(({c} * 1000000 + _cyy * {b}) div _cyy"
+                    f" - {b} AS BIGINT)"
+                ),
+            ).alias("gamma_ppm"),
+        )
+
+    lanes = [lane(0, "_c0", "_np0")]
+    for k in range(1, max_lag + 1):
+        lanes.append(lane(k, f"_cp{k}", f"_np{k}"))
+        lanes.append(lane(-k, f"_cm{k}", f"_np{k}"))
+    return (
+        per_key.select(*keys, F.explode(F.array(*lanes)).alias("_l"))
+        .select(
+            *keys, "_l.lag", "_l.n_pairs", "_l.beta_ppm", "_l.gamma_ppm"
+        )
+    )

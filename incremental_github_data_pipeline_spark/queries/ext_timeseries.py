@@ -1070,3 +1070,115 @@ def q_ts_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", "hr", "cents",
         "level_s", "trend_s", "seas_s", "fitted_s",
     ).orderBy("event_type", "hr")
+
+
+def _ccf_oracle(max_lag: int = 3) -> str:
+    leads = ",\n             ".join(
+        f"lead(v, {k}) OVER w AS v{k}, lead(u, {k}) OVER w AS u{k}"
+        for k in range(1, max_lag + 1)
+    )
+    aggs = ",\n             ".join(
+        f"SUM(u * v{k}) AS cp{k}, SUM(u{k} * v) AS cm{k}, "
+        f"COUNT(v{k}) AS np{k}"
+        for k in range(1, max_lag + 1)
+    )
+
+    def fdiv(c: str, den: str) -> str:
+        return (
+            f"CAST(CASE WHEN {den} > 0 THEN "
+            f"({c} * 1000000 + {den} * {_B10}) // {den} - {_B10} "
+            f"END AS BIGINT)"
+        )
+
+    lanes = [
+        f"SELECT pair, CAST(0 AS BIGINT) AS lag, np0 AS n_pairs, "
+        f"{fdiv('c0', 'cxx')} AS beta_ppm, "
+        f"{fdiv('c0', 'cyy')} AS gamma_ppm FROM ag"
+    ]
+    for k in range(1, max_lag + 1):
+        lanes.append(
+            f"SELECT pair, CAST({k} AS BIGINT), np{k}, "
+            f"{fdiv(f'cp{k}', 'cxx')}, {fdiv(f'cp{k}', 'cyy')} FROM ag"
+        )
+        lanes.append(
+            f"SELECT pair, CAST(-{k} AS BIGINT), np{k}, "
+            f"{fdiv(f'cm{k}', 'cxx')}, {fdiv(f'cm{k}', 'cyy')} FROM ag"
+        )
+    union = "\nUNION ALL\n".join(lanes)
+    return f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT 'click~view' AS pair, a.hr, a.cents AS x, b.cents AS y
+      FROM h a JOIN h b ON a.hr = b.hr
+      WHERE a.event_type = 'click' AND b.event_type = 'view'
+      UNION ALL
+      SELECT 'error~purchase', a.hr, a.cents, b.cents
+      FROM h a JOIN h b ON a.hr = b.hr
+      WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+    ),
+    st AS (
+      SELECT pair, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy
+      FROM p GROUP BY 1
+    ),
+    uv AS (
+      SELECT p.pair, p.hr,
+             CAST(st.n * p.x - st.sx AS HUGEINT) AS u,
+             CAST(st.n * p.y - st.sy AS HUGEINT) AS v
+      FROM p JOIN st USING (pair)
+    ),
+    ld AS (
+      SELECT pair, u, v,
+             {leads}
+      FROM uv WINDOW w AS (PARTITION BY pair ORDER BY hr)
+    ),
+    ag AS (
+      SELECT pair, SUM(u*u) AS cxx, SUM(v*v) AS cyy, SUM(u*v) AS c0,
+             COUNT(*) AS np0,
+             {aggs}
+      FROM ld GROUP BY 1
+    )
+    SELECT * FROM ({union})
+    ORDER BY pair, lag
+    """
+
+
+@register(
+    "q_ts_ccf",
+    oracle=_ccf_oracle(),
+    doc="Cross-correlation function (r11, operators.timeseries."
+    "ccf_integer) — ACF's two-series sibling, the lead/lag discoverer "
+    "between paired hourly metrics: per lag k in [-3, 3], the two "
+    "lagged REGRESSION slopes beta = c_xy(k)·10^6 fdiv c_xx and gamma "
+    "= c_xy(k)·10^6 fdiv c_yy — Pearson's r needs an irrational "
+    "square root, but beta·gamma IS r² exactly, so squared "
+    "correlation thresholds and argmax-|beta| lead/lag picks stay "
+    "certifiable. Integer centering u = n·x − Sx through "
+    "DECIMAL(38,0)/HUGEINT, offset floor divisions, negative lags "
+    "via the mirrored lead products. One stats aggregate + one "
+    "ordered window carrying both series' leads, no self-join.",
+)
+def q_ts_ccf(spark: SparkSession, sf: str) -> DataFrame:
+    h = _hourly(spark, sf)
+
+    def pair(name: str, ta: str, tb: str) -> DataFrame:
+        a = h.filter(F.col("event_type") == ta).select(
+            "hr", F.col("cents").alias("x")
+        )
+        b = h.filter(F.col("event_type") == tb).select(
+            "hr", F.col("cents").alias("y")
+        )
+        return a.join(b, "hr").select(
+            F.lit(name).alias("pair"), "hr", "x", "y"
+        )
+
+    series = pair("click~view", "click", "view").unionByName(
+        pair("error~purchase", "error", "purchase")
+    )
+    return ts_ops.ccf_integer(
+        series, "pair", "hr", "x", "y", max_lag=3
+    ).orderBy("pair", "lag")

@@ -485,3 +485,53 @@ class TestHoltWinters:
             holt_winters(df, "k", "t", "x", period=2, alpha=(10, 10))
         with _pytest.raises(ValueError, match="period"):
             holt_winters(df, "k", "t", "x", period=1)
+
+
+class TestCCF:
+    def _ccf(self, spark, rows, max_lag=2):
+        from incremental_github_data_pipeline_spark.operators.timeseries import (
+            ccf_integer,
+        )
+
+        df = spark.createDataFrame(
+            rows, "k string, t long, x long, y long"
+        )
+        out = ccf_integer(df, "k", "t", "x", "y", max_lag=max_lag)
+        return {
+            (r["k"], r["lag"]): (r["beta_ppm"], r["gamma_ppm"], r["n_pairs"])
+            for r in out.collect()
+        }
+
+    def test_identical_series_peak_at_zero(self, spark):
+        rows = [("a", t, v, v) for t, v in enumerate([5, 9, 2, 7, 4, 8])]
+        got = self._ccf(spark, rows)
+        # x == y: both slopes exactly 1 at lag 0, r^2 = 1
+        assert got[("a", 0)][:2] == (1000000, 1000000)
+
+    def test_shifted_copy_peaks_at_its_lag(self, spark):
+        base = [5, 9, 2, 7, 4, 8, 3, 6, 1, 9, 5, 2]
+        rows = [
+            ("a", t, base[t], base[t + 1]) for t in range(len(base) - 1)
+        ]
+        got = self._ccf(spark, rows)
+        # y_t = x_{t+1} (y ANTICIPATES x): under c_xy(k) = sum u_t v_{t+k},
+        # x_t pairs with the matching y one step EARLIER -> peak at lag -1
+        b1 = abs(got[("a", -1)][0])
+        assert all(
+            b1 >= abs(v[0]) for k, v in got.items() if k[1] != -1
+        )
+
+    def test_constant_series_null_slope(self, spark):
+        rows = [("a", t, 7, t * 3) for t in range(6)]
+        got = self._ccf(spark, rows)
+        # x constant: beta (div by c_xx = 0) NULL; gamma defined
+        assert got[("a", 0)][0] is None
+        assert got[("a", 0)][1] is not None
+
+    def test_n_pairs_and_symmetric_lag_counts(self, spark):
+        rows = [("a", t, t, t) for t in range(8)]
+        got = self._ccf(spark, rows, max_lag=3)
+        assert got[("a", 0)][2] == 8
+        for k in (1, 2, 3):
+            assert got[("a", k)][2] == 8 - k
+            assert got[("a", -k)][2] == 8 - k
