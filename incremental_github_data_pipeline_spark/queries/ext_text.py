@@ -2964,3 +2964,76 @@ def q_avro_ingest(spark: SparkSession, sf: str) -> DataFrame:
         "name string, n long, ok boolean, tag string, opt long",
     )
     return recs.orderBy("payload_id", "record_idx")
+
+
+def _archive_corpus(spark):
+    """12 archive payloads x 3 members (two UTF-8 text files + one
+    binary blob that must keep its row with a NULL text lane) — even
+    payload ids deflated zip, odd ids tar.gz (the two shard layouts
+    datasets actually ship in); member text follows the gzip-corpus
+    word-run rules."""
+    from incremental_github_data_pipeline_spark.sources.archives import (
+        tar_build,
+        zip_build,
+    )
+
+    rows = []
+    for i in range(12):
+        members = []
+        for m in range(2):
+            n = 4 + ((i + m) % 5)
+            text = " ".join(
+                f"w{(i * 5 + m * 3 + j) % 16}" for j in range(n)
+            )
+            members.append((f"doc/{i}/t{m}.txt", text.encode("utf-8")))
+        members.append((f"doc/{i}/blob.bin", bytes([255, 254, i % 256])))
+        payload = (
+            zip_build(members) if i % 2 == 0 else tar_build(members, gz=True)
+        )
+        rows.append((i, payload))
+    return spark.createDataFrame(rows, "payload_id long, payload binary")
+
+
+@register(
+    "q_archive_ingest",
+    oracle=r"""
+    WITH ids AS (SELECT i, m FROM range(12) t(i), range(3) t2(m)),
+    toks AS (
+      SELECT i, m, j.j AS j FROM ids, range(9) j(j)
+      WHERE m < 2 AND j.j < 4 + ((i + m) % 5)
+    ),
+    txt AS (
+      SELECT i, m,
+             string_agg('w' || ((i*5 + m*3 + j) % 16), ' ' ORDER BY j)
+               AS text
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT ids.i AS payload_id, CAST(ids.m AS INTEGER) AS member_idx,
+           'doc/' || ids.i ||
+           CASE WHEN ids.m = 2 THEN '/blob.bin'
+                ELSE '/t' || ids.m || '.txt' END AS name,
+           CAST(CASE WHEN ids.m = 2 THEN 3
+                ELSE length(txt.text) END AS BIGINT) AS n_bytes,
+           txt.text AS text
+    FROM ids LEFT JOIN txt ON ids.i = txt.i AND ids.m = txt.m
+    ORDER BY payload_id, member_idx
+    """,
+    doc="Archive-shard ingestion (r11, sources/archives."
+    "archive_ingest): tar / tar.gz / zip payloads — the WebDataset-"
+    "style shard-of-files layout — exploded to one row per member "
+    "with magic-based container dispatch (zip by PK header, tarfile "
+    "compression sniffing for the rest), CRC-checked zip reads, and "
+    "the mixed-content contract pinned: binary members keep their "
+    "row, name and size with a NULL text lane (a tarball of images + "
+    "captions must not lose the images). Fixture alternates deflated "
+    "zip and tar.gz over closed-form member text; every name, size "
+    "and text hash-compares. One Arrow-batched mapInPandas pass.",
+)
+def q_archive_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.sources.archives import (
+        archive_ingest,
+    )
+
+    return archive_ingest(_archive_corpus(spark)).orderBy(
+        "payload_id", "member_idx"
+    )

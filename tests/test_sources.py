@@ -310,3 +310,78 @@ def test_avro_ingest_schema_check_and_skip(spark):
     )
     with _pytest.raises(Exception, match="missing"):
         avro_ingest(df_ok, "name string, missing_col long").collect()
+
+
+# ---------------------------------------------------------------------------
+# archive ingestion (tar / tar.gz / zip)
+# ---------------------------------------------------------------------------
+
+
+def test_archive_roundtrips_and_dispatch():
+    from incremental_github_data_pipeline_spark.sources.archives import (
+        archive_members,
+        tar_build,
+        zip_build,
+    )
+
+    members = [
+        ("a/x.txt", b"hello world"),
+        ("a/img.bin", bytes([0, 255, 128])),
+        ("y.txt", b"second file"),
+    ]
+    for payload in (
+        tar_build(members),
+        tar_build(members, gz=True),
+        zip_build(members),
+        zip_build(members, compress=False),
+    ):
+        assert archive_members(payload) == members
+    # deterministic bytes (pinned timestamps)
+    assert tar_build(members, gz=True) == tar_build(members, gz=True)
+    assert zip_build(members) == zip_build(members)
+
+
+def test_archive_corruption_raises():
+    import pytest as _pytest
+
+    from incremental_github_data_pipeline_spark.sources.archives import (
+        archive_members,
+        zip_build,
+        zip_members,
+    )
+
+    with _pytest.raises(ValueError, match="tar"):
+        archive_members(b"garbage that is neither format")
+    good = zip_build([("f.txt", b"abcd" * 100)])
+    # flip a byte inside the deflated data: CRC must catch it
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with _pytest.raises(Exception):
+        zip_members(bytes(bad))
+
+
+def test_archive_ingest_mixed_content_and_skip(spark):
+    import pytest as _pytest
+
+    from incremental_github_data_pipeline_spark.sources.archives import (
+        archive_ingest,
+        tar_build,
+    )
+
+    payload = tar_build(
+        [("t.txt", b"some text"), ("b.bin", bytes([0xFF, 0xFE]))]
+    )
+    df = spark.createDataFrame(
+        [(1, payload), (2, b"garbage")],
+        "payload_id long, payload binary",
+    )
+    got = {
+        (r["payload_id"], r["name"], r["n_bytes"], r["text"])
+        for r in archive_ingest(df, on_error="skip").collect()
+    }
+    assert got == {
+        (1, "t.txt", 9, "some text"),
+        (1, "b.bin", 2, None),  # binary member keeps its row
+    }
+    with _pytest.raises(Exception):
+        archive_ingest(df).collect()
