@@ -255,6 +255,21 @@ BENCH_QUERIES = [
     "q_graph_link_pred",
     # AU/PCX container decode lane (RLE scanlines + G.711 expand)
     "q_media_au_pcx_stats",
+    # Holt-Winters: the 24-slot seasonal-state Arrow fold
+    "q_ts_holt_winters",
+    # single-scan melt profile (one histogram shuffle for 3 columns)
+    "q_column_profile",
+    # sentence split (regex sentinel) + the sentence-grain dedup agg
+    "q_doc_sentences",
+    "q_sentence_dedup",
+    # 28-rule replace chain per doc
+    "q_doc_fix_mojibake",
+    # binary varint/zigzag decode per record, deflate blocks
+    "q_avro_ingest",
+    # +/-3-lag dual-slope window stack over paired hourly series
+    "q_ts_ccf",
+    # tar.gz/zip member walk per payload
+    "q_archive_ingest",
 ]
 
 

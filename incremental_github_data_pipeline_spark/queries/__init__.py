@@ -65,7 +65,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # q_media_avi_stats, q_media_ico_stats, q_doc_html_strip,
 # q_url_canonical, q_warc_ingest, q_warc_html_extract,
 # q_kmv_distinct, q_kmv_jaccard, q_graph_hits, q_graph_link_pred,
-# q_media_au_pcx_stats, plus the r12-deferred refresh rows above.
+# q_media_au_pcx_stats, q_ts_holt_winters, q_column_profile,
+# q_doc_sentences, q_sentence_dedup, q_doc_fix_mojibake,
+# q_avro_ingest, q_ts_ccf, q_archive_ingest, plus the
+# r12-deferred refresh rows above.
 _CERTIFY_FIRST = [
     # -- (0) first driver rows (registered post-r10-window) --
     "q_ts_holt_linear",
