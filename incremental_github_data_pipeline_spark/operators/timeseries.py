@@ -1086,3 +1086,80 @@ def ccf_integer(
             *keys, "_l.lag", "_l.n_pairs", "_l.beta_ppm", "_l.gamma_ppm"
         )
     )
+
+
+def ols_integer(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key simple linear regression (r11) — y ≈ β·x + α fitted by
+    ordinary least squares, certifiable end to end:
+
+        β_ppm  = c_xy·10⁶ fdiv c_xx        (c_* over u = n·x−Sx etc.)
+        α_ppm  = (Sy·c_xx − Sx·c_xy)·10⁶ fdiv (n·c_xx)
+        r²_ppm = β_ppm·γ_ppm fdiv 10⁶,  γ_ppm = c_xy·10⁶ fdiv c_yy
+
+    The textbook formulas cleared of every division-before-the-end:
+    centering happens as integer cross terms (the
+    :func:`ccf_integer`/:func:`acf_integer` trick), products flow
+    through DECIMAL(38,0), and each output is ONE offset floor
+    division — Pearson's r itself needs an irrational square root,
+    but r² = β·γ doesn't, so goodness-of-fit thresholds certify
+    exactly. β/α in ppm of the y-per-x / y units. NULL β/α when x is
+    constant, NULL r² when either series is constant. One map-combined
+    aggregate per key: 6 sums, no window, no self-join — the cheapest
+    operator in this module."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    d = df.select(
+        *keys,
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    agg = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(
+            (F.col("_x").cast("decimal(19,0)") * F.col("_x")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_sxx"),
+        F.sum(
+            (F.col("_y").cast("decimal(19,0)") * F.col("_y")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_syy"),
+        F.sum(
+            (F.col("_x").cast("decimal(19,0)") * F.col("_y")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_sxy"),
+    )
+    b = 10**10
+    # n·Σxy − Σx·Σy etc: the centered cross terms without any division
+    cxy = "(CAST(_n AS DECIMAL(38,0)) * _sxy - CAST(_sx AS DECIMAL(19,0)) * _sy)"
+    cxx = "(CAST(_n AS DECIMAL(38,0)) * _sxx - CAST(_sx AS DECIMAL(19,0)) * _sx)"
+    cyy = "(CAST(_n AS DECIMAL(38,0)) * _syy - CAST(_sy AS DECIMAL(19,0)) * _sy)"
+    beta = f"CAST(({cxy} * 1000000 + {cxx} * {b}) div {cxx} - {b} AS BIGINT)"
+    gamma = f"CAST(({cxy} * 1000000 + {cyy} * {b}) div {cyy} - {b} AS BIGINT)"
+    alpha = (
+        f"CAST(((CAST(_sy AS DECIMAL(19,0)) * {cxx} - "
+        f"CAST(_sx AS DECIMAL(19,0)) * {cxy}) * 1000000 "
+        f"+ (CAST(_n AS DECIMAL(38,0)) * {cxx}) * {b}) div "
+        f"(CAST(_n AS DECIMAL(38,0)) * {cxx}) - {b} AS BIGINT)"
+    )
+    return agg.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        F.when(F.expr(f"{cxx} > 0"), F.expr(beta)).alias("beta_ppm"),
+        F.when(F.expr(f"{cxx} > 0"), F.expr(alpha)).alias("alpha_ppm"),
+        F.when(
+            F.expr(f"{cxx} > 0 AND {cyy} > 0"),
+            F.expr(
+                f"CAST((({beta}) * ({gamma}) + 1000000 * {b}) "
+                f"div 1000000 - {b} AS BIGINT)"
+            ),
+        ).alias("r2_ppm"),
+    )

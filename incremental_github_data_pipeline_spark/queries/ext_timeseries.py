@@ -1182,3 +1182,82 @@ def q_ts_ccf(spark: SparkSession, sf: str) -> DataFrame:
     return ts_ops.ccf_integer(
         series, "pair", "hr", "x", "y", max_lag=3
     ).orderBy("pair", "lag")
+
+
+def _ols_oracle() -> str:
+    cxy = "(n1 * sxy - sx * sy)"
+    cxx = "(n1 * sxx - sx * sx)"
+    cyy = "(n1 * syy - sy * sy)"
+    beta = f"(({cxy} * 1000000 + {cxx} * {_B10}) // {cxx} - {_B10})"
+    gamma = f"(({cxy} * 1000000 + {cyy} * {_B10}) // {cyy} - {_B10})"
+    alpha = (
+        f"(((sy * {cxx} - sx * {cxy}) * 1000000 + (n1 * {cxx}) * {_B10})"
+        f" // (n1 * {cxx}) - {_B10})"
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT 'click~view' AS pair, a.cents AS x, b.cents AS y
+      FROM h a JOIN h b ON a.hr = b.hr
+      WHERE a.event_type = 'click' AND b.event_type = 'view'
+      UNION ALL
+      SELECT 'error~purchase', a.cents, b.cents
+      FROM h a JOIN h b ON a.hr = b.hr
+      WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+    ),
+    ag AS (
+      SELECT pair, CAST(COUNT(*) AS HUGEINT) AS n1,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM p GROUP BY 1
+    )
+    SELECT pair, CAST(n1 AS BIGINT) AS n,
+           CAST(CASE WHEN {cxx} > 0 THEN {beta} END AS BIGINT)
+             AS beta_ppm,
+           CAST(CASE WHEN {cxx} > 0 THEN {alpha} END AS BIGINT)
+             AS alpha_ppm,
+           CAST(CASE WHEN {cxx} > 0 AND {cyy} > 0 THEN
+                (({beta}) * ({gamma}) + 1000000 * {_B10})
+                  // 1000000 - {_B10} END AS BIGINT) AS r2_ppm
+    FROM ag ORDER BY pair
+    """
+
+
+@register(
+    "q_ts_ols",
+    oracle=_ols_oracle(),
+    doc="Per-key OLS linear regression (r11, operators.timeseries."
+    "ols_integer): slope, intercept and R² between paired hourly "
+    "metrics with every output ONE offset floor division — the "
+    "textbook formulas cleared of early divisions via integer "
+    "centered cross terms (n·Σxy − Σx·Σy) in DECIMAL(38,0)/HUGEINT; "
+    "R² = beta·gamma needs no irrational sqrt (Pearson's r does, and "
+    "stays out of certified lanes). One 6-sum map-combined aggregate "
+    "per key, no window, no self-join.",
+)
+def q_ts_ols(spark: SparkSession, sf: str) -> DataFrame:
+    h = _hourly(spark, sf)
+
+    def pair(name: str, ta: str, tb: str) -> DataFrame:
+        a = h.filter(F.col("event_type") == ta).select(
+            "hr", F.col("cents").alias("x")
+        )
+        b = h.filter(F.col("event_type") == tb).select(
+            "hr", F.col("cents").alias("y")
+        )
+        return a.join(b, "hr").select(
+            F.lit(name).alias("pair"), "x", "y"
+        )
+
+    series = pair("click~view", "click", "view").unionByName(
+        pair("error~purchase", "error", "purchase")
+    )
+    return ts_ops.ols_integer(series, "pair", "x", "y").orderBy("pair")

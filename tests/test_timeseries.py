@@ -535,3 +535,43 @@ class TestCCF:
         for k in (1, 2, 3):
             assert got[("a", k)][2] == 8 - k
             assert got[("a", -k)][2] == 8 - k
+
+
+class TestOLS:
+    def _fit(self, spark, rows):
+        from incremental_github_data_pipeline_spark.operators.timeseries import (
+            ols_integer,
+        )
+
+        df = spark.createDataFrame(rows, "k string, x long, y long")
+        return {
+            r["k"]: (r["n"], r["beta_ppm"], r["alpha_ppm"], r["r2_ppm"])
+            for r in ols_integer(df, "k", "x", "y").collect()
+        }
+
+    def test_perfect_line_exact(self, spark):
+        rows = [("a", x, 3 * x + 7) for x in range(10)]
+        n, beta, alpha, r2 = self._fit(spark, rows)["a"]
+        assert (n, beta, alpha) == (10, 3000000, 7000000)
+        assert r2 == 999999  # floor of the exact 1.0 after ppm product
+
+    def test_negative_slope_and_noise(self, spark):
+        rows = [
+            ("b", x, -2 * x + 100 + (1 if x % 3 == 0 else -1))
+            for x in range(12)
+        ]
+        _, beta, alpha, r2 = self._fit(spark, rows)["b"]
+        assert -2100000 < beta < -1900000
+        assert 99000000 < alpha < 101000000
+        assert 950000 < r2 < 1000000
+
+    def test_constant_x_null_fit(self, spark):
+        got = self._fit(spark, [("c", 5, 9), ("c", 5, 11)])["c"]
+        assert got == (2, None, None, None)
+
+    def test_constant_y_zero_slope_null_r2(self, spark):
+        _, beta, alpha, r2 = self._fit(
+            spark, [("d", x, 42) for x in range(6)]
+        )["d"]
+        assert (beta, alpha) == (0, 42000000)
+        assert r2 is None  # c_yy = 0: correlation undefined
