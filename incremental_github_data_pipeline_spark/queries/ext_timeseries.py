@@ -1163,7 +1163,10 @@ def _ccf_oracle(max_lag: int = 3) -> str:
     "ordered window carrying both series' leads, no self-join.",
 )
 def q_ts_ccf(spark: SparkSession, sf: str) -> DataFrame:
-    h = _hourly(spark, sf)
+    # the hourly pre-aggregate feeds four filter lanes (2 pairs x 2
+    # sides) — materialize its time-grid-bounded rows once instead of
+    # re-running the events scan per lane (the q_doc_contained lesson)
+    h = _hourly(spark, sf).localCheckpoint(eager=True)
 
     def pair(name: str, ta: str, tb: str) -> DataFrame:
         a = h.filter(F.col("event_type") == ta).select(
@@ -1244,7 +1247,8 @@ def _ols_oracle() -> str:
     "per key, no window, no self-join.",
 )
 def q_ts_ols(spark: SparkSession, sf: str) -> DataFrame:
-    h = _hourly(spark, sf)
+    # same four-lane consumption as q_ts_ccf: one materialization
+    h = _hourly(spark, sf).localCheckpoint(eager=True)
 
     def pair(name: str, ta: str, tb: str) -> DataFrame:
         a = h.filter(F.col("event_type") == ta).select(
