@@ -270,6 +270,8 @@ BENCH_QUERIES = [
     "q_ts_ccf",
     # tar.gz/zip member walk per payload
     "q_archive_ingest",
+    # 6-sum OLS aggregate over the paired hourly series
+    "q_ts_ols",
 ]
 
 
