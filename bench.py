@@ -272,6 +272,8 @@ BENCH_QUERIES = [
     "q_archive_ingest",
     # 6-sum OLS aggregate over the paired hourly series
     "q_ts_ols",
+    # footer-only metadata audit distributed one path per task
+    "q_parquet_layout",
 ]
 
 

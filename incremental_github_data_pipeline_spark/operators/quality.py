@@ -293,3 +293,68 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         .cast("long")
         .alias("gini_ppm"),
     )
+
+
+def parquet_layout(spark, paths: Sequence[str]) -> DataFrame:
+    """Parquet physical-layout audit (r11) — the input to every
+    compaction / small-file / row-group-sizing decision: per row group,
+    ``(file_name, row_group, n_rows, n_columns,
+    n_bytes_compressed)`` read from the FOOTER ONLY via pyarrow (no
+    data pages touched — auditing a petabyte costs footer I/O). Paths
+    are distributed one-per-task (``spark.createDataFrame`` over the
+    path list, Arrow-batched footer reads where the metadata lives) —
+    a million-file lake audits in parallel with no shuffle; the path
+    LIST itself is table-catalog-sized, not data-sized. The footer
+    fields (num_rows, num_columns, column-chunk total_compressed_size)
+    are spec-defined, so an independent engine's metadata reader
+    (DuckDB's parquet_metadata in the oracle twin) must agree
+    byte-for-byte."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("file_name", StringType(), False),
+            StructField("row_group", IntegerType(), False),
+            StructField("n_rows", LongType(), False),
+            StructField("n_columns", LongType(), False),
+            StructField("n_bytes_compressed", LongType(), False),
+        ]
+    )
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def batches(it):
+        import os
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for chunk in it:
+            rows: dict[str, list] = {
+                "file_name": [], "row_group": [], "n_rows": [],
+                "n_columns": [], "n_bytes_compressed": [],
+            }
+            for path in chunk["path"]:
+                md = pq.ParquetFile(path).metadata
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    rows["file_name"].append(os.path.basename(path))
+                    rows["row_group"].append(g)
+                    rows["n_rows"].append(rg.num_rows)
+                    rows["n_columns"].append(rg.num_columns)
+                    rows["n_bytes_compressed"].append(
+                        sum(
+                            rg.column(i).total_compressed_size
+                            for i in range(rg.num_columns)
+                        )
+                    )
+            yield pd.DataFrame(rows)
+
+    return pdf.repartition(max(1, min(len(paths), 64))).mapInPandas(
+        batches, schema
+    )

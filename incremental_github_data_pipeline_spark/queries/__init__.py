@@ -67,7 +67,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # q_kmv_distinct, q_kmv_jaccard, q_graph_hits, q_graph_link_pred,
 # q_media_au_pcx_stats, q_ts_holt_winters, q_column_profile,
 # q_doc_sentences, q_sentence_dedup, q_doc_fix_mojibake,
-# q_avro_ingest, q_ts_ccf, q_archive_ingest, q_ts_ols, plus the
+# q_avro_ingest, q_ts_ccf, q_archive_ingest, q_ts_ols,
+# q_parquet_layout, plus the
 # r12-deferred refresh rows above.
 _CERTIFY_FIRST = [
     # -- (0) first driver rows (registered post-r10-window) --

@@ -282,3 +282,41 @@ def q_column_profile(spark: SparkSession, sf: str) -> DataFrame:
     return column_profile(
         orders, ["o_orderstatus", "o_custkey", "prio_nullable"]
     ).orderBy("column")
+
+
+_LAYOUT_TABLES = ["customer", "events", "lineitem", "orders"]
+
+
+@register(
+    "q_parquet_layout",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT regexp_extract(file_name, '([^/]+)$', 1) AS file_name,
+           CAST(row_group_id AS INTEGER) AS row_group,
+           CAST(MAX(row_group_num_rows) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_columns,
+           CAST(SUM(total_compressed_size) AS BIGINT)
+             AS n_bytes_compressed
+    FROM parquet_metadata('/root/testdata/sf0.01/{t}.parquet')
+    GROUP BY 1, 2"""
+        for t in _LAYOUT_TABLES
+    )
+    + "\nORDER BY file_name, row_group",
+    doc="Parquet physical-layout audit (r11, operators/quality."
+    "parquet_layout) — the compaction/row-group-sizing input: per row "
+    "group, row count, column count and the summed column-chunk "
+    "compressed bytes, read from FOOTERS ONLY via pyarrow distributed "
+    "one path per task (auditing a lake costs footer I/O, no data "
+    "pages, no shuffle). The oracle is DuckDB's own parquet_metadata "
+    "over the same files — two independent parquet footer readers "
+    "agreeing byte-for-byte on spec-defined fields. Oracle paths pin "
+    "the driver's sf0.01 contract; the Spark side follows the given "
+    "sf dir (bench runs it at sf0.1 rows-only).",
+)
+def q_parquet_layout(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.quality import (
+        parquet_layout,
+    )
+
+    paths = [f"{sf}/{t}.parquet" for t in _LAYOUT_TABLES]
+    return parquet_layout(spark, paths).orderBy("file_name", "row_group")

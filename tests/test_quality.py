@@ -183,3 +183,40 @@ class TestColumnProfile:
         df = spark.createDataFrame([("k",)] * 5, "v string")
         row = column_profile(df, ["v"]).collect()[0]
         assert row["gini_ppm"] == 0 and row["top_share_ppm"] == 1000000
+
+
+class TestParquetLayout:
+    def test_multi_row_group_file(self, spark, tmp_path):
+        from incremental_github_data_pipeline_spark.operators.quality import (
+            parquet_layout,
+        )
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path / "t.parquet")
+        table = pa.table({"a": list(range(1000)), "b": ["x"] * 1000})
+        pq.write_table(table, path, row_group_size=300)
+        got = parquet_layout(spark, [path]).orderBy("row_group").collect()
+        assert [r["n_rows"] for r in got] == [300, 300, 300, 100]
+        assert all(r["n_columns"] == 2 for r in got)
+        assert all(r["file_name"] == "t.parquet" for r in got)
+        assert all(r["n_bytes_compressed"] > 0 for r in got)
+
+    def test_matches_footer_ground_truth(self, spark, tmp_path):
+        from incremental_github_data_pipeline_spark.operators.quality import (
+            parquet_layout,
+        )
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p1 = str(tmp_path / "a.parquet")
+        p2 = str(tmp_path / "b.parquet")
+        pq.write_table(pa.table({"x": [1, 2, 3]}), p1)
+        pq.write_table(pa.table({"x": [4] * 50, "y": [5] * 50}), p2)
+        got = {
+            (r["file_name"], r["row_group"]): (r["n_rows"], r["n_columns"])
+            for r in parquet_layout(spark, [p1, p2]).collect()
+        }
+        assert got == {("a.parquet", 0): (3, 1), ("b.parquet", 0): (50, 2)}
