@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     "q_ts_ols",
     # footer-only metadata audit distributed one path per task
     "q_parquet_layout",
+    # degree-pair OLS over the undirected edge view
+    "q_graph_assortativity",
 ]
 
 

@@ -222,6 +222,15 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     1-row fold over the histogram. The shuffle carries value
     HISTOGRAMS, never rows; no driver-side count, no per-column
     re-scan (the q_doc_contained lesson applied at design time)."""
+    return profile_from_hist(profile_histogram(df, cols))
+
+
+def profile_histogram(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """The profile's sufficient statistic: the (column, value) -> count
+    histogram, via a map-side melt (explode of a struct array) and one
+    map-combined aggregate. ALGEBRAIC (counts add), which is what makes
+    the profile incrementally maintainable — see
+    ``streaming.incremental.run_incremental_profile_ingest``."""
     melted = df.select(
         F.explode(
             F.array(
@@ -235,9 +244,15 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             )
         ).alias("s")
     ).select("s.column", "s._v")
-    hist = melted.groupBy("column", "_v").agg(
+    return melted.groupBy("column", "_v").agg(
         F.count(F.lit(1)).alias("_n")
     )
+
+
+def profile_from_hist(hist: DataFrame) -> DataFrame:
+    """Finish a profile from its histogram — shared by the batch
+    operator and the versioned serving fold, so incremental and
+    one-shot results agree by construction."""
     nn_n = F.when(F.col("_v").isNotNull(), F.col("_n"))
     agg = hist.groupBy("column").agg(
         F.sum("_n").alias("_rows"),

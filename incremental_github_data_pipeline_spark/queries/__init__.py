@@ -68,7 +68,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # q_media_au_pcx_stats, q_ts_holt_winters, q_column_profile,
 # q_doc_sentences, q_sentence_dedup, q_doc_fix_mojibake,
 # q_avro_ingest, q_ts_ccf, q_archive_ingest, q_ts_ols,
-# q_parquet_layout, plus the
+# q_parquet_layout, q_graph_assortativity, plus the
 # r12-deferred refresh rows above.
 _CERTIFY_FIRST = [
     # -- (0) first driver rows (registered post-r10-window) --

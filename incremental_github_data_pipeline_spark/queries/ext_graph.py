@@ -630,3 +630,86 @@ def q_graph_link_pred(spark: SparkSession, sf: str) -> DataFrame:
             "jaccard_ppm",
         )
     )
+
+
+@register(
+    "q_graph_assortativity",
+    oracle=f"""
+    WITH nodes AS (SELECT range AS node FROM range({N})),
+    e AS (
+      {_EDGE_SQL}
+    ),
+    und AS (
+      SELECT src AS a, dst AS b FROM e
+      UNION
+      SELECT dst AS a, src AS b FROM e
+    ),
+    deg AS (SELECT a AS z, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM und GROUP BY 1),
+    pairs AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM und JOIN deg da ON da.z = und.a JOIN deg db ON db.z = und.b
+    ),
+    ag AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n1,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pairs
+    )
+    SELECT CAST(n1 AS BIGINT) AS n,
+           CAST(CASE WHEN (n1*sxx - sx*sx) > 0 THEN
+             (((n1*sxy - sx*sy) * 1000000 + (n1*sxx - sx*sx) * {10**10})
+              // (n1*sxx - sx*sx) - {10**10}) END AS BIGINT) AS beta_ppm,
+           CAST(CASE WHEN (n1*sxx - sx*sx) > 0 THEN
+             (((sy * (n1*sxx - sx*sx) - sx * (n1*sxy - sx*sy)) * 1000000
+               + (n1 * (n1*sxx - sx*sx)) * {10**10})
+              // (n1 * (n1*sxx - sx*sx)) - {10**10}) END AS BIGINT)
+             AS alpha_ppm,
+           CAST(CASE WHEN (n1*sxx - sx*sx) > 0 AND (n1*syy - sy*sy) > 0
+             THEN ((((n1*sxy - sx*sy) * 1000000 + (n1*sxx - sx*sx) * {10**10})
+                    // (n1*sxx - sx*sx) - {10**10})
+                 * (((n1*sxy - sx*sy) * 1000000 + (n1*syy - sy*sy) * {10**10})
+                    // (n1*syy - sy*sy) - {10**10})
+                 + 1000000 * {10**10}) // 1000000 - {10**10}
+             END AS BIGINT) AS r2_ppm
+    FROM ag
+    """,
+    doc="Degree assortativity (r11) — do high-degree nodes link to "
+    "high-degree nodes? The standard mixing diagnostic, computed as "
+    "OLS over the (deg(a), deg(b)) pairs of every directed edge of "
+    "the undirected view: positive slope = assortative (social-graph "
+    "shape), negative = disassortative (web/hub shape). Pure "
+    "COMPOSITION of the certified pieces — the undirected/degree "
+    "frames of link_prediction and operators.timeseries.ols_integer "
+    "(both slopes' product = the squared degree correlation, the "
+    "certifiable stand-in for Newman's sqrt-bearing r). One degree "
+    "aggregate + two broadcast joins + the 6-sum OLS aggregate.",
+)
+def q_graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.timeseries import (
+        ols_integer,
+    )
+
+    e = _edges(spark)
+    und = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy(F.col("a").alias("z")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    pairs = (
+        und.join(deg.withColumnRenamed("z", "a"), "a")
+        .withColumnRenamed("deg", "x")
+        .join(
+            deg.select(F.col("z").alias("b"), F.col("deg").alias("y")),
+            "b",
+        )
+        .select(F.lit("g").alias("k"), "x", "y")
+    )
+    return ols_integer(pairs, "k", "x", "y").drop("k")

@@ -1983,3 +1983,75 @@ def run_incremental_kmv_ingest(
         .start()
         .awaitTermination()
     )
+
+
+def run_incremental_profile_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    table_root: str,
+    checkpoint: str,
+    schema: str,
+    cols: list[str],
+) -> None:
+    """Incremental COLUMN-PROFILE maintenance: watch a directory of
+    parquet shards, reduce each micro-batch to its (column, value)
+    histogram deltas (``operators/quality.profile_histogram`` — counts
+    are ALGEBRAIC, so this is a delta LOG like the drift/volume lanes,
+    not a snapshot), and APPEND them to a manifest-versioned table.
+    Per-batch work is O(batch scan) + O(batch's distinct values);
+    history is never re-read. Serving (:func:`profile_versioned`)
+    folds the log by sum and applies the SAME finishing lanes as the
+    batch operator (shared ``profile_from_hist``), so the continuously
+    maintained profile provably equals the one-shot profile of
+    everything ingested — the always-fresh data-quality dashboard
+    primitive.
+
+    Exactly-once: ``txn_id = profile-ingest:<checkpoint>:<batch_id>``
+    makes replays no-ops; late data just lands its deltas in a later
+    version (addition commutes)."""
+    from incremental_github_data_pipeline_spark.operators.quality import (
+        profile_histogram,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        commit_version(
+            profile_histogram(batch_df, cols),
+            table_root,
+            mode="append",
+            txn_id=f"profile-ingest:{checkpoint}:{batch_id}",
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def profile_versioned(
+    spark: SparkSession, table_root: str, version: int | None = None
+) -> DataFrame:
+    """Serve the column profile at any version: fold the histogram
+    delta log by sum, finish through the shared lanes. O(distinct
+    values in the log), never re-reads raw data."""
+    from pyspark.sql import functions as F
+
+    from incremental_github_data_pipeline_spark.operators.quality import (
+        profile_from_hist,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        read_version,
+    )
+
+    log = read_version(spark, table_root, version=version)
+    hist = log.groupBy("column", "_v").agg(F.sum("_n").alias("_n"))
+    return profile_from_hist(hist)

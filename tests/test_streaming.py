@@ -1567,3 +1567,64 @@ def test_incremental_kmv_ingest_merges_and_time_travels(spark, tmp_path):
     }
     assert est["b"] == 50  # below k: exact by construction
     assert abs(est["a"] - 1200) < 420  # at k: within ~1/sqrt(63)
+
+
+def test_incremental_profile_ingest_matches_batch_profile(spark, tmp_path):
+    """Column-profile maintenance: N histogram-delta increments served
+    through the shared finisher must EQUAL the one-shot batch profile
+    of the union (incl. a late-arriving batch — addition commutes),
+    replays are no-ops, and time travel serves the batch-1 profile."""
+    from incremental_github_data_pipeline_spark.operators.quality import (
+        column_profile,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        latest_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        profile_versioned,
+        run_incremental_profile_ingest,
+    )
+
+    src = tmp_path / "shards"
+    root = str(tmp_path / "prof")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "cat string, n long"
+    b1 = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", None), (None, 2)], schema
+    )
+    b2 = spark.createDataFrame(  # the "late" slice: shifts every lane
+        [("x", 3), ("z", 2), ("z", 2), ("y", None)], schema
+    )
+
+    def snap(df):
+        return {
+            tuple(r)
+            for r in df.select(
+                "column", "n_rows", "n_null", "null_ppm", "n_distinct",
+                "top_value", "top_count", "top_share_ppm", "gini_ppm",
+            ).collect()
+        }
+
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    run_incremental_profile_ingest(
+        spark, str(src), root, ckpt, schema, ["cat", "n"]
+    )
+    v1 = latest_version(root)
+    run_incremental_profile_ingest(  # replay: no new version
+        spark, str(src), root, ckpt, schema, ["cat", "n"]
+    )
+    assert latest_version(root) == v1
+
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    run_incremental_profile_ingest(
+        spark, str(src), root, ckpt, schema, ["cat", "n"]
+    )
+    assert latest_version(root) == v1 + 1
+
+    assert snap(profile_versioned(spark, root)) == snap(
+        column_profile(b1.unionByName(b2), ["cat", "n"])
+    )
+    # time travel: version 1 serves batch 1 alone
+    assert snap(profile_versioned(spark, root, version=v1)) == snap(
+        column_profile(b1, ["cat", "n"])
+    )
