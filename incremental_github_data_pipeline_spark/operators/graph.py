@@ -390,14 +390,18 @@ def hits_integer(
         a_raw(v) = Σ_{u→v} h(u);  a(v) = (a_raw(v)·scale) div Σ a_raw
         h_raw(u) = Σ_{u→v} a(v);  h(u) = (h_raw(u)·scale) div Σ h_raw
 
-    Every step is bigint arithmetic — the normalizing sums are 1-row
+    Every step is integer arithmetic — the normalizing sums are 1-row
     broadcast aggregates (the dangling-mass pattern from
     ``pagerank_integer``), never driver collects, and integral division
     makes the fixpoint trajectory bit-identical in any engine replaying
-    the recurrence. ``scale`` defaults to 10⁶ (ppm of the L1 mass):
-    raw sums stay ≤ |E|·scale and the normalize multiply ≤
-    |E|·scale², int64-safe to ~9·10¹⁸ — the loud assert below refuses
-    configurations that could overflow.
+    the recurrence. ``scale`` defaults to 10⁶ (ppm of the L1 mass).
+    Overflow posture: raw sums are bounded by |E|·scale (NOT n·scale —
+    dense graphs exceed int64 long before the node count does), so the
+    per-round aggregates and the normalize multiply run in
+    DECIMAL(38,0) lanes (bound |E|·scale² ≤ 10³⁸); only the final
+    ``div`` result (≤ scale) comes back as bigint. The assert below
+    additionally refuses scales where even the decimal headroom could
+    be pressured.
 
     Two aggregate shuffles per round (dst then src) plus two 1-row
     broadcasts; per-round ``localCheckpoint`` keeps the plan flat.
@@ -414,17 +418,28 @@ def hits_integer(
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
         # greatest(·, 1): an all-zero vector (possible only on an empty
-        # edge set) must normalize to zeros, not NULL-divide
+        # edge set) must normalize to zeros, not NULL-divide.
+        # DECIMAL(38,0) lanes throughout: the raw sums are bounded by
+        # |E|·scale (not n·scale), so on dense graphs both the 1-row L1
+        # sum and the normalize multiply can exceed int64 — decimal
+        # accumulation makes the bound |E|·scale² ≤ 10³⁸ instead, and
+        # the final `div` result is ≤ scale, always bigint-safe.
         total = raw.agg(
             F.greatest(
-                F.coalesce(F.sum(col), F.lit(0)), F.lit(1)
+                F.coalesce(
+                    F.sum(F.col(col).cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ),
+                F.lit(1).cast("decimal(38,0)"),
             ).alias("_tot")
         )
         return (
             raw.crossJoin(F.broadcast(total))
             .select(
                 "node",
-                F.expr(f"({col} * {scale}) div _tot").alias(col),
+                F.expr(
+                    f"(cast({col} as decimal(38,0)) * {scale}) div _tot"
+                ).alias(col),
             )
         )
 
@@ -433,19 +448,29 @@ def hits_integer(
         a_raw = (
             e.join(hubs.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub").alias("auth"))
+            .agg(
+                F.sum(F.col("hub").cast("decimal(38,0)")).alias("auth")
+            )
         )
         a_raw = nodes.join(a_raw, "node", "left").select(
-            "node", F.coalesce("auth", F.lit(0)).alias("auth")
+            "node",
+            F.coalesce(
+                "auth", F.lit(0).cast("decimal(38,0)")
+            ).alias("auth"),
         )
         auths = _normalize(a_raw, "auth").localCheckpoint(eager=False)
         h_raw = (
             e.join(auths.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("auth").alias("hub"))
+            .agg(
+                F.sum(F.col("auth").cast("decimal(38,0)")).alias("hub")
+            )
         )
         h_raw = nodes.join(h_raw, "node", "left").select(
-            "node", F.coalesce("hub", F.lit(0)).alias("hub")
+            "node",
+            F.coalesce(
+                "hub", F.lit(0).cast("decimal(38,0)")
+            ).alias("hub"),
         )
         hubs = _normalize(h_raw, "hub").localCheckpoint(eager=False)
     return nodes.join(hubs, "node").join(auths, "node").select(

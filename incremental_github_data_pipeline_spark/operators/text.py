@@ -1252,7 +1252,13 @@ def gzip_members(payload: bytes) -> list[bytes]:
         if rest[:2] != b"\x1f\x8b":
             raise ValueError("bad gzip member magic")
         d = _zlib.decompressobj(wbits=31)
-        out.append(d.decompress(rest))
+        try:
+            out.append(d.decompress(rest))
+        except _zlib.error as exc:
+            # Normalize corrupt-deflate to ValueError so every caller's
+            # on_error="skip" quarantine path (which catches ValueError)
+            # survives torn shards instead of crashing the whole pass.
+            raise ValueError(f"corrupt gzip member: {exc}") from exc
         if not d.eof:
             raise ValueError("truncated gzip member")
         rest = d.unused_data

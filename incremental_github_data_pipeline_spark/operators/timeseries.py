@@ -1157,8 +1157,14 @@ def ols_integer(
         F.when(F.expr(f"{cxx} > 0"), F.expr(alpha)).alias("alpha_ppm"),
         F.when(
             F.expr(f"{cxx} > 0 AND {cyy} > 0"),
+            # product in DECIMAL(38,0): beta·gamma = r²·10¹² is bounded
+            # in exact arithmetic, but floor-rounded extremes near the
+            # int64 edge must not be able to wrap in non-ANSI Spark —
+            # ccf_integer never multiplies its two lanes; here we do,
+            # so we widen first and only the final ppm comes back BIGINT
             F.expr(
-                f"CAST((({beta}) * ({gamma}) + 1000000 * {b}) "
+                f"CAST((CAST(({beta}) AS DECIMAL(38,0)) * ({gamma}) "
+                f"+ 1000000 * CAST({b} AS DECIMAL(38,0))) "
                 f"div 1000000 - {b} AS BIGINT)"
             ),
         ).alias("r2_ppm"),

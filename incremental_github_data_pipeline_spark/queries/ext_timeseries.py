@@ -1008,9 +1008,15 @@ _HWS_SEAS = (
       FROM h
     ),
     lvl0 AS (
+      -- COUNT(*) here is LEAST(24, per-key rows): holt_winters inits
+      -- with init_n = min(period, n), so a short key must divide by
+      -- its actual row count, not a hardcoded 24 (keys shorter than
+      -- the period also never enter the recursion: the seed at i=24
+      -- finds no i=25 row, leaving only init-branch output — matching
+      -- the operator's init-only treatment)
       SELECT event_type,
-             CAST((SUM(cents * 100) + 24 * {_B10}) // 24 - {_B10}
-                  AS BIGINT) AS lvl
+             CAST((SUM(cents * 100) + COUNT(*) * {_B10}) // COUNT(*)
+                  - {_B10} AS BIGINT) AS lvl
       FROM x WHERE i <= 24 GROUP BY 1
     ),
     seas0 AS (

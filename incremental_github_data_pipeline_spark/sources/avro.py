@@ -291,7 +291,11 @@ def avro_ingest(
                             f"Avro schema missing fields {missing}"
                         )
                 except (ValueError, KeyError, UnicodeDecodeError,
-                        zlib.error):
+                        zlib.error, struct.error, IndexError):
+                    # struct.error / IndexError: in-block corruption that
+                    # inflates the record count walks _decode_value off
+                    # the buffer end — a framing violation the skip mode
+                    # must quarantine, not crash on.
                     if on_error == "raise":
                         raise
                     continue

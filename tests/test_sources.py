@@ -312,6 +312,69 @@ def test_avro_ingest_schema_check_and_skip(spark):
         avro_ingest(df_ok, "name string, missing_col long").collect()
 
 
+def test_avro_ingest_skip_survives_in_block_corruption(spark):
+    """In-block corruption that inflates the record count walks
+    _decode_value off the buffer end — struct.error for fixed-width
+    reads (double/float), IndexError for a truncated boolean. Both are
+    framing violations the skip mode must quarantine, not crash on
+    (ADVICE r11)."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from incremental_github_data_pipeline_spark.sources.avro import (
+        avro_build,
+        avro_ingest,
+        avro_records,
+    )
+
+    def corrupt(payload, want_exc, patch_byte):
+        # single-byte patches over the block region until the decoder
+        # dies with the targeted framing exception — layout-agnostic,
+        # so the test survives avro_build changes
+        for i in range(len(payload)):
+            b = bytearray(payload)
+            b[i] = patch_byte
+            try:
+                avro_records(bytes(b))
+            except want_exc:
+                return bytes(b)
+            except Exception:
+                continue
+        raise AssertionError(f"no patch produced {want_exc}")
+
+    dbl = avro_build(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "v", "type": "double"}]},
+        [{"v": 1.5}],
+    )
+    boo = avro_build(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "b", "type": "boolean"}]},
+        [{"b": True}, {"b": False}],
+    )
+    bad_dbl = corrupt(dbl, _struct.error, 0x14)  # count inflated to 10
+    bad_boo = corrupt(boo, IndexError, 0x08)  # count inflated to 4
+    df = spark.createDataFrame(
+        [(1, dbl), (2, bad_dbl)], "payload_id long, payload binary"
+    )
+    got = {
+        (r["payload_id"], r["record_idx"], r["v"])
+        for r in avro_ingest(df, "v double", on_error="skip").collect()
+    }
+    assert got == {(1, 0, 1.5)}
+    with _pytest.raises(Exception):
+        avro_ingest(df, "v double").collect()
+    df2 = spark.createDataFrame(
+        [(1, boo), (2, bad_boo)], "payload_id long, payload binary"
+    )
+    got2 = {
+        (r["payload_id"], r["record_idx"], r["b"])
+        for r in avro_ingest(df2, "b boolean", on_error="skip").collect()
+    }
+    assert got2 == {(1, 0, True), (1, 1, False)}
+
+
 # ---------------------------------------------------------------------------
 # archive ingestion (tar / tar.gz / zip)
 # ---------------------------------------------------------------------------

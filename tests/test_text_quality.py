@@ -908,6 +908,14 @@ def test_gzip_members_splits_and_validates():
         gzip_members(b"not gzip at all")
     with _pytest.raises(ValueError, match="truncated"):
         gzip_members(gz(b"x" * 1000)[:-5])
+    # corrupt DEFLATE body behind a valid gzip header: zlib.error must
+    # surface as ValueError so every caller's on_error="skip" path
+    # (which catches ValueError) quarantines it (ADVICE r11)
+    bad_deflate = (
+        b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03" + b"\xff" * 8
+    )
+    with _pytest.raises(ValueError, match="corrupt gzip member"):
+        gzip_members(bad_deflate)
 
 
 def test_gzip_ingest_skip_quarantines_corrupt_payloads(spark):
@@ -1255,11 +1263,19 @@ def test_warc_ingest_rows_and_skip(spark):
     )
 
     recs, _ = _warc_sample()
+    # payload 4: valid gzip header, corrupt DEFLATE stream — the
+    # .warc.gz shard-corruption case warc_ingest's quarantine mode
+    # exists for (pre-r12 this escaped as zlib.error and killed the
+    # job; gzip_members now normalizes it to ValueError)
+    bad_gz_member = (
+        b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03" + b"\xff" * 8
+    )
     df = spark.createDataFrame(
         [
             (1, warc_build(recs)),
             (2, b"garbage not warc"),
             (3, warc_build(recs[1:2], gzip_per_record=True)),
+            (4, bad_gz_member),
         ],
         "payload_id long, payload binary",
     )
