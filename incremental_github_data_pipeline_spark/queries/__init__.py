@@ -40,95 +40,67 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Certification rotation: the driver's per-round correctness snapshot
 # records the FIRST ~50 registry entries in registration order, so this
 # list is re-derived every round (VERDICT r3 confirmed the mechanics;
-# r8-r10 proved the rotation discipline works — keep it a standing edit).
-# Round-11 priorities (VERDICT r10 task 1, exactly as queued there):
-#   (0) the nine queries registered after the r10 window filled —
-#       sweep-green 206/206 but never seen by a driver correctness row;
-#       their first rows land this round (the 16-scan q_doc_contained /
-#       q_doc_allpairs fixes landed BEFORE this queue runs, so any
-#       recertification records the repaired plans).
-#   (a) 33 of the 49 queries whose newest driver green is the r7
-#       snapshot — the oldest vintage left in the archive.
-# 50 rows (the window cap): 9 + 5 first-appearances (the r11-built
-# q_media_webp_stats, q_privacy_tcloseness, q_graph_label_prop,
-# q_media_resample_stats, q_ts_acf — new operators certify in the
-# round that built them) + 3 r11 changed-mix media refreshes + 33
-# r7-vintage. Deferred to r12 (16 lowest-risk r7-vintage rows —
-# relational set/agg/window/scan ops and simple text/embedding/sample
-# aggregates, operator code untouched since r7): q_anti_join, q_cube,
-# q_distinct_agg, q_doc_sample_stratified, q_doc_top_terms,
-# q_doc_vocab, q_embedding_norm_stats, q_except, q_intersect,
-# q_interval_overlap, q_range_join_count, q_rollup, q_scalar_string,
-# q_semi_join, q_top20_scan, q_window_running_total. Registered after
-# the window filled (sweep-green + benched; queue FIRST in r12):
-# q_embedding_matryoshka, q_media_augment_stats, q_skew_advisory,
-# q_media_avi_stats, q_media_ico_stats, q_doc_html_strip,
-# q_url_canonical, q_warc_ingest, q_warc_html_extract,
-# q_kmv_distinct, q_kmv_jaccard, q_graph_hits, q_graph_link_pred,
-# q_media_au_pcx_stats, q_ts_holt_winters, q_column_profile,
-# q_doc_sentences, q_sentence_dedup, q_doc_fix_mojibake,
-# q_avro_ingest, q_ts_ccf, q_archive_ingest, q_ts_ols,
-# q_parquet_layout, q_graph_assortativity, plus the
-# r12-deferred refresh rows above.
+# r8-r11 proved the rotation discipline works — keep it a standing edit).
+# Round-12 priorities (VERDICT r11 task 1, exactly as queued there):
+#   (0) the 25 queries registered after the r11 window filled —
+#       sweep-green 236/236 but never seen by a driver correctness row;
+#       their first rows land this round;
+#   (a) the 16 r7-vintage refreshes deferred from r11 (relational
+#       set/agg/window/scan ops and simple text/embedding/sample
+#       aggregates, operator code untouched since r7) — after this
+#       round no registry query's newest driver green predates r8;
+#   (b) genuinely-new r12 operators certify in the round that built
+#       them, plus changed-lane recerts (q_media_tiff_stats now cycles
+#       a CCITT Group 4 bilevel fixture; the JPEG lanes gained
+#       EXIF-orientation fixtures via the new q_media_exif_stats).
+# Queries registered after this window fills queue FIRST in r13 (none
+# yet — update this note if any register late).
 _CERTIFY_FIRST = [
-    # -- (0) first driver rows (registered post-r10-window) --
-    "q_ts_holt_linear",
-    "q_ts_forecast_seasonal",
-    "q_graph_ppr",
-    "q_graph_pagerank_weighted",
-    "q_hll_sliding",
-    "q_ts_winsorize",
-    "q_linkage_best_match",
-    "q_schema_drift",
-    "q_volume_gate",
-    # -- (0b) new in round 11 --
-    "q_media_webp_stats",
-    "q_privacy_tcloseness",
-    "q_graph_label_prop",
-    "q_media_resample_stats",
-    "q_ts_acf",
-    # -- (0c) r11 encoder-mix refreshes: the JPEG-in-TIFF lane grew
-    #    old-style (compression 6) files, the FLAC lane now cycles LPC
-    #    orders 8/12, and the transcode target encodes at order 12 —
-    #    their driver rows should record the new mixes (the r10
-    #    precedent for changed lanes)
-    "q_media_tiff_jpeg_stats",
-    "q_media_flac_stats",
-    "q_media_transcode_stats",
-    # -- (a) newest green row is r7-vintage (33 of 49) --
-    "q02_best_supplier",
-    "q04_order_priority",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q_asof_join",
-    "q_bpe_merges",
-    "q_bpe_tokenize",
-    "q_bpe_vocab",
-    "q_doc_decontaminate",
-    "q_doc_incremental_dedup",
-    "q_doc_lang_dist",
-    "q_doc_overlap_pairs",
-    "q_doc_pii_audit",
-    "q_doc_quality",
-    "q_doc_repetition",
-    "q_doc_split",
-    "q_doc_token_stats",
-    "q_doc_weighted_sample",
-    "q_embedding_topk",
-    "q_embedding_topk_arrow",
-    "q_fk_resolve_orphans",
-    "q_lang_id",
-    "q_media_jpeg420_stats",
-    "q_media_jpeg_progressive_stats",
-    "q_media_png16_stats",
-    "q_media_png_interlaced_stats",
-    "q_skew_report",
-    "q_stream_join_attribution",
-    "q_verified_near_dups",
+    # -- (0) first driver rows (registered post-r11-window) --
+    "q_embedding_matryoshka",
+    "q_media_augment_stats",
+    "q_skew_advisory",
+    "q_media_avi_stats",
+    "q_media_ico_stats",
+    "q_doc_html_strip",
+    "q_url_canonical",
+    "q_warc_ingest",
+    "q_warc_html_extract",
+    "q_kmv_distinct",
+    "q_kmv_jaccard",
+    "q_graph_hits",
+    "q_graph_link_pred",
+    "q_media_au_pcx_stats",
+    "q_ts_holt_winters",
+    "q_column_profile",
+    "q_doc_sentences",
+    "q_sentence_dedup",
+    "q_doc_fix_mojibake",
+    "q_avro_ingest",
+    "q_ts_ccf",
+    "q_archive_ingest",
+    "q_ts_ols",
+    "q_parquet_layout",
+    "q_graph_assortativity",
+    # -- (a) r7-vintage refreshes deferred from r11 --
+    "q_anti_join",
+    "q_cube",
+    "q_distinct_agg",
+    "q_doc_sample_stratified",
+    "q_doc_top_terms",
+    "q_doc_vocab",
+    "q_embedding_norm_stats",
+    "q_except",
+    "q_intersect",
+    "q_interval_overlap",
+    "q_range_join_count",
+    "q_rollup",
+    "q_scalar_string",
+    "q_semi_join",
+    "q_top20_scan",
+    "q_window_running_total",
+    # -- (b) new in round 12 + changed-lane recerts --
+    "q_media_tiff_stats",
 ]
 
 
