@@ -4214,9 +4214,9 @@ def make_flac_media(spark, n: int = 24, id_offset: int = 2000) -> DataFrame:
 # writes little-endian single/multi-strip files in any of the five
 # compressions; decoder handles both byte orders, multi-strip
 # layouts, 8-bit grayscale (PhotometricInterpretation 1), 24-bit RGB
-# (2) and JPEG YCbCr (6). Old-style JPEG (6), CCITT fax, planar
-# layouts, tiles and non-8-bit depths raise NotImplementedError —
-# honest scope, never a mis-decode.
+# (2) and JPEG YCbCr (6); bilevel CCITT Group 4 (r12). Group 3 fax
+# framing and depths other than 8-bit (or 1-bit G4) raise
+# NotImplementedError — honest scope, never a mis-decode.
 # ---------------------------------------------------------------------------
 
 _TIFF_TAG_WIDTH = 256
@@ -4306,7 +4306,10 @@ def encode_tiff(
     multiple of 8), or ``"jpeg_old"`` (6, r11 — the pre-TechNote-2
     embedding: ONE complete SOI..EOI stream referenced by both the
     single strip tag and JPEGInterchangeFormat 513/514, the
-    belt-and-braces layout legacy writers emitted);
+    belt-and-braces layout legacy writers emitted), or ``"g4"`` (4,
+    r12 — CCITT Group 4 / ITU-T T.6 MMR: bilevel input only (values
+    0/255), written 1-bit photometric 0 (WhiteIsZero), each strip an
+    independently-coded T.6 raster — the fax/archival-scan tier);
     ``predictor=True`` (tag 317 = 2, horizontal
     differencing per sample) is the standard companion that makes LZW
     bite on smooth rasters.
@@ -4326,10 +4329,23 @@ def encode_tiff(
     rps = h if rows_per_strip is None else rows_per_strip
     comp_code = {
         "none": 1, "packbits": 32773, "lzw": 5, "deflate": 8, "jpeg": 7,
-        "jpeg_old": 6,
+        "jpeg_old": 6, "g4": 4,
     }[compression]
     if predictor and compression not in ("lzw", "deflate"):
         raise ValueError("predictor is defined here for lzw/deflate only")
+    if comp_code == 4:
+        # CCITT Group 4 (T.6): bilevel only — grayscale input with
+        # values {0, 255}; written as BitsPerSample 1, photometric 0
+        # (WhiteIsZero, the fax sense: sample 0 = white paper)
+        if not gray:
+            raise ValueError("CCITT G4 TIFF is bilevel (grayscale in)")
+        if tile is not None or planar:
+            raise ValueError("CCITT G4 here writes strip layouts only")
+        vals = np.unique(px)
+        if not np.all(np.isin(vals, (0, 255))):
+            raise ValueError(
+                "CCITT G4 input must be bilevel (pixel values 0/255)"
+            )
     if comp_code == 7 and rows_per_strip is not None and rps % 8:
         raise ValueError(
             "JPEG-in-TIFF rows_per_strip must be a multiple of 8 "
@@ -4381,6 +4397,9 @@ def encode_tiff(
             tables, image = _split_jpeg_tables(encode_jpeg(raw))
             jpeg_tables = tables
             payload_chunks.append(image)
+        elif comp_code == 4:
+            # ink = dark = pixel 0 → G4 "black"; paper = 255 → "white"
+            payload_chunks.append(encode_ccitt_g4(raw == 0))
         else:
             if predictor:
                 raw = _tiff_predict(raw)
@@ -4423,14 +4442,17 @@ def encode_tiff(
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         return struct.pack("<HHII", tag, typ, count, value)
 
-    photometric = 1 if gray else (6 if comp_code in (6, 7) else 2)
+    photometric = (
+        0 if comp_code == 4 else 1 if gray else
+        6 if comp_code in (6, 7) else 2
+    )
     off_tag = _TIFF_TAG_TILE_OFFSETS if tiled else _TIFF_TAG_STRIP_OFFSETS
     cnt_tag = _TIFF_TAG_TILE_COUNTS if tiled else _TIFF_TAG_STRIP_COUNTS
     entries = [
         entry(_TIFF_TAG_WIDTH, 3, 1, w),
         entry(_TIFF_TAG_LENGTH, 3, 1, h),
         (
-            entry(_TIFF_TAG_BITS, 3, 1, 8)
+            entry(_TIFF_TAG_BITS, 3, 1, 1 if comp_code == 4 else 8)
             if spp == 1
             else entry(_TIFF_TAG_BITS, 3, 3, bits_off)
         ),
@@ -4495,10 +4517,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     per chunk, so tile edges reset the prediction), PackBits (32773),
     Deflate (8 Adobe / 32946 old-code, zlib strips), new-style
     JPEG (7, each strip a JPEG stream, shared DQT/DHT rejoined from
-    the JPEGTables tag when present — TechNote 2) and old-style JPEG
+    the JPEGTables tag when present — TechNote 2), old-style JPEG
     (6, r11 — the JPEGInterchangeFormat 513/514 single-stream variant)
-    compressions; old-style JPEG's per-strip-tables variant, CCITT fax
-    and non-8-bit depths raise ``NotImplementedError``."""
+    and CCITT Group 4 (4, r12 — T.6 MMR bilevel strips, photometric
+    0/1 honored) compressions; old-style JPEG's per-strip-tables
+    variant, Group 3 (T.4 1-D/EOL framing) and non-8/1-bit depths
+    raise ``NotImplementedError``."""
     if payload[:2] == b"II":
         bo = "<"
     elif payload[:2] == b"MM":
@@ -4559,6 +4583,33 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         if px.shape[0] < h or px.shape[1] < w:
             raise ValueError("old-style JPEG stream smaller than the IFD says")
         return px[:h, :w]
+    if comp == 4:
+        # CCITT Group 4 (T.6, r12): bilevel fax/archival-scan strips.
+        # BitsPerSample 1, one sample; photometric 0 (WhiteIsZero —
+        # the fax sense, G4 white runs are sample 0 = bright paper)
+        # or 1 (inverted). Each strip is an independent T.6 raster
+        # (reference line resets to all-white), per the TIFF spec.
+        if values(_TIFF_TAG_SAMPLES, 1)[0] != 1:
+            raise NotImplementedError("G4 TIFF must be single-sample")
+        if values(_TIFF_TAG_BITS, 1)[0] != 1:
+            raise NotImplementedError("G4 TIFF must be 1-bit")
+        if _TIFF_TAG_TILE_WIDTH in tags or _TIFF_TAG_TILE_LENGTH in tags:
+            raise NotImplementedError("tiled G4 TIFF not supported")
+        photo = values(_TIFF_TAG_PHOTOMETRIC, 0)[0]
+        if photo not in (0, 1):
+            raise ValueError(f"bad bilevel photometric {photo}")
+        white_val, black_val = (255, 0) if photo == 0 else (0, 255)
+        offs = values(_TIFF_TAG_STRIP_OFFSETS)
+        cnts = values(_TIFF_TAG_STRIP_COUNTS)
+        rps = values(_TIFF_TAG_ROWS_PER_STRIP, h)[0]
+        rows_out = []
+        for si, (o, c) in enumerate(zip(offs, cnts)):
+            rows_here = min(rps, h - si * rps)
+            black = decode_ccitt_g4(payload[o : o + c], w, rows_here)
+            rows_out.append(
+                np.where(black, black_val, white_val).astype(np.uint8)
+            )
+        return np.vstack(rows_out)
     if comp not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {comp} not supported")
     planar_cfg = values(_TIFF_TAG_PLANAR, 1)[0]
@@ -4676,7 +4727,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     return arr
 
 
-def make_tiff_media(spark, n: int = 24, id_offset: int = 3000) -> DataFrame:
+def make_tiff_media(
+    spark, n: int = 24, id_offset: int = 3000, g4: int = 8
+) -> DataFrame:
     """Media table of baseline TIFF images over the SAME closed-form
     pixel rule as :func:`make_real_media`'s BMP lane (RGB and
     grayscale alternating; multi-strip layouts every third id;
@@ -4685,9 +4738,33 @@ def make_tiff_media(spark, n: int = 24, id_offset: int = 3000) -> DataFrame:
     r10 some ids are TILED (16×16, edge-cropped) and some RGB ids
     PLANAR (plane-major strips)), so the decode-stats oracle is
     shared arithmetic — compression AND layout must be perfectly
-    invisible to every decoded-sum lane."""
+    invisible to every decoded-sum lane. Since r12 the cycle is
+    followed by ``g4`` CCITT Group 4 bilevel files (ids
+    ``id_offset+n ..``): pixels threshold the channel-0 closed form
+    (255 where ``(x·7 + y·13 + i·3) % 256 < 128`` else 0), strip
+    layouts alternating single/5-row — the fax/archival-scan tier
+    certified by the same integer-sum lanes."""
     rows = []
-    for i in range(n):
+    for i in range(n + g4):
+        if i >= n:
+            px = _image_pixels(i)[:, :, 0]
+            px = np.where(px < 128, np.uint8(255), np.uint8(0))
+            rows.append(
+                (
+                    id_offset + i,
+                    "image",
+                    encode_tiff(
+                        px,
+                        rows_per_strip=None if i % 2 else 5,
+                        compression="g4",
+                    ),
+                    "image/tiff",
+                    px.shape[1],
+                    px.shape[0],
+                    None,
+                )
+            )
+            continue
         px = _image_pixels(i)
         if i % 2 == 1:
             px = px[:, :, 0]  # grayscale lane: channel 0 of the rule
@@ -4873,6 +4950,311 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
         if len(table) == (1 << width) - 2 and width < 12:
             width += 1
     return bytes(out[:expected])
+
+
+# ---------------------------------------------------------------------------
+# CCITT Group 4 (ITU-T T.6, TIFF compression 4) — the bilevel fax /
+# archival-scan tier. Pure 2-D MMR coding: every line is coded against
+# the previous (reference) line via pass / vertical(±3) / horizontal
+# modes, horizontal runs falling back to the ITU-T T.4 modified
+# Huffman run-length tables (terminating 0–63 + makeup 64–2560,
+# extended makeup shared between colors). No EOL/RTC inside the data
+# (T.6 drops them; TIFF strips carry the dimensions), EOFB terminator
+# emitted and tolerated. Tables transcribed from ITU-T T.4 §2 tables
+# 1–3 / T.6 table 4; both directions implemented, so round-trips plus
+# the closed-form bilevel oracle certify the coder.
+# ---------------------------------------------------------------------------
+
+# T.4 white run-length codes: terminating (runs 0-63) then makeup
+_T4_WHITE_CODES: dict[int, str] = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011",
+    14: "110100", 15: "110101", 16: "101010", 17: "101011",
+    18: "0100111", 19: "0001100", 20: "0001000", 21: "0010111",
+    22: "0000011", 23: "0000100", 24: "0101000", 25: "0101011",
+    26: "0010011", 27: "0100100", 28: "0011000", 29: "00000010",
+    30: "00000011", 31: "00011010", 32: "00011011", 33: "00010010",
+    34: "00010011", 35: "00010100", 36: "00010101", 37: "00010110",
+    38: "00010111", 39: "00101000", 40: "00101001", 41: "00101010",
+    42: "00101011", 43: "00101100", 44: "00101101", 45: "00000100",
+    46: "00000101", 47: "00001010", 48: "00001011", 49: "01010010",
+    50: "01010011", 51: "01010100", 52: "01010101", 53: "00100100",
+    54: "00100101", 55: "01011000", 56: "01011001", 57: "01011010",
+    58: "01011011", 59: "01001010", 60: "01001011", 61: "00110010",
+    62: "00110011", 63: "00110100",
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100",
+    512: "01100101", 576: "01101000", 640: "01100111",
+    704: "011001100", 768: "011001101", 832: "011010010",
+    896: "011010011", 960: "011010100", 1024: "011010101",
+    1088: "011010110", 1152: "011010111", 1216: "011011000",
+    1280: "011011001", 1344: "011011010", 1408: "011011011",
+    1472: "010011000", 1536: "010011001", 1600: "010011010",
+    1664: "011000", 1728: "010011011",
+}
+
+# T.4 black run-length codes: terminating (runs 0-63) then makeup
+_T4_BLACK_CODES: dict[int, str] = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011",
+    5: "0011", 6: "0010", 7: "00011", 8: "000101", 9: "000100",
+    10: "0000100", 11: "0000101", 12: "0000111", 13: "00000100",
+    14: "00000111", 15: "000011000", 16: "0000010111",
+    17: "0000011000", 18: "0000001000", 19: "00001100111",
+    20: "00001101000", 21: "00001101100", 22: "00000110111",
+    23: "00000101000", 24: "00000010111", 25: "00000011000",
+    26: "000011001010", 27: "000011001011", 28: "000011001100",
+    29: "000011001101", 30: "000001101000", 31: "000001101001",
+    32: "000001101010", 33: "000001101011", 34: "000011010010",
+    35: "000011010011", 36: "000011010100", 37: "000011010101",
+    38: "000011010110", 39: "000011010111", 40: "000001101100",
+    41: "000001101101", 42: "000011011010", 43: "000011011011",
+    44: "000001010100", 45: "000001010101", 46: "000001010110",
+    47: "000001010111", 48: "000001100100", 49: "000001100101",
+    50: "000001010010", 51: "000001010011", 52: "000000100100",
+    53: "000000110111", 54: "000000111000", 55: "000000100111",
+    56: "000000101000", 57: "000001011000", 58: "000001011001",
+    59: "000000101011", 60: "000000101100", 61: "000001011010",
+    62: "000001100110", 63: "000001100111",
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101",
+    1152: "0000001110110", 1216: "0000001110111",
+    1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101",
+    1536: "0000001011010", 1600: "0000001011011",
+    1664: "0000001100100", 1728: "0000001100101",
+}
+
+# extended makeup codes (T.4 table 3, shared by both colors)
+_T4_EXT_MAKEUP: dict[int, str] = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+
+
+def _t4_run_bits(run: int, white: bool) -> str:
+    """T.4 modified-Huffman encoding of one run: zero or more makeup
+    codes (runs ≥ 2624 repeat the 2560 extended makeup) followed by
+    exactly one makeup < 2624 when needed and one terminating code."""
+    table = _T4_WHITE_CODES if white else _T4_BLACK_CODES
+    bits = []
+    while run >= 2624:
+        bits.append(_T4_EXT_MAKEUP[2560])
+        run -= 2560
+    if run >= 64:
+        makeup = (run // 64) * 64
+        bits.append(
+            table[makeup] if makeup <= 1728 else _T4_EXT_MAKEUP[makeup]
+        )
+        run -= makeup
+    bits.append(table[run])
+    return "".join(bits)
+
+
+# decode tries: bitstring prefix → run value, built once per color
+def _t4_decode_table(white: bool) -> dict[str, int]:
+    table = dict(_T4_WHITE_CODES if white else _T4_BLACK_CODES)
+    table.update(_T4_EXT_MAKEUP)
+    return {code: run for run, code in table.items()}
+
+
+_T4_DEC_WHITE = _t4_decode_table(True)
+_T4_DEC_BLACK = _t4_decode_table(False)
+_T4_MAX_CODE_LEN = 13
+
+
+def _row_transitions(row: np.ndarray) -> list[int]:
+    """Positions where the color changes, scanning left to right with
+    an imaginary white pixel before position 0 — row is a bool array
+    (True = black). Even-indexed transitions are white→black."""
+    padded = np.concatenate(([False], row))
+    return list(np.nonzero(padded[1:] != padded[:-1])[0])
+
+
+def _g4_b1_b2(
+    ref: list[int], a0: int, color_black: bool, w: int
+) -> tuple[int, int]:
+    """b1 = first reference-line changing element right of a0 whose
+    change is to the color OPPOSITE a0's run color (rows start white,
+    so even-indexed transitions are white→black); b2 = the next one."""
+    import bisect
+
+    idx = bisect.bisect_right(ref, a0)
+    # need a transition TO the opposite of the current run color:
+    # white run → need white→black (even index); black run → odd
+    need = 1 if color_black else 0
+    if idx < len(ref) and idx % 2 != need:
+        idx += 1
+    b1 = ref[idx] if idx < len(ref) else w
+    b2 = ref[idx + 1] if idx + 1 < len(ref) else w
+    return b1, b2
+
+
+def encode_ccitt_g4(black: np.ndarray) -> bytes:
+    """Encode an (h, w) bool array (True = black ink) as a CCITT
+    Group 4 (T.6) MMR bitstream, MSB-first, EOFB-terminated."""
+    import bisect
+
+    h, w = black.shape
+    bits: list[str] = []
+    ref: list[int] = []  # imaginary all-white reference line
+    for y in range(h):
+        cur = _row_transitions(black[y])
+        a0 = 0
+        first = True
+        color_black = False
+        while a0 < w or first:
+            i1 = (
+                bisect.bisect_left(cur, a0)
+                if first
+                else bisect.bisect_right(cur, a0)
+            )
+            a1 = cur[i1] if i1 < len(cur) else w
+            b1, b2 = _g4_b1_b2(
+                ref, a0 if not first else -1, color_black, w
+            )
+            if b2 < a1:
+                bits.append("0001")  # pass mode
+                a0 = b2
+                first = False
+            elif abs(a1 - b1) <= 3:
+                bits.append(
+                    {
+                        0: "1",
+                        1: "011", 2: "000011", 3: "0000011",
+                        -1: "010", -2: "000010", -3: "0000010",
+                    }[a1 - b1]
+                )
+                a0 = a1
+                color_black = not color_black
+                first = False
+            else:  # horizontal mode: two T.4-coded runs
+                i2 = bisect.bisect_right(cur, a1)
+                a2 = cur[i2] if i2 < len(cur) else w
+                bits.append("001")
+                bits.append(_t4_run_bits(a1 - a0, not color_black))
+                bits.append(_t4_run_bits(a2 - a1, color_black))
+                a0 = a2
+                first = False
+            if a0 >= w:
+                break
+        ref = cur
+    bits.append("000000000001" * 2)  # EOFB
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(
+        int(s[i : i + 8], 2) for i in range(0, len(s), 8)
+    )
+
+
+def decode_ccitt_g4(data: bytes, w: int, h: int) -> np.ndarray:
+    """Decode a CCITT Group 4 (T.6) MMR bitstream into an (h, w) bool
+    array (True = black). Trailing EOFB is tolerated; a mode code or
+    run that walks outside the line raises ValueError."""
+    bitstr = "".join(f"{byte:08b}" for byte in data)
+    pos = 0
+    n = len(bitstr)
+
+    def read_run(white: bool) -> int:
+        nonlocal pos
+        table = _T4_DEC_WHITE if white else _T4_DEC_BLACK
+        total = 0
+        while True:
+            for ln in range(2, _T4_MAX_CODE_LEN + 1):
+                if pos + ln > n:
+                    raise ValueError("truncated G4 run code")
+                run = table.get(bitstr[pos : pos + ln])
+                if run is not None:
+                    pos += ln
+                    total += run
+                    if run < 64:  # terminating code ends the run
+                        return total
+                    break  # makeup: keep reading
+            else:
+                raise ValueError("bad G4 run code")
+
+    out = np.zeros((h, w), dtype=bool)
+    ref: list[int] = []
+    _V_MODES = {
+        "1": 0, "011": 1, "010": -1, "000011": 2,
+        "000010": -2, "0000011": 3, "0000010": -3,
+    }
+    for y in range(h):
+        cur: list[int] = []
+        a0 = 0
+        first = True
+        color_black = False
+        last = -1  # last recorded transition, for monotonicity checks
+
+        def add(t: int) -> None:
+            # canonical transitions are strictly increasing and < w;
+            # a transition AT w is the legal end-of-line marker (kept
+            # out of the reference line — the encoder's transition
+            # lists never contain it either, so both sides walk the
+            # same reference); anything else is a corrupt stream
+            nonlocal last
+            if t < 0 or t > w or t < last or (t == last and t < w):
+                raise ValueError(
+                    "G4 transitions walk outside the line"
+                )
+            if t < w:
+                cur.append(t)
+            last = t
+
+        while a0 < w or first:
+            b1, b2 = _g4_b1_b2(
+                ref, a0 if not first else -1, color_black, w
+            )
+            # mode decode: codes are prefix-free — longest is 7 bits
+            mode = None
+            for code, dv in _V_MODES.items():
+                if bitstr[pos : pos + len(code)] == code:
+                    mode = ("v", dv)
+                    break
+            if mode is None and bitstr[pos : pos + 3] == "001":
+                mode = ("h", 0)
+            if mode is None and bitstr[pos : pos + 4] == "0001":
+                mode = ("p", 0)
+            if mode is None:
+                if bitstr[pos : pos + 12] == "000000000001":
+                    raise ValueError("unexpected EOFB inside G4 raster")
+                raise ValueError("bad G4 mode code")
+            kind, dv = mode
+            if kind == "v":
+                pos += len(
+                    {0: "1", 1: "011", -1: "010", 2: "000011",
+                     -2: "000010", 3: "0000011", -3: "0000010"}[dv]
+                )
+                a1 = b1 + dv
+                add(a1)
+                a0 = a1
+                color_black = not color_black
+            elif kind == "h":
+                pos += 3
+                r1 = read_run(not color_black)
+                r2 = read_run(color_black)
+                add(a0 + r1)
+                add(a0 + r1 + r2)
+                a0 = a0 + r1 + r2
+            else:  # pass
+                pos += 4
+                a0 = b2
+            first = False
+            if a0 >= w:
+                break
+        # paint: transitions alternate white→black at even indices
+        for i in range(0, len(cur), 2):
+            stop = cur[i + 1] if i + 1 < len(cur) else w
+            out[y, cur[i] : stop] = True
+        ref = cur
+    return out
 
 
 # ---------------------------------------------------------------------------

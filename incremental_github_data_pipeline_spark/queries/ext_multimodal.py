@@ -1430,7 +1430,27 @@ _TIFF_STATS_ORACLE = """
            CAST(s0 AS BIGINT) AS sum_r,
            CAST(CASE WHEN gray = 1 THEN s0 ELSE s1 END AS BIGINT) AS sum_g,
            CAST(CASE WHEN gray = 1 THEN s0 ELSE s2 END AS BIGINT) AS sum_b
-    FROM sums ORDER BY media_id
+    FROM sums
+    UNION ALL
+    -- CCITT Group 4 bilevel lane (r12, ids 3024-3031): pixels
+    -- threshold the channel-0 closed form — 255 where the formula is
+    -- below 128, 0 elsewhere; all three sum lanes coincide (grayscale)
+    SELECT media_id, width, height, bsum AS sum_r, bsum AS sum_g,
+           bsum AS sum_b
+    FROM (
+      SELECT g.media_id, CAST(g.w AS BIGINT) AS width,
+             CAST(g.h AS BIGINT) AS height,
+             CAST(SUM(CASE WHEN (x.x*7 + y.y*13 + g.i*3) % 256 < 128
+                      THEN 255 ELSE 0 END) AS BIGINT) AS bsum
+      FROM (
+        SELECT 3000 + 24 + i AS media_id, 24 + i AS i,
+               16 + ((24 + i) % 13) AS w, 12 + ((24 + i) % 11) AS h
+        FROM range(8) t(i)
+      ) g, range(28) x(x), range(22) y(y)
+      WHERE x.x < g.w AND y.y < g.h
+      GROUP BY g.media_id, g.w, g.h
+    )
+    ORDER BY media_id
 """
 
 
@@ -1440,18 +1460,21 @@ _TIFF_STATS_ORACLE = """
     doc="TIFF decode (operators/multimodal.encode_tiff/decode_tiff: "
     "TIFF 6.0 uncompressed + PackBits + LZW-with-horizontal-predictor "
     "+ Deflate, II+MM byte orders, multi-strip, TILED and PLANAR "
-    "rasters (r10), 8-bit gray + 24-bit RGB; new-style JPEG-in-TIFF "
-    "is certified separately by q_media_tiff_jpeg_stats; non-8-bit "
-    "depths and the tiled+planar+JPEG combinations stay honest "
-    "NotImplementedError guards) — the "
-    "scientific/scan/archival image "
-    "tier. RGB and grayscale lanes alternate, compression cycles "
+    "rasters (r10), 8-bit gray + 24-bit RGB, and since r12 CCITT "
+    "Group 4 (T.6 MMR, ITU-T T.4 run tables) 1-bit bilevel strips — "
+    "the fax/archival-scan tier; new-style JPEG-in-TIFF "
+    "is certified separately by q_media_tiff_jpeg_stats; Group 3 "
+    "framing, non-8/1-bit depths and the tiled+planar+JPEG "
+    "combinations stay honest NotImplementedError guards). RGB and "
+    "grayscale lanes alternate, compression cycles "
     "none/PackBits/LZW/Deflate (r10), every third file is "
     "multi-strip; the r10 fixture mix also cycles tiled and planar "
-    "layouts. DuckDB recomputes every decoded pixel's closed "
-    "form, so a wrong strip/tile offset, LZW code width, zlib strip, "
-    "predictor sum, byte-order, plane interleave or IFD walk breaks "
-    "an integer sum lane.",
+    "layouts, and ids 3024-3031 are G4 bilevel (thresholded closed "
+    "form, single- and 5-row strips). DuckDB recomputes every "
+    "decoded pixel's closed form, so a wrong strip/tile offset, LZW "
+    "code width, zlib strip, predictor sum, byte-order, plane "
+    "interleave, T.6 mode/run code or IFD walk breaks an integer "
+    "sum lane.",
 )
 def q_media_tiff_stats(spark: SparkSession, sf: str) -> DataFrame:
     from incremental_github_data_pipeline_spark.operators.multimodal import (

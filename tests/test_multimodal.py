@@ -1580,6 +1580,114 @@ class TestTiffCompression:
         assert mm._packbits_encode(b"abc") == bytes([2]) + b"abc"
         assert mm._packbits_decode(bytes([128, 253]) + b"a", 4) == b"aaaa"
 
+
+class TestCcittG4:
+    """CCITT Group 4 (ITU-T T.6, TIFF compression 4) — r12."""
+
+    def test_bitstream_roundtrip_structured_and_random(self):
+        rng = np.random.default_rng(7)
+        cases = [
+            np.zeros((3, 17), dtype=bool),  # all white
+            np.ones((3, 17), dtype=bool),  # all black
+            np.eye(9, 23, dtype=bool),  # diagonals (vertical modes)
+        ]
+        stripes = np.zeros((6, 40), dtype=bool)
+        stripes[:, ::4] = True  # V0 ladders
+        cases.append(stripes)
+        for _ in range(60):
+            h = int(rng.integers(1, 14))
+            w = int(rng.integers(1, 120))
+            cases.append(rng.random((h, w)) < rng.random())
+        for img in cases:
+            enc = mm.encode_ccitt_g4(img)
+            got = mm.decode_ccitt_g4(enc, img.shape[1], img.shape[0])
+            assert np.array_equal(got, img), img.shape
+
+    def test_makeup_code_boundaries(self):
+        # run lengths across every T.4 makeup regime: terminating-only,
+        # single makeup, 1664/1728 specials, extended makeup, and
+        # multi-2560 repetition for runs past 2623
+        for w in (63, 64, 65, 1663, 1664, 1728, 1729, 2560, 2623,
+                  2624, 3000, 5210):
+            img = np.zeros((3, w), dtype=bool)
+            img[1, :] = True  # full-width black run
+            img[2, : w // 2] = True  # half black, half white
+            got = mm.decode_ccitt_g4(mm.encode_ccitt_g4(img), w, 3)
+            assert np.array_equal(got, img), w
+
+    def test_fax_page_compresses_hard(self):
+        # the reason the tier exists: a sparse scanned page must
+        # collapse by orders of magnitude vs the raw bitmap
+        page = np.zeros((200, 1728), dtype=bool)
+        page[50:60, 100:900] = True
+        page[120, :] = True
+        enc = mm.encode_ccitt_g4(page)
+        assert len(enc) < (200 * 1728 // 8) * 0.01
+
+    def test_tiff_g4_roundtrip_single_and_multi_strip(self):
+        rng = np.random.default_rng(3)
+        for _ in range(8):
+            h = int(rng.integers(2, 28))
+            w = int(rng.integers(2, 90))
+            px = np.where(rng.random((h, w)) < 0.4, 0, 255).astype(
+                np.uint8
+            )
+            for rps in (None, 5):
+                t = mm.encode_tiff(px, rows_per_strip=rps,
+                                   compression="g4")
+                assert np.array_equal(mm.decode_tiff(t), px), (h, w, rps)
+
+    def test_tiff_g4_photometric_one_inverts(self):
+        # photometric 1 (BlackIsZero): G4 white runs are sample 0 =
+        # BLACK display — patch the tag and expect the inverted raster
+        import struct as st
+
+        px = np.where(mm._image_pixels(2)[:, :, 0] < 128, 255, 0).astype(
+            np.uint8
+        )
+        payload = bytearray(mm.encode_tiff(px, compression="g4"))
+        n = st.unpack_from("<H", payload, 8)[0]
+        for i in range(n):
+            off = 10 + i * 12
+            if st.unpack_from("<H", payload, off)[0] == 262:
+                st.pack_into("<I", payload, off + 8, 1)
+        got = mm.decode_tiff(bytes(payload))
+        assert np.array_equal(got, 255 - px)
+
+    def test_g4_guards(self):
+        px = mm._image_pixels(1)
+        bil = np.where(px[:, :, 0] < 128, 255, 0).astype(np.uint8)
+        with pytest.raises(ValueError, match="bilevel"):
+            mm.encode_tiff(px, compression="g4")  # RGB in
+        with pytest.raises(ValueError, match="bilevel"):
+            mm.encode_tiff(px[:, :, 0], compression="g4")  # gray levels
+        with pytest.raises(ValueError, match="strip layouts"):
+            mm.encode_tiff(bil, compression="g4", tile=(16, 16))
+        # corrupt stream: flipping bits must raise or mis-walk loudly,
+        # never hang — truncation raises
+        enc = mm.encode_ccitt_g4(bil == 0)
+        with pytest.raises(ValueError):
+            mm.decode_ccitt_g4(enc[: max(1, len(enc) // 4)],
+                               bil.shape[1], bil.shape[0] * 2)
+
+    def test_media_table_g4_lane_closed_form(self, spark):
+        stats = {
+            r["media_id"]: r
+            for r in mm.decode_stats(
+                mm.make_tiff_media(spark, n=2, g4=3)
+            ).collect()
+        }
+        assert len(stats) == 5
+        for i in range(2, 5):
+            r = stats[3000 + i]
+            px0 = mm._image_pixels(i)[:, :, 0]
+            want = np.where(px0 < 128, 255, 0).astype(np.uint8)
+            assert (r["width"], r["height"]) == (
+                want.shape[1], want.shape[0]
+            )
+            assert abs(r["mean_r"] - want.mean()) < 1e-9
+            assert abs(r["mean_g"] - want.mean()) < 1e-9
+
     def test_jpeg_in_tiff_roundtrip_flat_blocks(self):
         """r10: new-style JPEG-in-TIFF (compression 7) — flat 8x8
         blocks round-trip exactly, gray and neutral-gray RGB, single
