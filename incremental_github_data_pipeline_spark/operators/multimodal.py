@@ -1590,6 +1590,99 @@ def encode_jpeg_420(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
     return bytes(out)
 
 
+def apply_exif_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """Transform a decoded raster into its upright display orientation
+    per the EXIF orientation tag (274) — all eight values, each an
+    integer-exact pixel permutation (compare ``augment_image``):
+    1 normal, 2 mirror-H, 3 rotate 180, 4 mirror-V, 5 mirror-H +
+    rotate 270 CW (= main-diagonal transpose), 6 rotate 90 CW,
+    7 mirror-H + rotate 90 CW (anti-diagonal transpose), 8 rotate
+    270 CW. Real camera JPEGs carry 3/6/8 constantly; every
+    downstream hash, crop or augmentation is wrong without this."""
+    if orientation == 1:
+        return px
+    if orientation == 2:
+        return px[:, ::-1].copy()
+    if orientation == 3:
+        return px[::-1, ::-1].copy()
+    if orientation == 4:
+        return px[::-1].copy()
+    if orientation == 5:
+        return np.rot90(px[:, ::-1], 1).copy()
+    if orientation == 6:
+        return np.rot90(px, -1).copy()
+    if orientation == 7:
+        return np.rot90(px[:, ::-1], -1).copy()
+    if orientation == 8:
+        return np.rot90(px, 1).copy()
+    raise ValueError(f"bad EXIF orientation {orientation}")
+
+
+def _parse_exif_orientation(tiff: bytes) -> int:
+    """Extract orientation (tag 274) from the TIFF structure inside an
+    APP1 EXIF body (after the ``Exif\\0\\0`` signature). Real crawl
+    EXIF is frequently torn or nonstandard and every mainstream
+    decoder shrugs it off, so any malformed structure — or an absent
+    tag — yields the neutral 1, never an exception."""
+    try:
+        bo = {b"II": "<", b"MM": ">"}[tiff[:2]]
+        magic, ifd_off = struct.unpack_from(bo + "HI", tiff, 2)
+        if magic != 42:
+            return 1
+        (n_entries,) = struct.unpack_from(bo + "H", tiff, ifd_off)
+        for i in range(n_entries):
+            tag, typ, _count, raw = struct.unpack_from(
+                bo + "HHII", tiff, ifd_off + 2 + i * 12
+            )
+            if tag == 274 and typ == 3:
+                # SHORT packed left-justified in the 4-byte value field
+                val = struct.unpack_from(
+                    bo + "H", struct.pack(bo + "I", raw), 0
+                )[0]
+                return val if 1 <= val <= 8 else 1
+        return 1
+    except (struct.error, KeyError, IndexError):
+        return 1
+
+
+def exif_app1_segment(orientation: int) -> bytes:
+    """Build a minimal APP1 EXIF segment (marker + length + body)
+    carrying just the orientation tag — the encoder twin that makes
+    the APP1/IFD parse testable without camera files."""
+    if not 1 <= orientation <= 8:
+        raise ValueError("EXIF orientation must be 1..8")
+    tiff = (
+        b"II" + struct.pack("<HI", 42, 8)  # little-endian, IFD0 at 8
+        + struct.pack("<H", 1)  # one entry
+        + struct.pack("<HHII", 274, 3, 1, orientation)
+        + struct.pack("<I", 0)  # no next IFD
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def set_exif_orientation(jpeg: bytes, orientation: int) -> bytes:
+    """Insert (or replace) an APP1 EXIF orientation segment right
+    after SOI — composes with every JPEG encoder here (baseline,
+    progressive, 4:2:0, 12-bit) since APPn segments are transparent
+    to the scan machinery."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    # drop an existing APP1 EXIF so the call is idempotent
+    out = bytearray(b"\xff\xd8")
+    while pos + 4 <= len(jpeg) and jpeg[pos] == 0xFF and jpeg[
+        pos + 1
+    ] == 0xE1:
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        if jpeg[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            pos += 2 + seglen
+        else:
+            break
+    out += exif_app1_segment(orientation) + jpeg[pos:]
+    return bytes(out)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline sequential OR progressive (SOF2) JPEG to an
     (h, w) grayscale or (h, w, 3) RGB uint8 array. Reads whatever
@@ -1621,6 +1714,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, [(comp_id, Hi, Vi, qtable_id)], progressive)
     restart_interval = 0
+    exif_orient = 1
     scans = []  # [(scan_comps, Ss, Se, Ah, Al, [entropy segments])]
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -1681,6 +1775,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            # APP1 EXIF: honor the orientation tag (r12) — the decoded
+            # raster is returned UPRIGHT, like every mainstream viewer
+            exif_orient = _parse_exif_orientation(body[6:])
         elif marker == 0xDA:  # SOS
             n_scan = body[0]
             scan_comps = []
@@ -1902,12 +2000,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         out[:, :, ci] = plane[:fh, :fw]
 
     if n_comp == 1:
-        return np.clip(np.round(out[:, :, 0]), 0, maxval).astype(
+        res = np.clip(np.round(out[:, :, 0]), 0, maxval).astype(
             np.uint8 if precision == 8 else np.uint16
         )
-    if n_comp == 3:
-        return _ycbcr_to_rgb(out, maxval)
-    raise NotImplementedError("only 1- or 3-component JPEG supported")
+    elif n_comp == 3:
+        res = _ycbcr_to_rgb(out, maxval)
+    else:
+        raise NotImplementedError("only 1- or 3-component JPEG supported")
+    return apply_exif_orientation(res, exif_orient)
 
 
 def _jpeg_block_values(i: int) -> tuple[int, int, np.ndarray]:
@@ -1958,6 +2058,36 @@ def make_jpeg420_media(spark, n: int = 32) -> DataFrame:
             else encode_jpeg_420(rgb, restart_interval=i % 4)
         )
         rows.append((i, "image", payload, "image/jpeg", w, h, None))
+    return _sized_media(spark, rows)
+
+
+_EXIF_ORIENT_CYCLE = (1, 3, 6, 8, 2, 4, 5, 7)
+
+
+def make_exif_media(spark, n: int = 16, id_offset: int = 8100) -> DataFrame:
+    """Media table of baseline JPEGs carrying an APP1 EXIF orientation
+    tag cycling 1/3/6/8 first (the values real cameras emit
+    constantly) then 2/4/5/7 (the mirrored tier). The STORED raster is
+    the flat-block closed form; the decoder must return it upright, so
+    the position-weighted sum lanes certify the exact permutation —
+    a wrong-axis transpose or missed flip keeps the plain pixel sum
+    and breaks a weighted lane."""
+    rows = []
+    for i in range(n):
+        w, h, px = _jpeg_block_values(i)
+        o = _EXIF_ORIENT_CYCLE[i % 8]
+        ww, hh = (h, w) if o >= 5 else (w, h)
+        rows.append(
+            (
+                id_offset + i,
+                "image",
+                set_exif_orientation(encode_jpeg(px), o),
+                "image/jpeg",
+                ww,
+                hh,
+                None,
+            )
+        )
     return _sized_media(spark, rows)
 
 
@@ -4291,6 +4421,7 @@ def encode_tiff(
     predictor: bool = False,
     tile: tuple[int, int] | None = None,
     planar: bool = False,
+    orientation: int = 1,
 ) -> bytes:
     """Encode (h, w) uint8 grayscale or (h, w, 3) uint8 RGB as a
     little-endian TIFF. ``rows_per_strip`` splits the raster into
@@ -4406,11 +4537,14 @@ def encode_tiff(
             payload_chunks.append(_tiff_compress(raw, comp_code))
 
     tiled = tile is not None
+    if not 1 <= orientation <= 8:
+        raise ValueError("TIFF orientation must be 1..8")
     n_entries = (
         (11 if tiled else 10)
         + (1 if predictor else 0)
         + ((2 if spp == 3 else 1) if comp_code == 7 else 0)
         + (2 if comp_code == 6 else 0)
+        + (1 if orientation != 1 else 0)
     )
     # layout: header(8) | IFD | [bits values if RGB] | [JPEGTables] |
     # offsets/counts arrays (externalized when count > 1) | chunk data
@@ -4478,6 +4612,10 @@ def encode_tiff(
         entries.append(entry(_TIFF_TAG_ROWS_PER_STRIP, 3, 1, rps))
     if predictor:
         entries.append(entry(317, 3, 1, 2))
+    if orientation != 1:
+        # tag 274: the stored raster needs this permutation to display
+        # upright — decode_tiff applies it, like the JPEG APP1 path
+        entries.append(entry(274, 3, 1, orientation))
     if comp_code == 7:
         entries.append(
             entry(_TIFF_TAG_JPEG_TABLES, 7, len(jpeg_tables), jt_off)
@@ -4561,6 +4699,11 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     w = values(_TIFF_TAG_WIDTH)[0]
     h = values(_TIFF_TAG_LENGTH)[0]
     comp = values(_TIFF_TAG_COMPRESSION, 1)[0]
+    # Orientation (tag 274, r12): honored exactly like the JPEG APP1
+    # path — the raster comes back upright whatever the writer stored
+    orient = values(274, 1)[0]
+    if orient not in range(1, 9):
+        orient = 1
     if comp == 6:
         # Old-style JPEG (r11): the pre-TechNote-2 embedding legacy
         # scan archives still carry. The sane and common variant
@@ -4582,7 +4725,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         px = decode_jpeg(bytes(stream))
         if px.shape[0] < h or px.shape[1] < w:
             raise ValueError("old-style JPEG stream smaller than the IFD says")
-        return px[:h, :w]
+        return apply_exif_orientation(px[:h, :w], orient)
     if comp == 4:
         # CCITT Group 4 (T.6, r12): bilevel fax/archival-scan strips.
         # BitsPerSample 1, one sample; photometric 0 (WhiteIsZero —
@@ -4609,7 +4752,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             rows_out.append(
                 np.where(black, black_val, white_val).astype(np.uint8)
             )
-        return np.vstack(rows_out)
+        return apply_exif_orientation(np.vstack(rows_out), orient)
     if comp not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {comp} not supported")
     planar_cfg = values(_TIFF_TAG_PLANAR, 1)[0]
@@ -4664,7 +4807,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             out[ty * tl : ty * tl + rows, tx * tw : tx * tw + cols] = a[
                 :rows, :cols
             ]
-        return out
+        return apply_exif_orientation(out, orient)
 
     offs = values(_TIFF_TAG_STRIP_OFFSETS)
     cnts = values(_TIFF_TAG_STRIP_COUNTS)
@@ -4685,7 +4828,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                 ).reshape(rows_here, w)
                 rows_parts.append(unpredict(a))
             planes.append(np.vstack(rows_parts))
-        return np.stack(planes, axis=2)
+        return apply_exif_orientation(np.stack(planes, axis=2), orient)
     if comp == 7:
         tables = b""
         if _TIFF_TAG_JPEG_TABLES in tags:
@@ -4704,7 +4847,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         if (arr.ndim == 2) != (spp == 1) or arr.shape[1] < w:
             raise ValueError("JPEG strip shape disagrees with IFD")
         arr = arr[:, :w]
-        return arr
+        return apply_exif_orientation(arr, orient)
     parts = []
     for si, (o, c) in enumerate(zip(offs, cnts)):
         rows_here = min(rps, h - si * rps)
@@ -4724,7 +4867,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if pred == 2:  # horizontal differencing: integrate along the row
         acc = arr.astype(np.int64)
         arr = (np.cumsum(acc, axis=1) % 256).astype(np.uint8)
-    return arr
+    return apply_exif_orientation(arr, orient)
 
 
 def make_tiff_media(
@@ -6774,13 +6917,19 @@ AUGMENT_OPS = ("hflip", "vflip", "rot90", "rot180", "rot270", "crop")
 
 def augment_image(px: np.ndarray, op: str) -> np.ndarray:
     """One deterministic augmentation (r11) — the training-data staple
-    that multiplies image corpora before model ingest. All six ops are
+    that multiplies image corpora before model ingest. All ops (plus
+    the r12 ``noop`` identity) are
     INTEGER-EXACT pixel permutations/selections (no interpolation, so
     the augmented corpus certifies exactly like the decoded one):
     ``hflip``/``vflip``, ``rot90``/``rot180``/``rot270``
     (counter-clockwise, the numpy convention), and ``crop`` (fixed
     (2, 3) offset, 4/6 pixels of border removed — deterministic, the
     random-crop seed is the caller's policy knob, not hidden state)."""
+    if op == "noop":
+        # identity: lets augment_decode_stats' weighted-sum lanes
+        # certify rasters whose orientation the DECODER already fixed
+        # (the EXIF lane) without composing a second permutation
+        return px
     if op == "hflip":
         return px[:, ::-1].copy()
     if op == "vflip":

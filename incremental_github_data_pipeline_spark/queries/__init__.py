@@ -101,6 +101,7 @@ _CERTIFY_FIRST = [
     "q_window_running_total",
     # -- (b) new in round 12 + changed-lane recerts --
     "q_media_tiff_stats",
+    "q_media_exif_stats",
 ]
 
 

@@ -2009,6 +2009,85 @@ def q_media_augment_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_media_exif_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS i, 8100 + i AS media_id,
+             17 + (i % 14) AS w, 9 + (i % 12) AS h,
+             CASE CAST(i % 8 AS INTEGER)
+               WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 6 WHEN 3 THEN 8
+               WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 5 ELSE 7
+             END AS o
+      FROM range(16) t(i)
+    ),
+    px AS (
+      SELECT m.media_id, m.o, m.w, m.h, x.x AS x, y.y AS y,
+             (m.i * 3 + (x.x // 8) * 7 + (y.y // 8) * 13) % 256 AS v
+      FROM m, range(31) x(x), range(21) y(y)
+      WHERE x.x < m.w AND y.y < m.h
+    ),
+    mapped AS (
+      -- upright position of each STORED pixel under the orientation
+      SELECT media_id, o, v,
+             CASE o WHEN 1 THEN y WHEN 2 THEN y
+                    WHEN 3 THEN h - 1 - y WHEN 4 THEN h - 1 - y
+                    WHEN 5 THEN x WHEN 6 THEN x
+                    WHEN 7 THEN w - 1 - x ELSE w - 1 - x END AS yp,
+             CASE o WHEN 1 THEN x WHEN 2 THEN w - 1 - x
+                    WHEN 3 THEN w - 1 - x WHEN 4 THEN x
+                    WHEN 5 THEN y WHEN 6 THEN h - 1 - y
+                    WHEN 7 THEN h - 1 - y ELSE y END AS xp,
+             CASE WHEN o >= 5 THEN h ELSE w END AS wp,
+             CASE WHEN o >= 5 THEN w ELSE h END AS hp
+      FROM px
+    )
+    SELECT media_id, CAST(o AS BIGINT) AS orientation,
+           CAST(MAX(wp) AS BIGINT) AS width,
+           CAST(MAX(hp) AS BIGINT) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * (yp + 1)) AS BIGINT) AS row_weighted_sum,
+           CAST(SUM(v * (xp + 1)) AS BIGINT) AS col_weighted_sum
+    FROM mapped GROUP BY media_id, o ORDER BY media_id
+    """,
+    doc="EXIF orientation honored in JPEG decode (r12, operators/"
+    "multimodal.apply_exif_orientation + set_exif_orientation + the "
+    "APP1 TIFF-IFD parse inside decode_jpeg): real camera/crawl JPEGs "
+    "carry orientation 3/6/8 constantly and every downstream hash, "
+    "crop and augmentation is wrong without the upright permutation. "
+    "Fixtures cycle all eight orientations (1/3/6/8 then the mirrored "
+    "2/4/5/7) over flat-block exact JPEGs; the oracle recomputes each "
+    "stored pixel's UPRIGHT position in closed form, so the row- and "
+    "column-weighted sum pair catches a wrong-axis transpose, a "
+    "missed flip, or an un-swapped width/height. One Arrow-batched "
+    "mapInPandas pass (the noop augmentation lane — decode already "
+    "returns upright rasters).",
+)
+def q_media_exif_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        _EXIF_ORIENT_CYCLE,
+        augment_decode_stats,
+        make_exif_media,
+    )
+
+    stats = augment_decode_stats(
+        make_exif_media(spark, n=16), ops=("noop",)
+    )
+    orient = F.element_at(
+        F.array(*[F.lit(v) for v in _EXIF_ORIENT_CYCLE]),
+        (((F.col("media_id") - 8100) % 8) + 1).cast("int"),
+    )
+    return stats.select(
+        "media_id",
+        orient.cast("long").alias("orientation"),
+        "width",
+        "height",
+        "pixel_sum",
+        "row_weighted_sum",
+        "col_weighted_sum",
+    ).orderBy("media_id")
+
+
+@register(
     "q_media_avi_stats",
     oracle="""
     WITH m AS (

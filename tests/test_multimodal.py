@@ -1581,6 +1581,103 @@ class TestTiffCompression:
         assert mm._packbits_decode(bytes([128, 253]) + b"a", 4) == b"aaaa"
 
 
+class TestExifOrientation:
+    """EXIF orientation honored in JPEG decode — r12."""
+
+    def test_all_eight_orientations_roundtrip_upright(self):
+        w, h, px = mm._jpeg_block_values(3)
+        for o in range(1, 9):
+            jp = mm.set_exif_orientation(mm.encode_jpeg(px), o)
+            got = mm.decode_jpeg(jp)
+            want = mm.apply_exif_orientation(px, o)
+            assert np.array_equal(got, want), o
+            if o >= 5:
+                assert got.shape == (w, h)  # dims swap
+
+    def test_apply_matches_independent_formulations(self):
+        a = np.arange(24).reshape(4, 6)
+        want = {
+            1: a, 2: np.fliplr(a), 3: np.flipud(np.fliplr(a)),
+            4: np.flipud(a), 5: a.T, 6: np.flipud(a).T,
+            7: np.flipud(np.fliplr(a)).T, 8: np.fliplr(a).T,
+        }
+        for o, exp in want.items():
+            assert np.array_equal(mm.apply_exif_orientation(a, o), exp), o
+        with pytest.raises(ValueError, match="orientation"):
+            mm.apply_exif_orientation(a, 9)
+
+    def test_set_is_idempotent_and_composes_with_encoders(self):
+        w, h, px = mm._jpeg_block_values(5)
+        jp = mm.set_exif_orientation(
+            mm.set_exif_orientation(mm.encode_jpeg(px), 3), 6
+        )
+        # only ONE APP1 remains and the last orientation wins
+        assert jp.count(b"Exif\x00\x00") == 1
+        assert np.array_equal(
+            mm.decode_jpeg(jp), mm.apply_exif_orientation(px, 6)
+        )
+        rgb = np.repeat(px[:, :, None], 3, axis=2)
+        for enc in (
+            mm.encode_jpeg_progressive(px),
+            mm.encode_jpeg_420(rgb),
+        ):
+            jp = mm.set_exif_orientation(enc, 8)
+            got = mm.decode_jpeg(jp)
+            ref = mm.apply_exif_orientation(mm.decode_jpeg(enc), 8)
+            assert np.array_equal(got, ref)
+
+    def test_malformed_exif_is_neutral_not_fatal(self):
+        w, h, px = mm._jpeg_block_values(1)
+        base = mm.encode_jpeg(px)
+        # APP1 with Exif signature but garbage TIFF: decode upright-1
+        body = b"Exif\x00\x00" + b"ZZ" + b"\x07" * 10
+        seg = b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
+        jp = base[:2] + seg + base[2:]
+        assert np.array_equal(mm.decode_jpeg(jp), px)
+        # non-EXIF APP1 (XMP) is skipped entirely
+        body2 = b"http://ns.adobe.com/xap/1.0/\x00<x/>"
+        seg2 = b"\xff\xe1" + (len(body2) + 2).to_bytes(2, "big") + body2
+        assert np.array_equal(mm.decode_jpeg(base[:2] + seg2 + base[2:]), px)
+        # big-endian (MM) EXIF body parses too
+        tiff = (
+            b"MM" + (42).to_bytes(2, "big") + (8).to_bytes(4, "big")
+            + (1).to_bytes(2, "big")
+            + (274).to_bytes(2, "big") + (3).to_bytes(2, "big")
+            + (1).to_bytes(4, "big") + (3).to_bytes(2, "big") + b"\x00\x00"
+            + (0).to_bytes(4, "big")
+        )
+        body3 = b"Exif\x00\x00" + tiff
+        seg3 = b"\xff\xe1" + (len(body3) + 2).to_bytes(2, "big") + body3
+        got = mm.decode_jpeg(base[:2] + seg3 + base[2:])
+        assert np.array_equal(got, mm.apply_exif_orientation(px, 3))
+
+    def test_tiff_orientation_tag_honored(self):
+        px = mm._image_pixels(4)
+        bil = np.where(px[:, :, 0] < 128, 255, 0).astype(np.uint8)
+        for o in range(1, 9):
+            t = mm.encode_tiff(px, compression="deflate", orientation=o)
+            assert np.array_equal(
+                mm.decode_tiff(t), mm.apply_exif_orientation(px, o)
+            ), o
+        for o in (3, 6, 8):  # composes with the G4 bilevel lane too
+            t = mm.encode_tiff(bil, compression="g4", orientation=o)
+            assert np.array_equal(
+                mm.decode_tiff(t), mm.apply_exif_orientation(bil, o)
+            ), o
+
+    def test_media_table_dims_reflect_orientation(self, spark):
+        rows = {
+            r["media_id"]: r
+            for r in mm.make_exif_media(spark, n=16).collect()
+        }
+        for i in range(16):
+            o = mm._EXIF_ORIENT_CYCLE[i % 8]
+            w, h, _ = mm._jpeg_block_values(i)
+            want = (h, w) if o >= 5 else (w, h)
+            assert (rows[8100 + i]["width"], rows[8100 + i]["height"]) \
+                == want, (i, o)
+
+
 class TestCcittG4:
     """CCITT Group 4 (ITU-T T.6, TIFF compression 4) — r12."""
 
