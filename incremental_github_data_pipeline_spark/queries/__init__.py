@@ -102,6 +102,7 @@ _CERTIFY_FIRST = [
     # -- (b) new in round 12 + changed-lane recerts --
     "q_media_tiff_stats",
     "q_media_exif_stats",
+    "q_crawl_curation",
 ]
 
 

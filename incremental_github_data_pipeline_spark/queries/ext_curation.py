@@ -740,3 +740,268 @@ def q_skew_advisory(spark: SparkSession, sf: str) -> DataFrame:
         "verdict string, buckets long, max_ratio_x1000 long, "
         "max_share_ppm long, n_hot_keys long",
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end crawl curation (r12): the composite the r11 pieces exist
+# for — WARC ingest → HTTP-200 gate → strip_html + canonicalize_url →
+# URL exact-dedup → corpus-wide sentence dedup → quality gate, as ONE
+# registered query emitting per-stage audit rows. Certifying the
+# COMPOSITION catches inter-operator contract drift (column renames,
+# ordering assumptions, null handling) that no per-op oracle can.
+# ---------------------------------------------------------------------------
+
+_CUR_BOILER = "Copyright FooCorp all rights reserved."
+
+
+def _curation_corpus(spark):
+    """24 WARC payloads × 3 records (warcinfo + two HTML responses)
+    with planted drops for EVERY funnel stage: warcinfo rows die at
+    the response gate, i%6==5 first responses are 404s, even-payload
+    second responses duplicate the first's URL under a different
+    spelling (case/port/param-order — canonicalization must unify
+    them), every doc ends with the same boilerplate sentence
+    (sentence dedup keeps exactly one corpus-wide), and short docs
+    fall to the token-count quality gate. Every field is a closed-form
+    rule the oracle replays; even ids use the .warc.gz
+    member-per-record layout, odd ids plain concatenation."""
+    rows = []
+    for i in range(24):
+        def text_of(m):
+            n_sent = 2 + (i + m) % 3
+            parts = []
+            for j in range(n_sent):
+                k = (i * 5 + m * 3 + 7 * j) % 30
+                parts.append(
+                    f"S{k} a{k % 7} b{(k * 3) % 10}" + ".!?"[k % 3]
+                )
+            parts.append(_CUR_BOILER)
+            return " ".join(parts)
+
+        def html(m):
+            return (
+                f"<html><head><title>T{i}x{m}</title></head>"
+                f"<body><p>{text_of(m)}</p></body></html>"
+            ).encode("utf-8")
+
+        url1 = (
+            f"HTTPS://HostA{i % 5}.Example.COM:443/p{i}"
+            f"?b={i % 3}&a={i % 2}#f{i}"
+        )
+        url2 = (
+            f"https://hosta{i % 5}.example.com/p{i}?a={i % 2}&b={i % 3}"
+            if i % 2 == 0
+            else f"https://hostb{i % 5}.example.com/u{i}"
+        )
+        recs = [
+            {
+                "warc_type": "warcinfo",
+                "content_type": "application/warc-fields",
+                "body": f"software: synthgen/{i}\r\n".encode("ascii"),
+            },
+            {
+                "warc_type": "response",
+                "target_uri": url1,
+                "http_status": 404 if i % 6 == 5 else 200,
+                "body": html(1),
+            },
+            {
+                "warc_type": "response",
+                "target_uri": url2,
+                "http_status": 200,
+                "body": html(2),
+            },
+        ]
+        rows.append(
+            (i, tx.warc_build(recs, gzip_per_record=i % 2 == 0))
+        )
+    return spark.createDataFrame(
+        rows, "payload_id long, payload binary"
+    )
+
+
+# DuckDB replay of the whole funnel from the closed-form rules
+_CURATION_ORACLE = """
+    WITH docs AS (
+      SELECT i.i AS i, m0.m0 + 1 AS m,
+             CASE WHEN m0.m0 + 1 = 1 AND i.i % 6 = 5
+                  THEN 404 ELSE 200 END AS http_status,
+             CASE WHEN m0.m0 + 1 = 1 OR i.i % 2 = 0
+               THEN 'https://hosta' || (i.i % 5) || '.example.com/p'
+                    || i.i || '?a=' || (i.i % 2) || '&b=' || (i.i % 3)
+               ELSE 'https://hostb' || (i.i % 5) || '.example.com/u'
+                    || i.i
+             END AS url
+      FROM range(24) i(i), range(2) m0(m0)
+    ),
+    ok AS (SELECT * FROM docs WHERE http_status = 200),
+    url_kept AS (
+      SELECT i, m FROM (
+        SELECT i, m, ROW_NUMBER() OVER (
+          PARTITION BY url ORDER BY i, m) AS rn
+        FROM ok
+      ) WHERE rn = 1
+    ),
+    sent AS (
+      -- j < n_sent: regular sentences (sentence 0 absorbs the title —
+      -- strip_html leaves 'T{i}x{m}' with no terminator before it);
+      -- j = n_sent: the shared boilerplate sentence
+      SELECT d.i, d.m, j.j AS j,
+             CASE
+               WHEN j.j = 2 + (d.i + d.m) % 3
+                 THEN 'Copyright FooCorp all rights reserved.'
+               ELSE
+                 CASE WHEN j.j = 0
+                      THEN 'T' || d.i || 'x' || d.m || ' ' ELSE '' END
+                 || 'S' || ((d.i*5 + d.m*3 + 7*j.j) % 30)
+                 || ' a' || (((d.i*5 + d.m*3 + 7*j.j) % 30) % 7)
+                 || ' b' || ((((d.i*5 + d.m*3 + 7*j.j) % 30) * 3) % 10)
+                 || substr('.!?',
+                      ((d.i*5 + d.m*3 + 7*j.j) % 30) % 3 + 1, 1)
+             END AS content
+      -- j runs to n_sent INCLUSIVE (the boilerplate slot): n_sent
+      -- reaches 4, so the grid needs range(5)
+      FROM ok d, range(5) j(j)
+      WHERE j.j <= 2 + (d.i + d.m) % 3
+    ),
+    sent_tok AS (
+      SELECT i, m, j, content,
+             CAST(len(string_split(content, ' ')) AS BIGINT) AS toks
+      FROM sent
+    ),
+    -- sentence dedup runs on the URL-DEDUPED corpus: rank only there
+    kept_sent AS (
+      SELECT s.*, ROW_NUMBER() OVER (
+        PARTITION BY s.content ORDER BY s.i, s.m, s.j) AS rn
+      FROM sent_tok s JOIN url_kept u ON s.i = u.i AND s.m = u.m
+    ),
+    per_doc AS (
+      SELECT i, m,
+             SUM(CASE WHEN rn = 1 THEN toks ELSE 0 END) AS kept_toks,
+             SUM(toks) AS all_toks
+      FROM kept_sent GROUP BY i, m
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage_idx, 'records' AS stage,
+             CAST(24 * 3 AS BIGINT) AS n_rows,
+             CAST(NULL AS BIGINT) AS n_tokens
+      UNION ALL
+      SELECT 1, 'http200', (SELECT COUNT(*) FROM ok),
+             CAST(NULL AS BIGINT)
+      UNION ALL
+      SELECT 2, 'extracted', (SELECT COUNT(*) FROM ok),
+             (SELECT SUM(toks) FROM sent_tok)
+      UNION ALL
+      SELECT 3, 'url_dedup', (SELECT COUNT(*) FROM url_kept),
+             (SELECT SUM(all_toks) FROM per_doc)
+      UNION ALL
+      SELECT 4, 'sentence_dedup', (SELECT COUNT(*) FROM url_kept),
+             (SELECT SUM(kept_toks) FROM per_doc)
+      UNION ALL
+      SELECT 5, 'quality',
+             (SELECT COUNT(*) FROM per_doc WHERE kept_toks >= 9),
+             (SELECT SUM(kept_toks) FROM per_doc WHERE kept_toks >= 9)
+    ) ORDER BY stage_idx
+"""
+
+@register(
+    "q_crawl_curation",
+    oracle=_CURATION_ORACLE,
+    doc="End-to-end crawl curation funnel (r12): warc_ingest -> "
+    "HTTP-200 response gate -> strip_html + canonicalize_url -> "
+    "URL exact-dedup (first spelling wins after canonicalization "
+    "unifies case/port/param-order variants) -> corpus-wide sentence "
+    "exact-dedup over split_sentences (the planted boilerplate "
+    "sentence survives exactly once) -> token-count quality gate, "
+    "emitting one audit row per stage (rows in, tokens surviving). "
+    "Certifying the COMPOSITION catches inter-operator contract "
+    "drift no per-op oracle can — the fixture plants a drop for "
+    "every stage. Plan shape: the Arrow parse pass runs ONCE into an "
+    "eager localCheckpoint (bounded: one row per record), and every "
+    "later stage is windows/aggregates over checkpointed frames — "
+    "the per-stage audit rows are 1-row aggregates, so the funnel "
+    "costs one parse + three bounded shuffles regardless of how "
+    "many stages report. At 100 TB the checkpoints become "
+    "persisted stage tables (the standard curation-ledger layout); "
+    "the per-stage audit is O(stages), not O(corpus).",
+)
+def q_crawl_curation(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    recs = tx.warc_ingest(_curation_corpus(spark)).localCheckpoint(
+        eager=True
+    )
+    ok = recs.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+    )
+    ext = ok.select(
+        "payload_id",
+        "record_idx",
+        tx.canonicalize_url(F.col("target_uri")).alias("url"),
+        tx.strip_html(F.col("text")).alias("text"),
+    ).localCheckpoint(eager=True)
+    ext = ext.withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    w_url = Window.partitionBy("url").orderBy(
+        "payload_id", "record_idx"
+    )
+    kept_docs = (
+        ext.withColumn("rn", F.row_number().over(w_url))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    sents = kept_docs.select(
+        "payload_id",
+        "record_idx",
+        F.posexplode(tx.split_sentences(F.col("text"))).alias(
+            "sent_idx", "sentence"
+        ),
+    )
+    w_sent = Window.partitionBy("sentence").orderBy(
+        "payload_id", "record_idx", "sent_idx"
+    )
+    ranked = sents.withColumn(
+        "rn", F.row_number().over(w_sent)
+    ).withColumn(
+        "toks", F.size(F.split(F.col("sentence"), " ")).cast("long")
+    )
+    per_doc = (
+        ranked.groupBy("payload_id", "record_idx")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") == 1, F.col("toks")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("kept_toks"),
+            F.sum("toks").alias("all_toks"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    quality = per_doc.filter(F.col("kept_toks") >= 9)
+
+    def stage(idx, name, frame, tokens_col):
+        return frame.agg(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (
+                F.sum(tokens_col).cast("long")
+                if tokens_col is not None
+                else F.lit(None).cast("long")
+            ).alias("n_tokens"),
+        )
+
+    return (
+        stage(0, "records", recs, None)
+        .unionAll(stage(1, "http200", ok, None))
+        .unionAll(stage(2, "extracted", ext, "n_tokens"))
+        .unionAll(stage(3, "url_dedup", kept_docs,
+                        F.size(F.split(F.col("text"), " "))
+                        .cast("long")))
+        .unionAll(stage(4, "sentence_dedup", per_doc, "kept_toks"))
+        .unionAll(stage(5, "quality", quality, "kept_toks"))
+        .orderBy("stage_idx")
+    )
