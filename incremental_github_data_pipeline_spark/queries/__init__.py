@@ -103,6 +103,7 @@ _CERTIFY_FIRST = [
     "q_media_tiff_stats",
     "q_media_exif_stats",
     "q_crawl_curation",
+    "q_doc_pii_redact",
 ]
 
 

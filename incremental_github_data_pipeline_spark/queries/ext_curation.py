@@ -762,7 +762,8 @@ def _curation_corpus(spark):
     spelling (case/port/param-order — canonicalization must unify
     them), every doc ends with the same boilerplate sentence
     (sentence dedup keeps exactly one corpus-wide), and short docs
-    fall to the token-count quality gate. Every field is a closed-form
+    fall to the token-count quality gate; sentence 1 of first
+    responses carries a planted email the redaction stage removes. Every field is a closed-form
     rule the oracle replays; even ids use the .warc.gz
     member-per-record layout, odd ids plain concatenation."""
     rows = []
@@ -772,9 +773,11 @@ def _curation_corpus(spark):
             parts = []
             for j in range(n_sent):
                 k = (i * 5 + m * 3 + 7 * j) % 30
-                parts.append(
-                    f"S{k} a{k % 7} b{(k * 3) % 10}" + ".!?"[k % 3]
-                )
+                body = f"S{k} a{k % 7} b{(k * 3) % 10}"
+                if m == 1 and j == 1:
+                    # planted PII: the redaction stage must remove it
+                    body += f" u{i}x1@ex.com"
+                parts.append(body + ".!?"[k % 3])
             parts.append(_CUR_BOILER)
             return " ".join(parts)
 
@@ -856,6 +859,8 @@ _CURATION_ORACLE = """
                  || 'S' || ((d.i*5 + d.m*3 + 7*j.j) % 30)
                  || ' a' || (((d.i*5 + d.m*3 + 7*j.j) % 30) % 7)
                  || ' b' || ((((d.i*5 + d.m*3 + 7*j.j) % 30) * 3) % 10)
+                 || CASE WHEN d.m = 1 AND j.j = 1
+                         THEN ' u' || d.i || 'x1@ex.com' ELSE '' END
                  || substr('.!?',
                       ((d.i*5 + d.m*3 + 7*j.j) % 30) % 3 + 1, 1)
              END AS content
@@ -878,31 +883,65 @@ _CURATION_ORACLE = """
     per_doc AS (
       SELECT i, m,
              SUM(CASE WHEN rn = 1 THEN toks ELSE 0 END) AS kept_toks,
-             SUM(toks) AS all_toks
+             SUM(toks) AS all_toks,
+             string_agg(content, ' ' ORDER BY j)
+               FILTER (WHERE rn = 1) AS kept_text,
+             string_agg(content, ' ' ORDER BY j) AS all_text
       FROM kept_sent GROUP BY i, m
+    ),
+    full_doc AS (  -- every HTTP-200 doc's extracted text (stage 2)
+      SELECT i, m, string_agg(content, ' ' ORDER BY j) AS text,
+             SUM(CAST(len(string_split(content, ' ')) AS BIGINT))
+               AS toks
+      FROM sent GROUP BY i, m
+    ),
+    redacted AS (
+      SELECT i, m,
+             regexp_replace(regexp_replace(regexp_replace(kept_text,
+               '__EMAIL__', '<EMAIL>', 'g'),
+               '__URL__', '<URL>', 'g'),
+               '__PHONE__', '<PHONE>', 'g') AS rtext
+      FROM per_doc WHERE kept_toks >= 9
     )
     SELECT * FROM (
       SELECT 0 AS stage_idx, 'records' AS stage,
              CAST(24 * 3 AS BIGINT) AS n_rows,
-             CAST(NULL AS BIGINT) AS n_tokens
+             CAST(NULL AS BIGINT) AS n_tokens,
+             CAST(NULL AS BIGINT) AS n_chars
       UNION ALL
       SELECT 1, 'http200', (SELECT COUNT(*) FROM ok),
-             CAST(NULL AS BIGINT)
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
       UNION ALL
       SELECT 2, 'extracted', (SELECT COUNT(*) FROM ok),
-             (SELECT SUM(toks) FROM sent_tok)
+             (SELECT SUM(toks) FROM full_doc),
+             (SELECT SUM(length(text)) FROM full_doc)
       UNION ALL
       SELECT 3, 'url_dedup', (SELECT COUNT(*) FROM url_kept),
-             (SELECT SUM(all_toks) FROM per_doc)
+             (SELECT SUM(all_toks) FROM per_doc),
+             (SELECT SUM(length(all_text)) FROM per_doc)
       UNION ALL
       SELECT 4, 'sentence_dedup', (SELECT COUNT(*) FROM url_kept),
-             (SELECT SUM(kept_toks) FROM per_doc)
+             (SELECT SUM(kept_toks) FROM per_doc),
+             (SELECT SUM(length(kept_text)) FROM per_doc)
       UNION ALL
       SELECT 5, 'quality',
              (SELECT COUNT(*) FROM per_doc WHERE kept_toks >= 9),
-             (SELECT SUM(kept_toks) FROM per_doc WHERE kept_toks >= 9)
+             (SELECT SUM(kept_toks) FROM per_doc WHERE kept_toks >= 9),
+             (SELECT SUM(length(kept_text)) FROM per_doc
+              WHERE kept_toks >= 9)
+      UNION ALL
+      SELECT 6, 'redact', (SELECT COUNT(*) FROM redacted),
+             (SELECT SUM(CAST(len(string_split(rtext, ' ')) AS BIGINT))
+              FROM redacted),
+             (SELECT SUM(length(rtext)) FROM redacted)
     ) ORDER BY stage_idx
-"""
+""".replace(
+    "__EMAIL__", tx.PII_PATTERNS["email"]
+).replace(
+    "__URL__", tx.PII_PATTERNS["url"]
+).replace(
+    "__PHONE__", tx.PII_PATTERNS["phone"]
+)
 
 @register(
     "q_crawl_curation",
@@ -912,8 +951,11 @@ _CURATION_ORACLE = """
     "URL exact-dedup (first spelling wins after canonicalization "
     "unifies case/port/param-order variants) -> corpus-wide sentence "
     "exact-dedup over split_sentences (the planted boilerplate "
-    "sentence survives exactly once) -> token-count quality gate, "
-    "emitting one audit row per stage (rows in, tokens surviving). "
+    "sentence survives exactly once) -> token-count quality gate -> "
+    "typed PII redaction (redact_typed: the planted emails leave as "
+    "<EMAIL>, visible in the n_chars lane), "
+    "emitting one audit row per stage (rows in, tokens and chars "
+    "surviving). "
     "Certifying the COMPOSITION catches inter-operator contract "
     "drift no per-op oracle can — the fixture plants a drop for "
     "every stage. Plan shape: the Arrow parse pass runs ONCE into an "
@@ -968,6 +1010,9 @@ def q_crawl_curation(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumn(
         "toks", F.size(F.split(F.col("sentence"), " ")).cast("long")
     )
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("sent_idx", "sentence")
+    )
     per_doc = (
         ranked.groupBy("payload_id", "record_idx")
         .agg(
@@ -977,12 +1022,24 @@ def q_crawl_curation(spark: SparkSession, sf: str) -> DataFrame:
                 )
             ).alias("kept_toks"),
             F.sum("toks").alias("all_toks"),
+            # reassemble the doc from its surviving sentences, in
+            # original order (collect_list drops the rn>1 NULLs)
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.sentence,
+                ),
+                " ",
+            ).alias("kept_text"),
         )
         .localCheckpoint(eager=True)
     )
     quality = per_doc.filter(F.col("kept_toks") >= 9)
+    red = quality.select(
+        tx.redact_typed(F.col("kept_text")).alias("rtext")
+    )
 
-    def stage(idx, name, frame, tokens_col):
+    def stage(idx, name, frame, tokens_col, chars_col):
         return frame.agg(
             F.lit(idx).cast("long").alias("stage_idx"),
             F.lit(name).alias("stage"),
@@ -992,16 +1049,26 @@ def q_crawl_curation(spark: SparkSession, sf: str) -> DataFrame:
                 if tokens_col is not None
                 else F.lit(None).cast("long")
             ).alias("n_tokens"),
+            (
+                F.sum(F.length(chars_col)).cast("long")
+                if chars_col is not None
+                else F.lit(None).cast("long")
+            ).alias("n_chars"),
         )
 
     return (
-        stage(0, "records", recs, None)
-        .unionAll(stage(1, "http200", ok, None))
-        .unionAll(stage(2, "extracted", ext, "n_tokens"))
+        stage(0, "records", recs, None, None)
+        .unionAll(stage(1, "http200", ok, None, None))
+        .unionAll(stage(2, "extracted", ext, "n_tokens", "text"))
         .unionAll(stage(3, "url_dedup", kept_docs,
                         F.size(F.split(F.col("text"), " "))
-                        .cast("long")))
-        .unionAll(stage(4, "sentence_dedup", per_doc, "kept_toks"))
-        .unionAll(stage(5, "quality", quality, "kept_toks"))
+                        .cast("long"), "text"))
+        .unionAll(stage(4, "sentence_dedup", per_doc, "kept_toks",
+                        "kept_text"))
+        .unionAll(stage(5, "quality", quality, "kept_toks",
+                        "kept_text"))
+        .unionAll(stage(6, "redact", red,
+                        F.size(F.split(F.col("rtext"), " "))
+                        .cast("long"), "rtext"))
         .orderBy("stage_idx")
     )

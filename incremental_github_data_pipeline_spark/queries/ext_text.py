@@ -859,6 +859,100 @@ def q_doc_pii_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PHONE_PAT = tx.PII_PATTERNS["phone"]
+_PII_REDACT_SQL = """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com via https://ex.org/d/'
+                  || CAST(doc_id AS VARCHAR)
+                  || ' or call +1 (555) 010-9'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS t0
+      FROM documents
+    ),
+    staged AS (
+      -- the same sequential lanes the transform applies: email first,
+      -- then url on the email-redacted text, then phone — counts are
+      -- what each lane actually replaced
+      SELECT doc_id, t0,
+             regexp_replace(t0, '__EMAIL__', '<EMAIL>', 'g') AS t1
+      FROM aug
+    ),
+    staged2 AS (
+      SELECT *, regexp_replace(t1, '__URL__', '<URL>', 'g') AS t2
+      FROM staged
+    ),
+    staged3 AS (
+      SELECT *, regexp_replace(t2, '__PHONE__', '<PHONE>', 'g') AS t3
+      FROM staged2
+    )
+    SELECT doc_id, t3 AS redacted,
+           CAST(len(regexp_extract_all(t0, '__EMAIL__')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t1, '__URL__')) AS BIGINT)
+             AS n_urls,
+           CAST(len(regexp_extract_all(t2, '__PHONE__')) AS BIGINT)
+             AS n_phones,
+           CAST(length(t0) - length(t3) AS BIGINT) AS chars_removed
+    FROM staged3 ORDER BY doc_id
+""".replace("__EMAIL__", _EMAIL_PAT).replace("__URL__", _URL_PAT).replace(
+    "__PHONE__", _PHONE_PAT
+)
+
+
+@register(
+    "q_doc_pii_redact",
+    oracle=_PII_REDACT_SQL,
+    doc="PII redaction transform (r12, operators.text.redact_typed): "
+    "q_doc_pii_audit COUNTS PII; this actually removes it, emitting "
+    "the full redacted corpus with typed placeholders "
+    "(<EMAIL>/<URL>/<PHONE>) plus per-lane replacement counts and the "
+    "char delta — the curation-funnel stage a shipped training corpus "
+    "needs. Deterministic doc_id-derived email+url+phone plants make "
+    "every lane fire; the WHOLE redacted string hash-compares "
+    "cross-engine (not just counts), and lanes apply in email→url→"
+    "phone order so an address inside a URL is never double-eaten. "
+    "Chained regexp_replace, codegen-side, scan-stage at 100 TB.",
+)
+def q_doc_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.org/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or call +1 (555) 010-9"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+    )
+    staged = d.select(
+        "doc_id",
+        aug.alias("t0"),
+        F.regexp_replace(aug, _EMAIL_PAT, "<EMAIL>").alias("t1"),
+    )
+    staged = staged.withColumn(
+        "t2", F.regexp_replace(F.col("t1"), _URL_PAT, "<URL>")
+    )
+    staged = staged.withColumn(
+        "t3", F.regexp_replace(F.col("t2"), _PHONE_PAT, "<PHONE>")
+    )
+    return staged.select(
+        "doc_id",
+        F.col("t3").alias("redacted"),
+        F.regexp_count(F.col("t0"), F.lit(_EMAIL_PAT))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(F.col("t1"), F.lit(_URL_PAT))
+        .cast("long")
+        .alias("n_urls"),
+        F.regexp_count(F.col("t2"), F.lit(_PHONE_PAT))
+        .cast("long")
+        .alias("n_phones"),
+        (F.length("t0") - F.length("t3")).cast("long")
+        .alias("chars_removed"),
+    ).orderBy("doc_id")
+
+
 _LM_SCORE_SQL = """
     WITH arrs AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr

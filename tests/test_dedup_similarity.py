@@ -185,6 +185,33 @@ def test_redact_and_counts(spark):
     assert (row["email"], row["url"], row["phone"]) == (1, 1, 0)
 
 
+def test_redact_typed_placeholders_and_lane_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a.b@example.com then https://x.io/p then +1 555-010-9999"),
+            (2, "clean text with no pii at all"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["red"]
+        for r in df.select(
+            "id", tx.redact_typed("text").alias("red")
+        ).collect()
+    }
+    assert got[1] == "<EMAIL> then <URL> then <PHONE>"
+    assert got[2] == "clean text with no pii at all"
+    # email-inside-URL: the email lane fires first (inside the URL),
+    # then the url lane eats what remains — nothing is double-counted
+    # and no raw address survives
+    df2 = spark.createDataFrame(
+        [(1, "see https://x.io/u?mail=a.b@example.com ok")],
+        "id long, text string",
+    )
+    red = df2.select(tx.redact_typed("text").alias("r")).collect()[0]["r"]
+    assert "@" not in red and red.endswith(" ok")
+
+
 def test_assign_split_fractions(spark):
     df = spark.range(1000).select(F.col("id"))
     got = {
