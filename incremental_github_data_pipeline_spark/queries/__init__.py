@@ -104,6 +104,7 @@ _CERTIFY_FIRST = [
     "q_media_exif_stats",
     "q_crawl_curation",
     "q_doc_pii_redact",
+    "q_skew_mitigated_join",
 ]
 
 
