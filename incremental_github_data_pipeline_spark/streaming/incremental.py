@@ -2055,3 +2055,167 @@ def profile_versioned(
     log = read_version(spark, table_root, version=version)
     hist = log.groupBy("column", "_v").agg(F.sum("_n").alias("_n"))
     return profile_from_hist(hist)
+
+
+def run_incremental_cc_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    table_root: str,
+    checkpoint: str,
+    schema: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> None:
+    """Incremental CONNECTED-COMPONENTS maintenance (r12) — the graph
+    lane that gates near-dup clustering at scale
+    (``dedup.connected_components`` is the batch twin): watch a
+    directory of edge shards and keep the per-node component labeling
+    (component = MIN node id, the batch twin's exact contract) current
+    under edge arrival, without ever re-running CC over history.
+
+    The sufficient statistic is the labeling itself, and it merges
+    algebraically: map each batch edge through the CURRENT labels
+    (new nodes label themselves), run the batch CC on that
+    CONTRACTED graph — O(batch) super-nodes, never corpus-sized —
+    and the min-label fold over super-nodes IS the new labeling,
+    because min is associative over the merged node-id sets. The
+    state table is an APPEND LOG of (id, component, _seq) upserts:
+    a batch appends only NEW nodes plus members of components whose
+    label actually changed (when a big and a small component merge,
+    the side keeping the min writes nothing) — O(batch + affected
+    components) appended rows. Serving keeps the last upsert per id.
+
+    Per-batch cost: one column-pruned fold-read of the label log (the
+    versioned store's compaction keeps it proportional to live
+    nodes), O(batch) contraction + batch-sized CC, O(affected)
+    append. Exactly-once: ``txn_id = cc-ingest:<checkpoint>:
+    <batch_id>`` makes replayed batches no-ops, and the upsert log is
+    insensitive to re-appending an identical relabeling (last-writer
+    -wins serving folds duplicates away)."""
+    from incremental_github_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+        latest_version,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        edges = (
+            batch_df.select(
+                F.col(id_a).alias("_a"), F.col(id_b).alias("_b")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if latest_version(table_root) is not None:
+            cur = cc_versioned(spark, table_root).localCheckpoint(
+                eager=True
+            )
+        else:
+            cur = (
+                edges.select(F.col("_a").alias("id"))
+                .limit(0)
+                .withColumn("component", F.col("id"))
+            )
+        # resolve batch endpoints through the current labeling; a node
+        # the state has never seen labels itself
+        la = edges.join(
+            cur.withColumnRenamed("id", "_a").withColumnRenamed(
+                "component", "_la"
+            ),
+            "_a",
+            "left",
+        )
+        both = la.join(
+            cur.withColumnRenamed("id", "_b").withColumnRenamed(
+                "component", "_lb"
+            ),
+            "_b",
+            "left",
+        ).select(
+            F.coalesce("_la", "_a").alias("la"),
+            F.coalesce("_lb", "_b").alias("lb"),
+            "_a",
+            "_b",
+        ).localCheckpoint(eager=True)
+        contracted = both.filter(F.col("la") != F.col("lb")).select(
+            F.col("la").alias("id_a"), F.col("lb").alias("id_b")
+        )
+        if contracted.take(1):
+            sup = connected_components(
+                contracted, "id_a", "id_b"
+            ).localCheckpoint(eager=True)
+        else:
+            sup = both.select(F.col("la").alias("id")).limit(
+                0
+            ).withColumn("component", F.col("id"))
+        relabel = sup.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("_old"), F.col("component").alias("_new")
+        )
+        # (a) members of components whose label changed
+        changed_members = cur.join(
+            F.broadcast(relabel), cur.component == F.col("_old")
+        ).select("id", F.col("_new").alias("component"))
+        # (b) batch nodes the state has never seen, at their final label
+        batch_nodes = (
+            both.select(F.col("_a").alias("id"), F.col("la").alias("l"))
+            .unionAll(
+                both.select(F.col("_b").alias("id"), F.col("lb").alias("l"))
+            )
+            .distinct()
+            .join(cur.select(F.col("id").alias("_seen")),
+                  F.col("id") == F.col("_seen"), "left_anti")
+        )
+        new_rows = batch_nodes.join(
+            F.broadcast(relabel), batch_nodes.l == F.col("_old"), "left"
+        ).select(
+            "id", F.coalesce("_new", "l").alias("component")
+        )
+        upserts = changed_members.unionByName(new_rows).withColumn(
+            "_seq", F.lit(batch_id).cast("long")
+        )
+        if not upserts.take(1):
+            return
+        commit_version(
+            upserts,
+            table_root,
+            mode="append",
+            txn_id=f"cc-ingest:{checkpoint}:{batch_id}",
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def cc_versioned(
+    spark: SparkSession, table_root: str, version: int | None = None
+) -> DataFrame:
+    """Serve the connected-components labeling at any version: fold the
+    upsert log last-writer-wins per node (one window over the
+    column-pruned log — O(log), never re-reads edges). Returns
+    ``(id, component)``, bit-identical to
+    ``dedup.connected_components`` over every edge ingested up to
+    ``version``."""
+    from pyspark.sql import Window
+
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        read_version,
+    )
+
+    log = read_version(spark, table_root, version=version)
+    w = Window.partitionBy("id").orderBy(F.col("_seq").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "component")
+    )

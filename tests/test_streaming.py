@@ -1628,3 +1628,77 @@ def test_incremental_profile_ingest_matches_batch_profile(spark, tmp_path):
     assert snap(profile_versioned(spark, root, version=v1)) == snap(
         column_profile(b1, ["cat", "n"])
     )
+
+
+def test_incremental_cc_ingest_equals_one_shot_and_time_travels(
+    spark, tmp_path
+):
+    """Incremental connected components (r12): N-increment labeling ≡
+    dedup.connected_components over everything ingested, through the
+    versioned upsert log — including the hard topologies: a batch-2
+    edge merging two batch-1 components (the absorbed side relabels),
+    a LATER-arriving node smaller than an existing component's min
+    (the whole old component relabels to the new min), and a chain
+    merge through a fresh component. Replays are no-ops; time travel
+    serves the labeling as of each batch."""
+    from incremental_github_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        latest_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        cc_versioned,
+        run_incremental_cc_ingest,
+    )
+
+    src = tmp_path / "edges"
+    root = str(tmp_path / "cc")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id_a long, id_b long"
+    batches = [
+        [(1, 2), (5, 6), (10, 11)],
+        [(2, 5), (20, 21)],  # merge {1,2}+{5,6}; fresh {20,21}
+        [(0, 10), (6, 20)],  # new min 0 relabels {10,11}; chain merge
+    ]
+
+    def labels(df):
+        return {(r["id"], r["component"]) for r in df.collect()}
+
+    seen: list[tuple[int, int]] = []
+    versions = []
+    for b in batches:
+        seen.extend(b)
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        run_incremental_cc_ingest(
+            spark, str(src), root, ckpt, schema
+        )
+        versions.append(latest_version(root))
+        want = labels(
+            connected_components(
+                spark.createDataFrame(seen, schema), "id_a", "id_b"
+            )
+        )
+        assert labels(cc_versioned(spark, root)) == want
+
+    # replay: the availableNow rerun sees no new files -> no version
+    run_incremental_cc_ingest(spark, str(src), root, ckpt, schema)
+    assert latest_version(root) == versions[-1]
+
+    # time travel: the batch-2 state is CC of the first two batches
+    mid = labels(
+        connected_components(
+            spark.createDataFrame(
+                batches[0] + batches[1], schema
+            ),
+            "id_a",
+            "id_b",
+        )
+    )
+    assert labels(cc_versioned(spark, root, version=versions[1])) == mid
+    # final spot check: one component {1,2,5,6,20,21} -> 1, {0,10,11} -> 0
+    final = dict(labels(cc_versioned(spark, root)))
+    assert final == {1: 1, 2: 1, 5: 1, 6: 1, 20: 1, 21: 1,
+                     0: 0, 10: 0, 11: 0}
