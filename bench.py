@@ -276,6 +276,30 @@ BENCH_QUERIES = [
     "q_parquet_layout",
     # degree-pair OLS over the undirected edge view
     "q_graph_assortativity",
+    # round-12 new operators, benched from first appearance: the G4
+    # bilevel lane rides the (changed) TIFF row above; EXIF orientation
+    # (APP1 IFD parse + upright permutation per JPEG), the 7-stage
+    # crawl-curation funnel (one Arrow parse + bounded shuffles), the
+    # typed-redaction full-corpus rewrite (3 regexp lanes/doc), and the
+    # advisory-driven salted join (decision collect + 64-way salt)
+    "q_media_exif_stats",
+    "q_crawl_curation",
+    "q_doc_pii_redact",
+    "q_skew_mitigated_join",
+    # round-12 additions (VERDICT r11 task 7 second half): the largest
+    # certified-but-unbenched REGISTRY families — the remaining TPC-H
+    # join/agg shapes and the relational agg/window rows, so every
+    # family has round-over-round visibility
+    "q02_best_supplier",
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q11_important_parts",
+    "q_cube",
+    "q_rollup",
+    "q_distinct_agg",
+    "q_window_running_total",
 ]
 
 
@@ -368,16 +392,203 @@ def _run_versioned_restore(spark, root: str) -> None:
     read_version(spark, root).count()
 
 
+_SEARCH_STATE: dict = {}
+
+
+def _setup_search_serving(spark, sf_dir: str) -> dict:
+    """Build the BM25 and ANN versioned indexes once (3 increments
+    each, the incremental-ingest lifecycle) plus an 8-row hybrid query
+    set — shared by the three search-serving lanes; setup only, never
+    timed."""
+    if _SEARCH_STATE:
+        return _SEARCH_STATE
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from incremental_github_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        run_incremental_ann_ingest,
+        run_incremental_index_ingest,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_search_")
+    _BENCH_TMP.append(tmp)
+    docs_src, idx_root = f"{tmp}/docs", f"{tmp}/index"
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(3):
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
+            2
+        ).write.mode("append").parquet(docs_src)
+        run_incremental_index_ingest(
+            spark, docs_src, idx_root, f"{tmp}/idx_ckpt"
+        )
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    ann_src, ann_root = f"{tmp}/emb", f"{tmp}/ann"
+    os.makedirs(ann_src, exist_ok=True)
+    rows = emb.collect()  # setup-only; 2k vectors at sf0.1
+    third = -(-len(rows) // 3)
+    for i in range(3):
+        with open(f"{ann_src}/s{i}.jsonl", "w") as fh:
+            for r in rows[i * third : (i + 1) * third]:
+                fh.write(
+                    _json.dumps(
+                        {"vec_id": r["vec_id"],
+                         "embedding": list(r["embedding"])}
+                    )
+                    + "\n"
+                )
+        run_incremental_ann_ingest(
+            spark, ann_src, ann_root, f"{tmp}/pq_model", f"{tmp}/ann_ckpt"
+        )
+    qdocs = docs.orderBy("doc_id").limit(8).collect()
+    qembs = {r["vec_id"]: r["embedding"] for r in rows[:8]}
+    _SEARCH_STATE.update(
+        index_root=idx_root,
+        ann_root=ann_root,
+        queries=[
+            (
+                int(i),
+                " ".join(str(qdocs[i]["text"]).split()[:3]),
+                [float(x) for x in qembs[i]],
+            )
+            for i in range(8)
+        ],
+    )
+    return _SEARCH_STATE
+
+
+def _queries_df(spark, state):
+    return spark.createDataFrame(
+        state["queries"],
+        "query_id long, qtext string, embedding array<double>",
+    )
+
+
+def _run_bm25_serving(spark, state) -> None:
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        bm25_search_versioned,
+    )
+
+    bm25_search_versioned(
+        spark, state["index_root"], _queries_df(spark, state), k=5
+    ).count()
+
+
+def _run_ann_serving(spark, state) -> None:
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        ann_search_versioned,
+    )
+
+    ann_search_versioned(
+        spark, state["ann_root"], _queries_df(spark, state), k=10
+    ).count()
+
+
+def _run_hybrid_serving(spark, state) -> None:
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        hybrid_search_versioned,
+    )
+
+    hybrid_search_versioned(
+        spark,
+        state["index_root"],
+        state["ann_root"],
+        _queries_df(spark, state),
+        k=10,
+    ).count()
+
+
+def _setup_warehouse_merge(spark, sf_dir: str) -> dict:
+    """Embedded-Derby warehouse with the full events table loaded; the
+    timed region is a 10%-slice MERGE (stage write + server-side
+    MERGE INTO), replayed identically each pass (idempotent)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from incremental_github_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+    from incremental_github_data_pipeline_spark.sources.warehouse import (
+        Warehouse,
+        derby_url,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_wh_")
+    _BENCH_TMP.append(tmp)
+    wh = Warehouse(spark, derby_url(f"{tmp}/db"))
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    wh.merge_upsert(ev, "events_t", ["event_id"])
+    batch = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0)
+    return {"wh": wh, "batch": batch}
+
+
+def _run_warehouse_merge(spark, state) -> None:
+    state["wh"].merge_upsert(state["batch"], "events_t", ["event_id"])
+
+
+def _setup_expectations(spark, sf_dir: str) -> dict:
+    from incremental_github_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+
+    return {
+        "events": read_table(spark, sf_dir, "events"),
+        "customer": read_table(spark, sf_dir, "customer"),
+    }
+
+
+def _run_expectations(spark, state) -> None:
+    from pyspark.sql import functions as F
+
+    from incremental_github_data_pipeline_spark.plans.expectations import (
+        Check,
+        ForeignKey,
+        Unique,
+        evaluate,
+        not_null,
+    )
+
+    audit = evaluate(
+        state["events"],
+        [
+            not_null("nn_core", "event_id", "user_id", "value"),
+            Check("nonneg_value", F.col("value") >= 0),
+            Unique("uq_event", ("event_id",)),
+            ForeignKey(
+                "fk_user", ("user_id",), state["customer"], ("c_custkey",)
+            ),
+        ],
+    )
+    audit.count()
+
+
 # Non-registry lanes (VERDICT r10 task 6): the versioned-store serving
 # paths have no (spark, sf)->DataFrame query shape — they need a
 # writable table built first — so they bench through setup/run pairs.
 # Setup runs once per lane OUTSIDE the timed region; the timed region
 # is the serving fold / the RESTORE commit + snapshot read. RESTORE
 # appends one version per pass (4 passes) — O(manifest) each, which is
-# exactly the cost being measured.
+# exactly the cost being measured. r12 (VERDICT r11 task 7): the
+# search-serving trio (BM25 / ANN / hybrid over incrementally-built
+# indexes — one shared setup), the warehouse MERGE slice, and the
+# expectations audit join the lane list.
 EXTRA_LANES = [
     ("x_drift_serving", _setup_drift_serving, _run_drift_serving),
     ("x_versioned_restore", _setup_versioned_restore, _run_versioned_restore),
+    ("x_bm25_serving", _setup_search_serving, _run_bm25_serving),
+    ("x_ann_serving", _setup_search_serving, _run_ann_serving),
+    ("x_hybrid_serving", _setup_search_serving, _run_hybrid_serving),
+    ("x_warehouse_merge", _setup_warehouse_merge, _run_warehouse_merge),
+    ("x_expectations", _setup_expectations, _run_expectations),
 ]
 _BENCH_TMP: list[str] = []
 
