@@ -300,6 +300,10 @@ BENCH_QUERIES = [
     "q_rollup",
     "q_distinct_agg",
     "q_window_running_total",
+    # round-12 late additions, benched from first appearance: the
+    # 3-round min-plus BFS relaxation and the DP noisy-count lattice
+    "q_graph_bfs",
+    "q_privacy_dp_counts",
 ]
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "dp_noisy_counts",
     "generalize_to_k",
     "k_anonymity_report",
     "suppress_small_classes",
@@ -281,4 +282,66 @@ def t_closeness_from_counts(
         terms.withColumn("emd_ppm", emd)
         .withColumn("t_violation", F.col("emd_ppm") > t_ppm)
         .select(*quasi, "class_size", "emd_ppm", "t_violation")
+    )
+
+
+# Truncated discrete-Laplace lattice (r12): alpha = 1/2 (epsilon = ln 2
+# per unit sensitivity), magnitudes 0..8, probabilities expressed over
+# a denominator-768 integer lattice so the inverse-CDF walk is EXACT —
+# thresholds are cumulative masses 256, 512, 640, 704, 736, 752, 760,
+# 764 (tail mass folds into magnitude 8, the standard bounded-noise
+# truncation). P(0) = 1/3, P(±k) = (1/3)/2^k each.
+_DP_THRESHOLDS = [256, 512, 640, 704, 736, 752, 760, 764]
+_DP_DEN = 768
+_DP_HASH_MULT = 2654435761  # Knuth multiplicative (engine-portable)
+_DP_HASH_MOD = 2**31
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Differentially-private-shaped noisy counts (r12): per-group row
+    counts plus TRUNCATED DISCRETE LAPLACE noise (two-sided geometric,
+    alpha = 1/2 ⇒ epsilon = ln 2 per unit sensitivity, magnitudes
+    clipped at 8 — the bounded-geometric mechanism production DP
+    libraries ship), clamped at zero — the release-gating aggregate a
+    training-data pipeline publishes instead of raw counts.
+
+    The noise is DETERMINISTIC pseudo-noise: a Knuth multiplicative
+    hash of (group key, seed) drives an exact inverse-CDF walk over a
+    denominator-768 integer lattice (alpha = 1/2 makes every tail
+    probability dyadic, so the lattice is exact — no float, no
+    transcendental), which is what lets an iterative-free SQL oracle
+    replay every noisy count bit-for-bit. Determinism-per-seed is
+    also operationally right: re-running a release job must not leak
+    a fresh noise draw per run (the averaging attack); rotate
+    ``seed`` only across genuinely new releases.
+
+    ``group_col`` must be integral (hash portability across engines);
+    map string keys upstream. One map-combined aggregate; noise is
+    scan-free column math on the group row. Returns
+    ``(group, n_noisy)`` — deliberately NOT the true count."""
+    g = F.col(group_col)
+    h = F.pmod(
+        g * F.lit(_DP_HASH_MULT) + F.lit(int(seed) * 97531),
+        F.lit(_DP_HASH_MOD),
+    )
+    r = F.pmod(h, F.lit(_DP_DEN))
+    mag = F.lit(8)
+    for k in range(len(_DP_THRESHOLDS) - 1, -1, -1):
+        mag = F.when(r < _DP_THRESHOLDS[k], F.lit(k)).otherwise(mag)
+    sign = F.when(
+        F.pmod(F.floor(h / _DP_DEN), F.lit(2)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            group_col,
+            F.greatest(
+                F.lit(0), (F.col("_n") + sign * mag).cast("long")
+            ).alias("n_noisy"),
+        )
     )

@@ -105,6 +105,8 @@ _CERTIFY_FIRST = [
     "q_crawl_curation",
     "q_doc_pii_redact",
     "q_skew_mitigated_join",
+    "q_graph_bfs",
+    "q_privacy_dp_counts",
 ]
 
 

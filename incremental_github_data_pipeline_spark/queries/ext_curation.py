@@ -913,27 +913,28 @@ _CURATION_ORACLE = """
              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
       UNION ALL
       SELECT 2, 'extracted', (SELECT COUNT(*) FROM ok),
-             (SELECT SUM(toks) FROM full_doc),
-             (SELECT SUM(length(text)) FROM full_doc)
+             (SELECT CAST(SUM(toks) AS BIGINT) FROM full_doc),
+             (SELECT CAST(SUM(length(text)) AS BIGINT) FROM full_doc)
       UNION ALL
       SELECT 3, 'url_dedup', (SELECT COUNT(*) FROM url_kept),
-             (SELECT SUM(all_toks) FROM per_doc),
-             (SELECT SUM(length(all_text)) FROM per_doc)
+             (SELECT CAST(SUM(all_toks) AS BIGINT) FROM per_doc),
+             (SELECT CAST(SUM(length(all_text)) AS BIGINT) FROM per_doc)
       UNION ALL
       SELECT 4, 'sentence_dedup', (SELECT COUNT(*) FROM url_kept),
-             (SELECT SUM(kept_toks) FROM per_doc),
-             (SELECT SUM(length(kept_text)) FROM per_doc)
+             (SELECT CAST(SUM(kept_toks) AS BIGINT) FROM per_doc),
+             (SELECT CAST(SUM(length(kept_text)) AS BIGINT) FROM per_doc)
       UNION ALL
       SELECT 5, 'quality',
              (SELECT COUNT(*) FROM per_doc WHERE kept_toks >= 9),
-             (SELECT SUM(kept_toks) FROM per_doc WHERE kept_toks >= 9),
-             (SELECT SUM(length(kept_text)) FROM per_doc
+             (SELECT CAST(SUM(kept_toks) AS BIGINT) FROM per_doc
+              WHERE kept_toks >= 9),
+             (SELECT CAST(SUM(length(kept_text)) AS BIGINT) FROM per_doc
               WHERE kept_toks >= 9)
       UNION ALL
       SELECT 6, 'redact', (SELECT COUNT(*) FROM redacted),
-             (SELECT SUM(CAST(len(string_split(rtext, ' ')) AS BIGINT))
-              FROM redacted),
-             (SELECT SUM(length(rtext)) FROM redacted)
+             (SELECT CAST(SUM(CAST(len(string_split(rtext, ' '))
+                AS BIGINT)) AS BIGINT) FROM redacted),
+             (SELECT CAST(SUM(length(rtext)) AS BIGINT) FROM redacted)
     ) ORDER BY stage_idx
 """.replace(
     "__EMAIL__", tx.PII_PATTERNS["email"]

@@ -713,3 +713,63 @@ def q_graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.lit("g").alias("k"), "x", "y")
     )
     return ols_integer(pairs, "k", "x", "y").drop("k")
+
+
+BFS_ROUNDS = 3
+BFS_SEEDS = [s for s in range(N) if s % 97 == 0]
+_BFS_INF = 10**9
+
+
+def _bfs_oracle() -> str:
+    """Unrolled min-plus relaxation: the same recurrence bfs_levels
+    runs, one CTE stage per round, sentinel INF for unreached."""
+    steps = []
+    for t in range(1, BFS_ROUNDS + 1):
+        prev = f"d{t - 1}"
+        steps.append(
+            f"""d{t} AS (
+      SELECT n.node,
+             LEAST(p.level, COALESCE(m.minin, {_BFS_INF})) AS level
+      FROM nodes n
+      JOIN {prev} p USING (node)
+      LEFT JOIN (
+        SELECT e.dst AS node, MIN(p.level + 1) AS minin
+        FROM e JOIN {prev} p ON p.node = e.src
+        GROUP BY 1
+      ) m USING (node)
+    )"""
+        )
+    return f"""
+    WITH nodes AS (SELECT range AS node FROM range({N})),
+    e AS ({_EDGE_SQL}),
+    d0 AS (
+      SELECT node,
+             CASE WHEN node % 97 = 0 THEN 0 ELSE {_BFS_INF} END AS level
+      FROM nodes
+    ),
+    {",".join(steps)}
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(CASE WHEN level < {_BFS_INF} THEN level END AS BIGINT)
+             AS level
+    FROM d{BFS_ROUNDS} ORDER BY node
+    """
+
+
+@register(
+    "q_graph_bfs",
+    oracle=_bfs_oracle(),
+    doc="Multi-source BFS levels (r12, operators/graph.bfs_levels): "
+    "distance from the nearest seed (every 97th node) following "
+    "directed edges, exact up to 3 hops, NULL beyond the budget — the "
+    "reachability/decontamination primitive (how far a flagged page's "
+    "influence travels through the link graph). Min-plus label "
+    "relaxation with a sentinel-INF integer lane, so the whole "
+    "trajectory unrolls as CTE stages and hash-compares exactly, "
+    "including the unreached-NULL frontier. One aggregate shuffle per "
+    "round + per-round localCheckpoint (the sweep-20 flat-plan "
+    "contract shared by all four iterative graph loops).",
+)
+def q_graph_bfs(spark: SparkSession, sf: str) -> DataFrame:
+    return g_ops.bfs_levels(
+        _edges(spark), N, seeds=BFS_SEEDS, rounds=BFS_ROUNDS
+    ).orderBy("node")

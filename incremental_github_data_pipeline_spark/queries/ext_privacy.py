@@ -253,3 +253,58 @@ def q_privacy_tcloseness(spark: SparkSession, sf: str) -> DataFrame:
         ordered=True,
     )
     return report.orderBy("c_mktsegment")
+
+
+_DP_CASE = (
+    "CASE WHEN r < 256 THEN 0 WHEN r < 512 THEN 1 WHEN r < 640 THEN 2 "
+    "WHEN r < 704 THEN 3 WHEN r < 736 THEN 4 WHEN r < 752 THEN 5 "
+    "WHEN r < 760 THEN 6 WHEN r < 764 THEN 7 ELSE 8 END"
+)
+
+
+@register(
+    "q_privacy_dp_counts",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id % 50 AS grp, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    h AS (
+      SELECT grp, n,
+             (grp * 2654435761 + 7 * 97531) % 2147483648 AS h
+      FROM c
+    ),
+    m AS (
+      SELECT grp, n, h % 768 AS r,
+             CASE WHEN (h // 768) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM h
+    )
+    SELECT CAST(grp AS BIGINT) AS grp,
+           CAST(GREATEST(0, n + sgn * ({_DP_CASE})) AS BIGINT)
+             AS n_noisy
+    FROM m ORDER BY grp
+    """,
+    doc="Differentially-private-shaped noisy release counts (r12, "
+    "operators/privacy.dp_noisy_counts): per-group counts plus "
+    "truncated discrete Laplace noise (two-sided geometric, alpha = "
+    "1/2 i.e. epsilon = ln 2, magnitudes clipped at 8 — the bounded-"
+    "geometric mechanism production DP libraries ship), clamped at "
+    "zero. The noise is deterministic pseudo-noise per (group, seed): "
+    "a Knuth multiplicative hash drives an exact inverse-CDF walk "
+    "over a denominator-768 integer lattice (alpha = 1/2 makes every "
+    "tail dyadic — no float, no transcendental), so the oracle "
+    "replays every noisy count bit-for-bit; determinism per seed is "
+    "also what blocks the re-run averaging attack. Fourth rung of "
+    "the release ladder (k-anon -> l-div -> t-closeness -> noisy "
+    "aggregates). One map-combined aggregate; noise is column math "
+    "on the 50-row group frame.",
+)
+def q_privacy_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    ev = T(spark, sf, "events").select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("grp")
+    )
+    return dp_noisy_counts(ev, "grp", seed=7).orderBy("grp")

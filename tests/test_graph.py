@@ -330,3 +330,46 @@ def test_link_prediction_max_wedge_degree_drops_hub_paths(spark):
               link_prediction(e, max_wedge_degree=2).collect()}
     assert capped[(0, 1)] == 1000000 // 2  # hub wedge excluded
     assert (2, 3) in full and (2, 3) not in capped
+
+
+def test_bfs_levels_chain_and_budget(spark):
+    from incremental_github_data_pipeline_spark.operators.graph import (
+        bfs_levels,
+    )
+
+    # directed chain 0->1->2->3->4, plus an unreachable island 5->6
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)])
+    got = {
+        r["node"]: r["level"]
+        for r in bfs_levels(e, 7, seeds=[0], rounds=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: None, 5: None, 6: None}
+    # budget 10 reaches node 4; islands stay NULL
+    got10 = {
+        r["node"]: r["level"]
+        for r in bfs_levels(e, 7, seeds=[0], rounds=10).collect()
+    }
+    assert got10[4] == 4 and got10[5] is None
+
+
+def test_bfs_levels_multi_seed_takes_nearest_and_directedness(spark):
+    from incremental_github_data_pipeline_spark.operators.graph import (
+        bfs_levels,
+    )
+
+    # 0->1->2->3 and 5->3: node 3 is 1 hop from seed 5, not 3 from 0;
+    # edges are DIRECTED, so seed 5 does not reach 1 backwards
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (5, 3)])
+    got = {
+        r["node"]: r["level"]
+        for r in bfs_levels(e, 6, seeds=[0, 5], rounds=4).collect()
+    }
+    assert got[3] == 1
+    assert got[1] == 1 and got[2] == 2
+    assert got[4] is None
+    # zero rounds: seeds only
+    z = {
+        r["node"]: r["level"]
+        for r in bfs_levels(e, 6, seeds=[0, 5], rounds=0).collect()
+    }
+    assert z == {0: 0, 5: 0, 1: None, 2: None, 3: None, 4: None}

@@ -214,3 +214,50 @@ def test_t_closeness_ordered_sees_distance_categorical_cannot(spark):
     assert cat["a"] == cat["b"] == 250_000
     assert ordered["a"] == 125_000
     assert ordered["b"] == 250_000
+
+
+def test_dp_noisy_counts_lattice_and_determinism(spark):
+    from incremental_github_data_pipeline_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    # 400 groups x 100 rows each: true count everywhere 100
+    df = spark.range(40_000).select((F.col("id") % 400).alias("grp"))
+    got = {
+        r["grp"]: r["n_noisy"]
+        for r in dp_noisy_counts(df, "grp", seed=3).collect()
+    }
+    assert len(got) == 400
+    # truncated at magnitude 8, so every noisy count is within +-8
+    assert all(92 <= v <= 108 for v in got.values())
+    # alpha = 1/2: P(noise = 0) = 1/3 — empirically near 1/3 over the
+    # deterministic hash lattice
+    zeros = sum(1 for v in got.values() if v == 100)
+    assert 90 <= zeros <= 175
+    # both signs occur
+    assert any(v < 100 for v in got.values())
+    assert any(v > 100 for v in got.values())
+    # same seed: identical; different seed: a different draw
+    again = {
+        r["grp"]: r["n_noisy"]
+        for r in dp_noisy_counts(df, "grp", seed=3).collect()
+    }
+    assert again == got
+    other = {
+        r["grp"]: r["n_noisy"]
+        for r in dp_noisy_counts(df, "grp", seed=4).collect()
+    }
+    assert other != got
+
+
+def test_dp_noisy_counts_clamps_at_zero(spark):
+    from incremental_github_data_pipeline_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    # single-row groups: negative draws must clamp to 0, never go below
+    df = spark.range(400).select(F.col("id").alias("grp"))
+    vals = [
+        r["n_noisy"] for r in dp_noisy_counts(df, "grp", seed=1).collect()
+    ]
+    assert min(vals) == 0 and all(v >= 0 for v in vals)
