@@ -20,6 +20,8 @@ def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
     order preserved. ``r:*`` autodetects gzip/bzip2/xz wrapping — the
     .tar.gz shard is the common case. Directories/links are skipped
     (they carry no data); a malformed archive raises ValueError."""
+    import zlib
+
     try:
         with tarfile.open(fileobj=io.BytesIO(payload), mode="r:*") as tf:
             out = []
@@ -28,7 +30,11 @@ def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
                     f = tf.extractfile(m)
                     out.append((m.name, f.read() if f else b""))
             return out
-    except tarfile.TarError as e:
+    except (tarfile.TarError, zlib.error, EOFError) as e:
+        # zlib.error / EOFError: corrupt DEFLATE inside the gzip
+        # wrapper can escape tarfile's own ReadError net mid-read —
+        # normalize so on_error="skip" quarantines torn shards
+        # (same class as the r11-ADVICE warc fix)
         raise ValueError(f"bad tar payload: {e}") from None
 
 
@@ -37,6 +43,8 @@ def zip_members(payload: bytes) -> list[tuple[str, bytes]]:
     order. Stored and deflated entries both decode (stdlib zipfile);
     directory entries are skipped; a bad archive or a member whose CRC
     fails raises ValueError — torn shards fail loud."""
+    import zlib
+
     try:
         with zipfile.ZipFile(io.BytesIO(payload)) as zf:
             bad = zf.testzip()
@@ -47,8 +55,17 @@ def zip_members(payload: bytes) -> list[tuple[str, bytes]]:
                 for i in zf.infolist()
                 if not i.is_dir()
             ]
-    except zipfile.BadZipFile as e:
+    except (zipfile.BadZipFile, zlib.error, EOFError) as e:
+        # corrupt member DEFLATE streams raise raw zlib.error before
+        # the CRC check can catch them — normalize (r11-ADVICE class)
         raise ValueError(f"bad zip payload: {e}") from None
+    except NotImplementedError as e:
+        # zipfile raises this for flag/feature bytes corruption lands
+        # on (patched data, wild version-needed) as well as genuinely
+        # exotic features — either way the PAYLOAD is the problem, a
+        # quarantinable condition, not a code path worth crashing 100
+        # TB over
+        raise ValueError(f"unsupported zip feature: {e}") from None
 
 
 def archive_members(payload: bytes) -> list[tuple[str, bytes]]:

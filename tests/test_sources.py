@@ -448,3 +448,34 @@ def test_archive_ingest_mixed_content_and_skip(spark):
     }
     with _pytest.raises(Exception):
         archive_ingest(df).collect()
+
+
+def test_archive_members_normalize_every_corruption_to_valueerror():
+    """Single-byte corruption anywhere in a zip or tar.gz payload must
+    surface as ValueError — raw zlib.error / EOFError /
+    NotImplementedError escaping would crash archive_ingest's skip
+    mode on exactly the torn shards it exists for (the r11-ADVICE
+    class, closed for WARC/Avro and pinned here for archives)."""
+    import pytest as _pytest
+
+    from incremental_github_data_pipeline_spark.sources.archives import (
+        tar_build,
+        tar_members,
+        zip_build,
+        zip_members,
+    )
+
+    zp = zip_build([("a.txt", bytes(range(256)) * 40)])
+    tgz = tar_build([("a.txt", b"x" * 5000)], gz=True)
+    for payload, parse in ((zp, zip_members), (tgz, tar_members)):
+        for pos in range(20, len(payload) - 20, 3):
+            b = bytearray(payload)
+            b[pos] ^= 0xFF
+            try:
+                parse(bytes(b))
+            except ValueError:
+                pass  # the only legal failure type
+            except Exception as exc:  # pragma: no cover
+                _pytest.fail(
+                    f"pos {pos}: {type(exc).__name__} escaped: {exc}"
+                )
