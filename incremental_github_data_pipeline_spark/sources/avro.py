@@ -291,11 +291,17 @@ def avro_ingest(
                             f"Avro schema missing fields {missing}"
                         )
                 except (ValueError, KeyError, UnicodeDecodeError,
-                        zlib.error, struct.error, IndexError):
+                        zlib.error, struct.error, IndexError,
+                        NotImplementedError):
                     # struct.error / IndexError: in-block corruption that
                     # inflates the record count walks _decode_value off
                     # the buffer end — a framing violation the skip mode
                     # must quarantine, not crash on.
+                    # NotImplementedError: unsupported-codec guards fire
+                    # both for genuinely exotic files (snappy) and for
+                    # corruption landing on the codec name — either way
+                    # the PAYLOAD is unprocessable, the quarantinable
+                    # condition (the decode_stats precedent).
                     if on_error == "raise":
                         raise
                     continue
