@@ -304,6 +304,10 @@ BENCH_QUERIES = [
     # 3-round min-plus BFS relaxation and the DP noisy-count lattice
     "q_graph_bfs",
     "q_privacy_dp_counts",
+    # tracker-strip + canonicalize chain (pure expr URL rewrite) and
+    # the robots.txt gate (broadcast rules join + longest-match window)
+    "q_url_strip_tracking",
+    "q_robots_gate",
 ]
 
 

@@ -2352,6 +2352,174 @@ def canonicalize_url(col: Column | str) -> Column:
     )
 
 
+# Exact-name click/campaign identifiers stripped alongside the utm_*
+# prefix family — the tracker set every major list (AdGuard, uBlock,
+# browser "copy clean link" features) agrees on. Param NAMES only;
+# values never inspected.
+TRACKING_PARAM_NAMES = (
+    "fbclid", "gclid", "dclid", "msclkid", "twclid", "yclid",
+    "igshid", "mc_cid", "mc_eid", "wbraid", "gbraid", "_hsenc",
+    "_hsmi", "s_cid", "ref_src",
+)
+
+
+def strip_tracking_params(col: Column | str) -> Column:
+    """Remove tracking query parameters (r12) — the policy layer
+    :func:`canonicalize_url` documents as sitting above its mechanical
+    core: the ``utm_*`` campaign family by prefix plus the exact-name
+    click-id set (:data:`TRACKING_PARAM_NAMES`). Two spellings of the
+    same page that differ only in tracker params become one dedup key
+    when this composes with canonicalization (canonicalize-then-strip
+    is the fragment-safe order: the fragment is gone before the query
+    is parsed; already-sorted params stay sorted after filtering).
+    Parameter order is preserved (canonicalize owns ordering); a
+    query left empty loses its ``?``; URLs without a query pass
+    through untouched. Pure split/filter/join expressions,
+    codegen-side — scan-stage at 100 TB."""
+    u = F.col(col) if isinstance(col, str) else col
+    base = F.regexp_replace(u, r"\?.*$", "")
+    query = F.when(
+        u.contains("?"), F.regexp_replace(u, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+
+    def keep(p):
+        name = F.split(p, "=").getItem(0)
+        return ~(
+            name.startswith("utm_")
+            | name.isin(*TRACKING_PARAM_NAMES)
+        )
+
+    kept = F.filter(F.split(query, "&"), keep)
+    return F.when(query == "", u).otherwise(
+        F.concat(
+            base,
+            F.when(
+                F.size(kept) > 0,
+                F.concat(F.lit("?"), F.array_join(kept, "&")),
+            ).otherwise(F.lit("")),
+        )
+    )
+
+
+def parse_robots(text: str, agent: str = "*") -> list[dict]:
+    """Parse a robots.txt body into the rule list that applies to
+    ``agent`` (RFC 9309 essentials): ``#`` comments stripped,
+    consecutive ``User-agent`` lines share one group, the most
+    specific matching group wins (exact product token, else ``*``),
+    groups for the same agent merge, empty ``Disallow:`` is a no-op.
+    Each rule comes back as ``{"allow", "pattern", "regex", "plen"}``
+    with the path pattern pre-compiled to an anchored regex (``*`` →
+    ``.*``, trailing ``$`` honored) IN PYTHON — both engines then
+    match the same literal regex string, so pattern translation can
+    never drift cross-engine.
+
+    Driver-side by design: robots files are a per-HOST dimension
+    (model-sized at any corpus scale); the distributed piece is
+    :func:`robots_match`."""
+    import re as _re
+
+    groups: list[tuple[list[str], list[tuple[int, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[int, str]] = []
+    in_agents = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agents and cur_agents:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+            cur_agents.append(val.lower())
+            in_agents = True
+        elif key in ("allow", "disallow"):
+            in_agents = False
+            if val == "":
+                continue  # empty Disallow = no restriction
+            cur_rules.append((1 if key == "allow" else 0, val))
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    a = agent.lower()
+    exact = [r for ags, rs in groups if a in ags for r in rs]
+    wild = [r for ags, rs in groups if "*" in ags for r in rs]
+    chosen = exact if any(a in ags for ags, _ in groups) else wild
+
+    def to_regex(pattern: str) -> str:
+        anchored_end = pattern.endswith("$")
+        body = pattern[:-1] if anchored_end else pattern
+        rx = "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+        return "^" + rx + ("$" if anchored_end else "")
+
+    return [
+        {
+            "allow": allow,
+            "pattern": pat,
+            "regex": to_regex(pat),
+            "plen": len(pat),
+        }
+        for allow, pat in chosen
+    ]
+
+
+def robots_match(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_id: str = "url_id",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Distributed robots.txt gating (r12): which crawl paths may be
+    fetched, per RFC 9309 longest-match semantics. ``rules`` is the
+    per-host rule dimension (``host, allow, pattern, regex, plen`` —
+    the :func:`parse_robots` output exploded per host), model-sized
+    and broadcast; ``urls`` is the corpus-sized side and is touched by
+    exactly one broadcast join + one window.
+
+    Most-specific-match: among rules whose regex matches the path,
+    the LONGEST PATTERN (octet length, per the RFC — not matched-text
+    length) decides; ties go to Allow; hosts with no rules, and paths
+    matching nothing, are allowed. Returns ``(url_id, host, path,
+    allowed, matched_pattern)`` with ``matched_pattern`` NULL when
+    nothing matched."""
+    j = urls.select(url_id, host_col, path_col).join(
+        F.broadcast(rules), host_col, "left"
+    )
+    j = j.withColumn(
+        "_m",
+        F.when(
+            F.col("regex").isNotNull()
+            & F.expr(f"{path_col} rlike regex"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w = Window.partitionBy(url_id).orderBy(
+        F.col("_m").desc(),
+        F.col("plen").desc(),
+        F.col("allow").desc(),
+        F.col("pattern"),
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            url_id,
+            host_col,
+            path_col,
+            (
+                (F.col("_m") == 0)
+                | F.col("_m").isNull()
+                | (F.col("allow") == 1)
+            ).alias("allowed"),
+            F.when(F.col("_m") == 1, F.col("pattern")).alias(
+                "matched_pattern"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # WARC record parsing (r11): the container ONE stage before gzip_ingest's
 # WET member split — raw web crawls (Common Crawl, Internet Archive,

@@ -54,7 +54,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #       a CCITT Group 4 bilevel fixture; the JPEG lanes gained
 #       EXIF-orientation fixtures via the new q_media_exif_stats).
 # Queries registered after this window fills queue FIRST in r13 (none
-# yet — update this note if any register late).
+# yet — update this note if any register late). The r12 window is
+# exactly 50: 25 + 16 backlog + 9 new/changed-lane r12 rows.
 _CERTIFY_FIRST = [
     # -- (0) first driver rows (registered post-r11-window) --
     "q_embedding_matryoshka",
@@ -107,6 +108,8 @@ _CERTIFY_FIRST = [
     "q_skew_mitigated_join",
     "q_graph_bfs",
     "q_privacy_dp_counts",
+    "q_url_strip_tracking",
+    "q_robots_gate",
 ]
 
 

@@ -1166,3 +1166,223 @@ def q_skew_mitigated_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "q_url_strip_tracking",
+    oracle=r"""
+    WITH u0 AS (
+      SELECT doc_id,
+             'HTTPS://Host' || (doc_id % 5) || '.EX.COM/p' || (doc_id % 4)
+             || '?utm_source=s' || (doc_id % 3)
+             || CASE WHEN doc_id % 2 = 0 THEN '&id=' || doc_id ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '&fbclid=f' || doc_id ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '&keep=k' || (doc_id % 7) ELSE '' END
+             || CASE WHEN doc_id % 2 = 0 THEN '#f' || doc_id ELSE '' END
+               AS u
+      FROM documents WHERE doc_id < 400
+    ),
+    s1 AS (
+      SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM u0
+    ),
+    hp AS (
+      SELECT doc_id,
+             lower(regexp_extract(u,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(
+               regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+               '^([^/?]*)', 1)) AS hostport,
+             regexp_extract(
+               regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+               '^[^/?]*([^?]*)', 1) AS path,
+             CASE WHEN contains(u, '?')
+                  THEN regexp_replace(u, '^[^?]*\?', '')
+                  ELSE '' END AS q
+      FROM s1
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' || hostport ||
+             CASE WHEN path = '' THEN '/' ELSE path END AS base,
+             CASE WHEN q <> ''
+                  THEN array_to_string(list_sort(string_split(q, '&')),
+                                       '&')
+                  ELSE '' END AS q
+      FROM hp
+    ),
+    stripped AS (
+      SELECT doc_id, base,
+             list_filter(
+               string_split(q, '&'),
+               p -> NOT (starts_with(string_split(p, '=')[1], 'utm_')
+                         OR list_contains(
+                              ['fbclid','gclid','dclid','msclkid',
+                               'twclid','yclid','igshid','mc_cid',
+                               'mc_eid','wbraid','gbraid','_hsenc',
+                               '_hsmi','s_cid','ref_src'],
+                              string_split(p, '=')[1]))
+             ) AS kept
+      FROM canon WHERE q <> ''
+      UNION ALL
+      SELECT doc_id, base, [] FROM canon WHERE q = ''
+    )
+    SELECT doc_id,
+           base || CASE WHEN len(kept) > 0
+                        THEN '?' || array_to_string(kept, '&')
+                        ELSE '' END AS url
+    FROM stripped ORDER BY doc_id
+    """,
+    doc="Tracker-parameter stripping composed with canonicalization "
+    "(r12, operators/text.strip_tracking_params): the policy layer "
+    "canonicalize_url documents as above its mechanical core — utm_* "
+    "by prefix plus the exact-name click-id set (fbclid/gclid/...), "
+    "names only, values never inspected. Fixture URLs cycle trackers "
+    "mixed with real params, tracker-only queries (the '?' must "
+    "disappear entirely) and fragments; the FULL cleaned canonical "
+    "string hash-compares cross-engine. Pure split/filter/join "
+    "expressions — scan-stage at 100 TB, and the step that turns "
+    "dozens of tracker spellings of one page into one dedup key.",
+)
+def q_url_strip_tracking(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    u = F.concat(
+        F.lit("HTTPS://Host"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".EX.COM/p"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("?utm_source=s"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("&id="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("&fbclid=f"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("&keep=k"),
+                     (F.col("doc_id") % 7).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("#f"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    cleaned = tx.strip_tracking_params(tx.canonicalize_url(u))
+    return d.select("doc_id", cleaned.alias("url")).orderBy("doc_id")
+
+
+# Per-host robots.txt fixtures (the per-HOST dimension a crawler keeps):
+# h0 exercises prefix disallow + longer-allow override + the $ anchor;
+# h1 exercises longest-match between nested patterns and a wildcard;
+# h2 has no rules (everything allowed). Parsed ONCE at import by
+# parse_robots — both the Spark rules frame and the SQL VALUES embed
+# the SAME pre-compiled regex strings, so pattern translation cannot
+# drift cross-engine.
+_ROBOTS_TEXTS = {
+    "h0": (
+        "# test corpus robots\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok*\n"
+        "Disallow: /tmp$\n"
+    ),
+    "h1": (
+        "User-agent: otherbot\n"
+        "Disallow: /\n"
+        "User-agent: *\n"
+        "Disallow: /p\n"
+        "Allow: /p1/x*\n"
+        "Disallow: /p1/x9$\n"
+    ),
+    "h2": "User-agent: *\nDisallow:\n",
+}
+
+_ROBOT_RULES = [
+    (host, r["allow"], r["pattern"], r["regex"], r["plen"])
+    for host, text in sorted(_ROBOTS_TEXTS.items())
+    for r in tx.parse_robots(text, agent="*")
+]
+
+_ROBOT_RULES_SQL = ", ".join(
+    f"('{h}', {a}, '{p}', '{rx.replace(chr(92), chr(92) * 2)}', {pl})"
+    for h, a, p, rx, pl in _ROBOT_RULES
+)
+
+_ROBOT_PATHS_SQL = """
+      CASE CAST(doc_id % 6 AS INTEGER)
+        WHEN 0 THEN '/p1'
+        WHEN 1 THEN '/private/a'
+        WHEN 2 THEN '/private/ok/x'
+        WHEN 3 THEN '/tmp'
+        WHEN 4 THEN '/tmp2'
+        ELSE '/p1/x9' END
+"""
+
+
+@register(
+    "q_robots_gate",
+    oracle=f"""
+    WITH urls AS (
+      -- host decoupled from the path cycle ((doc_id // 6) % 3), so
+      -- every (host, path) combination occurs
+      SELECT doc_id AS url_id, 'h' || ((doc_id // 6) % 3) AS host,
+             {_ROBOT_PATHS_SQL} AS path
+      FROM documents WHERE doc_id < 300
+    ),
+    rules(host, allow, pattern, regex, plen) AS (
+      VALUES {_ROBOT_RULES_SQL}
+    ),
+    j AS (
+      SELECT u.url_id, u.host, u.path, r.allow, r.pattern, r.plen,
+             CASE WHEN r.regex IS NOT NULL
+                       AND regexp_matches(u.path, r.regex)
+                  THEN 1 ELSE 0 END AS m
+      FROM urls u LEFT JOIN rules r ON u.host = r.host
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY url_id
+        ORDER BY m DESC, plen DESC, allow DESC, pattern) AS rn
+      FROM j
+    )
+    SELECT url_id, host, path,
+           (m = 0 OR m IS NULL OR allow = 1) AS allowed,
+           CASE WHEN m = 1 THEN pattern END AS matched_pattern
+    FROM best WHERE rn = 1 ORDER BY url_id
+    """,
+    doc="robots.txt crawl gating (r12, operators/text.parse_robots + "
+    "robots_match): RFC 9309 longest-match semantics — among matching "
+    "rules the longest PATTERN wins (octet length, not matched-text "
+    "length), ties go to Allow, unmatched paths and rule-less hosts "
+    "are allowed; '*' wildcards and the '$' end anchor honored. "
+    "Robots files are a per-HOST dimension, parsed driver-side "
+    "(model-sized by construction) with patterns pre-compiled to "
+    "regex IN PYTHON so both engines match the same literal strings; "
+    "the corpus-sized URL side is touched by exactly one broadcast "
+    "join + one window. Fixtures plant every decision shape: prefix "
+    "disallow, longer-allow override, $ anchor hit and near-miss "
+    "(/tmp vs /tmp2), nested longest-match, agent-group selection "
+    "(otherbot's rules must NOT apply), and a no-rules host.",
+)
+def q_robots_gate(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    urls = d.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat(
+            F.lit("h"),
+            ((F.col("doc_id") / 6).cast("long") % 3).cast("string"),
+        ).alias("host"),
+        F.expr(_ROBOT_PATHS_SQL.replace(
+            "CAST(doc_id % 6 AS INTEGER)", "CAST(doc_id % 6 AS INT)"
+        )).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOT_RULES, "host string, allow int, pattern string, "
+        "regex string, plen int"
+    )
+    return tx.robots_match(urls, rules).orderBy("url_id")

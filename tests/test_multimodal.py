@@ -1850,6 +1850,8 @@ class TestQuarantine:
     def test_quarantine_isolates_bad_rows_same_pass(self, spark):
         from pyspark.sql import functions as F
 
+        # n=12 plus the r12 G4 bilevel tail (ids 3012-3019): truncated
+        # G4 payloads must quarantine like every other codec's
         media = mm.make_tiff_media(spark, n=12)
         corrupted = media.withColumn(
             "payload",
@@ -1864,7 +1866,7 @@ class TestQuarantine:
                 corrupted, on_error="quarantine"
             ).collect()
         }
-        assert len(rows) == 12  # every row survives, none dropped
+        assert len(rows) == 20  # every row survives, none dropped
         for mid, r in rows.items():
             if mid % 5 == 3:
                 assert r["decode_error"] and r["width"] is None

@@ -1356,3 +1356,105 @@ class TestFixMojibake:
         # longest-first application order
         lens = [len(c) for c, _ in MOJIBAKE_MAP]
         assert lens == sorted(lens, reverse=True)
+
+
+def test_strip_tracking_params_shapes(spark):
+    from incremental_github_data_pipeline_spark.operators.text import (
+        strip_tracking_params,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://x.com/p?utm_source=tw&id=3&fbclid=abc"),
+            (2, "https://x.com/p?id=3"),
+            (3, "https://x.com/p?utm_campaign=z"),  # tracker-only
+            (4, "https://x.com/p"),  # no query
+            (5, "http://y.io/a?gclid=1&b=2&utm_x=9&c=3"),
+            (6, "https://x.com/p?idutm_=keepme"),  # utm_ not a PREFIX
+        ],
+        "i long, u string",
+    )
+    got = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i",
+            tx.strip_tracking_params("u").alias("s"),
+        ).collect()
+    }
+    assert got == {
+        1: "https://x.com/p?id=3",
+        2: "https://x.com/p?id=3",
+        3: "https://x.com/p",
+        4: "https://x.com/p",
+        5: "http://y.io/a?b=2&c=3",
+        6: "https://x.com/p?idutm_=keepme",
+    }
+
+
+class TestRobots:
+    def test_parse_groups_and_agent_selection(self):
+        from incremental_github_data_pipeline_spark.operators.text import (
+            parse_robots,
+        )
+
+        text = (
+            "# comment\n"
+            "User-agent: goodbot\n"
+            "User-agent: otherbot\n"
+            "Disallow: /shared\n"
+            "\n"
+            "User-agent: *\n"
+            "Disallow: /all\n"
+            "Allow: /all/ok$\n"
+            "Disallow:\n"  # empty = no-op
+        )
+        star = parse_robots(text, agent="*")
+        assert [(r["allow"], r["pattern"]) for r in star] == [
+            (0, "/all"), (1, "/all/ok$")
+        ]
+        # exact agent group wins over * entirely (RFC 9309)
+        good = parse_robots(text, agent="GoodBot")
+        assert [(r["allow"], r["pattern"]) for r in good] == [
+            (0, "/shared")
+        ]
+        # wildcard + anchor compile to anchored regex
+        assert star[1]["regex"] == "^/all/ok$"
+        w = parse_robots("User-agent: *\nDisallow: /a*b\n")[0]
+        assert w["regex"] == "^/a.*b"
+
+    def test_match_longest_pattern_and_tie_to_allow(self, spark):
+        from incremental_github_data_pipeline_spark.operators.text import (
+            parse_robots,
+            robots_match,
+        )
+
+        rules_list = parse_robots(
+            "User-agent: *\n"
+            "Disallow: /d/\n"
+            "Allow: /d/keep\n"
+            "Disallow: /x\n"
+            "Allow: /y\n"
+        )
+        rules = spark.createDataFrame(
+            [("h", r["allow"], r["pattern"], r["regex"], r["plen"])
+             for r in rules_list],
+            "host string, allow int, pattern string, regex string, "
+            "plen int",
+        )
+        urls = spark.createDataFrame(
+            [
+                (1, "h", "/d/other"),   # blocked by /d/
+                (2, "h", "/d/keep/it"), # longer Allow wins
+                (3, "h", "/free"),      # no match -> allowed
+                (4, "noru", "/d/other"),  # host without rules
+            ],
+            "url_id long, host string, path string",
+        )
+        got = {
+            r["url_id"]: (r["allowed"], r["matched_pattern"])
+            for r in robots_match(urls, rules).collect()
+        }
+        assert got[1] == (False, "/d/")
+        assert got[2] == (True, "/d/keep")
+        assert got[3] == (True, None)
+        assert got[4] == (True, None)
