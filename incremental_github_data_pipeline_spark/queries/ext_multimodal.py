@@ -1558,7 +1558,7 @@ def q_media_tiff_jpeg_stats(spark: SparkSession, sf: str) -> DataFrame:
                 ELSE CAST(16 + (i % 13) AS BIGINT) END AS width,
            CASE WHEN (3000 + i) % 5 = 3 THEN NULL
                 ELSE CAST(12 + (i % 11) AS BIGINT) END AS height
-    FROM range(24) t(i) ORDER BY media_id
+    FROM range(32) t(i) ORDER BY media_id
     """,
     doc="Corrupt-payload quarantine (r10, operators/multimodal."
     "decode_stats(on_error='quarantine')): every fifth TIFF payload is "
@@ -1570,7 +1570,9 @@ def q_media_tiff_jpeg_stats(spark: SparkSession, sf: str) -> DataFrame:
     "thousand-executor batch, and the certification default "
     "(on_error='raise') keeps the oracle posture strict everywhere "
     "else. The oracle recomputes which ids are corrupt and the "
-    "surviving dimensions in closed form.",
+    "surviving dimensions in closed form. Since r12 the fixture "
+    "tail (ids 3024-3031) is CCITT G4 bilevel — truncated G4 "
+    "streams must quarantine exactly like the byte codecs.",
 )
 def q_media_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     from incremental_github_data_pipeline_spark.operators.multimodal import (
