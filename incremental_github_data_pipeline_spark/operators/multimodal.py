@@ -4437,10 +4437,12 @@ def encode_tiff(
     multiple of 8), or ``"jpeg_old"`` (6, r11 — the pre-TechNote-2
     embedding: ONE complete SOI..EOI stream referenced by both the
     single strip tag and JPEGInterchangeFormat 513/514, the
-    belt-and-braces layout legacy writers emitted), or ``"g4"`` (4,
-    r12 — CCITT Group 4 / ITU-T T.6 MMR: bilevel input only (values
-    0/255), written 1-bit photometric 0 (WhiteIsZero), each strip an
-    independently-coded T.6 raster — the fax/archival-scan tier);
+    belt-and-braces layout legacy writers emitted), or the CCITT
+    bilevel tier (input values 0/255 only, written 1-bit photometric
+    0, each strip independently coded — the fax/archival-scan
+    formats, r12): ``"g4"`` (4, ITU-T T.6 MMR), ``"g3"`` (2, Group 3
+    1-D MH-RLE with byte-aligned lines, TIFF 6.0 §10) and
+    ``"g3_eol"`` (3, Group 3 with T.4 EOL framing, T4Options 0);
     ``predictor=True`` (tag 317 = 2, horizontal
     differencing per sample) is the standard companion that makes LZW
     bite on smooth rasters.
@@ -4460,22 +4462,24 @@ def encode_tiff(
     rps = h if rows_per_strip is None else rows_per_strip
     comp_code = {
         "none": 1, "packbits": 32773, "lzw": 5, "deflate": 8, "jpeg": 7,
-        "jpeg_old": 6, "g4": 4,
+        "jpeg_old": 6, "g4": 4, "g3": 2, "g3_eol": 3,
     }[compression]
     if predictor and compression not in ("lzw", "deflate"):
         raise ValueError("predictor is defined here for lzw/deflate only")
-    if comp_code == 4:
-        # CCITT Group 4 (T.6): bilevel only — grayscale input with
+    if comp_code in (2, 3, 4):
+        # CCITT Group 3/4: bilevel only — grayscale input with
         # values {0, 255}; written as BitsPerSample 1, photometric 0
-        # (WhiteIsZero, the fax sense: sample 0 = white paper)
+        # (WhiteIsZero, the fax sense: sample 0 = white paper).
+        # Compression 2 = G3 1-D MH-RLE (byte-aligned lines, no EOL);
+        # 3 = G3 with T.4 EOL framing (T4Options 0); 4 = G4 T.6 MMR.
         if not gray:
-            raise ValueError("CCITT G4 TIFF is bilevel (grayscale in)")
+            raise ValueError("CCITT TIFF is bilevel (grayscale in)")
         if tile is not None or planar:
-            raise ValueError("CCITT G4 here writes strip layouts only")
+            raise ValueError("CCITT here writes strip layouts only")
         vals = np.unique(px)
         if not np.all(np.isin(vals, (0, 255))):
             raise ValueError(
-                "CCITT G4 input must be bilevel (pixel values 0/255)"
+                "CCITT input must be bilevel (pixel values 0/255)"
             )
     if comp_code == 7 and rows_per_strip is not None and rps % 8:
         raise ValueError(
@@ -4531,6 +4535,10 @@ def encode_tiff(
         elif comp_code == 4:
             # ink = dark = pixel 0 → G4 "black"; paper = 255 → "white"
             payload_chunks.append(encode_ccitt_g4(raw == 0))
+        elif comp_code in (2, 3):
+            payload_chunks.append(
+                encode_ccitt_g3(raw == 0, eol=comp_code == 3)
+            )
         else:
             if predictor:
                 raw = _tiff_predict(raw)
@@ -4545,6 +4553,7 @@ def encode_tiff(
         + ((2 if spp == 3 else 1) if comp_code == 7 else 0)
         + (2 if comp_code == 6 else 0)
         + (1 if orientation != 1 else 0)
+        + (1 if comp_code == 3 else 0)  # T4Options
     )
     # layout: header(8) | IFD | [bits values if RGB] | [JPEGTables] |
     # offsets/counts arrays (externalized when count > 1) | chunk data
@@ -4577,7 +4586,7 @@ def encode_tiff(
         return struct.pack("<HHII", tag, typ, count, value)
 
     photometric = (
-        0 if comp_code == 4 else 1 if gray else
+        0 if comp_code in (2, 3, 4) else 1 if gray else
         6 if comp_code in (6, 7) else 2
     )
     off_tag = _TIFF_TAG_TILE_OFFSETS if tiled else _TIFF_TAG_STRIP_OFFSETS
@@ -4586,7 +4595,10 @@ def encode_tiff(
         entry(_TIFF_TAG_WIDTH, 3, 1, w),
         entry(_TIFF_TAG_LENGTH, 3, 1, h),
         (
-            entry(_TIFF_TAG_BITS, 3, 1, 1 if comp_code == 4 else 8)
+            entry(
+                _TIFF_TAG_BITS, 3, 1,
+                1 if comp_code in (2, 3, 4) else 8,
+            )
             if spp == 1
             else entry(_TIFF_TAG_BITS, 3, 3, bits_off)
         ),
@@ -4616,6 +4628,8 @@ def encode_tiff(
         # tag 274: the stored raster needs this permutation to display
         # upright — decode_tiff applies it, like the JPEG APP1 path
         entries.append(entry(274, 3, 1, orientation))
+    if comp_code == 3:
+        entries.append(entry(292, 4, 1, 0))  # T4Options: 1-D, no fill
     if comp_code == 7:
         entries.append(
             entry(_TIFF_TAG_JPEG_TABLES, 7, len(jpeg_tables), jt_off)
@@ -4657,9 +4671,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     JPEG (7, each strip a JPEG stream, shared DQT/DHT rejoined from
     the JPEGTables tag when present — TechNote 2), old-style JPEG
     (6, r11 — the JPEGInterchangeFormat 513/514 single-stream variant)
-    and CCITT Group 4 (4, r12 — T.6 MMR bilevel strips, photometric
-    0/1 honored) compressions; old-style JPEG's per-strip-tables
-    variant, Group 3 (T.4 1-D/EOL framing) and non-8/1-bit depths
+    and the CCITT bilevel tier (r12: 4 = Group 4 T.6 MMR, 2 = Group 3
+    1-D MH-RLE byte-aligned, 3 = Group 3 EOL-framed; photometric 0/1
+    honored) compressions; old-style JPEG's per-strip-tables
+    variant, Group 3 2-D (MR) and non-8/1-bit depths
     raise ``NotImplementedError``."""
     if payload[:2] == b"II":
         bo = "<"
@@ -4726,18 +4741,25 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         if px.shape[0] < h or px.shape[1] < w:
             raise ValueError("old-style JPEG stream smaller than the IFD says")
         return apply_exif_orientation(px[:h, :w], orient)
-    if comp == 4:
-        # CCITT Group 4 (T.6, r12): bilevel fax/archival-scan strips.
+    if comp in (2, 3, 4):
+        # CCITT bilevel fax/archival-scan strips (r12): compression 2
+        # = Group 3 1-D MH-RLE (byte-aligned lines, no EOLs — TIFF
+        # 6.0 §10), 3 = Group 3 with T.4 EOL framing (T4Options: the
+        # 2-D/MR bit is an honest guard), 4 = Group 4 T.6 MMR.
         # BitsPerSample 1, one sample; photometric 0 (WhiteIsZero —
-        # the fax sense, G4 white runs are sample 0 = bright paper)
-        # or 1 (inverted). Each strip is an independent T.6 raster
-        # (reference line resets to all-white), per the TIFF spec.
+        # the fax sense, white runs are sample 0 = bright paper) or 1
+        # (inverted). Each strip is an independent raster per the
+        # TIFF spec.
         if values(_TIFF_TAG_SAMPLES, 1)[0] != 1:
-            raise NotImplementedError("G4 TIFF must be single-sample")
+            raise NotImplementedError("CCITT TIFF must be single-sample")
         if values(_TIFF_TAG_BITS, 1)[0] != 1:
-            raise NotImplementedError("G4 TIFF must be 1-bit")
+            raise NotImplementedError("CCITT TIFF must be 1-bit")
         if _TIFF_TAG_TILE_WIDTH in tags or _TIFF_TAG_TILE_LENGTH in tags:
-            raise NotImplementedError("tiled G4 TIFF not supported")
+            raise NotImplementedError("tiled CCITT TIFF not supported")
+        if comp == 3 and values(292, 0)[0] & 1:
+            raise NotImplementedError(
+                "Group 3 2-D (MR) encoding not supported"
+            )
         photo = values(_TIFF_TAG_PHOTOMETRIC, 0)[0]
         if photo not in (0, 1):
             raise ValueError(f"bad bilevel photometric {photo}")
@@ -4748,7 +4770,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         rows_out = []
         for si, (o, c) in enumerate(zip(offs, cnts)):
             rows_here = min(rps, h - si * rps)
-            black = decode_ccitt_g4(payload[o : o + c], w, rows_here)
+            chunk = payload[o : o + c]
+            if comp == 4:
+                black = decode_ccitt_g4(chunk, w, rows_here)
+            else:
+                black = decode_ccitt_g3(
+                    chunk, w, rows_here, eol=comp == 3
+                )
             rows_out.append(
                 np.where(black, black_val, white_val).astype(np.uint8)
             )
@@ -4871,7 +4899,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
 
 
 def make_tiff_media(
-    spark, n: int = 24, id_offset: int = 3000, g4: int = 8
+    spark, n: int = 24, id_offset: int = 3000, g4: int = 8,
+    g3: int = 8,
 ) -> DataFrame:
     """Media table of baseline TIFF images over the SAME closed-form
     pixel rule as :func:`make_real_media`'s BMP lane (RGB and
@@ -4886,12 +4915,19 @@ def make_tiff_media(
     ``id_offset+n ..``): pixels threshold the channel-0 closed form
     (255 where ``(x·7 + y·13 + i·3) % 256 < 128`` else 0), strip
     layouts alternating single/5-row — the fax/archival-scan tier
-    certified by the same integer-sum lanes."""
+    certified by the same integer-sum lanes; after those, ``g3``
+    Group 3 files over the same bilevel rule (compression 2 MH-RLE
+    and compression 3 EOL-framed alternating, single- and 5-row
+    strips — r12)."""
     rows = []
-    for i in range(n + g4):
+    for i in range(n + g4 + g3):
         if i >= n:
             px = _image_pixels(i)[:, :, 0]
             px = np.where(px < 128, np.uint8(255), np.uint8(0))
+            comp = (
+                "g4" if i < n + g4
+                else ("g3" if i % 2 == 0 else "g3_eol")
+            )
             rows.append(
                 (
                     id_offset + i,
@@ -4899,7 +4935,7 @@ def make_tiff_media(
                     encode_tiff(
                         px,
                         rows_per_strip=None if i % 2 else 5,
-                        compression="g4",
+                        compression=comp,
                     ),
                     "image/tiff",
                     px.shape[1],
@@ -5295,6 +5331,115 @@ def encode_ccitt_g4(black: np.ndarray) -> bytes:
     return bytes(
         int(s[i : i + 8], 2) for i in range(0, len(s), 8)
     )
+
+
+def _mh_row_bits(row: np.ndarray) -> str:
+    """One scan line as T.4 modified-Huffman run codes, white-first
+    (a line starting black emits a zero-length white run first) —
+    the shared 1-D coding of Group 3 (TIFF compressions 2 and 3)."""
+    trans = _row_transitions(row) + [len(row)]
+    bits = []
+    prev = 0
+    white = True
+    for t in trans:
+        bits.append(_t4_run_bits(t - prev, white))
+        prev = t
+        white = not white
+    return "".join(bits)
+
+
+def _mh_read_row(bitstr: str, pos: int, w: int) -> tuple[list[int], int]:
+    """Decode one MH-coded line starting at ``pos``: alternating
+    white/black T.4 runs until exactly ``w`` pixels are consumed.
+    Returns (transition positions, new pos)."""
+    total = 0
+    white = True
+    trans: list[int] = []
+    while total < w:
+        table = _T4_DEC_WHITE if white else _T4_DEC_BLACK
+        run = 0
+        while True:
+            for ln in range(2, _T4_MAX_CODE_LEN + 1):
+                if pos + ln > len(bitstr):
+                    raise ValueError("truncated G3 run code")
+                r = table.get(bitstr[pos : pos + ln])
+                if r is not None:
+                    pos += ln
+                    run += r
+                    break
+            else:
+                raise ValueError("bad G3 run code")
+            if r < 64:
+                break
+        total += run
+        if total > w:
+            raise ValueError("G3 run overflows the line")
+        if not white:
+            # close the black run: transitions mark white->black and
+            # black->white boundaries
+            trans.append(total - run)
+            trans.append(total)
+        white = not white
+    # normalize: merge adjacent/zero-width artifacts into canonical
+    # strictly-increasing transitions
+    out: list[int] = []
+    for t in trans:
+        if out and out[-1] == t:
+            out.pop()
+        else:
+            out.append(t)
+    return [t for t in out if t < w] if out else out, pos
+
+
+_EOL = "000000000001"
+
+
+def encode_ccitt_g3(black: np.ndarray, eol: bool = False) -> bytes:
+    """Encode an (h, w) bool array (True = black) as CCITT Group 3
+    1-D: TIFF compression 2 layout when ``eol=False`` (modified
+    Huffman RLE, every line byte-aligned, no EOL codes — TIFF 6.0
+    §10) or the T.4 framing when ``eol=True`` (an EOL precedes every
+    line, no byte alignment — TIFF compression 3 with T4Options 0)."""
+    pieces: list[str] = []
+    if eol:
+        for y in range(black.shape[0]):
+            pieces.append(_EOL + _mh_row_bits(black[y]))
+        s = "".join(pieces)
+        s += "0" * (-len(s) % 8)
+        return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+    out = bytearray()
+    for y in range(black.shape[0]):
+        s = _mh_row_bits(black[y])
+        s += "0" * (-len(s) % 8)
+        out += bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+    return bytes(out)
+
+
+def decode_ccitt_g3(
+    data: bytes, w: int, h: int, eol: bool = False
+) -> np.ndarray:
+    """Decode CCITT Group 3 1-D (see :func:`encode_ccitt_g3`): byte-
+    aligned MH lines (``eol=False``) or EOL-framed T.4 lines
+    (``eol=True``, leading fill zeros before each EOL tolerated)."""
+    bitstr = "".join(f"{byte:08b}" for byte in data)
+    out = np.zeros((h, w), dtype=bool)
+    pos = 0
+    for y in range(h):
+        if eol:
+            # skip fill bits: zeros until the 000000000001 marker
+            idx = bitstr.find(_EOL, pos)
+            if idx == -1:
+                raise ValueError("missing G3 EOL")
+            if any(c != "0" for c in bitstr[pos:idx]):
+                raise ValueError("nonzero G3 fill bits")
+            pos = idx + len(_EOL)
+        trans, pos = _mh_read_row(bitstr, pos, w)
+        for i in range(0, len(trans), 2):
+            stop = trans[i + 1] if i + 1 < len(trans) else w
+            out[y, trans[i] : stop] = True
+        if not eol:
+            pos += -pos % 8  # every line byte-aligned
+    return out
 
 
 def decode_ccitt_g4(data: bytes, w: int, h: int) -> np.ndarray:

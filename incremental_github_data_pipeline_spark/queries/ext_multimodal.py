@@ -1432,9 +1432,10 @@ _TIFF_STATS_ORACLE = """
            CAST(CASE WHEN gray = 1 THEN s0 ELSE s2 END AS BIGINT) AS sum_b
     FROM sums
     UNION ALL
-    -- CCITT Group 4 bilevel lane (r12, ids 3024-3031): pixels
-    -- threshold the channel-0 closed form — 255 where the formula is
-    -- below 128, 0 elsewhere; all three sum lanes coincide (grayscale)
+    -- CCITT bilevel lane (r12): ids 3024-3031 Group 4, 3032-3039
+    -- Group 3 (MH-RLE / EOL-framed alternating) — pixels threshold
+    -- the channel-0 closed form, 255 where the formula is below 128;
+    -- all three sum lanes coincide (grayscale)
     SELECT media_id, width, height, bsum AS sum_r, bsum AS sum_g,
            bsum AS sum_b
     FROM (
@@ -1445,8 +1446,8 @@ _TIFF_STATS_ORACLE = """
       FROM (
         SELECT 3000 + 24 + i AS media_id, 24 + i AS i,
                16 + ((24 + i) % 13) AS w, 12 + ((24 + i) % 11) AS h
-        FROM range(8) t(i)
-      ) g, range(28) x(x), range(22) y(y)
+        FROM range(16) t(i)
+      ) g, range(30) x(x), range(22) y(y)
       WHERE x.x < g.w AND y.y < g.h
       GROUP BY g.media_id, g.w, g.h
     )
@@ -1469,8 +1470,9 @@ _TIFF_STATS_ORACLE = """
     "grayscale lanes alternate, compression cycles "
     "none/PackBits/LZW/Deflate (r10), every third file is "
     "multi-strip; the r10 fixture mix also cycles tiled and planar "
-    "layouts, and ids 3024-3031 are G4 bilevel (thresholded closed "
-    "form, single- and 5-row strips). DuckDB recomputes every "
+    "layouts, ids 3024-3031 are G4 bilevel and 3032-3039 Group 3 "
+    "(MH-RLE byte-aligned / EOL-framed alternating, thresholded "
+    "closed form, single- and 5-row strips — r12). DuckDB recomputes every "
     "decoded pixel's closed form, so a wrong strip/tile offset, LZW "
     "code width, zlib strip, predictor sum, byte-order, plane "
     "interleave, T.6 mode/run code or IFD walk breaks an integer "
@@ -1558,7 +1560,7 @@ def q_media_tiff_jpeg_stats(spark: SparkSession, sf: str) -> DataFrame:
                 ELSE CAST(16 + (i % 13) AS BIGINT) END AS width,
            CASE WHEN (3000 + i) % 5 = 3 THEN NULL
                 ELSE CAST(12 + (i % 11) AS BIGINT) END AS height
-    FROM range(32) t(i) ORDER BY media_id
+    FROM range(40) t(i) ORDER BY media_id
     """,
     doc="Corrupt-payload quarantine (r10, operators/multimodal."
     "decode_stats(on_error='quarantine')): every fifth TIFF payload is "

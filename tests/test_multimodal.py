@@ -1771,7 +1771,7 @@ class TestCcittG4:
         stats = {
             r["media_id"]: r
             for r in mm.decode_stats(
-                mm.make_tiff_media(spark, n=2, g4=3)
+                mm.make_tiff_media(spark, n=2, g4=3, g3=0)
             ).collect()
         }
         assert len(stats) == 5
@@ -1850,8 +1850,9 @@ class TestQuarantine:
     def test_quarantine_isolates_bad_rows_same_pass(self, spark):
         from pyspark.sql import functions as F
 
-        # n=12 plus the r12 G4 bilevel tail (ids 3012-3019): truncated
-        # G4 payloads must quarantine like every other codec's
+        # n=12 plus the r12 CCITT bilevel tails (8 G4 then 8 G3,
+        # ids 3012-3027): truncated G4/G3 payloads must quarantine
+        # like every other codec's
         media = mm.make_tiff_media(spark, n=12)
         corrupted = media.withColumn(
             "payload",
@@ -1866,7 +1867,7 @@ class TestQuarantine:
                 corrupted, on_error="quarantine"
             ).collect()
         }
-        assert len(rows) == 20  # every row survives, none dropped
+        assert len(rows) == 28  # every row survives, none dropped
         for mid, r in rows.items():
             if mid % 5 == 3:
                 assert r["decode_error"] and r["width"] is None
@@ -2499,3 +2500,66 @@ class TestAuPcx:
         by_id = {r["media_id"]: r for r in got}
         assert by_id[8003]["n_channels"] == 2  # stereo AU
         assert by_id[8004]["sample_rate"] == 8000  # mu-law AU
+
+
+class TestCcittG3:
+    """CCITT Group 3 1-D (TIFF compressions 2 and 3) — r12."""
+
+    def test_bitstream_roundtrips_both_framings(self):
+        rng = np.random.default_rng(11)
+        cases = [
+            np.zeros((3, 17), dtype=bool),
+            np.ones((3, 17), dtype=bool),
+        ]
+        for _ in range(40):
+            h = int(rng.integers(1, 12))
+            w = int(rng.integers(1, 150))
+            cases.append(rng.random((h, w)) < rng.random())
+        for img in cases:
+            for eol in (False, True):
+                got = mm.decode_ccitt_g3(
+                    mm.encode_ccitt_g3(img, eol=eol),
+                    img.shape[1], img.shape[0], eol=eol,
+                )
+                assert np.array_equal(got, img), (img.shape, eol)
+
+    def test_byte_alignment_and_eol_framing_differ(self):
+        # compression-2 lines are byte-aligned; EOL framing is not —
+        # the two encodings of the same raster differ, both decode
+        img = np.zeros((4, 30), dtype=bool)
+        img[1, 3:20] = True
+        a = mm.encode_ccitt_g3(img, eol=False)
+        b = mm.encode_ccitt_g3(img, eol=True)
+        assert a != b
+        # EOL stream starts with the 000000000001 marker
+        bits = "".join(f"{x:08b}" for x in b)
+        assert bits.startswith("000000000001")
+
+    def test_tiff_g3_roundtrip_strips_and_guards(self):
+        rng = np.random.default_rng(5)
+        px = np.where(rng.random((21, 64)) < 0.4, 0, 255).astype(
+            np.uint8
+        )
+        for comp in ("g3", "g3_eol"):
+            for rps in (None, 5):
+                t = mm.encode_tiff(px, rows_per_strip=rps,
+                                   compression=comp)
+                assert np.array_equal(mm.decode_tiff(t), px), (comp, rps)
+        # Group 3 2-D (MR) stays an honest guard: set T4Options bit 0
+        import struct as st
+
+        t = bytearray(mm.encode_tiff(px, compression="g3_eol"))
+        n = st.unpack_from("<H", t, 8)[0]
+        for i in range(n):
+            off = 10 + i * 12
+            if st.unpack_from("<H", t, off)[0] == 292:
+                st.pack_into("<I", t, off + 8, 1)
+        with pytest.raises(NotImplementedError, match="2-D"):
+            mm.decode_tiff(bytes(t))
+
+    def test_truncated_g3_raises_valueerror(self):
+        img = np.ones((6, 40), dtype=bool)
+        for eol in (False, True):
+            enc = mm.encode_ccitt_g3(img, eol=eol)
+            with pytest.raises(ValueError):
+                mm.decode_ccitt_g3(enc[: len(enc) // 3], 40, 6, eol=eol)
