@@ -2219,3 +2219,152 @@ def cc_versioned(
         .filter(F.col("_rn") == 1)
         .select("id", "component")
     )
+
+
+def run_incremental_lsh_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    table_root: str,
+    checkpoint: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    k: int = 5,
+) -> None:
+    """Incremental MinHash-LSH index maintenance (r12) — the candidate
+    -generation side of near-dup dedup kept CURRENT under crawl
+    arrival, completing the incremental dedup story next to
+    :func:`run_incremental_cc_ingest` (which maintains the clusters
+    the verified pairs form): watch a directory of document shards
+    (``doc_id long, text string``), band each micro-batch's MinHash
+    signatures where the text lands (one Arrow-free codegen pass —
+    ``dedup.minhash_signature`` + ``minhash_bands``), and APPEND the
+    (band, bucket, doc_id) postings to a manifest-versioned table.
+    O(batch × bands) appended rows; the existing index is never
+    re-read or re-shuffled.
+
+    Postings are range-partitioned on ``bucket`` before the commit and
+    the manifest records per-file bucket min/max (``stats_cols``), so
+    a query's bucket probes FILE-SKIP before any parquet opens — the
+    same Iceberg-style pruning the BM25 postings use for terms.
+
+    Exactly-once: ``txn_id = lsh-ingest:<checkpoint>:<batch_id>``
+    makes replayed batches no-ops. Serving:
+    :func:`lsh_candidates_versioned` — band the query docs with the
+    SAME parameters and equi-join the postings; parameters are part
+    of the index contract (mixing band counts across versions would
+    silently zero the collision probability), so they are pinned in a
+    1-row ``_params`` sidecar committed with version 1 and asserted
+    at serve time."""
+    from incremental_github_data_pipeline_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signature,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+        latest_version,
+    )
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src_dir
+    )
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if latest_version(f"{table_root}/postings") is None:
+            commit_version(
+                spark.createDataFrame(
+                    [(num_hashes, bands, k)],
+                    "num_hashes int, bands int, k int",
+                ),
+                f"{table_root}/params",
+                mode="overwrite",
+                txn_id=f"lsh-params:{checkpoint}",
+            )
+        keys = batch_df.select(
+            "doc_id",
+            F.explode(
+                minhash_bands(
+                    minhash_signature(
+                        F.col("text"), num_hashes=num_hashes, k=k
+                    ),
+                    bands,
+                    rows_per_band,
+                )
+            ).alias("_bk"),
+        ).select(
+            F.col("_bk.band").alias("band"),
+            F.col("_bk.bucket").alias("bucket"),
+            "doc_id",
+        )
+        commit_version(
+            keys.repartitionByRange(8, "bucket"),
+            f"{table_root}/postings",
+            mode="append",
+            stats_cols=["bucket"],
+            txn_id=f"lsh-ingest:{checkpoint}:{batch_id}",
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def lsh_candidates_versioned(
+    spark: SparkSession,
+    table_root: str,
+    queries: DataFrame,
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    version: int | None = None,
+) -> DataFrame:
+    """Near-dup CANDIDATES for query docs against a
+    :func:`run_incremental_lsh_ingest` index at any version: band the
+    queries with the index's pinned parameters (read from the
+    ``params`` sidecar — a mismatched re-band would silently zero
+    recall) and equi-join the postings on (band, bucket). Returns
+    distinct ``(query_id, doc_id)``; exact verification
+    (``dedup.verified_near_dups`` / ``ngram_jaccard``) is the
+    caller's next stage, on candidates only — the LSH contract.
+    The query side is banded in one codegen pass and broadcast-sized
+    in the incremental use (a new batch probing the corpus index);
+    postings are touched via the bucket-bounded file-skipping scan."""
+    from incremental_github_data_pipeline_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signature,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        read_version,
+    )
+
+    p = read_version(spark, f"{table_root}/params").collect()[0]
+    rows_per_band = p["num_hashes"] // p["bands"]
+    qk = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.explode(
+            minhash_bands(
+                minhash_signature(
+                    F.col(qtext_col), num_hashes=p["num_hashes"], k=p["k"]
+                ),
+                p["bands"],
+                rows_per_band,
+            )
+        ).alias("_bk"),
+    ).select(
+        F.col("_bk.band").alias("band"),
+        F.col("_bk.bucket").alias("bucket"),
+        "query_id",
+    )
+    idx = read_version(spark, f"{table_root}/postings", version=version)
+    return (
+        idx.join(qk, ["band", "bucket"])
+        .select("query_id", "doc_id")
+        .distinct()
+    )

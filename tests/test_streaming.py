@@ -1702,3 +1702,93 @@ def test_incremental_cc_ingest_equals_one_shot_and_time_travels(
     final = dict(labels(cc_versioned(spark, root)))
     assert final == {1: 1, 2: 1, 5: 1, 6: 1, 20: 1, 21: 1,
                      0: 0, 10: 0, 11: 0}
+
+
+def test_incremental_lsh_ingest_candidates_equal_one_shot(spark, tmp_path):
+    """Incremental LSH index (r12): candidates served from the
+    N-increment index ≡ the one-shot band join over everything
+    ingested; replays are no-ops; time travel sees only the first
+    batch's corpus; near-identical docs collide, disjoint docs don't;
+    the params sidecar pins re-band parameters."""
+    from incremental_github_data_pipeline_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signature,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        latest_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        lsh_candidates_versioned,
+        run_incremental_lsh_ingest,
+    )
+
+    src = tmp_path / "docs"
+    root = str(tmp_path / "lsh")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, mutate=False):
+        words = [f"w{(i * 3 + j) % 40}" for j in range(30)]
+        if mutate:
+            words[-1] = "zz"
+        return " ".join(words)
+
+    b1 = [(i, doc(i)) for i in range(20)]
+    b2 = [(i, doc(i)) for i in range(20, 40)]
+    for b in (b1, b2):
+        spark.createDataFrame(b, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        run_incremental_lsh_ingest(spark, str(src), root, ckpt)
+    v2 = latest_version(f"{root}/postings")
+    run_incremental_lsh_ingest(spark, str(src), root, ckpt)  # replay
+    assert latest_version(f"{root}/postings") == v2
+
+    # queries: near-copies of doc 3 (batch 1) and doc 25 (batch 2),
+    # plus a disjoint-vocabulary doc
+    queries = spark.createDataFrame(
+        [
+            (100, doc(3, mutate=True)),
+            (101, doc(25, mutate=True)),
+            (102, " ".join(f"only{j}" for j in range(30))),
+        ],
+        "query_id long, qtext string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in lsh_candidates_versioned(spark, root, queries).collect()
+    }
+    assert (100, 3) in got and (101, 25) in got
+    assert not any(q == 102 for q, _ in got)
+
+    # one-shot equivalence: band the full corpus + queries directly
+    corpus = spark.createDataFrame(
+        b1 + b2, "doc_id long, text string"
+    )
+    def band(df, idc, txt):
+        return df.select(
+            F.col(idc),
+            F.explode(
+                minhash_bands(
+                    minhash_signature(F.col(txt), num_hashes=32, k=5),
+                    16, 2,
+                )
+            ).alias("bk"),
+        ).select(idc, F.col("bk.band").alias("band"),
+                 F.col("bk.bucket").alias("bucket"))
+    want = {
+        (r["query_id"], r["doc_id"])
+        for r in band(queries, "query_id", "qtext")
+        .join(band(corpus, "doc_id", "text"), ["band", "bucket"])
+        .select("query_id", "doc_id").distinct().collect()
+    }
+    assert got == want
+
+    # time travel: version 1 of the postings knows only batch 1
+    v1 = {
+        (r["query_id"], r["doc_id"])
+        for r in lsh_candidates_versioned(
+            spark, root, queries, version=1
+        ).collect()
+    }
+    assert (100, 3) in v1
+    assert not any(d >= 20 for _, d in v1)
