@@ -15,6 +15,11 @@ D. Incremental connected components is batch-bounded, not
    history-bounded: per-batch ingest wall stays flat from batch 2 to
    batch 10 while total ingested edges grow 5x (the contraction
    graph is batch-sized; the upsert log append is O(affected)).
+E. Group 3 fax pages decode linearly like G4 (lane B), in both the
+   byte-aligned MH-RLE and EOL-framed layouts.
+F. Incremental MinHash-LSH ingest is batch-bounded: per-batch wall
+   flat from batch 2 to batch 8 while the postings index grows 4x,
+   and a fixed query probe stays flat too (bucket-bounded join).
 
 Usage: python scripts/scale_round12_ops.py
 """
@@ -187,6 +192,73 @@ def main() -> None:
         "  per-batch wall (b2, b5, b10): "
         f"{walls[1]:.2f} / {walls[4]:.2f} / {walls[9]:.2f} s "
         f"(total edges grew {10 * n_edges:,})"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    print("== E: Group 3 fax pages — linear decode, both layouts ==")
+    page = np.zeros((200, 1728), dtype=bool)
+    page[40:60, 100:900] = True
+    g3_variants = {
+        "mh-rle": [], "eol": [],
+    }
+    for v in range(4):
+        p2 = page.copy()
+        p2[120 + v * 5 : 124 + v * 5, 200:1500] = True
+        px = np.where(p2, 0, 255).astype(np.uint8)
+        g3_variants["mh-rle"].append(mm.encode_tiff(px, compression="g3"))
+        g3_variants["eol"].append(mm.encode_tiff(px, compression="g3_eol"))
+    for name, payloads in g3_variants.items():
+        for n in (200, 2000):
+            rows = [(i, "image", payloads[i % 4], "image/tiff",
+                     1728, 200, None) for i in range(n)]
+            media = mm._sized_media(spark, rows).repartition(32)
+            media = media.localCheckpoint(eager=True)
+            t = timed(lambda m=media: mm.decode_stats(m).count())
+            print(f"  {name} pages={n}: {t:.2f} s")
+
+    print("== F: incremental LSH — per-batch flat, probe flat ==")
+    from incremental_github_data_pipeline_spark.streaming import (
+        lsh_candidates_versioned,
+        run_incremental_lsh_ingest,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scale_lsh_")
+    src_d, root, ckpt = f"{tmp}/src", f"{tmp}/lsh", f"{tmp}/ckpt"
+    n_docs = 5_000
+    walls = []
+    for b in range(8):
+        rows = [
+            (b * n_docs + i,
+             " ".join(f"w{(b * n_docs + i + j * 7) % 9000}"
+                      for j in range(40)))
+            for i in range(n_docs)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(2).write.mode("append").parquet(src_d)
+        t0 = time.time()
+        run_incremental_lsh_ingest(spark, src_d, root, ckpt)
+        walls.append(time.time() - t0)
+    print(
+        f"  per-batch wall (b2, b5, b8): {walls[1]:.2f} / "
+        f"{walls[4]:.2f} / {walls[7]:.2f} s "
+        f"(index grew to {8 * n_docs:,} docs)"
+    )
+    queries = spark.createDataFrame(
+        [(i, " ".join(f"w{(i + j * 7) % 9000}" for j in range(40)))
+         for i in range(50)],
+        "query_id long, qtext string",
+    ).localCheckpoint(eager=True)
+
+    def probe(version):
+        return timed(
+            lambda: lsh_candidates_versioned(
+                spark, root, queries, version=version
+            ).count()
+        )
+
+    print(
+        f"  probe at v2: {probe(2):.2f} s, at v8: {probe(8):.2f} s"
     )
     shutil.rmtree(tmp, ignore_errors=True)
 
