@@ -2368,3 +2368,126 @@ def lsh_candidates_versioned(
         .select("query_id", "doc_id")
         .distinct()
     )
+
+
+def run_incremental_bloom_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    table_root: str,
+    checkpoint: str,
+    schema: str,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> None:
+    """Incremental BLOOM-FILTER maintenance (r12): keep the corpus
+    membership filter (``dedup.build_bloom`` is the batch twin)
+    current under arrival, so every new ingest can
+    ``bloom_prefilter_new`` against an always-fresh filter without a
+    corpus scan. The sufficient statistic is the SET of set bit
+    positions — bounded by ``n_bits`` (the filter's own size, never
+    the corpus), and set union is algebraic — so each micro-batch
+    appends its distinct positions to a delta log: O(batch scan) work,
+    ≤ ``n_bits`` rows appended, history never re-read. Serving folds
+    the log by distinct (≤ ``n_bits`` rows at ANY corpus size) and is
+    bit-identical to the one-shot filter over everything ingested —
+    Bloom OR-merge exactness, through the versioned store.
+
+    Hash parameters are pinned in a ``params`` sidecar (a filter
+    probed with different seeds or width is silently broken — false
+    NEGATIVES, the one thing a Bloom filter must never produce).
+    Exactly-once: ``txn_id = bloom-ingest:<checkpoint>:<batch_id>``."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+        latest_version,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if latest_version(f"{table_root}/positions") is None:
+            commit_version(
+                spark.createDataFrame(
+                    [(n_bits, n_hashes)], "n_bits int, n_hashes int"
+                ),
+                f"{table_root}/params",
+                mode="overwrite",
+                txn_id=f"bloom-params:{checkpoint}",
+            )
+        positions = batch_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col(key_col), F.lit(i)),
+                            F.lit(n_bits),
+                        )
+                        for i in range(n_hashes)
+                    ]
+                )
+            ).alias("p")
+        ).distinct()
+        commit_version(
+            positions,
+            f"{table_root}/positions",
+            mode="append",
+            txn_id=f"bloom-ingest:{checkpoint}:{batch_id}",
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def bloom_versioned(
+    spark: SparkSession, table_root: str, version: int | None = None
+) -> tuple[list[int], int, int]:
+    """Materialize the maintained Bloom filter at any version:
+    ``(words, n_bits, n_hashes)`` ready for
+    ``dedup.bloom_might_contain``. The fold is a distinct over the
+    position log — ≤ ``n_bits`` rows whatever the corpus size, the
+    same bounded-model collect class as the filter itself."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        read_version,
+    )
+
+    p = read_version(spark, f"{table_root}/params").collect()[0]
+    rows = (
+        read_version(spark, f"{table_root}/positions", version=version)
+        .distinct()
+        .collect()
+    )
+    words = [0] * (p["n_bits"] // 64)
+    for r in rows:
+        words[r["p"] // 64] |= 1 << (r["p"] % 64)
+    return words, p["n_bits"], p["n_hashes"]
+
+
+def bloom_prefilter_versioned(
+    spark: SparkSession,
+    table_root: str,
+    batch: DataFrame,
+    key_col: str,
+    version: int | None = None,
+) -> DataFrame:
+    """``dedup.bloom_prefilter_new`` against the MAINTAINED filter:
+    rows the filter rejects are definitely new (no false negatives —
+    the filter saw every ingested key at the probed version) and skip
+    the exact-membership join; only ``bloom_maybe`` rows need it."""
+    from incremental_github_data_pipeline_spark.operators.dedup import (
+        bloom_might_contain,
+    )
+
+    words, n_bits, n_hashes = bloom_versioned(
+        spark, table_root, version=version
+    )
+    return batch.withColumn(
+        "bloom_maybe",
+        bloom_might_contain(key_col, words, n_bits, n_hashes),
+    )

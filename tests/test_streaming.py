@@ -1792,3 +1792,73 @@ def test_incremental_lsh_ingest_candidates_equal_one_shot(spark, tmp_path):
     }
     assert (100, 3) in v1
     assert not any(d >= 20 for _, d in v1)
+
+
+def test_incremental_bloom_ingest_equals_one_shot(spark, tmp_path):
+    """Incremental Bloom maintenance (r12): the folded filter is
+    bit-identical to the one-shot build over everything ingested
+    (position-set union is algebraic), no false negatives at any
+    version for the keys that version had seen, replays are no-ops,
+    and the prefilter convenience splits a probe batch correctly."""
+    from incremental_github_data_pipeline_spark.operators.dedup import (
+        build_bloom,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        latest_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        bloom_prefilter_versioned,
+        bloom_versioned,
+        run_incremental_bloom_ingest,
+    )
+
+    src = tmp_path / "keys"
+    root = str(tmp_path / "bloom")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k string"
+    b1 = [(f"doc-{i}",) for i in range(0, 300)]
+    b2 = [(f"doc-{i}",) for i in range(300, 600)]
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        run_incremental_bloom_ingest(
+            spark, str(src), root, ckpt, schema, "k", n_bits=1 << 12
+        )
+    v2 = latest_version(f"{root}/positions")
+    run_incremental_bloom_ingest(  # replay: no new version
+        spark, str(src), root, ckpt, schema, "k", n_bits=1 << 12
+    )
+    assert latest_version(f"{root}/positions") == v2
+
+    words, n_bits, n_hashes = bloom_versioned(spark, root)
+    want = build_bloom(
+        spark.createDataFrame(b1 + b2, schema), "k", n_bits=1 << 12
+    )
+    assert words == want  # OR-merge exactness, bit for bit
+
+    # probe: every ingested key maybe, mostly-new keys mostly rejected
+    probe = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(500, 700)], schema
+    )
+    got = {
+        r["k"]: r["bloom_maybe"]
+        for r in bloom_prefilter_versioned(
+            spark, root, probe, "k"
+        ).collect()
+    }
+    assert all(got[f"doc-{i}"] for i in range(500, 600))  # no false neg
+    new_flags = [got[f"doc-{i}"] for i in range(600, 700)]
+    assert sum(new_flags) < 30  # false positives stay a small minority
+
+    # time travel: version 1 must reject most of batch 2's keys but
+    # still has no false negatives for batch 1
+    got1 = {
+        r["k"]: r["bloom_maybe"]
+        for r in bloom_prefilter_versioned(
+            spark, root, spark.createDataFrame(b1 + b2, schema), "k",
+            version=1,
+        ).collect()
+    }
+    assert all(got1[f"doc-{i}"] for i in range(0, 300))
+    assert sum(got1[f"doc-{i}"] for i in range(300, 600)) < 100
