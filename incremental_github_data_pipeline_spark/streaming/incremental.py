@@ -2491,3 +2491,38 @@ def bloom_prefilter_versioned(
         "bloom_maybe",
         bloom_might_contain(key_col, words, n_bits, n_hashes),
     )
+
+
+def compact_cc_log(spark: SparkSession, table_root: str) -> int:
+    """Semantic compaction for the connected-components upsert log
+    (r12): rewrite the CURRENT version as the FOLDED labeling — the
+    last upsert per node, exactly what :func:`cc_versioned` serves —
+    committed as a new version. Unlike the generic
+    ``sources.versioned.compact`` (byte-identical rewrite), this
+    shrinks the log from O(upserts ever) to O(live nodes): relabel
+    churn (every component merge re-appends the absorbed side)
+    otherwise grows the log without bound. Serving over the folded
+    log is identical by construction (the fold is idempotent); older
+    versions stay time-travelable; OCC pins the tip so a concurrent
+    ingest raises instead of being dropped."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    cur = latest_version(table_root)
+    if cur is None:
+        raise ValueError("cannot compact an empty CC log")
+    from pyspark.sql import Window
+
+    log = read_version(spark, table_root, version=cur)
+    w = Window.partitionBy("id").orderBy(F.col("_seq").desc())
+    folded = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "component", "_seq")
+    )
+    return commit_version(
+        folded, table_root, mode="overwrite", expected_version=cur
+    )

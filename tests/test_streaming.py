@@ -1862,3 +1862,52 @@ def test_incremental_bloom_ingest_equals_one_shot(spark, tmp_path):
     }
     assert all(got1[f"doc-{i}"] for i in range(0, 300))
     assert sum(got1[f"doc-{i}"] for i in range(300, 600)) < 100
+
+
+def test_compact_cc_log_folds_without_changing_serving(spark, tmp_path):
+    """CC-log compaction (r12): the folded rewrite serves the identical
+    labeling, shrinks the log to one row per live node, keeps older
+    versions time-travelable, and later ingests keep working."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        latest_version,
+        read_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        cc_versioned,
+        compact_cc_log,
+        run_incremental_cc_ingest,
+    )
+
+    src = tmp_path / "edges"
+    root = str(tmp_path / "cc")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id_a long, id_b long"
+    batches = [[(5, 6), (10, 11)], [(1, 5)], [(0, 10)]]  # churny merges
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        run_incremental_cc_ingest(spark, str(src), root, ckpt, schema)
+
+    def labels(v=None):
+        return {
+            (r["id"], r["component"])
+            for r in cc_versioned(spark, root, version=v).collect()
+        }
+
+    before = labels()
+    v_pre = latest_version(root)
+    raw_rows = read_version(spark, root).count()
+    v_new = compact_cc_log(spark, root)
+    assert v_new == v_pre + 1
+    assert labels() == before  # serving unchanged
+    folded_rows = read_version(spark, root).count()
+    assert folded_rows == len(before) < raw_rows  # one row per node
+    assert labels(v=2) != before  # time travel still sees history
+    # ingest after compaction keeps folding correctly
+    spark.createDataFrame([(20, 0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_incremental_cc_ingest(spark, str(src), root, ckpt, schema)
+    after = dict(labels())
+    assert after[20] == 0 and after[11] == 0
