@@ -308,6 +308,8 @@ BENCH_QUERIES = [
     # the robots.txt gate (broadcast rules join + longest-match window)
     "q_url_strip_tracking",
     "q_robots_gate",
+    # six regexp_count passes per doc over literal BMP script classes
+    "q_doc_scripts",
 ]
 
 

@@ -2401,6 +2401,49 @@ def strip_tracking_params(col: Column | str) -> Column:
     )
 
 
+# Unicode script ranges (BMP core blocks — the ranges that decide
+# real crawl routing; combining marks / supplementary planes are out
+# of contract). Built with chr() so Spark (Java regex) and any oracle
+# engine receive the IDENTICAL literal character-class pattern — no
+# per-dialect escape syntax to drift.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z\u00c0-\u024f",
+    "cyrillic": "\u0400-\u04ff",
+    "greek": "\u0370-\u03ff",
+    "cjk": "\u4e00-\u9fff\u3040-\u30ff\uac00-\ud7af",
+    "arabic": "\u0600-\u06ff",
+    "hebrew": "\u0590-\u05ff",
+}
+
+def script_counts(col: Column | str) -> dict[str, Column]:
+    """Per-script character counts (r12) — the writing-system prior
+    every multilingual crawl router needs BEFORE n-gram language ID
+    (``lang_id``'s trigram tables are per-language; scripts partition
+    the decision space first, and mixed-script text is itself a spam
+    signal). One ``regexp_count`` per script over literal BMP block
+    classes (:data:`SCRIPT_RANGES` — Latin incl. the ±supplements,
+    Cyrillic, Greek, CJK ideographs + kana + hangul, Arabic, Hebrew);
+    codegen-side, scan-stage at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.regexp_count(c, F.lit(f"[{rng}]"))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+
+def dominant_script(col: Column | str) -> Column:
+    """The script with the highest character count; ties (and all-zero
+    text) resolve to the EARLIEST entry in :data:`SCRIPT_RANGES` order
+    — deterministic, so the whole column hash-compares cross-engine."""
+    counts = script_counts(col)
+    names = list(counts)
+    top = F.greatest(*[counts[n] for n in names])
+    out = F.lit(names[-1])
+    for n in reversed(names[:-1]):
+        out = F.when(counts[n] >= top, F.lit(n)).otherwise(out)
+    return out
+
+
 def parse_robots(text: str, agent: str = "*") -> list[dict]:
     """Parse a robots.txt body into the rule list that applies to
     ``agent`` (RFC 9309 essentials): ``#`` comments stripped,

@@ -53,9 +53,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #       them, plus changed-lane recerts (q_media_tiff_stats now cycles
 #       a CCITT Group 4 bilevel fixture; the JPEG lanes gained
 #       EXIF-orientation fixtures via the new q_media_exif_stats).
-# Queries registered after this window fills queue FIRST in r13 (none
-# yet — update this note if any register late). The r12 window is
-# exactly 50: 25 + 16 backlog + 9 new/changed-lane r12 rows.
+# Queries registered after this window fills queue FIRST in r13:
+# q_doc_scripts (late-r12 Unicode script profiling — sweep-green +
+# benched, never driver-seen). The r12 window is exactly 50:
+# 25 + 16 backlog + 9 new/changed-lane r12 rows.
 _CERTIFY_FIRST = [
     # -- (0) first driver rows (registered post-r11-window) --
     "q_embedding_matryoshka",

@@ -3131,3 +3131,76 @@ def q_archive_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return archive_ingest(_archive_corpus(spark)).orderBy(
         "payload_id", "member_idx"
     )
+
+
+def _scripts_oracle() -> str:
+    """Generated from operators.text.SCRIPT_RANGES so the oracle's
+    character classes are the SAME literal code-point ranges the Spark
+    expressions use — pattern translation cannot drift."""
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(t, '[{rng}]')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, rng in tx.SCRIPT_RANGES.items()
+    )
+    names = list(tx.SCRIPT_RANGES)
+    greatest = ", ".join(f"n_{n}" for n in names)
+    dom = "CASE "
+    for n in names[:-1]:
+        dom += f"WHEN n_{n} >= GREATEST({greatest}) THEN '{n}' "
+    dom += f"ELSE '{names[-1]}' END"
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 1 THEN ' привет мир'
+               WHEN 2 THEN ' 你好世界'
+               WHEN 3 THEN ' مرحبا بالعالم'
+               WHEN 4 THEN ' αβγδε שלום'
+               ELSE '' END AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+           {counts}
+      FROM aug
+    )
+    SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+           n_hebrew, {dom} AS dominant
+    FROM c ORDER BY doc_id
+    """
+
+
+@register(
+    "q_doc_scripts",
+    oracle=_scripts_oracle(),
+    doc="Unicode script profiling (r12, operators/text.script_counts + "
+    "dominant_script): per-document character counts over the core "
+    "BMP script blocks (Latin incl. supplements, Cyrillic, Greek, CJK "
+    "ideographs + kana + hangul, Arabic, Hebrew) plus the dominant "
+    "script with deterministic tie order — the writing-system prior "
+    "that partitions the decision space BEFORE trigram language ID, "
+    "and the mixed-script spam signal. Character classes are built "
+    "ONCE from SCRIPT_RANGES and embedded as identical literals in "
+    "both engines' regexes; fixtures append Cyrillic/CJK/Arabic/"
+    "Greek+Hebrew snippets by doc_id so every class fires. One "
+    "regexp_count per script, codegen-side, scan-stage at 100 TB.",
+)
+def q_doc_scripts(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 1, F.lit(" привет мир"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" 你好世界"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" مرحبا بالعالم"))
+        .when(F.col("doc_id") % 5 == 4, F.lit(" αβγδε שלום"))
+        .otherwise(F.lit("")),
+    )
+    counts = tx.script_counts(aug)
+    return d.select(
+        "doc_id",
+        *[
+            counts[n].cast("long").alias(f"n_{n}")
+            for n in tx.SCRIPT_RANGES
+        ],
+        tx.dominant_script(aug).alias("dominant"),
+    ).orderBy("doc_id")

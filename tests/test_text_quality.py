@@ -1458,3 +1458,45 @@ class TestRobots:
         assert got[2] == (True, "/d/keep")
         assert got[3] == (True, None)
         assert got[4] == (True, None)
+
+
+def test_script_counts_and_dominant(spark):
+    from incremental_github_data_pipeline_spark.operators.text import (
+        SCRIPT_RANGES,
+        dominant_script,
+        script_counts,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "привет мир hello"),       # cyrillic 9 > latin 5
+            (3, "你好 こんにちは 가나"),      # ideographs + kana + hangul
+            (4, "مرحبا"),
+            (5, "שלום"),
+            (6, "αβγ ab"),                 # latin ties at... greek 3 > 2
+            (7, "123 !?"),                 # nothing alphabetic -> latin
+            (8, "Café àé"),                # Latin-1 supplement counts
+        ],
+        "i long, t string",
+    )
+    cols = script_counts("t")
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            *[c.alias(n) for n, c in cols.items()],
+            dominant_script("t").alias("dom"),
+        ).collect()
+    }
+    assert rows[1]["dom"] == "latin" and rows[1]["latin"] == 10
+    assert rows[2]["dom"] == "cyrillic" and rows[2]["cyrillic"] == 9
+    assert rows[3]["dom"] == "cjk" and rows[3]["cjk"] == 9
+    assert rows[4]["dom"] == "arabic"
+    assert rows[5]["dom"] == "hebrew"
+    assert rows[6]["dom"] == "greek"
+    assert rows[7]["dom"] == "latin"  # all-zero tie -> first entry
+    assert rows[8]["latin"] == 6  # accented Latin-1 chars included
+    assert set(SCRIPT_RANGES) == {
+        "latin", "cyrillic", "greek", "cjk", "arabic", "hebrew"
+    }
