@@ -599,6 +599,8 @@ def bfs_levels(
     """
     if rounds < 0:
         raise ValueError("rounds must be non-negative")
+    if not seeds:
+        raise ValueError("bfs_levels needs a non-empty seed set")
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = spark.range(n_nodes).select(F.col("id").alias("node"))

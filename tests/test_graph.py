@@ -373,3 +373,6 @@ def test_bfs_levels_multi_seed_takes_nearest_and_directedness(spark):
         for r in bfs_levels(e, 6, seeds=[0, 5], rounds=0).collect()
     }
     assert z == {0: 0, 5: 0, 1: None, 2: None, 3: None, 4: None}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="seed"):
+        bfs_levels(e, 6, seeds=[], rounds=1)
