@@ -1665,21 +1665,31 @@ def set_exif_orientation(jpeg: bytes, orientation: int) -> bytes:
     """Insert (or replace) an APP1 EXIF orientation segment right
     after SOI — composes with every JPEG encoder here (baseline,
     progressive, 4:2:0, 12-bit) since APPn segments are transparent
-    to the scan machinery."""
+    to the scan machinery.
+
+    EVERY existing APP1 EXIF up to SOS is dropped, not just one
+    sitting immediately after SOI (ADVICE r12): real files commonly
+    carry APP0/JFIF first and EXIF second, and ``decode_jpeg`` honors
+    the LAST APP1 EXIF it sees — a stale tag surviving deeper in the
+    header would silently override the inserted one, breaking the
+    idempotence this function promises."""
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
+    out = bytearray(b"\xff\xd8") + exif_app1_segment(orientation)
     pos = 2
-    # drop an existing APP1 EXIF so the call is idempotent
-    out = bytearray(b"\xff\xd8")
-    while pos + 4 <= len(jpeg) and jpeg[pos] == 0xFF and jpeg[
-        pos + 1
-    ] == 0xE1:
-        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
-        if jpeg[pos + 4 : pos + 10] == b"Exif\x00\x00":
-            pos += 2 + seglen
-        else:
+    # copy the header segment-by-segment, dropping APP1 EXIF bodies;
+    # from SOS on, entropy data follows — copy the rest verbatim
+    while pos + 4 <= len(jpeg) and jpeg[pos] == 0xFF:
+        marker = jpeg[pos + 1]
+        if marker == 0xDA:  # SOS: header over
             break
-    out += exif_app1_segment(orientation) + jpeg[pos:]
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        if marker == 0xE1 and jpeg[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            pos += 2 + seglen  # drop stale EXIF wherever it sits
+        else:
+            out += jpeg[pos : pos + 2 + seglen]
+            pos += 2 + seglen
+    out += jpeg[pos:]
     return bytes(out)
 
 

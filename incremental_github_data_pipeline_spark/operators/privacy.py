@@ -320,14 +320,18 @@ def dp_noisy_counts(
     ``seed`` only across genuinely new releases.
 
     ``group_col`` must be integral (hash portability across engines);
-    map string keys upstream. One map-combined aggregate; noise is
-    scan-free column math on the group row. Returns
+    map string keys upstream. The hash multiply runs in DECIMAL(38,0)
+    lanes (ADVICE r12): group keys |g| ≳ 4.3e9 would overflow int64
+    under non-ANSI Spark and wrap silently, diverging from the
+    arbitrary-precision oracle arithmetic — the same widening posture
+    as ``hits_integer``/``ols_integer``. One map-combined aggregate;
+    noise is scan-free column math on the group row. Returns
     ``(group, n_noisy)`` — deliberately NOT the true count."""
-    g = F.col(group_col)
+    g = F.col(group_col).cast("decimal(38,0)")
     h = F.pmod(
         g * F.lit(_DP_HASH_MULT) + F.lit(int(seed) * 97531),
         F.lit(_DP_HASH_MOD),
-    )
+    ).cast("long")
     r = F.pmod(h, F.lit(_DP_DEN))
     mag = F.lit(8)
     for k in range(len(_DP_THRESHOLDS) - 1, -1, -1):

@@ -40,77 +40,85 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Certification rotation: the driver's per-round correctness snapshot
 # records the FIRST ~50 registry entries in registration order, so this
 # list is re-derived every round (VERDICT r3 confirmed the mechanics;
-# r8-r11 proved the rotation discipline works — keep it a standing edit).
-# Round-12 priorities (VERDICT r11 task 1, exactly as queued there):
-#   (0) the 25 queries registered after the r11 window filled —
-#       sweep-green 236/236 but never seen by a driver correctness row;
-#       their first rows land this round;
-#   (a) the 16 r7-vintage refreshes deferred from r11 (relational
-#       set/agg/window/scan ops and simple text/embedding/sample
-#       aggregates, operator code untouched since r7) — after this
-#       round no registry query's newest driver green predates r8;
-#   (b) genuinely-new r12 operators certify in the round that built
-#       them, plus changed-lane recerts (q_media_tiff_stats now cycles
-#       a CCITT Group 4 bilevel fixture; the JPEG lanes gained
-#       EXIF-orientation fixtures via the new q_media_exif_stats).
-# Queries registered after this window fills queue FIRST in r13:
-# q_doc_scripts (late-r12 Unicode script profiling — sweep-green +
-# benched, never driver-seen). The r12 window is exactly 50:
-# 25 + 16 backlog + 9 new/changed-lane r12 rows.
+# r8-r12 proved the rotation discipline works — keep it a standing edit).
+# Round-13 priorities (VERDICT r12 task 1, exactly as queued there):
+#   (0) q_doc_scripts — the single never-driver-certified registry
+#       query (late-r12 registration), queued first;
+#   (a) 40 of the 50 r8-vintage refreshes (newest driver green = r8):
+#       TPC-H Q12-Q22 plus the relational/event/text/stream lanes,
+#       operator code untouched since r8 — lowest risk first per the
+#       verdict. The remaining 10 r8-vintage rows (heavy media /
+#       tokenizer / embedding-similarity lanes: q_ann_recall,
+#       q_embedding_pq_topk, q_embedding_quantized_topk,
+#       q_hybrid_rrf_topk, q_media_jpeg12_stats,
+#       q_media_png_lowdepth_stats, q_media_vad_segments,
+#       q_media_video_motion, q_unigram_pieces, q_unigram_tokenize)
+#       queue FIRST for r14 so nothing's newest green predates r9
+#       after r14 — the two-round rotation the verdict prescribes;
+#   (b) genuinely-new r13 operators certify in the round that built
+#       them, plus changed-lane recerts (q_url_canonical gained the
+#       percent-encoding normalization layer; q_crawl_curation gained
+#       robots-gate + tracker-strip stages and salted URL dedup;
+#       q_media_tiff_stats now also cycles a Group 3 2-D (MR) fixture;
+#       q_media_webp_stats/q_media_gif_stats gained animated/multi-
+#       frame fixtures; q_privacy_dp_counts hash lane widened through
+#       DECIMAL(38,0) per ADVICE r12).
+# The r13 window is exactly 50: 1 + 40 backlog + 9 new/changed rows.
 _CERTIFY_FIRST = [
-    # -- (0) first driver rows (registered post-r11-window) --
-    "q_embedding_matryoshka",
-    "q_media_augment_stats",
-    "q_skew_advisory",
-    "q_media_avi_stats",
-    "q_media_ico_stats",
-    "q_doc_html_strip",
+    # -- (0) the one never-certified registry query --
+    "q_doc_scripts",
+    # -- (a) r8-vintage refreshes: TPC-H Q12-Q22 --
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    # -- (a) r8-vintage refreshes: relational/event/text/stream lanes --
+    "q_allocate_cents",
+    "q_case_when",
+    "q_cdc_apply",
+    "q_corr_qty_price",
+    "q_date_parts",
+    "q_dedup_clusters",
+    "q_doc_bm25_topk",
+    "q_doc_chunks",
+    "q_doc_cluster_split",
+    "q_doc_curation_funnel",
+    "q_doc_dsir",
+    "q_doc_exact_dedup",
+    "q_doc_lm_score",
+    "q_doc_mix_sources",
+    "q_doc_remove_spans",
+    "q_events_funnel",
+    "q_events_hourly",
+    "q_events_new_users",
+    "q_expectations_audit",
+    "q_grouping_sets",
+    "q_incremental_rollup",
+    "q_json_extract",
+    "q_pivot_event_types",
+    "q_quantiles",
+    "q_salted_agg",
+    "q_stream_session_attribution",
+    "q_string_agg",
+    "q_ts_cusum",
+    "q_validation_checks",
+    # -- (b) new in round 13 + changed-lane recerts --
+    "q_doc_lang_trigram",
     "q_url_canonical",
-    "q_warc_ingest",
-    "q_warc_html_extract",
-    "q_kmv_distinct",
-    "q_kmv_jaccard",
-    "q_graph_hits",
-    "q_graph_link_pred",
-    "q_media_au_pcx_stats",
-    "q_ts_holt_winters",
-    "q_column_profile",
-    "q_doc_sentences",
-    "q_sentence_dedup",
-    "q_doc_fix_mojibake",
-    "q_avro_ingest",
-    "q_ts_ccf",
-    "q_archive_ingest",
-    "q_ts_ols",
-    "q_parquet_layout",
-    "q_graph_assortativity",
-    # -- (a) r7-vintage refreshes deferred from r11 --
-    "q_anti_join",
-    "q_cube",
-    "q_distinct_agg",
-    "q_doc_sample_stratified",
-    "q_doc_top_terms",
-    "q_doc_vocab",
-    "q_embedding_norm_stats",
-    "q_except",
-    "q_intersect",
-    "q_interval_overlap",
-    "q_range_join_count",
-    "q_rollup",
-    "q_scalar_string",
-    "q_semi_join",
-    "q_top20_scan",
-    "q_window_running_total",
-    # -- (b) new in round 12 + changed-lane recerts --
-    "q_media_tiff_stats",
-    "q_media_exif_stats",
     "q_crawl_curation",
-    "q_doc_pii_redact",
-    "q_skew_mitigated_join",
-    "q_graph_bfs",
+    "q_media_tiff_stats",
+    "q_media_webp_stats",
+    "q_media_gif_stats",
     "q_privacy_dp_counts",
+    "q_doc_lang_dist",
     "q_url_strip_tracking",
-    "q_robots_gate",
 ]
 
 

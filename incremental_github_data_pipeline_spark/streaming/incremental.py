@@ -2221,6 +2221,37 @@ def cc_versioned(
     )
 
 
+def _assert_pinned_params(
+    spark: SparkSession, params_root: str, called: dict, what: str
+) -> None:
+    """Guard for parameterized versioned indexes (ADVICE r12): once a
+    ``params`` sidecar is pinned, every later ingest must pass the SAME
+    parameters — appending postings banded under different hash counts
+    (or Bloom positions hashed under a different geometry) silently
+    corrupts the index (zeroed LSH recall / Bloom false negatives).
+    1-row sidecar read: bounded by construction."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        read_version,
+    )
+
+    pinned = read_version(spark, params_root).collect()[0]
+    diffs = {
+        name: (pinned[name], value)
+        for name, value in called.items()
+        if pinned[name] != value
+    }
+    if diffs:
+        detail = ", ".join(
+            f"{name}: pinned={p} called={c}"
+            for name, (p, c) in sorted(diffs.items())
+        )
+        raise ValueError(
+            f"{what} at {params_root!r} was built with different "
+            f"parameters ({detail}); re-ingesting with mismatched "
+            "parameters would corrupt the index"
+        )
+
+
 def run_incremental_lsh_ingest(
     spark: SparkSession,
     src_dir: str,
@@ -2253,8 +2284,10 @@ def run_incremental_lsh_ingest(
     SAME parameters and equi-join the postings; parameters are part
     of the index contract (mixing band counts across versions would
     silently zero the collision probability), so they are pinned in a
-    1-row ``_params`` sidecar committed with version 1 and asserted
-    at serve time."""
+    1-row ``_params`` sidecar committed with version 1, ENFORCED on
+    every later ingest (a re-run with different parameters raises
+    instead of silently appending incompatible postings — ADVICE
+    r12), and re-read at serve time."""
     from incremental_github_data_pipeline_spark.operators.dedup import (
         minhash_bands,
         minhash_signature,
@@ -2283,6 +2316,13 @@ def run_incremental_lsh_ingest(
                 f"{table_root}/params",
                 mode="overwrite",
                 txn_id=f"lsh-params:{checkpoint}",
+            )
+        else:
+            _assert_pinned_params(
+                spark,
+                f"{table_root}/params",
+                {"num_hashes": num_hashes, "bands": bands, "k": k},
+                what="LSH index",
             )
         keys = batch_df.select(
             "doc_id",
@@ -2395,12 +2435,24 @@ def run_incremental_bloom_ingest(
 
     Hash parameters are pinned in a ``params`` sidecar (a filter
     probed with different seeds or width is silently broken — false
-    NEGATIVES, the one thing a Bloom filter must never produce).
+    NEGATIVES, the one thing a Bloom filter must never produce) and
+    ENFORCED on every later ingest — a re-run with different
+    ``(n_bits, n_hashes)`` raises instead of silently appending bit
+    positions hashed under an incompatible geometry (ADVICE r12).
+    ``n_bits`` must be a multiple of 64 and ``n_hashes >= 1``,
+    matching the batch twin ``dedup.build_bloom``'s contract — the
+    serving fold packs positions into 64-bit words, so a ragged width
+    would otherwise get permanently pinned and break every serve.
     Exactly-once: ``txn_id = bloom-ingest:<checkpoint>:<batch_id>``."""
     from incremental_github_data_pipeline_spark.sources.versioned import (
         commit_version,
         latest_version,
     )
+
+    if n_bits <= 0 or n_bits % 64 != 0:
+        raise ValueError("n_bits must be a positive multiple of 64")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
 
     stream = spark.readStream.schema(schema).parquet(src_dir)
 
@@ -2415,6 +2467,13 @@ def run_incremental_bloom_ingest(
                 f"{table_root}/params",
                 mode="overwrite",
                 txn_id=f"bloom-params:{checkpoint}",
+            )
+        else:
+            _assert_pinned_params(
+                spark,
+                f"{table_root}/params",
+                {"n_bits": n_bits, "n_hashes": n_hashes},
+                what="Bloom filter",
             )
         positions = batch_df.select(
             F.explode(

@@ -1626,6 +1626,33 @@ class TestExifOrientation:
             ref = mm.apply_exif_orientation(mm.decode_jpeg(enc), 8)
             assert np.array_equal(got, ref)
 
+    def test_set_drops_stale_exif_after_app0(self):
+        # ADVICE r12: real files carry APP0/JFIF first and EXIF second;
+        # decode honors the LAST APP1 EXIF, so a stale tag deeper in
+        # the header must be dropped by set_exif_orientation or the
+        # re-tag is a silent no-op at decode time.
+        w, h, px = mm._jpeg_block_values(4)
+        base = mm.encode_jpeg(px)  # emits APP0 JFIF right after SOI
+        (app0_len,) = __import__("struct").unpack_from(">H", base, 4)
+        after_app0 = 2 + 2 + app0_len
+        stale = base[:after_app0] + mm.exif_app1_segment(3) + base[
+            after_app0:
+        ]
+        assert np.array_equal(
+            mm.decode_jpeg(stale), mm.apply_exif_orientation(px, 3)
+        )
+        retagged = mm.set_exif_orientation(stale, 6)
+        assert retagged.count(b"Exif\x00\x00") == 1
+        assert np.array_equal(
+            mm.decode_jpeg(retagged), mm.apply_exif_orientation(px, 6)
+        )
+        # idempotent from any starting layout
+        again = mm.set_exif_orientation(retagged, 8)
+        assert again.count(b"Exif\x00\x00") == 1
+        assert np.array_equal(
+            mm.decode_jpeg(again), mm.apply_exif_orientation(px, 8)
+        )
+
     def test_malformed_exif_is_neutral_not_fatal(self):
         w, h, px = mm._jpeg_block_values(1)
         base = mm.encode_jpeg(px)

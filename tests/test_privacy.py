@@ -261,3 +261,44 @@ def test_dp_noisy_counts_clamps_at_zero(spark):
         r["n_noisy"] for r in dp_noisy_counts(df, "grp", seed=1).collect()
     ]
     assert min(vals) == 0 and all(v >= 0 for v in vals)
+
+
+def test_dp_noisy_counts_wide_keys_match_arbitrary_precision(spark):
+    """ADVICE r12: keys |g| beyond ~4.3e9 overflowed the int64 hash
+    multiply under non-ANSI Spark and wrapped silently; the
+    DECIMAL(38,0) lane must reproduce arbitrary-precision arithmetic
+    for huge (and negative) keys bit-for-bit."""
+    from incremental_github_data_pipeline_spark.operators.privacy import (
+        _DP_DEN,
+        _DP_HASH_MOD,
+        _DP_HASH_MULT,
+        _DP_THRESHOLDS,
+        dp_noisy_counts,
+    )
+
+    keys = [
+        4_300_000_000_007,
+        2**62 + 12345,
+        -(2**61) - 99,
+        -7,
+        0,
+        987_654_321_987,
+    ]
+    rows = [(k,) for k in keys for _ in range(5)]  # true count 5 each
+    df = spark.createDataFrame(rows, "grp long")
+    got = {
+        r["grp"]: r["n_noisy"]
+        for r in dp_noisy_counts(df, "grp", seed=11).collect()
+    }
+
+    def expect(k: int, n: int, seed: int) -> int:
+        h = (k * _DP_HASH_MULT + seed * 97531) % _DP_HASH_MOD
+        r = h % _DP_DEN
+        mag = 8
+        for i in range(len(_DP_THRESHOLDS) - 1, -1, -1):
+            if r < _DP_THRESHOLDS[i]:
+                mag = i
+        sign = 1 if (h // _DP_DEN) % 2 == 0 else -1
+        return max(0, n + sign * mag)
+
+    assert got == {k: expect(k, 5, 11) for k in keys}

@@ -1864,6 +1864,66 @@ def test_incremental_bloom_ingest_equals_one_shot(spark, tmp_path):
     assert sum(got1[f"doc-{i}"] for i in range(300, 600)) < 100
 
 
+def test_incremental_index_params_are_enforced(spark, tmp_path):
+    """ADVICE r12: once the params sidecar is pinned, a later ingest
+    with DIFFERENT parameters must raise, not silently append
+    incompatible postings (zeroed LSH recall) or bit positions hashed
+    under a different geometry (Bloom false negatives)."""
+    from incremental_github_data_pipeline_spark.streaming import (
+        run_incremental_bloom_ingest,
+        run_incremental_lsh_ingest,
+    )
+
+    # LSH: first ingest pins (32, 16, 5); a 5-gram re-band under
+    # (16, 8) must be refused on the next non-empty batch
+    src = tmp_path / "docs"
+    root = str(tmp_path / "lsh")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(i, " ".join(f"w{j}" for j in range(i, i + 20)))
+            for i in range(10)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    run_incremental_lsh_ingest(spark, str(src), root, ckpt)
+    spark.createDataFrame(
+        [(99, "fresh shard to make the next batch non-empty " * 3)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    with pytest.raises(Exception, match="different\\s+parameters"):
+        run_incremental_lsh_ingest(
+            spark, str(src), root, str(tmp_path / "ckpt2"),
+            num_hashes=16, bands=8, k=5,
+        )
+
+    # Bloom: geometry is validated up front (batch-twin contract)...
+    with pytest.raises(ValueError, match="multiple of 64"):
+        run_incremental_bloom_ingest(
+            spark, str(src), str(tmp_path / "bloom"),
+            str(tmp_path / "bc"), "doc_id long, text string", "text",
+            n_bits=100,
+        )
+    with pytest.raises(ValueError, match="n_hashes"):
+        run_incremental_bloom_ingest(
+            spark, str(src), str(tmp_path / "bloom"),
+            str(tmp_path / "bc"), "doc_id long, text string", "text",
+            n_hashes=0,
+        )
+    # ...and pinned geometry is enforced on later ingests
+    broot = str(tmp_path / "bloom")
+    run_incremental_bloom_ingest(
+        spark, str(src), broot, str(tmp_path / "bc"),
+        "doc_id long, text string", "text", n_bits=1 << 12,
+    )
+    spark.createDataFrame(
+        [(100, "another fresh shard")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    with pytest.raises(Exception, match="different\\s+parameters"):
+        run_incremental_bloom_ingest(
+            spark, str(src), broot, str(tmp_path / "bc2"),
+            "doc_id long, text string", "text", n_bits=1 << 13,
+        )
+
+
 def test_compact_cc_log_folds_without_changing_serving(spark, tmp_path):
     """CC-log compaction (r12): the folded rewrite serves the identical
     labeling, shrinks the log to one row per live node, keeps older
