@@ -2352,6 +2352,48 @@ def canonicalize_url(col: Column | str) -> Column:
     )
 
 
+def normalize_percent_encoding(col: Column | str) -> Column:
+    """Percent-encoding normalization (r13) — the last documented layer
+    of the URL-canonicalization stack (:func:`canonicalize_url` scopes
+    it out of its mechanical core): per RFC 3986 §2.3/§6.2.2, decode
+    escapes of UNRESERVED characters (ALPHA / DIGIT / ``-._~`` —
+    ``%41`` → ``A``, ``%7e`` → ``~``) and UPPERCASE the hex of every
+    escape that must stay encoded (``%3f`` → ``%3F``); real crawl URL
+    dedup hits both constantly (over-encoding and mixed-case hex are
+    the two spellings proxies and templating engines disagree on).
+    Reserved characters are never decoded — decoding ``%3F`` would
+    conjure a new ``?`` and change parsing — so this composes safely
+    BEFORE :func:`canonicalize_url` → :func:`strip_tracking_params`.
+    Malformed escapes (``%`` not followed by two hex digits) pass
+    through verbatim, the lenient posture every canonicalizer takes.
+    Pure codegen: one split on ``%``, one transform re-joining the
+    pieces — scan-stage at 100 TB, no UDF."""
+    u = F.col(col) if isinstance(col, str) else col
+    parts = F.split(u, "%", -1)
+
+    def fix(p: Column) -> Column:
+        hx = F.upper(F.substring(p, 1, 2))
+        valid = hx.rlike("^[0-9A-F]{2}$")
+        v = F.conv(hx, 16, 10).cast("int")
+        unreserved = (
+            ((v >= 65) & (v <= 90))
+            | ((v >= 97) & (v <= 122))
+            | ((v >= 48) & (v <= 57))
+            | v.isin(45, 46, 95, 126)  # - . _ ~
+        )
+        rest = p.substr(F.lit(3), F.length(p))
+        return (
+            F.when(valid & unreserved, F.concat(F.char(v), rest))
+            .when(valid, F.concat(F.lit("%"), hx, rest))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    return F.concat(
+        F.element_at(parts, 1), F.array_join(F.transform(tail, fix), "")
+    )
+
+
 # Exact-name click/campaign identifiers stripped alongside the utm_*
 # prefix family — the tracker set every major list (AdGuard, uBlock,
 # browser "copy clean link" features) agrees on. Param NAMES only;
@@ -2442,6 +2484,160 @@ def dominant_script(col: Column | str) -> Column:
     for n in reversed(names[:-1]):
         out = F.when(counts[n] >= top, F.lit(n)).otherwise(out)
     return out
+
+
+# Character-trigram profiles per language (r13) — the upgrade the
+# stopword heuristic (``lang_id``) and the script prior
+# (``dominant_script``) were built to front: real multilingual crawl
+# routing keys on trigram statistics (the textcat / langid.py family),
+# not stopword lists. Each profile is a small set of the language's
+# most characteristic trigrams over ' '-padded lowercase text (space
+# marks word boundaries — " th"/"he " carry most of the signal).
+# Deliberately compact: the operator's job is the PLUMBING (integer
+# overlap scores for N languages in one codegen pass); swap in bigger
+# profiles freely. This dict is the single source of truth — the
+# oracle SQL is GENERATED from it (the script_counts pattern), so the
+# two engines can never drift.
+TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", "ing", "ng ",
+           " of", "of ", " to", "to ", "ed ", " in", "in ", "ion",
+           "is ", "at ", " wi", "ith"],
+    "de": ["der", " de", "ie ", "die", "und", " un", "ein", " ei",
+           "ich", "ch ", "sch", " sc", "ung", "cht", "ver", "gen",
+           "ten", " da", "das", "ber"],
+    "es": [" de", "de ", "os ", " la", "la ", "el ", " el", "que",
+           " qu", "ue ", "ar ", " co", "ció", "ión",
+           "aci", "ado", " en", "nte", "do ", " es"],
+    "fr": [" de", "de ", "es ", " le", "le ", "ent", "nt ", "et ",
+           " et", " la", "la ", "ion", "on ", "re ", " qu", "que",
+           "les", "des", " pa", "eur"],
+    "it": [" di", "di ", "to ", "re ", "che", " ch", "he ", "zio",
+           "ion", "one", "ne ", " co", "del", " de", "lla", "ell",
+           "ta ", "la ", " pe", "per"],
+    "pt": [" de", "de ", "os ", " qu", "que", "ue ", "ão ",
+           "ção", "açã", " co", "ent", "es ",
+           "ar ", " pa", "par", "ra ", "da ", " da", "em ", " um"],
+}
+
+# Scripts where the writing system alone decides the language label in
+# this compact profile set; Latin falls through to the trigram argmax.
+_SCRIPT_LANG: dict[str, str] = {
+    "cyrillic": "ru",
+    "greek": "el",
+    "cjk": "zh",
+    "arabic": "ar",
+    "hebrew": "he",
+}
+
+
+def char_trigrams(col: Column | str) -> Column:
+    """All character trigrams of ``' ' || lower(text) || ' '`` as an
+    array (positions 1..n-2) — the shared input unit for
+    :func:`trigram_hits`. The space padding makes word-boundary
+    trigrams fire at the edges; texts shorter than one trigram yield
+    an empty array. Pure column expressions, and deliberately NOT
+    ``substr(t, i, 3)`` over a position sequence: UTF8String substring
+    is multibyte-aware so each call re-scans from the head — O(n²)
+    per document (measured 4.6× slower at 1k chars). Splitting to a
+    char array once makes every position O(1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    return let_(
+        F.split(t, ""),
+        lambda cs: F.when(
+            F.size(cs) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(cs) - 3),
+                lambda i: F.concat(
+                    F.element_at(cs, i + 1),
+                    F.element_at(cs, i + 2),
+                    F.element_at(cs, i + 3),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def trigram_hits(col: Column | str, *, trigrams: bool = False) -> dict[str, Column]:
+    """Per-language integer overlap scores: for each profile in
+    :data:`TRIGRAM_PROFILES`, the number of the document's trigram
+    POSITIONS whose trigram is in the profile — a multiset overlap,
+    so longer matching text scores proportionally higher (the
+    integer-lane discipline DSIR uses; no floats, so the whole column
+    hash-compares cross-engine). One codegen filter per language —
+    scan-stage at 100 TB, no shuffle, no UDF.
+
+    Pass ``trigrams=True`` when ``col`` already IS the trigram array
+    (a :func:`char_trigrams` column materialized behind a projection
+    boundary) — the multi-column form: referencing a bound column is
+    free, so the array is computed once per row however many
+    languages score it. The default text-column form binds the array
+    with a per-expression let, which is right only when a SINGLE hit
+    column is wanted (N hit columns would each re-derive the array —
+    CollapseProject inlines aliases into every use site)."""
+
+    def hit(p: list[str]):
+        return lambda tg: F.size(F.filter(tg, lambda x: x.isin(p)))
+
+    if trigrams:
+        tg = F.col(col) if isinstance(col, str) else col
+        return {
+            lang: hit(profile)(tg)
+            for lang, profile in TRIGRAM_PROFILES.items()
+        }
+    return {
+        lang: let_(char_trigrams(col), hit(profile))
+        for lang, profile in TRIGRAM_PROFILES.items()
+    }
+
+
+def lang_from_trigram_hits(
+    hits: dict[str, Column], script: Column
+) -> Column:
+    """Combine precomputed per-language hit counts with the
+    writing-system prior into the final label: single-language scripts
+    map directly (cyrillic → ru, greek → el, cjk → zh, arabic → ar,
+    hebrew → he — the same CJK-short-circuit posture as ``lang_id``);
+    Latin-script text routes to the trigram argmax, ties resolving to
+    the EARLIEST profile in :data:`TRIGRAM_PROFILES` order, zero
+    evidence yielding 'und'. Cheap comparisons only — feed it bound
+    columns, not expression trees."""
+    names = [n for n in TRIGRAM_PROFILES if n in hits]
+    best = F.greatest(*[hits[n] for n in names])
+    label = F.lit("und")
+    for lang in reversed(names):
+        label = F.when(hits[lang] >= best, F.lit(lang)).otherwise(label)
+    latin = F.when(best > 0, label).otherwise(F.lit("und"))
+    out = latin
+    for s, lang in _SCRIPT_LANG.items():
+        out = F.when(script == s, F.lit(lang)).otherwise(out)
+    return out
+
+
+def lang_id_trigram(col: Column | str) -> Column:
+    """Trigram language identification composed with the writing-system
+    prior (r13) as ONE self-contained expression — the ad-hoc
+    convenience twin of the multi-column pipeline
+    (``char_trigrams`` column → ``trigram_hits(..., trigrams=True)``
+    → :func:`lang_from_trigram_hits`), which is what a wide query
+    should use. Double let-binding keeps it one-pass: the trigram
+    array binds once, then the hit counts bind once as a struct, so
+    the argmax's many references stay free instead of re-deriving
+    filters per reference. Deterministic everywhere, so the label
+    column hash-compares cross-engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    script = dominant_script(c)
+
+    def score(tg: Column) -> Column:
+        hits = trigram_hits(tg, trigrams=True)
+        return let_(
+            F.struct(*[hits[n].alias(n) for n in TRIGRAM_PROFILES]),
+            lambda h: lang_from_trigram_hits(
+                {n: h.getField(n) for n in TRIGRAM_PROFILES}, script
+            ),
+        )
+
+    return let_(char_trigrams(c), score)
 
 
 def parse_robots(text: str, agent: str = "*") -> list[dict]:

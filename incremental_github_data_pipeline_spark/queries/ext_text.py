@@ -2507,15 +2507,63 @@ def q_doc_html_strip(spark: SparkSession, sf: str) -> DataFrame:
                ':' || CASE WHEN doc_id % 2 = 0 THEN '443' ELSE '80' END
              ELSE '' END ||
              CASE WHEN doc_id % 5 = 0 THEN ''
-                  ELSE '/Dir' || (doc_id % 4) || '/p' END ||
+                  ELSE '/Dir' || (doc_id % 4) ||
+                       CASE CAST(doc_id % 6 AS INTEGER)
+                         WHEN 1 THEN '/f%6fo%2Fb%61r'
+                         WHEN 2 THEN '/%7e%5Fx%2e'
+                         WHEN 3 THEN '/p%zz%'
+                         WHEN 4 THEN '/%3fq%3d1'
+                         ELSE '/p' END END ||
              CASE WHEN doc_id % 4 = 0 THEN ''
-                  ELSE '?z=' || doc_id || '&a=' || (doc_id % 3) END ||
+                  ELSE '?z=' || doc_id || '&a=' || (doc_id % 3) ||
+                       CASE CAST(doc_id % 6 AS INTEGER)
+                         WHEN 5 THEN '&utm_source=news&v=%4B'
+                         WHEN 1 THEN '&fbclid=x%59z'
+                         ELSE '' END END ||
              CASE WHEN doc_id % 2 = 0 THEN '#frag' || doc_id ELSE '' END
                AS u
       FROM documents WHERE doc_id < 400
     ),
+    pct AS (
+      SELECT doc_id,
+             string_split(u, '%')[1] || COALESCE(array_to_string(
+               list_transform(string_split(u, '%')[2:], p ->
+                 CASE WHEN regexp_matches(substr(p, 1, 2),
+                                          '^[0-9A-Fa-f]{2}$') THEN
+                   CASE WHEN (
+                       (strpos('0123456789abcdef',
+                               substr(lower(p), 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                               substr(lower(p), 2, 1)) - 1)
+                     BETWEEN 65 AND 90)
+                     OR ((strpos('0123456789abcdef',
+                                 substr(lower(p), 1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef',
+                                 substr(lower(p), 2, 1)) - 1)
+                       BETWEEN 97 AND 122)
+                     OR ((strpos('0123456789abcdef',
+                                 substr(lower(p), 1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef',
+                                 substr(lower(p), 2, 1)) - 1)
+                       BETWEEN 48 AND 57)
+                     OR ((strpos('0123456789abcdef',
+                                 substr(lower(p), 1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef',
+                                 substr(lower(p), 2, 1)) - 1)
+                       IN (45, 46, 95, 126))
+                   THEN chr(CAST((strpos('0123456789abcdef',
+                                    substr(lower(p), 1, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef',
+                                    substr(lower(p), 2, 1)) - 1)
+                            AS INTEGER))
+                        || substr(p, 3)
+                   ELSE '%' || upper(substr(p, 1, 2)) || substr(p, 3)
+                   END
+                 ELSE '%' || p END), ''), '') AS u
+      FROM u0
+    ),
     s1 AS (
-      SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM u0
+      SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM pct
     ),
     parts AS (
       SELECT doc_id,
@@ -2533,32 +2581,59 @@ def q_doc_html_strip(spark: SparkSession, sf: str) -> DataFrame:
                   THEN regexp_replace(rest, '^[^?]*\?', '')
                   ELSE '' END AS q
       FROM parts
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' ||
+             CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                    THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https' AND hostport LIKE '%:443'
+                    THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END ||
+             CASE WHEN path = '' THEN '/' ELSE path END AS base,
+             CASE WHEN q <> ''
+                  THEN array_to_string(list_sort(
+                         string_split(q, '&')), '&')
+                  ELSE '' END AS q
+      FROM hp
+    ),
+    stripped AS (
+      SELECT doc_id, base, q,
+             CASE WHEN q = '' THEN []
+                  ELSE list_filter(
+               string_split(q, '&'),
+               p -> NOT (starts_with(string_split(p, '=')[1], 'utm_')
+                         OR list_contains(
+                              ['fbclid','gclid','dclid','msclkid',
+                               'twclid','yclid','igshid','mc_cid',
+                               'mc_eid','wbraid','gbraid','_hsenc',
+                               '_hsmi','s_cid','ref_src'],
+                              string_split(p, '=')[1]))) END AS kept
+      FROM canon
     )
     SELECT doc_id,
-           scheme || '://' ||
-           CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
-                  THEN regexp_replace(hostport, ':80$', '')
-                WHEN scheme = 'https' AND hostport LIKE '%:443'
-                  THEN regexp_replace(hostport, ':443$', '')
-                ELSE hostport END ||
-           CASE WHEN path = '' THEN '/' ELSE path END ||
-           CASE WHEN q <> ''
-                THEN '?' || array_to_string(list_sort(
-                       string_split(q, '&')), '&')
-                ELSE '' END AS url
-    FROM hp ORDER BY doc_id
+           base || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url,
+           base || CASE WHEN len(kept) > 0
+                        THEN '?' || array_to_string(kept, '&')
+                        ELSE '' END AS url_min
+    FROM stripped ORDER BY doc_id
     """,
-    doc="URL canonicalization (r11, operators/text.canonicalize_url) — "
-    "the dedup prerequisite: the same page arrives under dozens of "
-    "spellings. Fragment dropped, scheme+host lowercased (path case "
-    "preserved), default ports stripped per scheme, empty path -> "
-    "'/', query parameters SORTED, trailing '?' dropped. The fixture "
-    "synthesizes URLs cycling every normalization trap (mixed case, "
-    ":80/:443, missing path, permutable params, fragments) from "
-    "doc_id rules, and the FULL canonical string hash-compares "
-    "cross-engine — pure split/sort/regexp expressions, no UDF. "
-    "Percent-encoding and tracker-param policy stay documented layers "
-    "above this mechanical core.",
+    doc="The full URL-normalization stack (r11 core, r13 completion): "
+    "percent-encoding normalization (operators/text."
+    "normalize_percent_encoding — unreserved %XX decoded per RFC 3986 "
+    "§2.3/§6.2.2, remaining hex UPPERCASED, malformed escapes "
+    "verbatim; the layer the r11 docstring scoped out) feeding "
+    "canonicalize_url (fragment dropped, scheme+host lowercased, "
+    "default ports stripped, empty path -> '/', params SORTED) "
+    "feeding strip_tracking_params (url_min). The fixture cycles "
+    "every normalization trap: mixed case, :80/:443, missing path, "
+    "permutable params, fragments, and now over-encoded unreserved "
+    "escapes (%6f %61 %7e), reserved escapes that must stay encoded "
+    "but uppercase (%2F %3F), mixed-case hex, malformed %zz / "
+    "trailing %, and %-encoded tracker values. Both full canonical "
+    "strings hash-compare cross-engine; the engines use different "
+    "hex-decode formulations (conv vs strpos arithmetic) — same "
+    "math, independent implementations. Pure codegen, no UDF.",
 )
 def q_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents").filter(F.col("doc_id") < 400)
@@ -2575,19 +2650,35 @@ def q_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
         F.when(did % 5 == 0, F.lit("")).otherwise(
-            F.concat(F.lit("/Dir"), (did % 4).cast("string"), F.lit("/p"))
+            F.concat(
+                F.lit("/Dir"), (did % 4).cast("string"),
+                F.when(did % 6 == 1, F.lit("/f%6fo%2Fb%61r"))
+                .when(did % 6 == 2, F.lit("/%7e%5Fx%2e"))
+                .when(did % 6 == 3, F.lit("/p%zz%"))
+                .when(did % 6 == 4, F.lit("/%3fq%3d1"))
+                .otherwise(F.lit("/p")),
+            )
         ),
         F.when(did % 4 == 0, F.lit("")).otherwise(
             F.concat(
                 F.lit("?z="), did.cast("string"),
                 F.lit("&a="), (did % 3).cast("string"),
+                F.when(did % 6 == 5, F.lit("&utm_source=news&v=%4B"))
+                .when(did % 6 == 1, F.lit("&fbclid=x%59z"))
+                .otherwise(F.lit("")),
             )
         ),
         F.when(did % 2 == 0, F.concat(F.lit("#frag"), did.cast("string")))
         .otherwise(F.lit("")),
     )
-    return d.select(
-        "doc_id", tx.canonicalize_url(s).alias("url")
+    url = d.select(
+        "doc_id",
+        tx.canonicalize_url(tx.normalize_percent_encoding(s)).alias("url"),
+    )
+    return url.select(
+        "doc_id",
+        "url",
+        tx.strip_tracking_params(F.col("url")).alias("url_min"),
     ).orderBy("doc_id")
 
 
@@ -3203,4 +3294,149 @@ def q_doc_scripts(spark: SparkSession, sf: str) -> DataFrame:
             for n in tx.SCRIPT_RANGES
         ],
         tx.dominant_script(aug).alias("dominant"),
+    ).orderBy("doc_id")
+
+
+# Per-language fixture sentences for the trigram lane (doc_id % 8;
+# slot 0 keeps the base pseudo-English text). Embedded as the SAME
+# literal in both engines (each appended 3x after an 80-char slice of
+# the base text, so the appended language's trigrams dominate).
+_TRIGRAM_FIXTURES: dict[int, str] = {
+    0: "The government of the nation announced that the new law on "
+       "the protection of information is to be passed in the coming "
+       "winter with the support of the parliament.",
+    1: "Die Bundesregierung und die Länder haben sich geeinigt, dass "
+       "ein neues Gesetz nicht verabschiedet wird.",
+    2: "El gobierno de la nación aprobó la nueva ley que regula la "
+       "información y la comunicación en el país.",
+    3: "Le gouvernement de la France est que les pays européens "
+       "doivent payer pour la protection des citoyens.",
+    4: "Il governo della repubblica ha deciso che la protezione dei "
+       "cittadini è una delle cose più importanti per il paese.",
+    5: "O governo do país aprovou uma nova lei de proteção de dados "
+       "que regula a informação dos cidadãos em um parlamento.",
+    6: "Российское правительство приняло новый закон о защите "
+       "информации граждан страны.",
+    7: "中国政府通过了一项关于保护公民信息的新法律。",
+}
+
+
+def _lang_trigram_oracle() -> str:
+    """Generated from operators.text.TRIGRAM_PROFILES + SCRIPT_RANGES +
+    _SCRIPT_LANG so the oracle's trigram lists, character classes and
+    script→language mapping are the SAME literals the Spark
+    expressions use — profile translation cannot drift (the
+    script_counts pattern)."""
+    langs = list(tx.TRIGRAM_PROFILES)
+    hit_cols = ",\n             ".join(
+        "CAST(len(list_filter(tg, x -> list_contains(["
+        + ",".join(f"'{t}'" for t in profile)
+        + f"], x))) AS BIGINT) AS hits_{lang}"
+        for lang, profile in tx.TRIGRAM_PROFILES.items()
+    )
+    snippets = "".join(
+        f"\n               WHEN {k} THEN '{(' ' + s) * 3}'"
+        for k, s in _TRIGRAM_FIXTURES.items()
+    )
+    script_counts = ",\n             ".join(
+        f"len(regexp_extract_all(aug, '[{rng}]')) AS ns_{name}"
+        for name, rng in tx.SCRIPT_RANGES.items()
+    )
+    snames = list(tx.SCRIPT_RANGES)
+    sgreatest = ", ".join(f"ns_{n}" for n in snames)
+    dom = "CASE "
+    for n in snames[:-1]:
+        dom += f"WHEN ns_{n} >= GREATEST({sgreatest}) THEN '{n}' "
+    dom += f"ELSE '{snames[-1]}' END"
+    m = ", ".join(f"hits_{la}" for la in langs)
+    latin = f"CASE WHEN GREATEST({m}) = 0 THEN 'und' "
+    for la in langs:
+        latin += f"WHEN hits_{la} >= GREATEST({m}) THEN '{la}' "
+    latin += "ELSE 'und' END"
+    overrides = "".join(
+        f"WHEN '{s}' THEN '{la}' " for s, la in tx._SCRIPT_LANG.items()
+    )
+    hit_names = ", ".join(f"hits_{la}" for la in langs)
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             substr(text, 1, 48) || CASE CAST(doc_id % 8 AS INTEGER)
+               {snippets}
+               ELSE '' END AS aug
+      FROM documents
+    ),
+    tg AS (
+      SELECT doc_id, aug,
+             list_transform(
+               range(1, length(' ' || lower(aug) || ' ') - 1),
+               i -> substr(' ' || lower(aug) || ' ', i, 3)) AS tg
+      FROM aug
+    ),
+    h AS (
+      SELECT doc_id,
+             {hit_cols},
+             {script_counts}
+      FROM tg
+    )
+    SELECT doc_id, {hit_names},
+           {dom} AS script,
+           CASE {dom} {overrides}ELSE {latin} END AS lang
+    FROM h ORDER BY doc_id
+    """
+
+
+@register(
+    "q_doc_lang_trigram",
+    oracle=_lang_trigram_oracle(),
+    doc="Trigram language identification (r13, operators/text."
+    "trigram_hits + lang_id_trigram): character-trigram profiles per "
+    "language (the textcat / langid.py family — the upgrade the "
+    "stopword heuristic lang_id was billed as the placeholder for) "
+    "scored as per-document INTEGER overlap counts over the padded "
+    "lowercase trigram array, deterministic earliest-wins argmax, "
+    "composed with dominant_script as the writing-system prior "
+    "(single-language scripts map directly: cyrillic->ru, greek->el, "
+    "cjk->zh, arabic->ar, hebrew->he; Latin routes to the trigram "
+    "argmax). Profiles, script classes and the script->language map "
+    "are each ONE Python constant embedded into both engines' SQL — "
+    "no drift surface. Fixtures append de/es/fr/it/pt/ru/zh sentences "
+    "by doc_id so every decision path fires. Pure codegen: one "
+    "trigram-array materialization + one filter per language riding "
+    "the scan — no shuffle, no UDF, scan-stage at 100 TB.",
+)
+def q_doc_lang_trigram(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    snippet = F.lit("")
+    for k, s in _TRIGRAM_FIXTURES.items():
+        snippet = F.when(
+            F.col("doc_id") % 8 == k, F.lit((" " + s) * 3)
+        ).otherwise(snippet)
+    aug = F.concat(F.substring(F.col("text"), 1, 48), snippet)
+    # Multi-column form: every expensive intermediate (augmented text,
+    # trigram array, per-language hits) binds behind its own projection
+    # so it's computed once per row — CollapseProject keeps boundaries
+    # for non-cheap aliases referenced more than once.
+    base = d.select("doc_id", aug.alias("aug"))
+    tgd = base.select(
+        "doc_id",
+        tx.char_trigrams("aug").alias("tg"),
+        tx.dominant_script("aug").alias("script"),
+    )
+    hits = tx.trigram_hits("tg", trigrams=True)
+    scored = tgd.select(
+        "doc_id",
+        *[
+            hits[lang].cast("long").alias(f"hits_{lang}")
+            for lang in tx.TRIGRAM_PROFILES
+        ],
+        "script",
+    )
+    return scored.select(
+        "doc_id",
+        *[f"hits_{lang}" for lang in tx.TRIGRAM_PROFILES],
+        "script",
+        tx.lang_from_trigram_hits(
+            {n: F.col(f"hits_{n}") for n in tx.TRIGRAM_PROFILES},
+            F.col("script"),
+        ).alias("lang"),
     ).orderBy("doc_id")

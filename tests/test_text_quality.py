@@ -1500,3 +1500,171 @@ def test_script_counts_and_dominant(spark):
     assert set(SCRIPT_RANGES) == {
         "latin", "cyrillic", "greek", "cjk", "arabic", "hebrew"
     }
+
+
+class TestTrigramLangId:
+    """Trigram language identification (r13): char_trigrams,
+    trigram_hits, lang_from_trigram_hits, lang_id_trigram."""
+
+    def test_char_trigrams_padding_and_short_text(self, spark):
+        from incremental_github_data_pipeline_spark.operators.text import (
+            char_trigrams,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "The"), (2, ""), (3, "a"), (4, "héllo")],
+            "i long, t string",
+        )
+        got = {
+            r["i"]: r["tg"]
+            for r in df.select(
+                "i", char_trigrams("t").alias("tg")
+            ).collect()
+        }
+        # ' the ' -> [' th', 'the', 'he ']: padded and lowercased
+        assert got[1] == [" th", "the", "he "]
+        # '' pads to two spaces -> no trigram positions
+        assert got[2] == []
+        # single char: ' a ' -> [' a ']
+        assert got[3] == [" a "]
+        # multibyte chars count as single positions
+        assert got[4] == [" hé", "hél", "éll", "llo", "lo "]
+
+    def test_hits_are_positional_multiset_overlap(self, spark):
+        from incremental_github_data_pipeline_spark.operators.text import (
+            trigram_hits,
+        )
+
+        # ' the theater ': en profile fires at ' th'(x2), 'the'(x2),
+        # 'he '(x2) ... exact positional count, not binary presence
+        df = spark.createDataFrame([("The Theater",)], "t string")
+        hits = trigram_hits("t")
+        row = df.select(hits["en"].alias("en")).collect()[0]
+        assert row["en"] == 5  # ' th',' th','the','the','he ' ... 'he ' once mid + once end
+
+    def test_labels_real_sentences(self, spark):
+        from incremental_github_data_pipeline_spark.operators.text import (
+            lang_id_trigram,
+        )
+
+        cases = [
+            ("The quick brown fox is in the garden with the dog.", "en"),
+            ("Die Regierung und die Länder haben sich nicht geeinigt.", "de"),
+            ("El gobierno de la nación aprobó la nueva ley.", "es"),
+            ("Le gouvernement de la France et les pays européens.", "fr"),
+            ("Il governo della repubblica ha deciso che la protezione.", "it"),
+            ("O governo do país aprovou uma nova lei de proteção.", "pt"),
+            ("Российское правительство приняло новый закон.", "ru"),
+            ("Η κυβέρνηση ενέκρινε τον νέο νόμο.", "el"),
+            ("中国政府通过了一项新法律。", "zh"),
+            ("أقرت الحكومة القانون الجديد.", "ar"),
+            ("הממשלה אישרה את החוק החדש.", "he"),
+            ("", "und"),
+            ("12345 !!! ???", "und"),
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string"
+        )
+        got = {
+            r["i"]: r["lang"]
+            for r in df.select(
+                "i", lang_id_trigram("t").alias("lang")
+            ).collect()
+        }
+        for i, (text, want) in enumerate(cases):
+            assert got[i] == want, (text, got[i], want)
+
+    def test_tie_breaks_deterministic_earliest_profile(self, spark):
+        from incremental_github_data_pipeline_spark.operators.text import (
+            TRIGRAM_PROFILES,
+            lang_from_trigram_hits,
+        )
+
+        # equal hits for every language: earliest profile (en) wins;
+        # all-zero yields 'und'
+        df = spark.createDataFrame([(1,), (0,)], "h long")
+        hits = {lang: F.col("h") for lang in TRIGRAM_PROFILES}
+        got = [
+            r["lang"]
+            for r in df.select(
+                lang_from_trigram_hits(hits, F.lit("latin")).alias("lang")
+            ).orderBy(F.col("lang")).collect()
+        ]
+        assert sorted(got) == ["en", "und"]
+
+    def test_script_prior_overrides_latin_hits(self, spark):
+        from incremental_github_data_pipeline_spark.operators.text import (
+            lang_id_trigram,
+        )
+
+        # mostly-Cyrillic text with a few Latin loanwords: the script
+        # prior routes to ru even though en trigrams fire
+        df = spark.createDataFrame(
+            [("Российское правительство и the parliament",)], "t string"
+        )
+        assert df.select(
+            lang_id_trigram("t").alias("lang")
+        ).collect()[0]["lang"] == "ru"
+
+    def test_no_profile_trigram_self_overlaps(self):
+        # the replace-count identity (docs/oracle alternatives) and the
+        # positional count agree only when no profile trigram can
+        # overlap itself (t[0]==t[1]==t[2] or t[0]==t[2]); pin that
+        # property of the shipped profiles
+        from incremental_github_data_pipeline_spark.operators.text import (
+            TRIGRAM_PROFILES,
+        )
+
+        for lang, profile in TRIGRAM_PROFILES.items():
+            assert len(profile) == len(set(profile)), lang
+            for t in profile:
+                assert len(t) == 3 and t == t.lower(), (lang, t)
+                assert t[0] != t[2], (lang, t)
+
+
+def test_normalize_percent_encoding(spark):
+    """RFC 3986 §2.3/§6.2.2: unreserved escapes decode, reserved
+    escapes uppercase their hex, malformed escapes pass verbatim."""
+    from incremental_github_data_pipeline_spark.operators.text import (
+        canonicalize_url,
+        normalize_percent_encoding,
+        strip_tracking_params,
+    )
+
+    cases = {
+        "http://Ex.com/%4a%2f%7e?q=%61%zz%": "http://Ex.com/J%2F~?q=a%zz%",
+        "no-escapes": "no-escapes",
+        "a%%41": "a%A",          # first % malformed, second decodes
+        "%": "%",
+        "%G1x": "%G1x",
+        "u%c3%a9": "u%C3%A9",    # multibyte UTF-8 stays encoded, upper
+        "%41%42%43": "ABC",
+        "tail%3f": "tail%3F",    # '?' must NOT be conjured
+        "%2d%2e%5f%7e": "-._~",  # the four unreserved marks
+        "": "",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", normalize_percent_encoding("t").alias("n")
+        ).collect()
+    }
+    for i, (src, want) in enumerate(cases.items()):
+        assert got[i] == want, (src, got[i], want)
+
+    # composition order: %3F stays encoded so the canonicalizer's
+    # query parse is unchanged; decoded %61 then dedups with the
+    # plain spelling; trackers with encoded values still strip
+    stack = df.limit(1).select(
+        strip_tracking_params(
+            canonicalize_url(
+                normalize_percent_encoding(
+                    F.lit("HTTP://A.COM:80/%7Euser?b=2&%61=1&fbclid=%58")
+                )
+            )
+        ).alias("u")
+    ).collect()[0]["u"]
+    assert stack == "http://a.com/~user?a=1&b=2"
