@@ -4451,8 +4451,9 @@ def encode_tiff(
     bilevel tier (input values 0/255 only, written 1-bit photometric
     0, each strip independently coded — the fax/archival-scan
     formats, r12): ``"g4"`` (4, ITU-T T.6 MMR), ``"g3"`` (2, Group 3
-    1-D MH-RLE with byte-aligned lines, TIFF 6.0 §10) and
-    ``"g3_eol"`` (3, Group 3 with T.4 EOL framing, T4Options 0);
+    1-D MH-RLE with byte-aligned lines, TIFF 6.0 §10), ``"g3_eol"``
+    (3, Group 3 with T.4 EOL framing, T4Options 0) and ``"g3_2d"``
+    (3, Group 3 2-D/MR with K=2, T4Options 1 — r13);
     ``predictor=True`` (tag 317 = 2, horizontal
     differencing per sample) is the standard companion that makes LZW
     bite on smooth rasters.
@@ -4472,7 +4473,7 @@ def encode_tiff(
     rps = h if rows_per_strip is None else rows_per_strip
     comp_code = {
         "none": 1, "packbits": 32773, "lzw": 5, "deflate": 8, "jpeg": 7,
-        "jpeg_old": 6, "g4": 4, "g3": 2, "g3_eol": 3,
+        "jpeg_old": 6, "g4": 4, "g3": 2, "g3_eol": 3, "g3_2d": 3,
     }[compression]
     if predictor and compression not in ("lzw", "deflate"):
         raise ValueError("predictor is defined here for lzw/deflate only")
@@ -4545,6 +4546,8 @@ def encode_tiff(
         elif comp_code == 4:
             # ink = dark = pixel 0 → G4 "black"; paper = 255 → "white"
             payload_chunks.append(encode_ccitt_g4(raw == 0))
+        elif compression == "g3_2d":
+            payload_chunks.append(encode_ccitt_g3_2d(raw == 0, k=2))
         elif comp_code in (2, 3):
             payload_chunks.append(
                 encode_ccitt_g3(raw == 0, eol=comp_code == 3)
@@ -4639,7 +4642,10 @@ def encode_tiff(
         # upright — decode_tiff applies it, like the JPEG APP1 path
         entries.append(entry(274, 3, 1, orientation))
     if comp_code == 3:
-        entries.append(entry(292, 4, 1, 0))  # T4Options: 1-D, no fill
+        # T4Options: bit 0 = 2-D (MR) coding, no fill either way
+        entries.append(
+            entry(292, 4, 1, 1 if compression == "g3_2d" else 0)
+        )
     if comp_code == 7:
         entries.append(
             entry(_TIFF_TAG_JPEG_TABLES, 7, len(jpeg_tables), jt_off)
@@ -4752,10 +4758,11 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             raise ValueError("old-style JPEG stream smaller than the IFD says")
         return apply_exif_orientation(px[:h, :w], orient)
     if comp in (2, 3, 4):
-        # CCITT bilevel fax/archival-scan strips (r12): compression 2
-        # = Group 3 1-D MH-RLE (byte-aligned lines, no EOLs — TIFF
-        # 6.0 §10), 3 = Group 3 with T.4 EOL framing (T4Options: the
-        # 2-D/MR bit is an honest guard), 4 = Group 4 T.6 MMR.
+        # CCITT bilevel fax/archival-scan strips (r12, MR r13):
+        # compression 2 = Group 3 1-D MH-RLE (byte-aligned lines, no
+        # EOLs — TIFF 6.0 §10), 3 = Group 3 with T.4 EOL framing
+        # (T4Options bit 0 selects 2-D/MR: per-line tag bits, 2-D
+        # lines ride the shared T.6 row decoder), 4 = Group 4 T.6 MMR.
         # BitsPerSample 1, one sample; photometric 0 (WhiteIsZero —
         # the fax sense, white runs are sample 0 = bright paper) or 1
         # (inverted). Each strip is an independent raster per the
@@ -4766,10 +4773,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             raise NotImplementedError("CCITT TIFF must be 1-bit")
         if _TIFF_TAG_TILE_WIDTH in tags or _TIFF_TAG_TILE_LENGTH in tags:
             raise NotImplementedError("tiled CCITT TIFF not supported")
-        if comp == 3 and values(292, 0)[0] & 1:
-            raise NotImplementedError(
-                "Group 3 2-D (MR) encoding not supported"
-            )
+        g3_2d = comp == 3 and values(292, 0)[0] & 1
         photo = values(_TIFF_TAG_PHOTOMETRIC, 0)[0]
         if photo not in (0, 1):
             raise ValueError(f"bad bilevel photometric {photo}")
@@ -4783,6 +4787,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             chunk = payload[o : o + c]
             if comp == 4:
                 black = decode_ccitt_g4(chunk, w, rows_here)
+            elif g3_2d:
+                black = decode_ccitt_g3_2d(chunk, w, rows_here)
             else:
                 black = decode_ccitt_g3(
                     chunk, w, rows_here, eol=comp == 3
@@ -4926,9 +4932,10 @@ def make_tiff_media(
     (255 where ``(x·7 + y·13 + i·3) % 256 < 128`` else 0), strip
     layouts alternating single/5-row — the fax/archival-scan tier
     certified by the same integer-sum lanes; after those, ``g3``
-    Group 3 files over the same bilevel rule (compression 2 MH-RLE
-    and compression 3 EOL-framed alternating, single- and 5-row
-    strips — r12)."""
+    Group 3 files over the same bilevel rule (r12, cycling since r13
+    through all three G3 framings: compression 2 MH-RLE, compression
+    3 EOL-framed 1-D, and compression 3 with T4Options 1 — the 2-D/MR
+    tier — on single- and 5-row strips)."""
     rows = []
     for i in range(n + g4 + g3):
         if i >= n:
@@ -4936,7 +4943,7 @@ def make_tiff_media(
             px = np.where(px < 128, np.uint8(255), np.uint8(0))
             comp = (
                 "g4" if i < n + g4
-                else ("g3" if i % 2 == 0 else "g3_eol")
+                else ["g3", "g3_eol", "g3_2d"][i % 3]
             )
             rows.append(
                 (
@@ -5286,54 +5293,63 @@ def _g4_b1_b2(
     return b1, b2
 
 
+def _g4_row_bits(cur: list[int], ref: list[int], w: int) -> str:
+    """2-D (MMR) coding of one scan line against its reference line —
+    the row coder SHARED by Group 4 (every line) and Group 3 2-D
+    (tagged lines, T.4 §4.2.1 uses exactly these mode codes)."""
+    import bisect
+
+    bits: list[str] = []
+    a0 = 0
+    first = True
+    color_black = False
+    while a0 < w or first:
+        i1 = (
+            bisect.bisect_left(cur, a0)
+            if first
+            else bisect.bisect_right(cur, a0)
+        )
+        a1 = cur[i1] if i1 < len(cur) else w
+        b1, b2 = _g4_b1_b2(
+            ref, a0 if not first else -1, color_black, w
+        )
+        if b2 < a1:
+            bits.append("0001")  # pass mode
+            a0 = b2
+            first = False
+        elif abs(a1 - b1) <= 3:
+            bits.append(
+                {
+                    0: "1",
+                    1: "011", 2: "000011", 3: "0000011",
+                    -1: "010", -2: "000010", -3: "0000010",
+                }[a1 - b1]
+            )
+            a0 = a1
+            color_black = not color_black
+            first = False
+        else:  # horizontal mode: two T.4-coded runs
+            i2 = bisect.bisect_right(cur, a1)
+            a2 = cur[i2] if i2 < len(cur) else w
+            bits.append("001")
+            bits.append(_t4_run_bits(a1 - a0, not color_black))
+            bits.append(_t4_run_bits(a2 - a1, color_black))
+            a0 = a2
+            first = False
+        if a0 >= w:
+            break
+    return "".join(bits)
+
+
 def encode_ccitt_g4(black: np.ndarray) -> bytes:
     """Encode an (h, w) bool array (True = black ink) as a CCITT
     Group 4 (T.6) MMR bitstream, MSB-first, EOFB-terminated."""
-    import bisect
-
     h, w = black.shape
     bits: list[str] = []
     ref: list[int] = []  # imaginary all-white reference line
     for y in range(h):
         cur = _row_transitions(black[y])
-        a0 = 0
-        first = True
-        color_black = False
-        while a0 < w or first:
-            i1 = (
-                bisect.bisect_left(cur, a0)
-                if first
-                else bisect.bisect_right(cur, a0)
-            )
-            a1 = cur[i1] if i1 < len(cur) else w
-            b1, b2 = _g4_b1_b2(
-                ref, a0 if not first else -1, color_black, w
-            )
-            if b2 < a1:
-                bits.append("0001")  # pass mode
-                a0 = b2
-                first = False
-            elif abs(a1 - b1) <= 3:
-                bits.append(
-                    {
-                        0: "1",
-                        1: "011", 2: "000011", 3: "0000011",
-                        -1: "010", -2: "000010", -3: "0000010",
-                    }[a1 - b1]
-                )
-                a0 = a1
-                color_black = not color_black
-                first = False
-            else:  # horizontal mode: two T.4-coded runs
-                i2 = bisect.bisect_right(cur, a1)
-                a2 = cur[i2] if i2 < len(cur) else w
-                bits.append("001")
-                bits.append(_t4_run_bits(a1 - a0, not color_black))
-                bits.append(_t4_run_bits(a2 - a1, color_black))
-                a0 = a2
-                first = False
-            if a0 >= w:
-                break
+        bits.append(_g4_row_bits(cur, ref, w))
         ref = cur
     bits.append("000000000001" * 2)  # EOFB
     s = "".join(bits)
@@ -5452,105 +5468,182 @@ def decode_ccitt_g3(
     return out
 
 
+def _t4_read_run(bitstr: str, pos: int, white: bool) -> tuple[int, int]:
+    """Read one T.4 run (makeups + terminating code) starting at
+    ``pos``. Returns (run length, new pos)."""
+    table = _T4_DEC_WHITE if white else _T4_DEC_BLACK
+    n = len(bitstr)
+    total = 0
+    while True:
+        for ln in range(2, _T4_MAX_CODE_LEN + 1):
+            if pos + ln > n:
+                raise ValueError("truncated fax run code")
+            run = table.get(bitstr[pos : pos + ln])
+            if run is not None:
+                pos += ln
+                total += run
+                if run < 64:  # terminating code ends the run
+                    return total, pos
+                break  # makeup: keep reading
+        else:
+            raise ValueError("bad fax run code")
+
+
+_V_MODES = {
+    "1": 0, "011": 1, "010": -1, "000011": 2,
+    "000010": -2, "0000011": 3, "0000010": -3,
+}
+
+
+def _g4_read_row(
+    bitstr: str, pos: int, ref: list[int], w: int
+) -> tuple[list[int], int]:
+    """Decode one 2-D (MMR) coded line against its reference line —
+    the decode twin of :func:`_g4_row_bits`, shared by Group 4 and
+    Group 3 2-D tagged lines. Returns (transitions, new pos); a mode
+    code or run that walks outside the line raises ValueError."""
+    cur: list[int] = []
+    a0 = 0
+    first = True
+    color_black = False
+    last = -1  # last recorded transition, for monotonicity checks
+
+    def add(t: int) -> None:
+        # canonical transitions are strictly increasing and < w;
+        # a transition AT w is the legal end-of-line marker (kept
+        # out of the reference line — the encoder's transition
+        # lists never contain it either, so both sides walk the
+        # same reference); anything else is a corrupt stream
+        nonlocal last
+        if t < 0 or t > w or t < last or (t == last and t < w):
+            raise ValueError(
+                "fax 2-D transitions walk outside the line"
+            )
+        if t < w:
+            cur.append(t)
+        last = t
+
+    while a0 < w or first:
+        b1, b2 = _g4_b1_b2(
+            ref, a0 if not first else -1, color_black, w
+        )
+        # mode decode: codes are prefix-free — longest is 7 bits
+        mode = None
+        for code, dv in _V_MODES.items():
+            if bitstr[pos : pos + len(code)] == code:
+                mode = ("v", dv)
+                break
+        if mode is None and bitstr[pos : pos + 3] == "001":
+            mode = ("h", 0)
+        if mode is None and bitstr[pos : pos + 4] == "0001":
+            mode = ("p", 0)
+        if mode is None:
+            if bitstr[pos : pos + 12] == _EOL:
+                raise ValueError("unexpected EOL/EOFB inside 2-D raster")
+            raise ValueError("bad fax 2-D mode code")
+        kind, dv = mode
+        if kind == "v":
+            pos += len(
+                {0: "1", 1: "011", -1: "010", 2: "000011",
+                 -2: "000010", 3: "0000011", -3: "0000010"}[dv]
+            )
+            a1 = b1 + dv
+            add(a1)
+            a0 = a1
+            color_black = not color_black
+        elif kind == "h":
+            pos += 3
+            r1, pos = _t4_read_run(bitstr, pos, not color_black)
+            r2, pos = _t4_read_run(bitstr, pos, color_black)
+            add(a0 + r1)
+            add(a0 + r1 + r2)
+            a0 = a0 + r1 + r2
+        else:  # pass
+            pos += 4
+            a0 = b2
+        first = False
+        if a0 >= w:
+            break
+    return cur, pos
+
+
+def _paint_row(out: np.ndarray, y: int, trans: list[int], w: int) -> None:
+    # transitions alternate white→black at even indices
+    for i in range(0, len(trans), 2):
+        stop = trans[i + 1] if i + 1 < len(trans) else w
+        out[y, trans[i] : stop] = True
+
+
 def decode_ccitt_g4(data: bytes, w: int, h: int) -> np.ndarray:
     """Decode a CCITT Group 4 (T.6) MMR bitstream into an (h, w) bool
     array (True = black). Trailing EOFB is tolerated; a mode code or
     run that walks outside the line raises ValueError."""
     bitstr = "".join(f"{byte:08b}" for byte in data)
     pos = 0
-    n = len(bitstr)
-
-    def read_run(white: bool) -> int:
-        nonlocal pos
-        table = _T4_DEC_WHITE if white else _T4_DEC_BLACK
-        total = 0
-        while True:
-            for ln in range(2, _T4_MAX_CODE_LEN + 1):
-                if pos + ln > n:
-                    raise ValueError("truncated G4 run code")
-                run = table.get(bitstr[pos : pos + ln])
-                if run is not None:
-                    pos += ln
-                    total += run
-                    if run < 64:  # terminating code ends the run
-                        return total
-                    break  # makeup: keep reading
-            else:
-                raise ValueError("bad G4 run code")
-
     out = np.zeros((h, w), dtype=bool)
     ref: list[int] = []
-    _V_MODES = {
-        "1": 0, "011": 1, "010": -1, "000011": 2,
-        "000010": -2, "0000011": 3, "0000010": -3,
-    }
     for y in range(h):
-        cur: list[int] = []
-        a0 = 0
-        first = True
-        color_black = False
-        last = -1  # last recorded transition, for monotonicity checks
+        cur, pos = _g4_read_row(bitstr, pos, ref, w)
+        _paint_row(out, y, cur, w)
+        ref = cur
+    return out
 
-        def add(t: int) -> None:
-            # canonical transitions are strictly increasing and < w;
-            # a transition AT w is the legal end-of-line marker (kept
-            # out of the reference line — the encoder's transition
-            # lists never contain it either, so both sides walk the
-            # same reference); anything else is a corrupt stream
-            nonlocal last
-            if t < 0 or t > w or t < last or (t == last and t < w):
-                raise ValueError(
-                    "G4 transitions walk outside the line"
-                )
-            if t < w:
-                cur.append(t)
-            last = t
 
-        while a0 < w or first:
-            b1, b2 = _g4_b1_b2(
-                ref, a0 if not first else -1, color_black, w
-            )
-            # mode decode: codes are prefix-free — longest is 7 bits
-            mode = None
-            for code, dv in _V_MODES.items():
-                if bitstr[pos : pos + len(code)] == code:
-                    mode = ("v", dv)
-                    break
-            if mode is None and bitstr[pos : pos + 3] == "001":
-                mode = ("h", 0)
-            if mode is None and bitstr[pos : pos + 4] == "0001":
-                mode = ("p", 0)
-            if mode is None:
-                if bitstr[pos : pos + 12] == "000000000001":
-                    raise ValueError("unexpected EOFB inside G4 raster")
-                raise ValueError("bad G4 mode code")
-            kind, dv = mode
-            if kind == "v":
-                pos += len(
-                    {0: "1", 1: "011", -1: "010", 2: "000011",
-                     -2: "000010", 3: "0000011", -3: "0000010"}[dv]
-                )
-                a1 = b1 + dv
-                add(a1)
-                a0 = a1
-                color_black = not color_black
-            elif kind == "h":
-                pos += 3
-                r1 = read_run(not color_black)
-                r2 = read_run(color_black)
-                add(a0 + r1)
-                add(a0 + r1 + r2)
-                a0 = a0 + r1 + r2
-            else:  # pass
-                pos += 4
-                a0 = b2
-            first = False
-            if a0 >= w:
-                break
-        # paint: transitions alternate white→black at even indices
-        for i in range(0, len(cur), 2):
-            stop = cur[i + 1] if i + 1 < len(cur) else w
-            out[y, cur[i] : stop] = True
+def encode_ccitt_g3_2d(black: np.ndarray, k: int = 2) -> bytes:
+    """Encode an (h, w) bool array (True = black) as CCITT Group 3
+    2-D / MR (ITU-T T.4 §4.2.1, K > 1 — TIFF compression 3 with
+    T4Options bit 0 set): every line is framed by an EOL followed by
+    a one-bit tag (1 = the next line is 1-D MH coded, 0 = 2-D coded
+    against the previous line with exactly the T.6 mode codes). Every
+    K-th line is coded 1-D — the error-confinement resync the
+    standard requires (a transmission hit can corrupt at most K
+    lines); the lines between ride the 2-D coder. No byte alignment
+    (T4Options fill bit clear), no RTC (TIFF strips carry the
+    dimensions)."""
+    if k < 1:
+        raise ValueError("G3 2-D parameter K must be >= 1")
+    h, w = black.shape
+    pieces: list[str] = []
+    ref: list[int] = []
+    for y in range(h):
+        cur = _row_transitions(black[y])
+        if y % k == 0:
+            pieces.append(_EOL + "1" + _mh_row_bits(black[y]))
+        else:
+            pieces.append(_EOL + "0" + _g4_row_bits(cur, ref, w))
+        ref = cur
+    s = "".join(pieces)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def decode_ccitt_g3_2d(data: bytes, w: int, h: int) -> np.ndarray:
+    """Decode CCITT Group 3 2-D / MR (see :func:`encode_ccitt_g3_2d`):
+    each line is EOL + tag bit, 1-D lines through the MH row reader,
+    2-D lines through the shared MMR row decoder against the previous
+    line. The decoder never needs K — the per-line tag carries the
+    coding choice; leading fill zeros before each EOL are tolerated
+    (T4Options byte-aligned-EOL streams decode too)."""
+    bitstr = "".join(f"{byte:08b}" for byte in data)
+    out = np.zeros((h, w), dtype=bool)
+    pos = 0
+    ref: list[int] = []
+    for y in range(h):
+        idx = bitstr.find(_EOL, pos)
+        if idx == -1:
+            raise ValueError("missing G3 EOL")
+        if any(c != "0" for c in bitstr[pos:idx]):
+            raise ValueError("nonzero G3 fill bits")
+        pos = idx + len(_EOL)
+        if pos >= len(bitstr):
+            raise ValueError("truncated G3 2-D tag bit")
+        tag = bitstr[pos]
+        pos += 1
+        if tag == "1":
+            cur, pos = _mh_read_row(bitstr, pos, w)
+        else:
+            cur, pos = _g4_read_row(bitstr, pos, ref, w)
+        _paint_row(out, y, cur, w)
         ref = cur
     return out
 

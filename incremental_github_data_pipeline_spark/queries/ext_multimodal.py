@@ -1433,9 +1433,9 @@ _TIFF_STATS_ORACLE = """
     FROM sums
     UNION ALL
     -- CCITT bilevel lane (r12): ids 3024-3031 Group 4, 3032-3039
-    -- Group 3 (MH-RLE / EOL-framed alternating) — pixels threshold
-    -- the channel-0 closed form, 255 where the formula is below 128;
-    -- all three sum lanes coincide (grayscale)
+    -- Group 3 cycling MH-RLE / EOL-framed 1-D / 2-D MR (r13) —
+    -- pixels threshold the channel-0 closed form, 255 where the
+    -- formula is below 128; all three sum lanes coincide (grayscale)
     SELECT media_id, width, height, bsum AS sum_r, bsum AS sum_g,
            bsum AS sum_b
     FROM (
@@ -1464,15 +1464,17 @@ _TIFF_STATS_ORACLE = """
     "rasters (r10), 8-bit gray + 24-bit RGB, and since r12 CCITT "
     "Group 4 (T.6 MMR, ITU-T T.4 run tables) 1-bit bilevel strips — "
     "the fax/archival-scan tier; new-style JPEG-in-TIFF "
-    "is certified separately by q_media_tiff_jpeg_stats; Group 3 "
-    "framing, non-8/1-bit depths and the tiled+planar+JPEG "
+    "is certified separately by q_media_tiff_jpeg_stats; non-8/1-bit "
+    "depths and the tiled+planar+JPEG "
     "combinations stay honest NotImplementedError guards). RGB and "
     "grayscale lanes alternate, compression cycles "
     "none/PackBits/LZW/Deflate (r10), every third file is "
     "multi-strip; the r10 fixture mix also cycles tiled and planar "
     "layouts, ids 3024-3031 are G4 bilevel and 3032-3039 Group 3 "
-    "(MH-RLE byte-aligned / EOL-framed alternating, thresholded "
-    "closed form, single- and 5-row strips — r12). DuckDB recomputes every "
+    "cycling all three framings (MH-RLE byte-aligned / EOL-framed "
+    "1-D / 2-D MR with per-line tag bits riding the shared T.6 row "
+    "coder — r13; thresholded "
+    "closed form, single- and 5-row strips). DuckDB recomputes every "
     "decoded pixel's closed form, so a wrong strip/tile offset, LZW "
     "code width, zlib strip, predictor sum, byte-order, plane "
     "interleave, T.6 mode/run code or IFD walk breaks an integer "

@@ -2562,27 +2562,16 @@ class TestCcittG3:
         bits = "".join(f"{x:08b}" for x in b)
         assert bits.startswith("000000000001")
 
-    def test_tiff_g3_roundtrip_strips_and_guards(self):
+    def test_tiff_g3_roundtrip_strips_all_framings(self):
         rng = np.random.default_rng(5)
         px = np.where(rng.random((21, 64)) < 0.4, 0, 255).astype(
             np.uint8
         )
-        for comp in ("g3", "g3_eol"):
+        for comp in ("g3", "g3_eol", "g3_2d"):
             for rps in (None, 5):
                 t = mm.encode_tiff(px, rows_per_strip=rps,
                                    compression=comp)
                 assert np.array_equal(mm.decode_tiff(t), px), (comp, rps)
-        # Group 3 2-D (MR) stays an honest guard: set T4Options bit 0
-        import struct as st
-
-        t = bytearray(mm.encode_tiff(px, compression="g3_eol"))
-        n = st.unpack_from("<H", t, 8)[0]
-        for i in range(n):
-            off = 10 + i * 12
-            if st.unpack_from("<H", t, off)[0] == 292:
-                st.pack_into("<I", t, off + 8, 1)
-        with pytest.raises(NotImplementedError, match="2-D"):
-            mm.decode_tiff(bytes(t))
 
     def test_truncated_g3_raises_valueerror(self):
         img = np.ones((6, 40), dtype=bool)
@@ -2590,3 +2579,81 @@ class TestCcittG3:
             enc = mm.encode_ccitt_g3(img, eol=eol)
             with pytest.raises(ValueError):
                 mm.decode_ccitt_g3(enc[: len(enc) // 3], 40, 6, eol=eol)
+
+
+class TestCcittG3MR:
+    """CCITT Group 3 2-D / MR (T.4 §4.2.1, TIFF compression 3 with
+    T4Options bit 0) — r13: the tier that was the last fax guard."""
+
+    def test_g3_2d_roundtrip_any_bilevel_any_k(self):
+        rng = np.random.default_rng(13)
+        cases = [
+            np.zeros((3, 17), dtype=bool),
+            np.ones((3, 17), dtype=bool),
+        ]
+        for _ in range(40):
+            h = int(rng.integers(1, 12))
+            w = int(rng.integers(1, 150))
+            cases.append(rng.random((h, w)) < rng.random())
+        for img in cases:
+            for k in (1, 2, 4, 1000):
+                got = mm.decode_ccitt_g3_2d(
+                    mm.encode_ccitt_g3_2d(img, k=k),
+                    img.shape[1], img.shape[0],
+                )
+                assert np.array_equal(got, img), (img.shape, k)
+
+    def test_tag_bits_mark_coding_choice(self):
+        # K=2: line 0 is 1-D (tag 1 after the EOL), line 1 is 2-D
+        # (tag 0) — the framing T.4 prescribes and decoders key on
+        img = np.zeros((2, 16), dtype=bool)
+        img[:, 4:9] = True
+        bits = "".join(
+            f"{b:08b}" for b in mm.encode_ccitt_g3_2d(img, k=2)
+        )
+        assert bits.startswith("000000000001" + "1")
+        second = bits.index("000000000001", 13)
+        assert bits[second + 12] == "0"
+        # identical rows: the 2-D line is a single V0 code (1 bit)
+        # plus the end handling — dramatically shorter than its 1-D
+        # spelling, the whole point of MR coding
+        one_d = mm.encode_ccitt_g3_2d(img, k=1)
+        assert len(mm.encode_ccitt_g3_2d(img, k=2)) < len(one_d)
+
+    def test_k_is_not_needed_to_decode(self):
+        # streams with different K decode identically: the per-line
+        # tag bit carries the choice
+        rng = np.random.default_rng(3)
+        img = rng.random((9, 33)) < 0.5
+        outs = [
+            mm.decode_ccitt_g3_2d(mm.encode_ccitt_g3_2d(img, k=k), 33, 9)
+            for k in (1, 2, 3, 9)
+        ]
+        for o in outs:
+            assert np.array_equal(o, img)
+
+    def test_truncated_and_corrupt_mr_raise_valueerror(self):
+        img = np.ones((6, 40), dtype=bool)
+        enc = mm.encode_ccitt_g3_2d(img, k=2)
+        with pytest.raises(ValueError):
+            mm.decode_ccitt_g3_2d(enc[: len(enc) // 3], 40, 6)
+        with pytest.raises(ValueError):
+            mm.decode_ccitt_g3_2d(b"\xff" * 16, 40, 6)
+        with pytest.raises(ValueError, match="K must be"):
+            mm.encode_ccitt_g3_2d(img, k=0)
+
+    def test_media_table_g3_lane_cycles_all_framings(self, spark):
+        # ids 3032.. cycle g3 / g3_eol / g3_2d; every one decodes to
+        # the thresholded closed form
+        media = mm.make_tiff_media(spark, n=0, g4=0, g3=6)
+        rows = {
+            r["media_id"]: r
+            for r in mm.decode_stats(media).collect()
+        }
+        assert len(rows) == 6
+        for i in range(6):
+            px = mm._image_pixels(i)[:, :, 0]
+            want = np.where(px < 128, 255, 0)
+            r = rows[3000 + i]
+            got_sum = round(r["mean_r"] * r["width"] * r["height"])
+            assert got_sum == int(want.sum()), i
