@@ -91,6 +91,35 @@ def salted_aggregate(
     )
 
 
+def salted_keep_first(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    buckets: int = 16,
+) -> DataFrame:
+    """Keep-FIRST dedup (the minimum row per key by ``order_cols``) as
+    a two-phase salted aggregation (r13) — the skew-immune form of the
+    ``row_number() == 1`` window. A window gathers ALL of a hot key's
+    rows into one task and sorts them there, and AQE cannot help (its
+    skew handling splits join and aggregate partitions, never window
+    partitions), so one viral URL makes a straggler by construction.
+    MIN over a (order, row) struct is algebraic: phase 1 map-combines
+    one candidate per (key, salt) — the hot key's rows reduce inside
+    every map task — and phase 2 folds ``buckets`` candidates per key.
+    Result is exactly the window form's when ``order_cols`` is a total
+    order (make it unique; residual ties resolve lexicographically by
+    the remaining columns). Returns full rows, input column set."""
+    candidate = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.struct(*[F.col(c) for c in df.columns]).alias("_row"),
+    )
+    ph1 = with_salt(df, buckets).groupBy(*key_cols, "_salt").agg(
+        F.min(candidate).alias("_c")
+    )
+    ph2 = ph1.groupBy(*key_cols).agg(F.min("_c").alias("_c"))
+    return ph2.select("_c._row.*")
+
+
 def skew_report(
     df: DataFrame,
     key_cols: list[str],

@@ -743,29 +743,80 @@ def q_skew_advisory(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# End-to-end crawl curation (r12): the composite the r11 pieces exist
-# for — WARC ingest → HTTP-200 gate → strip_html + canonicalize_url →
-# URL exact-dedup → corpus-wide sentence dedup → quality gate, as ONE
-# registered query emitting per-stage audit rows. Certifying the
-# COMPOSITION catches inter-operator contract drift (column renames,
-# ordering assumptions, null handling) that no per-op oracle can.
+# End-to-end crawl curation (r12, extended r13): the composite the
+# r11/r12 pieces exist for — WARC ingest → HTTP-200 gate → strip_html
+# + the full URL stack (percent-normalize → canonicalize → tracker
+# strip) → robots.txt gate → URL exact-dedup (salted two-phase behind
+# the skew advisory) → corpus-wide sentence dedup → quality gate →
+# typed PII redaction, as ONE registered query emitting per-stage
+# audit rows. Certifying the COMPOSITION catches inter-operator
+# contract drift (column renames, ordering assumptions, null
+# handling) that no per-op oracle can.
 # ---------------------------------------------------------------------------
 
 _CUR_BOILER = "Copyright FooCorp all rights reserved."
 
+# The viral page every payload links (the third response): ONE
+# canonical URL spelled six ways — case, default port, param order,
+# over-encoded path (%6F='o', %68='h'), tracker params. The URL stack
+# must fold all of them to ONE key, which is then the corpus's hot
+# key: 24 copies against ~28 distinct keys trips the skew advisory
+# ('aqe' hotness), routing the dedup through salted_keep_first.
+_CUR_VIRAL = "https://viral.example.com/hot?x=1&y=2"
+
+
+def _viral_spelling(i: int) -> str:
+    return [
+        "https://viral.example.com/hot?x=1&y=2",
+        "HTTPS://VIRAL.Example.COM/hot?y=2&x=1",
+        "https://viral.example.com:443/hot?x=1&y=2",
+        "https://viral.example.com/h%6Ft?x=1&y=2",
+        f"https://viral.example.com/hot?x=1&y=2&utm_campaign=c{i}",
+        f"https://viral.example.com/%68ot?y=2&x=1&gclid=g{i}",
+    ][i % 6]
+
+
+# Per-host robots for the funnel corpus (r13): hosta1 disallows /p
+# with an /p1* allow override (drops /p6 and /p21, keeps /p1 and
+# /p16); hostb3 disallows /u (drops its odd-payload pages); the viral
+# host and every other host have no rules (allowed). Parsed ONCE at
+# import by parse_robots; both engines embed the SAME pre-compiled
+# regex strings.
+_CUR_ROBOTS_TEXTS = {
+    "hosta1.example.com": (
+        "User-agent: *\nDisallow: /p\nAllow: /p1*\n"
+    ),
+    "hostb3.example.com": "User-agent: *\nDisallow: /u\n",
+}
+
+_CUR_ROBOT_RULES = [
+    (host, r["allow"], r["pattern"], r["regex"], r["plen"])
+    for host, text in sorted(_CUR_ROBOTS_TEXTS.items())
+    for r in tx.parse_robots(text, agent="*")
+]
+
+_CUR_ROBOT_RULES_SQL = ", ".join(
+    f"('{h}', {a}, '{p}', '{rx.replace(chr(92), chr(92) * 2)}', {pl})"
+    for h, a, p, rx, pl in _CUR_ROBOT_RULES
+)
+
 
 def _curation_corpus(spark):
-    """24 WARC payloads × 3 records (warcinfo + two HTML responses)
+    """24 WARC payloads × 4 records (warcinfo + three HTML responses)
     with planted drops for EVERY funnel stage: warcinfo rows die at
     the response gate, i%6==5 first responses are 404s, even-payload
     second responses duplicate the first's URL under a different
     spelling (case/port/param-order — canonicalization must unify
-    them), every doc ends with the same boilerplate sentence
-    (sentence dedup keeps exactly one corpus-wide), and short docs
-    fall to the token-count quality gate; sentence 1 of first
-    responses carries a planted email the redaction stage removes. Every field is a closed-form
-    rule the oracle replays; even ids use the .warc.gz
-    member-per-record layout, odd ids plain concatenation."""
+    them), the third response is the VIRAL page under six spellings
+    (case/port/param-order/percent-encoding/trackers — the full URL
+    stack must fold them to one hot key, r13), robots.txt drops
+    hosta1's non-/p1* paths and hostb3 entirely (r13), every doc ends
+    with the same boilerplate sentence (sentence dedup keeps exactly
+    one corpus-wide), and short docs fall to the token-count quality
+    gate; sentence 1 of first responses carries a planted email the
+    redaction stage removes. Every field is a closed-form rule the
+    oracle replays; even ids use the .warc.gz member-per-record
+    layout, odd ids plain concatenation."""
     rows = []
     for i in range(24):
         def text_of(m):
@@ -814,6 +865,12 @@ def _curation_corpus(spark):
                 "http_status": 200,
                 "body": html(2),
             },
+            {
+                "warc_type": "response",
+                "target_uri": _viral_spelling(i),
+                "http_status": 200,
+                "body": html(3),
+            },
         ]
         rows.append(
             (i, tx.warc_build(recs, gzip_per_record=i % 2 == 0))
@@ -823,31 +880,66 @@ def _curation_corpus(spark):
     )
 
 
-# DuckDB replay of the whole funnel from the closed-form rules
-_CURATION_ORACLE = """
+# DuckDB replay of the whole funnel from the closed-form rules. The
+# oracle constructs the post-URL-stack canonical URLs directly (the
+# stack's mechanics are certified per-op by q_url_canonical); robots
+# gating is replayed for real — the same pre-compiled rule regexes,
+# longest-match window semantics — because the funnel's gate IS the
+# distributed robots_match composition.
+_CURATION_ORACLE = f"""
     WITH docs AS (
       SELECT i.i AS i, m0.m0 + 1 AS m,
              CASE WHEN m0.m0 + 1 = 1 AND i.i % 6 = 5
                   THEN 404 ELSE 200 END AS http_status,
-             CASE WHEN m0.m0 + 1 = 1 OR i.i % 2 = 0
+             CASE WHEN m0.m0 + 1 = 3
+               THEN '{_CUR_VIRAL}'
+              WHEN m0.m0 + 1 = 1 OR i.i % 2 = 0
                THEN 'https://hosta' || (i.i % 5) || '.example.com/p'
                     || i.i || '?a=' || (i.i % 2) || '&b=' || (i.i % 3)
                ELSE 'https://hostb' || (i.i % 5) || '.example.com/u'
                     || i.i
              END AS url
-      FROM range(24) i(i), range(2) m0(m0)
+      FROM range(24) i(i), range(3) m0(m0)
     ),
-    ok AS (SELECT * FROM docs WHERE http_status = 200),
+    ok AS (
+      SELECT *, regexp_extract(url, '^https://([^/]+)', 1) AS host,
+             regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path
+      FROM docs WHERE http_status = 200
+    ),
+    rules(rhost, allow, pattern, regex, plen) AS (
+      VALUES {_CUR_ROBOT_RULES_SQL}
+    ),
+    rj AS (
+      SELECT o.i, o.m, r.allow, r.plen, r.pattern,
+             CASE WHEN r.regex IS NOT NULL
+                       AND regexp_matches(o.path, r.regex)
+                  THEN 1 ELSE 0 END AS mt
+      FROM ok o LEFT JOIN rules r ON o.host = r.rhost
+    ),
+    gate AS (
+      SELECT i, m, (mt = 0 OR mt IS NULL OR allow = 1) AS allowed
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY i, m
+          ORDER BY mt DESC, plen DESC, allow DESC, pattern) AS rn
+        FROM rj
+      ) WHERE rn = 1
+    ),
+    gated AS (
+      SELECT o.* FROM ok o
+      JOIN gate g ON o.i = g.i AND o.m = g.m
+      WHERE g.allowed
+    ),
     url_kept AS (
       SELECT i, m FROM (
         SELECT i, m, ROW_NUMBER() OVER (
           PARTITION BY url ORDER BY i, m) AS rn
-        FROM ok
+        FROM gated
       ) WHERE rn = 1
     ),
     sent AS (
       -- j < n_sent: regular sentences (sentence 0 absorbs the title —
-      -- strip_html leaves 'T{i}x{m}' with no terminator before it);
+      -- strip_html leaves 'T<i>x<m>' with no terminator before it);
       -- j = n_sent: the shared boilerplate sentence
       SELECT d.i, d.m, j.j AS j,
              CASE
@@ -895,6 +987,10 @@ _CURATION_ORACLE = """
                AS toks
       FROM sent GROUP BY i, m
     ),
+    gated_doc AS (  -- robots-surviving docs' full text (stage 3)
+      SELECT f.* FROM full_doc f
+      JOIN gate g ON f.i = g.i AND f.m = g.m WHERE g.allowed
+    ),
     redacted AS (
       SELECT i, m,
              regexp_replace(regexp_replace(regexp_replace(kept_text,
@@ -905,7 +1001,7 @@ _CURATION_ORACLE = """
     )
     SELECT * FROM (
       SELECT 0 AS stage_idx, 'records' AS stage,
-             CAST(24 * 3 AS BIGINT) AS n_rows,
+             CAST(24 * 4 AS BIGINT) AS n_rows,
              CAST(NULL AS BIGINT) AS n_tokens,
              CAST(NULL AS BIGINT) AS n_chars
       UNION ALL
@@ -916,22 +1012,26 @@ _CURATION_ORACLE = """
              (SELECT CAST(SUM(toks) AS BIGINT) FROM full_doc),
              (SELECT CAST(SUM(length(text)) AS BIGINT) FROM full_doc)
       UNION ALL
-      SELECT 3, 'url_dedup', (SELECT COUNT(*) FROM url_kept),
+      SELECT 3, 'robots_gate', (SELECT COUNT(*) FROM gated_doc),
+             (SELECT CAST(SUM(toks) AS BIGINT) FROM gated_doc),
+             (SELECT CAST(SUM(length(text)) AS BIGINT) FROM gated_doc)
+      UNION ALL
+      SELECT 4, 'url_dedup', (SELECT COUNT(*) FROM url_kept),
              (SELECT CAST(SUM(all_toks) AS BIGINT) FROM per_doc),
              (SELECT CAST(SUM(length(all_text)) AS BIGINT) FROM per_doc)
       UNION ALL
-      SELECT 4, 'sentence_dedup', (SELECT COUNT(*) FROM url_kept),
+      SELECT 5, 'sentence_dedup', (SELECT COUNT(*) FROM url_kept),
              (SELECT CAST(SUM(kept_toks) AS BIGINT) FROM per_doc),
              (SELECT CAST(SUM(length(kept_text)) AS BIGINT) FROM per_doc)
       UNION ALL
-      SELECT 5, 'quality',
+      SELECT 6, 'quality',
              (SELECT COUNT(*) FROM per_doc WHERE kept_toks >= 9),
              (SELECT CAST(SUM(kept_toks) AS BIGINT) FROM per_doc
               WHERE kept_toks >= 9),
              (SELECT CAST(SUM(length(kept_text)) AS BIGINT) FROM per_doc
               WHERE kept_toks >= 9)
       UNION ALL
-      SELECT 6, 'redact', (SELECT COUNT(*) FROM redacted),
+      SELECT 7, 'redact', (SELECT COUNT(*) FROM redacted),
              (SELECT CAST(SUM(CAST(len(string_split(rtext, ' '))
                 AS BIGINT)) AS BIGINT) FROM redacted),
              (SELECT CAST(SUM(length(rtext)) AS BIGINT) FROM redacted)
@@ -947,29 +1047,44 @@ _CURATION_ORACLE = """
 @register(
     "q_crawl_curation",
     oracle=_CURATION_ORACLE,
-    doc="End-to-end crawl curation funnel (r12): warc_ingest -> "
-    "HTTP-200 response gate -> strip_html + canonicalize_url -> "
-    "URL exact-dedup (first spelling wins after canonicalization "
-    "unifies case/port/param-order variants) -> corpus-wide sentence "
-    "exact-dedup over split_sentences (the planted boilerplate "
-    "sentence survives exactly once) -> token-count quality gate -> "
-    "typed PII redaction (redact_typed: the planted emails leave as "
-    "<EMAIL>, visible in the n_chars lane), "
-    "emitting one audit row per stage (rows in, tokens and chars "
-    "surviving). "
-    "Certifying the COMPOSITION catches inter-operator contract "
-    "drift no per-op oracle can — the fixture plants a drop for "
-    "every stage. Plan shape: the Arrow parse pass runs ONCE into an "
-    "eager localCheckpoint (bounded: one row per record), and every "
-    "later stage is windows/aggregates over checkpointed frames — "
-    "the per-stage audit rows are 1-row aggregates, so the funnel "
-    "costs one parse + three bounded shuffles regardless of how "
-    "many stages report. At 100 TB the checkpoints become "
-    "persisted stage tables (the standard curation-ledger layout); "
-    "the per-stage audit is O(stages), not O(corpus).",
+    doc="End-to-end crawl curation funnel (r12, extended r13): "
+    "warc_ingest -> HTTP-200 response gate -> strip_html + the FULL "
+    "URL stack (normalize_percent_encoding -> canonicalize_url -> "
+    "strip_tracking_params — r13) -> robots.txt gate (r13: per-host "
+    "rules parsed at import, broadcast join + RFC 9309 longest-match "
+    "window; hosta1's /p-except-/p1* and hostb3's /u rules plant the "
+    "drops) -> URL exact-dedup routed by the SKEW ADVISORY (r13: the "
+    "fixture's viral page arrives under six spellings — case, port, "
+    "param order, percent-encoding, trackers — folding to ONE key "
+    "with 24 copies, which trips suggest_skew_mitigation; any hot-key "
+    "verdict takes salted_keep_first, the algebraic two-phase form, "
+    "because AQE never splits window partitions; the oracle replays "
+    "the plain keep-first — RESULT IDENTITY is the contract) -> "
+    "corpus-wide sentence exact-dedup over split_sentences (the "
+    "planted boilerplate sentence survives exactly once) -> "
+    "token-count quality gate -> typed PII redaction (redact_typed: "
+    "the planted emails leave as <EMAIL>, visible in the n_chars "
+    "lane), emitting one audit row per stage (rows in, tokens and "
+    "chars surviving). Certifying the COMPOSITION catches "
+    "inter-operator contract drift no per-op oracle can — the "
+    "fixture plants a drop for every stage. Plan shape: the Arrow "
+    "parse pass runs ONCE into an eager localCheckpoint (bounded: "
+    "one row per record), and every later stage is joins/windows/"
+    "aggregates over checkpointed frames — the per-stage audit rows "
+    "are 1-row aggregates, so the funnel costs one parse + a handful "
+    "of bounded shuffles regardless of how many stages report. At "
+    "100 TB the checkpoints become persisted stage tables (the "
+    "standard curation-ledger layout); the per-stage audit is "
+    "O(stages), not O(corpus); the advisory's decision input is a "
+    "bounded top-10 collect.",
 )
 def q_crawl_curation(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
+
+    from incremental_github_data_pipeline_spark.operators.skew import (
+        salted_keep_first,
+        suggest_skew_mitigation,
+    )
 
     recs = tx.warc_ingest(_curation_corpus(spark)).localCheckpoint(
         eager=True
@@ -981,21 +1096,67 @@ def q_crawl_curation(spark: SparkSession, sf: str) -> DataFrame:
     ext = ok.select(
         "payload_id",
         "record_idx",
-        tx.canonicalize_url(F.col("target_uri")).alias("url"),
+        tx.strip_tracking_params(
+            tx.canonicalize_url(
+                tx.normalize_percent_encoding(F.col("target_uri"))
+            )
+        ).alias("url"),
         tx.strip_html(F.col("text")).alias("text"),
     ).localCheckpoint(eager=True)
     ext = ext.withColumn(
         "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
     )
-    w_url = Window.partitionBy("url").orderBy(
-        "payload_id", "record_idx"
+    # robots gate (r13): per-host rules are a model-sized dimension
+    # (parsed at import, broadcast); the corpus side pays one
+    # broadcast join + one longest-match window
+    rules = spark.createDataFrame(
+        _CUR_ROBOT_RULES,
+        "host string, allow int, pattern string, regex string, plen int",
     )
-    kept_docs = (
-        ext.withColumn("rn", F.row_number().over(w_url))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    with_hp = ext.select(
+        "*",
+        (F.col("payload_id") * 10 + F.col("record_idx")).alias("_uid"),
+        F.regexp_extract(F.col("url"), "^https://([^/]+)", 1).alias(
+            "host"
+        ),
+        F.regexp_extract(F.col("url"), "^https://[^/]+([^?]*)", 1).alias(
+            "path"
+        ),
+    )
+    verdicts = tx.robots_match(with_hp, rules, url_id="_uid")
+    gated = (
+        with_hp.join(
+            verdicts.filter("allowed").select("_uid"), "_uid"
+        )
+        .drop("_uid", "host", "path")
         .localCheckpoint(eager=True)
     )
+    # URL exact-dedup, skew-aware (r13): the advisory measures the
+    # gated corpus's URL key (bounded top-10 collect). Any hot-key
+    # verdict routes through salted_keep_first — AQE splits join and
+    # aggregate partitions but never window partitions, so for a
+    # keep-first WINDOW both 'aqe' and 'salt' hotness mean the same
+    # thing: take the algebraic two-phase form. The viral fixture URL
+    # (24 copies of one key) trips it; result is identical to the
+    # window by construction, which is exactly what the oracle pins.
+    rec = suggest_skew_mitigation(gated, ["url"])
+    if rec["verdict"] == "none":
+        w_url = Window.partitionBy("url").orderBy(
+            "payload_id", "record_idx"
+        )
+        kept_docs = (
+            gated.withColumn("rn", F.row_number().over(w_url))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        kept_docs = salted_keep_first(
+            gated,
+            ["url"],
+            ["payload_id", "record_idx"],
+            buckets=rec["buckets"] or 16,
+        ).localCheckpoint(eager=True)
     sents = kept_docs.select(
         "payload_id",
         "record_idx",
@@ -1061,14 +1222,15 @@ def q_crawl_curation(spark: SparkSession, sf: str) -> DataFrame:
         stage(0, "records", recs, None, None)
         .unionAll(stage(1, "http200", ok, None, None))
         .unionAll(stage(2, "extracted", ext, "n_tokens", "text"))
-        .unionAll(stage(3, "url_dedup", kept_docs,
+        .unionAll(stage(3, "robots_gate", gated, "n_tokens", "text"))
+        .unionAll(stage(4, "url_dedup", kept_docs,
                         F.size(F.split(F.col("text"), " "))
                         .cast("long"), "text"))
-        .unionAll(stage(4, "sentence_dedup", per_doc, "kept_toks",
+        .unionAll(stage(5, "sentence_dedup", per_doc, "kept_toks",
                         "kept_text"))
-        .unionAll(stage(5, "quality", quality, "kept_toks",
+        .unionAll(stage(6, "quality", quality, "kept_toks",
                         "kept_text"))
-        .unionAll(stage(6, "redact", red,
+        .unionAll(stage(7, "redact", red,
                         F.size(F.split(F.col("rtext"), " "))
                         .cast("long"), "rtext"))
         .orderBy("stage_idx")

@@ -127,3 +127,84 @@ class TestSkewAdvisory:
             plain = skewed.join(dim, ["k"], "inner")
             assert sorted(map(tuple, out.select("k", "label").collect())) \
                 == sorted(map(tuple, plain.select("k", "label").collect()))
+
+
+def test_salted_keep_first_equals_window(spark):
+    """r13: the two-phase salted keep-first is bit-identical to the
+    row_number()==1 window whenever order_cols is a total order —
+    including on a planted hot key — and returns the input column
+    set."""
+    from pyspark.sql import Window
+
+    from incremental_github_data_pipeline_spark.operators.skew import (
+        salted_keep_first,
+    )
+
+    df = spark.range(2000).select(
+        # 1000 rows of one viral key, the rest unique-ish
+        F.when(F.col("id") < 1000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("id") % 377))
+        .alias("k"),
+        F.col("id").alias("seq"),
+        (F.col("id") * 31 % 997).alias("payload"),
+    )
+    for buckets in (1, 4, 16):
+        got = salted_keep_first(df, ["k"], ["seq"], buckets=buckets)
+        assert got.columns == df.columns
+        w = Window.partitionBy("k").orderBy("seq")
+        want = (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
+def test_curation_funnel_salted_path_is_result_identical(spark):
+    """r13: re-run the funnel's URL dedup both ways on the real
+    fixture corpus and require identical surviving docs — the result
+    identity the oracle's plain replay rests on."""
+    from pyspark.sql import Window
+
+    from incremental_github_data_pipeline_spark.operators import text as tx
+    from incremental_github_data_pipeline_spark.operators.skew import (
+        salted_keep_first,
+    )
+    from incremental_github_data_pipeline_spark.queries.ext_curation import (
+        _curation_corpus,
+    )
+
+    recs = tx.warc_ingest(_curation_corpus(spark))
+    ok = recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    )
+    ext = ok.select(
+        "payload_id",
+        "record_idx",
+        tx.strip_tracking_params(
+            tx.canonicalize_url(
+                tx.normalize_percent_encoding(F.col("target_uri"))
+            )
+        ).alias("url"),
+    )
+    salted = salted_keep_first(
+        ext, ["url"], ["payload_id", "record_idx"], buckets=16
+    )
+    w = Window.partitionBy("url").orderBy("payload_id", "record_idx")
+    plain = (
+        ext.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the viral page survives exactly once, under its canonical form
+    viral = [
+        t for t in salted.collect()
+        if t["url"] == "https://viral.example.com/hot?x=1&y=2"
+    ]
+    assert len(viral) == 1
+    assert (viral[0]["payload_id"], viral[0]["record_idx"]) == (0, 3)
