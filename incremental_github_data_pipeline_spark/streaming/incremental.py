@@ -800,6 +800,279 @@ def run_incremental_curation(
     )
 
 
+def run_incremental_curation_funnel(
+    spark: SparkSession,
+    warc_dir: str | Path,
+    table_root: str,
+    checkpoint: str | Path,
+    robots_rules: list[tuple] | None = None,
+    min_tokens: int = 9,
+    salt_buckets: int = 16,
+) -> None:
+    """Incremental twin of the CERTIFIED crawl-curation funnel
+    (``queries.ext_curation.q_crawl_curation``, r13) — the r5
+    ``run_incremental_curation`` predates sentence dedup, the robots
+    gate, the URL policy stack and redaction; this one maintains the
+    full stage list continuously through the versioned store. Watch a
+    directory of WARC shards (``payload_id long, payload binary``);
+    per micro-batch: warc_ingest → HTTP-200 gate → strip_html + the
+    URL stack (percent-normalize → canonicalize → tracker-strip) →
+    robots gate (``robots_rules`` is the per-host driver-side
+    dimension, broadcast) → URL keep-first → corpus-wide sentence
+    keep-first → token-count quality gate → typed PII redaction, then
+    APPEND the surviving curated docs and the per-stage audit rows.
+
+    The cross-batch state is exactly the funnel's sufficient
+    statistic, the same insight as incremental CC: keep-first dedup
+    is determined by the CLAIM TABLES — which URLs and which
+    sentences have ever been kept. Each batch (a) drops rows whose
+    key is already claimed — via the broadcast-batch-keys / map-side
+    corpus-scan asymmetry, so history is scanned once per batch and
+    NEVER reshuffled — (b) keeps the batch-first row per fresh key
+    through :func:`operators.skew.salted_keep_first` (the same
+    skew-immune two-phase form the batch funnel routes to; a viral
+    URL inside one batch can't straggle the stream), and (c) appends
+    the newly claimed keys: O(batch) work and O(batch) appended state
+    whatever the corpus size. Because claims are disjoint across
+    batches, every audit lane is ADDITIVE: summing the per-batch
+    audit rows reproduces the one-shot funnel's audit over the union
+    corpus bit-for-bit, and the curated table at version k equals the
+    one-shot funnel over batches 1..k — arrival order is the
+    keep-first order, the streaming analogue of (payload, record)
+    order when shards land in payload order.
+
+    Exactly-once: every table commit carries
+    ``txn_id = cur-funnel-<table>:<checkpoint>:<batch_id>`` so
+    replayed batches are no-ops. Tables under ``table_root``:
+    ``curated`` (payload_id, record_idx, url, text, n_tokens),
+    ``url_state`` (url), ``sent_state`` (sentence), ``audit``
+    (batch_id, stage_idx, stage, n_rows, n_tokens, n_chars)."""
+    from pyspark.sql import Row
+
+    from incremental_github_data_pipeline_spark.operators import text as tx
+    from incremental_github_data_pipeline_spark.operators.skew import (
+        salted_keep_first,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    stream = spark.readStream.schema(
+        "payload_id long, payload binary"
+    ).parquet(str(warc_dir))
+
+    def drop_claimed(batch: DataFrame, state_root: str, key: str):
+        """History-claimed keys drop out of the batch: batch keys
+        broadcast, the state table is scanned MAP-SIDE (one column,
+        no shuffle of history), only colliding keys flow back."""
+        if latest_version(state_root) is None:
+            return batch
+        state = read_version(spark, state_root)
+        batch_keys = batch.select(key).distinct()
+        collided = (
+            state.join(F.broadcast(batch_keys), key, "left_semi")
+            .distinct()
+        )
+        return batch.join(F.broadcast(collided), key, "left_anti")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        recs = tx.warc_ingest(batch_df).localCheckpoint(eager=True)
+        ok = recs.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+        ext = ok.select(
+            "payload_id",
+            "record_idx",
+            tx.strip_tracking_params(
+                tx.canonicalize_url(
+                    tx.normalize_percent_encoding(F.col("target_uri"))
+                )
+            ).alias("url"),
+            tx.strip_html(F.col("text")).alias("text"),
+        ).localCheckpoint(eager=True)
+        ext = ext.withColumn(
+            "n_tokens", F.size(F.split("text", " ")).cast("long")
+        )
+        if robots_rules:
+            rules = spark.createDataFrame(
+                robots_rules,
+                "host string, allow int, pattern string, "
+                "regex string, plen int",
+            )
+            hp = ext.select(
+                "*",
+                (F.col("payload_id") * 10 + F.col("record_idx")).alias(
+                    "_uid"
+                ),
+                F.regexp_extract("url", "^https://([^/]+)", 1).alias(
+                    "host"
+                ),
+                F.regexp_extract("url", "^https://[^/]+([^?]*)", 1).alias(
+                    "path"
+                ),
+            )
+            gated = (
+                hp.join(
+                    tx.robots_match(hp, rules, url_id="_uid")
+                    .filter("allowed")
+                    .select("_uid"),
+                    "_uid",
+                )
+                .drop("_uid", "host", "path")
+            )
+        else:
+            gated = ext
+        gated = gated.localCheckpoint(eager=True)
+
+        fresh = drop_claimed(gated, f"{table_root}/url_state", "url")
+        kept_docs = salted_keep_first(
+            fresh, ["url"], ["payload_id", "record_idx"],
+            buckets=salt_buckets,
+        ).localCheckpoint(eager=True)
+        commit_version(
+            kept_docs.select("url"),
+            f"{table_root}/url_state",
+            mode="append",
+            txn_id=f"cur-funnel-url:{checkpoint}:{batch_id}",
+        )
+
+        sents = kept_docs.select(
+            "payload_id",
+            "record_idx",
+            F.posexplode(tx.split_sentences("text")).alias(
+                "sent_idx", "sentence"
+            ),
+        ).localCheckpoint(eager=True)
+        fresh_sents = drop_claimed(
+            sents, f"{table_root}/sent_state", "sentence"
+        )
+        kept_sents = salted_keep_first(
+            fresh_sents,
+            ["sentence"],
+            ["payload_id", "record_idx", "sent_idx"],
+            buckets=salt_buckets,
+        ).localCheckpoint(eager=True)
+        commit_version(
+            kept_sents.select("sentence").distinct(),
+            f"{table_root}/sent_state",
+            mode="append",
+            txn_id=f"cur-funnel-sent:{checkpoint}:{batch_id}",
+        )
+
+        per_doc = (
+            sents.join(
+                kept_sents.withColumnRenamed("sentence", "_ks")
+                .select("payload_id", "record_idx", "sent_idx", "_ks"),
+                ["payload_id", "record_idx", "sent_idx"],
+                "left",
+            )
+            .groupBy("payload_id", "record_idx")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("_ks").isNotNull(),
+                        F.size(F.split("sentence", " ")),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("kept_toks"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_ks").isNotNull(),
+                                    F.struct("sent_idx", "sentence"),
+                                )
+                            )
+                        ),
+                        lambda s: s.sentence,
+                    ),
+                    " ",
+                ).alias("kept_text"),
+            )
+        )
+        quality = per_doc.filter(F.col("kept_toks") >= min_tokens)
+        curated = quality.select(
+            "payload_id",
+            "record_idx",
+            tx.redact_typed(F.col("kept_text")).alias("text"),
+            F.col("kept_toks").alias("n_tokens"),
+        ).localCheckpoint(eager=True)
+        commit_version(
+            curated,
+            f"{table_root}/curated",
+            mode="append",
+            txn_id=f"cur-funnel-curated:{checkpoint}:{batch_id}",
+        )
+
+        def audit(idx, name, frame, toks, chars):
+            row = frame.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (
+                    F.sum(toks).cast("long")
+                    if toks is not None
+                    else F.lit(None).cast("long")
+                ).alias("n_tokens"),
+                (
+                    F.sum(F.length(chars)).cast("long")
+                    if chars is not None
+                    else F.lit(None).cast("long")
+                ).alias("n_chars"),
+            ).collect()[0]
+            return Row(
+                batch_id=batch_id,
+                stage_idx=idx,
+                stage=name,
+                n_rows=row["n_rows"],
+                n_tokens=row["n_tokens"],
+                n_chars=row["n_chars"],
+            )
+
+        per_doc_c = per_doc.localCheckpoint(eager=True)
+        quality_c = per_doc_c.filter(F.col("kept_toks") >= min_tokens)
+        rows = [
+            audit(0, "records", recs, None, None),
+            audit(1, "http200", ok, None, None),
+            audit(2, "extracted", ext, F.col("n_tokens"), F.col("text")),
+            audit(3, "robots_gate", gated, F.col("n_tokens"),
+                  F.col("text")),
+            audit(4, "url_dedup", kept_docs,
+                  F.size(F.split("text", " ")).cast("long"),
+                  F.col("text")),
+            audit(5, "sentence_dedup", per_doc_c, F.col("kept_toks"),
+                  F.col("kept_text")),
+            audit(6, "quality", quality_c, F.col("kept_toks"),
+                  F.col("kept_text")),
+            audit(7, "redact", curated,
+                  F.size(F.split("text", " ")).cast("long"),
+                  F.col("text")),
+        ]
+        commit_version(
+            spark.createDataFrame(
+                rows,
+                "batch_id long, stage_idx long, stage string, "
+                "n_rows long, n_tokens long, n_chars long",
+            ),
+            f"{table_root}/audit",
+            mode="append",
+            txn_id=f"cur-funnel-audit:{checkpoint}:{batch_id}",
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(checkpoint))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def apply_changelog(
     base: DataFrame,
     changes: DataFrame,

@@ -1971,3 +1971,83 @@ def test_compact_cc_log_folds_without_changing_serving(spark, tmp_path):
     run_incremental_cc_ingest(spark, str(src), root, ckpt, schema)
     after = dict(labels())
     assert after[20] == 0 and after[11] == 0
+
+
+def test_incremental_curation_funnel_equals_one_shot(spark, tmp_path):
+    """r13: the incremental curation funnel through the versioned
+    store reproduces the CERTIFIED batch funnel exactly — summed
+    per-batch audit rows equal the one-shot funnel's audit over the
+    union corpus (claims are disjoint across batches, so every lane
+    is additive), replays are no-ops, redaction is visible in the
+    curated table, and time travel sees batch 1's corpus only."""
+    from incremental_github_data_pipeline_spark.queries import load_all
+    from incremental_github_data_pipeline_spark.queries.ext_curation import (
+        _CUR_ROBOT_RULES,
+        _curation_corpus,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        latest_version,
+        read_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        run_incremental_curation_funnel,
+    )
+
+    corpus = _curation_corpus(spark).collect()
+    src = tmp_path / "warcs"
+    root = str(tmp_path / "cur")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "payload_id long, payload binary"
+    b1 = [tuple(r) for r in corpus if r["payload_id"] < 12]
+    b2 = [tuple(r) for r in corpus if r["payload_id"] >= 12]
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        run_incremental_curation_funnel(
+            spark, str(src), root, ckpt, robots_rules=_CUR_ROBOT_RULES
+        )
+    v_cur = latest_version(f"{root}/curated")
+    run_incremental_curation_funnel(  # replay: no new versions
+        spark, str(src), root, ckpt, robots_rules=_CUR_ROBOT_RULES
+    )
+    assert latest_version(f"{root}/curated") == v_cur
+
+    # summed per-batch audit == the certified one-shot funnel's audit
+    audit = read_version(spark, f"{root}/audit")
+    summed = {
+        r["stage"]: r
+        for r in audit.groupBy("stage_idx", "stage")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .collect()
+    }
+    one_shot = {
+        r["stage"]: r
+        for r in load_all()["q_crawl_curation"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(summed) == set(one_shot)
+    for stage, want in one_shot.items():
+        got = summed[stage]
+        for c in ("n_rows", "n_tokens", "n_chars"):
+            assert got[c] == want[c], (stage, c, got[c], want[c])
+
+    # redaction landed in the curated table
+    curated = read_version(spark, f"{root}/curated")
+    texts = [r["text"] for r in curated.collect()]
+    assert not any("ex.com" in t for t in texts)
+    assert any("<EMAIL>" in t for t in texts)
+
+    # time travel: curated v1 holds only batch-1 survivors
+    v1 = read_version(spark, f"{root}/curated", version=1)
+    assert all(r["payload_id"] < 12 for r in v1.collect())
+    a1 = {
+        r["stage"]: r["n_rows"]
+        for r in read_version(spark, f"{root}/audit", version=1).collect()
+    }
+    assert a1["records"] == 48  # 12 payloads x 4 records
