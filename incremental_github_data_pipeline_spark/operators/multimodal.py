@@ -3221,35 +3221,80 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """Decode a GIF87a/89a (single non-interlaced image, global color
-    table) to an (h, w, 3) uint8 RGB array: header parse, color table,
-    extension-block skip, sub-block reassembly, LZW decompress, palette
-    lookup. Interlaced/local-palette variants raise."""
+def _gif_deinterlace_order(ih: int) -> list[int]:
+    """GIF 4-pass interlace row order: source row k of the stream lands
+    on canvas row order[k]."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, ih, step))
+    return order
+
+
+def decode_gif_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
+    """Decode a GIF87a/89a — every frame, full GIF89a semantics (r13):
+    multiple image blocks composited onto the logical screen, LOCAL
+    color tables (with or without a global table — the no-GCT layout
+    was the last GIF guard), INTERLACED frames (4-pass row order),
+    Graphic Control Extensions (per-frame delay, TRANSPARENT index —
+    transparent pixels leave the underlying canvas visible — and
+    disposal methods 0/1 leave, 2 restore-to-background, 3
+    restore-to-previous). Returns ``[(delay_cs, canvas_rgb), ...]`` —
+    the composited (h, w, 3) canvas after each frame renders.
+
+    Canvas convention: the canvas starts BLACK (zeros) and
+    dispose-to-background restores to black — the GIF spec's
+    background-color-index is famously ignored by every modern
+    renderer (browsers treat it as transparent; over an opaque RGB
+    canvas that is black), and a fixed convention keeps the
+    closed-form oracle lanes replayable."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    w, h, packed, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    w, h, packed, _bg, _ = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
-    if not packed & 0x80:
-        raise NotImplementedError("GIF without global color table")
-    n_colors = 2 << (packed & 7)
-    pal = np.frombuffer(payload, dtype=np.uint8, offset=pos,
-                        count=n_colors * 3).reshape(n_colors, 3)
-    pos += n_colors * 3
+    gpal = None
+    if packed & 0x80:
+        n_colors = 2 << (packed & 7)
+        gpal = np.frombuffer(
+            payload, dtype=np.uint8, offset=pos, count=n_colors * 3
+        ).reshape(n_colors, 3)
+        pos += n_colors * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames: list[tuple[int, np.ndarray]] = []
+    delay = 0
+    disposal = 0
+    transparent: int | None = None
     while pos < len(payload):
         block = payload[pos]
-        if block == 0x21:  # extension: skip sub-blocks
+        if block == 0x21:  # extension
+            label = payload[pos + 1]
             pos += 2
+            if label == 0xF9:  # Graphic Control Extension
+                sz = payload[pos]
+                gpacked, delay = struct.unpack_from(
+                    "<BH", payload, pos + 1
+                )
+                tidx = payload[pos + 4]
+                disposal = (gpacked >> 2) & 0x07
+                transparent = tidx if gpacked & 1 else None
             while payload[pos]:
                 pos += payload[pos] + 1
             pos += 1
         elif block == 0x2C:
-            left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
-            if ipacked & 0xC0:
-                raise NotImplementedError(
-                    "local color table / interlaced GIF not supported"
-                )
+            left, top, iw, ih, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
             pos += 10
+            pal = gpal
+            if ipacked & 0x80:  # local color table
+                nloc = 2 << (ipacked & 7)
+                pal = np.frombuffer(
+                    payload, dtype=np.uint8, offset=pos, count=nloc * 3
+                ).reshape(nloc, 3)
+                pos += nloc * 3
+            if pal is None:
+                raise ValueError(
+                    "GIF image has neither global nor local color table"
+                )
             min_code = payload[pos]
             pos += 1
             lzw = bytearray()
@@ -3257,17 +3302,122 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 ln = payload[pos]
                 lzw += payload[pos + 1 : pos + 1 + ln]
                 pos += ln + 1
+            pos += 1  # block terminator
             idx = np.frombuffer(
                 _lzw_decompress(bytes(lzw), min_code), dtype=np.uint8
             )
             if len(idx) != iw * ih:
                 raise ValueError("LZW pixel count mismatch")
-            return pal[idx.reshape(ih, iw)]
+            idx = idx.reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced: reorder stream rows
+                out = np.empty_like(idx)
+                out[_gif_deinterlace_order(ih)] = idx
+                idx = out
+            if top + ih > h or left + iw > w:
+                raise ValueError("GIF frame exceeds the logical screen")
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + ih, left : left + iw]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = pal[idx[mask]]
+            else:
+                region[:] = pal[idx]
+            frames.append((delay, canvas.copy()))
+            if disposal == 2:  # restore to background (black)
+                canvas[top : top + ih, left : left + iw] = 0
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+            delay, disposal, transparent = 0, 0, None
         elif block == 0x3B:
             break
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
-    raise ValueError("no image block in GIF")
+    if not frames:
+        raise ValueError("no image block in GIF")
+    return frames
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode a GIF to its FIRST composited frame — (h, w, 3) uint8
+    RGB over the logical screen. Single-image GIFs (the common crawl
+    case) get exactly the image raster; animations get frame 0's
+    composite; :func:`decode_gif_frames` serves the full timeline."""
+    return decode_gif_frames(payload)[0][1]
+
+
+def encode_gif_animation(
+    frames: list[dict],
+    screen: tuple[int, int],
+    global_palette: np.ndarray | None = None,
+) -> bytes:
+    """Encode a multi-frame GIF89a (r13) — the encoder twin of
+    :func:`decode_gif_frames`. ``screen`` is (w, h); each frame dict:
+    ``indices`` (hf, wf uint8), ``palette`` (LOCAL color table; omit
+    to use ``global_palette``), ``left``/``top`` placement,
+    ``delay_cs``, ``disposal`` (0..3), ``transparent`` (index or
+    None), ``interlace`` (bool). Omitting ``global_palette`` writes
+    the no-GCT layout (every frame must then carry a local table) —
+    the header shape the r12 decoder guarded on."""
+    w, h = screen
+    out = bytearray(b"GIF89a")
+    if global_palette is not None:
+        n = len(global_palette)
+        bits = max(2, int(n - 1).bit_length())
+        pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+        pal[:n] = global_palette
+        out += struct.pack(
+            "<HHBBB", w, h, 0x80 | (bits - 1) << 4 | (bits - 1), 0, 0
+        )
+        out += pal.tobytes()
+    else:
+        out += struct.pack("<HHBBB", w, h, 0, 0, 0)
+    for f in frames:
+        idx = np.asarray(f["indices"], dtype=np.uint8)
+        ih, iw = idx.shape
+        transparent = f.get("transparent")
+        out += b"\x21\xf9\x04"  # GCE
+        gpacked = ((f.get("disposal", 0) & 7) << 2) | (
+            1 if transparent is not None else 0
+        )
+        out += struct.pack(
+            "<BHB", gpacked, f.get("delay_cs", 0),
+            transparent if transparent is not None else 0,
+        )
+        out += b"\x00"  # GCE terminator
+        local = f.get("palette")
+        ipacked = 0
+        if f.get("interlace"):
+            ipacked |= 0x40
+        if local is not None:
+            n = len(local)
+            lbits = max(2, int(n - 1).bit_length())
+            ipacked |= 0x80 | (lbits - 1)
+        out += b"\x2C" + struct.pack(
+            "<HHHHB", f.get("left", 0), f.get("top", 0), iw, ih, ipacked
+        )
+        if local is not None:
+            pal = np.zeros((1 << lbits, 3), dtype=np.uint8)
+            pal[: len(local)] = local
+            out += pal.tobytes()
+            code_bits = max(2, lbits)
+        else:
+            if global_palette is None:
+                raise ValueError(
+                    "frame without a local palette needs a global one"
+                )
+            code_bits = max(2, int(len(global_palette) - 1).bit_length())
+        stream = idx
+        if f.get("interlace"):
+            stream = idx[_gif_deinterlace_order(ih)]
+        lzw = _lzw_compress(stream.tobytes(), code_bits)
+        out.append(code_bits)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
 
 
 def _gif_palette(ncol: int) -> np.ndarray:
@@ -3285,9 +3435,32 @@ def _gif_indices(i: int) -> tuple[np.ndarray, int]:
     return ((x * 3 + y * 5 + i) % ncol).astype(np.uint8), ncol
 
 
-def make_gif_media(spark, n: int = 32) -> DataFrame:
-    """Media table of REAL GIF87a payloads (genuine LZW streams across
-    two palette sizes) with closed-form content."""
+def _gif_frame_palette(f: int) -> np.ndarray:
+    """Closed-form 8-color LOCAL palette for animated-fixture frame f."""
+    c = np.arange(8)
+    return np.stack(
+        [
+            (c * 37 + 11 + f * 13) % 256,
+            (c * 59 + 23 + f * 13) % 256,
+            (c * 83 + 47 + f * 13) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+
+
+def make_gif_media(spark, n: int = 32, anim: int = 8) -> DataFrame:
+    """Media table of REAL GIF payloads with closed-form content: ids
+    0..n-1 single-frame GIF87a (genuine LZW streams across two palette
+    sizes); ids n.. (r13) ANIMATED GIF89a cycling the full 89a decode
+    surface by ``i % 4`` — (0) three full-screen frames with LOCAL
+    palettes and NO global color table (the r12 guard's layout),
+    (1) a transparent-index frame over a base frame (transparent
+    pixels must show the prior composite through), (2) an INTERLACED
+    second frame (the row-weighted lane catches a wrong 4-pass
+    order), (3) a sub-rect frame with dispose-to-background followed
+    by a disjoint sub-rect (the disposed region must read black in
+    the final composite). Frame pixel rule: index (x*3 + y*5 + i +
+    f*7) % 8 with frame-f local palette ``_gif_frame_palette``."""
     rows = []
     for i in range(n):
         idx, ncol = _gif_indices(i)
@@ -3295,6 +3468,60 @@ def make_gif_media(spark, n: int = 32) -> DataFrame:
         rows.append(
             (i, "image", payload, "image/gif", idx.shape[1], idx.shape[0], None)
         )
+    for i in range(n, n + anim):
+        w, h = 11 + (i % 9), 8 + (i % 7)
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+
+        def fidx(f, fw=None, fh=None):
+            fw, fh = fw or w, fh or h
+            return (
+                (np.arange(fw)[None, :] * 3 + np.arange(fh)[:, None] * 5
+                 + i + f * 7) % 8
+            ).astype(np.uint8)
+
+        v = i % 4
+        if v == 0:
+            frames = [
+                dict(indices=fidx(f), palette=_gif_frame_palette(f),
+                     delay_cs=4 * f)
+                for f in range(3)
+            ]
+            payload = encode_gif_animation(frames, (w, h))
+        elif v == 1:
+            frames = [
+                dict(indices=fidx(0), palette=_gif_frame_palette(0)),
+                dict(indices=fidx(1), palette=_gif_frame_palette(1),
+                     transparent=0),
+            ]
+            payload = encode_gif_animation(frames, (w, h))
+        elif v == 2:
+            frames = [
+                dict(indices=fidx(0), palette=_gif_frame_palette(0)),
+                dict(indices=fidx(1), palette=_gif_frame_palette(1),
+                     interlace=True),
+            ]
+            payload = encode_gif_animation(frames, (w, h))
+        else:
+            # frame 1: rect at (1,1) sized (w-4, h-3), disposed to
+            # background; frame 2: single-row rect at the bottom edge,
+            # disjoint from frame 1's rect
+            r1 = dict(
+                indices=fidx(1, w - 4, h - 3),
+                palette=_gif_frame_palette(1),
+                left=1, top=1, disposal=2,
+            )
+            r2 = dict(
+                indices=fidx(2, w - 2, 1),
+                palette=_gif_frame_palette(2),
+                left=1, top=h - 1,
+            )
+            frames = [
+                dict(indices=fidx(0), palette=_gif_frame_palette(0)),
+                r1, r2,
+            ]
+            payload = encode_gif_animation(frames, (w, h))
+        rows.append((i, "image", payload, "image/gif", w, h, None))
     return _sized_media(spark, rows)
 
 
@@ -3303,31 +3530,48 @@ GIF_STATS_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("width", LongType(), False),
         StructField("height", LongType(), False),
+        StructField("n_frames", LongType(), False),
         StructField("sum_r", LongType(), False),
         StructField("sum_g", LongType(), False),
         StructField("sum_b", LongType(), False),
+        StructField("row_weighted", LongType(), False),
     ]
 )
 
 
 def gif_decode_stats(media: DataFrame) -> DataFrame:
-    """Full GIF decode per payload → exact integer channel sums. One
-    Arrow-batched mapInPandas pass."""
+    """Full GIF decode per payload → exact integer lanes over the
+    COMPOSITED frame timeline (r13): frame-index-weighted channel sums
+    (``Σ_F (F+1)·Σ channel``) and a frame- and row-weighted sum
+    (``Σ_F (F+1)·Σ v·(y+1)``, all channels) — the pair that catches a
+    wrong composite, a wrong frame order, and a wrong interlace row
+    permutation, none of which a single-frame sum can see.
+    Single-frame GIFs get weight 1, so their channel lanes equal the
+    plain sums. One Arrow-batched mapInPandas pass."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             recs = []
             for r in pdf.itertuples(index=False):
-                px = decode_gif(r.payload).astype(np.int64)
+                frames = decode_gif_frames(r.payload)
+                h, w = frames[0][1].shape[:2]
+                sums = np.zeros(3, dtype=np.int64)
+                rw = 0
+                for fi, (_, px) in enumerate(frames):
+                    px = px.astype(np.int64)
+                    sums += (fi + 1) * px.sum(axis=(0, 1))
+                    wy = np.arange(h) + 1
+                    rw += (fi + 1) * int(
+                        (px.sum(axis=(1, 2)) * wy).sum()
+                    )
                 recs.append(
-                    (r.media_id, px.shape[1], px.shape[0],
-                     int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
-                     int(px[:, :, 2].sum()))
+                    (r.media_id, w, h, len(frames),
+                     int(sums[0]), int(sums[1]), int(sums[2]), rw)
                 )
             yield pd.DataFrame(
                 recs,
-                columns=["media_id", "width", "height",
-                         "sum_r", "sum_g", "sum_b"],
+                columns=["media_id", "width", "height", "n_frames",
+                         "sum_r", "sum_g", "sum_b", "row_weighted"],
             )
 
     return media.filter(F.col("mime") == "image/gif").mapInPandas(
@@ -6531,11 +6775,35 @@ def _vp8l_decode_stream(
     return pix
 
 
+def _decode_vp8l_body(data: bytes) -> np.ndarray:
+    """Decode one VP8L chunk body to an (h, w, 4) uint8 RGBA array —
+    shared by the still path and every ANMF animation frame."""
+    br = _Vp8lReader(bytes(data))
+    if br.read_bits(8) != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    w = br.read_bits(14) + 1
+    h = br.read_bits(14) + 1
+    br.read_bit()  # alpha-used hint
+    if br.read_bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+    pix = _vp8l_decode_stream(br, w, h)
+    arr = np.array(pix, dtype=np.uint32).reshape(h, w)
+    return np.stack(
+        [
+            (arr >> 16) & 255, (arr >> 8) & 255,
+            arr & 255, (arr >> 24) & 255,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
 def decode_webp_lossless(payload: bytes) -> np.ndarray:
     """Decode a lossless WebP (RIFF/WEBP + VP8L) to an (h, w, 3) uint8
-    RGB array, or (h, w, 4) RGBA when any alpha < 255. Lossy VP8 and
-    animation fail loud — they are float/DCT territory where no
-    integer oracle can certify a decode."""
+    RGB array, or (h, w, 4) RGBA when any alpha < 255. Animated
+    containers (VP8X+ANIM+ANMF) decode to the FIRST composited frame —
+    :func:`decode_webp_frames` serves the timeline. Lossy VP8 fails
+    loud — DCT/float territory where no integer oracle can certify a
+    decode."""
     if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP container")
     pos, data = 12, None
@@ -6550,31 +6818,111 @@ def decode_webp_lossless(payload: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "lossy VP8 is DCT/float territory; only VP8L is supported"
             )
-        if tag in (b"ANIM", b"ANMF"):
-            raise NotImplementedError("animated WebP not supported")
+        if tag == b"ANMF":
+            rgba = decode_webp_frames(payload)[0][1]
+            if np.all(rgba[:, :, 3] == 255):
+                return rgba[:, :, :3]
+            return rgba
         pos += 8 + size + (size & 1)
     if data is None:
         raise ValueError("no VP8L chunk in WebP container")
-    br = _Vp8lReader(bytes(data))
-    if br.read_bits(8) != 0x2F:
-        raise ValueError("bad VP8L signature byte")
-    w = br.read_bits(14) + 1
-    h = br.read_bits(14) + 1
-    br.read_bit()  # alpha-used hint
-    if br.read_bits(3) != 0:
-        raise ValueError("unknown VP8L version")
-    pix = _vp8l_decode_stream(br, w, h)
-    arr = np.array(pix, dtype=np.uint32).reshape(h, w)
-    rgba = np.stack(
-        [
-            (arr >> 16) & 255, (arr >> 8) & 255,
-            arr & 255, (arr >> 24) & 255,
-        ],
-        axis=2,
-    ).astype(np.uint8)
+    rgba = _decode_vp8l_body(data)
     if np.all(rgba[:, :, 3] == 255):
         return rgba[:, :, :3]
     return rgba
+
+
+def decode_webp_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
+    """Decode an ANIMATED WebP (VP8X + ANIM + ANMF chain, r13 — the
+    last WebP guard): each ANMF frame's embedded VP8L still decodes
+    through the shared :func:`_decode_vp8l_body` and composites onto
+    the VP8X canvas as integer blits. Returns ``[(duration_ms,
+    canvas_rgba), ...]`` — the (h, w, 4) canvas after each frame.
+
+    Per-frame flags honored: blending method (alpha-blend onto the
+    canvas vs overwrite) and dispose-to-background (region clears to
+    transparent after the frame shows). Alpha blending uses the exact
+    integer form ``out_a = sa + da*(255-sa)//255``,
+    ``out_c = (c_s*sa*255 + c_d*da*(255-sa)) // (255*out_a)`` — the
+    spec's real-arithmetic formula with deterministic floor division,
+    so every composited pixel is integer-replayable. Still (non-ANMF)
+    payloads return one frame with duration 0. Lossy ANMF frames
+    (VP8 ) raise like the still path."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP container")
+    pos = 12
+    canvas_wh: tuple[int, int] | None = None
+    frames: list[tuple[int, np.ndarray]] = []
+    canvas: np.ndarray | None = None
+    saw_anmf = False
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"VP8X":
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+            canvas_wh = (cw, ch)
+            canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+        elif tag == b"ANMF":
+            saw_anmf = True
+            if canvas is None:
+                raise ValueError("ANMF before VP8X canvas declaration")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            no_blend = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            # frame subchunks: find the VP8L payload
+            fpos, fdata = 16, None
+            while fpos + 8 <= len(body):
+                ftag = body[fpos : fpos + 4]
+                fsize = int.from_bytes(body[fpos + 4 : fpos + 8], "little")
+                if ftag == b"VP8L":
+                    fdata = body[fpos + 8 : fpos + 8 + fsize]
+                    break
+                if ftag == b"VP8 ":
+                    raise NotImplementedError(
+                        "lossy VP8 animation frames not supported"
+                    )
+                fpos += 8 + fsize + (fsize & 1)
+            if fdata is None:
+                raise ValueError("ANMF frame without a VP8L chunk")
+            src = _decode_vp8l_body(fdata).astype(np.int64)
+            if src.shape[0] != fh or src.shape[1] != fw:
+                raise ValueError("ANMF frame dims disagree with VP8L")
+            if fy + fh > canvas.shape[0] or fx + fw > canvas.shape[1]:
+                raise ValueError("ANMF frame exceeds the canvas")
+            region = canvas[fy : fy + fh, fx : fx + fw].astype(np.int64)
+            if no_blend:
+                out = src
+            else:
+                sa = src[:, :, 3:4]
+                da = region[:, :, 3:4]
+                oa = sa + da * (255 - sa) // 255
+                num = (
+                    src[:, :, :3] * sa * 255
+                    + region[:, :, :3] * da * (255 - sa)
+                )
+                rgb = np.where(oa > 0, num // (255 * np.maximum(oa, 1)), 0)
+                out = np.concatenate([rgb, oa], axis=2)
+            canvas[fy : fy + fh, fx : fx + fw] = out.astype(np.uint8)
+            frames.append((dur, canvas.copy()))
+            if dispose_bg:
+                canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif tag == b"VP8L" and not saw_anmf:
+            return [(0, _decode_vp8l_body(body))]
+        elif tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 is DCT/float territory; only VP8L is supported"
+            )
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("no ANMF or VP8L frames in WebP container")
+    return frames
 
 
 class _Vp8lEncCode:
@@ -6849,8 +7197,8 @@ def encode_webp_lossless(
     if px.ndim == 2:
         px = np.repeat(px[:, :, None], 3, axis=2)
     h, w, ch = px.shape
-    if ch != 3:
-        raise ValueError("encode_webp_lossless expects RGB input")
+    if ch not in (3, 4):
+        raise ValueError("encode_webp_lossless expects RGB or RGBA input")
     if not (1 <= w <= 16384 and 1 <= h <= 16384):
         raise ValueError("VP8L dimensions must be in 1..16384")
     if palette and (subtract_green or predictor_mode is not None
@@ -6858,15 +7206,21 @@ def encode_webp_lossless(
         raise NotImplementedError(
             "palette combined with pixel-value transforms not supported"
         )
-    pix = [
-        _argb_pack(255, int(r), int(g), int(b))
-        for r, g, b in px.reshape(-1, 3)
-    ]
+    if ch == 4:
+        pix = [
+            _argb_pack(int(a), int(r), int(g), int(b))
+            for r, g, b, a in px.reshape(-1, 4)
+        ]
+    else:
+        pix = [
+            _argb_pack(255, int(r), int(g), int(b))
+            for r, g, b in px.reshape(-1, 3)
+        ]
     wtr = _Vp8lWriter()
     wtr.write(0x2F, 8)
     wtr.write(w - 1, 14)
     wtr.write(h - 1, 14)
-    wtr.write(0, 1)  # no alpha
+    wtr.write(1 if ch == 4 else 0, 1)  # alpha-used hint
     wtr.write(0, 3)  # version
     xsize = w
     if subtract_green:
@@ -6988,7 +7342,72 @@ def encode_webp_lossless(
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
 
 
-def make_webp_media(spark, n: int = 24, id_offset: int = 5000) -> DataFrame:
+def encode_webp_animation(
+    frames: list[dict],
+    canvas: tuple[int, int],
+    loop: int = 0,
+) -> bytes:
+    """Encode an ANIMATED WebP (r13) — the encoder twin of
+    :func:`decode_webp_frames`: RIFF → VP8X (animation flag, canvas
+    dims) → ANIM (loop count) → one ANMF per frame wrapping the VP8L
+    chunk :func:`encode_webp_lossless` produces. Each frame dict:
+    ``px`` (RGB or RGBA array), ``x``/``y`` placement (MUST be even —
+    the wire format stores them halved), ``duration_ms``, ``blend``
+    (False → overwrite), ``dispose_bg``."""
+    cw, chh = canvas
+    body = bytearray()
+    vp8x = bytes([0x02, 0, 0, 0])  # animation flag
+    vp8x += (cw - 1).to_bytes(3, "little") + (chh - 1).to_bytes(3, "little")
+    body += b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+    anim = (0).to_bytes(4, "little") + loop.to_bytes(2, "little")
+    body += b"ANIM" + len(anim).to_bytes(4, "little") + anim
+    for f in frames:
+        px = np.asarray(f["px"], dtype=np.uint8)
+        fh, fw = px.shape[:2]
+        x, y = f.get("x", 0), f.get("y", 0)
+        if x % 2 or y % 2:
+            raise ValueError("ANMF frame offsets must be even")
+        still = encode_webp_lossless(px)
+        # extract the VP8L chunk (header + body + pad) from the still
+        vp8l_off = still.index(b"VP8L")
+        vp8l_size = int.from_bytes(
+            still[vp8l_off + 4 : vp8l_off + 8], "little"
+        )
+        vp8l = still[vp8l_off : vp8l_off + 8 + vp8l_size + (vp8l_size & 1)]
+        hdr = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + f.get("duration_ms", 0).to_bytes(3, "little")
+            + bytes(
+                [
+                    (0x02 if not f.get("blend", True) else 0)
+                    | (0x01 if f.get("dispose_bg", False) else 0)
+                ]
+            )
+        )
+        anmf = hdr + vp8l
+        body += b"ANMF" + len(anmf).to_bytes(4, "little") + anmf
+        if len(anmf) & 1:
+            body += b"\x00"
+    riff = b"WEBP" + bytes(body)
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def _webp_anim_pixels(i: int, f: int, w: int, h: int) -> np.ndarray:
+    """Closed-form RGB rule for animated-fixture frame f of id i."""
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return ((x * 7 + y * 13 + c * 29 + (i + f * 5) * 3) % 256).astype(
+        np.uint8
+    )
+
+
+def make_webp_media(
+    spark, n: int = 24, id_offset: int = 5000, anim: int = 6
+) -> DataFrame:
     """Media table of lossless WebP images. Non-palette rows reuse the
     BMP lane's closed-form pixel rule (:func:`_image_pixels`); palette
     rows (every ``i % 6 == 4``) use a low-color closed form —
@@ -6998,8 +7417,46 @@ def make_webp_media(spark, n: int = 24, id_offset: int = 5000) -> DataFrame:
     by id: plain+cache, subtract-green, each predictor mode in turn,
     (negative-coefficient) color transform, bundled color indexing,
     and the meta-prefix + subtract-green + predictor combination —
-    one full certified pass over every VP8L decode path."""
+    one full certified pass over every VP8L decode path.
+
+    Ids ``id_offset+n ..`` (r13) are ANIMATED WebP (VP8X+ANIM+ANMF)
+    cycling by ``i % 3``: (0) three full-canvas no-blend frames,
+    (1) a sub-rect overwrite frame at even offsets, (2) a full-canvas
+    ALPHA-BLENDED frame (constant alpha 128 over the opaque base —
+    the integer blend ``(src*128 + dst*127) // 255`` is the oracle
+    lane). Frame pixels follow :func:`_webp_anim_pixels`."""
     rows = []
+    for i in range(n, n + anim):
+        w, h = 16 + (i % 13), 12 + (i % 11)
+        v = i % 3
+        if v == 0:
+            frames = [
+                dict(px=_webp_anim_pixels(i, f, w, h), blend=False,
+                     duration_ms=40 * (f + 1))
+                for f in range(3)
+            ]
+        elif v == 1:
+            frames = [
+                dict(px=_webp_anim_pixels(i, 0, w, h), blend=False),
+                dict(px=_webp_anim_pixels(i, 1, w - 4, h - 4),
+                     x=2, y=2, blend=False),
+            ]
+        else:
+            over = _webp_anim_pixels(i, 1, w, h)
+            rgba = np.concatenate(
+                [over, np.full((h, w, 1), 128, np.uint8)], axis=2
+            )
+            frames = [
+                dict(px=_webp_anim_pixels(i, 0, w, h), blend=False),
+                dict(px=rgba, blend=True),
+            ]
+        rows.append(
+            (
+                id_offset + i, "image",
+                encode_webp_animation(frames, (w, h)),
+                "image/webp", w, h, None,
+            )
+        )
     for i in range(n):
         lane = i % 6
         if lane == 4:
@@ -7050,30 +7507,57 @@ def make_webp_media(spark, n: int = 24, id_offset: int = 5000) -> DataFrame:
     return _sized_media(spark, rows)
 
 
+WEBP_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("channels", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("pixel_sum", LongType(), False),
+        StructField("row_weighted_sum", LongType(), False),
+    ]
+)
+
+
 def webp_decode_stats(media: DataFrame) -> DataFrame:
-    """Full VP8L decode per payload → exact integer pixel sum plus a
-    row-position-weighted sum (the png_decode_stats pair — totals
-    alone can survive a transform inverted against the wrong rows).
-    One Arrow-batched mapInPandas pass, no shuffle."""
+    """Full WebP decode per payload → exact integer lanes over the
+    COMPOSITED frame timeline (r13): frame-index-weighted RGB pixel
+    sum (``Σ_F (F+1)·Σ rgb``) plus a frame- and row-position-weighted
+    sum (the png_decode_stats pair — totals alone can survive a
+    transform inverted against the wrong rows, and per-frame weights
+    catch a wrong composite or frame order). Stills decode as one
+    weight-1 frame, so their lanes equal the plain sums; ``channels``
+    reports 4 when the first composite carries transparency. One
+    Arrow-batched mapInPandas pass, no shuffle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             recs = []
             for r in pdf.itertuples(index=False):
-                px = decode_webp_lossless(r.payload).astype(np.int64)
-                h, w = px.shape[:2]
-                ch = px.shape[2]
+                frames = decode_webp_frames(r.payload)
+                h, w = frames[0][1].shape[:2]
+                ch = 4 if np.any(frames[0][1][:, :, 3] != 255) else 3
+                total = 0
+                rw = 0
                 wy = np.arange(h) + 1
-                rw = (px.reshape(h, -1).sum(axis=1) * wy).sum()
-                recs.append((r.media_id, w, h, ch, int(px.sum()), int(rw)))
+                for fi, (_, px) in enumerate(frames):
+                    rgb = px[:, :, :3].astype(np.int64)
+                    total += (fi + 1) * int(rgb.sum())
+                    rw += (fi + 1) * int(
+                        (rgb.reshape(h, -1).sum(axis=1) * wy).sum()
+                    )
+                recs.append(
+                    (r.media_id, w, h, ch, len(frames), total, rw)
+                )
             yield pd.DataFrame(
                 recs,
                 columns=["media_id", "width", "height", "channels",
-                         "pixel_sum", "row_weighted_sum"],
+                         "n_frames", "pixel_sum", "row_weighted_sum"],
             )
 
     return media.filter(F.col("mime") == "image/webp").mapInPandas(
-        batches, PNG_STATS_SCHEMA
+        batches, WEBP_STATS_SCHEMA
     )
 
 

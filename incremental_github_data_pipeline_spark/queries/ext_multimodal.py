@@ -853,36 +853,111 @@ def q_media_adpcm_stats(spark: SparkSession, sf: str) -> DataFrame:
     return adpcm_decode_stats(make_adpcm_media(spark, n=32)).orderBy("media_id")
 
 
+def _gif_anim_oracle_branch() -> str:
+    """UNION branch replaying the animated-GIF composites (ids 32..39)
+    in closed form: per (id, frame, x, y, channel) the composited
+    value follows the fixture's variant rules — local palettes and a
+    third frame (v0), a transparent index showing the base through
+    (v1), an interlaced frame (v2, caught by the row-weighted lane),
+    and a dispose-to-background sub-rect followed by a disjoint rect
+    (v3). Pixel rule P(f, lx, ly, c) = ((lx*3 + ly*5 + i + f*7) % 8)
+    mapped through frame-f's local palette."""
+
+    def p(f: str, lx: str, ly: str) -> str:
+        idx = f"((({lx})*3 + ({ly})*5 + i + ({f})*7) % 8)"
+        return (
+            f"(({idx}) * k.k + k.q + ({f})*13) % 256"
+        )
+
+    idx1 = "((x.x*3 + y.y*5 + i + 7) % 8)"
+    in_rect1 = "(x.x >= 1 AND x.x < w - 3 AND y.y >= 1 AND y.y < h - 2)"
+    in_rect2 = "(y.y = h - 1 AND x.x >= 1 AND x.x < w - 1)"
+    val = f"""
+        CASE
+          WHEN f.f = 0 THEN {p('0', 'x.x', 'y.y')}
+          WHEN i % 4 = 0 OR i % 4 = 2 THEN {p('f.f', 'x.x', 'y.y')}
+          WHEN i % 4 = 1 THEN
+            CASE WHEN {idx1} <> 0 THEN {p('1', 'x.x', 'y.y')}
+                 ELSE {p('0', 'x.x', 'y.y')} END
+          WHEN f.f = 1 THEN
+            CASE WHEN {in_rect1}
+                 THEN {p('1', 'x.x - 1', 'y.y - 1')}
+                 ELSE {p('0', 'x.x', 'y.y')} END
+          ELSE
+            CASE WHEN {in_rect1} THEN 0
+                 WHEN {in_rect2} THEN {p('2', 'x.x - 1', '0')}
+                 ELSE {p('0', 'x.x', 'y.y')} END
+        END"""
+    return f"""
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN k.k = 37 THEN (f.f + 1) * v END)
+                AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN k.k = 59 THEN (f.f + 1) * v END)
+                AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN k.k = 83 THEN (f.f + 1) * v END)
+                AS BIGINT) AS sum_b,
+           CAST(SUM((f.f + 1) * v * (y.y + 1)) AS BIGINT) AS row_weighted
+    FROM (
+      SELECT 32 + t.i AS media_id, 32 + t.i AS i,
+             11 + ((32 + t.i) % 9) AS w, 8 + ((32 + t.i) % 7) AS h,
+             CASE WHEN (32 + t.i) % 4 IN (0, 3) THEN 3 ELSE 2 END AS nf
+      FROM range(8) t(i)
+    ) m, range(20) x(x), range(15) y(y), range(3) f(f),
+      (VALUES (37, 11), (59, 23), (83, 47)) k(k, q),
+      LATERAL (SELECT {val} AS v) lv
+    WHERE x.x < w AND y.y < h AND f.f < nf
+    GROUP BY media_id
+    """
+
+
 @register(
     "q_media_gif_stats",
-    oracle="""
+    oracle=f"""
     WITH m AS (
       SELECT i AS media_id, 11 + (i % 9) AS w, 8 + (i % 7) AS h,
              CASE WHEN i % 2 = 0 THEN 4 ELSE 8 END AS nc
       FROM range(32) t(i)
     ),
     px AS (
-      SELECT media_id, w, h,
+      SELECT media_id, w, h, y.y AS y,
              (x.x * 3 + y.y * 5 + media_id) % nc AS c
       FROM m, range(20) x(x), range(15) y(y)
       WHERE x.x < w AND y.y < h
     )
-    SELECT media_id,
-           CAST(MAX(w) AS BIGINT) AS width,
-           CAST(MAX(h) AS BIGINT) AS height,
-           CAST(SUM((c * 37 + 11) % 256) AS BIGINT) AS sum_r,
-           CAST(SUM((c * 59 + 23) % 256) AS BIGINT) AS sum_g,
-           CAST(SUM((c * 83 + 47) % 256) AS BIGINT) AS sum_b
-    FROM px GROUP BY media_id ORDER BY media_id
+    SELECT * FROM (
+      SELECT media_id,
+             CAST(MAX(w) AS BIGINT) AS width,
+             CAST(MAX(h) AS BIGINT) AS height,
+             CAST(1 AS BIGINT) AS n_frames,
+             CAST(SUM((c * 37 + 11) % 256) AS BIGINT) AS sum_r,
+             CAST(SUM((c * 59 + 23) % 256) AS BIGINT) AS sum_g,
+             CAST(SUM((c * 83 + 47) % 256) AS BIGINT) AS sum_b,
+             CAST(SUM(((c * 37 + 11) % 256 + (c * 59 + 23) % 256
+                       + (c * 83 + 47) % 256) * (y + 1)) AS BIGINT)
+               AS row_weighted
+      FROM px GROUP BY media_id
+      UNION ALL
+      {_gif_anim_oracle_branch()}
+    ) ORDER BY media_id
     """,
-    doc="REAL GIF decode (operators.multimodal.decode_gif): header "
-    "parse, global color table, sub-block reassembly, and a genuine "
-    "variable-width LZW decompressor (dictionary growth, width "
-    "changes, clear/end codes, the KwKwK case). Payloads are real "
-    "GIF87a bytes from the in-repo LZW compressor; content is closed-"
-    "form over two palette sizes, so DuckDB recomputes every pixel's "
-    "palette-mapped channel values from range() with no codec. One "
-    "Arrow-batched mapInPandas pass.",
+    doc="REAL GIF decode (operators.multimodal.decode_gif_frames): "
+    "header parse, global AND local color tables, sub-block "
+    "reassembly, a genuine variable-width LZW decompressor "
+    "(dictionary growth, width changes, clear/end codes, the KwKwK "
+    "case), and since r13 the full GIF89a animation surface — "
+    "multi-frame compositing onto the logical screen, the no-global-"
+    "color-table layout, transparent indices (underlying composite "
+    "shows through), 4-pass INTERLACED frames, sub-rect placement, "
+    "and dispose-to-background. Ids 0..31 are the r4 single-frame "
+    "fixtures; ids 32..39 cycle the animation variants. Lanes are "
+    "frame-index-weighted channel sums plus a frame- and row-"
+    "weighted sum — the pair that catches wrong composites, frame "
+    "order, and interlace row permutations. DuckDB recomputes every "
+    "composited pixel from range() with no codec. One Arrow-batched "
+    "mapInPandas pass.",
 )
 def q_media_gif_stats(spark: SparkSession, sf: str) -> DataFrame:
     from incremental_github_data_pipeline_spark.operators.multimodal import (
@@ -1789,9 +1864,56 @@ def q_media_transcode_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _webp_anim_oracle_branch() -> str:
+    """UNION branch replaying the animated-WebP composites (ids
+    5024..5029) in closed form: per (id, frame, x, y, channel) the
+    composited RGB value — full-canvas frames (v0), a sub-rect
+    overwrite (v1), and the integer alpha blend
+    ``(src*128 + dst*127) // 255`` of a constant-128-alpha frame over
+    the opaque base (v2). Frame rule
+    P(f) = (x*7 + y*13 + c*29 + (i + f*5)*3) % 256."""
+
+    def p(f: str, lx: str, ly: str) -> str:
+        return (
+            f"(({lx})*7 + ({ly})*13 + c.c*29 + (i + ({f})*5)*3) % 256"
+        )
+
+    in_rect = "(x.x >= 2 AND x.x < w - 2 AND y.y >= 2 AND y.y < h - 2)"
+    val = f"""
+        CASE
+          WHEN f.f = 0 THEN {p('0', 'x.x', 'y.y')}
+          WHEN i % 3 = 0 THEN {p('f.f', 'x.x', 'y.y')}
+          WHEN i % 3 = 1 THEN
+            CASE WHEN {in_rect}
+                 THEN {p('1', 'x.x - 2', 'y.y - 2')}
+                 ELSE {p('0', 'x.x', 'y.y')} END
+          ELSE (({p('1', 'x.x', 'y.y')}) * 128
+                + ({p('0', 'x.x', 'y.y')}) * 127) // 255
+        END"""
+    return f"""
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(SUM((f.f + 1) * v) AS BIGINT) AS pixel_sum,
+           CAST(SUM((f.f + 1) * v * (y.y + 1)) AS BIGINT)
+             AS row_weighted_sum
+    FROM (
+      SELECT 5024 + t.i AS media_id, 24 + t.i AS i,
+             16 + ((24 + t.i) % 13) AS w, 12 + ((24 + t.i) % 11) AS h,
+             CASE WHEN (24 + t.i) % 3 = 0 THEN 3 ELSE 2 END AS nf
+      FROM range(6) t(i)
+    ) m, range(37) x(x), range(23) y(y), range(3) f(f), range(3) c(c),
+      LATERAL (SELECT {val} AS v) lv
+    WHERE x.x < w AND y.y < h AND f.f < nf
+    GROUP BY media_id
+    """
+
+
 @register(
     "q_media_webp_stats",
-    oracle="""
+    oracle=f"""
     WITH m AS (
       SELECT i AS i, 5000 + i AS media_id,
              16 + (i % 13) AS w, 12 + (i % 11) AS h
@@ -1807,29 +1929,38 @@ def q_media_transcode_stats(spark: SparkSession, sf: str) -> DataFrame:
       FROM m, range(29) x(x), range(23) y(y), range(3) c(c)
       WHERE x.x < m.w AND y.y < m.h
     )
-    SELECT media_id,
-           CAST(MAX(w) AS BIGINT) AS width,
-           CAST(MAX(h) AS BIGINT) AS height,
-           CAST(3 AS BIGINT) AS channels,
-           CAST(SUM(v) AS BIGINT) AS pixel_sum,
-           CAST(SUM(v * (y + 1)) AS BIGINT) AS row_weighted_sum
-    FROM px GROUP BY media_id ORDER BY media_id
+    SELECT * FROM (
+      SELECT media_id,
+             CAST(MAX(w) AS BIGINT) AS width,
+             CAST(MAX(h) AS BIGINT) AS height,
+             CAST(3 AS BIGINT) AS channels,
+             CAST(1 AS BIGINT) AS n_frames,
+             CAST(SUM(v) AS BIGINT) AS pixel_sum,
+             CAST(SUM(v * (y + 1)) AS BIGINT) AS row_weighted_sum
+      FROM px GROUP BY media_id
+      UNION ALL
+      {_webp_anim_oracle_branch()}
+    ) ORDER BY media_id
     """,
-    doc="Lossless WebP (VP8L) decode (r11, operators/multimodal."
-    "decode_webp_lossless) — the most common real-crawl image format, "
-    "previously the largest absent tier. VP8L is integer-exact "
-    "(prefix-coded ARGB + reversible integer transforms, no DCT), so "
-    "the decode-stats oracle works like the PNG lanes; lossy VP8 and "
-    "animation stay honest NotImplementedError guards. The fixture "
-    "cycle drives every decode path: color cache, LZ77 run "
-    "references, subtract-green, all 14 predictor modes (cycling), "
-    "negative-coefficient color transforms, sub-byte-bundled color "
-    "indexing (palette sizes 2..16 walk all three packing widths), "
-    "and two-group meta prefix codes. Non-palette rows reuse the BMP "
-    "closed form; palette rows use a low-color closed form — DuckDB "
-    "recomputes exact pixel sums plus a row-weighted lane (catches a "
-    "transform inverted against the wrong rows) from range(), no "
-    "codec. One Arrow-batched mapInPandas pass.",
+    doc="WebP decode (r11 stills, r13 animation; operators/multimodal"
+    ".decode_webp_lossless + decode_webp_frames) — the most common "
+    "real-crawl image format. VP8L is integer-exact (prefix-coded "
+    "ARGB + reversible integer transforms, no DCT), so the "
+    "decode-stats oracle works like the PNG lanes; lossy VP8 stays "
+    "an honest NotImplementedError guard. The still cycle drives "
+    "every VP8L decode path: color cache, LZ77 run references, "
+    "subtract-green, all 14 predictor modes (cycling), negative-"
+    "coefficient color transforms, sub-byte-bundled color indexing "
+    "(palette sizes 2..16 walk all three packing widths), and "
+    "two-group meta prefix codes. Ids 5024..5029 are ANIMATED "
+    "(VP8X+ANIM+ANMF — the last WebP guard): full-canvas frame "
+    "chains, sub-rect overwrite placement, and integer ALPHA "
+    "BLENDING of a constant-128-alpha frame over the opaque base, "
+    "each frame's embedded VP8L riding the shared still decoder. "
+    "Lanes are frame-index-weighted RGB sums plus a frame- and "
+    "row-weighted lane; DuckDB recomputes every composited pixel "
+    "(including the blend arithmetic) from range(), no codec. One "
+    "Arrow-batched mapInPandas pass.",
 )
 def q_media_webp_stats(spark: SparkSession, sf: str) -> DataFrame:
     from incremental_github_data_pipeline_spark.operators.multimodal import (
@@ -2009,9 +2140,11 @@ def q_media_augment_stats(spark: SparkSession, sf: str) -> DataFrame:
         make_webp_media,
     )
 
-    return augment_decode_stats(make_webp_media(spark, n=24)).orderBy(
-        "media_id"
-    )
+    # anim=0: the augmentation lane is a stills contract; animated
+    # composites are certified by q_media_webp_stats's frame lanes
+    return augment_decode_stats(
+        make_webp_media(spark, n=24, anim=0)
+    ).orderBy("media_id")
 
 
 @register(

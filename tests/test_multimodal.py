@@ -2145,8 +2145,9 @@ class TestWebPLossless:
         lossy = bytes(p).replace(b"VP8L", b"VP8 ")
         with pytest.raises(NotImplementedError, match="lossy"):
             mm.decode_webp_lossless(lossy)
+        # a container with an ANIM chunk but no frames fails loud
         anim = bytes(p).replace(b"VP8L", b"ANIM")
-        with pytest.raises(NotImplementedError, match="animated"):
+        with pytest.raises(ValueError, match="no ANMF or VP8L|no VP8L"):
             mm.decode_webp_lossless(anim)
         with pytest.raises(ValueError):
             mm.decode_webp_lossless(bytes(p[:24]))  # truncated stream
@@ -2173,7 +2174,7 @@ class TestWebPLossless:
         stats = {
             r["media_id"]: r
             for r in mm.webp_decode_stats(
-                mm.make_webp_media(spark, n=6)
+                mm.make_webp_media(spark, n=6, anim=0)
             ).collect()
         }
         assert len(stats) == 6
@@ -2297,7 +2298,7 @@ class TestAugment:
         rows = {
             (r["media_id"]): r
             for r in mm.augment_decode_stats(
-                mm.make_webp_media(spark, n=6)
+                mm.make_webp_media(spark, n=6, anim=0)
             ).collect()
         }
         assert len(rows) == 6
@@ -2657,3 +2658,192 @@ class TestCcittG3MR:
             r = rows[3000 + i]
             got_sum = round(r["mean_r"] * r["width"] * r["height"])
             assert got_sum == int(want.sum()), i
+
+
+class TestGifAnimation:
+    """GIF89a animation surface (r13): multi-frame compositing, local
+    palettes / no-GCT, transparency, interlace, disposal methods."""
+
+    @staticmethod
+    def _reference(frames, screen, gpal):
+        w, h = screen
+        canvas = np.zeros((h, w, 3), np.uint8)
+        outs = []
+        for f in frames:
+            idx = f["indices"]
+            pal = np.asarray(f.get("palette", gpal))
+            ih, iw = idx.shape
+            L, T = f.get("left", 0), f.get("top", 0)
+            prev = canvas.copy()
+            reg = canvas[T : T + ih, L : L + iw]
+            t = f.get("transparent")
+            if t is None:
+                reg[:] = pal[idx]
+            else:
+                m = idx != t
+                reg[m] = pal[idx[m]]
+            outs.append(canvas.copy())
+            d = f.get("disposal", 0)
+            if d == 2:
+                canvas[T : T + ih, L : L + iw] = 0
+            elif d == 3:
+                canvas = prev
+        return outs
+
+    def test_roundtrip_vs_reference_compositor(self):
+        rng = np.random.RandomState(42)
+        for trial in range(20):
+            w, h = rng.randint(8, 40), rng.randint(8, 40)
+            use_gct = trial % 2 == 0
+            gpal = mm._gif_palette(8) if use_gct else None
+            frames = []
+            for fi in range(rng.randint(1, 5)):
+                iw, ih = rng.randint(1, w + 1), rng.randint(1, h + 1)
+                L = rng.randint(0, w - iw + 1)
+                T = rng.randint(0, h - ih + 1)
+                k = int(rng.choice([4, 8, 16]))
+                pal = ((np.arange(k * 3).reshape(k, 3) * 17 + fi * 5)
+                       % 256).astype(np.uint8)
+                local = (not use_gct) or rng.rand() < 0.5
+                idx = rng.randint(
+                    0, k if local else 8, (ih, iw)
+                ).astype(np.uint8)
+                f = dict(
+                    indices=idx, left=L, top=T, delay_cs=fi * 10,
+                    disposal=int(rng.choice([0, 1, 2, 3])),
+                    transparent=(
+                        int(rng.randint(0, k if local else 8))
+                        if rng.rand() < 0.5 else None
+                    ),
+                    interlace=bool(rng.rand() < 0.4),
+                )
+                if local:
+                    f["palette"] = pal
+                frames.append(f)
+            payload = mm.encode_gif_animation(
+                frames, (w, h), global_palette=gpal
+            )
+            got = mm.decode_gif_frames(payload)
+            want = self._reference(frames, (w, h), gpal)
+            assert len(got) == len(want)
+            for (d, g), wv, f in zip(got, want, frames):
+                assert d == f.get("delay_cs", 0)
+                assert np.array_equal(g, wv), trial
+
+    def test_no_gct_single_frame_and_guards(self):
+        idx, ncol = mm._gif_indices(3)
+        pal = mm._gif_palette(ncol)
+        payload = mm.encode_gif_animation(
+            [dict(indices=idx, palette=pal)], idx.shape[::-1]
+        )
+        # the r12 no-GCT guard is gone: local table decodes fine
+        assert np.array_equal(mm.decode_gif(payload), pal[idx])
+        # a frame with NEITHER table fails loud
+        with pytest.raises(ValueError, match="palette|color table"):
+            mm.encode_gif_animation(
+                [dict(indices=idx)], idx.shape[::-1]
+            )
+
+    def test_interlace_order(self):
+        assert mm._gif_deinterlace_order(10) == [
+            0, 8, 4, 2, 6, 1, 3, 5, 7, 9
+        ]
+        # single-row image: pass 1 only
+        assert mm._gif_deinterlace_order(1) == [0]
+
+
+class TestWebpAnimation:
+    """Animated WebP (VP8X+ANIM+ANMF, r13): frame walk over the shared
+    VP8L still decoder, blend/no-blend, dispose-to-background."""
+
+    @staticmethod
+    def _reference(frames, canvas):
+        cw, ch = canvas
+        cv = np.zeros((ch, cw, 4), np.int64)
+        outs = []
+        for f in frames:
+            px = np.asarray(f["px"], np.int64)
+            if px.shape[2] == 3:
+                px = np.concatenate(
+                    [px, np.full(px.shape[:2] + (1,), 255, np.int64)],
+                    axis=2,
+                )
+            fh, fw = px.shape[:2]
+            x, y = f.get("x", 0), f.get("y", 0)
+            reg = cv[y : y + fh, x : x + fw]
+            if not f.get("blend", True):
+                out = px
+            else:
+                sa, da = px[:, :, 3:4], reg[:, :, 3:4]
+                oa = sa + da * (255 - sa) // 255
+                num = (px[:, :, :3] * sa * 255
+                       + reg[:, :, :3] * da * (255 - sa))
+                rgb = np.where(
+                    oa > 0, num // (255 * np.maximum(oa, 1)), 0
+                )
+                out = np.concatenate([rgb, oa], axis=2)
+            cv[y : y + fh, x : x + fw] = out
+            outs.append(cv.astype(np.uint8).copy())
+            if f.get("dispose_bg"):
+                cv[y : y + fh, x : x + fw] = 0
+        return outs
+
+    def test_roundtrip_vs_reference_compositor(self):
+        rng = np.random.RandomState(9)
+        for trial in range(12):
+            cw = int(rng.randint(8, 32)) * 2
+            ch = int(rng.randint(8, 32)) * 2
+            frames = []
+            for fi in range(rng.randint(1, 4)):
+                fw = int(rng.randint(1, cw + 1))
+                fh = int(rng.randint(1, ch + 1))
+                x = int(rng.randint(0, (cw - fw) // 2 + 1)) * 2
+                y = int(rng.randint(0, (ch - fh) // 2 + 1)) * 2
+                nch = int(rng.choice([3, 4]))
+                px = rng.randint(0, 256, (fh, fw, nch)).astype(np.uint8)
+                frames.append(
+                    dict(px=px, x=x, y=y, duration_ms=fi * 40,
+                         blend=bool(rng.rand() < 0.5),
+                         dispose_bg=bool(rng.rand() < 0.5))
+                )
+            payload = mm.encode_webp_animation(frames, (cw, ch), loop=2)
+            got = mm.decode_webp_frames(payload)
+            want = self._reference(frames, (cw, ch))
+            assert len(got) == len(want)
+            for (d, g), wv, f in zip(got, want, frames):
+                assert d == f["duration_ms"]
+                assert np.array_equal(g, wv), trial
+            # first-frame convenience path
+            first = mm.decode_webp_lossless(payload)
+            w0 = want[0]
+            exp = (
+                w0[:, :, :3] if np.all(w0[:, :, 3] == 255) else w0
+            )
+            assert np.array_equal(first, exp)
+
+    def test_rgba_stills_roundtrip(self):
+        rng = np.random.RandomState(1)
+        px = rng.randint(0, 256, (20, 30, 4)).astype(np.uint8)
+        assert np.array_equal(
+            mm.decode_webp_lossless(mm.encode_webp_lossless(px)), px
+        )
+
+    def test_guards(self):
+        px = np.zeros((4, 4, 3), np.uint8)
+        with pytest.raises(ValueError, match="even"):
+            mm.encode_webp_animation(
+                [dict(px=px, x=1)], (8, 8)
+            )
+        # lossy frames fail loud inside the ANMF walk
+        payload = bytearray(
+            mm.encode_webp_animation([dict(px=px)], (8, 8))
+        )
+        lossy = bytes(payload).replace(b"VP8L", b"VP8 ")
+        with pytest.raises(NotImplementedError, match="lossy"):
+            mm.decode_webp_frames(lossy)
+        # oversized frame placement is a corrupt stream
+        big = mm.encode_webp_animation(
+            [dict(px=np.zeros((8, 8, 3), np.uint8), x=4, y=4)], (8, 8)
+        )
+        with pytest.raises(ValueError, match="exceeds"):
+            mm.decode_webp_frames(big)
