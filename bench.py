@@ -310,6 +310,44 @@ BENCH_QUERIES = [
     "q_robots_gate",
     # six regexp_count passes per doc over literal BMP script classes
     "q_doc_scripts",
+    # round-13 new operators, benched from first appearance: trigram
+    # language ID (trigram-array build + 6 INSET filters + script
+    # prior per doc); the extended URL stack and 8-stage funnel ride
+    # the (changed) q_url_canonical / q_crawl_curation rows above
+    "q_doc_lang_trigram",
+    "q_doc_lang_dist",
+    # round-13 bench rotation (VERDICT r12 task 7): the heaviest
+    # certified-but-unbenched families — the tokenizer APPLY lanes
+    # (BPE train projection + longest-match segmentation per doc),
+    "q_bpe_vocab",
+    "q_bpe_tokenize",
+    "q_doc_bpe_tokens",
+    # the unbenched per-file codec lanes (baseline + 4:2:0 JPEG,
+    # interlaced + 16-bit PNG, ADPCM, the multimodal curation funnel,
+    # the full mixed-container decode-stats pass, perceptual-hash
+    # dedup over decoded rasters)
+    "q_media_jpeg_stats",
+    "q_media_jpeg420_stats",
+    "q_media_png_interlaced_stats",
+    "q_media_png16_stats",
+    "q_media_adpcm_stats",
+    "q_media_phash_dups",
+    "q_media_curation_funnel",
+    "q_media_decode_stats",
+    # iterative / self-join relational heavies (recursive hierarchy
+    # closure, event sequence pattern match, decontamination semi-join,
+    # shingle-overlap pair scoring, embedding near-dup join)
+    "q_recursive_hierarchy",
+    "q_sequence_pattern",
+    "q_doc_decontaminate",
+    "q_doc_overlap_pairs",
+    "q_embedding_near_dups",
+    # sliding / rolling window stacks over events
+    "q_events_sliding",
+    "q_rolling_time_window",
+    # gzip member ingest (per-payload inflate) + rolling fingerprints
+    "q_text_gzip_ingest",
+    "q_doc_fingerprint",
 ]
 
 

@@ -6990,11 +6990,19 @@ class _Vp8lEncCode:
         for s, _, _ in toks:
             cl_freqs[s] = cl_freqs.get(s, 0) + 1
         cl_lengths = _vp8l_huff_lengths(cl_freqs, 7)
-        cl_codes = (
-            {next(iter(cl_lengths)): (0, 0)}
-            if len(cl_lengths) == 1
-            else _vp8l_canonical(cl_lengths)
-        )
+        if len(cl_lengths) == 1:
+            # single code-length symbol (e.g. a UNIFORM alphabet where
+            # every literal shares one length — any image with ~all
+            # 256 byte values equally frequent): the huffman builder
+            # assigns it length 0, which would serialize an all-zero
+            # length table no reader can interpret ("empty prefix
+            # code"). Write it as length 1 — readers (ours and
+            # libwebp's table builder) treat a one-symbol code as a
+            # 0-bit read, matching the encoder's 0-bit tokens.
+            cl_lengths = {next(iter(cl_lengths)): 1}
+            cl_codes = {next(iter(cl_lengths)): (0, 0)}
+        else:
+            cl_codes = _vp8l_canonical(cl_lengths)
         order = [
             17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
         ]

@@ -2847,3 +2847,18 @@ class TestWebpAnimation:
         )
         with pytest.raises(ValueError, match="exceeds"):
             mm.decode_webp_frames(big)
+
+
+def test_vp8l_uniform_alphabet_header():
+    """r13 regression: an image whose literals occupy ~all 256 byte
+    values with equal frequency makes every code length equal, so the
+    code-length code collapses to ONE symbol; the huffman builder
+    gives it length 0 and the serialized length table read back as an
+    all-zero ('empty') prefix code. Any 64x48 smooth ramp hit it."""
+    x = np.arange(64)[None, :, None]
+    y = np.arange(48)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    px = ((x * 7 + y * 13 + c * 29) % 256).astype(np.uint8)
+    for kw in (dict(), dict(lz77=False), dict(cache_bits=4)):
+        p = mm.encode_webp_lossless(px, **kw)
+        assert np.array_equal(mm.decode_webp_lossless(p), px), kw
