@@ -2597,7 +2597,15 @@ def run_incremental_lsh_ingest(
                 {"num_hashes": num_hashes, "bands": bands, "k": k},
                 what="LSH index",
             )
-        keys = batch_df.select(
+        # signature work is CPU-bound and the micro-batch often arrives
+        # as a handful of small files (= a handful of input partitions);
+        # spread it across the executors before banding — an O(batch)
+        # shuffle of raw text that unlocks full parallelism (r13: 5k-doc
+        # batches went 13.9s -> 3.4s on local[32])
+        spread = batch_df.repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        keys = spread.select(
             "doc_id",
             F.explode(
                 minhash_bands(
