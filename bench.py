@@ -348,6 +348,11 @@ BENCH_QUERIES = [
     # gzip member ingest (per-payload inflate) + rolling fingerprints
     "q_text_gzip_ingest",
     "q_doc_fingerprint",
+    # round-13 late additions, benched from first appearance:
+    # keep-best-of-cluster dedup (gram pairs + CC + argmax aggregate)
+    # and content-defined chunking (Arrow sliding-window dot per doc)
+    "q_dedup_keep_best",
+    "q_doc_cdc_chunks",
 ]
 
 

@@ -1281,3 +1281,49 @@ def allpairs_jaccard_join(
             ).alias("jaccard"),
         )
     )
+
+
+def keep_best_of_cluster(
+    df: DataFrame,
+    components: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup dedup that keeps the BEST copy per cluster (r13), not
+    the first: real curation pipelines keep the highest-quality
+    spelling of a duplicated page (longest extraction, best quality
+    score), while keep-first keeps whichever arrived first.
+    ``components`` is :func:`connected_components` output
+    ``(id, component)``; rows absent from it are singletons and keep
+    themselves. Winner per cluster = max ``score_col``, ties to the
+    SMALLEST id — deterministic, so the surviving set hash-compares
+    cross-engine. Returns the full surviving rows plus ``component``
+    and ``n_docs`` (cluster size).
+
+    Scale shape: one left join against the (pair-list-sized, much
+    smaller than the corpus) component map + one MAX-of-struct
+    aggregate — algebraic, so it map-combines and salts cleanly
+    (the same skew posture as ``skew.salted_keep_first``); no window,
+    no per-cluster sort. Singleton components reuse the row's own id
+    as the label — collision-free because a component label is the
+    min id of a CLUSTERED doc, and singletons are by definition not
+    clustered."""
+    labeled = df.join(
+        components.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        "_comp", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    candidate = F.struct(
+        F.col(score_col).alias("_s"),
+        (-F.col(id_col)).alias("_negid"),
+        F.struct(*[F.col(c) for c in df.columns]).alias("_row"),
+    )
+    best = labeled.groupBy("_comp").agg(
+        F.max(candidate).alias("_c"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return best.select(
+        F.col("_c._row.*"),
+        F.col("_comp").alias("component"),
+        "n_docs",
+    )

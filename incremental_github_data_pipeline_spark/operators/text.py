@@ -2443,6 +2443,116 @@ def strip_tracking_params(col: Column | str) -> Column:
     )
 
 
+# Content-defined chunking constants (r13): a 16-char polynomial
+# rolling window over base 131 mod the Mersenne prime 2^31-1 (products
+# stay far under int64 — codepoint ≤ 2^21 × power < 2^31 ≈ 2^52, ANSI-
+# safe), boundary where the window hash ≡ 0 mod 2^mask_bits (expected
+# chunk ≈ 2^mask_bits chars past the window). ONE constant set shared
+# with the generated oracle SQL so the two engines cannot drift.
+CDC_WINDOW = 16
+CDC_BASE = 131
+CDC_MOD = 2**31 - 1
+CDC_MASK_BITS = 6
+CDC_POWERS = [pow(CDC_BASE, j, CDC_MOD) for j in range(CDC_WINDOW)]
+
+
+def cdc_boundaries(text: str) -> list[int]:
+    """Chunk-boundary positions (1-based, boundary falls AFTER the
+    position) for one text under the CDC window rule — the numpy-
+    vectorized kernel :func:`cdc_chunk_rows` maps over Arrow batches:
+    decode to exact codepoints via UTF-32, sliding-window dot against
+    the power vector (int64 products stay < 2^56), mod the Mersenne
+    prime, mask test."""
+    import numpy as np
+
+    n = len(text)
+    if n < CDC_WINDOW:
+        return []
+    codes = np.frombuffer(
+        text.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    # window at 1-based position i covers chars i-w+1..i with weights
+    # b^(w-1)..b^0 — reverse the power vector for the sliding dot
+    pw = np.array(CDC_POWERS[::-1], dtype=np.int64)
+    wins = np.lib.stride_tricks.sliding_window_view(codes, CDC_WINDOW)
+    h = (wins @ pw) % CDC_MOD
+    hits = np.nonzero(h % (1 << CDC_MASK_BITS) == 0)[0]
+    return [int(i) + CDC_WINDOW for i in hits]
+
+
+def cdc_split(text: str) -> list[str]:
+    """One text → its CDC chunks (concatenation is exactly the
+    input; texts shorter than one window are a single chunk)."""
+    cuts = [0] + [
+        b for b in cdc_boundaries(text) if b < len(text)
+    ] + [len(text)]
+    if len(text) == 0:
+        return [""]
+    return [text[a:b] for a, b in zip(cuts, cuts[1:]) if b > a]
+
+
+def cdc_chunk_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content-defined chunking (r13) — the Rabin-style boundary rule
+    behind dedup-friendly storage and sub-document dedup: a chunk
+    boundary falls AFTER position i whenever the polynomial hash of
+    the trailing :data:`CDC_WINDOW` characters ≡ 0 mod
+    2^:data:`CDC_MASK_BITS`. Boundaries depend only on LOCAL content,
+    so an insertion early in a document re-chunks at most one window
+    past the edit and every later chunk is byte-identical — the
+    shift-invariance that makes chunk-level exact dedup collapse
+    near-identical documents where doc-level hashing sees two
+    distinct blobs. Returns ``(id, chunk_idx, chunk)`` rows whose
+    per-doc concatenation is exactly the input.
+
+    Deliberately the PURE position-local rule (no min/max chunk
+    clamps): FastCDC's min-length skip makes each boundary depend on
+    the previous one; the unclamped rule is position-parallel and
+    engine-portable, with expected chunk length 2^mask_bits. One
+    Arrow-batched ``mapInPandas`` pass with a numpy sliding-window
+    dot per document (the q_ts_ewma precedent: a per-position
+    sequential/windowed fold is exactly the shape the interpreted
+    HOF path does worst — the expression form measured 30-70 s for
+    5k docs where this lane takes ~0.2 s); scan-stage at 100 TB, no
+    shuffle."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("chunk_idx", IntegerType(), False),
+            StructField("chunk", StringType(), True),
+        ]
+    )
+
+    def batches(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, chunks = [], [], []
+            for r in pdf.itertuples(index=False):
+                t = getattr(r, text_col)
+                for j, ch in enumerate(
+                    cdc_split(t if t is not None else "")
+                ):
+                    ids.append(getattr(r, id_col))
+                    idxs.append(j)
+                    chunks.append(ch)
+            yield pd.DataFrame(
+                {id_col: ids, "chunk_idx": idxs, "chunk": chunks}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)
+
+
 # Unicode script ranges (BMP core blocks — the ranges that decide
 # real crawl routing; combining marks / supplementary planes are out
 # of contract). Built with chr() so Spark (Java regex) and any oracle

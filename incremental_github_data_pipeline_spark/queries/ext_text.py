@@ -562,6 +562,70 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_GRAM_PAIRS_SQL},
+    edges AS (
+      SELECT ida AS src, idb AS dst FROM pairs
+      UNION ALL SELECT idb, ida FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+    ),
+    cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(cc.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY component
+               ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS n_docs
+      FROM lab
+    )
+    SELECT doc_id, CAST(component AS BIGINT) AS component,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rn = 1 ORDER BY component
+    """,
+    doc="Keep-BEST-of-cluster dedup (r13, operators/dedup."
+    "keep_best_of_cluster): near-dup clusters keep their highest-"
+    "quality copy instead of the first-arrived one — here the LONGEST "
+    "extraction (n_chars), the heuristic real curation pipelines use "
+    "when the same page arrives via different extractors; ties break "
+    "to the smallest doc_id so the surviving set hash-compares cross-"
+    "engine. Clusters come from the gram-overlap pair graph through "
+    "connected_components; docs in no pair are singletons and keep "
+    "themselves (their own id labels the cluster — collision-free "
+    "since component labels are min ids of CLUSTERED docs). One left "
+    "join against the pair-list-sized component map + one algebraic "
+    "MAX-of-struct aggregate — no window, no per-cluster sort, salts "
+    "cleanly under hot clusters. Oracle: DuckDB recursive-CTE "
+    "transitive closure + the same argmax tie rule.",
+)
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.dedup import (
+        keep_best_of_cluster,
+    )
+
+    d = T(spark, sf, "documents")
+    pairs = dd.gram_overlap_pairs(d, id_col="doc_id", text_col="text", k=5)
+    cc = dd.connected_components(pairs)
+    kept = keep_best_of_cluster(
+        d.select("doc_id", "n_chars"), cc, "n_chars"
+    )
+    return kept.select(
+        "doc_id", "component", "n_docs", F.col("n_chars").cast("long")
+        .alias("n_chars")
+    ).orderBy("component")
+
+
+@register(
     "q_doc_repetition",
     oracle="""
     WITH t AS (
@@ -3440,3 +3504,79 @@ def q_doc_lang_trigram(spark: SparkSession, sf: str) -> DataFrame:
             F.col("script"),
         ).alias("lang"),
     ).orderBy("doc_id")
+
+
+def _cdc_oracle() -> str:
+    """Generated from operators.text's CDC constants so both engines
+    share the identical polynomial window, modulus and mask — the
+    script_counts/trigram pattern."""
+    terms = " + ".join(
+        f"CAST(ascii(cs[p - {j}]) AS BIGINT) * {tx.CDC_POWERS[j]}"
+        for j in range(tx.CDC_WINDOW)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, string_split(text, '') AS cs,
+             length(text) AS n
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, cs, n, p.p AS p
+      FROM d, range(1, 2000) p(p) WHERE p.p <= n
+    ),
+    flags AS (
+      SELECT doc_id, p, cs[p] AS ch,
+             CASE WHEN p >= {tx.CDC_WINDOW}
+                   AND ({terms}) % {tx.CDC_MOD}
+                       % {1 << tx.CDC_MASK_BITS} = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM grid
+    ),
+    assigned AS (
+      SELECT doc_id, p, ch,
+             COALESCE(SUM(b) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS chunk_idx
+      FROM flags
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             string_agg(ch, '' ORDER BY p) AS chunk
+      FROM assigned GROUP BY doc_id, chunk_idx
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk,
+           CAST(length(chunk) AS BIGINT) AS n_chars
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """
+
+
+@register(
+    "q_doc_cdc_chunks",
+    oracle=_cdc_oracle(),
+    doc="Content-defined chunking (r13, operators/text.cdc_chunks): "
+    "Rabin-style chunk boundaries from a 16-char polynomial window "
+    "hash (base 131 mod 2^31-1, boundary where hash % 64 == 0) — the "
+    "sub-document dedup unit: boundaries are position-LOCAL, so an "
+    "edit re-chunks at most one window past itself and every later "
+    "chunk stays byte-identical, letting chunk-level exact dedup "
+    "collapse near-identical documents that doc-level hashing sees "
+    "as distinct blobs. Deliberately the unclamped rule (FastCDC's "
+    "min-length skip chains boundaries sequentially); expected chunk "
+    "~64 chars. The FULL chunk text of every (doc, chunk) "
+    "hash-compares cross-engine; window/base/modulus/mask are ONE "
+    "Python constant set embedded in both engines. One Arrow-batched "
+    "mapInPandas pass with a numpy sliding-window dot per doc (the "
+    "q_ts_ewma precedent — per-position windowed folds are the shape "
+    "interpreted HOFs do worst: the expression form measured 30 s+ "
+    "where this lane takes ~0.2 s for 5k docs); scan-stage at "
+    "100 TB, no shuffle.",
+)
+def q_doc_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return tx.cdc_chunk_rows(d).select(
+        "doc_id",
+        "chunk_idx",
+        "chunk",
+        F.length("chunk").cast("long").alias("n_chars"),
+    ).orderBy("doc_id", "chunk_idx")

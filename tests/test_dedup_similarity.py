@@ -913,3 +913,58 @@ class TestRankingMetrics:
         assert (r["n_rel"], r["hits_at_k"], r["recall_at_k_s"]) == (
             1, 1, 10**6,
         )
+
+
+class TestKeepBestOfCluster:
+    """r13: near-dup dedup keeping the highest-quality copy."""
+
+    def test_best_wins_ties_to_min_id_singletons_kept(self, spark):
+        from incremental_github_data_pipeline_spark.operators.dedup import (
+            keep_best_of_cluster,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 30), (3, "c", 30), (9, "z", 5),
+             (4, "d", 7), (5, "e", 9)],
+            "doc_id long, text string, q long",
+        )
+        comps = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+            "id long, component long",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in keep_best_of_cluster(docs, comps, "q").collect()
+        }
+        # cluster 1: q ties at 30 -> min id 2; cluster 4: 5 wins;
+        # singleton 9 keeps itself
+        assert set(got) == {2, 5, 9}
+        assert got[2]["n_docs"] == 3 and got[2]["component"] == 1
+        assert got[5]["n_docs"] == 2
+        assert got[9]["n_docs"] == 1 and got[9]["component"] == 9
+        # full input columns survive
+        assert got[2]["text"] == "b" and got[2]["q"] == 30
+
+    def test_composes_with_connected_components(self, spark):
+        from incremental_github_data_pipeline_spark.operators.dedup import (
+            connected_components,
+            gram_overlap_pairs,
+            keep_best_of_cluster,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [
+                (1, base, 10),
+                (2, base + " extra", 20),        # near-dup of 1, better
+                (3, "totally different words here entirely now", 5),
+            ],
+            "doc_id long, text string, q long",
+        )
+        pairs = gram_overlap_pairs(docs, "doc_id", "text", k=5)
+        cc = connected_components(pairs)
+        kept = sorted(
+            r["doc_id"]
+            for r in keep_best_of_cluster(docs, cc, "q").collect()
+        )
+        assert kept == [2, 3]
