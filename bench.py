@@ -353,6 +353,7 @@ BENCH_QUERIES = [
     # and content-defined chunking (Arrow sliding-window dot per doc)
     "q_dedup_keep_best",
     "q_doc_cdc_chunks",
+    "q_doc_cdc_dedup",
 ]
 
 

@@ -66,8 +66,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # The r13 window is exactly 50: 1 + 40 backlog + 9 new/changed rows.
 # Queries registered after this window fills queue FIRST in r14,
 # alongside the 10 deferred r8-vintage rows listed above:
-# q_dedup_keep_best and q_doc_cdc_chunks (late-r13 — sweep-green,
-# benched, tested, never driver-seen).
+# q_dedup_keep_best, q_doc_cdc_chunks and q_doc_cdc_dedup (late-r13 —
+# sweep-green, benched, tested, never driver-seen).
 _CERTIFY_FIRST = [
     # -- (0) the one never-certified registry query --
     "q_doc_scripts",

@@ -3580,3 +3580,87 @@ def q_doc_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
         "chunk",
         F.length("chunk").cast("long").alias("n_chars"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+def _cdc_dedup_oracle() -> str:
+    """Per-source chunk-level dedup ledger over the same generated
+    chunk CTE as q_doc_cdc_chunks."""
+    terms = " + ".join(
+        f"CAST(ascii(cs[p - {j}]) AS BIGINT) * {tx.CDC_POWERS[j]}"
+        for j in range(tx.CDC_WINDOW)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, text, string_split(text, '') AS cs,
+             length(text) AS n
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, source, cs, n, p.p AS p
+      FROM d, range(1, 2000) p(p) WHERE p.p <= n
+    ),
+    flags AS (
+      SELECT doc_id, source, p, cs[p] AS ch,
+             CASE WHEN p >= {tx.CDC_WINDOW}
+                   AND ({terms}) % {tx.CDC_MOD}
+                       % {1 << tx.CDC_MASK_BITS} = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM grid
+    ),
+    assigned AS (
+      SELECT doc_id, source, p, ch,
+             COALESCE(SUM(b) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS chunk_idx
+      FROM flags
+    ),
+    chunks AS (
+      SELECT doc_id, source, chunk_idx,
+             string_agg(ch, '' ORDER BY p) AS chunk
+      FROM assigned GROUP BY doc_id, source, chunk_idx
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_distinct,
+           CAST(SUM(length(chunk)) AS BIGINT) AS chars_total,
+           CAST((SELECT SUM(length(c)) FROM
+                 (SELECT DISTINCT chunk AS c FROM chunks c2
+                  WHERE c2.source = chunks.source)) AS BIGINT)
+             AS chars_distinct
+    FROM chunks GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "q_doc_cdc_dedup",
+    oracle=_cdc_dedup_oracle(),
+    doc="Chunk-level dedup ledger (r13, cdc_chunk_rows + one exact "
+    "group-by): per source, total vs DISTINCT chunk counts and "
+    "character volumes — the storage/compute saving content-defined "
+    "chunking exists to expose (repeated boilerplate and shared "
+    "passages collapse at chunk grain where doc-level hashing sees "
+    "distinct blobs). One Arrow chunking pass + one map-combined "
+    "aggregate on the chunk hash; the distinct-chars lane shuffles "
+    "chunk text once. Oracle: the identical generated polynomial/"
+    "mask SQL aggregated per source.",
+)
+def q_doc_cdc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    chunks = tx.cdc_chunk_rows(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    per_source = chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("chunk").cast("long").alias("n_distinct"),
+        F.sum(F.length("chunk")).cast("long").alias("chars_total"),
+    )
+    distinct_chars = (
+        chunks.select("source", "chunk")
+        .distinct()
+        .groupBy("source")
+        .agg(
+            F.sum(F.length("chunk")).cast("long").alias("chars_distinct")
+        )
+    )
+    return per_source.join(distinct_chars, "source").orderBy("source")
