@@ -257,7 +257,46 @@ def main() -> None:
     lane_d_animation(spark)
     lane_e_salted_keep_first(spark)
     lane_f_incremental_funnel(spark)
+    lane_g_cdc_and_keep_best(spark)
 
 
 if __name__ == "__main__":
     main()
+
+
+def lane_g_cdc_and_keep_best(spark) -> None:
+    print("G. CDC chunking + keep-best-of-cluster scaling (late r13)")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    for mult in (1, 10):
+        docs = base
+        for k in range(mult - 1):
+            docs = docs.unionAll(
+                base.withColumn("doc_id", F.col("doc_id") + (k + 1) * 10**6)
+            )
+        docs = docs.repartition(32).localCheckpoint(eager=True)
+        t = timed(lambda: tx.cdc_chunk_rows(docs).count())
+        print(f"   cdc  docs={docs.count():>6} wall={t:6.2f}s")
+    from incremental_github_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        gram_overlap_pairs,
+        keep_best_of_cluster,
+    )
+
+    for mult in (1, 4):
+        docs = base
+        for k in range(mult - 1):
+            docs = docs.unionAll(
+                base.withColumn("doc_id", F.col("doc_id") + (k + 1) * 10**6)
+            )
+        docs = docs.repartition(32).localCheckpoint(eager=True)
+
+        def run():
+            pairs = gram_overlap_pairs(docs, "doc_id", "text", k=5)
+            cc = connected_components(pairs)
+            keep_best_of_cluster(
+                docs.select("doc_id", "n_chars"), cc, "n_chars"
+            ).count()
+
+        t = timed(run)
+        print(f"   keep-best docs={docs.count():>6} wall={t:6.2f}s "
+              f"(pairs grow with replication cliques)")
