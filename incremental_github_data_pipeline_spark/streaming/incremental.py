@@ -1073,6 +1073,113 @@ def run_incremental_curation_funnel(
     )
 
 
+def run_incremental_cdc_ingest(
+    spark: SparkSession,
+    docs_dir: str | Path,
+    table_root: str,
+    checkpoint: str | Path,
+) -> None:
+    """Incremental chunk-level dedup ledger (r13): keep the
+    content-defined-chunk store (``text.cdc_chunk_rows`` is the
+    chunking) current under document arrival — the storage/compute
+    saving CDC exists for, maintained continuously. Per micro-batch
+    of document shards (``doc_id long, text string``): chunk every
+    document, key each chunk by the 128-bit ``dedup.content_key``
+    posture (two independently-seeded xxhash64 lanes — exact-dedup
+    collision bounds hold to ~2^64 distinct chunks), drop chunks the
+    store has already claimed via the broadcast-batch-keys /
+    map-side-scan asymmetry (the claim table is scanned once per
+    batch and NEVER reshuffled), and APPEND the new claims plus one
+    ledger row: chunks/chars seen vs chunks/chars actually new. The
+    cumulative ledger is the dedup ratio over time; because claims
+    are disjoint across batches, summed ``chars_new`` equals the
+    one-shot distinct-chunk volume of the union corpus exactly.
+
+    O(batch) work and O(new chunks) appended state at any corpus
+    size; exactly-once via per-table txn ids. Tables under
+    ``table_root``: ``chunk_state`` (h1, h2, n_chars), ``ledger``
+    (batch_id, n_chunks_in, n_new, chars_in, chars_new)."""
+    from incremental_github_data_pipeline_spark.operators import text as tx
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(str(docs_dir))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        chunks = tx.cdc_chunk_rows(
+            batch_df.repartition(spark.sparkContext.defaultParallelism)
+        ).select(
+            F.xxhash64("chunk").alias("h1"),
+            F.xxhash64(F.lit(0x9E3779B9), F.col("chunk")).alias("h2"),
+            F.length("chunk").cast("long").alias("n_chars"),
+        ).localCheckpoint(eager=True)
+        batch_distinct = chunks.groupBy("h1", "h2").agg(
+            F.first("n_chars").alias("n_chars")
+        )
+        state_root = f"{table_root}/chunk_state"
+        if latest_version(state_root) is not None:
+            state = read_version(spark, state_root)
+            batch_keys = batch_distinct.select("h1", "h2")
+            collided = state.select("h1", "h2").join(
+                F.broadcast(batch_keys), ["h1", "h2"], "left_semi"
+            )
+            fresh = batch_distinct.join(
+                F.broadcast(collided), ["h1", "h2"], "left_anti"
+            )
+        else:
+            fresh = batch_distinct
+        fresh = fresh.localCheckpoint(eager=True)
+        commit_version(
+            fresh,
+            state_root,
+            mode="append",
+            txn_id=f"cdc-state:{checkpoint}:{batch_id}",
+        )
+        totals = chunks.agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks_in"),
+            F.sum("n_chars").cast("long").alias("chars_in"),
+        ).collect()[0]
+        news = fresh.agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("long")
+            .alias("chars_new"),
+        ).collect()[0]
+        commit_version(
+            spark.createDataFrame(
+                [
+                    (
+                        batch_id,
+                        totals["n_chunks_in"],
+                        news["n_new"],
+                        totals["chars_in"],
+                        news["chars_new"],
+                    )
+                ],
+                "batch_id long, n_chunks_in long, n_new long, "
+                "chars_in long, chars_new long",
+            ),
+            f"{table_root}/ledger",
+            mode="append",
+            txn_id=f"cdc-ledger:{checkpoint}:{batch_id}",
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(checkpoint))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def apply_changelog(
     base: DataFrame,
     changes: DataFrame,

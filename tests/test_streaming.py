@@ -2051,3 +2051,69 @@ def test_incremental_curation_funnel_equals_one_shot(spark, tmp_path):
         for r in read_version(spark, f"{root}/audit", version=1).collect()
     }
     assert a1["records"] == 48  # 12 payloads x 4 records
+
+
+def test_incremental_cdc_ingest_ledger_equals_one_shot(spark, tmp_path):
+    """r13: the chunk-claim ledger is additive — summed chars_new over
+    batches equals the one-shot distinct-chunk volume of the union
+    corpus; replays are no-ops; time travel sees batch 1 only."""
+    from incremental_github_data_pipeline_spark.operators.text import (
+        cdc_chunk_rows,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        latest_version,
+        read_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        run_incremental_cdc_ingest,
+    )
+
+    def doc(i: int) -> str:
+        return (
+            " ".join(
+                f"w{(i * 7 + j) % 300} tail{j % 9}" for j in range(60)
+            )
+            + " shared boilerplate sentence that repeats everywhere."
+        )
+
+    src = tmp_path / "docs"
+    root = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [(i, doc(i)) for i in range(40)]
+    # batch 2 repeats half of batch 1's docs with a small prefix edit
+    # (CDC keeps their tail chunks identical -> mostly claimed) plus
+    # genuinely new docs
+    b2 = [(100 + i, "EDIT! " + doc(i)) for i in range(20)] + [
+        (200 + i, doc(1000 + i)) for i in range(20)
+    ]
+    for b in (b1, b2):
+        spark.createDataFrame(b, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        run_incremental_cdc_ingest(spark, str(src), root, ckpt)
+    v = latest_version(f"{root}/chunk_state")
+    run_incremental_cdc_ingest(spark, str(src), root, ckpt)  # replay
+    assert latest_version(f"{root}/chunk_state") == v
+
+    ledger = read_version(spark, f"{root}/ledger").collect()
+    assert len(ledger) == 2
+    summed_new = sum(r["chars_new"] for r in ledger)
+    union = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    one_shot = (
+        cdc_chunk_rows(union)
+        .select("chunk")
+        .distinct()
+        .agg(F.sum(F.length("chunk")).cast("long").alias("c"))
+        .collect()[0]["c"]
+    )
+    assert summed_new == one_shot
+    # dedup actually bit: batch 2 re-used claimed chunks
+    r2 = next(r for r in ledger if r["batch_id"] == 1)
+    assert r2["chars_new"] < r2["chars_in"]
+    # time travel: the version-1 state is batch 1's distinct chunks
+    s1 = read_version(spark, f"{root}/chunk_state", version=1)
+    d1 = (
+        cdc_chunk_rows(spark.createDataFrame(b1, "doc_id long, text string"))
+        .select("chunk").distinct().count()
+    )
+    assert s1.count() == d1
