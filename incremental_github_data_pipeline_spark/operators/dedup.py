@@ -1301,29 +1301,47 @@ def keep_best_of_cluster(
     and ``n_docs`` (cluster size).
 
     Scale shape: one left join against the (pair-list-sized, much
-    smaller than the corpus) component map + one MAX-of-struct
-    aggregate — algebraic, so it map-combines and salts cleanly
+    smaller than the corpus) component map + one MAX_BY aggregate
+    whose ordering key is ``struct(score, -id)`` ONLY — the payload
+    row rides outside the comparison (ADVICE r13), so rows may carry
+    non-orderable columns (maps, binaries inside arrays, …) freely.
+    The aggregate is algebraic, so it map-combines and salts cleanly
     (the same skew posture as ``skew.salted_keep_first``); no window,
     no per-cluster sort. Singleton components reuse the row's own id
     as the label — collision-free because a component label is the
     min id of a CLUSTERED doc, and singletons are by definition not
-    clustered."""
+    clustered.
+
+    Contract: ``id_col`` must be an integral/decimal column (the
+    tie-break negates it; enforced loudly here, not left to an
+    analysis error). Negation happens on the DECIMAL(38,0) lattice so
+    ``Long.MIN_VALUE`` cannot overflow."""
+    from pyspark.sql.types import DecimalType, IntegralType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (IntegralType, DecimalType)):
+        raise TypeError(
+            f"keep_best_of_cluster: id_col {id_col!r} must be an "
+            f"integral or decimal column (tie-break negates it); got "
+            f"{id_type.simpleString()}"
+        )
     labeled = df.join(
         components.withColumnRenamed("id", id_col), id_col, "left"
     ).withColumn(
         "_comp", F.coalesce(F.col("component"), F.col(id_col))
     )
-    candidate = F.struct(
+    order_key = F.struct(
         F.col(score_col).alias("_s"),
-        (-F.col(id_col)).alias("_negid"),
-        F.struct(*[F.col(c) for c in df.columns]).alias("_row"),
+        (-F.col(id_col).cast("decimal(38,0)")).alias("_negid"),
     )
     best = labeled.groupBy("_comp").agg(
-        F.max(candidate).alias("_c"),
+        F.max_by(
+            F.struct(*[F.col(c) for c in df.columns]), order_key
+        ).alias("_row"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
     return best.select(
-        F.col("_c._row.*"),
+        F.col("_row.*"),
         F.col("_comp").alias("component"),
         "n_docs",
     )

@@ -968,3 +968,58 @@ class TestKeepBestOfCluster:
             for r in keep_best_of_cluster(docs, cc, "q").collect()
         )
         assert kept == [2, 3]
+
+    def test_non_orderable_payload_columns_survive(self, spark):
+        """ADVICE r13: the payload row rides OUTSIDE the max_by
+        ordering key, so a MapType column (non-orderable — the old
+        MAX-of-struct form failed analysis on it) passes through."""
+        from incremental_github_data_pipeline_spark.operators.dedup import (
+            keep_best_of_cluster,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, {"k": "v1"}, 10), (2, {"k": "v2"}, 30)],
+            "doc_id long, meta map<string,string>, q long",
+        )
+        comps = spark.createDataFrame(
+            [(1, 1), (2, 1)], "id long, component long"
+        )
+        [r] = keep_best_of_cluster(docs, comps, "q").collect()
+        assert r["doc_id"] == 2 and r["meta"] == {"k": "v2"}
+
+    def test_long_min_value_id_does_not_overflow(self, spark):
+        """ADVICE r13: the tie-break negates on DECIMAL(38,0), so
+        Long.MIN_VALUE (whose long negation overflows to itself)
+        still orders BELOW every other id on ties."""
+        from incremental_github_data_pipeline_spark.operators.dedup import (
+            keep_best_of_cluster,
+        )
+
+        lo = -(2**63)
+        docs = spark.createDataFrame(
+            [(lo, 30), (5, 30)], "doc_id long, q long"
+        )
+        comps = spark.createDataFrame(
+            [(lo, lo), (5, lo)], "id long, component long"
+        )
+        [r] = keep_best_of_cluster(docs, comps, "q").collect()
+        # q ties at 30 -> smallest id wins, and lo < 5
+        assert r["doc_id"] == lo and r["n_docs"] == 2
+
+    def test_string_id_rejected_loudly(self, spark):
+        """Contract (ADVICE r13): non-numeric ids raise TypeError here
+        rather than silently casting to NULL downstream."""
+        import pytest
+
+        from incremental_github_data_pipeline_spark.operators.dedup import (
+            keep_best_of_cluster,
+        )
+
+        docs = spark.createDataFrame(
+            [("a", 1)], "doc_id string, q long"
+        )
+        comps = spark.createDataFrame(
+            [("a", "a")], "id string, component string"
+        )
+        with pytest.raises(TypeError, match="integral or decimal"):
+            keep_best_of_cluster(docs, comps, "q")
