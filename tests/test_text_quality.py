@@ -1743,3 +1743,113 @@ class TestCdcChunking:
             if h % (1 << CDC_MASK_BITS) == 0:
                 want.append(i)
         assert cdc_boundaries(text) == want
+
+
+class TestCdcClamped:
+    """FastCDC-style min/max clamps (r14, VERDICT r13 task 4)."""
+
+    def _naive(self, text, min_len, max_len):
+        from incremental_github_data_pipeline_spark.operators.text import (
+            cdc_boundaries,
+        )
+
+        if not text:
+            return [""]
+        hits = cdc_boundaries(text)
+        out, s, n = [], 0, len(text)
+        while s < n:
+            cand = [
+                h for h in hits
+                if s + min_len <= h < s + max_len and h < n
+            ]
+            b = cand[0] if cand else min(s + max_len, n)
+            out.append(text[s:b])
+            s = b
+        return out
+
+    def test_matches_naive_walk_and_length_envelope(self):
+        import random
+
+        from incremental_github_data_pipeline_spark.operators.text import (
+            cdc_split,
+        )
+
+        rng = random.Random(42)
+        for trial in range(40):
+            n = rng.randint(0, 1200)
+            text = "".join(
+                rng.choice("abcdefg hijklmno") for _ in range(n)
+            )
+            got = cdc_split(text, min_len=32, max_len=128)
+            assert got == self._naive(text, 32, 128), trial
+            assert "".join(got) == text
+            for ch in got[:-1]:
+                assert 32 <= len(ch) <= 128
+            assert len(got[-1]) <= 128
+
+    def test_degenerate_blob_forces_max_len_slabs(self):
+        from incremental_github_data_pipeline_spark.operators.text import (
+            cdc_split,
+        )
+        from incremental_github_data_pipeline_spark.queries.ext_text import (
+            _CDC_BLOB_CHAR,
+        )
+
+        blob = _CDC_BLOB_CHAR * 1000
+        # unclamped: the mask never fires -> one mega-chunk
+        assert cdc_split(blob) == [blob]
+        got = cdc_split(blob, min_len=32, max_len=128)
+        assert [len(c) for c in got] == [128] * 7 + [104]
+
+    def test_wide_clamp_degrades_to_pure_rule(self):
+        from incremental_github_data_pipeline_spark.operators.text import (
+            cdc_split,
+        )
+
+        text = "the quick brown fox jumps over the lazy dog " * 12
+        assert cdc_split(text, min_len=1, max_len=10**9) == cdc_split(
+            text
+        )
+
+    def test_param_validation(self, spark):
+        import pytest
+
+        from incremental_github_data_pipeline_spark.operators.text import (
+            cdc_chunk_rows,
+            cdc_split,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="set together"):
+            cdc_chunk_rows(df, min_len=32)
+        with pytest.raises(ValueError, match="min_len <= max_len"):
+            cdc_chunk_rows(df, min_len=9, max_len=3)
+        with pytest.raises(ValueError, match="set together"):
+            cdc_split("abc", max_len=128)
+
+    def test_distributed_matches_local(self, spark):
+        from incremental_github_data_pipeline_spark.operators.text import (
+            cdc_chunk_rows,
+            cdc_split,
+        )
+
+        texts = [
+            "content defined chunking splits where the hash "
+            "vanishes " * 9,
+            "short",
+            "",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        rows = cdc_chunk_rows(df, min_len=24, max_len=96).collect()
+        by_doc = {}
+        for r in sorted(
+            rows, key=lambda r: (r["doc_id"], r["chunk_idx"])
+        ):
+            by_doc.setdefault(r["doc_id"], []).append(r["chunk"])
+        for i, t in enumerate(texts):
+            assert by_doc[i] == cdc_split(t, min_len=24, max_len=96)
