@@ -40,89 +40,78 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Certification rotation: the driver's per-round correctness snapshot
 # records the FIRST ~50 registry entries in registration order, so this
 # list is re-derived every round (VERDICT r3 confirmed the mechanics;
-# r8-r12 proved the rotation discipline works — keep it a standing edit).
-# Round-13 priorities (VERDICT r12 task 1, exactly as queued there):
-#   (0) q_doc_scripts — the single never-driver-certified registry
-#       query (late-r12 registration), queued first;
-#   (a) 40 of the 50 r8-vintage refreshes (newest driver green = r8):
-#       TPC-H Q12-Q22 plus the relational/event/text/stream lanes,
-#       operator code untouched since r8 — lowest risk first per the
-#       verdict. The remaining 10 r8-vintage rows (heavy media /
-#       tokenizer / embedding-similarity lanes: q_ann_recall,
-#       q_embedding_pq_topk, q_embedding_quantized_topk,
-#       q_hybrid_rrf_topk, q_media_jpeg12_stats,
-#       q_media_png_lowdepth_stats, q_media_vad_segments,
-#       q_media_video_motion, q_unigram_pieces, q_unigram_tokenize)
-#       queue FIRST for r14 so nothing's newest green predates r9
-#       after r14 — the two-round rotation the verdict prescribes;
-#   (b) genuinely-new r13 operators certify in the round that built
-#       them, plus changed-lane recerts (q_url_canonical gained the
-#       percent-encoding normalization layer; q_crawl_curation gained
-#       robots-gate + tracker-strip stages and salted URL dedup;
-#       q_media_tiff_stats now also cycles a Group 3 2-D (MR) fixture;
-#       q_media_webp_stats/q_media_gif_stats gained animated/multi-
-#       frame fixtures; q_privacy_dp_counts hash lane widened through
-#       DECIMAL(38,0) per ADVICE r12).
-# The r13 window is exactly 50: 1 + 40 backlog + 9 new/changed rows.
-# Queries registered after this window fills queue FIRST in r14,
-# alongside the 10 deferred r8-vintage rows listed above:
-# q_dedup_keep_best, q_doc_cdc_chunks and q_doc_cdc_dedup (late-r13 —
-# sweep-green, benched, tested, never driver-seen).
+# r8-r13 proved the rotation discipline — keep it a standing edit).
+# Round-14 priorities (VERDICT r13 task 1, exactly as queued there —
+# after this window EVERY registry query has a driver green (union
+# r1-r14) and nothing's newest green predates r9):
+#   (0) the 3 never-certified late-r13 registrations
+#       (q_dedup_keep_best, q_doc_cdc_chunks, q_doc_cdc_dedup);
+#   (a) the 10 deferred r8-vintage rows (heavy media / tokenizer /
+#       embedding-similarity lanes) — the last pre-r9 greens;
+#   (b) 28 of the 48 r9-vintage rows (heaviest/most-shared lanes
+#       first: dedup+similarity joins, media decode, graph, sketches;
+#       the remaining 20 r9 rows queue FIRST in r15);
+#   (c) genuinely-new r14 operators + changed-lane recerts
+#       (q_doc_cdc_clamped: FastCDC min/max clamps; q_crawl_curation:
+#       collision-free robots uid + https?:// scheme gate + advisory-
+#       routed SENTENCE dedup per ADVICE r13 high/low + task 3).
 _CERTIFY_FIRST = [
-    # -- (0) the one never-certified registry query --
-    "q_doc_scripts",
-    # -- (a) r8-vintage refreshes: TPC-H Q12-Q22 --
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    # -- (a) r8-vintage refreshes: relational/event/text/stream lanes --
-    "q_allocate_cents",
-    "q_case_when",
-    "q_cdc_apply",
-    "q_corr_qty_price",
-    "q_date_parts",
-    "q_dedup_clusters",
-    "q_doc_bm25_topk",
-    "q_doc_chunks",
-    "q_doc_cluster_split",
-    "q_doc_curation_funnel",
-    "q_doc_dsir",
-    "q_doc_exact_dedup",
-    "q_doc_lm_score",
-    "q_doc_mix_sources",
-    "q_doc_remove_spans",
-    "q_events_funnel",
-    "q_events_hourly",
-    "q_events_new_users",
-    "q_expectations_audit",
-    "q_grouping_sets",
-    "q_incremental_rollup",
-    "q_json_extract",
-    "q_pivot_event_types",
-    "q_quantiles",
-    "q_salted_agg",
-    "q_stream_session_attribution",
-    "q_string_agg",
-    "q_ts_cusum",
-    "q_validation_checks",
-    # -- (b) new in round 13 + changed-lane recerts --
-    "q_doc_lang_trigram",
-    "q_url_canonical",
+    # -- (0) never driver-certified (late-r13) --
+    "q_dedup_keep_best",
+    "q_doc_cdc_chunks",
+    "q_doc_cdc_dedup",
+    # -- (a) the 10 deferred r8-vintage rows --
+    "q_ann_recall",
+    "q_embedding_pq_topk",
+    "q_embedding_quantized_topk",
+    "q_hybrid_rrf_topk",
+    "q_media_jpeg12_stats",
+    "q_media_png_lowdepth_stats",
+    "q_media_vad_segments",
+    "q_media_video_motion",
+    "q_unigram_pieces",
+    "q_unigram_tokenize",
+    # -- (b) 28 r9-vintage refreshes --
+    "q01_pricing_summary",
+    "q_dedup_keep_last",
+    "q_doc_allpairs_join",
+    "q_doc_bloom_prefilter",
+    "q_doc_cm_counts",
+    "q_doc_fingerprint",
+    "q_doc_fuzzy_pairs",
+    "q_doc_minhash_join",
+    "q_doc_normalize",
+    "q_doc_paragraph_dedup",
+    "q_doc_tfidf_top",
+    "q_embedding_ivf_topk",
+    "q_embedding_near_dups",
+    "q_embedding_quantized_pool",
+    "q_events_props_map",
+    "q_events_sliding",
+    "q_graph_kcore",
+    "q_graph_pagerank",
+    "q_hll_registers",
+    "q_incremental_join",
+    "q_media_adpcm_stats",
+    "q_media_decode_stats",
+    "q_media_g711_stats",
+    "q_media_jpeg_stats",
+    "q_media_png_stats",
+    "q_ngram_jaccard_dedup",
+    "q_price_histogram",
+    "q_privacy_kanon",
+    # -- (c) new in round 14 + changed-lane recerts --
+    "q_doc_cdc_clamped",
     "q_crawl_curation",
-    "q_media_tiff_stats",
-    "q_media_webp_stats",
-    "q_media_gif_stats",
-    "q_privacy_dp_counts",
-    "q_doc_lang_dist",
-    "q_url_strip_tracking",
+    "q_media_vp8_stats",
+    "q_media_wav_stats",
+    # (c) provisional tail — swapped for further r14 work as it
+    # lands; otherwise these r9-vintage rows certify now
+    "q_privacy_suppress",
+    "q_recursive_hierarchy",
+    "q_retention_cohorts",
+    "q_scd2_asof",
+    "q_simhash_near_dups",
 ]
 
 

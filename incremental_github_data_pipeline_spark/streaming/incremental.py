@@ -843,10 +843,16 @@ def run_incremental_curation_funnel(
 
     Exactly-once: every table commit carries
     ``txn_id = cur-funnel-<table>:<checkpoint>:<batch_id>`` so
-    replayed batches are no-ops. Tables under ``table_root``:
+    replayed batches are no-ops — including replays after a
+    MID-BATCH crash (ADVICE r13): claim rows carry the batch that
+    claimed them and ``drop_claimed`` reads only ``batch_id <
+    current``, so a replay never sees the crashed attempt's own
+    partial claims and recomputes bit-identically; output tables
+    also commit BEFORE claim tables. Tables under ``table_root``:
     ``curated`` (payload_id, record_idx, url, text, n_tokens),
-    ``url_state`` (url), ``sent_state`` (sentence), ``audit``
-    (batch_id, stage_idx, stage, n_rows, n_tokens, n_chars)."""
+    ``url_state`` (url, batch_id), ``sent_state`` (sentence,
+    batch_id), ``audit`` (batch_id, stage_idx, stage, n_rows,
+    n_tokens, n_chars)."""
     from pyspark.sql import Row
 
     from incremental_github_data_pipeline_spark.operators import text as tx
@@ -863,13 +869,27 @@ def run_incremental_curation_funnel(
         "payload_id long, payload binary"
     ).parquet(str(warc_dir))
 
-    def drop_claimed(batch: DataFrame, state_root: str, key: str):
+    def drop_claimed(
+        batch: DataFrame, state_root: str, key: str, batch_id: int
+    ):
         """History-claimed keys drop out of the batch: batch keys
         broadcast, the state table is scanned MAP-SIDE (one column,
-        no shuffle of history), only colliding keys flow back."""
+        no shuffle of history), only colliding keys flow back.
+
+        Claims are filtered to ``batch_id < current`` (ADVICE r13):
+        state rows carry the batch that claimed them, so a REPLAYED
+        batch never sees its own partially-committed claims — the
+        recompute is bit-identical whichever commits of the crashed
+        attempt landed, and every per-table txn_id then no-ops or
+        fills the gap. Exactly-once holds across a mid-batch crash,
+        not just across whole-batch replays."""
         if latest_version(state_root) is None:
             return batch
-        state = read_version(spark, state_root)
+        state = (
+            read_version(spark, state_root)
+            .filter(F.col("batch_id") < F.lit(batch_id))
+            .select(key)
+        )
         batch_keys = batch.select(key).distinct()
         collided = (
             state.join(F.broadcast(batch_keys), key, "left_semi")
@@ -904,17 +924,23 @@ def run_incremental_curation_funnel(
                 "host string, allow int, pattern string, "
                 "regex string, plen int",
             )
+            # collision-free per-record uid (ADVICE r13: the old
+            # payload_id*10+record_idx collided for >=10-record
+            # payloads — the normal case for real shards — merging
+            # robots verdicts across records); record_idx is bounded
+            # by a payload's record count << 2^32
             hp = ext.select(
                 "*",
-                (F.col("payload_id") * 10 + F.col("record_idx")).alias(
-                    "_uid"
-                ),
-                F.regexp_extract("url", "^https://([^/]+)", 1).alias(
-                    "host"
-                ),
-                F.regexp_extract("url", "^https://[^/]+([^?]*)", 1).alias(
-                    "path"
-                ),
+                (
+                    F.shiftleft(F.col("payload_id"), 32)
+                    + F.col("record_idx")
+                ).alias("_uid"),
+                F.regexp_extract(
+                    "url", "^https?://([^/]+)", 1
+                ).alias("host"),
+                F.regexp_extract(
+                    "url", "^https?://[^/]+([^?]*)", 1
+                ).alias("path"),
             )
             gated = (
                 hp.join(
@@ -929,17 +955,13 @@ def run_incremental_curation_funnel(
             gated = ext
         gated = gated.localCheckpoint(eager=True)
 
-        fresh = drop_claimed(gated, f"{table_root}/url_state", "url")
+        fresh = drop_claimed(
+            gated, f"{table_root}/url_state", "url", batch_id
+        )
         kept_docs = salted_keep_first(
             fresh, ["url"], ["payload_id", "record_idx"],
             buckets=salt_buckets,
         ).localCheckpoint(eager=True)
-        commit_version(
-            kept_docs.select("url"),
-            f"{table_root}/url_state",
-            mode="append",
-            txn_id=f"cur-funnel-url:{checkpoint}:{batch_id}",
-        )
 
         sents = kept_docs.select(
             "payload_id",
@@ -949,7 +971,7 @@ def run_incremental_curation_funnel(
             ),
         ).localCheckpoint(eager=True)
         fresh_sents = drop_claimed(
-            sents, f"{table_root}/sent_state", "sentence"
+            sents, f"{table_root}/sent_state", "sentence", batch_id
         )
         kept_sents = salted_keep_first(
             fresh_sents,
@@ -957,12 +979,6 @@ def run_incremental_curation_funnel(
             ["payload_id", "record_idx", "sent_idx"],
             buckets=salt_buckets,
         ).localCheckpoint(eager=True)
-        commit_version(
-            kept_sents.select("sentence").distinct(),
-            f"{table_root}/sent_state",
-            mode="append",
-            txn_id=f"cur-funnel-sent:{checkpoint}:{batch_id}",
-        )
 
         per_doc = (
             sents.join(
@@ -1063,6 +1079,30 @@ def run_incremental_curation_funnel(
             mode="append",
             txn_id=f"cur-funnel-audit:{checkpoint}:{batch_id}",
         )
+        # claim tables commit LAST (ADVICE r13): outputs above derive
+        # from pre-claim state, and drop_claimed scopes reads to
+        # batch_id < current, so a crash between ANY two commits here
+        # replays to a bit-identical recompute — committed tables
+        # no-op on their txn_id, missing ones fill in.
+        commit_version(
+            kept_docs.select(
+                "url", F.lit(batch_id).cast("long").alias("batch_id")
+            ),
+            f"{table_root}/url_state",
+            mode="append",
+            txn_id=f"cur-funnel-url:{checkpoint}:{batch_id}",
+        )
+        commit_version(
+            kept_sents.select("sentence")
+            .distinct()
+            .select(
+                "sentence",
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            ),
+            f"{table_root}/sent_state",
+            mode="append",
+            txn_id=f"cur-funnel-sent:{checkpoint}:{batch_id}",
+        )
 
     (
         stream.writeStream.foreachBatch(process)
@@ -1096,9 +1136,14 @@ def run_incremental_cdc_ingest(
     one-shot distinct-chunk volume of the union corpus exactly.
 
     O(batch) work and O(new chunks) appended state at any corpus
-    size; exactly-once via per-table txn ids. Tables under
-    ``table_root``: ``chunk_state`` (h1, h2, n_chars), ``ledger``
-    (batch_id, n_chunks_in, n_new, chars_in, chars_new)."""
+    size; exactly-once via per-table txn ids, and crash-safe across
+    a MID-BATCH failure (ADVICE r13): claim rows carry their batch
+    id and the claimed-scan reads only ``batch_id < current``, so a
+    replay recomputes bit-identically whichever commits landed; the
+    ledger commits before the claim table. Tables under
+    ``table_root``: ``chunk_state`` (h1, h2, n_chars, batch_id),
+    ``ledger`` (batch_id, n_chunks_in, n_new, chars_in,
+    chars_new)."""
     from incremental_github_data_pipeline_spark.operators import text as tx
     from incremental_github_data_pipeline_spark.sources.versioned import (
         commit_version,
@@ -1125,7 +1170,12 @@ def run_incremental_cdc_ingest(
         )
         state_root = f"{table_root}/chunk_state"
         if latest_version(state_root) is not None:
-            state = read_version(spark, state_root)
+            # claims scoped to batch_id < current (ADVICE r13): a
+            # replayed batch never sees its own partial claims, so
+            # the recompute is bit-identical across a mid-batch crash
+            state = read_version(spark, state_root).filter(
+                F.col("batch_id") < F.lit(batch_id)
+            )
             batch_keys = batch_distinct.select("h1", "h2")
             collided = state.select("h1", "h2").join(
                 F.broadcast(batch_keys), ["h1", "h2"], "left_semi"
@@ -1136,12 +1186,6 @@ def run_incremental_cdc_ingest(
         else:
             fresh = batch_distinct
         fresh = fresh.localCheckpoint(eager=True)
-        commit_version(
-            fresh,
-            state_root,
-            mode="append",
-            txn_id=f"cdc-state:{checkpoint}:{batch_id}",
-        )
         totals = chunks.agg(
             F.count(F.lit(1)).cast("long").alias("n_chunks_in"),
             F.sum("n_chars").cast("long").alias("chars_in"),
@@ -1169,6 +1213,15 @@ def run_incremental_cdc_ingest(
             f"{table_root}/ledger",
             mode="append",
             txn_id=f"cdc-ledger:{checkpoint}:{batch_id}",
+        )
+        # claim table LAST (ADVICE r13) — see the funnel's twin note
+        commit_version(
+            fresh.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ),
+            state_root,
+            mode="append",
+            txn_id=f"cdc-state:{checkpoint}:{batch_id}",
         )
 
     (
@@ -2599,6 +2652,197 @@ def cc_versioned(
         .filter(F.col("_rn") == 1)
         .select("id", "component")
     )
+
+
+def run_incremental_keep_best_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    table_root: str,
+    checkpoint: str,
+    schema: str,
+    cc_root: str,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Keep-best-of-cluster served INCREMENTALLY (r14, VERDICT r13
+    task 5): maintain a versioned "current best doc per near-dup
+    component" table under document arrival, composed with the CC
+    labeling :func:`run_incremental_cc_ingest` maintains. The insight
+    is the same algebra ``dedup.keep_best_of_cluster`` exploits in
+    one shot: argmax-of-``(score, -id)`` is an algebraic MAX, so
+    per-batch deltas merge into the running best exactly like the CC
+    upsert log merges labels — no history rescan, ever.
+
+    Per micro-batch of doc shards: label each doc through the CURRENT
+    CC serving view (nodes the graph has never seen label
+    themselves), fold the batch to one best-candidate row per touched
+    label, merge those with the prior bests of the SAME labels (read
+    via a broadcast-batch-labels semi-join — history is scanned
+    map-side, never reshuffled), and APPEND one upsert row per
+    touched label: ``(component, n_docs, best struct<doc row>,
+    _seq)``. O(batch + touched components) work and appended state.
+
+    Labels drift as later edge batches merge components; the log is
+    deliberately NOT rewritten (the same append-only posture as the
+    CC log). :func:`keep_best_versioned` resolves drift at serve
+    time by re-keying each live row through the witness doc's
+    CURRENT label — a components-sized join, never corpus-sized.
+    Summed ``n_docs`` and the argmax survive re-keying because both
+    are algebraic (sum / max are associative over the merged sets),
+    which is the whole point of the composition.
+
+    Exactly-once via ``txn_id = keep-best:<checkpoint>:<batch_id>``.
+    Contract: doc ids are unique across all batches (each doc counts
+    once), and ``id_col`` is integral (the keep_best tie-break)."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+        latest_version,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+
+    def best_key(prefix: F.Column | None = None):
+        s = prefix[score_col] if prefix is not None else F.col(score_col)
+        i = prefix[id_col] if prefix is not None else F.col(id_col)
+        return F.struct(
+            s.alias("_s"),
+            (-i.cast("decimal(38,0)")).alias("_negid"),
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        docs = batch_df.localCheckpoint(eager=True)
+        doc_cols = docs.columns
+        if latest_version(cc_root) is not None:
+            labels = cc_versioned(spark, cc_root)
+        else:
+            labels = docs.select(F.col(id_col).alias("id")).limit(
+                0
+            ).withColumn("component", F.col("id"))
+        labeled = docs.join(
+            labels.withColumnRenamed("id", id_col), id_col, "left"
+        ).withColumn(
+            "component", F.coalesce("component", F.col(id_col))
+        )
+        batch_best = labeled.groupBy("component").agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in doc_cols]), best_key()
+            ).alias("best"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        ).localCheckpoint(eager=True)
+        if latest_version(table_root) is not None:
+            prior = _keep_best_fold(spark, table_root).join(
+                F.broadcast(batch_best.select("component")),
+                "component",
+                "left_semi",
+            )
+            merged = (
+                batch_best.unionByName(prior)
+                .groupBy("component")
+                .agg(
+                    F.max_by("best", best_key(F.col("best"))).alias(
+                        "best"
+                    ),
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                )
+            )
+        else:
+            merged = batch_best
+        commit_version(
+            merged.withColumn("_seq", F.lit(batch_id).cast("long")),
+            table_root,
+            mode="append",
+            txn_id=f"keep-best:{checkpoint}:{batch_id}",
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def _keep_best_fold(
+    spark: SparkSession, table_root: str, version: int | None = None
+) -> DataFrame:
+    """Last-writer-wins fold of the keep-best upsert log: one window
+    over the (components-sized) log, O(log) like ``cc_versioned``."""
+    from pyspark.sql import Window
+
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        read_version,
+    )
+
+    log = read_version(spark, table_root, version=version)
+    w = Window.partitionBy("component").orderBy(F.col("_seq").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("component", "best", "n_docs")
+    )
+
+
+def keep_best_versioned(
+    spark: SparkSession,
+    table_root: str,
+    cc_root: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    version: int | None = None,
+    cc_version: int | None = None,
+) -> DataFrame:
+    """Serve the incremental keep-best table
+    (:func:`run_incremental_keep_best_ingest`): fold the upsert log
+    last-writer-wins, re-key every live row through its WITNESS
+    doc's current CC label (edge batches that merged components
+    after a row was written re-key it here — the witness is a
+    cluster member, so its current label IS the merged label;
+    singletons the graph never saw keep their own), then one
+    algebraic argmax + sum per final label. Cost is
+    O(live components): the fold window, one join against the CC
+    serving view, one aggregate — never corpus-sized.
+
+    Returns the full best-doc rows plus ``component`` and ``n_docs``,
+    bit-identical to ``dedup.keep_best_of_cluster`` over every doc
+    and edge ingested up to the given versions."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        latest_version,
+    )
+
+    cur = _keep_best_fold(spark, table_root, version=version)
+    if latest_version(cc_root) is not None:
+        labels = cc_versioned(spark, cc_root, version=cc_version)
+    else:
+        labels = cur.select(
+            F.col("component").alias("id")
+        ).limit(0).withColumn("component", F.col("id"))
+    rekeyed = cur.join(
+        labels.select(
+            F.col("id").alias("_wid"), F.col("component").alias("_nc")
+        ),
+        cur["best"][id_col] == F.col("_wid"),
+        "left",
+    ).select(
+        F.coalesce("_nc", "component").alias("component"),
+        "best",
+        "n_docs",
+    )
+    final = rekeyed.groupBy("component").agg(
+        F.max_by(
+            "best",
+            F.struct(
+                F.col("best")[score_col].alias("_s"),
+                (-F.col("best")[id_col].cast("decimal(38,0)")).alias(
+                    "_negid"
+                ),
+            ),
+        ).alias("best"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+    )
+    return final.select(F.col("best.*"), "component", "n_docs")
 
 
 def _assert_pinned_params(

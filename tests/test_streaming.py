@@ -1704,6 +1704,137 @@ def test_incremental_cc_ingest_equals_one_shot_and_time_travels(
                      0: 0, 10: 0, 11: 0}
 
 
+def test_incremental_keep_best_equals_one_shot_and_time_travels(
+    spark, tmp_path
+):
+    """r14 (VERDICT r13 task 5): keep-best-of-cluster served
+    incrementally ≡ dedup.keep_best_of_cluster over every doc and
+    edge ingested — across interleaved doc/edge batches, including
+    the hard case: an EDGE batch merging clusters AFTER the last doc
+    batch (no ingest runs again; serve-time re-keying through the
+    witness doc's current CC label must fold the two stored bests).
+    Replays are no-ops; time travel serves any (docs, cc) version
+    pair."""
+    from incremental_github_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        keep_best_of_cluster,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        latest_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        keep_best_versioned,
+        run_incremental_cc_ingest,
+        run_incremental_keep_best_ingest,
+    )
+
+    dsrc = tmp_path / "docs"
+    esrc = tmp_path / "edges"
+    broot = str(tmp_path / "best")
+    croot = str(tmp_path / "cc")
+    bck = str(tmp_path / "bck")
+    cck = str(tmp_path / "cck")
+    dschema = "doc_id long, text string, q long"
+    eschema = "id_a long, id_b long"
+
+    doc_batches = [
+        [(1, "a", 10), (2, "b", 30), (3, "c", 20), (4, "d", 20),
+         (5, "e", 7), (6, "f", 9)],
+        [(7, "g", 99), (8, "h", 50), (9, "i", 1), (10, "j", 30)],
+    ]
+    edge_batches = [
+        [(1, 2), (3, 4)],        # clusters {1,2}, {3,4}
+        [(2, 3), (7, 8)],        # merge {1..4}; cluster fresh {7,8}
+    ]
+
+    def serve():
+        return {
+            (r["component"], r["doc_id"], r["text"], r["q"],
+             r["n_docs"])
+            for r in keep_best_versioned(
+                spark, broot, croot, "q", "doc_id"
+            ).collect()
+        }
+
+    def one_shot(docs, edges):
+        d = spark.createDataFrame(docs, dschema)
+        if edges:
+            cc = connected_components(
+                spark.createDataFrame(edges, eschema), "id_a", "id_b"
+            )
+        else:
+            cc = spark.createDataFrame([], "id long, component long")
+        return {
+            (r["component"], r["doc_id"], r["text"], r["q"],
+             r["n_docs"])
+            for r in keep_best_of_cluster(d, cc, "q").collect()
+        }
+
+    # docs b1 (no graph yet) -> all singletons
+    spark.createDataFrame(doc_batches[0], dschema).coalesce(
+        1
+    ).write.mode("append").parquet(str(dsrc))
+    run_incremental_keep_best_ingest(
+        spark, str(dsrc), broot, bck, dschema, croot, "q", "doc_id"
+    )
+    assert serve() == one_shot(doc_batches[0], [])
+
+    # edges b1 -> clusters appear without any new doc ingest
+    spark.createDataFrame(edge_batches[0], eschema).coalesce(
+        1
+    ).write.mode("append").parquet(str(esrc))
+    run_incremental_cc_ingest(
+        spark, str(esrc), croot, cck, eschema
+    )
+    assert serve() == one_shot(doc_batches[0], edge_batches[0])
+
+    # docs b2 under the current labeling
+    spark.createDataFrame(doc_batches[1], dschema).coalesce(
+        1
+    ).write.mode("append").parquet(str(dsrc))
+    run_incremental_keep_best_ingest(
+        spark, str(dsrc), broot, bck, dschema, croot, "q", "doc_id"
+    )
+    assert serve() == one_shot(
+        doc_batches[0] + doc_batches[1], edge_batches[0]
+    )
+
+    # edges b2: merges {1,2}+{3,4} AFTER the last doc batch
+    spark.createDataFrame(edge_batches[1], eschema).coalesce(
+        1
+    ).write.mode("append").parquet(str(esrc))
+    run_incremental_cc_ingest(
+        spark, str(esrc), croot, cck, eschema
+    )
+    want = one_shot(
+        doc_batches[0] + doc_batches[1],
+        edge_batches[0] + edge_batches[1],
+    )
+    assert serve() == want
+    # the merged cluster {1,2,3,4} keeps max q=30, tie -> min id 2
+    merged = next(t for t in want if t[0] == 1)
+    assert merged[1] == 2 and merged[4] == 4
+
+    # replays are no-ops on both stores
+    vb, vc = latest_version(broot), latest_version(croot)
+    run_incremental_keep_best_ingest(
+        spark, str(dsrc), broot, bck, dschema, croot, "q", "doc_id"
+    )
+    run_incremental_cc_ingest(spark, str(esrc), croot, cck, eschema)
+    assert (latest_version(broot), latest_version(croot)) == (vb, vc)
+    assert serve() == want
+
+    # time travel: docs v1 x cc v1 == one-shot over that exact pair
+    tt = {
+        (r["component"], r["doc_id"], r["text"], r["q"], r["n_docs"])
+        for r in keep_best_versioned(
+            spark, broot, croot, "q", "doc_id",
+            version=1, cc_version=1,
+        ).collect()
+    }
+    assert tt == one_shot(doc_batches[0], edge_batches[0])
+
+
 def test_incremental_lsh_ingest_candidates_equal_one_shot(spark, tmp_path):
     """Incremental LSH index (r12): candidates served from the
     N-increment index ≡ the one-shot band join over everything
@@ -2051,6 +2182,210 @@ def test_incremental_curation_funnel_equals_one_shot(spark, tmp_path):
         for r in read_version(spark, f"{root}/audit", version=1).collect()
     }
     assert a1["records"] == 48  # 12 payloads x 4 records
+
+
+@pytest.mark.parametrize("crash_after", [1, 2, 3])
+def test_curation_funnel_mid_batch_crash_replays_exactly_once(
+    spark, tmp_path, monkeypatch, crash_after
+):
+    """ADVICE r13 (medium): a crash BETWEEN a batch's table commits
+    must not lose data on replay. Claim rows carry their batch_id and
+    drop_claimed reads only batches < current, so the replayed
+    recompute is bit-identical whichever commits of the crashed
+    attempt landed (crash_after=1: curated committed only;
+    =2: +audit; =3: +url_state — the case where the old code's
+    drop_claimed saw the batch's own claims and recomputed empty)."""
+    from incremental_github_data_pipeline_spark.queries.ext_curation import (
+        _CUR_ROBOT_RULES,
+        _curation_corpus,
+    )
+    from incremental_github_data_pipeline_spark.sources import versioned
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        read_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        run_incremental_curation_funnel,
+    )
+
+    corpus = _curation_corpus(spark).collect()
+    schema = "payload_id long, payload binary"
+    b1 = [tuple(r) for r in corpus if r["payload_id"] < 12]
+    b2 = [tuple(r) for r in corpus if r["payload_id"] >= 12]
+
+    def run_two_batches(tag, crash_on_batch2=False):
+        src = tmp_path / f"warcs_{tag}"
+        root = str(tmp_path / f"cur_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        run_incremental_curation_funnel(
+            spark, str(src), root, ckpt, robots_rules=_CUR_ROBOT_RULES
+        )
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        if crash_on_batch2:
+            real = versioned.commit_version
+            calls = {"n": 0}
+
+            def crashing(*a, **kw):
+                if calls["n"] >= crash_after:
+                    raise RuntimeError("planted mid-batch crash")
+                calls["n"] += 1
+                return real(*a, **kw)
+
+            monkeypatch.setattr(versioned, "commit_version", crashing)
+            with pytest.raises(Exception, match="planted mid-batch"):
+                run_incremental_curation_funnel(
+                    spark, str(src), root, ckpt,
+                    robots_rules=_CUR_ROBOT_RULES,
+                )
+            monkeypatch.setattr(versioned, "commit_version", real)
+            assert calls["n"] == crash_after
+        run_incremental_curation_funnel(  # replay / normal batch 2
+            spark, str(src), root, ckpt, robots_rules=_CUR_ROBOT_RULES
+        )
+        return root
+
+    root_c = run_two_batches("crash", crash_on_batch2=True)
+    root_ok = run_two_batches("clean", crash_on_batch2=False)
+
+    for table in ("curated", "audit", "url_state", "sent_state"):
+        got = read_version(spark, f"{root_c}/{table}")
+        want = read_version(spark, f"{root_ok}/{table}")
+        assert got.count() == want.count(), table
+        assert got.exceptAll(want).isEmpty(), table
+        assert want.exceptAll(got).isEmpty(), table
+
+
+def test_cdc_ingest_mid_batch_crash_replays_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13 (medium), CDC-ledger twin: crash after the ledger
+    commit but before the chunk_state commit; the replay must fill in
+    the claim table without double-counting the ledger."""
+    from incremental_github_data_pipeline_spark.sources import versioned
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        read_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        run_incremental_cdc_ingest,
+    )
+
+    def doc(i):
+        return " ".join(
+            f"w{(i * 11 + j) % 97} t{j % 5}" for j in range(50)
+        )
+
+    b1 = [(i, doc(i)) for i in range(20)]
+    b2 = [(100 + i, doc(i)) for i in range(10)] + [
+        (200 + i, doc(500 + i)) for i in range(10)
+    ]
+
+    def run_two(tag, crash_on_batch2):
+        src = tmp_path / f"docs_{tag}"
+        root = str(tmp_path / f"cdc_{tag}")
+        ckpt = str(tmp_path / f"ckpt_cdc_{tag}")
+        sch = "doc_id long, text string"
+        spark.createDataFrame(b1, sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        run_incremental_cdc_ingest(spark, str(src), root, ckpt)
+        spark.createDataFrame(b2, sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        if crash_on_batch2:
+            real = versioned.commit_version
+            calls = {"n": 0}
+
+            def crashing(*a, **kw):
+                if calls["n"] >= 1:  # ledger lands, chunk_state not
+                    raise RuntimeError("planted mid-batch crash")
+                calls["n"] += 1
+                return real(*a, **kw)
+
+            monkeypatch.setattr(versioned, "commit_version", crashing)
+            with pytest.raises(Exception, match="planted mid-batch"):
+                run_incremental_cdc_ingest(spark, str(src), root, ckpt)
+            monkeypatch.setattr(versioned, "commit_version", real)
+        run_incremental_cdc_ingest(spark, str(src), root, ckpt)
+        return root
+
+    root_c = run_two("crash", True)
+    root_ok = run_two("clean", False)
+    for table in ("ledger", "chunk_state"):
+        got = read_version(spark, f"{root_c}/{table}")
+        want = read_version(spark, f"{root_ok}/{table}")
+        assert got.count() == want.count(), table
+        assert got.exceptAll(want).isEmpty(), table
+
+
+def test_funnel_robots_gate_many_record_payloads_no_uid_collision(
+    spark, tmp_path
+):
+    """ADVICE r13 (high): payload_id*10+record_idx collided for
+    >=10-record payloads (e.g. (1,11) and (2,1) both mapped to 21),
+    merging robots verdicts across records. With the shiftleft-32
+    uid, a 12-record blocked payload and a 12-record allowed payload
+    gate independently."""
+    from incremental_github_data_pipeline_spark.operators import (
+        text as tx,
+    )
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        read_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        run_incremental_curation_funnel,
+    )
+
+    rules = [
+        ("colhost.example.com", r["allow"], r["pattern"], r["regex"],
+         r["plen"])
+        for r in tx.parse_robots(
+            "User-agent: *\nDisallow: /blocked\n", agent="*"
+        )
+    ]
+
+    def payload(pid, kind):
+        recs = []
+        for j in range(12):
+            words = " ".join(
+                f"p{pid}r{j}w{k} unique{(pid * 31 + j * 7 + k) % 101}"
+                for k in range(12)
+            )
+            recs.append(
+                {
+                    "warc_type": "response",
+                    "target_uri": (
+                        f"https://colhost.example.com/{kind}{pid}_{j}"
+                    ),
+                    "http_status": 200,
+                    "body": (
+                        f"<html><body><p>{words}.</p></body></html>"
+                    ).encode("utf-8"),
+                }
+            )
+        return (pid, tx.warc_build(recs, gzip_per_record=False))
+
+    src = tmp_path / "warcs_col"
+    root = str(tmp_path / "cur_col")
+    ckpt = str(tmp_path / "ckpt_col")
+    spark.createDataFrame(
+        [payload(1, "blocked"), payload(2, "ok")],
+        "payload_id long, payload binary",
+    ).coalesce(1).write.parquet(str(src))
+    run_incremental_curation_funnel(
+        spark, str(src), root, ckpt, robots_rules=rules
+    )
+    audit = {
+        r["stage"]: r["n_rows"]
+        for r in read_version(spark, f"{root}/audit").collect()
+    }
+    assert audit["extracted"] == 24
+    assert audit["robots_gate"] == 12  # exactly payload 2
+    curated = read_version(spark, f"{root}/curated").collect()
+    assert curated and all(r["payload_id"] == 2 for r in curated)
 
 
 def test_incremental_cdc_ingest_ledger_equals_one_shot(spark, tmp_path):
