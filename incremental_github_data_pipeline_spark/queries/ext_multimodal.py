@@ -1946,8 +1946,9 @@ def _webp_anim_oracle_branch() -> str:
     ".decode_webp_lossless + decode_webp_frames) — the most common "
     "real-crawl image format. VP8L is integer-exact (prefix-coded "
     "ARGB + reversible integer transforms, no DCT), so the "
-    "decode-stats oracle works like the PNG lanes; lossy VP8 stays "
-    "an honest NotImplementedError guard. The still cycle drives "
+    "decode-stats oracle works like the PNG lanes; lossy VP8 "
+    "keyframes decode too as of r14 (q_media_vp8_stats certifies "
+    "that pipeline). The still cycle drives "
     "every VP8L decode path: color cache, LZ77 run references, "
     "subtract-green, all 14 predictor modes (cycling), negative-"
     "coefficient color transforms, sub-byte-bundled color indexing "
@@ -1969,6 +1970,74 @@ def q_media_webp_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return webp_decode_stats(make_webp_media(spark, n=24)).orderBy("media_id")
+
+
+@register(
+    "q_media_vp8_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS i, 5200 + i AS media_id,
+             33 + (i % 31) AS w, 21 + (i % 17) AS h
+      FROM range(24) t(i)
+    ),
+    mb AS (
+      SELECT m.media_id, m.i, m.w, m.h, bx.x AS mx, by.y AS my,
+             LEAST(16, m.w - bx.x * 16) AS nx,
+             LEAST(16, m.h - by.y * 16) AS ny,
+             LEAST(8, (m.w + 1) // 2 - bx.x * 8) AS nxc,
+             LEAST(8, (m.h + 1) // 2 - by.y * 8) AS nyc,
+             CASE WHEN m.i % 6 = 5 THEN (m.i * 7) % 256
+                  ELSE (m.i * 5 + bx.x * 11 + by.y * 23) % 256
+             END AS vy,
+             CASE WHEN m.i % 6 = 5 THEN (m.i * 13 + 40) % 256
+                  ELSE (m.i * 3 + bx.x * 13 + by.y * 7 + 100) % 256
+             END AS vu,
+             CASE WHEN m.i % 6 = 5 THEN (m.i * 29 + 90) % 256
+                  ELSE (m.i * 11 + bx.x * 5 + by.y * 17 + 50) % 256
+             END AS vv
+      FROM m, range(4) bx(x), range(3) by(y)
+      WHERE bx.x * 16 < m.w AND by.y * 16 < m.h
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(SUM(vy * nx * ny) AS BIGINT) AS y_sum,
+           CAST(SUM(vu * nxc * nyc) AS BIGINT) AS u_sum,
+           CAST(SUM(vv * nxc * nyc) AS BIGINT) AS v_sum,
+           CAST(SUM(vy * nx * ny * (mx + 1) * (my + 1)) AS BIGINT)
+             AS mb_weighted_y_sum
+    FROM mb GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL lossy VP8 keyframe decode (r14, operators/multimodal."
+    "decode_vp8_keyframe — RFC 6386, VERDICT r13 task 2): the single "
+    "most common real-crawl WebP variant, previously an honest "
+    "guard whose 'DCT/float territory' premise the spec refutes — "
+    "§14 defines exact integer transforms, §7 an integer bool "
+    "coder, §15 an integer loop filter. Decode is bit-reproducible: "
+    "full keyframe surface (segmentation, token partitions, all "
+    "intra predictors, normal+simple deblocking), CONFORMANCE-PINNED "
+    "against the system libwebp both directions in tests/test_vp8.py "
+    "(our streams decoded by libwebp, libwebp-encoded streams "
+    "decoded by us, YUV planes bit-compared; normative tables "
+    "extracted from the reference implementation by "
+    "scripts/extract_vp8_tables.py). Fixtures are uniform-per-"
+    "macroblock frames — the JPEG flat-block trick lifted through "
+    "VP8's prediction chain (Y2/WHT level 8r, B/chroma DC level 2r "
+    "at qi=0 reproduce any uniform residual exactly) — cycling all "
+    "four 16x16 predictors and B_PRED per MB; the i%6==5 frames are "
+    "fully uniform at loop-filter level 40, pinning §15's algebraic "
+    "invariance on uniform content while the filter path runs. "
+    "DuckDB recomputes every decoded plane sum (and an MB-position-"
+    "weighted luma lane) from range(), no codec. One Arrow-batched "
+    "mapInPandas pass; payload-isolated, scan-stage at 100 TB.",
+)
+def q_media_vp8_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_vp8_media,
+        vp8_decode_stats,
+    )
+
+    return vp8_decode_stats(make_vp8_media(spark, n=24)).orderBy("media_id")
 
 
 def _resample_oracle() -> str:

@@ -2141,9 +2141,12 @@ class TestWebPLossless:
         p = bytearray(mm.encode_webp_lossless(px))
         with pytest.raises(ValueError, match="RIFF"):
             mm.decode_webp_lossless(b"JUNK" + bytes(p[4:]))
-        # lossy VP8 chunk tag fails loud, never mis-decodes
+        # a VP8 chunk tag over a non-VP8 body fails loud (r14: lossy
+        # keyframes now decode; garbage must still never mis-decode —
+        # here the VP8L signature byte's low bit reads as the
+        # inter-frame flag, the named keyframe-only guard)
         lossy = bytes(p).replace(b"VP8L", b"VP8 ")
-        with pytest.raises(NotImplementedError, match="lossy"):
+        with pytest.raises((ValueError, NotImplementedError)):
             mm.decode_webp_lossless(lossy)
         # a container with an ANIM chunk but no frames fails loud
         anim = bytes(p).replace(b"VP8L", b"ANIM")
