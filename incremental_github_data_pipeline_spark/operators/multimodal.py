@@ -268,39 +268,62 @@ def encode_wav(
     44-byte RIFF/fmt/data header + interleaved frames). ``samples`` is
     (n,) for mono or (n, n_channels) for multi-channel; ``sampwidth``
     2 = signed 16-bit (int16 input), 1 = unsigned 8-bit (uint8 input,
-    the WAV convention: silence at 128, not 0)."""
+    the WAV convention: silence at 128, not 0), 3 = signed 24-bit
+    (r14 — int32 input on the 24-bit lattice, low three bytes
+    little-endian, the archive-master tier)."""
     ch = 1 if samples.ndim == 1 else samples.shape[1]
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(ch)
         wf.setsampwidth(sampwidth)
         wf.setframerate(sample_rate)
-        dt = "<i2" if sampwidth == 2 else "u1"
-        wf.writeframes(samples.astype(dt).tobytes())  # C-order = interleaved
+        if sampwidth == 3:
+            flat = samples.astype(np.int32).reshape(-1)
+            if flat.size and (
+                flat.min() < -(1 << 23) or flat.max() >= (1 << 23)
+            ):
+                raise ValueError("samples exceed the 24-bit lattice")
+            le = flat.astype("<i4").view(np.uint8).reshape(-1, 4)
+            wf.writeframes(le[:, :3].tobytes())
+        else:
+            dt = "<i2" if sampwidth == 2 else "u1"
+            # C-order = interleaved
+            wf.writeframes(samples.astype(dt).tobytes())
     return buf.getvalue()
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode PCM WAV → (sample_rate, int16 samples) via the stdlib
+    """Decode PCM WAV → (sample_rate, samples) via the stdlib
     ``wave`` parser (chunk-aware, not header arithmetic). Handles mono
-    and stereo, 16-bit signed and 8-bit unsigned PCM — the formats
-    covering real crawl audio, which is overwhelmingly stereo. Mono
-    returns shape (n,); multi-channel returns (n_frames, n_channels)
-    (frames de-interleaved). 8-bit samples are recentred and upscaled
-    to the int16 lattice as ``(u − 128) · 256``, so amplitudes are
-    comparable across bit depths and every downstream consumer keeps a
-    single int16 contract."""
+    and stereo at 8-bit unsigned, 16-bit signed and (r14) 24-bit
+    signed PCM — the formats covering real crawl + archive-master
+    audio. Mono returns shape (n,); multi-channel returns
+    (n_frames, n_channels) (frames de-interleaved). 8-bit samples are
+    recentred and upscaled to the int16 lattice as ``(u − 128) · 256``
+    so 8/16-bit amplitudes stay comparable; 24-bit returns the EXACT
+    24-bit values on the int32 lattice (no lossy downshift — integer
+    exactness is the contract; consumers needing cross-depth
+    comparability scale explicitly). Float WAV (format 3) fails loud
+    in the stdlib parser — float decode has no integer oracle."""
     with wave.open(io.BytesIO(payload), "rb") as wf:
         sw, ch = wf.getsampwidth(), wf.getnchannels()
-        if sw not in (1, 2) or ch not in (1, 2):
+        if sw not in (1, 2, 3) or ch not in (1, 2):
             raise NotImplementedError(
-                f"only mono/stereo 8/16-bit PCM supported (got "
+                f"only mono/stereo 8/16/24-bit PCM supported (got "
                 f"{ch} ch × {8 * sw} bit)"
             )
         sr = wf.getframerate()
         frames = wf.readframes(wf.getnframes())
     if sw == 2:
         s = np.frombuffer(frames, dtype="<i2")
+    elif sw == 3:
+        b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        s = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        s = np.where(s >= 1 << 23, s - (1 << 24), s).astype(np.int32)
     else:
         s = (
             (np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128)
@@ -9800,4 +9823,98 @@ def vp8_decode_stats(media: DataFrame) -> DataFrame:
 
     return media.filter(F.col("mime") == "image/webp").mapInPandas(
         batches, VP8_STATS_SCHEMA
+    )
+
+
+WAV_DEPTH_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("n_channels", LongType(), False),
+        StructField("sum_abs", LongType(), False),
+        StructField("sum_ch0", LongType(), False),
+        StructField("sum_ch1", LongType(), True),
+    ]
+)
+
+
+def _wav_depth_sample(i: int, k: int, depth: int) -> int:
+    """Closed-form sample k (flat interleaved index) for fixture i at
+    the given bit depth — DECODED-lattice values: 8-bit fixtures land
+    on the ×256 int16 lattice, 24-bit on the exact 24-bit lattice."""
+    if depth == 8:
+        return ((k * 37 + i * 11) % 256 - 128) * 256
+    if depth == 16:
+        return (k * 251 + i * 97) % 65536 - 32768
+    return (k * 9973 + i * 131071) % 16777216 - 8388608
+
+
+def make_wav_depth_media(spark, n: int = 24, id_offset: int = 5300) -> DataFrame:
+    """Media table cycling WAV bit depths 8/16/24 × mono/stereo with
+    closed-form samples (r14: the 24-bit archive-master tier joins
+    the 8/16-bit zoo — integer-exact by construction, so the decode
+    oracle replays every sample from range())."""
+    rows = []
+    for i in range(n):
+        depth = (8, 16, 24)[i % 3]
+        ch = 1 + (i % 2)
+        m = 240 + 40 * (i % 5)
+        flat = np.array(
+            [_wav_depth_sample(i, k, depth) for k in range(m * ch)],
+            dtype=np.int64,
+        )
+        s = flat.reshape(m, ch) if ch > 1 else flat
+        if depth == 8:
+            payload = encode_wav(
+                (s // 256 + 128).astype(np.uint8), sampwidth=1
+            )
+        elif depth == 16:
+            payload = encode_wav(s.astype(np.int16), sampwidth=2)
+        else:
+            payload = encode_wav(s.astype(np.int32), sampwidth=3)
+        rows.append(
+            (
+                id_offset + i, "audio", payload, "audio/wav",
+                None, None, m * 1000 // WAV_SAMPLE_RATE,
+            )
+        )
+    return _sized_media(spark, rows)
+
+
+def wav_depth_stats(media: DataFrame) -> DataFrame:
+    """decode_wav over a media table → exact integer lanes: |sample|
+    sum over all channels plus per-channel sums (``sum_ch1`` NULL for
+    mono). One Arrow-batched mapInPandas pass."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                sr, s = decode_wav(r.payload)
+                s64 = s.astype(np.int64)
+                if s64.ndim == 1:
+                    recs.append(
+                        (r.media_id, sr, len(s64), 1,
+                         int(np.abs(s64).sum()), int(s64.sum()), None)
+                    )
+                else:
+                    recs.append(
+                        (
+                            r.media_id, sr, s64.shape[0], s64.shape[1],
+                            int(np.abs(s64).sum()),
+                            int(s64[:, 0].sum()),
+                            int(s64[:, 1].sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "sample_rate", "n_frames", "n_channels",
+                    "sum_abs", "sum_ch0", "sum_ch1",
+                ],
+            )
+
+    return media.filter(F.col("mime") == "audio/wav").mapInPandas(
+        batches, WAV_DEPTH_STATS_SCHEMA
     )

@@ -2040,6 +2040,60 @@ def q_media_vp8_stats(spark: SparkSession, sf: str) -> DataFrame:
     return vp8_decode_stats(make_vp8_media(spark, n=24)).orderBy("media_id")
 
 
+@register(
+    "q_media_wav_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS i, 5300 + i AS media_id,
+             CASE WHEN i % 3 = 0 THEN 8
+                  WHEN i % 3 = 1 THEN 16 ELSE 24 END AS depth,
+             1 + (i % 2) AS ch, 240 + 40 * (i % 5) AS nf
+      FROM range(24) t(i)
+    ),
+    s AS (
+      SELECT m.media_id, m.ch, m.nf, k.k AS k, k.k % m.ch AS c,
+             CASE WHEN m.depth = 8
+                  THEN ((k.k * 37 + m.i * 11) % 256 - 128) * 256
+                  WHEN m.depth = 16
+                  THEN (k.k * 251 + m.i * 97) % 65536 - 32768
+                  ELSE (k.k * 9973 + m.i * 131071) % 16777216 - 8388608
+             END AS v
+      FROM m, unnest(range(m.nf * m.ch)) AS k(k)
+    )
+    SELECT media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(MAX(ch) AS BIGINT) AS n_channels,
+           CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(SUM(v) FILTER (WHERE c = 0) AS BIGINT) AS sum_ch0,
+           CAST(CASE WHEN MAX(ch) = 2
+                THEN SUM(v) FILTER (WHERE c = 1) END AS BIGINT)
+             AS sum_ch1
+    FROM s GROUP BY media_id ORDER BY media_id
+    """,
+    doc="PCM WAV decode across bit depths (r14 stretch, operators/"
+    "multimodal.decode_wav): the 8/16-bit crawl zoo plus the 24-bit "
+    "archive-master tier behind the former '8/16-bit PCM supported' "
+    "guard. 24-bit is integer-exact by construction — low three "
+    "bytes little-endian onto the int32 lattice, NO lossy downshift "
+    "— so the oracle replays every decoded sample from range(): "
+    "per-payload |sample| sums plus per-channel sums (the de-"
+    "interleave catch), mono and stereo, three frame counts. Float "
+    "WAV stays loud (no integer oracle exists for it). One Arrow-"
+    "batched mapInPandas pass; payload-isolated, scan-stage at "
+    "100 TB.",
+)
+def q_media_wav_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_wav_depth_media,
+        wav_depth_stats,
+    )
+
+    return wav_depth_stats(make_wav_depth_media(spark, n=24)).orderBy(
+        "media_id"
+    )
+
+
 def _resample_oracle() -> str:
     """DuckDB twin of decode→resample(8000→12000)→encode over the FLAC
     fixture lanes: output sample j sits at source position j·8000, so

@@ -131,6 +131,37 @@ def test_wav_unsupported_shapes_raise():
         mm.decode_wav(bytes(payload))
 
 
+def test_wav_24bit_roundtrip_exact():
+    """r14: 24-bit PCM decodes EXACTLY onto the int32 lattice — no
+    downshift — including sign-extension across the full range."""
+    s = (
+        np.arange(-400, 400, dtype=np.int64) * 20947 % (1 << 24)
+        - (1 << 23)
+    ).astype(np.int32)
+    sr, out = mm.decode_wav(mm.encode_wav(s, 8000, sampwidth=3))
+    assert out.dtype == np.int32 and np.array_equal(out, s)
+    # extremes of the lattice survive
+    edge = np.array([-(1 << 23), (1 << 23) - 1, -1, 0, 1], np.int32)
+    _, out = mm.decode_wav(mm.encode_wav(edge, 8000, sampwidth=3))
+    assert np.array_equal(out, edge)
+    st = np.stack([s[:256], -s[:256] - 1], axis=1).astype(np.int32)
+    _, out = mm.decode_wav(mm.encode_wav(st, 8000, sampwidth=3))
+    assert out.shape == (256, 2) and np.array_equal(out, st)
+
+
+def test_wav_24bit_overflow_and_32bit_guard():
+    with pytest.raises(ValueError, match="24-bit lattice"):
+        mm.encode_wav(np.array([1 << 23], np.int32), sampwidth=3)
+    import struct as _struct
+
+    payload = bytearray(mm.encode_wav(np.zeros(4, np.int16), 8000))
+    # patch fmt to 32-bit (block align offset 32, bits offset 34)
+    payload[32:34] = _struct.pack("<H", 4)
+    payload[34:36] = _struct.pack("<H", 32)
+    with pytest.raises(NotImplementedError, match="24-bit PCM"):
+        mm.decode_wav(bytes(payload))
+
+
 def test_wav_variant_media_decode_stats(spark):
     """decode_stats over the stereo/8-bit generator: per-channel means
     and the channel-mean downmix match the closed-form content."""
