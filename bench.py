@@ -354,6 +354,46 @@ BENCH_QUERIES = [
     "q_dedup_keep_best",
     "q_doc_cdc_chunks",
     "q_doc_cdc_dedup",
+    # round-14 new operators, benched from first appearance: lossy
+    # VP8 keyframe decode (bool decoder + token partitions + intra
+    # prediction + IDCT + loop filter per payload), the 8/16/24-bit
+    # WAV depth cycle, FastCDC-clamped chunking (per-doc bisect walk
+    # over the numpy candidate array)
+    "q_media_vp8_stats",
+    "q_media_wav_stats",
+    "q_doc_cdc_clamped",
+    # round-14 bench rotation (VERDICT r13 task 6): the heaviest of
+    # the 72 certified-but-unbenched rows — remaining codec/media
+    # lanes (G.711 companding, palette PNG, feature extraction,
+    # frame planning/sampling over raw video, the mixed-container
+    # metadata profile)
+    "q_media_g711_stats",
+    "q_media_png_palette_stats",
+    "q_media_features",
+    "q_media_frame_plan",
+    "q_media_frame_samples",
+    "q_media_metadata_profile",
+    # sketch/profile analytics (count-min, KMV/HLL profile stacks,
+    # approx vs exact profile parity, chi-square cell grid)
+    "q_doc_cm_counts",
+    "q_sketch_profile",
+    "q_approx_profile",
+    "q_chi_square_cells",
+    "q_vocab_overlap_sketch",
+    # text-quality scan stacks (per-doc quality features, repetition
+    # ratios, n-gram language ID over char grams)
+    "q_doc_quality",
+    "q_doc_repetition",
+    "q_lang_id",
+    # temporal joins / windows (SCD2 as-of serving, interval overlap
+    # counting, range-join count, funnel + grouping-set aggregates,
+    # conversion windows)
+    "q_scd2_asof",
+    "q_interval_overlap",
+    "q_range_join_count",
+    "q_events_funnel",
+    "q_grouping_sets",
+    "q_conversion_window",
 ]
 
 
