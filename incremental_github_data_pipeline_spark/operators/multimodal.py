@@ -9094,27 +9094,29 @@ def decode_vp8_keyframe(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray
                 for _ in range(mb_w)]
     has_coeffs = [False] * n
 
-    def subblock_neighbors(plane, x, y, mby0, need_ar):
-        """above(+right), left, corner for a 4x4 at plane coords."""
-        hgt, wid = plane.shape
+    def subblock_neighbors(plane, x, y):
+        """above(8: above row + above-right), left(4), corner for a
+        4x4 at plane coords. Border fills per §12.2: above row 127
+        when off the top, left column 129 when off the left, corner
+        129 on the left edge below row 0 and 127 anywhere in row 0;
+        above-right past the frame's right edge replicates the last
+        available above pixel (the libwebp top[15] rule). Callers
+        overwrite a[4:] for the interior/right-edge quirks."""
+        wid = plane.shape[1]
         if y > 0:
-            n_av = min(8 if need_ar else 4, wid - x)
+            n_av = min(8, wid - x)
             a = list(plane[y - 1, x : x + n_av])
             while len(a) < 8:
-                a.append(a[-1] if y - 1 >= mby0 or True else 127)
-            if need_ar and n_av <= 4:
-                pass  # replication above covers it
+                a.append(a[-1])
         else:
             a = [127] * 8
         l_ = list(plane[y : y + 4, x - 1]) if x > 0 else [129] * 4
-        if x > 0 and y > 0:
-            corner = int(plane[y - 1, x - 1])
-        elif y > 0:
+        if y == 0:
+            corner = 127
+        elif x == 0:
             corner = 129
-        elif x > 0:
-            corner = 127
         else:
-            corner = 127
+            corner = int(plane[y - 1, x - 1])
         return [int(v) for v in a], [int(v) for v in l_], corner
 
     for mb_y in range(mb_h):
@@ -9193,29 +9195,29 @@ def decode_vp8_keyframe(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray
                 for sb in range(16):
                     r, c = sb // 4, sb % 4
                     bx, by = x0 + c * 4, y0 + r * 4
-                    a, l_, corner = subblock_neighbors(Y, bx, by, y0, True)
-                    # above-right: right-edge subblocks below the top
-                    # row reuse the MB's top-right (§12.3); rightmost
-                    # frame column replicates the last top pixel
-                    if r > 0:
-                        if c == 3:
-                            ar_y = y0 - 1
-                            if ar_y >= 0:
-                                src = []
-                                for k in range(4):
-                                    xx = x0 + 16 + k
-                                    src.append(
-                                        int(Y[ar_y, min(xx, Y.shape[1] - 1)])
-                                        if xx < Y.shape[1]
-                                        else int(Y[ar_y, Y.shape[1] - 1])
-                                    )
-                                a[4:] = src
-                            else:
-                                a[4:] = [127] * 4
-                        else:
-                            a[4:] = [a[3]] * 4 if by - 1 < 0 else [
-                                int(v) for v in Y[by - 1, bx + 4 : bx + 8]
+                    a, l_, corner = subblock_neighbors(Y, bx, by)
+                    # above-right quirk (§12.3): right-edge subblocks
+                    # BELOW the top row reuse the MB's top-right —
+                    # row y0-1, cols x0+16..x0+19 (127s above the
+                    # frame; the rightmost MB column replicates the
+                    # last pixel of that row, the libwebp top[15]
+                    # rule). Interior subblocks below the top row use
+                    # the naturally adjacent reconstructed pixels.
+                    if r > 0 and c == 3:
+                        if y0 > 0:
+                            a[4:] = [
+                                int(
+                                    Y[y0 - 1, min(x0 + 16 + k,
+                                                  Y.shape[1] - 1)]
+                                )
+                                for k in range(4)
                             ]
+                        else:
+                            a[4:] = [127] * 4
+                    elif r > 0:
+                        a[4:] = [
+                            int(v) for v in Y[by - 1, bx + 4 : bx + 8]
+                        ]
                     pred = _vp8_bpred(bm[sb], a, l_, corner)
                     cf = coeffs_y[sb]
                     dq = [
