@@ -6584,7 +6584,12 @@ def _vp8l_read_code(br: _Vp8lReader, alphabet: int) -> _Vp8lHuff:
         if any(s >= alphabet for s in syms):
             raise ValueError("VP8L simple-code symbol out of range")
         return _Vp8lHuff.from_simple(syms)
-    order = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+    # kCodeLengthCodeOrder (RFC 9649): 16 (repeat-previous) sits
+    # AFTER 5, not last — r14 conformance fix, found by libwebp
+    # cross-decoding: every code whose length alphabet stayed <= 5
+    # agreed under the wrong order, so no self-round-trip could
+    # catch it
+    order = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
     num = 4 + br.read_bits(4)
     cl_lengths = [0] * 19
     for i in range(num):
@@ -6833,7 +6838,7 @@ def decode_webp_lossless(payload: bytes) -> np.ndarray:
     :func:`decode_webp_frames` serves the timeline."""
     if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP container")
-    pos, data = 12, None
+    pos, data, alph = 12, None, None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
@@ -6841,8 +6846,17 @@ def decode_webp_lossless(payload: bytes) -> np.ndarray:
         if tag == b"VP8L":
             data = body
             break
-        if tag == b"VP8 ":
-            return vp8_yuv_to_rgb(*decode_vp8_keyframe(body))
+        if tag == b"ALPH":
+            alph = body
+        elif tag == b"VP8 ":
+            rgb = vp8_yuv_to_rgb(*decode_vp8_keyframe(body))
+            if alph is not None:
+                h, w = rgb.shape[:2]
+                a = decode_alph(alph, w, h)
+                if np.all(a == 255):
+                    return rgb
+                return np.dstack([rgb, a])
+            return rgb
         if tag == b"ANMF":
             rgba = decode_webp_frames(payload)[0][1]
             if np.all(rgba[:, :, 3] == 255):
@@ -7030,8 +7044,11 @@ class _Vp8lEncCode:
             cl_codes = {next(iter(cl_lengths)): (0, 0)}
         else:
             cl_codes = _vp8l_canonical(cl_lengths)
+        # kCodeLengthCodeOrder — must mirror the reader (r14 fix: 16
+        # after 5, the RFC 9649 order)
         order = [
-            17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+            17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+            14, 15,
         ]
         num = max(
             4, 1 + max(order.index(s) for s in cl_lengths)
@@ -9919,4 +9936,267 @@ def wav_depth_stats(media: DataFrame) -> DataFrame:
 
     return media.filter(F.col("mime") == "audio/wav").mapInPandas(
         batches, WAV_DEPTH_STATS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# WebP ALPH chunk (r14) — the alpha plane that rides NEXT TO lossy VP8
+# in a VP8X container (the layout of most real transparent lossy
+# WebPs, e.g. CPython's own test webp files). Per the public WebP
+# container spec: one header byte (reserved:2, preprocessing:2,
+# filter:2, compression:2 — compression in the LOW bits), then either
+# raw width*height alpha bytes (C=0) or a HEADERLESS VP8L image
+# stream of implicit dimensions whose GREEN channel holds the alpha
+# values (C=1 — decoded by the same _vp8l_decode_stream as stills).
+# The optional per-pixel prediction filter (horizontal/vertical/
+# gradient) inverts with mod-256 adds; border conventions are pinned
+# against libwebp's decoder in tests/test_vp8.py (it must read OUR
+# encoded alpha back bit-for-bit).
+# ---------------------------------------------------------------------------
+
+
+def _alph_unfilter(a: np.ndarray, filt: int) -> np.ndarray:
+    """Invert the ALPH prediction filter in place (values are mod-256
+    deltas): pred = left (horizontal), above (vertical), or
+    clamp(left + above - above_left, 0, 255) (gradient); the first
+    pixel of a row/column falls back to the other axis, and (0,0)
+    predicts 0."""
+    if filt == 0:
+        return a
+    h, w = a.shape
+    out = a.astype(np.int32)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0
+            elif filt == 1:  # horizontal
+                pred = out[y, x - 1] if x > 0 else out[y - 1, 0]
+            elif filt == 2:  # vertical
+                pred = out[y - 1, x] if y > 0 else out[0, x - 1]
+            else:  # gradient
+                if y == 0:
+                    pred = out[0, x - 1]
+                elif x == 0:
+                    pred = out[y - 1, 0]
+                else:
+                    pred = max(
+                        0,
+                        min(
+                            255,
+                            int(out[y, x - 1]) + int(out[y - 1, x])
+                            - int(out[y - 1, x - 1]),
+                        ),
+                    )
+            out[y, x] = (out[y, x] + pred) & 255
+    return out.astype(np.uint8)
+
+
+def _alph_filter(a: np.ndarray, filt: int) -> np.ndarray:
+    """Encoder twin of :func:`_alph_unfilter` (emit mod-256 deltas)."""
+    if filt == 0:
+        return a
+    h, w = a.shape
+    src = a.astype(np.int32)
+    out = np.zeros_like(src)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0
+            elif filt == 1:
+                pred = src[y, x - 1] if x > 0 else src[y - 1, 0]
+            elif filt == 2:
+                pred = src[y - 1, x] if y > 0 else src[0, x - 1]
+            else:
+                if y == 0:
+                    pred = src[0, x - 1]
+                elif x == 0:
+                    pred = src[y - 1, 0]
+                else:
+                    pred = max(
+                        0,
+                        min(
+                            255,
+                            int(src[y, x - 1]) + int(src[y - 1, x])
+                            - int(src[y - 1, x - 1]),
+                        ),
+                    )
+            out[y, x] = (src[y, x] - pred) & 255
+    return out.astype(np.uint8)
+
+
+def decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
+    """Decode one ALPH chunk body to the (h, w) uint8 alpha plane."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    b0 = body[0]
+    method = b0 & 3
+    filt = (b0 >> 2) & 3
+    # bits 4-5 are the encoder's preprocessing note (level reduction
+    # happened encode-side; no decode inverse); bits 6-7 reserved
+    if (b0 >> 6) & 3:
+        raise ValueError("reserved ALPH header bits set")
+    if method == 0:
+        raw = body[1 : 1 + w * h]
+        if len(raw) < w * h:
+            raise ValueError("truncated raw ALPH plane")
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(h, w).copy()
+    elif method == 1:
+        br = _Vp8lReader(bytes(body[1:]))
+        pix = _vp8l_decode_stream(br, w, h)
+        a = (
+            (np.array(pix, dtype=np.uint32).reshape(h, w) >> 8) & 255
+        ).astype(np.uint8)
+    else:
+        raise ValueError(f"reserved ALPH compression method {method}")
+    return _alph_unfilter(a, filt)
+
+
+def encode_alph(
+    alpha: np.ndarray, method: int = 1, filt: int = 0
+) -> bytes:
+    """Encode an (h, w) uint8 alpha plane as one ALPH chunk body
+    (``method`` 0 = raw, 1 = headerless VP8L with alpha in green)."""
+    if method not in (0, 1) or filt not in (0, 1, 2, 3):
+        raise ValueError("ALPH method in {0,1}, filter in 0..3")
+    h, w = alpha.shape
+    filtered = _alph_filter(alpha.astype(np.uint8), filt)
+    head = bytes([(filt << 2) | method])
+    if method == 0:
+        return head + filtered.tobytes()
+    wtr = _Vp8lWriter()
+    wtr.write(0, 1)  # no transforms
+    _vp8l_encode_entropy(
+        wtr,
+        [_argb_pack(255, 0, int(v), 0) for v in filtered.reshape(-1)],
+        w,
+        h,
+        lz77=True,
+        allow_meta=True,
+    )
+    return head + bytes(wtr.out)
+
+
+def encode_webp_lossy_uniform_alpha(
+    width: int,
+    height: int,
+    y_target,
+    u_target,
+    v_target,
+    mode_of,
+    alpha: np.ndarray,
+    alpha_method: int = 1,
+    alpha_filter: int = 0,
+    filter_level: int = 0,
+) -> bytes:
+    """VP8X + ALPH + VP8 container (the real transparent-lossy-WebP
+    layout): the uniform-per-MB keyframe of
+    :func:`encode_webp_lossy_uniform` plus a LOSSLESS per-pixel alpha
+    plane — color certifies like the opaque fixtures, alpha certifies
+    per pixel."""
+    if alpha.shape != (height, width):
+        raise ValueError("alpha plane must match the canvas")
+    mb_w, mb_h = (width + 15) // 16, (height + 15) // 16
+    frame = _encode_vp8_keyframe_uniform(
+        mb_w, mb_h, width, height, y_target, u_target, v_target,
+        mode_of, filter_level=filter_level,
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        out = tag + len(body).to_bytes(4, "little") + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    vp8x = bytes([0x10, 0, 0, 0]) + (width - 1).to_bytes(
+        3, "little"
+    ) + (height - 1).to_bytes(3, "little")
+    payload = (
+        chunk(b"VP8X", vp8x)
+        + chunk(b"ALPH", encode_alph(alpha, alpha_method, alpha_filter))
+        + chunk(b"VP8 ", frame)
+    )
+    return (
+        b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"WEBP"
+        + payload
+    )
+
+
+WEBP_ALPHA_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("channels", LongType(), False),
+        StructField("rgb_sum", LongType(), False),
+        StructField("alpha_sum", LongType(), False),
+        StructField("alpha_row_weighted_sum", LongType(), False),
+    ]
+)
+
+
+def make_webp_alpha_media(spark, n: int = 24, id_offset: int = 5400) -> DataFrame:
+    """Media table of transparent lossy WebPs (VP8X + ALPH + VP8 —
+    the layout real transparent crawl images use, e.g. CPython's own
+    test webp): uniform-per-MB lossy color (the q_media_vp8_stats
+    posture) + a PER-PIXEL closed-form lossless alpha plane, cycling
+    both ALPH compression methods (raw / headerless-VP8L) and all
+    four prediction filters."""
+    rows = []
+    for i in range(n):
+        w, h = 33 + (i % 31), 21 + (i % 17)
+        xg = np.arange(w)[None, :]
+        yg = np.arange(h)[:, None]
+        alpha = ((i * 7 + xg * 3 + yg * 5 + 13) % 256).astype(np.uint8)
+        payload = encode_webp_lossy_uniform_alpha(
+            w, h,
+            lambda mx, my, i=i: (i * 5 + mx * 11 + my * 23) % 256,
+            lambda mx, my, i=i: (i * 3 + mx * 13 + my * 7 + 100) % 256,
+            lambda mx, my, i=i: (i * 11 + mx * 5 + my * 17 + 50) % 256,
+            lambda mx, my, i=i: (i + mx + my) % 5,
+            alpha,
+            alpha_method=i % 2,
+            alpha_filter=i % 4,
+        )
+        rows.append(
+            (id_offset + i, "image", payload, "image/webp", w, h, None)
+        )
+    return _sized_media(spark, rows)
+
+
+def webp_alpha_stats(media: DataFrame) -> DataFrame:
+    """decode_webp_lossless over transparent lossy WebPs → exact
+    integer lanes: RGB sum (through the documented integer BT.601
+    conversion of the uniform-per-MB YUV) plus alpha sum and a
+    row-weighted alpha sum (catches a misapplied prediction filter,
+    not just wrong totals). One Arrow-batched mapInPandas pass."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                px = decode_webp_lossless(r.payload)
+                h, w, ch = px.shape
+                rgb = px[:, :, :3].astype(np.int64)
+                a = (
+                    px[:, :, 3].astype(np.int64)
+                    if ch == 4
+                    else np.full((h, w), 255, dtype=np.int64)
+                )
+                wy = np.arange(h, dtype=np.int64) + 1
+                recs.append(
+                    (
+                        r.media_id, w, h, ch,
+                        int(rgb.sum()),
+                        int(a.sum()),
+                        int((a.sum(axis=1) * wy).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "rgb_sum", "alpha_sum", "alpha_row_weighted_sum",
+                ],
+            )
+
+    return media.filter(F.col("mime") == "image/webp").mapInPandas(
+        batches, WEBP_ALPHA_STATS_SCHEMA
     )

@@ -105,22 +105,25 @@ _CERTIFY_FIRST = [
     "q_crawl_curation",
     "q_media_vp8_stats",
     "q_media_wav_stats",
+    "q_media_webp_alpha_stats",
+    # q_media_webp_stats recertifies: the r14 kCodeLengthCodeOrder
+    # conformance fix changed every VP8L fixture's encoded bytes
+    "q_media_webp_stats",
     # (c) tail — r9-vintage rows filling the window's last slots
     "q_privacy_suppress",
     "q_recursive_hierarchy",
-    "q_retention_cohorts",
     "q_scd2_asof",
-    "q_simhash_near_dups",
 ]
-# r15 queue note: after this window certifies, the whole 252-query
+# r15 queue note: after this window certifies, the whole 253-query
 # registry is driver-certified (union r1-r14) and the oldest newest-
-# green is r9. The 15 remaining r9-vintage rows queue FIRST in r15:
-# q_scd2_history, q_sketch_profile, q_ts_moving_avg,
-# q_ts_resample_ffill, q_ts_seasonal, q_ts_theil_sen,
-# q_ts_time_weighted, q_ts_zscore_outliers, q_unpivot_measures,
-# q_user_streaks, q_vocab_overlap, q_vocab_overlap_sketch,
-# q_window_analytics, q_wordpiece_merges, q_wordpiece_vocab —
-# then continue the two-round rotation into the r10 vintage (45 rows).
+# green is r9. The 17 remaining r9-vintage rows queue FIRST in r15:
+# q_retention_cohorts, q_scd2_history, q_simhash_near_dups,
+# q_sketch_profile, q_ts_moving_avg, q_ts_resample_ffill,
+# q_ts_seasonal, q_ts_theil_sen, q_ts_time_weighted,
+# q_ts_zscore_outliers, q_unpivot_measures, q_user_streaks,
+# q_vocab_overlap, q_vocab_overlap_sketch, q_window_analytics,
+# q_wordpiece_merges, q_wordpiece_vocab — then continue the
+# two-round rotation into the r10 vintage (45 rows).
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -2094,6 +2094,85 @@ def q_media_wav_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_media_webp_alpha_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS i, 5400 + i AS media_id,
+             33 + (i % 31) AS w, 21 + (i % 17) AS h
+      FROM range(24) t(i)
+    ),
+    mb AS (  -- uniform-per-MB color, converted per the documented
+             -- integer BT.601 form (>> is arithmetic in both engines)
+      SELECT m.media_id, bx.x AS mx, by.y AS my,
+             LEAST(16, m.w - bx.x * 16) AS nx,
+             LEAST(16, m.h - by.y * 16) AS ny,
+             298 * ((m.i * 5 + bx.x * 11 + by.y * 23) % 256 - 16) AS c,
+             (m.i * 3 + bx.x * 13 + by.y * 7 + 100) % 256 - 128 AS d,
+             (m.i * 11 + bx.x * 5 + by.y * 17 + 50) % 256 - 128 AS e
+      FROM m, range(4) bx(x), range(3) by(y)
+      WHERE bx.x * 16 < m.w AND by.y * 16 < m.h
+    ),
+    rgb AS (
+      SELECT media_id,
+             SUM((LEAST(255, GREATEST(0, (c + 409 * e + 128) >> 8))
+                  + LEAST(255, GREATEST(0,
+                      (c - 100 * d - 208 * e + 128) >> 8))
+                  + LEAST(255, GREATEST(0, (c + 516 * d + 128) >> 8)))
+                 * nx * ny) AS rgb_sum
+      FROM mb GROUP BY media_id
+    ),
+    al AS (  -- per-pixel lossless alpha
+      SELECT m.media_id,
+             SUM((m.i * 7 + x.x * 3 + y.y * 5 + 13) % 256) AS a_sum,
+             SUM(((m.i * 7 + x.x * 3 + y.y * 5 + 13) % 256)
+                 * (y.y + 1)) AS a_rw
+      FROM m, range(64) x(x), range(38) y(y)
+      WHERE x.x < m.w AND y.y < m.h
+      GROUP BY m.media_id
+    )
+    SELECT m.media_id,
+           CAST(m.w AS BIGINT) AS width,
+           CAST(m.h AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS channels,
+           CAST(rgb.rgb_sum AS BIGINT) AS rgb_sum,
+           CAST(al.a_sum AS BIGINT) AS alpha_sum,
+           CAST(al.a_rw AS BIGINT) AS alpha_row_weighted_sum
+    FROM m JOIN rgb USING (media_id) JOIN al USING (media_id)
+    ORDER BY media_id
+    """,
+    doc="Transparent lossy WebP decode (r14, operators/multimodal."
+    "decode_alph + decode_vp8_keyframe): the VP8X + ALPH + VP8 "
+    "container layout real transparent crawl images use (CPython's "
+    "own test webp files have exactly this shape, and the test suite "
+    "decodes one end-to-end). The ALPH chunk cycles BOTH compression "
+    "methods — raw and headerless-VP8L (alpha in the green channel, "
+    "decoded by the same RFC 9649 stream decoder as stills) — and "
+    "all four prediction filters (none/horizontal/vertical/gradient, "
+    "mod-256 deltas with the spec's border fallbacks), conformance-"
+    "pinned against libwebp in both directions in tests/test_vp8.py. "
+    "Color is the uniform-per-MB lossy posture of q_media_vp8_stats "
+    "pushed through the documented integer BT.601 YUV→RGB form, "
+    "which DuckDB replays exactly (>> is arithmetic shift in both "
+    "engines); alpha is lossless so the oracle replays every PIXEL. "
+    "Finding this lane also surfaced a latent r11 VP8L conformance "
+    "bug (kCodeLengthCodeOrder places 16 after 5; every self-round-"
+    "trip masked it because encoder and reader shared the wrong "
+    "order) — fixed and now cross-checked against libwebp. One "
+    "Arrow-batched mapInPandas pass; payload-isolated, scan-stage "
+    "at 100 TB.",
+)
+def q_media_webp_alpha_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_webp_alpha_media,
+        webp_alpha_stats,
+    )
+
+    return webp_alpha_stats(make_webp_alpha_media(spark, n=24)).orderBy(
+        "media_id"
+    )
+
+
 def _resample_oracle() -> str:
     """DuckDB twin of decode→resample(8000→12000)→encode over the FLAC
     fixture lanes: output sample j sits at source position j·8000, so

@@ -250,6 +250,182 @@ class TestVp8EncoderTwin:
         assert mm._vp8_iwht4x4([64] + [0] * 15) == [8] * 16
 
 
+class TestAlphChunk:
+    """WebP ALPH alpha plane (r14): raw + headerless-VP8L methods,
+    all four prediction filters, the real transparent-lossy layout."""
+
+    def _alpha(self, w, h, seed=0):
+        xg = np.arange(w)[None, :]
+        yg = np.arange(h)[:, None]
+        return ((seed * 7 + xg * 3 + yg * 5 + 13) % 256).astype(np.uint8)
+
+    @pytest.mark.parametrize("method", [0, 1])
+    @pytest.mark.parametrize("filt", [0, 1, 2, 3])
+    def test_round_trip_all_methods_and_filters(self, method, filt):
+        for w, h in [(33, 21), (17, 9), (16, 16)]:
+            a = self._alpha(w, h, seed=method * 4 + filt)
+            body = mm.encode_alph(a, method, filt)
+            assert np.array_equal(mm.decode_alph(body, w, h), a)
+
+    def test_container_round_trip_rgba(self):
+        w, h = 48, 32
+        a = self._alpha(w, h, seed=3)
+        data = mm.encode_webp_lossy_uniform_alpha(
+            w, h, lambda mx, my: (mx * 11 + my * 23 + 40) % 256,
+            lambda mx, my: 100, lambda mx, my: 120,
+            lambda mx, my: (mx + my) % 5, a,
+            alpha_method=1, alpha_filter=3,
+        )
+        px = mm.decode_webp_lossless(data)
+        assert px.shape == (h, w, 4)
+        assert np.array_equal(px[:, :, 3], a)
+
+    @needs_libwebp
+    @pytest.mark.parametrize("method,filt", [(0, 0), (0, 2), (1, 0),
+                                             (1, 1), (1, 3)])
+    def test_libwebp_reads_our_alpha(self, method, filt):
+        w, h = 33, 21
+        a = self._alpha(w, h, seed=method + filt)
+        data = mm.encode_webp_lossy_uniform_alpha(
+            w, h, lambda mx, my: (mx * 11 + my * 23 + 40) % 256,
+            lambda mx, my: 100, lambda mx, my: 120,
+            lambda mx, my: (mx + my) % 5, a,
+            alpha_method=method, alpha_filter=filt,
+        )
+        LIBWEBP.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+        LIBWEBP.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        wi = ctypes.c_int()
+        hi = ctypes.c_int()
+        p = LIBWEBP.WebPDecodeRGBA(
+            data, len(data), ctypes.byref(wi), ctypes.byref(hi)
+        )
+        assert p, "libwebp refused our ALPH container"
+        ref = np.frombuffer(
+            ctypes.string_at(p, wi.value * hi.value * 4), dtype=np.uint8
+        ).reshape(hi.value, wi.value, 4)[:, :, 3].copy()
+        LIBWEBP.WebPFree(p)
+        assert np.array_equal(ref, a)
+
+    @needs_libwebp
+    def test_stock_python_webp_decodes_end_to_end(self):
+        """CPython ships a real third-party VP8X+ALPH+VP8 webp as
+        test data; our decode must produce libwebp's alpha plane
+        bit-for-bit (RGB legitimately differs: fancy vs
+        nearest-neighbor chroma upsampling, outside RFC 6386)."""
+        import glob
+
+        paths = glob.glob(
+            "/root/.pyenv/versions/*/lib/python*/test/*/python.webp"
+        ) + glob.glob(
+            "/root/.pyenv/versions/*/lib/python*/test/*/*/python.webp"
+        )
+        if not paths:
+            pytest.skip("no stock python.webp on this system")
+        data = open(paths[0], "rb").read()
+        mine = mm.decode_webp_lossless(data)
+        LIBWEBP.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+        LIBWEBP.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        wi = ctypes.c_int()
+        hi = ctypes.c_int()
+        p = LIBWEBP.WebPDecodeRGBA(
+            data, len(data), ctypes.byref(wi), ctypes.byref(hi)
+        )
+        assert p
+        ref = np.frombuffer(
+            ctypes.string_at(p, wi.value * hi.value * 4), dtype=np.uint8
+        ).reshape(hi.value, wi.value, 4).copy()
+        LIBWEBP.WebPFree(p)
+        assert mine.shape == ref.shape
+        assert np.array_equal(mine[:, :, 3], ref[:, :, 3])
+
+    def test_alph_guards(self):
+        a = self._alpha(8, 8)
+        with pytest.raises(ValueError, match="method"):
+            mm.encode_alph(a, method=2)
+        with pytest.raises(ValueError, match="truncated raw"):
+            mm.decode_alph(bytes([0]) + b"\x00" * 10, 8, 8)
+        with pytest.raises(ValueError, match="reserved ALPH compression"):
+            mm.decode_alph(bytes([2]) + b"\x00" * 64, 8, 8)
+        with pytest.raises(ValueError, match="reserved ALPH header"):
+            mm.decode_alph(bytes([0x40]) + b"\x00" * 64, 8, 8)
+        with pytest.raises(ValueError, match="empty"):
+            mm.decode_alph(b"", 8, 8)
+
+
+class TestVp8lLibwebpConformance:
+    """r14: the VP8L encoder/decoder cross-checked against libwebp —
+    the lane that exposed the latent kCodeLengthCodeOrder bug (16
+    belongs after 5; self-round-trips shared the wrong order and
+    could never catch it)."""
+
+    @needs_libwebp
+    def test_libwebp_decodes_every_encoder_variant(self):
+        LIBWEBP.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+        LIBWEBP.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        px = mm._image_pixels(5)
+        cases = [
+            dict(), dict(subtract_green=True), dict(predictor_mode=2),
+            dict(cache_bits=4), dict(lz77=False), dict(meta_bits=2),
+        ]
+        for kw in cases:
+            data = mm.encode_webp_lossless(px, **kw)
+            wi = ctypes.c_int()
+            hi = ctypes.c_int()
+            p = LIBWEBP.WebPDecodeRGBA(
+                data, len(data), ctypes.byref(wi), ctypes.byref(hi)
+            )
+            assert p, f"libwebp refused {kw}"
+            ref = np.frombuffer(
+                ctypes.string_at(p, wi.value * hi.value * 4),
+                dtype=np.uint8,
+            ).reshape(hi.value, wi.value, 4)[:, :, :3].copy()
+            LIBWEBP.WebPFree(p)
+            assert np.array_equal(ref, px), kw
+
+    @needs_libwebp
+    def test_we_decode_libwebp_lossless_streams(self):
+        LIBWEBP.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+        LIBWEBP.WebPEncodeLosslessRGB.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
+        rng = np.random.RandomState(11)
+        for w, h in [(40, 30), (64, 48), (33, 21)]:
+            px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            out = ctypes.POINTER(ctypes.c_uint8)()
+            n = LIBWEBP.WebPEncodeLosslessRGB(
+                px.tobytes(), w, h, w * 3, ctypes.byref(out)
+            )
+            assert n
+            data = ctypes.string_at(out, n)
+            LIBWEBP.WebPFree(out)
+            mine = mm.decode_webp_lossless(data)
+            assert np.array_equal(mine[:, :, :3], px)
+
+    def test_code_length_order_regression(self):
+        """A 33-distinct-value channel forces a code-length code with
+        a length-6 symbol — the first construct where the pre-r14
+        (wrong) order diverged. Pin the round-trip."""
+        vals = np.arange(33, dtype=np.uint8)
+        px = np.zeros((1, 33, 3), dtype=np.uint8)
+        px[0, :, 1] = vals
+        px[0, :, 0] = 9
+        px[0, :, 2] = 9
+        out = mm.decode_webp_lossless(
+            mm.encode_webp_lossless(px, lz77=False)
+        )
+        assert np.array_equal(out, px)
+
+
 class TestVp8Guards:
     def test_inter_frame_raises(self):
         data = mm.encode_webp_lossy_uniform(
