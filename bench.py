@@ -362,6 +362,7 @@ BENCH_QUERIES = [
     "q_media_vp8_stats",
     "q_media_wav_stats",
     "q_media_webp_alpha_stats",
+    "q_media_vp8_anim_stats",
     "q_doc_cdc_clamped",
     # round-14 bench rotation (VERDICT r13 task 6): the heaviest of
     # the 72 certified-but-unbenched rows — remaining codec/media

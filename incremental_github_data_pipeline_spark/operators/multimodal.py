@@ -6915,22 +6915,35 @@ def decode_webp_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
             flags = body[15]
             no_blend = bool(flags & 0x02)
             dispose_bg = bool(flags & 0x01)
-            # frame subchunks: find the VP8L payload
-            fpos, fdata = 16, None
+            # frame subchunks: VP8L, or (r14) lossy VP8 with an
+            # optional ALPH alpha plane — every WebP frame variant
+            fpos, fdata, fkind, falph = 16, None, None, None
             while fpos + 8 <= len(body):
                 ftag = body[fpos : fpos + 4]
                 fsize = int.from_bytes(body[fpos + 4 : fpos + 8], "little")
                 if ftag == b"VP8L":
                     fdata = body[fpos + 8 : fpos + 8 + fsize]
+                    fkind = "vp8l"
                     break
                 if ftag == b"VP8 ":
-                    raise NotImplementedError(
-                        "lossy VP8 animation frames not supported"
-                    )
+                    fdata = body[fpos + 8 : fpos + 8 + fsize]
+                    fkind = "vp8"
+                    break
+                if ftag == b"ALPH":
+                    falph = body[fpos + 8 : fpos + 8 + fsize]
                 fpos += 8 + fsize + (fsize & 1)
             if fdata is None:
-                raise ValueError("ANMF frame without a VP8L chunk")
-            src = _decode_vp8l_body(fdata).astype(np.int64)
+                raise ValueError("ANMF frame without a VP8L/VP8 chunk")
+            if fkind == "vp8l":
+                src = _decode_vp8l_body(fdata).astype(np.int64)
+            else:
+                rgb = vp8_yuv_to_rgb(*decode_vp8_keyframe(fdata))
+                a = (
+                    decode_alph(falph, rgb.shape[1], rgb.shape[0])
+                    if falph is not None
+                    else np.full(rgb.shape[:2], 255, dtype=np.uint8)
+                )
+                src = np.dstack([rgb, a]).astype(np.int64)
             if src.shape[0] != fh or src.shape[1] != fw:
                 raise ValueError("ANMF frame dims disagree with VP8L")
             if fy + fh > canvas.shape[0] or fx + fw > canvas.shape[1]:
@@ -10200,3 +10213,103 @@ def webp_alpha_stats(media: DataFrame) -> DataFrame:
     return media.filter(F.col("mime") == "image/webp").mapInPandas(
         batches, WEBP_ALPHA_STATS_SCHEMA
     )
+
+
+def encode_webp_animation_lossy(
+    frames: list[dict], canvas: tuple[int, int], loop: int = 0
+) -> bytes:
+    """Animated WebP whose frames are LOSSY VP8 keyframes (r14 — the
+    last WebP frame variant): VP8X(anim) + ANIM + one ANMF per frame
+    wrapping the uniform-per-MB keyframe of
+    :func:`_encode_vp8_keyframe_uniform`. Each frame dict: ``w``/``h``
+    dims, ``yt``/``ut``/``vt``/``mode`` closures ``(mb_x, mb_y) -> v``,
+    ``x``/``y`` placement (even), ``duration_ms``, ``blend``,
+    ``dispose_bg``, optional ``alpha`` plane (adds an ALPH
+    subchunk)."""
+    cw, chh = canvas
+    body = bytearray()
+    vp8x = bytes([0x02, 0, 0, 0])
+    vp8x += (cw - 1).to_bytes(3, "little") + (chh - 1).to_bytes(3, "little")
+    body += b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+    anim = (0).to_bytes(4, "little") + loop.to_bytes(2, "little")
+    body += b"ANIM" + len(anim).to_bytes(4, "little") + anim
+    for f in frames:
+        fw, fh = f["w"], f["h"]
+        x, y = f.get("x", 0), f.get("y", 0)
+        if x % 2 or y % 2:
+            raise ValueError("ANMF frame offsets must be even")
+        frame = _encode_vp8_keyframe_uniform(
+            (fw + 15) // 16, (fh + 15) // 16, fw, fh,
+            f["yt"], f["ut"], f["vt"], f["mode"],
+        )
+        sub = b""
+        if f.get("alpha") is not None:
+            ab = encode_alph(f["alpha"], method=1, filt=0)
+            sub += b"ALPH" + len(ab).to_bytes(4, "little") + ab
+            if len(ab) & 1:
+                sub += b"\x00"
+        sub += b"VP8 " + len(frame).to_bytes(4, "little") + frame
+        if len(frame) & 1:
+            sub += b"\x00"
+        hdr = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + f.get("duration_ms", 0).to_bytes(3, "little")
+            + bytes(
+                [
+                    (0x02 if not f.get("blend", True) else 0)
+                    | (0x01 if f.get("dispose_bg", False) else 0)
+                ]
+            )
+        )
+        anmf = hdr + sub
+        body += b"ANMF" + len(anmf).to_bytes(4, "little") + anmf
+        if len(anmf) & 1:
+            body += b"\x00"
+    riff = b"WEBP" + bytes(body)
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def make_vp8_anim_media(spark, n: int = 6, id_offset: int = 5500) -> DataFrame:
+    """Media table of ANIMATED lossy-VP8 WebPs: 3-frame chains of
+    uniform-per-MB keyframes — even ids are full-canvas overwrite
+    chains, odd ids place frame 2+ as a sub-rect overwrite at (8, 4)
+    with its OWN macroblock grid (the placement catch). Opaque,
+    no-blend frames: the composite arithmetic itself is certified by
+    the r13 animated-VP8L lanes; these certify the lossy frame decode
+    + placement through the shared compositor."""
+    rows = []
+    for i in range(n):
+        w, h = 49 + (i % 13), 37 + (i % 9)
+        frames = []
+        for fi in range(3):
+            if fi > 0 and i % 2 == 1:
+                fw, fh, fx, fy = w - 16, h - 8, 8, 4
+            else:
+                fw, fh, fx, fy = w, h, 0, 0
+            frames.append(
+                dict(
+                    w=fw, h=fh, x=fx, y=fy,
+                    duration_ms=40 + fi * 10,
+                    blend=False,
+                    yt=lambda mx, my, i=i, fi=fi: (
+                        i * 5 + fi * 31 + mx * 11 + my * 23
+                    ) % 256,
+                    ut=lambda mx, my, i=i, fi=fi: (
+                        i * 3 + fi * 17 + mx * 13 + my * 7 + 100
+                    ) % 256,
+                    vt=lambda mx, my, i=i, fi=fi: (
+                        i * 11 + fi * 7 + mx * 5 + my * 17 + 50
+                    ) % 256,
+                    mode=lambda mx, my, i=i, fi=fi: (
+                        i + fi + mx + my
+                    ) % 5,
+                )
+            )
+        payload = encode_webp_animation_lossy(frames, (w, h))
+        rows.append(
+            (id_offset + i, "image", payload, "image/webp", w, h, None)
+        )
+    return _sized_media(spark, rows)

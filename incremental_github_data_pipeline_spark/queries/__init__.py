@@ -106,18 +106,19 @@ _CERTIFY_FIRST = [
     "q_media_vp8_stats",
     "q_media_wav_stats",
     "q_media_webp_alpha_stats",
+    "q_media_vp8_anim_stats",
     # q_media_webp_stats recertifies: the r14 kCodeLengthCodeOrder
     # conformance fix changed every VP8L fixture's encoded bytes
     "q_media_webp_stats",
     # (c) tail — r9-vintage rows filling the window's last slots
-    "q_privacy_suppress",
     "q_recursive_hierarchy",
     "q_scd2_asof",
 ]
-# r15 queue note: after this window certifies, the whole 253-query
+# r15 queue note: after this window certifies, the whole 254-query
 # registry is driver-certified (union r1-r14) and the oldest newest-
-# green is r9. The 17 remaining r9-vintage rows queue FIRST in r15:
-# q_retention_cohorts, q_scd2_history, q_simhash_near_dups,
+# green is r9. The 18 remaining r9-vintage rows queue FIRST in r15:
+# q_privacy_suppress, q_retention_cohorts, q_scd2_history,
+# q_simhash_near_dups,
 # q_sketch_profile, q_ts_moving_avg, q_ts_resample_ffill,
 # q_ts_seasonal, q_ts_theil_sen, q_ts_time_weighted,
 # q_ts_zscore_outliers, q_unpivot_measures, q_user_streaks,

@@ -2173,6 +2173,89 @@ def q_media_webp_alpha_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_media_vp8_anim_stats",
+    oracle="""
+    WITH m AS (
+      SELECT i AS i, 5500 + i AS media_id,
+             49 + (i % 13) AS w, 37 + (i % 9) AS h
+      FROM range(6) t(i)
+    ),
+    px AS (
+      SELECT m.media_id, m.i, m.w, m.h, x.x AS x, y.y AS y, f.f AS f,
+             -- overwrite compositing: odd ids place frames 1-2 as a
+             -- sub-rect at (8,4); pixels outside keep frame 0
+             CASE WHEN m.i % 2 = 1 AND f.f > 0
+                       AND NOT (x.x >= 8 AND x.x < 8 + m.w - 16
+                                AND y.y >= 4 AND y.y < 4 + m.h - 8)
+                  THEN 0 ELSE f.f END AS af,
+             CASE WHEN m.i % 2 = 1 AND f.f > 0
+                       AND (x.x >= 8 AND x.x < 8 + m.w - 16
+                            AND y.y >= 4 AND y.y < 4 + m.h - 8)
+                  THEN x.x - 8 ELSE x.x END AS lx,
+             CASE WHEN m.i % 2 = 1 AND f.f > 0
+                       AND (x.x >= 8 AND x.x < 8 + m.w - 16
+                            AND y.y >= 4 AND y.y < 4 + m.h - 8)
+                  THEN y.y - 4 ELSE y.y END AS ly
+      FROM m, range(62) x(x), range(46) y(y), range(3) f(f)
+      WHERE x.x < m.w AND y.y < m.h
+    ),
+    v AS (
+      SELECT media_id, y, f,
+             298 * ((i * 5 + af * 31 + (lx // 16) * 11
+                     + (ly // 16) * 23) % 256 - 16) AS c,
+             (i * 3 + af * 17 + (lx // 16) * 13
+              + (ly // 16) * 7 + 100) % 256 - 128 AS d,
+             (i * 11 + af * 7 + (lx // 16) * 5
+              + (ly // 16) * 17 + 50) % 256 - 128 AS e
+      FROM px
+    ),
+    s AS (
+      SELECT media_id, y, f,
+             LEAST(255, GREATEST(0, (c + 409 * e + 128) >> 8))
+             + LEAST(255, GREATEST(0,
+                 (c - 100 * d - 208 * e + 128) >> 8))
+             + LEAST(255, GREATEST(0, (c + 516 * d + 128) >> 8)) AS rgb
+      FROM v
+    )
+    SELECT m.media_id,
+           CAST(m.w AS BIGINT) AS width,
+           CAST(m.h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(3 AS BIGINT) AS n_frames,
+           CAST(SUM((s.f + 1) * s.rgb) AS BIGINT) AS pixel_sum,
+           CAST(SUM((s.f + 1) * s.rgb * (s.y + 1)) AS BIGINT)
+             AS row_weighted_sum
+    FROM m JOIN s USING (media_id)
+    GROUP BY m.media_id, m.w, m.h ORDER BY m.media_id
+    """,
+    doc="ANIMATED lossy-VP8 WebP decode (r14 — the last WebP frame "
+    "variant; operators/multimodal.decode_webp_frames + "
+    "encode_webp_animation_lossy): VP8X+ANIM+ANMF chains whose "
+    "frames are RFC 6386 keyframes, decoded through the shared "
+    "conformance-pinned VP8 decoder and composited by the SAME "
+    "integer compositor the r13 animated-VP8L lanes certify "
+    "(overwrite placement here; blend/dispose arithmetic is "
+    "certified there and the code path is shared). Even ids chain "
+    "full-canvas frames; odd ids place frames 2-3 as sub-rects at "
+    "(8,4) with their OWN macroblock grids — the placement catch. "
+    "Lanes are the frame-index-weighted RGB sums of "
+    "webp_decode_stats; DuckDB replays every composited pixel "
+    "through the uniform-per-MB rules + the integer BT.601 form. "
+    "One Arrow-batched mapInPandas pass; payload-isolated, "
+    "scan-stage at 100 TB.",
+)
+def q_media_vp8_anim_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from incremental_github_data_pipeline_spark.operators.multimodal import (
+        make_vp8_anim_media,
+        webp_decode_stats,
+    )
+
+    return webp_decode_stats(make_vp8_anim_media(spark, n=6)).orderBy(
+        "media_id"
+    )
+
+
 def _resample_oracle() -> str:
     """DuckDB twin of decode→resample(8000→12000)→encode over the FLAC
     fixture lanes: output sample j sits at source position j·8000, so

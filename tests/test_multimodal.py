@@ -2868,12 +2868,15 @@ class TestWebpAnimation:
             mm.encode_webp_animation(
                 [dict(px=px, x=1)], (8, 8)
             )
-        # lossy frames fail loud inside the ANMF walk
+        # a VP8 frame tag over a non-VP8 body fails loud inside the
+        # ANMF walk (r14: lossy ANMF frames now decode for real —
+        # garbage must still never mis-decode; here the VP8L
+        # signature byte's low bit reads as the inter-frame flag)
         payload = bytearray(
             mm.encode_webp_animation([dict(px=px)], (8, 8))
         )
         lossy = bytes(payload).replace(b"VP8L", b"VP8 ")
-        with pytest.raises(NotImplementedError, match="lossy"):
+        with pytest.raises((ValueError, NotImplementedError)):
             mm.decode_webp_frames(lossy)
         # oversized frame placement is a corrupt stream
         big = mm.encode_webp_animation(

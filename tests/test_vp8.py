@@ -358,6 +358,67 @@ class TestAlphChunk:
             mm.decode_alph(b"", 8, 8)
 
 
+class TestVp8Animation:
+    """r14: ANMF frames carrying lossy VP8 (+ optional ALPH) decode
+    through the shared keyframe decoder and compositor."""
+
+    def _frames(self, w, h, alpha=None):
+        fr = []
+        for fi in range(3):
+            fr.append(dict(
+                w=w, h=h, x=0, y=0, duration_ms=40 + fi,
+                blend=False, alpha=alpha,
+                yt=lambda mx, my, fi=fi: (fi * 31 + mx * 11 + my * 23)
+                % 256,
+                ut=lambda mx, my, fi=fi: (fi * 17 + mx * 13 + 100) % 256,
+                vt=lambda mx, my, fi=fi: (fi * 7 + my * 17 + 50) % 256,
+                mode=lambda mx, my, fi=fi: (fi + mx + my) % 5,
+            ))
+        return fr
+
+    def test_full_canvas_chain_round_trips(self):
+        w, h = 49, 37
+        data = mm.encode_webp_animation_lossy(
+            self._frames(w, h), (w, h)
+        )
+        frames = mm.decode_webp_frames(data)
+        assert len(frames) == 3
+        assert [d for d, _ in frames] == [40, 41, 42]
+        for fi, (_, canvas) in enumerate(frames):
+            want = mm.vp8_yuv_to_rgb(
+                np.full((16, 16), (fi * 31) % 256, np.uint8),
+                np.full((8, 8), (fi * 17 + 100) % 256, np.uint8),
+                np.full((8, 8), (fi * 7 + 50) % 256, np.uint8),
+            )[0, 0]
+            assert np.array_equal(canvas[0, 0, :3], want), fi
+            assert (canvas[:, :, 3] == 255).all()
+
+    def test_alph_inside_anmf(self):
+        w, h = 33, 21
+        a = ((np.arange(h)[:, None] * 5 + np.arange(w)[None, :] * 3)
+             % 256).astype(np.uint8)
+        data = mm.encode_webp_animation_lossy(
+            self._frames(w, h, alpha=a)[:1], (w, h)
+        )
+        [(_, canvas)] = mm.decode_webp_frames(data)
+        assert np.array_equal(canvas[:, :, 3], a)
+
+    def test_sub_rect_overwrite_keeps_border(self):
+        w, h = 50, 38
+        fr = self._frames(w, h)
+        fr[1].update(w=w - 16, h=h - 8, x=8, y=4)
+        fr[2].update(w=w - 16, h=h - 8, x=8, y=4)
+        data = mm.encode_webp_animation_lossy(fr, (w, h))
+        frames = mm.decode_webp_frames(data)
+        # the border outside the rect still shows frame 0's pixels
+        assert np.array_equal(
+            frames[2][1][0, 0], frames[0][1][0, 0]
+        )
+        assert not np.array_equal(
+            frames[2][1][10, 10], frames[0][1][10, 10]
+        )
+
+
 class TestVp8lLibwebpConformance:
     """r14: the VP8L encoder/decoder cross-checked against libwebp —
     the lane that exposed the latent kCodeLengthCodeOrder bug (16
@@ -450,6 +511,37 @@ class TestVp8Guards:
             mm.decode_vp8_keyframe(bytes(bad))
         with pytest.raises(ValueError):
             mm.decode_vp8_keyframe(data[: pos + 8])
+
+    def test_corruption_probe_error_contract(self):
+        """Skip-path audit (the r12 container-reader discipline):
+        single-byte corruption and truncation of a VP8X+ALPH+VP8
+        payload must either decode (lossy arithmetic coding is
+        error-tolerant by design; the bool reader zero-pads past the
+        end per spec, as libwebp does) or raise ValueError /
+        NotImplementedError — never a raw IndexError/KeyError/
+        struct.error that would escape an on_error='skip' lane."""
+        a = (
+            (np.arange(21)[:, None] * 5 + np.arange(33)[None, :] * 3
+             + 13) % 256
+        ).astype(np.uint8)
+        data = mm.encode_webp_lossy_uniform_alpha(
+            33, 21, lambda mx, my: (mx * 11 + my * 23 + 40) % 256,
+            lambda mx, my: 100, lambda mx, my: 120,
+            lambda mx, my: (mx + my) % 5, a,
+            alpha_method=1, alpha_filter=3,
+        )
+        for pos in range(len(data)):
+            mut = bytearray(data)
+            mut[pos] ^= 0xFF
+            try:
+                mm.decode_webp_lossless(bytes(mut))
+            except (ValueError, NotImplementedError):
+                pass
+        for cut in range(0, len(data), 7):
+            try:
+                mm.decode_webp_lossless(data[:cut])
+            except (ValueError, NotImplementedError):
+                pass
 
     def test_container_dispatch_returns_rgb(self):
         data = mm.encode_webp_lossy_uniform(
