@@ -16,11 +16,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
 from pyspark.sql import types as T
 
 from incremental_github_data_pipeline_spark.functions.scalar import let_
 from incremental_github_data_pipeline_spark.operators.core import ensure_min_partitions
 from incremental_github_data_pipeline_spark.operators.text import shingles, tokens
+from incremental_github_data_pipeline_spark.sources.local import local_rows_df
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -642,7 +644,8 @@ def connected_components(
                 T.StructField("component", id_type, False),
             ]
         )
-        return spark.createDataFrame(
+        return local_rows_df(
+        spark,
             list(labels.items()), schema
         )
     # Materialize the edge list once: every round joins against it, and

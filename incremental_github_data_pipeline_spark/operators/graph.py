@@ -147,10 +147,24 @@ def pagerank_integer(
         .otherwise(F.lit(0))
         .alias("rank"),
     )
+    # r15 (guide §2.4): deg is STATIC — joining it inside the loop made
+    # every round re-run the degree aggregate and pay an extra join.
+    # Materialize (src, dst[, w], deg) once; each round is then one
+    # rank join + one contribution aggregate, the theoretical minimum.
+    # Same for the dangling-node set: membership never changes between
+    # rounds, only the rank mass it holds does.
+    if iters > 0:
+        e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+        dang_nodes = (
+            nodes.join(
+                deg.withColumnRenamed("src", "node"), "node", "left_anti"
+            ).localCheckpoint(eager=True)
+            if redistribute_dangling
+            else None
+        )
     for _ in range(iters):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr(contrib_expr).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
@@ -161,9 +175,7 @@ def pagerank_integer(
         mass = F.coalesce(F.col("in_mass"), F.lit(0))
         if redistribute_dangling:
             dang = (
-                ranks.join(
-                    deg.withColumnRenamed("src", "node"), "node", "left_anti"
-                )
+                ranks.join(dang_nodes, "node", "left_semi")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("_dm"))
                 .select(F.expr(f"_dm div {n_targets}").alias("_dshare"))
             )

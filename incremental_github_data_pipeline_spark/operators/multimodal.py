@@ -92,8 +92,16 @@ def _sized_media(spark, rows) -> DataFrame:
     — the entire 11 s the r4 judge measured for q_media_qoi_stats was
     that spawn cost, not decoding (the 32 decodes take 4 ms). Real
     media tables size partitions by bytes; this is the test-harness
-    equivalent."""
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(
+    equivalent. r15: rows go through local_rows_df (pandas → Arrow
+    batches resident in the JVM) instead of the pickled-RDD list path,
+    which re-ran a Python deserialize stage on EVERY action — ~1.2 s
+    of overhead per pass on a 16-row fixture, the dominant cost of
+    every media bench lane (guide §4.1)."""
+    from incremental_github_data_pipeline_spark.sources.local import (
+        local_rows_df,
+    )
+
+    return local_rows_df(spark, rows, MEDIA_SCHEMA).coalesce(
         max(1, min(32, len(rows) // 8))
     )
 

@@ -24,6 +24,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from incremental_github_data_pipeline_spark.sources.local import local_rows_df
+
 
 __all__ = ["schema_drift_report", "volume_gate", "volume_gate_from_counts"]
 
@@ -159,7 +161,8 @@ def schema_drift_report(
         .localCheckpoint(eager=True)
     )
     if key_universe is not None:
-        universe = per_win.sparkSession.createDataFrame(
+        universe = local_rows_df(
+        per_win.sparkSession,
             [(k,) for k in key_universe], "key string"
         )
     else:
@@ -341,7 +344,7 @@ def parquet_layout(spark, paths: Sequence[str]) -> DataFrame:
             StructField("n_bytes_compressed", LongType(), False),
         ]
     )
-    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    pdf = local_rows_df(spark, [(p,) for p in paths], "path string")
 
     def batches(it):
         import os

@@ -19,10 +19,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+
 from incremental_github_data_pipeline_spark.functions.scalar import let_
 
 from incremental_github_data_pipeline_spark.operators.core import ensure_min_partitions
 from incremental_github_data_pipeline_spark.operators.dedup import cosine_similarity
+from incremental_github_data_pipeline_spark.sources.local import local_rows_df
 
 
 def as_double_vec(col: Column | str) -> Column:
@@ -725,7 +727,8 @@ def save_pq_codebooks(spark, codebooks, path: str) -> None:
         for m, cb in enumerate(codebooks)
         for i, cent in enumerate(cb)
     ]
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         rows, "m int, idx int, cent array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path)
 

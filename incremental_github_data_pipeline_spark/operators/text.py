@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from incremental_github_data_pipeline_spark.sources.local import local_rows_df
+
 from incremental_github_data_pipeline_spark.functions.scalar import let_
 
 # Tiny per-language stopword sets for the n-gram/stopword heuristic
@@ -1663,7 +1665,8 @@ def learn_bpe(
         words = words.select(
             "word", fold.alias("seq"), "freq"
         ).localCheckpoint(eager=True)
-    merges_df = df.sparkSession.createDataFrame(
+    merges_df = local_rows_df(
+        df.sparkSession,
         merges, "step BIGINT, pa STRING, pb STRING, cnt BIGINT"
     )
     vocab = words.select(
@@ -1714,10 +1717,12 @@ def _learn_bpe_local(spark, words, n_merges: int):
                     i += 1
             nxt.append((w, out, freq))
         rows = nxt
-    merges_df = spark.createDataFrame(
+    merges_df = local_rows_df(
+        spark,
         merges, "step BIGINT, pa STRING, pb STRING, cnt BIGINT"
     )
-    vocab = spark.createDataFrame(
+    vocab = local_rows_df(
+        spark,
         [(w, freq, syms) for w, syms, freq in rows],
         "word STRING, freq BIGINT, syms ARRAY<STRING>",
     )
@@ -1864,7 +1869,8 @@ def learn_wordpiece(
         words = words.select(
             "word", fold.alias("seq"), "freq"
         ).localCheckpoint(eager=True)
-    merges_df = df.sparkSession.createDataFrame(
+    merges_df = local_rows_df(
+        df.sparkSession,
         merges, "step BIGINT, pa STRING, pb STRING, cnt BIGINT, score_s BIGINT"
     )
     vocab = words.select(
@@ -1920,10 +1926,12 @@ def _learn_wordpiece_local(spark, words, n_merges: int):
                     i += 1
             nxt.append((w, out, freq))
         rows = nxt
-    merges_df = spark.createDataFrame(
+    merges_df = local_rows_df(
+        spark,
         merges, "step BIGINT, pa STRING, pb STRING, cnt BIGINT, score_s BIGINT"
     )
-    vocab = spark.createDataFrame(
+    vocab = local_rows_df(
+        spark,
         [(w, freq, syms) for w, syms, freq in rows],
         "word STRING, freq BIGINT, syms ARRAY<STRING>",
     )
@@ -1997,10 +2005,14 @@ def learn_unigram(
                         recs.append((w[i : i + ln], int(fq)))
             yield pd.DataFrame(recs, columns=["piece", "cnt"])
 
+    # r15: one materialization — the chars collect and the top-k seed
+    # collect each re-ran the full substring mapInPandas + aggregate
+    # without it (two corpus-derived passes for one table, guide §1.2).
     sub_counts = (
         words.mapInPandas(substr_batches, "piece string, cnt long")
         .groupBy("piece")
         .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     chars = {
         r["piece"]: r["cnt"]
@@ -2153,7 +2165,8 @@ def learn_unigram(
         viterbi_fn(b), "word string, freq long, syms array<string>"
     )
     ranked = sorted(final.items(), key=lambda kv: (-kv[1], kv[0]))
-    pieces = spark.createDataFrame(
+    pieces = local_rows_df(
+        spark,
         [
             (p, int(c), int(logp[p]), r + 1)
             for r, (p, c) in enumerate(ranked)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from incremental_github_data_pipeline_spark.operators import text as tx
 from incremental_github_data_pipeline_spark.queries import register
+from incremental_github_data_pipeline_spark.sources.local import local_rows_df
 from incremental_github_data_pipeline_spark.sources.readers import read_table as T
 
 
@@ -727,7 +728,8 @@ def q_skew_advisory(spark: SparkSession, sf: str) -> DataFrame:
         .alias("k")
     )
     rec = suggest_skew_mitigation(ev, ["k"])
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [
             (
                 rec["verdict"],
@@ -878,7 +880,8 @@ def _curation_corpus(spark):
         rows.append(
             (i, tx.warc_build(recs, gzip_per_record=i % 2 == 0))
         )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows, "payload_id long, payload binary"
     )
 
@@ -1071,7 +1074,10 @@ _CURATION_ORACLE = f"""
     "chars surviving). Certifying the COMPOSITION catches "
     "inter-operator contract drift no per-op oracle can — the "
     "fixture plants a drop for every stage. Plan shape: the Arrow "
-    "parse pass runs ONCE into an eager localCheckpoint (bounded: "
+    "parse pass runs ONCE into a localCheckpoint (r15: lazy — each "
+    "eager checkpoint was a dedicated materialization job; the lazy "
+    "form persists inside the first consuming job and is reused by "
+    "every later one, same result, ~half the job count) (bounded: "
     "one row per record), and every later stage is joins/windows/"
     "aggregates over checkpointed frames — the per-stage audit rows "
     "are 1-row aggregates, so the funnel costs one parse + a handful "
@@ -1090,7 +1096,7 @@ def q_crawl_curation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     recs = tx.warc_ingest(_curation_corpus(spark)).localCheckpoint(
-        eager=True
+        eager=False
     )
     ok = recs.filter(
         (F.col("warc_type") == "response")
@@ -1105,14 +1111,15 @@ def q_crawl_curation(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("url"),
         tx.strip_html(F.col("text")).alias("text"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     ext = ext.withColumn(
         "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
     )
     # robots gate (r13): per-host rules are a model-sized dimension
     # (parsed at import, broadcast); the corpus side pays one
     # broadcast join + one longest-match window
-    rules = spark.createDataFrame(
+    rules = local_rows_df(
+        spark,
         _CUR_ROBOT_RULES,
         "host string, allow int, pattern string, regex string, plen int",
     )
@@ -1137,7 +1144,7 @@ def q_crawl_curation(spark: SparkSession, sf: str) -> DataFrame:
             verdicts.filter("allowed").select("_uid"), "_uid"
         )
         .drop("_uid", "host", "path")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # URL exact-dedup, skew-aware (r13): the advisory measures the
     # gated corpus's URL key (bounded top-10 collect). Any hot-key
@@ -1156,7 +1163,7 @@ def q_crawl_curation(spark: SparkSession, sf: str) -> DataFrame:
             gated.withColumn("rn", F.row_number().over(w_url))
             .filter(F.col("rn") == 1)
             .drop("rn")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     else:
         kept_docs = salted_keep_first(
@@ -1164,14 +1171,14 @@ def q_crawl_curation(spark: SparkSession, sf: str) -> DataFrame:
             ["url"],
             ["payload_id", "record_idx"],
             buckets=rec["buckets"] or 16,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     sents = kept_docs.select(
         "payload_id",
         "record_idx",
         F.posexplode(tx.split_sentences(F.col("text"))).alias(
             "sent_idx", "sentence"
         ),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # sentence dedup, skew-aware (r14, VERDICT r13 task 3): the URL
     # stage has been advisory-routed since r13, but boilerplate
     # sentences ("click here to subscribe") are hot keys BY NATURE at
@@ -1226,7 +1233,7 @@ def q_crawl_curation(spark: SparkSession, sf: str) -> DataFrame:
                 " ",
             ).alias("kept_text"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     quality = per_doc.filter(F.col("kept_toks") >= 9)
     red = quality.select(
@@ -1575,7 +1582,8 @@ def q_robots_gate(spark: SparkSession, sf: str) -> DataFrame:
             "CAST(doc_id % 6 AS INTEGER)", "CAST(doc_id % 6 AS INT)"
         )).alias("path"),
     )
-    rules = spark.createDataFrame(
+    rules = local_rows_df(
+        spark,
         _ROBOT_RULES, "host string, allow int, pattern string, "
         "regex string, plen int"
     )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from incremental_github_data_pipeline_spark.operators import dedup as dd
 from incremental_github_data_pipeline_spark.operators import text as tx
 from incremental_github_data_pipeline_spark.queries import register
+from incremental_github_data_pipeline_spark.sources.local import local_rows_df
 from incremental_github_data_pipeline_spark.sources.readers import read_table as T
 
 _STOP = tx.LANG_STOPWORDS["en"]
@@ -2244,7 +2245,7 @@ def _gzip_corpus(spark):
             text = " ".join(f"w{(i * 7 + m * 3 + j) % 20}" for j in range(n))
             members.append(gz(text.encode("utf-8")))
         rows.append((i, b"".join(members)))
-    return spark.createDataFrame(rows, "payload_id long, payload binary")
+    return local_rows_df(spark, rows, "payload_id long, payload binary")
 
 
 @register(
@@ -2425,7 +2426,8 @@ def q_unigram_pieces(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("drop").alias("mindrop"))
         .collect()[0]["mindrop"]
     )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [
             (
                 n_chars,
@@ -2805,7 +2807,7 @@ def _warc_corpus(spark):
             },
         ]
         rows.append((i, tx.warc_build(recs, gzip_per_record=i % 2 == 0)))
-    return spark.createDataFrame(rows, "payload_id long, payload binary")
+    return local_rows_df(spark, rows, "payload_id long, payload binary")
 
 
 # DuckDB twin of the _warc_corpus closed-form fields (shared by both
@@ -3175,7 +3177,7 @@ def _avro_corpus(spark):
                 ),
             )
         )
-    return spark.createDataFrame(rows, "payload_id long, payload binary")
+    return local_rows_df(spark, rows, "payload_id long, payload binary")
 
 
 @register(
@@ -3240,7 +3242,7 @@ def _archive_corpus(spark):
             zip_build(members) if i % 2 == 0 else tar_build(members, gz=True)
         )
         rows.append((i, payload))
-    return spark.createDataFrame(rows, "payload_id long, payload binary")
+    return local_rows_df(spark, rows, "payload_id long, payload binary")
 
 
 @register(
@@ -3794,7 +3796,8 @@ def _cdc_clamped_oracle() -> str:
 )
 def q_doc_cdc_clamped(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents").select("doc_id", "text").unionByName(
-        spark.createDataFrame(
+        local_rows_df(
+        spark,
             [(-1, _CDC_BLOB_CHAR * _CDC_BLOB_LEN)],
             "doc_id long, text string",
         )

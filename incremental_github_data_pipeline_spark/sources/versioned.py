@@ -59,6 +59,7 @@ import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from incremental_github_data_pipeline_spark.sources.local import local_rows_df
 
 __all__ = [
     "CommitConflict",
@@ -159,7 +160,7 @@ def manifest_entries(
         )
         for f in files
     ]
-    return spark.createDataFrame(rows, "dir string, stats_json string")
+    return local_rows_df(spark, rows, "dir string, stats_json string")
 
 
 def _file_stats(
@@ -170,6 +171,7 @@ def _file_stats(
     (numeric/string) — the same restriction Iceberg places on its
     lower/upper bounds."""
     from pyspark.sql import functions as F
+
 
     aggs = []
     for c in stats_cols:
@@ -596,7 +598,8 @@ def commit_changelog(
     spark = changes.sparkSession
     data_cols = [c for c in changes.columns if c not in (op_col, order_col)]
     if latest_version(root) is None:
-        base = spark.createDataFrame(
+        base = local_rows_df(
+        spark,
             [], changes.select(*data_cols).schema
         )
     else:

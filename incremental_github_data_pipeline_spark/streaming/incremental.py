@@ -32,11 +32,13 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 from incremental_github_data_pipeline_spark.operators import core as ops
 from incremental_github_data_pipeline_spark.sources.writers import write_rotating
+from incremental_github_data_pipeline_spark.sources.local import local_rows_df
 
 
 def stream_json_dir(
@@ -919,7 +921,8 @@ def run_incremental_curation_funnel(
             "n_tokens", F.size(F.split("text", " ")).cast("long")
         )
         if robots_rules:
-            rules = spark.createDataFrame(
+            rules = local_rows_df(
+        spark,
                 robots_rules,
                 "host string, allow int, pattern string, "
                 "regex string, plen int",
@@ -1070,7 +1073,8 @@ def run_incremental_curation_funnel(
                   F.col("text")),
         ]
         commit_version(
-            spark.createDataFrame(
+            local_rows_df(
+        spark,
                 rows,
                 "batch_id long, stage_idx long, stage string, "
                 "n_rows long, n_tokens long, n_chars long",
@@ -1197,7 +1201,8 @@ def run_incremental_cdc_ingest(
             .alias("chars_new"),
         ).collect()[0]
         commit_version(
-            spark.createDataFrame(
+            local_rows_df(
+        spark,
                 [
                     (
                         batch_id,
@@ -1657,7 +1662,8 @@ def run_incremental_index_ingest(
             .collect()[0]["t"]
         )
         commit_version(
-            spark.createDataFrame(
+            local_rows_df(
+        spark,
                 [(int(batch_id), int(n_docs), int(total_len))],
                 "batch_id long, n_docs long, total_len long",
             ),
@@ -2933,7 +2939,8 @@ def run_incremental_lsh_ingest(
             return
         if latest_version(f"{table_root}/postings") is None:
             commit_version(
-                spark.createDataFrame(
+                local_rows_df(
+        spark,
                     [(num_hashes, bands, k)],
                     "num_hashes int, bands int, k int",
                 ),
@@ -3093,7 +3100,8 @@ def run_incremental_bloom_ingest(
             return
         if latest_version(f"{table_root}/positions") is None:
             commit_version(
-                spark.createDataFrame(
+                local_rows_df(
+        spark,
                     [(n_bits, n_hashes)], "n_bits int, n_hashes int"
                 ),
                 f"{table_root}/params",
