@@ -644,10 +644,7 @@ def connected_components(
                 T.StructField("component", id_type, False),
             ]
         )
-        return local_rows_df(
-        spark,
-            list(labels.items()), schema
-        )
+        return local_rows_df(spark, list(labels.items()), schema)
     # Materialize the edge list once: every round joins against it, and
     # without truncation each round would re-run the (possibly
     # expensive) pair-generation lineage from scratch.
@@ -1058,8 +1055,14 @@ def bloom_might_contain(
     (element_at + shift + bitwise AND on the broadcast literal word
     array) — no join, no UDF, evaluated in the scan stage."""
     c = F.col(key_col) if isinstance(key_col, str) else key_col
-    arr = F.array(*[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
-                    for w in words])
+    # r15: ONE array<long> literal instead of a CreateArray of
+    # n_bits/64 literal children — a 1<<16-bit filter put ~1k extra
+    # expression nodes in the plan, and driver-side analysis of that
+    # tree dominated the query's wall at bench scale (guide §7.3:
+    # plan-size work is single-threaded driver time).
+    arr = F.lit(
+        [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    ).cast("array<long>")
     checks = []
     for i in range(n_hashes):
         pos = F.pmod(F.xxhash64(c, F.lit(i)), F.lit(n_bits))

@@ -305,7 +305,13 @@ def k_core(
     n_prev = None
     for _ in range(max_rounds):
         deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
-        keep = deg.filter(F.col("degree") >= k).localCheckpoint(eager=True)
+        # r15: lazy checkpoints — the count() gate right below (and the
+        # next round's gate, for `alive`) forces materialization anyway,
+        # so the eager form only added a dedicated job per frame per
+        # round (3 jobs/round -> 1). `keep` is materialized by its own
+        # count() BEFORE both semi-joins consume it, so the sibling-
+        # consumer double-compute hazard does not apply here.
+        keep = deg.filter(F.col("degree") >= k).localCheckpoint(eager=False)
         n = keep.count()
         if n == 0:
             return keep.select(F.col("a").alias("node"), "degree")
@@ -317,7 +323,7 @@ def k_core(
             alive.join(nodes, "a", "left_semi")
             .join(nodes.withColumnRenamed("a", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
 
@@ -378,7 +384,12 @@ def label_propagation(
                 ).alias("_m")
             )
             .select("node", F.col("_m.label").alias("label"))
-            .localCheckpoint(eager=True)
+            # r15: lazy — each round's labels have exactly one consumer
+            # (the next round's neighbor join), so the eager form only
+            # added one dedicated materialization job per round; the
+            # plan stays flat either way (the checkpoint RDD truncates
+            # lineage at creation).
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -437,6 +448,10 @@ def hits_integer(
         # sum and the normalize multiply can exceed int64 — decimal
         # accumulation makes the bound |E|·scale² ≤ 10³⁸ instead, and
         # the final `div` result is ≤ scale, always bigint-safe.
+        # r15: raw feeds BOTH the 1-row total (a broadcast job under
+        # AQE) and the normalize projection — one lazy checkpoint stops
+        # the edge-join + aggregate from running twice per normalize.
+        raw = raw.localCheckpoint(eager=False)
         total = raw.agg(
             F.greatest(
                 F.coalesce(
@@ -456,6 +471,14 @@ def hits_integer(
             )
         )
 
+    # r15 (guide §2.4): the loop runs SPARSE — hub/auth frames carry
+    # only nodes that actually receive mass (every edge endpoint is
+    # covered by construction: a dst always has an in-link, a src an
+    # out-link), so the per-round `nodes` completion joins are gone.
+    # Absent nodes hold exactly 0 in the dense recurrence ((0·scale)
+    # div tot = 0) and 0 contributes nothing to the L1 totals or the
+    # edge joins, so the trajectory is bit-identical; the final select
+    # re-completes to all n_nodes with the same zeros.
     auths = None
     for _ in range(iters):
         a_raw = (
@@ -465,13 +488,7 @@ def hits_integer(
                 F.sum(F.col("hub").cast("decimal(38,0)")).alias("auth")
             )
         )
-        a_raw = nodes.join(a_raw, "node", "left").select(
-            "node",
-            F.coalesce(
-                "auth", F.lit(0).cast("decimal(38,0)")
-            ).alias("auth"),
-        )
-        auths = _normalize(a_raw, "auth").localCheckpoint(eager=False)
+        auths = _normalize(a_raw, "auth")
         h_raw = (
             e.join(auths.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
@@ -479,15 +496,16 @@ def hits_integer(
                 F.sum(F.col("auth").cast("decimal(38,0)")).alias("hub")
             )
         )
-        h_raw = nodes.join(h_raw, "node", "left").select(
+        hubs = _normalize(h_raw, "hub")
+    zero = F.lit(0).cast("long")
+    return (
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
             "node",
-            F.coalesce(
-                "hub", F.lit(0).cast("decimal(38,0)")
-            ).alias("hub"),
+            F.coalesce("hub", zero).alias("hub"),
+            F.coalesce("auth", zero).alias("auth"),
         )
-        hubs = _normalize(h_raw, "hub").localCheckpoint(eager=False)
-    return nodes.join(hubs, "node").join(auths, "node").select(
-        "node", "hub", "auth"
     )
 
 

@@ -162,7 +162,7 @@ def schema_drift_report(
     )
     if key_universe is not None:
         universe = local_rows_df(
-        per_win.sparkSession,
+            per_win.sparkSession,
             [(k,) for k in key_universe], "key string"
         )
     else:

@@ -84,11 +84,17 @@ def pick_centroids(
 
 
 def _centroid_literal(cent_rows: list):
+    # r15: one array<double> literal per centroid instead of dim
+    # literal children each — for 16 cells x 64 dims that is ~48
+    # expression nodes instead of ~1k, cutting driver-side plan
+    # analysis time (guide §7.3).
     return F.array(
         *[
             F.struct(
                 F.lit(cell).alias("cell"),
-                F.array(*[F.lit(x) for x in cent]).alias("cent"),
+                F.lit([float(x) for x in cent])
+                .cast("array<double>")
+                .alias("cent"),
             )
             for cell, cent in cent_rows
         ]
@@ -581,9 +587,11 @@ def pq_reconstruct(vec_col, codebooks) -> Column:
     nv = l2_normalize(vec_col)
     subs = []
     for m in range(m_sub):
+        # r15: one array<double> literal per centroid (not dsub literal
+        # children each) — same plan-size lever as _centroid_literal.
         cb_lit = F.array(
             *[
-                F.array(*[F.lit(float(x)) for x in cent])
+                F.lit([float(x) for x in cent]).cast("array<double>")
                 for cent in codebooks[m]
             ]
         )

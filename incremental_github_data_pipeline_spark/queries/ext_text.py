@@ -3797,7 +3797,7 @@ def _cdc_clamped_oracle() -> str:
 def q_doc_cdc_clamped(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents").select("doc_id", "text").unionByName(
         local_rows_df(
-        spark,
+            spark,
             [(-1, _CDC_BLOB_CHAR * _CDC_BLOB_LEN)],
             "doc_id long, text string",
         )

@@ -599,7 +599,7 @@ def commit_changelog(
     data_cols = [c for c in changes.columns if c not in (op_col, order_col)]
     if latest_version(root) is None:
         base = local_rows_df(
-        spark,
+            spark,
             [], changes.select(*data_cols).schema
         )
     else:

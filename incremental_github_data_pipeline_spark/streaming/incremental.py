@@ -922,7 +922,7 @@ def run_incremental_curation_funnel(
         )
         if robots_rules:
             rules = local_rows_df(
-        spark,
+                spark,
                 robots_rules,
                 "host string, allow int, pattern string, "
                 "regex string, plen int",
@@ -1074,7 +1074,7 @@ def run_incremental_curation_funnel(
         ]
         commit_version(
             local_rows_df(
-        spark,
+                spark,
                 rows,
                 "batch_id long, stage_idx long, stage string, "
                 "n_rows long, n_tokens long, n_chars long",
@@ -1202,7 +1202,7 @@ def run_incremental_cdc_ingest(
         ).collect()[0]
         commit_version(
             local_rows_df(
-        spark,
+                spark,
                 [
                     (
                         batch_id,
@@ -1663,7 +1663,7 @@ def run_incremental_index_ingest(
         )
         commit_version(
             local_rows_df(
-        spark,
+                spark,
                 [(int(batch_id), int(n_docs), int(total_len))],
                 "batch_id long, n_docs long, total_len long",
             ),
@@ -2940,7 +2940,7 @@ def run_incremental_lsh_ingest(
         if latest_version(f"{table_root}/postings") is None:
             commit_version(
                 local_rows_df(
-        spark,
+                    spark,
                     [(num_hashes, bands, k)],
                     "num_hashes int, bands int, k int",
                 ),
@@ -3101,7 +3101,7 @@ def run_incremental_bloom_ingest(
         if latest_version(f"{table_root}/positions") is None:
             commit_version(
                 local_rows_df(
-        spark,
+                    spark,
                     [(n_bits, n_hashes)], "n_bits int, n_hashes int"
                 ),
                 f"{table_root}/params",
