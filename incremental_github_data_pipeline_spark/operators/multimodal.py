@@ -6893,8 +6893,12 @@ def decode_webp_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
     ``out_c = (c_s*sa*255 + c_d*da*(255-sa)) // (255*out_a)`` — the
     spec's real-arithmetic formula with deterministic floor division,
     so every composited pixel is integer-replayable. Still (non-ANMF)
-    payloads return one frame with duration 0. Lossy ANMF frames
-    (VP8 ) raise like the still path."""
+    payloads return one frame with duration 0; both lossless (VP8L)
+    and lossy (VP8, r14) stills decode, and a still lossy frame with a
+    preceding ALPH chunk (the VP8X+ALPH+VP8 transparent-still layout)
+    applies its decoded alpha plane (r15, ADVICE r14 — previously the
+    still branch hardcoded alpha=255, exactly the case
+    :func:`decode_webp_lossless` already handled)."""
     if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP container")
     pos = 12
@@ -6902,6 +6906,7 @@ def decode_webp_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
     frames: list[tuple[int, np.ndarray]] = []
     canvas: np.ndarray | None = None
     saw_anmf = False
+    top_alph: bytes | None = None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
@@ -6973,14 +6978,18 @@ def decode_webp_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
             frames.append((dur, canvas.copy()))
             if dispose_bg:
                 canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif tag == b"ALPH" and not saw_anmf:
+            top_alph = body
         elif tag == b"VP8L" and not saw_anmf:
             return [(0, _decode_vp8l_body(body))]
         elif tag == b"VP8 " and not saw_anmf:
             rgb = vp8_yuv_to_rgb(*decode_vp8_keyframe(body))
-            rgba = np.dstack(
-                [rgb, np.full(rgb.shape[:2], 255, dtype=np.uint8)]
+            a = (
+                decode_alph(top_alph, rgb.shape[1], rgb.shape[0])
+                if top_alph is not None
+                else np.full(rgb.shape[:2], 255, dtype=np.uint8)
             )
-            return [(0, rgba)]
+            return [(0, np.dstack([rgb, a]))]
         pos += 8 + size + (size & 1)
     if not frames:
         raise ValueError("no ANMF or VP8L frames in WebP container")
@@ -8543,7 +8552,10 @@ class _Vp8BoolWriter:
         self.count += shift
         if self.count >= 0:
             offset = shift - self.count
-            if ((self.low << (offset - 1)) & 0x80000000) and offset >= 1:
+            # guard BEFORE the shift (ADVICE r14: evaluated after, the
+            # offset>=1 test could never protect the negative shift;
+            # offset is always in 1..8 here, but keep the order honest)
+            if offset >= 1 and ((self.low << (offset - 1)) & 0x80000000):
                 x = len(self.out) - 1
                 while x >= 0 and self.out[x] == 0xFF:
                     self.out[x] = 0

@@ -2408,34 +2408,41 @@ def q_unigram_pieces(spark: SparkSession, sf: str) -> DataFrame:
     singles = pieces.filter(F.length("piece") == 1).select(
         F.col("piece").alias("ch")
     )
-    n_chars = corpus_chars.count()
-    n_covered = corpus_chars.join(singles, "ch", "semi").count()
-    stats = pieces.agg(
+    # r15: ONE action for all four invariants — the previous form ran
+    # four driver actions (two counts + two collects), each a separate
+    # job over the same two bounded frames. The 1-row aggregates
+    # crossJoin into a single plan; same values, one job (guide §1.2).
+    char_stats = corpus_chars.join(
+        singles.withColumn("_cov", F.lit(1)), "ch", "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_chars"),
+        F.sum(F.coalesce("_cov", F.lit(0))).alias("n_covered"),
+    )
+    piece_stats = pieces.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("rank").alias("rmin"),
         F.max("rank").alias("rmax"),
         F.count_distinct("rank").alias("rdist"),
-    ).collect()[0]
-    mindrop = (
-        pieces.select(
-            (
-                F.col("qcount")
-                - F.lead("qcount", 1).over(Window.orderBy("rank"))
-            ).alias("drop")
-        )
-        .agg(F.min("drop").alias("mindrop"))
-        .collect()[0]["mindrop"]
     )
+    drop_stats = pieces.select(
+        (
+            F.col("qcount")
+            - F.lead("qcount", 1).over(Window.orderBy("rank"))
+        ).alias("drop")
+    ).agg(F.min("drop").alias("mindrop"))
+    row = (
+        char_stats.crossJoin(piece_stats).crossJoin(drop_stats)
+    ).collect()[0]
     return local_rows_df(
         spark,
         [
             (
-                n_chars,
-                n_covered == n_chars,
-                stats["rmin"] == 1
-                and stats["rmax"] == stats["n"]
-                and stats["rdist"] == stats["n"],
-                (mindrop is None) or mindrop >= 0,
+                row["n_chars"],
+                row["n_covered"] == row["n_chars"],
+                row["rmin"] == 1
+                and row["rmax"] == row["n"]
+                and row["rdist"] == row["n"],
+                (row["mindrop"] is None) or row["mindrop"] >= 0,
             )
         ],
         "n_corpus_chars long, all_chars_covered boolean, "

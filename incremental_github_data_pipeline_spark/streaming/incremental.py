@@ -2738,7 +2738,9 @@ def run_incremental_keep_best_ingest(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
         ).localCheckpoint(eager=True)
         if latest_version(table_root) is not None:
-            prior = _keep_best_fold(spark, table_root).join(
+            prior = _keep_best_fold(
+                spark, table_root, before_seq=batch_id
+            ).join(
                 F.broadcast(batch_best.select("component")),
                 "component",
                 "left_semi",
@@ -2772,10 +2774,20 @@ def run_incremental_keep_best_ingest(
 
 
 def _keep_best_fold(
-    spark: SparkSession, table_root: str, version: int | None = None
+    spark: SparkSession,
+    table_root: str,
+    version: int | None = None,
+    before_seq: int | None = None,
 ) -> DataFrame:
     """Last-writer-wins fold of the keep-best upsert log: one window
-    over the (components-sized) log, O(log) like ``cc_versioned``."""
+    over the (components-sized) log, O(log) like ``cc_versioned``.
+
+    ``before_seq`` bounds the fold to rows with ``_seq < before_seq``
+    (r15, ADVICE r14): the ingest passes its batch_id so a replay
+    after a crash-post-commit recomputes from exactly the pre-batch
+    state instead of folding its own earlier write back in — making
+    the recomputed merge bit-identical, the same scoping the funnel
+    and CDC ingests apply via ``batch_id < current`` claims."""
     from pyspark.sql import Window
 
     from incremental_github_data_pipeline_spark.sources.versioned import (
@@ -2783,6 +2795,8 @@ def _keep_best_fold(
     )
 
     log = read_version(spark, table_root, version=version)
+    if before_seq is not None:
+        log = log.filter(F.col("_seq") < F.lit(int(before_seq)))
     w = Window.partitionBy("component").orderBy(F.col("_seq").desc())
     return (
         log.withColumn("_rn", F.row_number().over(w))

@@ -1835,6 +1835,45 @@ def test_incremental_keep_best_equals_one_shot_and_time_travels(
     assert tt == one_shot(doc_batches[0], edge_batches[0])
 
 
+def test_keep_best_fold_scopes_to_pre_batch_state(spark, tmp_path):
+    """ADVICE r14 (fixed r15): the ingest folds the prior state with
+    ``before_seq=batch_id``, so a crash-post-commit replay recomputes
+    its merge from exactly the pre-batch state — rows the interrupted
+    attempt already wrote (same _seq) must NOT fold back in."""
+    from incremental_github_data_pipeline_spark.sources.versioned import (
+        commit_version,
+    )
+    from incremental_github_data_pipeline_spark.streaming.incremental import (
+        _keep_best_fold,
+    )
+
+    root = str(tmp_path / "best")
+    schema = "component long, best string, n_docs long, _seq long"
+    commit_version(
+        spark.createDataFrame(
+            [(1, "old", 2, 0), (2, "keep", 1, 0)], schema
+        ),
+        root,
+        mode="append",
+    )
+    # the batch-1 write that a crash-post-commit replay would re-read
+    commit_version(
+        spark.createDataFrame([(1, "new", 3, 1)], schema),
+        root,
+        mode="append",
+    )
+    full = {
+        (r["component"], r["best"], r["n_docs"])
+        for r in _keep_best_fold(spark, root).collect()
+    }
+    assert full == {(1, "new", 3), (2, "keep", 1)}
+    scoped = {
+        (r["component"], r["best"], r["n_docs"])
+        for r in _keep_best_fold(spark, root, before_seq=1).collect()
+    }
+    assert scoped == {(1, "old", 2), (2, "keep", 1)}
+
+
 def test_incremental_lsh_ingest_candidates_equal_one_shot(spark, tmp_path):
     """Incremental LSH index (r12): candidates served from the
     N-increment index ≡ the one-shot band join over everything

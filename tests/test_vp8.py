@@ -280,6 +280,27 @@ class TestAlphChunk:
         assert px.shape == (h, w, 4)
         assert np.array_equal(px[:, :, 3], a)
 
+    def test_frames_timeline_applies_still_alpha(self):
+        """ADVICE r14 (fixed r15): the frame-timeline decoder must
+        apply a preceding ALPH chunk to a STILL lossy frame — the
+        VP8X+ALPH+VP8 transparent-still layout — exactly like
+        decode_webp_lossless, not hardcode alpha=255."""
+        w, h = 48, 32
+        a = self._alpha(w, h, seed=7)
+        assert not np.all(a == 255)
+        data = mm.encode_webp_lossy_uniform_alpha(
+            w, h, lambda mx, my: (mx * 11 + my * 23 + 40) % 256,
+            lambda mx, my: 100, lambda mx, my: 120,
+            lambda mx, my: (mx + my) % 5, a,
+            alpha_method=1, alpha_filter=3,
+        )
+        frames = mm.decode_webp_frames(data)
+        assert len(frames) == 1 and frames[0][0] == 0
+        px = frames[0][1]
+        assert px.shape == (h, w, 4)
+        assert np.array_equal(px[:, :, 3], a)
+        assert np.array_equal(px, mm.decode_webp_lossless(data))
+
     @needs_libwebp
     @pytest.mark.parametrize("method,filt", [(0, 0), (0, 2), (1, 0),
                                              (1, 1), (1, 3)])
