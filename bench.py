@@ -730,7 +730,35 @@ def _calibration_probe(spark) -> float:
 RECYCLE_EVERY = 8  # queries per SparkSession lifetime
 
 
+def _profile_action(spark, name: str, action) -> list[int]:
+    """One profiled evaluation inside a job group: [jobs, stages, tasks]
+    — the load-independent cost structure (r15: job counts proved to be
+    the only signal robust to this sandbox's bursty co-tenant load)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup(f"bench-profile-{name}", name)
+    action()
+    sc.setJobGroup(None, None)
+    jobs = set(tracker.getJobIdsForGroup(f"bench-profile-{name}") or [])
+    n_stages = n_tasks = 0
+    for j in jobs:
+        ji = tracker.getJobInfo(j)
+        if ji is None:
+            continue
+        for sid in ji.stageIds:
+            si = tracker.getStageInfo(sid)
+            if si is not None and si.numTasks > 0:
+                n_stages += 1
+                n_tasks += si.numTasks
+    return [len(jobs), n_stages, n_tasks]
+
+
 def main() -> None:
+    # r16 (VERDICT r15 task 10): optional --jobs mode adds one profiled
+    # pass per query and a "job_counts" {name: [jobs, stages, tasks]}
+    # key to the JSON line. The driver never passes it: default output
+    # and timing methodology are byte-compatible with r15.
+    jobs_mode = "--jobs" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from incremental_github_data_pipeline_spark.queries import load_all
     from incremental_github_data_pipeline_spark.session import get_spark
@@ -744,6 +772,7 @@ def main() -> None:
     spark = None
 
     timings: dict[str, float] = {}
+    job_counts: dict[str, list[int]] = {}
     for i, name in enumerate(BENCH_QUERIES):
         if i % RECYCLE_EVERY == 0:
             if spark is not None:
@@ -758,6 +787,10 @@ def main() -> None:
             fn(spark, sf_dir).count()
             passes.append(time.time() - t0)
         timings[name] = round(statistics.median(passes), 3)
+        if jobs_mode:
+            job_counts[name] = _profile_action(
+                spark, name, lambda: fn(spark, sf_dir).count()
+            )
 
     import shutil
 
@@ -773,28 +806,39 @@ def main() -> None:
             run(spark, state)
             passes.append(time.time() - t0)
         timings[name] = round(statistics.median(passes), 3)
+        if jobs_mode:
+            job_counts[name] = _profile_action(
+                spark, name, lambda: run(spark, state)
+            )
     for tmp in _BENCH_TMP:
         shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "probe_sec": probe_sec,
-                "probe_ratio": (
-                    round(probe_sec / PROBE_REF_SEC, 3)
-                    if PROBE_REF_SEC
-                    else None
-                ),
-            }
-        )
-    )
+    # r16 (VERDICT r15 "what's wrong" #2): the one-line JSON outgrew the
+    # driver's tail-capture window in r14 (~6 KB with 200+ inline
+    # per-query entries; the captured tail lost the line's HEAD and the
+    # whole r14-vs-r15 comparison was nulled). Same ONE line, same
+    # fields, but (a) compact separators (no spaces — ~0.8 KB smaller)
+    # and (b) the headline scalars ("value", "probe_sec", "probe_ratio")
+    # moved AFTER "queries", i.e. to the END of the line: a tail capture
+    # that cuts the head now still retains the totals and the probe, so
+    # truncation can never eat the whole parseable record. Key order is
+    # irrelevant to any JSON parser; values and semantics are unchanged.
+    record = {
+        "metric": "headline_queries_total_wall",
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": timings,
+        "value": total,
+        "probe_sec": probe_sec,
+        "probe_ratio": (
+            round(probe_sec / PROBE_REF_SEC, 3) if PROBE_REF_SEC else None
+        ),
+    }
+    if jobs_mode:
+        record["job_counts"] = job_counts
+    print(json.dumps(record, separators=(",", ":")))
     spark.stop()
 
 

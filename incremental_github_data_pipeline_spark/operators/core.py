@@ -19,6 +19,20 @@ from pyspark.sql import functions as F
 SEQ_COL = "_seq"
 
 
+def sized_range(spark, n: int, rows_per_part: int = 65536) -> DataFrame:
+    """``spark.range(n)`` with a SIZE-derived partition count (r16,
+    guide §2: scale-adaptive partitioning, never a constant tuned for
+    one core count). Bare ``spark.range(n)`` always splits into
+    ``defaultParallelism`` pieces — a 400-row node table arrives as 32
+    near-empty partitions, and every loop round that unions or joins it
+    drags ~32 no-op tasks per stage through the scheduler (the graph
+    loops measured 1,000+ tiny tasks per evaluation from exactly this).
+    One partition per ``rows_per_part`` rows keeps small dimension
+    frames at 1 partition and lets a 10⁹-row range fan out to ~15k —
+    proportional at every scale, identical rows either way."""
+    return spark.range(0, n, 1, max(1, -(-n // rows_per_part)))
+
+
 def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition IFF the plan currently has fewer
     partitions than ``min_partitions`` (default: cluster default

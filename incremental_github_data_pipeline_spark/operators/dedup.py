@@ -261,37 +261,50 @@ def minhash_dedup(
 
 
 def simhash(text_col: Column | str, bits: int = 64) -> Column:
-    """64-bit SimHash over tokens, as one (large but static) codegen
-    expression: per-bit vote = Σ_tokens (bit(hash(token)) ? +1 : −1);
-    simhash bit b set iff vote > 0.
+    """64-bit SimHash over tokens: per-bit vote = Σ_tokens
+    (bit(hash(token)) ? +1 : −1); simhash bit b set iff vote > 0.
 
     Token hashes are materialized once (let_-bound — see
-    minhash_signature for why); bit positions are Python-side constants
-    (shift amounts must be literals in Spark), so the expression is
-    ``bits`` array-aggregates over the already-hashed long array —
-    cheap long ops, no repeated tokenization.
+    minhash_signature for why). r16 (guide §7.3, the r15
+    bloom-literal lesson): the old form was ``bits`` SEPARATE
+    array-aggregates (one per bit position, each iterating every token
+    hash) — ~64× the expression-tree size, and the per-pass
+    analyzer/optimizer walk over that tree dominated the lane's wall
+    clock. Now ONE aggregate folds all ``bits`` vote counters at once
+    (``zip_with`` against a single array<long> mask literal — bit b of
+    hv tests as ``hv & mask_b ≠ 0``, exactly ``(hv >> b) & 1 = 1``
+    including the sign bit, whose mask is the two's-complement min
+    long), and a second ``aggregate`` ORs the winning masks together.
+    Identical values bit-for-bit (pinned by
+    test_dedup_similarity.py::test_simhash_formulation_identical);
+    per-token arithmetic is the same 64 long ops — only the TREE
+    shrank.
     """
+    masks = F.lit(
+        [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
+    ).cast("array<long>")
+    zero = F.lit(0).cast("long")
 
     def votes_to_hash(h: Column) -> Column:
-        out = F.lit(0).cast("long")
-        for b in range(bits):
-            vote = F.aggregate(
-                h,
-                F.lit(0),
-                (
-                    lambda bit: lambda acc, hv: acc
-                    + F.when(
-                        F.shiftright(hv, bit).bitwiseAND(F.lit(1)) == 1, 1
-                    ).otherwise(-1)
-                )(b),
-            )
-            bit_val = (1 << b) if b < 63 else -(1 << 63)  # two's-complement top bit
-            out = out.bitwiseOR(
-                F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-        return out
+        votes = F.aggregate(
+            h,
+            F.array_repeat(F.lit(0), bits),
+            lambda acc, hv: F.zip_with(
+                acc,
+                masks,
+                lambda a, m: a
+                + F.when(hv.bitwiseAND(m) != 0, 1).otherwise(-1),
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                votes,
+                masks,
+                lambda v, m: F.when(v > 0, m).otherwise(zero),
+            ),
+            zero,
+            lambda acc, x: acc.bitwiseOR(x),
+        )
 
     return let_(
         F.transform(tokens(text_col), lambda w: F.xxhash64(w)), votes_to_hash

@@ -31,6 +31,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from incremental_github_data_pipeline_spark.operators.core import sized_range
+
 __all__ = [
     "bfs_levels",
     "hits_integer",
@@ -76,8 +78,10 @@ def pagerank_integer(
     leaks their rank mass every round. With the flag on, each round
     adds ``D div n`` to every node's in-mass, where ``D`` is the total
     rank held by out-degree-0 nodes — the standard uniform
-    redistribution, kept integer-exact (one extra 1-row aggregate per
-    round, broadcast back via crossJoin: no driver collect, no float).
+    redistribution, kept integer-exact (r16: D folds into the SAME
+    contribution aggregate via a dst = −1 sentinel key and broadcasts
+    back via crossJoin — no extra per-round aggregate, no driver
+    collect, no float).
     Off by default for recurrence-compatibility with the certified
     ``q_graph_pagerank`` oracle; integral-division remainders
     dissipate the same way in any engine replaying either recurrence.
@@ -105,10 +109,10 @@ def pagerank_integer(
     including nodes with no in-links (they hold the teleport floor —
     zero for non-seeds under personalization).
 
-    One aggregate shuffle per iteration (plus the 1-row dangling
-    aggregate when enabled); per-round ``localCheckpoint`` keeps the
-    plan flat, exactly like the distributed connected-components loop
-    it sits beside.
+    One aggregate shuffle per iteration — the dangling variant rides
+    the SAME shuffle via the sentinel key; per-round
+    ``localCheckpoint`` keeps the plan flat, exactly like the
+    distributed connected-components loop it sits beside.
     """
     spark = edges.sparkSession
     if weight is not None:
@@ -129,7 +133,7 @@ def pagerank_integer(
         e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         contrib_expr = "rank div deg"
-    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    nodes = sized_range(spark, n_nodes).select(F.col("id").alias("node"))
     if seeds is not None:
         seeds = sorted(set(int(s) for s in seeds))
         if not seeds:
@@ -162,27 +166,66 @@ def pagerank_integer(
             if redistribute_dangling
             else None
         )
+    # r16 (VERDICT r15 task 5, guide §2.4): the dangling sum is FUSED
+    # into the contribution aggregate via a sentinel key (dst = −1)
+    # instead of running as its own per-round aggregate job: the
+    # dangling ranks union into the same (dst, c) stream, ONE groupBy
+    # computes every node's in-mass AND the total dangling mass D
+    # (at the sentinel), and the tiny result is eager-checkpointed so
+    # its two consumers (the 1-row broadcast and the node join) read
+    # one materialization. ranks is now scanned ONCE per round (the
+    # old shape scanned it separately for the semi-join aggregate).
+    # Arithmetic is IDENTICAL: D = Σ rank over the static dangling
+    # set, share = D div n_targets — integral div of the same integral
+    # sum, so every remainder lands exactly where the old recurrence
+    # put it, and each per-node mass is the same bigint. A constant
+    # (−1, 0) seed row keeps the sentinel group present when the
+    # dangling set is empty (the old aggregate's coalesce(sum, 0)).
+    sent_seed = (
+        sized_range(spark, 1).select(
+            F.lit(-1).cast("long").alias("dst"),
+            F.lit(0).cast("long").alias("c"),
+        )
+        if redistribute_dangling
+        else None
+    )
     for _ in range(iters):
-        contrib = (
-            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select("dst", F.expr(contrib_expr).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_mass"))
-        )
-        joined = nodes.join(
-            contrib.withColumnRenamed("dst", "node"), "node", "left"
-        )
-        mass = F.coalesce(F.col("in_mass"), F.lit(0))
+        contrib = e_deg.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select("dst", F.expr(contrib_expr).alias("c"))
         if redistribute_dangling:
-            dang = (
-                ranks.join(dang_nodes, "node", "left_semi")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("_dm"))
-                .select(F.expr(f"_dm div {n_targets}").alias("_dshare"))
+            sent = ranks.join(dang_nodes, "node", "left_semi").select(
+                F.lit(-1).cast("long").alias("dst"), F.col("rank").alias("c")
             )
-            joined = joined.crossJoin(F.broadcast(dang))
-            mass = mass + F.when(is_target, F.col("_dshare")).otherwise(
-                F.lit(0)
+            in_mass = (
+                contrib.unionByName(sent)
+                .unionByName(sent_seed)
+                .groupBy("dst")
+                .agg(F.sum("c").alias("in_mass"))
+                .localCheckpoint(eager=True)  # ≤ n_nodes+1 rows, 2 readers
             )
+            dang = in_mass.filter(F.col("dst") == -1).select(
+                F.expr(f"in_mass div {n_targets}").alias("_dshare")
+            )
+            joined = nodes.join(
+                in_mass.filter(F.col("dst") != -1).withColumnRenamed(
+                    "dst", "node"
+                ),
+                "node",
+                "left",
+            ).crossJoin(F.broadcast(dang))
+            mass = F.coalesce(F.col("in_mass"), F.lit(0)) + F.when(
+                is_target, F.col("_dshare")
+            ).otherwise(F.lit(0))
+        else:
+            joined = nodes.join(
+                contrib.groupBy("dst")
+                .agg(F.sum("c").alias("in_mass"))
+                .withColumnRenamed("dst", "node"),
+                "node",
+                "left",
+            )
+            mass = F.coalesce(F.col("in_mass"), F.lit(0))
         ranks = (
             joined.withColumn("_mass", mass)
             .select(
@@ -435,9 +478,13 @@ def hits_integer(
         raise ValueError(
             "scale too large: n*scale^2 must stay within int64"
         )
+    if iters < 1:
+        # ADVICE r15: iters=0 would leave auths undefined at the final
+        # join; the defined starting vector is hubs-only, so reject.
+        raise ValueError("hits_integer requires iters >= 1")
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    nodes = sized_range(spark, n_nodes).select(F.col("id").alias("node"))
     hubs = nodes.select("node", F.lit(scale).alias("hub"))
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
@@ -633,7 +680,7 @@ def bfs_levels(
         raise ValueError("bfs_levels needs a non-empty seed set")
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    nodes = sized_range(spark, n_nodes).select(F.col("id").alias("node"))
     seed_set = ", ".join(str(int(s)) for s in seeds)
     dist = nodes.select(
         "node",

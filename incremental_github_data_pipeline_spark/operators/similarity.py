@@ -418,9 +418,15 @@ def semantic_dedup(
     assigned, _ = assign_cells(
         ensure_min_partitions(df), vec_col, n_cells, id_col, seed, refine_iters
     )
+    # r16 (the minhash_candidate_pairs discipline, guide §2.4): BOTH
+    # self-join sides read the assigned vectors — without the pin each
+    # side re-runs the source scan + the n_cells×dim assignment
+    # expression. id + vector + cell is corpus-sized but column-pruned;
+    # localCheckpoint (not persist) for the same GC-lifetime reasons as
+    # the signature stores.
     side = assigned.select(
         F.col(id_col).alias("_id"), as_double_vec(vec_col).alias("_v"), "_cell"
-    )
+    ).localCheckpoint(eager=True)
     a, b = side.alias("a"), side.alias("b")
     return (
         a.join(b, "_cell")

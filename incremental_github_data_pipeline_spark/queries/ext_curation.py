@@ -1235,43 +1235,107 @@ def q_crawl_curation(spark: SparkSession, sf: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    quality = per_doc.filter(F.col("kept_toks") >= 9)
-    red = quality.select(
-        tx.redact_typed(F.col("kept_text")).alias("rtext")
+    # r16 (guide §1.2 / §2.4): the audit previously unioned EIGHT
+    # 1-row aggregates, one per stage — but stages 0+1 read the same
+    # `recs` checkpoint and stages 5+6+7 the same `per_doc` checkpoint.
+    # Stages sharing a source now share ONE aggregate pass (conditional
+    # aggregation), so the audit reads each ledger frame exactly once:
+    # 8 aggregate subtrees → 5. The five 1-row results crossJoin into a
+    # single row and explode back to the identical 8 audit rows (same
+    # values: the quality/redact rows aggregate WHEN(kept_toks >= 9)
+    # guards, which is exactly the filter they replaced; redact_typed
+    # still runs once per qualifying doc inside a projection).
+    _q = F.col("kept_toks") >= 9
+    audited = per_doc.select(
+        "kept_toks",
+        "kept_text",
+        F.when(_q, tx.redact_typed(F.col("kept_text"))).alias("_rt"),
     )
+    s01 = recs.agg(
+        F.count(F.lit(1)).cast("long").alias("_n0"),
+        F.sum(
+            F.when(
+                (F.col("warc_type") == "response")
+                & (F.col("http_status") == 200),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("_n1"),
+    )
+    s2 = ext.agg(
+        F.count(F.lit(1)).cast("long").alias("_n2"),
+        F.sum("n_tokens").cast("long").alias("_t2"),
+        F.sum(F.length("text")).cast("long").alias("_c2"),
+    )
+    s3 = gated.agg(
+        F.count(F.lit(1)).cast("long").alias("_n3"),
+        F.sum("n_tokens").cast("long").alias("_t3"),
+        F.sum(F.length("text")).cast("long").alias("_c3"),
+    )
+    s4 = kept_docs.agg(
+        F.count(F.lit(1)).cast("long").alias("_n4"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long"))
+        .cast("long").alias("_t4"),
+        F.sum(F.length("text")).cast("long").alias("_c4"),
+    )
+    s567 = audited.agg(
+        F.count(F.lit(1)).cast("long").alias("_n5"),
+        F.sum("kept_toks").cast("long").alias("_t5"),
+        F.sum(F.length("kept_text")).cast("long").alias("_c5"),
+        F.sum(F.when(_q, 1).otherwise(0)).cast("long").alias("_n6"),
+        F.sum(F.when(_q, F.col("kept_toks"))).cast("long").alias("_t6"),
+        F.sum(F.when(_q, F.length("kept_text"))).cast("long").alias("_c6"),
+        # null-guarded: un-kept rows carry a NULL _rt and must not
+        # contribute (size(split(NULL)) is -1 under legacy semantics)
+        F.sum(
+            F.when(
+                F.col("_rt").isNotNull(),
+                F.size(F.split(F.col("_rt"), " ")).cast("long"),
+            )
+        ).cast("long").alias("_t7"),
+        F.sum(F.length("_rt")).cast("long").alias("_c7"),
+    )
+    _nul = F.lit(None).cast("long")
 
-    def stage(idx, name, frame, tokens_col, chars_col):
-        return frame.agg(
+    def _srow(idx, name, n, t, c):
+        return F.struct(
             F.lit(idx).cast("long").alias("stage_idx"),
             F.lit(name).alias("stage"),
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            (
-                F.sum(tokens_col).cast("long")
-                if tokens_col is not None
-                else F.lit(None).cast("long")
-            ).alias("n_tokens"),
-            (
-                F.sum(F.length(chars_col)).cast("long")
-                if chars_col is not None
-                else F.lit(None).cast("long")
-            ).alias("n_chars"),
+            n.alias("n_rows"),
+            t.alias("n_tokens"),
+            c.alias("n_chars"),
         )
 
+    def _rows(agg_df, *structs):
+        # one aggregate → its stage rows (a 1-row frame exploded);
+        # union keeps the assembly broadcast-free (a crossJoin chain
+        # of the 1-row aggregates measured +2 broadcast-build jobs)
+        return agg_df.select(
+            F.explode(F.array(*structs)).alias("_s")
+        ).select("_s.*")
+
     return (
-        stage(0, "records", recs, None, None)
-        .unionAll(stage(1, "http200", ok, None, None))
-        .unionAll(stage(2, "extracted", ext, "n_tokens", "text"))
-        .unionAll(stage(3, "robots_gate", gated, "n_tokens", "text"))
-        .unionAll(stage(4, "url_dedup", kept_docs,
-                        F.size(F.split(F.col("text"), " "))
-                        .cast("long"), "text"))
-        .unionAll(stage(5, "sentence_dedup", per_doc, "kept_toks",
-                        "kept_text"))
-        .unionAll(stage(6, "quality", quality, "kept_toks",
-                        "kept_text"))
-        .unionAll(stage(7, "redact", red,
-                        F.size(F.split(F.col("rtext"), " "))
-                        .cast("long"), "rtext"))
+        _rows(
+            s01,
+            _srow(0, "records", F.col("_n0"), _nul, _nul),
+            _srow(1, "http200", F.col("_n1"), _nul, _nul),
+        )
+        .unionAll(_rows(s2, _srow(2, "extracted", F.col("_n2"),
+                                  F.col("_t2"), F.col("_c2"))))
+        .unionAll(_rows(s3, _srow(3, "robots_gate", F.col("_n3"),
+                                  F.col("_t3"), F.col("_c3"))))
+        .unionAll(_rows(s4, _srow(4, "url_dedup", F.col("_n4"),
+                                  F.col("_t4"), F.col("_c4"))))
+        .unionAll(
+            _rows(
+                s567,
+                _srow(5, "sentence_dedup", F.col("_n5"),
+                      F.col("_t5"), F.col("_c5")),
+                _srow(6, "quality", F.col("_n6"),
+                      F.col("_t6"), F.col("_c6")),
+                _srow(7, "redact", F.col("_n6"),
+                      F.col("_t7"), F.col("_c7")),
+            )
+        )
         .orderBy("stage_idx")
     )
 

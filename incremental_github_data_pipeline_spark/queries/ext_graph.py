@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from incremental_github_data_pipeline_spark.operators import graph as g_ops
+from incremental_github_data_pipeline_spark.operators.core import sized_range
 from incremental_github_data_pipeline_spark.queries import register
 
 N = 400
@@ -32,7 +33,7 @@ _EDGE_SQL = (
 
 
 def _edges(spark: SparkSession) -> DataFrame:
-    nodes = spark.range(N).select(F.col("id").alias("node"))
+    nodes = sized_range(spark, N).select(F.col("id").alias("node"))
     parts = [
         nodes.select(
             F.col("node").alias("src"),
@@ -342,7 +343,7 @@ _KCORE_ROUNDS = 6  # measured peel depth is 3; unroll double for margin
 
 
 def _kcore_edges(spark: SparkSession) -> DataFrame:
-    nodes = spark.range(N).select(F.col("id").alias("node"))
+    nodes = sized_range(spark, N).select(F.col("id").alias("node"))
     parts = [
         nodes.select(
             F.col("node").alias("src"),

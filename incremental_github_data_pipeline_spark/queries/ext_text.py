@@ -2405,8 +2405,14 @@ def q_unigram_pieces(spark: SparkSession, sf: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    singles = pieces.filter(F.length("piece") == 1).select(
-        F.col("piece").alias("ch")
+    # dropDuplicates (ADVICE r15): pieces are unique by construction, so
+    # this is a no-op on the data — it makes n_chars/coverage robust by
+    # construction should `singles` ever carry duplicates (the left join
+    # below would otherwise inflate count(*)).
+    singles = (
+        pieces.filter(F.length("piece") == 1)
+        .select(F.col("piece").alias("ch"))
+        .dropDuplicates(["ch"])
     )
     # r15: ONE action for all four invariants — the previous form ran
     # four driver actions (two counts + two collects), each a separate

@@ -715,7 +715,9 @@ def q_ts_forecast_seasonal(spark: SparkSession, sf: str) -> DataFrame:
     seas = dec.groupBy("event_type", "phase").agg(
         F.max("seasonal_s").alias("seasonal_s")
     )
-    horizons = spark.range(1, 4).select(F.col("id").alias("h"))
+    # r16: 3 rows need 1 partition, not defaultParallelism near-empty
+    # ones (every consumer stage schedules a task per partition)
+    horizons = spark.range(1, 4, 1, 1).select(F.col("id").alias("h"))
     fut = (
         last_hw.join(last_phase, "event_type")
         .crossJoin(F.broadcast(horizons))

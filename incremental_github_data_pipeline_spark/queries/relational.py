@@ -2466,7 +2466,9 @@ def q_hll_sliding(spark: SparkSession, sf: str) -> DataFrame:
     # derives from the sketch frame (which carries every day that has
     # ANY row — hll_registers emits ≥1 register per non-empty group)
     days = daily.select("day").distinct()
-    idxs = spark.range(64).select(F.col("id").alias("hll_idx"))
+    # r16: 64 rows in 1 partition (bare range splits into 32 near-empty
+    # partitions and drags a no-op task per partition per consumer)
+    idxs = spark.range(0, 64, 1, 1).select(F.col("id").alias("hll_idx"))
     dense = (
         days.crossJoin(F.broadcast(idxs))
         .join(daily, ["day", "hll_idx"], "left")

@@ -20,6 +20,14 @@ so behaviour can never regress, only speed. Datetime-typed columns are
 deliberately routed to the fallback: the Arrow and pickle paths apply
 timezone localization differently for naive datetimes, and no fixture
 lane needs the fast path for them.
+
+r16 (ADVICE r15): the DDL string parses through the public
+``StructType.fromDDL`` (4.0+) instead of the private
+``_parse_datatype_string``, and Spark's own silent
+``arrow.pyspark.fallback`` (a THIRD conversion path — non-Arrow pandas
+pickling with a per-call UserWarning) is disabled around the Arrow
+attempt, so exactly the two documented paths exist: Arrow fast path,
+or this module's classic-tuple fallback.
 """
 
 from __future__ import annotations
@@ -29,17 +37,19 @@ from pyspark.sql.types import StructType
 
 __all__ = ["local_rows_df"]
 
+_FALLBACK_CONF = "spark.sql.execution.arrow.pyspark.fallback.enabled"
+
 
 def _schema_of(spark: SparkSession, schema) -> StructType | None:
     if isinstance(schema, StructType):
         return schema
     if isinstance(schema, str):
         try:
-            from pyspark.sql.types import _parse_datatype_string
-
-            parsed = _parse_datatype_string(schema)
+            parsed = StructType.fromDDL(schema)
             return parsed if isinstance(parsed, StructType) else None
         except Exception:
+            # not a parseable struct DDL (single-type strings land
+            # here) — let the classic builder interpret it
             return None
     return None
 
@@ -66,7 +76,21 @@ def local_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
                 columns=struct.names,
                 dtype=object,
             )
-            return spark.createDataFrame(pdf, struct)
+            # pin Spark's own arrow fallback OFF for this call so a
+            # conversion failure lands in OUR fallback below (two
+            # documented paths), not in a silent pickled-pandas path
+            prev = spark.conf.get(_FALLBACK_CONF, None)
+            spark.conf.set(_FALLBACK_CONF, "false")
+            try:
+                return spark.createDataFrame(pdf, struct)
+            finally:
+                if prev is None:
+                    spark.conf.unset(_FALLBACK_CONF)
+                else:
+                    spark.conf.set(_FALLBACK_CONF, prev)
         except Exception:
+            # deliberate broad catch: ANY Arrow-path failure must fall
+            # back to the classic (always-correct) builder — the fast
+            # path is an optimization, never a semantics change
             pass
     return spark.createDataFrame(rows, schema)

@@ -264,12 +264,32 @@ def commit_version(
         if "parts" not in prev_manifest:
             prev_files, prev_stats = _files_and_stats(prev_manifest)
 
+    # r16 (guide §6): record whether EVERY referenced file was written
+    # with exactly this schema. When true, read_version passes the
+    # recorded schema straight to the parquet reader — no
+    # mergeSchema=true, which runs a distributed read of every part
+    # footer on EACH read (the serving lanes measured one footer job
+    # per table per evaluation). Overwrites are trivially stable;
+    # appends stay stable only while the incoming schema matches the
+    # previous manifest's (an evolved append flips the flag off and the
+    # read path falls back to footer merging). Pre-r16 manifests lack
+    # the flag → treated as unstable, same behavior as before.
+    schema_json = df.schema.jsonValue()
+    if mode == "overwrite" or prev is None:
+        schema_stable = True
+    else:
+        schema_stable = bool(
+            prev_manifest is not None
+            and prev_manifest.get("schema_stable")
+            and prev_manifest.get("schema") == schema_json
+        )
     manifest = {
         "version": new_version,
         "n_rows": n_rows,
         "ts": time.time(),
         "mode": mode,
-        "schema": df.schema.jsonValue(),
+        "schema": schema_json,
+        "schema_stable": schema_stable,
     }
     if txn_id is not None:
         manifest["txn"] = txn_id
@@ -449,9 +469,15 @@ def _read_files(spark: SparkSession, manifest: dict, files: list) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
-    reader = spark.read.option("mergeSchema", "true")
-    df = reader.parquet(*files)
     recorded = manifest.get("schema")
+    if recorded and manifest.get("schema_stable"):
+        # every file was written with exactly this schema (commit-time
+        # invariant): hand it to the reader — no footer-merging job,
+        # no inference, no per-column cast needed
+        return spark.read.schema(StructType.fromJson(recorded)).parquet(
+            *files
+        )
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
     if recorded:
         want = StructType.fromJson(recorded)
         cols = [

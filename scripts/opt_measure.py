@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Round-15 optimization measurement harness (guide §1).
+"""Optimization measurement harness (guide §1; r15, reused for r16).
 
 For each named query (default: the heaviest bench rows), in bench-shaped
 sessions: warm-up + median-of-3 timed passes with BOTH the bench action
@@ -52,6 +52,7 @@ RECYCLE_EVERY = 8
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="before")
+    ap.add_argument("--round", default="r16", dest="round_dir")
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-noop", action="store_true")
@@ -66,7 +67,7 @@ def main() -> None:
     registry = load_all()
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r15",
+        "plans", args.round_dir,
     )
     os.makedirs(plans_dir, exist_ok=True)
 

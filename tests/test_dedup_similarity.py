@@ -67,6 +67,61 @@ def test_simhash_invariants(spark):
     assert (1, 4) not in got or got[(1, 4)] > 10
 
 
+def test_simhash_formulation_identical(spark):
+    # r16: the single-aggregate mask-array simhash must be
+    # BIT-IDENTICAL to the original 64-separate-aggregates form
+    # (replayed here inline), including the sign bit and short docs
+    from incremental_github_data_pipeline_spark.operators.text import (
+        let_,
+        tokens,
+    )
+
+    def simhash_reference(text_col, bits=64):
+        def votes_to_hash(h):
+            out = F.lit(0).cast("long")
+            for b in range(bits):
+                vote = F.aggregate(
+                    h,
+                    F.lit(0),
+                    (
+                        lambda bit: lambda acc, hv: acc
+                        + F.when(
+                            F.shiftright(hv, bit).bitwiseAND(F.lit(1))
+                            == 1,
+                            1,
+                        ).otherwise(-1)
+                    )(b),
+                )
+                bit_val = (1 << b) if b < 63 else -(1 << 63)
+                out = out.bitwiseOR(
+                    F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                )
+            return out
+
+        return let_(
+            F.transform(tokens(text_col), lambda w: F.xxhash64(w)),
+            votes_to_hash,
+        )
+
+    rows = [
+        (1, DOC),
+        (2, FAR),
+        (3, ""),
+        (4, "one"),
+        (5, "a b c d e f g h i j k l m n o p"),
+        (6, "naïve café 北京 emoji 🙂 mixed"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = df.select(
+        "id",
+        dd.simhash(F.col("text")).alias("new"),
+        simhash_reference(F.col("text")).alias("old"),
+    ).collect()
+    assert all(r["new"] == r["old"] for r in got)
+
+
 def test_ngram_jaccard_bounds(spark):
     df = spark.createDataFrame([(DOC, DOC, FAR)], "a string, b string, c string")
     row = df.select(

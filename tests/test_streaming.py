@@ -2223,9 +2223,45 @@ def test_incremental_curation_funnel_equals_one_shot(spark, tmp_path):
     assert a1["records"] == 48  # 12 payloads x 4 records
 
 
+@pytest.fixture(scope="module")
+def _funnel_clean_root(spark, tmp_path_factory):
+    """The crash-free two-batch funnel reference used by every
+    crash_after parametrization below — identical by construction, so
+    it is computed ONCE per module (r16: the three params re-ran it
+    three times, ~40 s of pure duplication in the suite's slowest
+    test)."""
+    from incremental_github_data_pipeline_spark.queries.ext_curation import (
+        _CUR_ROBOT_RULES,
+        _curation_corpus,
+    )
+    from incremental_github_data_pipeline_spark.streaming import (
+        run_incremental_curation_funnel,
+    )
+
+    base = tmp_path_factory.mktemp("funnel_clean")
+    corpus = _curation_corpus(spark).collect()
+    schema = "payload_id long, payload binary"
+    b1 = [tuple(r) for r in corpus if r["payload_id"] < 12]
+    b2 = [tuple(r) for r in corpus if r["payload_id"] >= 12]
+    src, root, ckpt = base / "warcs", str(base / "cur"), str(base / "ckpt")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_incremental_curation_funnel(
+        spark, str(src), root, ckpt, robots_rules=_CUR_ROBOT_RULES
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_incremental_curation_funnel(
+        spark, str(src), root, ckpt, robots_rules=_CUR_ROBOT_RULES
+    )
+    return root
+
+
 @pytest.mark.parametrize("crash_after", [1, 2, 3])
 def test_curation_funnel_mid_batch_crash_replays_exactly_once(
-    spark, tmp_path, monkeypatch, crash_after
+    spark, tmp_path, monkeypatch, crash_after, _funnel_clean_root
 ):
     """ADVICE r13 (medium): a crash BETWEEN a batch's table commits
     must not lose data on replay. Claim rows carry their batch_id and
@@ -2288,7 +2324,7 @@ def test_curation_funnel_mid_batch_crash_replays_exactly_once(
         return root
 
     root_c = run_two_batches("crash", crash_on_batch2=True)
-    root_ok = run_two_batches("clean", crash_on_batch2=False)
+    root_ok = _funnel_clean_root
 
     for table in ("curated", "audit", "url_state", "sent_state"):
         got = read_version(spark, f"{root_c}/{table}")

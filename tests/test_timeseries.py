@@ -276,6 +276,38 @@ class TestTheilSen:
         # slopes: 10,5,10,0,10,20 sorted -> 0,5,10,10,10,20; rn3 = 10
         assert r["n_pairs"] == 6 and r["slope_s"] == 10
 
+    def test_bucket_selection_matches_sort(self, spark):
+        # r16: the opt-in two-pass bucket selection must be
+        # BIT-IDENTICAL to the default sort selection — exercised on a
+        # ties-heavy fixture (repeated slopes straddle bucket
+        # boundaries), negative slopes, an outlier, and a 2-point key
+        from incremental_github_data_pipeline_spark.operators import (
+            timeseries as ts_ops,
+        )
+
+        rows = (
+            [("up", x, 2 * x) for x in range(9)]
+            + [("up", 9, 1000)]
+            + [("dn", x, -3 * x + (x % 3)) for x in range(11)]
+            + [("flat", x, 7) for x in range(8)]  # all slopes equal
+            + [("two", 0, 5), ("two", 4, 1)]
+        )
+        df = spark.createDataFrame(rows, "k string, x long, y long")
+        for scale in (1, 100):
+            ref = {
+                r["k"]: (r["n_points"], r["n_pairs"], r["slope_s"])
+                for r in ts_ops.theil_sen_slope(
+                    df, "k", "x", "y", scale=scale
+                ).collect()
+            }
+            got = {
+                r["k"]: (r["n_points"], r["n_pairs"], r["slope_s"])
+                for r in ts_ops.theil_sen_slope(
+                    df, "k", "x", "y", scale=scale, selection="bucket"
+                ).collect()
+            }
+            assert got == ref and set(ref) == {"up", "dn", "flat", "two"}
+
 
 class TestHoltLinear:
     def test_hand_computed_recurrence(self, spark):
