@@ -631,6 +631,58 @@ def _run_warehouse_merge(spark, state) -> None:
     state["wh"].merge_upsert(state["batch"], "events_t", ["event_id"])
 
 
+def _setup_scale_probe(spark, sf_dir: str) -> dict:
+    return {}  # input is generated inside the timed region
+
+
+def _run_scale_agg(spark, state) -> None:
+    """r16 (VERDICT r15 task 6): a compute lane big enough that core
+    count matters. At sf0.1 every corpus-backed query is scheduling-
+    floor-bound (all 202 scaling ratios sat at ~1 in PERF_r15), so the
+    8-vs-32-core block measured nothing. This lane is a 48M-row
+    hash aggregate generated DETERMINISTICALLY inside the timed region
+    (spark.range → xxhash64 key → map-side partial agg + one
+    exchange): embarrassingly parallel by construction, no testdata,
+    nothing cached — scaling ratios on it reflect cores, not fixtures.
+    Partition count (48) is data-derived (1M rows/partition), not a
+    core-count constant."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(0, 48_000_000, 1, 48)
+        .select(
+            (F.xxhash64("id") % 1_000_000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0)
+        .count()
+    )
+
+
+def _run_scale_join(spark, state) -> None:
+    """Scaling twin for the shuffle path: 32M ⋈ 8M sort-merge join on
+    a deterministic hashed key, then one aggregate — both sides
+    shuffle for real, so this lane exposes how shuffle-bound work
+    scales with cores (guide §2.2)."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 32_000_000, 1, 32).select(
+        (F.xxhash64("id") % 8_000_000).alias("k"),
+        F.col("id").alias("v"),
+    )
+    b = spark.range(0, 8_000_000, 1, 8).select(
+        (F.xxhash64(F.col("id") * 7 + 3) % 8_000_000).alias("k"),
+        (F.col("id") % 97).alias("w"),
+    )
+    (
+        a.join(b, "k")
+        .agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        .count()
+    )
+
+
 def _setup_expectations(spark, sf_dir: str) -> dict:
     from incremental_github_data_pipeline_spark.sources.readers import (
         read_table,
@@ -685,6 +737,11 @@ EXTRA_LANES = [
     ("x_hybrid_serving", _setup_search_serving, _run_hybrid_serving),
     ("x_warehouse_merge", _setup_warehouse_merge, _run_warehouse_merge),
     ("x_expectations", _setup_expectations, _run_expectations),
+    # r16 additions (VERDICT r15 task 6): generated-input scale lanes so
+    # the driver's core-count scaling block has signal — ADDED rows,
+    # nothing removed or renamed; see _run_scale_agg docstring.
+    ("x_scale_agg", _setup_scale_probe, _run_scale_agg),
+    ("x_scale_join", _setup_scale_probe, _run_scale_join),
 ]
 _BENCH_TMP: list[str] = []
 

@@ -1600,6 +1600,29 @@ def learn_bpe(
     local_vocab_max`` AND ``total symbols <= local_syms_max`` hold
     (one extra aggregate row over the already-checkpointed
     vocabulary, no extra corpus scan).
+
+    WHY THE DISTRIBUTED LOOP CANNOT BATCH ITS PER-MERGE COLLECTS
+    (r16, VERDICT r15 task 9 — "collect every k merges" examined and
+    rejected): collecting the top-k pairs up front and applying them
+    without re-counting is UNSOUND even when the k pairs are
+    symbol-disjoint, because applying merge 1 CREATES pairs that did
+    not exist before — every adjacency (x, ab) / (ab, y) around the
+    fused symbol is new, and such a pair's count can be as large as
+    cnt(merge 1), i.e. ABOVE the pre-batch rank-2 pair's count.
+    Counter-example: corpus "c a b"·n ∪ "a b"·m with n > m; pre-batch
+    counts are (a,b): n+m, (c,a): n, so a batch of 2 would apply
+    (a,b) then (c,a) — but after (a,b)→ab the true next argmax is the
+    NEW pair (c, ab) with count n, and (c,a) no longer exists at all.
+    The next argmax after a merge is therefore not decidable from any
+    pre-batch driver state; it needs the post-merge pair counts —
+    exactly one aggregate per merge, which is what the loop runs. The
+    hybrid local gate above is the real fix: after the single corpus
+    scan the recurrence runs driver-side with ZERO per-merge jobs for
+    any vocabulary that fits (including every bench/test corpus), and
+    the distributed path remains only for vocabularies too large to
+    collect — where one bounded 1-row collect per merge IS the
+    declared recurrence. Same argument applies verbatim to WordPiece
+    (its score ranks pairs, but merges still create pairs).
     """
     sep = _BPE_SEP
     words = (
